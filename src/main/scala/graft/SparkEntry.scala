@@ -1,13 +1,352 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ast.QueryJson
+import graft.model.AkuTime
+import graft.plan.Planner
+import graft.sources.TestData
+
+/** Driver contract — one gated entry per implemented operator from
+  * SURVEY.md §2, each flowing through the real engine
+  * (JSON -> AST -> Planner -> DataFrame) and paired with a DuckDB oracle.
+  *
+  * Output discipline: every query ends in an explicit total ORDER BY over
+  * its output columns, timestamps are emitted as ns BIGINT, and
+  * order-of-accumulation-sensitive doubles (sum/mean) are rounded to 6
+  * decimals on BOTH sides so the driver's hash compare is stable.
+  */
 object SparkEntry {
+
+  // ---- shared time constants (single source of truth for JSON + SQL) ----
+  private val T0iso = "20240105T000000"; private val T0 = AkuTime.parseTs(T0iso)
+  private val T1iso = "20240120T000000"; private val T1 = AkuTime.parseTs(T1iso)
+  private val W0iso = "20240101T000000"
+  private val W1iso = "20240201T000000"
+  private val Day = 86400L * 1000000000L
+  private val H6  = 6 * 3600L * 1000000000L
+
+  // SQL fragments mirroring the TestData.events adapter
+  private val kSql = "(json_extract_string(props,'$.k')::INT % 10)"
+  private def snameSql(metricExpr: String): String =
+    s"$metricExpr || ' k=' || $kSql || ' user=' || user_id"
+  private val tsSql = "epoch_ns(ts)"
+  private def rangeSql(a: String = "2024-01-05", b: String = "2024-01-20") =
+    s"ts >= TIMESTAMP '$a' AND ts < TIMESTAMP '$b'"
+  private def rangeBwSql(hi: String = "2024-01-20", lo: String = "2024-01-05") =
+    s"ts <= TIMESTAMP '$hi' AND ts > TIMESTAMP '$lo'"
+
+  /** Run a JSON query through the engine against the events store. */
+  private def run(json: String)(spark: SparkSession, sfDir: String): DataFrame =
+    Planner.plan(QueryJson.parse(json), TestData.events(spark, sfDir)).df
+
+  private def runEv(json: String)(spark: SparkSession, sfDir: String): DataFrame =
+    Planner.plan(QueryJson.parse(json), TestData.eventStore(spark, sfDir)).df
+
+  private final case class Gated(
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  // =====================================================================
+  private lazy val gated: Seq[(String, Gated)] = Seq(
+
+    // -- Q1 select: range scan, time order (SURVEY §2.1 Q1) --------------
+    "ts_select" -> Gated(
+      (s, d) => run(
+        s"""{"select":"click","range":{"from":"$T0iso","to":"$T1iso"},"order-by":"time"}""")(s, d)
+        .orderBy(col("ts"), col("sname"), col("value")),
+      Some(s"""SELECT ${snameSql("event_type")} AS sname, $tsSql AS ts, value
+              |FROM events WHERE event_type = 'click' AND ${rangeSql()}
+              |ORDER BY 2, 1, 3""".stripMargin)),
+
+    // -- Q1 backward scan, series order ----------------------------------
+    "ts_select_backward" -> Gated(
+      (s, d) => run(
+        s"""{"select":"click","range":{"from":"$T1iso","to":"$T0iso"},"order-by":"series"}""")(s, d)
+        .orderBy(col("sname").asc, col("ts").desc, col("value")),
+      Some(s"""SELECT ${snameSql("event_type")} AS sname, $tsSql AS ts, value
+              |FROM events WHERE event_type = 'click' AND ${rangeBwSql()}
+              |ORDER BY 1 ASC, 2 DESC, 3""".stripMargin)),
+
+    // -- Q1 + where (tag OR-list) + value filter + limit/offset ----------
+    "ts_select_where_filter" -> Gated(
+      (s, d) => run(
+        s"""{"select":"purchase","range":{"from":"$T0iso","to":"$T1iso"},
+           |"where":{"user":["3","7","52","101"]},
+           |"filter":{"gt":2.0,"le":50.0},"order-by":"time",
+           |"offset":5,"limit":200}""".stripMargin)(s, d)
+        .orderBy(col("ts"), col("sname"), col("value")),
+      Some(s"""SELECT ${snameSql("event_type")} AS sname, $tsSql AS ts, value
+              |FROM events WHERE event_type = 'purchase' AND ${rangeSql()}
+              |  AND user_id IN (3, 7, 52, 101) AND value > 2.0 AND value <= 50.0
+              |ORDER BY 2, 1, 3 LIMIT 200 OFFSET 5""".stripMargin)),
+
+    // -- Q3 aggregate: whole-history, multi-metric multi-func ------------
+    "ts_aggregate" -> Gated(
+      (s, d) => run(
+        """{"aggregate":{"click":["min","max","count","mean","sum"],"view":["max"]}}""")(s, d)
+        .withColumn("value", round(col("value"), 6))
+        .orderBy(col("sname"), col("value")),
+      Some(s"""WITH g AS (
+              |  SELECT event_type AS m, $kSql AS k, user_id AS u,
+              |         min(value) AS vmin, max(value) AS vmax,
+              |         count(value)::DOUBLE AS vcnt, avg(value) AS vmean,
+              |         sum(value) AS vsum
+              |  FROM events GROUP BY 1, 2, 3)
+              |SELECT sname, round(value, 6) AS value FROM (
+              |  SELECT m||':min k='||k||' user='||u AS sname, vmin AS value FROM g WHERE m='click'
+              |  UNION ALL
+              |  SELECT m||':max k='||k||' user='||u, vmax FROM g WHERE m='click'
+              |  UNION ALL
+              |  SELECT m||':count k='||k||' user='||u, vcnt FROM g WHERE m='click'
+              |  UNION ALL
+              |  SELECT m||':mean k='||k||' user='||u, vmean FROM g WHERE m='click'
+              |  UNION ALL
+              |  SELECT m||':sum k='||k||' user='||u, vsum FROM g WHERE m='click'
+              |  UNION ALL
+              |  SELECT m||':max k='||k||' user='||u, vmax FROM g WHERE m='view')
+              |ORDER BY 1, 2""".stripMargin)),
+
+    // -- Q4 group-aggregate: day buckets anchored at query begin ---------
+    "ts_group_aggregate" -> Gated(
+      (s, d) => run(
+        s"""{"group-aggregate":{"metric":"click","step":"1d","func":["mean","count","min","max"]},
+           |"range":{"from":"$T0iso","to":"$T1iso"},"order-by":"time"}""".stripMargin)(s, d)
+        .withColumn("mean", round(col("mean"), 6))
+        .orderBy(col("ts"), col("sname")),
+      Some(s"""SELECT 'click:mean|click:count|click:min|click:max k='||$kSql||' user='||user_id AS sname,
+              |  $T0 + (($tsSql - $T0) // $Day) * $Day AS ts,
+              |  round(avg(value), 6) AS mean, count(value)::DOUBLE AS count,
+              |  min(value) AS min, max(value) AS max
+              |FROM events WHERE event_type = 'click' AND ${rangeSql()}
+              |GROUP BY 1, 2 ORDER BY 2, 1""".stripMargin)),
+
+    // -- Q4 backward: buckets anchored at begin going DOWN ---------------
+    // (reference: storage_engine/operators/aggregate.cpp:171-173)
+    "ts_group_aggregate_backward" -> Gated(
+      (s, d) => run(
+        s"""{"group-aggregate":{"metric":"error","step":"1d","func":["mean","count"]},
+           |"range":{"from":"$T1iso","to":"$T0iso"},"order-by":"time"}""".stripMargin)(s, d)
+        .withColumn("mean", round(col("mean"), 6))
+        .orderBy(col("ts").desc, col("sname")),
+      Some(s"""SELECT 'error:mean|error:count k='||$kSql||' user='||user_id AS sname,
+              |  $T1 - (($T1 - $tsSql) // $Day) * $Day AS ts,
+              |  round(avg(value), 6) AS mean, count(value)::DOUBLE AS count
+              |FROM events WHERE event_type = 'error' AND ${rangeBwSql()}
+              |GROUP BY 1, 2 ORDER BY 2 DESC, 1""".stripMargin)),
+
+    // -- Q4 + filter on aggregate components (HAVING-style) --------------
+    "ts_group_aggregate_filter" -> Gated(
+      (s, d) => run(
+        s"""{"group-aggregate":{"metric":"view","step":"1d","func":["min","max","mean"]},
+           |"range":{"from":"$T0iso","to":"$T1iso"},
+           |"filter":{"max":{"gt":15.0},"mean":{"gt":5.0},"=":{"require":"all"}},
+           |"order-by":"time"}""".stripMargin)(s, d)
+        .withColumn("mean", round(col("mean"), 6))
+        .orderBy(col("ts"), col("sname")),
+      Some(s"""SELECT * FROM (
+              |  SELECT 'view:min|view:max|view:mean k='||$kSql||' user='||user_id AS sname,
+              |    $T0 + (($tsSql - $T0) // $Day) * $Day AS ts,
+              |    min(value) AS min, max(value) AS max, round(avg(value), 6) AS mean
+              |  FROM events WHERE event_type = 'view' AND ${rangeSql()}
+              |  GROUP BY 1, 2
+              |  HAVING max(value) > 15.0 AND avg(value) > 5.0)
+              |ORDER BY 2, 1""".stripMargin)),
+
+    // -- Q5 join: align metrics on exact ts, outer tuple cells -----------
+    "ts_join" -> Gated(
+      (s, d) => run(
+        s"""{"join":["click","view","purchase"],"range":{"from":"$T0iso","to":"$T1iso"}}""")(s, d)
+        .orderBy(col("ts"), col("sname")),
+      Some(s"""SELECT 'click|view|purchase k='||$kSql||' user='||user_id AS sname,
+              |  $tsSql AS ts,
+              |  max(value) FILTER (event_type = 'click') AS click,
+              |  max(value) FILTER (event_type = 'view') AS view,
+              |  max(value) FILTER (event_type = 'purchase') AS purchase
+              |FROM events
+              |WHERE event_type IN ('click','view','purchase') AND ${rangeSql()}
+              |GROUP BY 1, 2 ORDER BY 2, 1""".stripMargin)),
+
+    // -- Q6 group-aggregate-join: bucketed agg then align ----------------
+    "ts_group_aggregate_join" -> Gated(
+      (s, d) => run(
+        s"""{"group-aggregate-join":{"metric":["click","error"],"step":"6h","func":"max"},
+           |"range":{"from":"$T0iso","to":"$T1iso"}}""".stripMargin)(s, d)
+        .orderBy(col("ts"), col("sname")),
+      Some(s"""SELECT 'click:max|error:max k='||$kSql||' user='||user_id AS sname,
+              |  $T0 + (($tsSql - $T0) // $H6) * $H6 AS ts,
+              |  max(value) FILTER (event_type = 'click') AS click,
+              |  max(value) FILTER (event_type = 'error') AS error
+              |FROM events WHERE event_type IN ('click','error') AND ${rangeSql()}
+              |GROUP BY 1, 2 ORDER BY 2, 1""".stripMargin)),
+
+    // -- Q7 meta:names: series listing -----------------------------------
+    "ts_meta_names" -> Gated(
+      (s, d) => run("""{"select":"meta:names"}""")(s, d).orderBy(col("sname")),
+      Some(s"""SELECT DISTINCT ${snameSql("event_type")} AS sname
+              |FROM events ORDER BY 1""".stripMargin)),
+
+    // -- Q2 select-events: string payloads + body regex ------------------
+    "ts_select_events" -> Gated(
+      (s, d) => runEv(
+        s"""{"select-events":"!signup","range":{"from":"$W0iso","to":"$W1iso"},"filter":"9"}""")(s, d)
+        .orderBy(col("ts"), col("sname"), col("event")),
+      Some(s"""SELECT '!signup user=' || user_id AS sname, $tsSql AS ts,
+              |  props AS event
+              |FROM events
+              |WHERE event_type = 'signup' AND regexp_matches(props, '9')
+              |  AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+              |ORDER BY 2, 1, 3""".stripMargin)),
+
+    // -- group-by-tag: drop listed tags, merge colliding series ----------
+    "ts_group_by_tag" -> Gated(
+      (s, d) => run(
+        s"""{"select":"view","range":{"from":"$T0iso","to":"$T1iso"},
+           |"group-by-tag":["user"],"order-by":"time"}""".stripMargin)(s, d)
+        .orderBy(col("ts"), col("sname"), col("value")),
+      Some(s"""SELECT 'view k=' || $kSql AS sname, $tsSql AS ts, value
+              |FROM events WHERE event_type = 'view' AND ${rangeSql()}
+              |ORDER BY 2, 1, 3""".stripMargin)),
+
+    // -- pivot-by-tag: keep only listed tags -----------------------------
+    "ts_pivot_by_tag" -> Gated(
+      (s, d) => run(
+        s"""{"select":"error","range":{"from":"$T0iso","to":"$T1iso"},
+           |"pivot-by-tag":["k"],"order-by":"series"}""".stripMargin)(s, d)
+        .orderBy(col("sname"), col("ts"), col("value")),
+      Some(s"""SELECT 'error k=' || $kSql AS sname, $tsSql AS ts, value
+              |FROM events WHERE event_type = 'error' AND ${rangeSql()}
+              |ORDER BY 1, 2, 3""".stripMargin)),
+
+    // -- apply: rate ------------------------------------------------------
+    "ts_apply_rate" -> Gated(
+      (s, d) => run(
+        s"""{"select":"click","range":{"from":"$T0iso","to":"$T1iso"},
+           |"where":{"user":["7","42"]},"apply":[{"name":"rate"}]}""".stripMargin)(s, d)
+        .orderBy(col("ts"), col("sname")),
+      Some(s"""WITH s AS (
+              |  SELECT ${snameSql("event_type")} AS sname, $tsSql AS ts, value
+              |  FROM events WHERE event_type = 'click' AND ${rangeSql()}
+              |    AND user_id IN (7, 42))
+              |SELECT sname, ts,
+              |  (value - coalesce(lag(value) OVER w, 0)) /
+              |    ((ts - coalesce(lag(ts) OVER w, 0)) / 1e9) AS value
+              |FROM s WINDOW w AS (PARTITION BY sname ORDER BY ts)
+              |ORDER BY 2, 1""".stripMargin)),
+
+    // -- apply: cusum -----------------------------------------------------
+    "ts_apply_cusum" -> Gated(
+      (s, d) => run(
+        s"""{"select":"error","range":{"from":"$T0iso","to":"$T1iso"},
+           |"where":{"user":["3","9"]},"apply":[{"name":"cusum"}]}""".stripMargin)(s, d)
+        .orderBy(col("ts"), col("sname")),
+      Some(s"""WITH s AS (
+              |  SELECT ${snameSql("event_type")} AS sname, $tsSql AS ts, value
+              |  FROM events WHERE event_type = 'error' AND ${rangeSql()}
+              |    AND user_id IN (3, 9))
+              |SELECT sname, ts,
+              |  sum(value) OVER (PARTITION BY sname ORDER BY ts
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+              |FROM s ORDER BY 2, 1""".stripMargin)),
+
+    // -- apply: sma (trailing window mean) --------------------------------
+    "ts_apply_sma" -> Gated(
+      (s, d) => run(
+        s"""{"select":"click","range":{"from":"$T0iso","to":"$T1iso"},
+           |"where":{"user":["11"]},"apply":[{"name":"sma","window-width":5}]}""".stripMargin)(s, d)
+        .withColumn("value", round(col("value"), 6))
+        .orderBy(col("ts"), col("sname")),
+      Some(s"""WITH s AS (
+              |  SELECT ${snameSql("event_type")} AS sname, $tsSql AS ts, value
+              |  FROM events WHERE event_type = 'click' AND ${rangeSql()}
+              |    AND user_id = 11)
+              |SELECT sname, ts,
+              |  round(avg(value) OVER (PARTITION BY sname ORDER BY ts
+              |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS value
+              |FROM s ORDER BY 2, 1""".stripMargin)),
+
+    // -- apply: cma (cumulative mean) -------------------------------------
+    "ts_apply_cma" -> Gated(
+      (s, d) => run(
+        s"""{"select":"view","range":{"from":"$T0iso","to":"$T1iso"},
+           |"where":{"user":["21"]},"apply":[{"name":"cma"}]}""".stripMargin)(s, d)
+        .withColumn("value", round(col("value"), 6))
+        .orderBy(col("ts"), col("sname")),
+      Some(s"""WITH s AS (
+              |  SELECT ${snameSql("event_type")} AS sname, $tsSql AS ts, value
+              |  FROM events WHERE event_type = 'view' AND ${rangeSql()}
+              |    AND user_id = 21)
+              |SELECT sname, ts,
+              |  round(avg(value) OVER (PARTITION BY sname ORDER BY ts
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value
+              |FROM s ORDER BY 2, 1""".stripMargin)),
+
+    // -- apply: ewma (recursive, stateful scan) — rows-only check ---------
+    "ts_apply_ewma" -> Gated(
+      (s, d) => run(
+        s"""{"select":"click","range":{"from":"$T0iso","to":"$T1iso"},
+           |"where":{"user":["11"]},"apply":[{"name":"ewma","decay":0.3}]}""".stripMargin)(s, d)
+        .orderBy(col("ts"), col("sname")),
+      None),
+
+    // -- apply: top-N by time-weighted sum --------------------------------
+    "ts_apply_top" -> Gated(
+      (s, d) => run(
+        s"""{"select":"view","range":{"from":"$T0iso","to":"$T1iso"},
+           |"apply":[{"name":"top","N":5}]}""".stripMargin)(s, d)
+        .withColumn("value", round(col("value"), 6)),
+      Some(s"""WITH s AS (
+              |  SELECT ${snameSql("event_type")} AS sname, $tsSql AS ts, value
+              |  FROM events WHERE event_type = 'view' AND ${rangeSql()}),
+              |c AS (
+              |  SELECT sname, ts,
+              |    (ts - lag(ts) OVER w) / 1e9 * lag(value) OVER w AS contrib
+              |  FROM s WINDOW w AS (PARTITION BY sname ORDER BY ts))
+              |SELECT sname, max(ts) AS ts,
+              |  round(coalesce(sum(contrib), 0), 6) AS value
+              |FROM c GROUP BY 1
+              |ORDER BY coalesce(sum(contrib), 0) DESC, 1 ASC LIMIT 5""".stripMargin)),
+
+    // -- apply: math fold over join tuple ---------------------------------
+    "ts_apply_math_sum" -> Gated(
+      (s, d) => run(
+        s"""{"join":["click","view"],"range":{"from":"$T0iso","to":"$T1iso"},
+           |"apply":[{"name":"sum","ignore_missing":true}]}""".stripMargin)(s, d)
+        .orderBy(col("ts"), col("sname")),
+      Some(s"""SELECT 'click|view k='||$kSql||' user='||user_id AS sname,
+              |  $tsSql AS ts,
+              |  coalesce(max(value) FILTER (event_type = 'click'), 0) +
+              |  coalesce(max(value) FILTER (event_type = 'view'), 0) AS value
+              |FROM events WHERE event_type IN ('click','view') AND ${rangeSql()}
+              |GROUP BY 1, 2 ORDER BY 2, 1""".stripMargin)),
+
+    // -- flagship analytics aggregate over lineitem (bench headline) -----
+    "q1_agg" -> Gated(
+      (s, d) => TestData.table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 4).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 4).as("sum_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  round(sum(l_quantity), 4) AS sum_qty,
+             |  round(sum(l_extendedprice), 4) AS sum_price,
+             |  round(avg(l_discount), 6) AS avg_disc,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+  )
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    run(s"""{"select":"click","range":{"from":"$W0iso","to":"$W1iso"}}""")(
+      spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    gated.map { case (n, g) => n -> g.fn }.toMap
+
+  def oracleSql: Map[String, String] =
+    gated.flatMap { case (n, g) => g.oracle.map(n -> _) }.toMap
 }

@@ -1,0 +1,236 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoders, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ast.Apply
+import graft.plan.{Frame, TsStore}
+
+/** The `apply` post-processing pipeline: each node is a
+  * `Frame => Frame` transform, the declarative analogue of the reference's
+  * streaming `Node::put(MutableSample)` chain (reference:
+  * libakumuli/queryprocessor_framework.h:216-241; registry
+  * queryprocessor_framework.cpp:9-42). Per-series state keyed by
+  * `(series, tuple_index)` becomes a window partitioned by series name.
+  */
+object Pipe {
+  import TsStore.{Sname, Ts}
+
+  final case class PipeException(msg: String) extends IllegalArgumentException(msg)
+  private def fail(msg: String): Nothing = throw PipeException(msg)
+
+  def applyAll(steps: Seq[Apply], frame: Frame): Frame =
+    steps.foldLeft(frame)((f, s) => applyStep(f, s))
+
+  /** Window in scan order: the reference's nodes observe samples in query
+    * direction, so backward scans feed nodes descending timestamps. */
+  private def scanWindow(frame: Frame) =
+    Window.partitionBy(Sname)
+      .orderBy(if (frame.backward) col(Ts).desc else col(Ts).asc)
+
+  private def mapValues(frame: Frame)(f: Column => Column): Frame =
+    frame.copy(df = frame.valueCols.foldLeft(frame.df) { (d, vc) =>
+      d.withColumn(vc, f(col(vc)))
+    })
+
+  def applyStep(frame: Frame, step: Apply): Frame = step.name match {
+
+    // abs(value) per tuple element (reference: query_processing/absolute.cpp:1-45)
+    case "abs" => mapValues(frame)(abs)
+
+    // value[i] *= weights[i] (reference: query_processing/scale.cpp:1-53)
+    case "scale" =>
+      val ws = step.params.get("weights") match {
+        case Some(xs: Seq[_]) => xs.map(anyToDouble)
+        case Some(x)          => Seq(anyToDouble(x))
+        case None             => fail("scale requires 'weights'")
+      }
+      frame.copy(df = frame.valueCols.zip(ws).foldLeft(frame.df) {
+        case (d, (vc, w)) => d.withColumn(vc, col(vc) * lit(w))
+      })
+
+    // rate = dx/dt per second; the first point's predecessor is (t=0, x=0),
+    // matching the reference exactly (reference: rate.cpp:25-48).
+    case "rate" =>
+      val w = scanWindow(frame)
+      mapValues2(frame) { vc =>
+        (col(vc) - coalesce(lag(col(vc), 1).over(w), lit(0.0))) /
+          ((col(Ts) - coalesce(lag(col(Ts), 1).over(w), lit(0L))) / lit(1e9))
+      }
+
+    // running sum per series (reference: rate.cpp:63-105, tokens
+    // "accumulate"/"cusum")
+    case "accumulate" | "cusum" =>
+      val w = scanWindow(frame).rowsBetween(Window.unboundedPreceding, 0)
+      mapValues2(frame)(vc => sum(col(vc)).over(w))
+
+    // Simple moving average over the trailing `window-width` samples
+    // (reference: sliding_window.h:62-100). NOTE the reference's circular-
+    // buffer update (sliding_window.cpp SMA::add) degenerates to width 1 —
+    // a bug; we implement the intended trailing-window mean, inclusive of
+    // the current sample.
+    case "sma" =>
+      val n = intParam(step, "window-width")
+      val w = scanWindow(frame).rowsBetween(-(n - 1), 0)
+      mapValues2(frame)(vc => avg(col(vc)).over(w))
+
+    // sma-error: x - sma(previous window), the forecast-error variant
+    // (reference: sliding_window.cpp SMAPredictionError).
+    case "sma-error" =>
+      val n = intParam(step, "window-width")
+      val w = scanWindow(frame).rowsBetween(-n, -1)
+      mapValues2(frame)(vc =>
+        col(vc) - coalesce(avg(col(vc)).over(w), col(vc)))
+
+    // Cumulative moving average (reference: sliding_window.h:102-113; the
+    // reference's state update double-counts — bug — we implement the
+    // intended running mean).
+    case "cma" =>
+      val w = scanWindow(frame).rowsBetween(Window.unboundedPreceding, 0)
+      mapValues2(frame)(vc => avg(col(vc)).over(w))
+
+    // EWMA forecast with 10-sample warmup, faithful to the reference state
+    // machine (reference: sliding_window.cpp:15-110, param "decay").
+    case "ewma" =>
+      val decay = doubleParam(step, "decay")
+      stateful(frame)(() => new EwmaState(decay, delta = false))
+    case "ewma-error" =>
+      val decay = doubleParam(step, "decay")
+      stateful(frame)(() => new EwmaState(decay, delta = true))
+
+    // Fold the tuple into a scalar (reference: math.cpp — note `diff` is
+    // unit-minus-each, i.e. -(x1+x2+...), and `divide` is 1/(x1*x2*...),
+    // exactly as the reference's left fold from the unit element).
+    case "sum" | "diff" | "multiply" | "divide" =>
+      val ignoreMissing = step.params.get("ignore_missing") match {
+        case Some(b: Boolean) => b
+        case Some(s: String)  => s.toBoolean
+        case None             => false
+        case other            => fail(s"bad ignore_missing: $other")
+      }
+      val (unit, op): (Double, (Column, Column) => Column) = step.name match {
+        case "sum"      => (0.0, _ + _)
+        case "diff"     => (0.0, _ - _)
+        case "multiply" => (1.0, _ * _)
+        case "divide"   => (1.0, _ / _)
+      }
+      val terms = frame.valueCols.map { vc =>
+        if (ignoreMissing) coalesce(col(vc), lit(unit))
+        else coalesce(col(vc), lit(Double.NaN))
+      }
+      val folded = terms.foldLeft(lit(unit): Column)(op)
+      val keep = frame.df.columns.filterNot(frame.valueCols.contains).map(col)
+      frame.copy(
+        df = frame.df.select(keep :+ folded.as(TsStore.Value): _*),
+        valueCols = Seq(TsStore.Value))
+
+    // top-N series by time-weighted sum (reference: top.cpp:1-86; weight of
+    // each interval is the value at its left edge). The reference's first
+    // sample never seeds the state (Context{} zero-init) — a quirk we do
+    // not copy: here the first interval is weighted by the first value.
+    case "top" =>
+      val n = intParam(step, "N")
+      if (frame.valueCols.size != 1) fail("top requires a scalar stream")
+      val vc = frame.valueCols.head
+      val w = scanWindow(frame)
+      val contrib =
+        ((col(Ts) - lag(col(Ts), 1).over(w)) / lit(1e9)) *
+          lag(col(vc), 1).over(w)
+      val lastTs = if (frame.backward) min(col(Ts)) else max(col(Ts))
+      val df = frame.df
+        .withColumn("__c", contrib)
+        .groupBy(col(Sname))
+        .agg(lastTs.as(Ts), sum(col("__c")).as(vc))
+        .withColumn(vc, coalesce(col(vc), lit(0.0)))
+        .orderBy(col(vc).desc, col(Sname).asc)
+        .limit(n)
+      frame.copy(df = df, ordered = true)
+
+    case other => fail(s"unknown pipeline node '$other'")
+  }
+
+  /** withColumn over all value columns where the new value depends on old
+    * columns — computed in one select so self-references see OLD values. */
+  private def mapValues2(frame: Frame)(f: String => Column): Frame = {
+    val cols = frame.df.columns.map { c =>
+      if (frame.valueCols.contains(c)) f(c).as(c) else col(c)
+    }
+    frame.copy(df = frame.df.select(cols.toSeq: _*))
+  }
+
+  /** Per-(series, column) sequential state machine: repartition by series,
+    * sort within partitions in scan order, single pass — distributed across
+    * series, no driver collection (SURVEY §7.4 risk 5). */
+  private def stateful(frame: Frame)(mk: () => ColState): Frame = {
+    val df = frame.df
+    val schema = df.schema
+    val tsOrd = if (frame.backward) col(Ts).desc else col(Ts).asc
+    val sorted = df.repartition(col(Sname))
+      .sortWithinPartitions(col(Sname), tsOrd)
+    val nameIdx = schema.fieldIndex(Sname)
+    val vIdxs = frame.valueCols.map(schema.fieldIndex).toArray
+    val out = sorted.mapPartitions { it =>
+      var cur: String = null
+      var states: Array[ColState] = null
+      it.map { row =>
+        val s = row.getString(nameIdx)
+        if (s != cur || states == null) {
+          cur = s
+          states = Array.fill(vIdxs.length)(mk())
+        }
+        val arr = Array.tabulate(row.length)(i => row.get(i))
+        var j = 0
+        while (j < vIdxs.length) {
+          val vi = vIdxs(j)
+          if (!row.isNullAt(vi))
+            arr(vi) = states(j).step(row.getDouble(vi))
+          j += 1
+        }
+        Row.fromSeq(arr.toIndexedSeq)
+      }
+    }(Encoders.row(schema))
+    frame.copy(df = out)
+  }
+
+  private def intParam(step: Apply, key: String): Int =
+    step.params.get(key).map(anyToDouble(_).toInt)
+      .getOrElse(fail(s"${step.name} requires '$key'"))
+  private def doubleParam(step: Apply, key: String): Double =
+    step.params.get(key).map(anyToDouble)
+      .getOrElse(fail(s"${step.name} requires '$key'"))
+  private def anyToDouble(a: Any): Double = a match {
+    case d: Double => d
+    case l: Long   => l.toDouble
+    case i: Int    => i.toDouble
+    case s: String => s.toDouble
+    case other     => fail(s"expected number, got $other")
+  }
+}
+
+/** Sequential per-(series, column) state. */
+trait ColState extends Serializable {
+  /** Consume one sample, return the transformed value. */
+  def step(x: Double): Double
+}
+
+/** Faithful port of the reference EWMA state machine
+  * (reference: sliding_window.cpp:15-110; EWMA_WARMUP = 10). Output is the
+  * forecast BEFORE absorbing the current sample; during warmup the forecast
+  * defaults to the current value itself. */
+final class EwmaState(decay: Double, delta: Boolean) extends ColState {
+  private var warmup = 0
+  private var value = 0.0
+  def step(x: Double): Double = {
+    val forecast = if (warmup <= 10) x else value
+    // add
+    if (warmup < 10) { value += x; warmup += 1 }
+    else if (warmup == 10) {
+      warmup += 1
+      value += x
+      value = value / 11.0
+      value = x * decay + value * (1.0 - decay)
+    } else value = x * decay + value * (1.0 - decay)
+    if (delta) x - forecast else forecast
+  }
+}

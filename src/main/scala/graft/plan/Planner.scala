@@ -1,0 +1,278 @@
+package graft.plan
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ast._
+import graft.functions.Pipe
+
+/** Query AST -> DataFrame plan. The declarative analogue of the reference's
+  * two-tier plan builder (reference:
+  * libakumuli/query_processing/queryplan.cpp:800-830,1407-1428): tier-1
+  * per-series scans become a filtered parquet scan (partition pruning +
+  * predicate pushdown do the NB+tree's range/value skipping), tier-2
+  * merge/combine materializers become groupBy/orderBy — Catalyst and
+  * Tungsten pick the physical strategy.
+  */
+object Planner {
+  import TsStore._
+
+  final case class PlanException(msg: String) extends IllegalArgumentException(msg)
+  private def fail(msg: String): Nothing = throw PlanException(msg)
+
+  /** Aggregation function -> Column (reference enum:
+    * storage_engine/operators/operator.h:20-32; string mapping
+    * queryprocessor_framework.h:48-101). `first`/`last` are value-at-
+    * first/last-timestamp; `min`/`max_timestamp` are timestamp-at-extreme-
+    * value. Struct orderings make ties deterministic. */
+  def aggFunc(func: String): Column = func match {
+    case "min"             => min(col(Value))
+    case "max"             => max(col(Value))
+    case "sum"             => sum(col(Value))
+    case "count" | "cnt"   => count(col(Value)).cast("double")
+    case "mean"            => avg(col(Value))
+    case "first"           => min_by(col(Value), struct(col(Ts), col(Value)))
+    case "last"            => max_by(col(Value), struct(col(Ts), col(Value)))
+    case "min_timestamp"   => min_by(col(Ts), struct(col(Value), col(Ts))).cast("double")
+    case "max_timestamp"   => max_by(col(Ts), struct(col(Value), col(Ts))).cast("double")
+    case "first_timestamp" => min(col(Ts)).cast("double")
+    case "last_timestamp"  => max(col(Ts)).cast("double")
+    case other             => fail(s"unknown aggregation function '$other'")
+  }
+  val KnownAggFuncs: Set[String] = Set("min", "max", "sum", "count", "cnt",
+    "mean", "first", "last", "min_timestamp", "max_timestamp",
+    "first_timestamp", "last_timestamp")
+
+  /** Semi-open scan range: forward `[from, to)`, backward `(to, from]`
+    * (reference: storage_engine/operators/operator.h:77-104). */
+  private def rangePred(r: TimeRange): Column =
+    if (!r.backward) col(Ts) >= r.from && col(Ts) < r.to
+    else col(Ts) <= r.from && col(Ts) > r.to
+
+  /** Tag predicate (reference: queryparser.cpp:692-750 — OR within a tag,
+    * AND across tags; list form enumerates exact combinations). */
+  private def wherePred(w: Where): Column = w match {
+    case Where.All => lit(true)
+    case Where.TagMap(m) =>
+      m.map { case (t, vs) => element_at(col(Tags), t).isin(vs: _*) }
+        .reduceOption(_ && _).getOrElse(lit(true))
+    case Where.Enumerate(rows) =>
+      rows.map { r =>
+        r.map { case (t, v) => element_at(col(Tags), t) === v }
+          .reduceOption(_ && _).getOrElse(lit(true))
+      }.reduceOption(_ || _).getOrElse(lit(true))
+  }
+
+  private def vfPred(c: Column, f: ValueFilter): Column =
+    Seq(f.gt.map(c > _), f.ge.map(c >= _), f.lt.map(c < _), f.le.map(c <= _))
+      .flatten.reduceOption(_ && _).getOrElse(lit(true))
+
+  /** group-by-tag / pivot-by-tag re-keying: project the tag map onto (or
+    * off of) the listed tags; colliding series merge downstream
+    * (reference: index/seriesparser.cpp:624-700 `GroupByTag` /
+    * `filter_tags`; applied queryplan.cpp:1123-1135). */
+  private def rekeyTags(tags: Column, g: Option[GroupByTag]): Column = g match {
+    case None => tags
+    case Some(GroupByTag(GroupOp.Pivot, ks)) =>
+      map_filter(tags, (k, _) => k.isin(ks: _*))
+    case Some(GroupByTag(GroupOp.Group, ks)) =>
+      map_filter(tags, (k, _) => !k.isin(ks: _*))
+  }
+
+  /** Bucket anchor timestamp: `begin + k*step` forward, `begin - k*step`
+    * backward — anchored at the query's own `begin`, NOT wall clock, which
+    * is why this is integer `div` arithmetic and not `window()`
+    * (reference: storage_engine/operators/aggregate.cpp:171-173). */
+  private def bucketCol(r: TimeRange, step: Long): Column =
+    if (!r.backward)
+      lit(r.from) + expr(s"(($Ts - ${r.from}L) div ${step}L) * ${step}L")
+    else
+      lit(r.from) - expr(s"((${r.from}L - $Ts) div ${step}L) * ${step}L")
+
+  private def baseScan(store: TsStore, q: Query, metrics: Seq[String]): DataFrame = {
+    val preds = Seq(
+      Some(col(Metric).isin(metrics: _*)),
+      q.range.map(rangePred),
+      Some(wherePred(q.where))).flatten.reduce(_ && _)
+    store.samples.filter(preds)
+  }
+
+  private def snameExpr: Column = snameOf(col(Metric), col("tagstr"))
+
+  def plan(q: Query, store: TsStore): Frame = {
+    val bw = q.backward
+    val frame: Frame = q.kind match {
+
+      // ---- select: range scan of one metric ------------------------------
+      // (reference: queryparser.cpp:1275-1355; plan queryplan.cpp:1084-1147)
+      case QueryKind.Select(m) =>
+        var df = baseScan(store, q, Seq(m))
+        for (fc <- q.filter; vf <- fc.byKey.get(m))
+          df = df.filter(vfPred(col(Value), vf))
+        df = df.withColumn(Tags, rekeyTags(col(Tags), q.groupBy))
+          .withColumn("tagstr", tagStr(col(Tags)))
+        Frame(df.select(snameExpr.as(Sname), col(Ts), col(Value)),
+          Seq(Value), bw)
+
+      // ---- select-events: string payloads + optional body regex ----------
+      // (reference: queryparser.cpp:1357-1445; plan queryplan.cpp:1149-1207)
+      case QueryKind.SelectEvents(m, regex) =>
+        var df = baseScan(store, q, Seq(m))
+        for (re <- regex) df = df.filter(col(Event).rlike(re))
+        df = df.withColumn(Tags, rekeyTags(col(Tags), q.groupBy))
+          .withColumn("tagstr", tagStr(col(Tags)))
+        Frame(df.select(snameExpr.as(Sname), col(Ts), col(Event)),
+          Seq(Event), bw)
+
+      // ---- aggregate: whole-range aggregates per series ------------------
+      // (reference: queryparser.cpp:1474-1586; plan queryplan.cpp:1209-1249)
+      // Single scan + single shuffle agg for ALL (metric, func) pairs, then
+      // a cheap explode fans the agg row out into one output row per pair —
+      // renamed `metric:func tags` (reference: queryparser.cpp:1450-1472).
+      case QueryKind.Aggregate(pairs) =>
+        val metrics = pairs.map(_._1).distinct
+        val funcs   = pairs.map(_._2).distinct
+        funcs.foreach(f => if (!KnownAggFuncs(f)) fail(s"unknown func '$f'"))
+        val base = baseScan(store, q, metrics)
+          .withColumn(Tags, rekeyTags(col(Tags), q.groupBy))
+          .withColumn("tagstr", tagStr(col(Tags)))
+        val aggCols = funcs.map(f => aggFunc(f).as(s"__$f"))
+        val grouped = base.groupBy(col(Metric), col("tagstr"))
+          .agg(aggCols.head, aggCols.tail: _*)
+        val fanout = array(pairs.map { case (m, f) =>
+          when(col(Metric) === m,
+            struct(lit(f).as("func"), col(s"__$f").cast("double").as(Value)))
+        }: _*)
+        val df = grouped
+          .select(col(Metric), col("tagstr"), explode(fanout).as("pf"))
+          .filter(col("pf").isNotNull)
+          .select(
+            snameOf(concat(col(Metric), lit(":"), col("pf.func")),
+              col("tagstr")).as(Sname),
+            col("pf.value").as(Value))
+        Frame(df, Seq(Value), bw)
+
+      // ---- group-aggregate: time-bucketed aggregate tuples ---------------
+      // (reference: queryparser.cpp:1666-1777; plan queryplan.cpp:1341-1405)
+      case QueryKind.GroupAggregate(metrics, step, funcs) =>
+        if (step <= 0) fail("step must be positive")
+        if (funcs.isEmpty) fail("at least one func required")
+        funcs.foreach(f => if (!KnownAggFuncs(f)) fail(s"unknown func '$f'"))
+        val r = q.range.getOrElse(fail("group-aggregate requires range"))
+        val base = baseScan(store, q, metrics)
+          .withColumn(Tags, rekeyTags(col(Tags), q.groupBy))
+          .withColumn("tagstr", tagStr(col(Tags)))
+        val aggCols = funcs.map(f => aggFunc(f).as(f))
+        var df = base
+          .groupBy(col(Metric), col("tagstr"), bucketCol(r, step).as(Ts))
+          .agg(aggCols.head, aggCols.tail: _*)
+        // `filter` keys are FUNCTION names here; only min/max/mean may be
+        // filtered on (reference: queryparser.cpp:758-870 +
+        // queryplan.cpp:884-912 rejects the rest).
+        for (fc <- q.filter) {
+          val preds = fc.byKey.toSeq.map { case (f, vf) =>
+            if (!Set("min", "max", "mean").contains(f))
+              fail(s"filtering on '$f' is not supported in group-aggregate")
+            if (!funcs.contains(f)) fail(s"filter func '$f' not in func list")
+            vfPred(col(f), vf)
+          }
+          if (preds.nonEmpty)
+            df = df.filter(
+              if (fc.requireAll) preds.reduce(_ && _) else preds.reduce(_ || _))
+        }
+        // Output series renamed `metric:f1|metric:f2 tags`
+        // (reference: queryparser.cpp:1588-1664).
+        val named = funcs.map(f => concat(col(Metric), lit(":"), lit(f)))
+        val df2 = df.select(
+          snameOf(concat_ws("|", named: _*), col("tagstr")).as(Sname),
+          col(Ts) +: funcs.map(col): _*)
+        Frame(df2, funcs, bw)
+
+      // ---- join: align metrics on exact timestamp within equal tag-sets --
+      // (reference: queryparser.cpp:1935-2022; plan queryplan.cpp:1251-1339)
+      // An outer "as-of-exact" join: groupBy(tags, ts) + pivot(metric) —
+      // missing cells surface as nulls (the reference's presence bitmap,
+      // query_results_pooler.cpp:165-191).
+      case QueryKind.Join(metrics) =>
+        if (metrics.size < 2) fail("join requires at least two metrics")
+        var base = baseScan(store, q, metrics)
+        // Per-metric value filters are applied to each input column BEFORE
+        // the join, like the reference's per-column filtered scans.
+        for (fc <- q.filter) {
+          val cond = metrics.map { m =>
+            fc.byKey.get(m) match {
+              case Some(vf) => col(Metric) === m && vfPred(col(Value), vf)
+              case None     => col(Metric) === m
+            }
+          }.reduce(_ || _)
+          base = base.filter(cond)
+        }
+        val keyed = base.withColumn(Tags, rekeyTags(col(Tags), q.groupBy))
+          .withColumn("tagstr", tagStr(col(Tags)))
+        val df = keyed.groupBy(col("tagstr"), col(Ts))
+          .pivot(Metric, metrics)
+          .agg(max(col(Value)))
+          .select(
+            snameOf(lit(metrics.mkString("|")), col("tagstr")).as(Sname),
+            col(Ts) +: metrics.map(m => col(s"`$m`")): _*)
+        Frame(df, metrics, bw)
+
+      // ---- group-aggregate-join: bucketed agg per metric, then align -----
+      // (reference: queryparser.cpp:1819-1933; plan queryplan.cpp:1296-1338)
+      case QueryKind.GroupAggregateJoin(metrics, step, func) =>
+        if (!KnownAggFuncs(func)) fail(s"unknown func '$func'")
+        val r = q.range.getOrElse(fail("group-aggregate-join requires range"))
+        val base = baseScan(store, q, metrics)
+          .withColumn(Tags, rekeyTags(col(Tags), q.groupBy))
+          .withColumn("tagstr", tagStr(col(Tags)))
+        val df = base
+          .groupBy(col("tagstr"), bucketCol(r, step).as(Ts))
+          .pivot(Metric, metrics)
+          .agg(aggFunc(func))
+          .select(
+            snameOf(lit(metrics.map(m => s"$m:$func").mkString("|")),
+              col("tagstr")).as(Sname),
+            col(Ts) +: metrics.map(m => col(s"`$m`")): _*)
+        Frame(df, metrics, bw)
+
+      // ---- meta:names: series listing (dimension-table query) ------------
+      // (reference: queryparser.cpp:987-1022; queryprocessor.cpp:78-110)
+      case QueryKind.MetaNames(pattern) =>
+        var df = store.series.filter(wherePred(q.where))
+        for (p <- pattern) df = df.filter(col(Metric) === p)
+        val named = df
+          .withColumn("tagstr", tagStr(col(Tags)))
+          .select(snameExpr.as(Sname))
+        return finishMeta(Frame(named, Nil, backward = false), q)
+    }
+
+    val piped = Pipe.applyAll(q.pipeline, frame)
+    finish(piped, q)
+  }
+
+  /** Final ordering + limit/offset (reference: merge comparators
+    * storage_engine/operators/merge.h:14-79; Limiter
+    * query_processing/limiter.cpp:6-39). Time order: ts-major with series
+    * tiebreak; series order: series-major with ts within. Backward scans
+    * reverse the ts direction only. */
+  private def finish(frame: Frame, q: Query): Frame = {
+    var df = frame.df
+    if (!frame.ordered) {
+      val tsCol = if (frame.backward) col(Ts).desc else col(Ts).asc
+      df = q.orderBy match {
+        case OrderBy.Time   => df.orderBy(tsCol, col(Sname).asc)
+        case OrderBy.Series => df.orderBy(col(Sname).asc, tsCol)
+      }
+    }
+    for (o <- q.offset) df = df.offset(o.toInt)
+    for (l <- q.limit) df = df.limit(l.toInt)
+    frame.copy(df = df)
+  }
+
+  private def finishMeta(frame: Frame, q: Query): Frame = {
+    var df = frame.df.distinct().orderBy(col(Sname).asc)
+    for (o <- q.offset) df = df.offset(o.toInt)
+    for (l <- q.limit) df = df.limit(l.toInt)
+    frame.copy(df = df, ordered = true)
+  }
+}
