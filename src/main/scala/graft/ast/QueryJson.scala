@@ -122,7 +122,10 @@ object QueryJson {
       case JString(s)        => fail(s"unexpected order-by value '$s'")
       case _                 => fail("bad order-by clause")
     }
-    if (orderBy == OrderBy.Series && kind.isInstanceOf[QueryKind.Aggregate])
+    // Any explicit order-by is disallowed on aggregate: the clause whitelist
+    // in the reference's validate_query excludes it (queryparser.cpp:934-985)
+    // and the aggregate frame has no ts column to time-order by.
+    if ((obj \ "order-by") != JNothing && kind.isInstanceOf[QueryKind.Aggregate])
       fail("order-by is not allowed in aggregate queries")
 
     val limit  = (obj \ "limit")  match { case JNothing => None; case v => Some(num(v).toLong) }

@@ -184,8 +184,8 @@ object Planner {
         // (reference: queryparser.cpp:1588-1664).
         val named = funcs.map(f => concat(col(Metric), lit(":"), lit(f)))
         val df2 = df.select(
-          snameOf(concat_ws("|", named: _*), col("tagstr")).as(Sname),
-          col(Ts) +: funcs.map(col): _*)
+          (snameOf(concat_ws("|", named: _*), col("tagstr")).as(Sname) +:
+            col(Ts) +: funcs.map(col)): _*)
         Frame(df2, funcs, bw)
 
       // ---- join: align metrics on exact timestamp within equal tag-sets --
@@ -213,8 +213,8 @@ object Planner {
           .pivot(Metric, metrics)
           .agg(max(col(Value)))
           .select(
-            snameOf(lit(metrics.mkString("|")), col("tagstr")).as(Sname),
-            col(Ts) +: metrics.map(m => col(s"`$m`")): _*)
+            (snameOf(lit(metrics.mkString("|")), col("tagstr")).as(Sname) +:
+              col(Ts) +: metrics.map(m => col(s"`$m`"))): _*)
         Frame(df, metrics, bw)
 
       // ---- group-aggregate-join: bucketed agg per metric, then align -----
@@ -230,9 +230,9 @@ object Planner {
           .pivot(Metric, metrics)
           .agg(aggFunc(func))
           .select(
-            snameOf(lit(metrics.map(m => s"$m:$func").mkString("|")),
-              col("tagstr")).as(Sname),
-            col(Ts) +: metrics.map(m => col(s"`$m`")): _*)
+            (snameOf(lit(metrics.map(m => s"$m:$func").mkString("|")),
+              col("tagstr")).as(Sname) +:
+              col(Ts) +: metrics.map(m => col(s"`$m`"))): _*)
         Frame(df, metrics, bw)
 
       // ---- meta:names: series listing (dimension-table query) ------------
@@ -258,10 +258,17 @@ object Planner {
   private def finish(frame: Frame, q: Query): Frame = {
     var df = frame.df
     if (!frame.ordered) {
-      val tsCol = if (frame.backward) col(Ts).desc else col(Ts).asc
-      df = q.orderBy match {
-        case OrderBy.Time   => df.orderBy(tsCol, col(Sname).asc)
-        case OrderBy.Series => df.orderBy(col(Sname).asc, tsCol)
+      // `aggregate` frames have no ts column (one row per series×func);
+      // the reference disallows explicit order-by there entirely and emits
+      // series-major (queryparser.cpp validate_query) — sort by sname only.
+      if (!df.columns.contains(Ts)) {
+        df = df.orderBy(col(Sname).asc)
+      } else {
+        val tsCol = if (frame.backward) col(Ts).desc else col(Ts).asc
+        df = q.orderBy match {
+          case OrderBy.Time   => df.orderBy(tsCol, col(Sname).asc)
+          case OrderBy.Series => df.orderBy(col(Sname).asc, tsCol)
+        }
       }
     }
     for (o <- q.offset) df = df.offset(o.toInt)

@@ -24,8 +24,9 @@ final class TsStore(val samples: DataFrame) {
     * fact table; broadcast-joinable. */
   def series: DataFrame =
     samples
-      .select(col(Metric), col(Tags))
-      .dropDuplicates(Metric, Tags)
+      .select(col(Metric), col(Tags), tagStr(col(Tags)).as("tagstr"))
+      .dropDuplicates(Metric, "tagstr") // map cols can't key a set-op; the
+                                        // canonical tagstr is the series key
 }
 
 object TsStore {
