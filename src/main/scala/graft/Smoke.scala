@@ -36,6 +36,60 @@ object Smoke {
     val n4 = plan.Planner.plan(q4, sources.TestData.events(spark, sfDir)).df.count()
     println(s"PROBE4 empty-range rows = $n4")
 
+    // eval: unknown variable must raise the reference's error text
+    try {
+      val q = ast.QueryJson.parse(
+        """{"join":["click","view"],"range":{"from":"20240105T000000","to":"20240120T000000"},
+          |"apply":[{"name":"eval","expr":"click + nosuch"}]}""".stripMargin)
+      plan.Planner.plan(q, sources.TestData.events(spark, sfDir))
+      println("PROBE5 FAIL: unknown eval variable accepted")
+    } catch { case e: IllegalArgumentException =>
+      println(s"PROBE5 rejected: ${e.getMessage}") }
+
+    // eval: malformed expression
+    try {
+      val q = ast.QueryJson.parse(
+        """{"join":["click","view"],"range":{"from":"20240105T000000","to":"20240120T000000"},
+          |"apply":[{"name":"eval","expr":"click + * view"}]}""".stripMargin)
+      plan.Planner.plan(q, sources.TestData.events(spark, sfDir))
+      println("PROBE6 FAIL: malformed expr accepted")
+    } catch { case e: IllegalArgumentException =>
+      println(s"PROBE6 rejected: ${e.getMessage}") }
+
+    // suggest: unknown select target
+    try {
+      plan.Meta.suggest(sources.TestData.events(spark, sfDir),
+        """{"select":"nope"}""")
+      println("PROBE7 FAIL: bad suggest accepted")
+    } catch { case e: IllegalArgumentException =>
+      println(s"PROBE7 rejected: ${e.getMessage}") }
+
+    // sax: out-of-range params
+    try {
+      val q = ast.QueryJson.parse(
+        """{"select":"view","range":{"from":"20240105T000000","to":"20240120T000000"},
+          |"apply":[{"name":"sax","alphabet_size":99,"window_width":4}]}""".stripMargin)
+      plan.Planner.plan(q, sources.TestData.events(spark, sfDir))
+      println("PROBE8 FAIL: alphabet 99 accepted")
+    } catch { case e: IllegalArgumentException =>
+      println(s"PROBE8 rejected: ${e.getMessage}") }
+
+    // frequent-items: error=0 must be rejected (division guard)
+    try {
+      val q = ast.QueryJson.parse(
+        """{"select":"view","range":{"from":"20240105T000000","to":"20240120T000000"},
+          |"apply":[{"name":"frequent-items","error":0.0,"portion":0.1}]}""".stripMargin)
+      plan.Planner.plan(q, sources.TestData.events(spark, sfDir))
+      println("PROBE9 FAIL: error=0 accepted")
+    } catch { case e: IllegalArgumentException =>
+      println(s"PROBE9 rejected: ${e.getMessage}") }
+
+    // CSV formatter round-trip sanity on a tiny frame
+    val f = plan.Planner.plan(ast.QueryJson.parse(
+      """{"select":"click","range":{"from":"20240105T000000","to":"20240106T000000"},"limit":3}"""),
+      sources.TestData.events(spark, sfDir))
+    serve.OutputFormat.csv(f).collect().foreach(l => println(s"PROBE10 csv: $l"))
+
     spark.stop()
   }
 }

@@ -4,8 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ast.QueryJson
+import graft.llm.{Dedup, Embed, Text}
 import graft.model.AkuTime
-import graft.plan.Planner
+import graft.plan.{Meta, Planner}
+import graft.serve.OutputFormat
 import graft.sources.TestData
 
 /** Driver contract — one gated entry per implemented operator from
@@ -41,12 +43,36 @@ object SparkEntry {
   private def run(json: String)(spark: SparkSession, sfDir: String): DataFrame =
     Planner.plan(QueryJson.parse(json), TestData.events(spark, sfDir)).df
 
+  private def runFrame(json: String)(spark: SparkSession, sfDir: String) =
+    Planner.plan(QueryJson.parse(json), TestData.events(spark, sfDir))
+
   private def runEv(json: String)(spark: SparkSession, sfDir: String): DataFrame =
     Planner.plan(QueryJson.parse(json), TestData.eventStore(spark, sfDir)).df
 
   private final case class Gated(
       fn: (SparkSession, String) => DataFrame,
       oracle: Option[String])
+
+  /** All-pairs word-3gram Jaccard >= 0.5 in DuckDB — the oracle for both
+    * the exact shared-shingle dedup and the MinHash-LSH path (whose
+    * detection probability at J=0.5 with 64 bands x 2 rows is
+    * 1-(1-0.25)^64 ≈ 1-1e-8, i.e. exact in practice). */
+  private val ngramJaccardOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+      |    THEN list_transform(range(1, len(t) - 1),
+      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |    ELSE [] END) AS g
+      |  FROM toks)
+      |SELECT a, b, jaccard FROM (
+      |  SELECT x.doc_id AS a, y.doc_id AS b,
+      |    round(len(list_intersect(x.g, y.g))::DOUBLE /
+      |      (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g))), 6) AS jaccard
+      |  FROM grams x JOIN grams y ON x.doc_id < y.doc_id)
+      |WHERE jaccard >= 0.5 ORDER BY 1, 2""".stripMargin
 
   // =====================================================================
   private lazy val gated: Seq[(String, Gated)] = Seq(
@@ -320,6 +346,189 @@ object SparkEntry {
               |  coalesce(max(value) FILTER (event_type = 'view'), 0) AS value
               |FROM events WHERE event_type IN ('click','view') AND ${rangeSql()}
               |GROUP BY 1, 2 ORDER BY 2, 1""".stripMargin)),
+
+    // -- apply: eval (expression over join tuple columns) ----------------
+    "ts_apply_eval" -> Gated(
+      (s, d) => run(
+        s"""{"join":["click","view"],"range":{"from":"$T0iso","to":"$T1iso"},
+           |"apply":[{"name":"eval","expr":"click / (view + 1) + 0.5 * click"}]}""".stripMargin)(s, d)
+        .withColumn("value", round(col("value"), 6))
+        .orderBy(col("ts"), col("sname")),
+      Some(s"""SELECT 'click|view k='||$kSql||' user='||user_id AS sname,
+              |  $tsSql AS ts,
+              |  round(coalesce(max(value) FILTER (event_type = 'click'), 0) /
+              |    (coalesce(max(value) FILTER (event_type = 'view'), 0) + 1) +
+              |    0.5 * coalesce(max(value) FILTER (event_type = 'click'), 0), 6) AS value
+              |FROM events WHERE event_type IN ('click','view') AND ${rangeSql()}
+              |GROUP BY 1, 2 ORDER BY 2, 1""".stripMargin)),
+
+    // -- apply: frequent-items (SpaceSaver exact mode) -------------------
+    "ts_apply_frequent_items" -> Gated(
+      (s, d) => run(
+        s"""{"select":"click","range":{"from":"$T0iso","to":"$T1iso"},
+           |"apply":[{"name":"frequent-items","error":0.001,"portion":0.002}]}""".stripMargin)(s, d)
+        .orderBy(col("value").desc, col("sname")),
+      Some(s"""WITH c AS (
+              |  SELECT ${snameSql("event_type")} AS sname, min($tsSql) AS ts,
+              |         count(*)::DOUBLE AS value
+              |  FROM events WHERE event_type = 'click' AND ${rangeSql()}
+              |  GROUP BY 1)
+              |SELECT sname, ts, value FROM c
+              |WHERE value > 0.002 * (SELECT sum(value) FROM c)
+              |ORDER BY 3 DESC, 1""".stripMargin)),
+
+    // -- apply: heavy-hitters (value-weighted SpaceSaver) ----------------
+    "ts_apply_heavy_hitters" -> Gated(
+      (s, d) => run(
+        s"""{"select":"purchase","range":{"from":"$T0iso","to":"$T1iso"},
+           |"apply":[{"name":"heavy-hitters","error":0.001,"portion":0.005}]}""".stripMargin)(s, d)
+        .withColumn("value", round(col("value"), 6))
+        .orderBy(col("value").desc, col("sname")),
+      Some(s"""WITH c AS (
+              |  SELECT ${snameSql("event_type")} AS sname, min($tsSql) AS ts,
+              |         sum(value) AS w
+              |  FROM events WHERE event_type = 'purchase' AND ${rangeSql()}
+              |  GROUP BY 1)
+              |SELECT sname, ts, round(w, 6) AS value FROM c
+              |WHERE w > 0.005 * (SELECT sum(w) FROM c)
+              |ORDER BY w DESC, 1""".stripMargin)),
+
+    // -- apply: sax (rows-only; golden unit tests in SaxSpec) ------------
+    "ts_apply_sax" -> Gated(
+      (s, d) => run(
+        s"""{"select":"view","range":{"from":"$T0iso","to":"$T1iso"},
+           |"where":{"user":["21","41"]},"group-by-tag":["k"],
+           |"apply":[{"name":"sax","alphabet_size":5,"window_width":4}]}""".stripMargin)(s, d)
+        .orderBy(col("ts"), col("sname")),
+      None),
+
+    // -- /api/suggest: metric-names / tag-names / tag-values -------------
+    "suggest_metric_names" -> Gated(
+      (s, d) => Meta.suggest(TestData.events(s, d),
+        """{"select":"metric-names","starts-with":"p"}"""),
+      Some("""SELECT DISTINCT event_type AS name FROM events
+             |WHERE event_type LIKE 'p%' ORDER BY 1""".stripMargin)),
+
+    "suggest_tag_names" -> Gated(
+      (s, d) => Meta.suggest(TestData.events(s, d),
+        """{"select":"tag-names","metric":"click"}"""),
+      Some("""SELECT 'k' AS name WHERE EXISTS (SELECT 1 FROM events WHERE event_type='click')
+             |UNION ALL
+             |SELECT 'user' WHERE EXISTS (SELECT 1 FROM events WHERE event_type='click')
+             |ORDER BY 1""".stripMargin)),
+
+    "suggest_tag_values" -> Gated(
+      (s, d) => Meta.suggest(TestData.events(s, d),
+        """{"select":"tag-values","metric":"click","tag":"user","starts-with":"10"}"""),
+      Some("""SELECT DISTINCT user_id::VARCHAR AS name FROM events
+             |WHERE event_type = 'click' AND user_id::VARCHAR LIKE '10%'
+             |ORDER BY 1""".stripMargin)),
+
+    // -- /api/search: series by metric + where ---------------------------
+    "search_series" -> Gated(
+      (s, d) => Meta.searchJson(TestData.events(s, d),
+        """{"select":"view","where":{"user":["1","2","3","4","5"]}}"""),
+      Some(s"""SELECT DISTINCT ${snameSql("'view'")} AS sname FROM events
+              |WHERE event_type = 'view' AND user_id IN (1,2,3,4,5)
+              |ORDER BY 1""".stripMargin)),
+
+    // -- output: reference CSV row format (ISO ts + %.17g doubles) -------
+    "output_csv" -> Gated(
+      (s, d) => OutputFormat.csv(runFrame(
+        s"""{"select":"purchase","range":{"from":"$T0iso","to":"$T1iso"},
+           |"where":{"user":["3","7"]},"order-by":"time"}""".stripMargin)(s, d))
+        .toDF("line").orderBy(col("line")),
+      Some(s"""SELECT ${snameSql("event_type")} || ',' ||
+              |  strftime(ts, '%Y%m%dT%H%M%S') || '.' ||
+              |  lpad(($tsSql % 1000000000)::VARCHAR, 9, '0') || ',' ||
+              |  printf('%.17g', value) AS line
+              |FROM events WHERE event_type = 'purchase' AND ${rangeSql()}
+              |  AND user_id IN (3, 7)
+              |ORDER BY 1""".stripMargin)),
+
+    // ====================================================================
+    // LLM training-data pipeline operators over documents/embeddings
+    // ====================================================================
+
+    // -- text analysis: token/char/stopword stats + fingerprint ----------
+    "doc_token_stats" -> Gated(
+      (s, d) => Text.docStats(TestData.table(s, d, "documents"))
+        .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+          col("stopword_ratio"), col("fingerprint"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id, length(text) AS n_chars,
+              |  len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+              |  round(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+              |      x -> list_contains([${Text.EnStopwords.map("'" + _ + "'").mkString(",")}], x)))::DOUBLE
+              |    / greatest(len(string_split_regex(trim(lower(text)), '\\s+'))::DOUBLE, 1.0), 6)
+              |    AS stopword_ratio,
+              |  md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+              |FROM documents ORDER BY 1""".stripMargin)),
+
+    // -- text analysis: language-ID + quality (rows-only; LangIdSpec) ----
+    "doc_quality_langid" -> Gated(
+      (s, d) => Text.docStats(TestData.table(s, d, "documents"))
+        .select(col("doc_id"), col("quality"), col("lang_pred"))
+        .orderBy(col("doc_id")),
+      None),
+
+    // -- dedup: exact content-hash groups --------------------------------
+    "doc_dedup_exact" -> Gated(
+      (s, d) => Dedup.exact(TestData.table(s, d, "documents"))
+        .orderBy(col("fingerprint")),
+      Some("""SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
+             |  count(*) AS n_docs, min(doc_id) AS keep_doc_id
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // -- dedup: EXACT word-3gram Jaccard pairs (shared-shingle buckets) --
+    "doc_ngram_jaccard" -> Gated(
+      (s, d) => Dedup.ngramJaccard(TestData.table(s, d, "documents"),
+        n = 3, threshold = 0.5)
+        .orderBy(col("a"), col("b")),
+      Some(ngramJaccardOracle)),
+
+    // -- dedup: MinHash-LSH near-dup (same oracle: recall ~1 by design) --
+    "doc_minhash_lsh" -> Gated(
+      (s, d) => Dedup.minhashLsh(TestData.table(s, d, "documents"),
+        n = 3, bands = 64, rowsPerBand = 2, threshold = 0.5)
+        .orderBy(col("a"), col("b")),
+      Some(ngramJaccardOracle)),
+
+    // -- dedup: SimHash near-dup (rows-only; SimHashSpec) ----------------
+    "doc_simhash" -> Gated(
+      (s, d) => Dedup.simhashNearDup(TestData.table(s, d, "documents"),
+        maxDist = 6)
+        .orderBy(col("a"), col("b")),
+      None),
+
+    // -- similarity: embedding near-dup pairs (exact cosine) -------------
+    "embed_neardup" -> Gated(
+      (s, d) => Embed.nearDupExact(TestData.table(s, d, "embeddings"),
+        threshold = 0.4)
+        .orderBy(col("a"), col("b")),
+      // list_transform to DOUBLE: DuckDB's float32 cosine differs from the
+      // engine's double math in the 7th decimal otherwise
+      Some("""WITH e AS (SELECT vec_id,
+             |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
+             |SELECT a, b, score FROM (
+             |  SELECT x.vec_id AS a, y.vec_id AS b,
+             |    round(list_cosine_similarity(x.v, y.v), 6) AS score
+             |  FROM e x JOIN e y ON x.vec_id < y.vec_id)
+             |WHERE score >= 0.4 ORDER BY 1, 2""".stripMargin)),
+
+    // -- similarity: brute-force cosine top-k ANN baseline ---------------
+    "ann_topk" -> Gated(
+      (s, d) => {
+        val emb = TestData.table(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") === 7)
+          .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+        Embed.topK(emb, q, k = 10)
+      },
+      Some("""WITH e AS (SELECT vec_id,
+             |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
+             |SELECT b.vec_id, round(list_cosine_similarity(
+             |    (SELECT v FROM e WHERE vec_id = 7), b.v), 6) AS score
+             |FROM e b ORDER BY 2 DESC, 1 ASC LIMIT 10""".stripMargin)),
 
     // -- flagship analytics aggregate over lineitem (bench headline) -----
     "q1_agg" -> Gated(

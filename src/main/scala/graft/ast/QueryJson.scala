@@ -83,20 +83,7 @@ object QueryJson {
         !kind.isInstanceOf[QueryKind.MetaNames])
       fail("range is required for this query kind")
 
-    val where = (obj \ "where") match {
-      case JNothing => Where.All
-      case JObject(kvs) =>
-        Where.TagMap(kvs.map {
-          case (t, JArray(vs)) => t -> vs.map(jScalar)
-          case (t, v)          => t -> Seq(jScalar(v))
-        }.toMap)
-      case JArray(rows) =>
-        Where.Enumerate(rows.map {
-          case JObject(kvs) => kvs.map { case (k, v) => k -> jScalar(v) }.toMap
-          case _            => fail("bad where list entry")
-        })
-      case _ => fail("bad where clause")
-    }
+    val where = parseWhere(obj \ "where")
 
     val filter = (obj \ "filter") match {
       case o: JObject if present.head != "select-events" => Some(parseFilter(o, kind))
@@ -144,6 +131,23 @@ object QueryJson {
     }
 
     Query(kind, range, where, filter, groupBy, orderBy, limit, offset, pipeline)
+  }
+
+  /** Tag predicate clause (shared with `/api/search`, reference:
+    * queryparser.cpp:692-750). */
+  def parseWhere(v: JValue): Where = v match {
+    case JNothing => Where.All
+    case JObject(kvs) =>
+      Where.TagMap(kvs.map {
+        case (t, JArray(vs)) => t -> vs.map(jScalar)
+        case (t, w)          => t -> Seq(jScalar(w))
+      }.toMap)
+    case JArray(rows) =>
+      Where.Enumerate(rows.map {
+        case JObject(kvs) => kvs.map { case (k, w) => k -> jScalar(w) }.toMap
+        case _            => fail("bad where list entry")
+      })
+    case _ => fail("bad where clause")
   }
 
   /** `{"gt":1}` (single key), or `{"metric-or-func":{"gt":1}, "=":{"require":"all"}}`. */

@@ -69,7 +69,11 @@ object Pipe {
     // (reference: sliding_window.h:62-100). NOTE the reference's circular-
     // buffer update (sliding_window.cpp SMA::add) degenerates to width 1 —
     // a bug; we implement the intended trailing-window mean, inclusive of
-    // the current sample.
+    // the current sample. INTENTIONAL contract: `sma` is the smoothed
+    // series (includes current), while `sma-error` below is the FORECAST
+    // error x - sma(previous window, excluding current) matching the
+    // reference's pre-add semantics (`exp = sma.get(); sma.add(*value)`).
+    // The two deliberately use different windows.
     case "sma" =>
       val n = intParam(step, "window-width")
       val w = scanWindow(frame).rowsBetween(-(n - 1), 0)
@@ -146,6 +150,76 @@ object Pipe {
         .orderBy(col(vc).desc, col(Sname).asc)
         .limit(n)
       frame.copy(df = df, ordered = true)
+
+    // Arbitrary arithmetic over the tuple columns; variables are metric
+    // names, missing cells read 0.0, NaN results are dropped, and the
+    // tuple collapses to a scalar (reference: eval.cpp:145-160
+    // MuparserEvalImpl::put + MutableSample::collapse).
+    case "eval" =>
+      val exprStr = step.params.get("expr") match {
+        case Some(s: String) => s
+        case _               => fail("'expr' field required")
+      }
+      // Column -> variable name: metric prefix up to ' ' or ':' — the same
+      // rule as buildNameToIndexMapping (reference: eval.cpp:14-33). The
+      // full column name is also bound so funcs (`group-aggregate` frames)
+      // stay addressable.
+      val vars = frame.valueCols.flatMap { vc =>
+        val short = vc.takeWhile(c => c != ' ' && c != ':')
+        val c = coalesce(col(s"`$vc`"), lit(0.0))
+        Seq(vc -> c, short -> c)
+      }.toMap
+      val folded = EvalExpr.compile(exprStr, vars)
+      val keep = frame.df.columns.filterNot(frame.valueCols.contains).map(col)
+      val df = frame.df
+        .select((keep :+ folded.as(TsStore.Value)): _*)
+        .filter(!isnan(col(TsStore.Value)))
+      frame.copy(df = df, valueCols = Seq(TsStore.Value))
+
+    // SpaceSaver frequent-items / heavy-hitters (reference:
+    // spacesaver.h:1-153): series whose (weighted) frequency exceeds
+    // portion*N, count desc. With M = ceil(1/error) >= series cardinality
+    // the sketch is exact, so the distributed plan computes the exact
+    // counts with a single shuffle agg (map-side partial combine); the
+    // bounded-memory sketch itself lives in SpaceSaverAgg for
+    // stream/sketch parity. Emitted ts is the first-seen timestamp in
+    // scan order (spacesaver.h:137 `sample.get_timestamp()` at insert).
+    case "frequent-items" | "heavy-hitters" =>
+      val err = doubleParam(step, "error")
+      if (err == 0.0) fail("`error` can't be 0.")
+      val portion = doubleParam(step, "portion")
+      if (portion < 0.0) fail("`portion` can't be negative")
+      if (portion > 1.0) fail("`portion` can't be greater then 1.")
+      if (frame.valueCols.size != 1) fail(s"${step.name} requires a scalar stream")
+      val vc = frame.valueCols.head
+      val weighted = step.name == "heavy-hitters"
+      val w = if (weighted) col(vc) else lit(1.0)
+      val firstTs = if (frame.backward) max(col(Ts)) else min(col(Ts))
+      val counted = frame.df
+        .groupBy(col(Sname))
+        .agg(sum(w).as("__count"), firstTs.as(Ts))
+      // support = N*P where N = total weight of the whole stream; kept
+      // lazy as a broadcast 1-row cross join (no driver-side action).
+      val totalDf = counted.agg(sum(col("__count")).as("__total"))
+      val df = counted
+        .crossJoin(broadcast(totalDf))
+        .filter(col("__count") > col("__total") * lit(portion))
+        .select(col(Sname), col(Ts), col("__count").as(vc))
+        .orderBy(col(vc).desc, col(Sname).asc)
+      frame.copy(df = df, valueCols = Seq(vc), ordered = true)
+
+    // SAX symbolic encoding (reference: sax.cpp:1-91, saxencoder.cpp):
+    // sliding window z-norm -> alphabet buckets -> word per point, with
+    // numerosity reduction (emit only when the word changes).
+    case "sax" =>
+      val alphabet = intParam(step, "alphabet_size")
+      val width = intParam(step, "window_width")
+      if (alphabet > 20 || alphabet < 1)
+        fail("`alphabet_size` should be in [1, 20] range")
+      if (width > 100 || width < 4)
+        fail("`window_width` should be in [4, 100] range")
+      if (frame.valueCols.size != 1) fail("sax works only with scalars")
+      Sax.node(frame, alphabet, width)
 
     case other => fail(s"unknown pipeline node '$other'")
   }

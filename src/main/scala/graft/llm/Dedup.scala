@@ -1,0 +1,186 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed
+  * around a single shuffle key so the plan scales linearly:
+  *
+  *  - exact:        groupBy(content hash) — one shuffle, no pairs
+  *  - n-gram Jaccard: exact near-dup via shared-shingle candidate buckets
+  *  - MinHash LSH:  probabilistic near-dup, groupBy(band hash) — never
+  *                  an all-pairs join
+  *  - SimHash:      64-bit sketch + banded Hamming candidates
+  *
+  * All candidate generation is bucket-local (`groupBy`-shaped); only
+  * verification touches pairs, and only pairs that share a bucket.
+  */
+object Dedup {
+
+  // --- exact ---------------------------------------------------------------
+
+  /** Exact duplicate groups by normalized-content fingerprint. Output:
+    * one row per distinct content (fingerprint, n_docs, keep_doc_id) —
+    * the `keep` is the smallest doc_id (deterministic survivor policy).
+    * One hash-shuffle; at 100 TB this is the cheapest possible dedup. */
+  def exact(docs: DataFrame, textCol: String = "text",
+            idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(Text.fingerprint(col(textCol)).as("fingerprint"), col(idCol))
+      .groupBy(col("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_doc_id"))
+
+  // --- word shingles -------------------------------------------------------
+
+  /** Distinct word n-gram shingles of the normalized text (Column
+    * expression; `transform` over a token-index sequence — stays codegen). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = Text.tokens(lower(text))
+    array_distinct(
+      filter(
+        transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+          i => when(size(toks) >= n,
+            array_join(slice(toks, i + 1, lit(n)), " "))),
+        x => x.isNotNull))
+  }
+
+  // --- exact n-gram Jaccard near-dup --------------------------------------
+
+  /** EXACT near-duplicate pairs with word-`n`-gram Jaccard >= `threshold`.
+    *
+    * Candidate pairs are pairs sharing >= 1 shingle (any pair with
+    * Jaccard > 0 shares one, so recall is exactly 1 — this is not a
+    * sketch). Shape: explode(shingle) -> self-join per shingle bucket ->
+    * distinct pair -> verify. `maxBucket` caps pathological shingle
+    * frequencies (boilerplate): buckets above the cap are dropped, which
+    * only ever drops candidates whose similarity evidence is carried
+    * ENTIRELY by ultra-common shingles — at scale, raise `n` instead.
+    * Output: (a, b, jaccard) with a < b. */
+  def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+                   textCol: String = "text", idCol: String = "doc_id",
+                   maxBucket: Int = 1000): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      wordShingles(col(textCol), n).as("sh"))
+    val sets = sh.select(col("id"), col("sh"), size(col("sh")).as("nsh"))
+    val ex = sh.select(col("id"), explode(col("sh")).as("g"))
+    val bucketed = ex
+      .withColumn("cnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
+      .filter(col("cnt") <= maxBucket)
+    val pairs = bucketed.alias("l")
+      .join(bucketed.alias("r"), col("l.g") === col("r.g") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+      .distinct()
+    pairs
+      .join(sets.select(col("id").as("a"), col("sh").as("sha"),
+        col("nsh").as("na")), "a")
+      .join(sets.select(col("id").as("b"), col("sh").as("shb"),
+        col("nsh").as("nb")), "b")
+      .withColumn("inter",
+        size(array_intersect(col("sha"), col("shb"))).cast("double"))
+      .withColumn("jaccard",
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  // --- MinHash + LSH -------------------------------------------------------
+
+  /** `numHashes` MinHash signature of the shingle set. Each hash function
+    * is `xxhash64(shingle, seed_i)` minimized over the set — standard
+    * MinHash (Broder '97), computed per row with no shuffle. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)), i =>
+      array_min(transform(shingles, s => xxhash64(s, i))))
+
+  /** MinHash-LSH near-duplicate candidates: signature split into `bands`
+    * bands of `rowsPerBand`, docs grouped by (band index, band hash) —
+    * ONLY a groupBy shuffle, no all-pairs join. Pairs sharing a band are
+    * verified with exact shingle Jaccard.
+    *
+    * With b=32, r=3 the detection probability at J=0.8 is
+    * 1-(1-0.8^3)^32 ≈ 1-1e-10 — effectively exact for near-dups while
+    * J=0.2 pairs almost never collide.
+    * Output: (a, b, jaccard) with a < b, jaccard >= threshold. */
+  def minhashLsh(docs: DataFrame, n: Int = 3, bands: Int = 32,
+                 rowsPerBand: Int = 3, threshold: Double = 0.5,
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sh = docs
+      .select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val bandArr = array((0 until bands).map(b =>
+      xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)
+    val banded = sh.select(
+      col("id"), col("sh"), size(col("sh")).as("nsh"),
+      posexplode(bandArr))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bandhash")
+    val candidates = banded.alias("l")
+      .join(banded.alias("r"),
+        col("l.band") === col("r.band") &&
+          col("l.bandhash") === col("r.bandhash") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"),
+        col("l.sh").as("sha"), col("l.nsh").as("na"),
+        col("r.sh").as("shb"), col("r.nsh").as("nb"))
+      .dropDuplicates("a", "b")
+    candidates
+      .withColumn("inter",
+        size(array_intersect(col("sha"), col("shb"))).cast("double"))
+      .withColumn("jaccard",
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  // --- SimHash -------------------------------------------------------------
+
+  /** 64-bit SimHash of the token multiset (Charikar '02): each feature
+    * votes its hash bits ±1, the sketch is the sign vector. Computed as a
+    * per-row aggregate over the token array — no shuffle. */
+  def simhash64(text: Column): Column = {
+    val toks = Text.tokens(lower(text))
+    val hashes = transform(toks, t => xxhash64(t))
+    // For each of 64 bits: majority vote of the feature-hash bits.
+    val bits = (0 until 64).map { b =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + shiftright(h, b).bitwiseAND(lit(1L)))
+      when(votes * 2 > size(hashes), lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce((a, x) => a.bitwiseOR(x))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxDist. Candidates
+    * via the standard banded-permutation trick: split 64 bits into
+    * `maxDist+1` bands — any pair within `maxDist` shares at least one
+    * exact band (pigeonhole), so candidates form by groupBy(band value),
+    * never all-pairs. Output: (a, b, hamming). */
+  def simhashNearDup(docs: DataFrame, maxDist: Int = 3,
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val nBands = maxDist + 1
+    val width = 64 / nBands
+    val sh = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("h"))
+    // band b: bits [b*width, (b+1)*width) (last band takes the rest)
+    val bandKeys = array((0 until nBands).map { b =>
+      if (b == nBands - 1) shiftrightunsigned(col("h"), b * width)
+      else shiftrightunsigned(col("h"), b * width)
+        .bitwiseAND(lit((1L << width) - 1))
+    }: _*)
+    val banded = sh.select(col("id"), col("h"), posexplode(bandKeys))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+    val candidates = banded.alias("l")
+      .join(banded.alias("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"),
+        col("l.h").as("ha"), col("r.h").as("hb"))
+      .dropDuplicates("a", "b")
+    candidates
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+}

@@ -1,0 +1,132 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`):
+  * cosine top-k (brute force baseline + LSH-bucketed scale path) and
+  * embedding near-duplicate detection. Dot products are
+  * `aggregate(zip_with(...))` column expressions — codegen, no UDFs.
+  */
+object Embed {
+
+  /** Dot product of two array columns (double). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k for one query vector: a single narrow map
+    * over the corpus + TakeOrdered(k) — no shuffle beyond the final top-k
+    * reduction. The correctness baseline, and the right plan for one-off
+    * queries even at scale (it reads each partition once). */
+  def topK(corpus: DataFrame, query: Seq[Double], k: Int,
+           vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val q = array(query.map(lit): _*)
+    corpus
+      .select(col(idCol), round(cosine(col(vecCol), q), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Random-hyperplane (sign) LSH bucket key: `planes` gives
+    * nPlanes x dim fixed coefficients (seeded deterministic), key packs
+    * the sign bits. Vectors likely to be cosine-close share keys. */
+  def hyperplaneKey(vec: Column, planes: Seq[Seq[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      when(dot(vec, array(p.map(lit): _*)) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Deterministic pseudo-random hyperplanes (splitmix64 -> uniform in
+    * [-1,1]); fixed by (seed, nPlanes, dim) so plans are reproducible. */
+  def randomPlanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    var state = seed
+    def next(): Double = {
+      state += 0x9e3779b97f4a7c15L
+      var z = state
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      (z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+    Seq.fill(nPlanes)(Seq.fill(dim)(next()))
+  }
+
+  /** LSH-bucketed ANN top-k: probe the query's bucket across `tables`
+    * independent hash tables, rank candidates exactly. Each table is a
+    * groupBy-shaped partition of the corpus; the probe touches only
+    * matching buckets (partition-pruned at scale when the corpus is
+    * written bucketed by key). Approximate: recall grows with `tables`
+    * and shrinks with `nPlanes`. */
+  def topKLsh(corpus: DataFrame, query: Seq[Double], k: Int,
+              nPlanes: Int = 8, tables: Int = 8,
+              vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val dim = query.size
+    val allPlanes = (0 until tables).map(t =>
+      randomPlanes(nPlanes, dim, seed = 42L + t))
+    val qArr = array(query.map(lit): _*)
+    val keyCols = allPlanes.zipWithIndex.map { case (planes, t) =>
+      hyperplaneKey(col(vecCol), planes).as(s"__k$t")
+    }
+    val withKeys = corpus.select((col(idCol) +: col(vecCol).as("__v") +: keyCols): _*)
+    // query keys are plain doubles computed the same way, evaluated on a
+    // one-row frame so the arithmetic is identical
+    val qKeyRow = corpus.sparkSession.range(1)
+      .select(allPlanes.zipWithIndex.map { case (planes, t) =>
+        hyperplaneKey(qArr, planes).as(s"k$t")
+      }: _*).head()
+    val probePred = (0 until tables)
+      .map(t => col(s"__k$t") === lit(qKeyRow.getLong(t)))
+      .reduce(_ || _)
+    withKeys
+      .filter(probePred)
+      .select(col(idCol), round(cosine(col("__v"), qArr), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Exact embedding near-duplicate pairs (cosine >= threshold) via
+    * block-broadcast join keyed on nothing — the VERIFICATION baseline for
+    * small corpora and oracles. For the 100 TB path use
+    * [[nearDupLsh]]: candidates from shared hyperplane buckets only. */
+  def nearDupExact(corpus: DataFrame, threshold: Double,
+                   vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val l = corpus.select(col(idCol).as("a"), col(vecCol).as("va"))
+    val r = corpus.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    l.join(r, col("a") < col("b"))
+      .withColumn("score", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("score") >= threshold)
+      .select(col("a"), col("b"), col("score"))
+  }
+
+  /** Scale path for near-dup: pairs colliding in >= 1 of `tables`
+    * hyperplane tables, verified exactly. groupBy(bucket) keeps the join
+    * bucket-local — never all-pairs. */
+  def nearDupLsh(corpus: DataFrame, threshold: Double,
+                 nPlanes: Int = 10, tables: Int = 12,
+                 vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val dim = 64 // embeddings table dimension; parameterize when needed
+    val keyArr = array((0 until tables).map(t =>
+      hyperplaneKey(col(vecCol), randomPlanes(nPlanes, dim, 42L + t))): _*)
+    val keyed = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("v"), posexplode(keyArr))
+      .withColumnRenamed("pos", "table").withColumnRenamed("col", "key")
+    val candidates = keyed.alias("l")
+      .join(keyed.alias("r"),
+        col("l.table") === col("r.table") && col("l.key") === col("r.key") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"),
+        col("l.v").as("va"), col("r.v").as("vb"))
+      .dropDuplicates("a", "b")
+    candidates
+      .withColumn("score", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("score") >= threshold)
+      .select(col("a"), col("b"), col("score"))
+  }
+}

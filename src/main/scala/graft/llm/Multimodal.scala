@@ -1,0 +1,99 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing for training-data pipelines: media travels
+  * as opaque `binary` columns with typed metadata; decode / feature
+  * extraction runs as a per-partition batch map (the Scala analogue of
+  * `mapInPandas` — one JVM-side batch loop per partition, vectorizable).
+  *
+  * The actual codecs (JPEG decode, audio resample, video frame-sample)
+  * are NOT available in this container, so the decode kernel is STUBBED
+  * with a deterministic fake (content-hash-seeded); everything around it
+  * — schema, batching, partition sizing, output shape — is real and
+  * tested, so swapping in a real codec is a one-function change.
+  */
+object Multimodal {
+
+  /** Typed media row: the canonical wide-table layout. Partition by
+    * (modality, shard) at scale so decode stages are pruned per modality;
+    * keep blobs under the parquet row-group target (~128 MB). */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false), // image|audio|video
+    StructField("content", BinaryType),                    // opaque payload
+    StructField("mime", StringType),
+    StructField("width", IntegerType),                     // image/video
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType),                  // audio/video
+    StructField("caption", StringType)))
+
+  /** Deterministic fake corpus: blob bytes derived from media_id so tests
+    * are reproducible without real media files. */
+  def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    val mods = Seq("image", "audio", "video")
+    spark.range(n.toLong).select(
+      col("id").as("media_id"),
+      element_at(typedLit(mods), (col("id") % 3 + 1).cast("int")).as("modality"),
+      sha2(col("id").cast("string"), 256).cast("binary").as("content"),
+      lit("application/octet-stream").as("mime"),
+      (col("id") % 640 + 32).cast("int").as("width"),
+      (col("id") % 480 + 32).cast("int").as("height"),
+      (col("id") % 30000 + 1000).as("duration_ms"),
+      concat(lit("caption "), col("id")).as("caption"))
+  }
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType),
+    StructField("feature", ArrayType(FloatType)),  // embedding-shaped
+    StructField("decode_ok", BooleanType)))
+
+  /** STUB decode kernel: a real implementation would parse `content`
+    * with an image/audio codec; here the "feature" is a deterministic
+    * 8-dim projection of the payload bytes. Signature and batch shape are
+    * the real contract. */
+  private[llm] def decodeKernel(content: Array[Byte]): Option[Array[Float]] = {
+    if (content == null || content.isEmpty) None
+    else {
+      val out = new Array[Float](8)
+      var i = 0
+      while (i < content.length) {
+        out(i % 8) += (content(i) & 0xff) / 255.0f
+        i += 1
+      }
+      val n = math.max(1, content.length / 8)
+      Some(out.map(_ / n))
+    }
+  }
+
+  /** Feature extraction over the media table: per-partition batch loop
+    * (constant memory per partition, blobs never collected). At scale,
+    * `repartition` first so each task holds ~targetPartitionBytes of
+    * blobs; the stage is a pure map — no shuffle. */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val schema = media.schema
+    val idIdx = schema.fieldIndex("media_id")
+    val modIdx = schema.fieldIndex("modality")
+    val cIdx = schema.fieldIndex("content")
+    media.mapPartitions { it =>
+      it.map { row =>
+        val feat = decodeKernel(row.getAs[Array[Byte]](cIdx))
+        Row(row.getLong(idIdx), row.getString(modIdx),
+          feat.orNull, feat.isDefined)
+      }
+    }(Encoders.row(featureSchema))
+  }
+
+  /** Frame-sampling plan for video rows: expands each video into
+    * `fps`-spaced frame REFERENCES (no decode; offsets only) — the shape
+    * a downstream batch decoder consumes. Pure column math. */
+  def sampleFrames(media: DataFrame, everyMs: Long = 1000L): DataFrame =
+    media.filter(col("modality") === "video")
+      .select(col("media_id"), col("duration_ms"),
+        explode(sequence(lit(0L), col("duration_ms") - 1, lit(everyMs)))
+          .as("frame_offset_ms"))
+}

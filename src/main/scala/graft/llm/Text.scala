@@ -1,0 +1,125 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality signals, language identification, and document
+  * fingerprinting. All column-level built-in expressions (whole-stage
+  * codegen, no UDFs) — at 100 TB these run inside the parquet scan
+  * projection with nothing but a narrow map stage.
+  */
+object Text {
+
+  /** Whitespace tokens. `split` on `\s+` after trim — matches DuckDB's
+    * `string_split_regex(trim(text), '\s+')` so oracles line up. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword token count: word pieces + digits + punctuation
+    * runs, the usual pre-tokenizer shape (letters runs, digit runs, single
+    * other marks). An upper-bound estimator for LLM token budgeting. */
+  def subwordCount(text: Column): Column =
+    size(filter(
+      split(text, "(?<=[^\\p{L}\\p{N}])|(?=[^\\p{L}\\p{N}])"),
+      t => length(t) > 0))
+
+  /** Punctuation character ratio over all characters. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") /
+      greatest(length(text).cast("double"), lit(1.0))
+
+  /** Alphabetic character ratio. */
+  def alphaRatio(text: Column): Column =
+    length(regexp_replace(text, "[^\\p{L}]", "")).cast("double") /
+      greatest(length(text).cast("double"), lit(1.0))
+
+  /** English stopword hit ratio over tokens (quality signal). */
+  val EnStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "was", "at", "by", "be", "this")
+
+  def stopwordRatio(text: Column, stopwords: Seq[String] = EnStopwords): Column = {
+    val toks = tokens(lower(text))
+    size(filter(toks, t => t.isin(stopwords: _*))).cast("double") /
+      greatest(size(toks).cast("double"), lit(1.0))
+  }
+
+  /** Composite quality score in [0,1]: doc-length band + stopword presence
+    * + moderate punctuation — the standard cheap pre-filter shape for
+    * web-scale corpora (C4/Gopher-style rules, arithmetic only). */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lenScore = least(nTok / lit(50.0), lit(1.0)) // ramps to 1 at 50 tokens
+    val stopScore = least(stopwordRatio(text) * lit(5.0), lit(1.0))
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(text) * lit(4.0))
+    round(lenScore * lit(0.4) + stopScore * lit(0.4) + punctPenalty * lit(0.2), 6)
+  }
+
+  /** Deterministic document fingerprint: md5 of whitespace-normalized
+    * lowercase text. Identical in DuckDB
+    * (`md5(lower(regexp_replace(text,'\s+',' ','g')))`), so exact-dedup
+    * results are oracle-checkable. */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** 64-bit rolling content hash (xxhash64 of the normalized text) — the
+    * cheap join key for shard-local dedup at scale. */
+  def fingerprint64(text: Column): Column =
+    xxhash64(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  // --- language identification -------------------------------------------
+
+  /** Stopword profiles for the n-gram-free heuristic: the most frequent
+    * function words of each language (public linguistic knowledge). */
+  private val Profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was",
+      "for", "with", "as", "his", "on", "be", "at", "by", "this", "had", "not"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein",
+      "eine", "den", "von", "zu", "im", "dem", "auf", "für", "des", "sich",
+      "auch", "es"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "est", "un", "une",
+      "du", "dans", "que", "qui", "pour", "pas", "au", "sur", "ne", "se", "ce"),
+    "es" -> Seq("el", "la", "los", "las", "de", "y", "es", "un", "una",
+      "del", "en", "que", "por", "con", "no", "se", "su", "para", "al", "lo"),
+    "it" -> Seq("il", "la", "di", "e", "che", "un", "una", "per", "non",
+      "del", "gli", "le", "con", "si", "da", "dei", "nel", "alla", "più", "ma"))
+
+  /** Language-ID: CJK-character dominance short-circuits to `zh`;
+    * otherwise argmax of per-language stopword hit counts, `und` when no
+    * profile matches. Pure column arithmetic — distributes as a map. */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val nTok = greatest(size(toks).cast("double"), lit(1.0))
+    val cjk = length(regexp_replace(text, "[^\\p{IsHan}]", "")).cast("double") /
+      greatest(length(text).cast("double"), lit(1.0))
+    val scores = Profiles.map { case (lang, words) =>
+      struct(
+        (size(filter(toks, t => t.isin(words: _*))).cast("double") / nTok).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scores: _*)
+    when(cjk > lit(0.3), lit("zh"))
+      .when(best.getField("score") > lit(0.05), best.getField("lang"))
+      .otherwise(lit("und"))
+  }
+
+  /** One-call document stats frame: the per-document feature row a
+    * training-data pipeline materializes before filtering. */
+  def docStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col("doc_id"),
+      length(t).as("n_chars"),
+      tokenCount(t).as("n_tokens"),
+      subwordCount(t).as("n_subwords"),
+      round(punctRatio(t), 6).as("punct_ratio"),
+      round(alphaRatio(t), 6).as("alpha_ratio"),
+      round(stopwordRatio(t), 6).as("stopword_ratio"),
+      qualityScore(t).as("quality"),
+      langId(t).as("lang_pred"),
+      fingerprint(t).as("fingerprint"))
+  }
+}

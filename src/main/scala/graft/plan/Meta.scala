@@ -1,0 +1,99 @@
+package graft.plan
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.ast.{QueryJson, Where}
+
+/** The metadata endpoints `/api/suggest` and `/api/search` — pure
+  * dimension-table queries over the series index, never a fact scan
+  * (reference: suggest parser queryparser.cpp:1139-1273, exec
+  * storage2.cpp:1468-1499; search parser queryparser.cpp:1026-1076, exec
+  * storage2.cpp:1501-1530; behaviors in functests/test_search_api.py).
+  *
+  * At 100 TB the series dimension must be a maintained table (the
+  * reference's SeriesMatcher is exactly this); `TsStore.series` derives it
+  * from samples for the test adapter, and `Layout.writeSeries` persists it
+  * alongside the fact table so these queries stay O(series), not O(samples).
+  */
+object Meta {
+
+  final case class MetaException(msg: String) extends IllegalArgumentException(msg)
+  private def fail(msg: String): Nothing = throw MetaException(msg)
+
+  /** `{"select":"metric-names","starts-with":...}` — all metric names with
+    * the prefix, sorted. */
+  def metricNames(store: TsStore, startsWith: String = ""): DataFrame =
+    store.series
+      .select(col(TsStore.Metric).as("name"))
+      .filter(col("name").startsWith(startsWith))
+      .distinct()
+      .orderBy(col("name"))
+
+  /** `{"select":"tag-names","metric":m,"starts-with":...}` — tag names
+    * used by the metric's series. */
+  def tagNames(store: TsStore, metric: String, startsWith: String = ""): DataFrame =
+    store.series
+      .filter(col(TsStore.Metric) === metric)
+      .select(explode(map_keys(col(TsStore.Tags))).as("name"))
+      .filter(col("name").startsWith(startsWith))
+      .distinct()
+      .orderBy(col("name"))
+
+  /** `{"select":"tag-values","metric":m,"tag":t,"starts-with":...}`. */
+  def tagValues(store: TsStore, metric: String, tag: String,
+                startsWith: String = ""): DataFrame =
+    store.series
+      .filter(col(TsStore.Metric) === metric)
+      .select(element_at(col(TsStore.Tags), tag).as("name"))
+      .filter(col("name").isNotNull && col("name").startsWith(startsWith))
+      .distinct()
+      .orderBy(col("name"))
+
+  /** `/api/search`: series names matching metric + where clause. */
+  def search(store: TsStore, metric: Option[String],
+             where: Where = Where.All): DataFrame = {
+    var df = store.series
+    for (m <- metric) df = df.filter(col(TsStore.Metric) === m)
+    df = df.filter(Planner.wherePred(where))
+    df.select(
+        TsStore.snameOf(col(TsStore.Metric), col("tagstr")).as(TsStore.Sname))
+      .distinct()
+      .orderBy(col(TsStore.Sname))
+  }
+
+  /** JSON entry for `/api/suggest` (reference: queryparser.cpp:1139-1273). */
+  def suggest(store: TsStore, json: String): DataFrame = {
+    val obj = JsonMethods.parse(json)
+    def strOpt(field: String): Option[String] = (obj \ field) match {
+      case JString(s) => Some(s)
+      case JNothing   => None
+      case _          => fail(s"Query object has invalid `$field` field, single value expected")
+    }
+    val sw = strOpt("starts-with").getOrElse("")
+    strOpt("select") match {
+      case Some("metric-names") => metricNames(store, sw)
+      case Some("tag-names") =>
+        tagNames(store, strOpt("metric").getOrElse(fail("Metric name expected")), sw)
+      case Some("tag-values") =>
+        tagValues(store, strOpt("metric").getOrElse(fail("Metric name expected")),
+          strOpt("tag").getOrElse(fail("Tag name expected")), sw)
+      case Some(other) =>
+        fail(s"Query object has invalid `select` field, unknown target $other")
+      case None => fail("Query object missing `select` field")
+    }
+  }
+
+  /** JSON entry for `/api/search` (reference: queryparser.cpp:1026-1076). */
+  def searchJson(store: TsStore, json: String): DataFrame = {
+    val obj = JsonMethods.parse(json)
+    val metric = (obj \ "select") match {
+      case JString(m) => Some(m)
+      case JNothing   => None
+      case _          => fail("bad select field")
+    }
+    search(store, metric, QueryJson.parseWhere(obj \ "where"))
+  }
+}

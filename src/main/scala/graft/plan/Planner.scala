@@ -51,7 +51,7 @@ object Planner {
 
   /** Tag predicate (reference: queryparser.cpp:692-750 — OR within a tag,
     * AND across tags; list form enumerates exact combinations). */
-  private def wherePred(w: Where): Column = w match {
+  def wherePred(w: Where): Column = w match {
     case Where.All => lit(true)
     case Where.TagMap(m) =>
       m.map { case (t, vs) => element_at(col(Tags), t).isin(vs: _*) }
