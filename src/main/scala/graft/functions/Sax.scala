@@ -29,58 +29,60 @@ object Sax {
 
   /** Gaussian equiprobable cutpoints per alphabet size (public normal-
     * distribution quantiles; reference table saxencoder.cpp:60-131). */
-  private[functions] def cutpoints(n: Int): Array[Double] = {
+  def cutpoints(n: Int): Array[Double] = {
     require(n >= 1 && n <= 21, "invalid alphabet size")
     // quantiles at k/n for k = 1..n-1 of N(0,1), via inverse erf
     Array.tabulate(n - 1)(k => normInv((k + 1).toDouble / n))
   }
 
-  /** Inverse standard-normal CDF (Acklam's algorithm, public domain). */
+  /** Inverse standard-normal CDF — Wichura's algorithm AS 241 (PPND16,
+    * Applied Statistics 37, 1988; published algorithm), accurate to full
+    * double precision, so cutpoints match the published SAX quantile
+    * tables bit-for-bit at test tolerance. */
   private def normInv(p: Double): Double = {
-    val a = Array(-3.969683028665376e+01, 2.209460984245205e+02,
-      -2.759285104469687e+02, 1.383577518672690e+02,
-      -3.066479806614716e+01, 2.506628277459239e+00)
-    val b = Array(-5.447609879822406e+01, 1.615858368580409e+02,
-      -1.556989798598866e+02, 6.680131188771972e+01, -1.328068155288572e+01)
-    val c = Array(-7.784894002430293e-03, -3.223964580411365e-01,
-      -2.400758277161838e+00, -2.549732539343734e+00,
-      4.374664141464968e+00, 2.938163982698783e+00)
-    val d = Array(7.784695709041462e-03, 3.224671290700398e-01,
-      2.445134137142996e+00, 3.754408661907416e+00)
-    val pl = 0.02425
-    val x =
-      if (p < pl) {
-        val q = math.sqrt(-2 * math.log(p))
-        (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
-          ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1)
-      } else if (p <= 1 - pl) {
-        val q = p - 0.5; val r = q * q
-        (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r + a(5)) * q /
-          (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1)
-      } else {
-        val q = math.sqrt(-2 * math.log(1 - p))
-        -(((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
-          ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1)
-      }
-    // one Halley refinement step for full double accuracy
-    val e = 0.5 * erfc(-x / math.sqrt(2)) - p
-    val u = e * math.sqrt(2 * math.Pi) * math.exp(x * x / 2)
-    x - u / (1 + x * u / 2)
-  }
-
-  private def erfc(x: Double): Double = {
-    val z = math.abs(x)
-    val t = 1.0 / (1.0 + 0.5 * z)
-    val ans = t * math.exp(-z * z - 1.26551223 + t * (1.00002368 +
-      t * (0.37409196 + t * (0.09678418 + t * (-0.18628806 +
-      t * (0.27886807 + t * (-1.13520398 + t * (1.48851587 +
-      t * (-0.82215223 + t * 0.17087277)))))))))
-    if (x >= 0) ans else 2.0 - ans
+    val q = p - 0.5
+    if (math.abs(q) <= 0.425) {
+      val r = 0.180625 - q * q
+      q * (((((((2.5090809287301226727e+3 * r + 3.3430575583588128105e+4) * r +
+        6.7265770927008700853e+4) * r + 4.5921953931549871457e+4) * r +
+        1.3731693765509461125e+4) * r + 1.9715909503065514427e+3) * r +
+        1.3314166789178437745e+2) * r + 3.3871328727963666080e0) /
+        (((((((5.2264952788528545610e+3 * r + 2.8729085735721942674e+4) * r +
+          3.9307895800092710610e+4) * r + 2.1213794301586595867e+4) * r +
+          5.3941960214247511077e+3) * r + 6.8718700749205790830e+2) * r +
+          4.2313330701600911252e+1) * r + 1.0)
+    } else {
+      var r = if (q < 0) p else 1.0 - p
+      r = math.sqrt(-math.log(r))
+      val x =
+        if (r <= 5.0) {
+          r -= 1.6
+          (((((((7.74545014278341407640e-4 * r + 2.27238449892691845833e-2) * r +
+            2.41780725177450611770e-1) * r + 1.27045825245236838258e0) * r +
+            3.64784832476320460504e0) * r + 5.76949722146069140550e0) * r +
+            4.63033784615654529590e0) * r + 1.42343711074968357734e0) /
+            (((((((1.05075007164441684324e-9 * r + 5.47593808499534494600e-4) * r +
+              1.51986665636164571966e-2) * r + 1.48103976427480074590e-1) * r +
+              6.89767334985100004550e-1) * r + 1.67638483018380384940e0) * r +
+              2.05319162663775882187e0) * r + 1.0)
+        } else {
+          r -= 5.0
+          (((((((2.01033439929228813265e-7 * r + 2.71155556874348757815e-5) * r +
+            1.24266094738807843860e-3) * r + 2.65321895265761230930e-2) * r +
+            2.96560571828504891230e-1) * r + 1.78482653991729133580e0) * r +
+            5.46378491116411436990e0) * r + 6.65790464350110377720e0) /
+            (((((((2.04426310338993978564e-15 * r + 1.42151175831644588870e-7) * r +
+              1.84631831751005468180e-5) * r + 7.86869131145613259100e-4) * r +
+              1.48753612908506148525e-2) * r + 1.36929880922735805310e-1) * r +
+              5.99832206555887937690e-1) * r + 1.0)
+        }
+      if (q < 0) -x else x
+    }
   }
 
   /** Encode one full window to a word (reference: saxencoder.cpp
     * `saxify`). */
-  private[functions] def saxify(
+  def saxify(
       window: Array[Double], cuts: Array[Double]): String = {
     val n = window.length
     var sum = 0.0; var sqr = 0.0

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.llm.{Dedup, Embed, Multimodal, Text}
+
+/** LLM-pipeline operators: text analysis, dedup family, similarity
+  * search, multimodal plumbing. */
+class LlmSpec extends SparkFunSuite {
+
+  private def docs(texts: Seq[String]) = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        texts.zipWithIndex.map { case (t, i) => Row(i.toLong, t) }, 2), schema)
+  }
+
+  test("langId detects real languages and CJK") {
+    val d = docs(Seq(
+      "the cat sat on the mat and it was happy with the sun",
+      "der Hund ist nicht mit der Katze in dem Haus und das ist gut",
+      "le chat est dans la maison et il est content de la vie",
+      "el perro es un animal que vive en la casa de su amigo",
+      "这是一个中文句子没有空格但是有很多汉字在里面"))
+    val got = d.select(col("doc_id"), Text.langId(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(0) == "en"); assert(got(1) == "de"); assert(got(2) == "fr")
+    assert(got(3) == "es"); assert(got(4) == "zh")
+  }
+
+  test("token counts and fingerprints are whitespace-normalization stable") {
+    val d = docs(Seq("a  b\tc", "a b c", "a b d"))
+    val got = d.select(Text.tokenCount(col("text")),
+      Text.fingerprint(col("text"))).collect()
+    assert(got.forall(_.getInt(0) == 3))
+    assert(got(0).getString(1) == got(1).getString(1)) // whitespace-insensitive
+    assert(got(0).getString(1) != got(2).getString(1))
+  }
+
+  test("exact dedup groups identical normalized content") {
+    val d = docs(Seq("same text here", "same  text\there", "different"))
+    val got = Dedup.exact(d).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).sortBy(_._2)
+    assert(got.toSeq == Seq((2L, 0L), (1L, 2L))) // group of 2 keeps doc 0
+  }
+
+  test("ngramJaccard finds planted near-dups exactly") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d = docs(Seq(
+      base,
+      base + " lambda",                       // high overlap with 0
+      "totally different words entirely here unrelated content now yes"))
+    val got = Dedup.ngramJaccard(d, n = 3, threshold = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((0L, 1L)))
+  }
+
+  test("minhashLsh agrees with exact ngramJaccard on planted dups") {
+    val base = "one two three four five six seven eight nine ten eleven twelve"
+    val d = docs(Seq(
+      base, base + " thirteen",
+      "completely other content with no shared phrases at all in it",
+      base.replace("five", "FIVE")))
+    val exact = Dedup.ngramJaccard(d, n = 3, threshold = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(d, n = 3, bands = 64, rowsPerBand = 2,
+      threshold = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty && lsh == exact)
+  }
+
+  test("simhash: identical texts collide, unrelated texts do not") {
+    val d = docs(Seq(
+      "shared words make shared hashes in this document about spark",
+      "shared words make shared hashes in this document about spark",
+      "an entirely distinct topic concerning databases and storage engines"))
+    val got = Dedup.simhashNearDup(d, maxDist = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == Seq((0L, 1L, 0)))
+  }
+
+  private def vecs(vs: Seq[Seq[Double]]) = {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        vs.zipWithIndex.map { case (v, i) =>
+          Row(i.toLong, v.map(_.toFloat)) }, 2), schema)
+  }
+
+  test("brute-force topK ranks by cosine") {
+    val corpus = vecs(Seq(
+      Seq(1.0, 0.0, 0.0),
+      Seq(0.9, 0.1, 0.0),
+      Seq(0.0, 1.0, 0.0),
+      Seq(-1.0, 0.0, 0.0)))
+    val got = Embed.topK(corpus, Seq(1.0, 0.0, 0.0), k = 2).collect()
+      .map(_.getLong(0))
+    assert(got.toSeq == Seq(0L, 1L))
+  }
+
+  test("LSH topK finds the true neighbor set on separated clusters") {
+    val cluster1 = (0 until 5).map(i => Seq(1.0, 0.01 * i, 0.0, 0.0))
+    val cluster2 = (0 until 5).map(i => Seq(0.0, 0.0, 1.0, 0.01 * i))
+    val corpus = vecs(cluster1 ++ cluster2)
+    val exact = Embed.topK(corpus, Seq(1.0, 0.0, 0.0, 0.0), 3)
+      .collect().map(_.getLong(0)).toSet
+    val lsh = Embed.topKLsh(corpus, Seq(1.0, 0.0, 0.0, 0.0), 3,
+      nPlanes = 4, tables = 8).collect().map(_.getLong(0)).toSet
+    assert(lsh == exact)
+  }
+
+  test("nearDupLsh is a subset of exact with full recall on tight pairs") {
+    val tight = Seq(Seq.fill(64)(1.0), Seq.fill(64)(1.0).updated(0, 0.9))
+    val noise = (0 until 6).map(i =>
+      (0 until 64).map(j => math.sin(i * 64 + j * 2.17)).map(x => x))
+    val corpus = vecs(tight ++ noise)
+    val exact = Embed.nearDupExact(corpus, 0.99).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Embed.nearDupLsh(corpus, 0.99).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.contains((0L, 1L)))
+    assert(lsh == exact)
+  }
+
+  test("multimodal: features are deterministic, frames sample by offset") {
+    val media = Multimodal.syntheticMedia(spark, 9)
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 9 && feats.forall(_.getBoolean(3)))
+    val again = Multimodal.extractFeatures(media).collect()
+    assert(feats.map(_.getSeq[Float](2)).toSeq == again.map(_.getSeq[Float](2)).toSeq)
+    val frames = Multimodal.sampleFrames(media, everyMs = 5000)
+      .groupBy(col("media_id")).count().collect()
+    assert(frames.nonEmpty)
+  }
+}

@@ -1,0 +1,143 @@
+package graft
+
+import graft.ast.QueryJson
+import graft.plan.Planner
+
+/** Apply-pipeline node semantics (reference: the query_processing nodes;
+  * sliding_window.cpp EWMA state machine; top.cpp time-weighted sum;
+  * spacesaver.h emission rule). */
+class PipeSpec extends SparkFunSuite {
+  import SparkSpec._
+
+  private def single(n: Int, vals: Seq[Double] = Nil) = store(
+    (0 until n).map(i => ("m", Map("h" -> "X"), 100L + i * 1000000000L,
+      if (vals.isEmpty) i.toDouble else vals(i))))
+
+  private def run(apply: String, st: graft.plan.TsStore, extra: String = "") =
+    Planner.plan(QueryJson.parse(
+      s"""{"select":"m","range":{"from":0,"to":1000000000000000}$extra,
+         |"apply":[$apply]}""".stripMargin), st).df
+
+  test("abs and scale") {
+    val st = single(3, Seq(-1.0, 2.0, -3.0))
+    assert(rows3(run("""{"name":"abs"}""", st)).map(_._3) == Seq(1.0, 2.0, 3.0))
+    assert(rows3(run("""{"name":"scale","weights":[2.5]}""", st)).map(_._3) ==
+      Seq(-2.5, 5.0, -7.5))
+  }
+
+  test("rate: dx/dt per second with (0,0) seed") {
+    val st = store(Seq(
+      ("m", Map("h" -> "X"), 1000000000L, 10.0),  // dt from 0 = 1s
+      ("m", Map("h" -> "X"), 3000000000L, 16.0))) // dx=6 dt=2
+    assert(rows3(run("""{"name":"rate"}""", st)).map(_._3) == Seq(10.0, 3.0))
+  }
+
+  test("cusum accumulates per series") {
+    assert(rows3(run("""{"name":"cusum"}""", single(4))).map(_._3) ==
+      Seq(0.0, 1.0, 3.0, 6.0))
+  }
+
+  test("sma includes current sample; sma-error is the pre-add forecast error") {
+    val st = single(5, Seq(2.0, 4.0, 6.0, 8.0, 10.0))
+    assert(rows3(run("""{"name":"sma","window-width":2}""", st)).map(_._3) ==
+      Seq(2.0, 3.0, 5.0, 7.0, 9.0))
+    // error vs mean of previous window (excluding current): first has no
+    // window -> 0 (coalesce to own value)
+    assert(rows3(run("""{"name":"sma-error","window-width":2}""", st)).map(_._3) ==
+      Seq(0.0, 2.0, 3.0, 3.0, 3.0))
+  }
+
+  test("cma is the running mean") {
+    assert(rows3(run("""{"name":"cma"}""", single(4))).map(_._3) ==
+      Seq(0.0, 0.5, 1.0, 1.5))
+  }
+
+  test("ewma matches the reference warmup-10 state machine") {
+    val n = 13
+    val st = single(n)
+    val got = rows3(run("""{"name":"ewma","decay":0.5}""", st)).map(_._3)
+    // replicate reference sliding_window.cpp: forecast before add;
+    // first 11 samples (warmup<=10) forecast = x itself
+    var warmup = 0; var value = 0.0
+    val want = (0 until n).map { i =>
+      val x = i.toDouble
+      val f = if (warmup <= 10) x else value
+      if (warmup < 10) { value += x; warmup += 1 }
+      else if (warmup == 10) {
+        warmup += 1; value += x; value /= 11.0; value = x * 0.5 + value * 0.5
+      } else value = x * 0.5 + value * 0.5
+      f
+    }
+    assert(got == want)
+  }
+
+  test("math folds: sum/diff/multiply/divide over join tuples") {
+    val st = store(Seq(
+      ("a", Map("h" -> "X"), 100L, 3.0),
+      ("b", Map("h" -> "X"), 100L, 4.0),
+      ("a", Map("h" -> "X"), 200L, 5.0))) // b missing at 200
+    def join(apply: String) = Planner.plan(QueryJson.parse(
+      s"""{"join":["a","b"],"range":{"from":0,"to":1000},"apply":[$apply]}"""), st).df
+    assert(rows3(join("""{"name":"sum","ignore_missing":true}""")).map(_._3) ==
+      Seq(7.0, 5.0))
+    val d = rows3(join("""{"name":"sum","ignore_missing":false}""")).map(_._3)
+    assert(d.head == 7.0 && d(1).isNaN) // missing -> NaN without the flag
+    assert(rows3(join("""{"name":"diff","ignore_missing":true}""")).map(_._3) ==
+      Seq(-7.0, -5.0)) // left fold from unit: 0 - a - b
+    assert(rows3(join("""{"name":"multiply","ignore_missing":true}""")).map(_._3) ==
+      Seq(12.0, 5.0))
+    assert(rows3(join("""{"name":"divide","ignore_missing":true}""")).map(_._3) ==
+      Seq(1.0 / 12.0, 1.0 / 5.0)) // 1 / a / b
+  }
+
+  test("eval: expression over join columns, missing reads 0, NaN dropped") {
+    val st = store(Seq(
+      ("a", Map("h" -> "X"), 100L, 3.0),
+      ("b", Map("h" -> "X"), 100L, 4.0),
+      ("a", Map("h" -> "X"), 200L, 5.0)))
+    val df = Planner.plan(QueryJson.parse(
+      """{"join":["a","b"],"range":{"from":0,"to":1000},
+        |"apply":[{"name":"eval","expr":"a * 2 + b ^ 2"}]}""".stripMargin), st).df
+    assert(rows3(df).map(_._3) == Seq(22.0, 10.0))
+    // NaN dropped: 0/0 when both missing never occurs here; sqrt(-1) does
+    val df2 = Planner.plan(QueryJson.parse(
+      """{"join":["a","b"],"range":{"from":0,"to":1000},
+        |"apply":[{"name":"eval","expr":"sqrt(b - 10)"}]}""".stripMargin), st).df
+    assert(df2.count() == 0)
+  }
+
+  test("top: N series by time-weighted sum, descending") {
+    val st = store(Seq(
+      ("m", Map("h" -> "A"), 0L, 10.0),
+      ("m", Map("h" -> "A"), 2000000000L, 0.0),  // A: 10*2s = 20
+      ("m", Map("h" -> "B"), 0L, 3.0),
+      ("m", Map("h" -> "B"), 2000000000L, 0.0),  // B: 3*2s = 6
+      ("m", Map("h" -> "C"), 0L, 1.0),
+      ("m", Map("h" -> "C"), 2000000000L, 0.0))) // C: 2
+    val got = rows3(run("""{"name":"top","N":2}""", st))
+    assert(got.map(t => (t._1, t._3)) == Seq(
+      ("m h=A", 20.0), ("m h=B", 6.0)))
+  }
+
+  test("frequent-items: exact SpaceSaver emission rule and order") {
+    val rows = (0 until 8).map(i => ("m", Map("h" -> "A"), 100L + i, 1.0)) ++
+      (0 until 3).map(i => ("m", Map("h" -> "B"), 200L + i, 1.0)) ++
+      Seq(("m", Map("h" -> "C"), 300L, 1.0))
+    val df = run("""{"name":"frequent-items","error":0.01,"portion":0.2}""",
+      store(rows))
+    // N=12, support=2.4: A(8) and B(3) qualify, C(1) doesn't
+    assert(rows3(df).map(t => (t._1, t._2, t._3)) == Seq(
+      ("m h=A", 100L, 8.0), ("m h=B", 200L, 3.0)))
+  }
+
+  test("heavy-hitters weights by value") {
+    val rows = Seq(
+      ("m", Map("h" -> "A"), 100L, 50.0),
+      ("m", Map("h" -> "B"), 200L, 30.0),
+      ("m", Map("h" -> "C"), 300L, 20.0))
+    val df = run("""{"name":"heavy-hitters","error":0.01,"portion":0.25}""",
+      store(rows))
+    assert(rows3(df).map(t => (t._1, t._3)) == Seq(
+      ("m h=A", 50.0), ("m h=B", 30.0)))
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ast._
+
+/** JSON query validation (reference: validate_query
+  * queryparser.cpp:934-985 and kind dispatch :901-932). */
+class QueryJsonSpec extends AnyFunSuite {
+
+  test("kind dispatch and mutual exclusion") {
+    assert(QueryJson.parse("""{"select":"cpu","range":{"from":0,"to":1}}""")
+      .kind == QueryKind.Select("cpu"))
+    val e = intercept[IllegalArgumentException](QueryJson.parse(
+      """{"select":"cpu","join":["a","b"],"range":{"from":0,"to":1}}"""))
+    assert(e.getMessage.contains("conflicting"))
+    intercept[IllegalArgumentException](QueryJson.parse("""{"range":{"from":0,"to":1}}"""))
+  }
+
+  test("range required except aggregate/meta") {
+    intercept[IllegalArgumentException](QueryJson.parse("""{"select":"cpu"}"""))
+    assert(QueryJson.parse("""{"aggregate":{"cpu":"max"}}""").range.isEmpty)
+    assert(QueryJson.parse("""{"select":"meta:names"}""").kind ==
+      QueryKind.MetaNames(None))
+  }
+
+  test("select-events requires ! prefix; select rejects it") {
+    assert(QueryJson.parse(
+      """{"select-events":"!ev","range":{"from":0,"to":1}}""").kind ==
+      QueryKind.SelectEvents("!ev", None))
+    intercept[IllegalArgumentException](QueryJson.parse(
+      """{"select-events":"ev","range":{"from":0,"to":1}}"""))
+    intercept[IllegalArgumentException](QueryJson.parse(
+      """{"select":"!ev","range":{"from":0,"to":1}}"""))
+  }
+
+  test("where forms parse") {
+    val q = QueryJson.parse(
+      """{"select":"m","range":{"from":0,"to":1},"where":{"h":["a","b"],"z":"c"}}""")
+    assert(q.where == Where.TagMap(Map("h" -> Seq("a", "b"), "z" -> Seq("c"))))
+    val q2 = QueryJson.parse(
+      """{"select":"m","range":{"from":0,"to":1},"where":[{"h":"a"},{"h":"b","z":"c"}]}""")
+    assert(q2.where == Where.Enumerate(Seq(Map("h" -> "a"), Map("h" -> "b", "z" -> "c"))))
+  }
+
+  test("filter forms: flat, multi-key, require combiner") {
+    val q = QueryJson.parse(
+      """{"select":"m","range":{"from":0,"to":1},"filter":{"gt":1,"le":5}}""")
+    assert(q.filter.get.byKey("m") == ValueFilter(gt = Some(1), le = Some(5)))
+    val q2 = QueryJson.parse(
+      """{"join":["a","b"],"range":{"from":0,"to":1},
+        |"filter":{"a":{"gt":1},"b":{"lt":2},"=":{"require":"any"}}}""".stripMargin)
+    assert(!q2.filter.get.requireAll)
+    intercept[IllegalArgumentException](QueryJson.parse(
+      """{"select":"m","range":{"from":0,"to":1},"filter":{"gte":1}}"""))
+  }
+
+  test("order-by validation") {
+    intercept[IllegalArgumentException](QueryJson.parse(
+      """{"select":"m","range":{"from":0,"to":1},"order-by":"sideways"}"""))
+    intercept[IllegalArgumentException](QueryJson.parse(
+      """{"aggregate":{"m":"max"},"order-by":"time"}"""))
+  }
+
+  test("backward range flag and ISO timestamps") {
+    val q = QueryJson.parse(
+      """{"select":"m","range":{"from":"20240102T000000","to":"20240101T000000"}}""")
+    assert(q.backward)
+    assert(q.range.get.from - q.range.get.to == 86400L * 1000000000L)
+  }
+
+  test("group-by legacy alias means pivot-by-tag") {
+    val q = QueryJson.parse(
+      """{"select":"m","range":{"from":0,"to":1},"group-by":["h"]}""")
+    assert(q.groupBy.contains(GroupByTag(GroupOp.Pivot, Seq("h"))))
+  }
+}
