@@ -530,6 +530,62 @@ object SparkEntry {
              |    (SELECT v FROM e WHERE vec_id = 7), b.v), 6) AS score
              |FROM e b ORDER BY 2 DESC, 1 ASC LIMIT 10""".stripMargin)),
 
+    // -- ingestion: RESP protocol parse (data-point + row + dictionary) --
+    "ingest_resp" -> Gated(
+      (s, d) => {
+        val doc =
+          """*2
+            |+cpu.real|cpu.user host=m1
+            |:1
+            |+mem host=m1
+            |:1418197423000000000
+            |:512
+            |:1
+            |+20141210T074343
+            |*2
+            |+3.12
+            |+8.11
+            |+mem host=m2
+            |+20141210T074344.5
+            |:256""".stripMargin
+        import s.implicits._
+        val parsed = graft.io.LineProtocol.parseResp(doc.linesIterator).toSeq
+        s.createDataset(parsed).toDF()
+          .select(
+            concat(col("metric"), lit(" host="), col("tags")("host")).as("sname"),
+            col("ts"), col("value"))
+          .orderBy(col("sname"), col("ts"))
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('cpu.real host=m1', 1418197423000000000, 3.12),
+             |  ('cpu.user host=m1', 1418197423000000000, 8.11),
+             |  ('mem host=m1',      1418197423000000000, 512.0),
+             |  ('mem host=m2',      1418197424500000000, 256.0))
+             |  t(sname, ts, value)
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // -- ingestion: OpenTSDB telnet put parse ----------------------------
+    "ingest_opentsdb" -> Gated(
+      (s, d) => {
+        val doc = Seq(
+          "put cpu.real 1418197423 3.12 host=m1 region=NW",
+          "put cpu.real 20141210T074344 4.5 host=m1 region=NW",
+          "put mem 1418197423999999999 256 host=m2")
+        import s.implicits._
+        val parsed = doc.flatMap(graft.io.LineProtocol.parseOpenTsdb)
+        s.createDataset(parsed).toDF()
+          .select(
+            concat(col("metric"), lit(" host="), col("tags")("host")).as("sname"),
+            col("ts"), col("value"))
+          .orderBy(col("sname"), col("ts"))
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('cpu.real host=m1', 1418197423000000000, 3.12),
+             |  ('cpu.real host=m1', 1418197424000000000, 4.5),
+             |  ('mem host=m2',      1418197423999999999, 256.0))
+             |  t(sname, ts, value)
+             |ORDER BY 1, 2""".stripMargin)),
+
     // -- flagship analytics aggregate over lineitem (bench headline) -----
     "q1_agg" -> Gated(
       (s, d) => TestData.table(s, d, "lineitem")

@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.ast.QueryJson
+import graft.io.{Ingest, LineProtocol}
+import graft.plan.Planner
+
+/** Ingestion protocols + layout round-trip (reference:
+  * protocolparser.h:133-268, functests/roundtrip.sh spirit). */
+class IngestSpec extends SparkFunSuite {
+
+  test("RESP data-point protocol: str/int timestamps and values") {
+    val pdu =
+      """+balancers.memusage host=machine1 region=NW
+        |+20141210T074343.999999999
+        |:31
+        |+cpu.real host=machine1
+        |:1418197423000000000
+        |+3.12""".stripMargin
+    val got = LineProtocol.parseResp(pdu.linesIterator).toSeq
+    assert(got.size == 2)
+    assert(got.head.metric == "balancers.memusage")
+    assert(got.head.tags == Map("host" -> "machine1", "region" -> "NW"))
+    assert(got.head.value == 31.0)
+    assert(got(1).value == 3.12 && got(1).ts == 1418197423000000000L)
+  }
+
+  test("RESP row protocol expands compound series positionally") {
+    val pdu =
+      """+cpu.real|cpu.user|cpu.sys host=machine1 region=NW
+        |+20141210T074343
+        |*3
+        |+3.12
+        |+8.11
+        |+12.6""".stripMargin
+    val got = LineProtocol.parseResp(pdu.linesIterator).toSeq
+    assert(got.map(_.metric) == Seq("cpu.real", "cpu.user", "cpu.sys"))
+    assert(got.map(_.value) == Seq(3.12, 8.11, 12.6))
+    assert(got.forall(_.tags == Map("host" -> "machine1", "region" -> "NW")))
+  }
+
+  test("RESP session dictionary substitutes :ids for names") {
+    val pdu =
+      """*4
+        |+m host=a
+        |:1
+        |+m host=b
+        |:2
+        |:1
+        |+20141210T074343
+        |:10
+        |:2
+        |+20141210T074343
+        |+12.5""".stripMargin
+    val got = LineProtocol.parseResp(pdu.linesIterator).toSeq
+    assert(got.map(s => (s.tags("host"), s.value)) ==
+      Seq(("a", 10.0), ("b", 12.5)))
+  }
+
+  test("RESP events carry string bodies on !series") {
+    val pdu =
+      """+!deploy host=a
+        |:1000
+        |+version 2.1 rolled out""".stripMargin
+    val got = LineProtocol.parseResp(pdu.linesIterator).toSeq
+    assert(got.head.metric == "!deploy" && got.head.event == "version 2.1 rolled out")
+  }
+
+  test("RESP errors: unknown dict id, bad width, dict after data") {
+    intercept[IllegalArgumentException](
+      LineProtocol.parseResp(Seq(":9", "+20141210T074343", ":1").iterator).toSeq)
+    intercept[IllegalArgumentException](LineProtocol.parseResp(
+      """+a|b host=x
+        |+20141210T074343
+        |*3
+        |+1
+        |+2
+        |+3""".stripMargin.linesIterator).toSeq)
+  }
+
+  test("OpenTSDB put: unix-seconds vs ns timestamps") {
+    val s = LineProtocol.parseOpenTsdb(
+      "put cpu.real 1418197423 3.12 host=machine1 region=NW").head
+    assert(s.metric == "cpu.real" && s.ts == 1418197423000000000L)
+    assert(s.tags == Map("host" -> "machine1", "region" -> "NW"))
+    val ns = LineProtocol.parseOpenTsdb(
+      "put cpu.real 1418197423999999999 3.12 host=m").head
+    assert(ns.ts == 1418197423999999999L)
+    val iso = LineProtocol.parseOpenTsdb(
+      "put cpu.real 20141210T074343 3.12 host=m").head
+    assert(iso.ts == 1418197423000000000L)
+    intercept[IllegalArgumentException](
+      LineProtocol.parseOpenTsdb("put cpu.real 123"))
+    intercept[IllegalArgumentException](
+      LineProtocol.parseOpenTsdb("get cpu.real 123 1 h=a"))
+  }
+
+  test("round-trip: RESP text -> layout write -> read -> query") {
+    val dir = Files.createTempDirectory("graft-ingest").toFile
+    val respFile = new java.io.File(dir, "session1.resp")
+    val lines = (0 until 20).flatMap { i =>
+      Seq(s"+cpu host=h${i % 2}", s":${1000000000L * i}", s":$i")
+    }
+    Files.write(respFile.toPath, lines.mkString("\n").getBytes)
+    val parsed = Ingest.respFiles(spark, respFile.getAbsolutePath)
+    assert(parsed.count() == 20)
+    val layout = new java.io.File(dir, "layout").getAbsolutePath
+    Ingest.writeLayout(parsed, layout, flattenTags = Seq("host"))
+    val st = Ingest.readLayout(spark, layout)
+    val df = Planner.plan(QueryJson.parse(
+      s"""{"select":"cpu","range":{"from":0,"to":${1000000000L * 30}},
+         |"where":{"host":["h0"]}}""".stripMargin), st).df
+    val got = rows3(df)
+    assert(got.map(_._3) == (0 until 20 by 2).map(_.toDouble))
+    assert(got.forall(_._1 == "cpu host=h0"))
+  }
+}
