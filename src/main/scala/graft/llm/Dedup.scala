@@ -59,26 +59,30 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
                    textCol: String = "text", idCol: String = "doc_id",
                    maxBucket: Int = 1000): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      wordShingles(col(textCol), n).as("sh"))
-    val sets = sh.select(col("id"), col("sh"), size(col("sh")).as("nsh"))
+    // repartition first: a single-file parquet scan would otherwise run
+    // the whole shingle stage on one core
+    val sh = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism * 2)
+      .select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
+    // Shingles are distinct per doc, so |A ∩ B| = the number of buckets a
+    // pair co-occurs in — one groupBy(pair).count, no array payloads ever
+    // cross the shuffle. Sizes join back as two small int columns.
+    val sizes = sh.select(col("id"), size(col("sh")).as("nsh"))
     val ex = sh.select(col("id"), explode(col("sh")).as("g"))
-    val bucketed = ex
-      .withColumn("cnt", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
-      .filter(col("cnt") <= maxBucket)
-    val pairs = bucketed.alias("l")
+    // Heavy-shingle exclusion: the over-cap key set is tiny (boilerplate
+    // n-grams), broadcast anti-join; count-based intersection stays exact
+    // for every pair whose shingles are all under the cap.
+    val heavy = ex.groupBy(col("g")).count().filter(col("count") > maxBucket)
+      .select(col("g"))
+    val bucketed = ex.join(broadcast(heavy), Seq("g"), "left_anti")
+    val inter = bucketed.alias("l")
       .join(bucketed.alias("r"), col("l.g") === col("r.g") &&
         col("l.id") < col("r.id"))
-      .select(col("l.id").as("a"), col("r.id").as("b"))
-      .distinct()
-    pairs
-      .join(sets.select(col("id").as("a"), col("sh").as("sha"),
-        col("nsh").as("na")), "a")
-      .join(sets.select(col("id").as("b"), col("sh").as("shb"),
-        col("nsh").as("nb")), "b")
-      .withColumn("inter",
-        size(array_intersect(col("sha"), col("shb"))).cast("double"))
+      .groupBy(col("l.id").as("a"), col("r.id").as("b"))
+      .agg(count(lit(1)).cast("double").as("inter"))
+    inter
+      .join(sizes.select(col("id").as("a"), col("nsh").as("na")), "a")
+      .join(sizes.select(col("id").as("b"), col("nsh").as("nb")), "b")
       .withColumn("jaccard",
         round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
       .filter(col("jaccard") >= threshold)
@@ -87,12 +91,24 @@ object Dedup {
 
   // --- MinHash + LSH -------------------------------------------------------
 
-  /** `numHashes` MinHash signature of the shingle set. Each hash function
-    * is `xxhash64(shingle, seed_i)` minimized over the set — standard
-    * MinHash (Broder '97), computed per row with no shuffle. */
+  /** `numHashes` MinHash signature of the shingle set — standard MinHash
+    * (Broder '97), computed per row with no shuffle. Each shingle string
+    * is hashed ONCE (xxhash64); the hash family is derived by affine
+    * 64-bit mixing `a_i*h + b_i` (multiply-shift universal hashing), so
+    * the cost is one string hash + numHashes integer ops per shingle
+    * instead of numHashes string hashes. */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)), i =>
-      array_min(transform(shingles, s => xxhash64(s, i))))
+    minhashFromHashes(transform(shingles, s => xxhash64(s)), numHashes)
+
+  /** Signature from pre-hashed shingles. Callers should materialize the
+    * base-hash array in its own projection so the string hashing runs
+    * once, not once per family member. The family is xxhash64 over
+    * (long, seed) — cheap integer hashing, and no 64-bit multiply that
+    * would trip ANSI overflow checking. */
+  def minhashFromHashes(baseHashes: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(baseHashes, h => xxhash64(h, lit(i))))
+    }: _*)
 
   /** MinHash-LSH near-duplicate candidates: signature split into `bands`
     * bands of `rowsPerBand`, docs grouped by (band index, band hash) —
@@ -108,9 +124,14 @@ object Dedup {
                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val numHashes = bands * rowsPerBand
     val sh = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism * 2)
       .select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      // separate projection: string-hash each shingle exactly once
+      .select(col("id"), col("sh"),
+        transform(col("sh"), s => xxhash64(s)).as("base"))
+      .select(col("id"), col("sh"),
+        minhashFromHashes(col("base"), numHashes).as("sig"))
     val bandArr = array((0 until bands).map(b =>
       xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)
     val banded = sh.select(
@@ -141,9 +162,13 @@ object Dedup {
   /** 64-bit SimHash of the token multiset (Charikar '02): each feature
     * votes its hash bits ±1, the sketch is the sign vector. Computed as a
     * per-row aggregate over the token array — no shuffle. */
-  def simhash64(text: Column): Column = {
-    val toks = Text.tokens(lower(text))
-    val hashes = transform(toks, t => xxhash64(t))
+  def simhash64(text: Column): Column =
+    simhashFromHashes(transform(Text.tokens(lower(text)), t => xxhash64(t)))
+
+  /** SimHash from pre-hashed features. Callers should materialize the
+    * hash array in its own projection (one string hash per token; the 64
+    * bit-vote passes then run on longs). */
+  def simhashFromHashes(hashes: Column): Column = {
     // For each of 64 bits: majority vote of the feature-hash bits.
     val bits = (0 until 64).map { b =>
       val votes = aggregate(hashes, lit(0L),
@@ -162,7 +187,11 @@ object Dedup {
                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val nBands = maxDist + 1
     val width = 64 / nBands
-    val sh = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("h"))
+    val sh = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism * 2)
+      .select(col(idCol).as("id"),
+        transform(Text.tokens(lower(col(textCol))), t => xxhash64(t)).as("th"))
+      .select(col("id"), simhashFromHashes(col("th")).as("h"))
     // band b: bits [b*width, (b+1)*width) (last band takes the rest)
     val bandKeys = array((0 until nBands).map { b =>
       if (b == nBands - 1) shiftrightunsigned(col("h"), b * width)

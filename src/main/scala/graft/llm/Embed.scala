@@ -15,20 +15,40 @@ object Embed {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
+  // NOTE measured, not guessed: an unrolled 64-term getItem sum in the
+  // join condition ran ~14x SLOWER than the zip_with loop (falls out of
+  // codegen into interpreted eval); zip_with stays. See BENCH notes.
+
+  /** Vector length of an array column, read from one row (drives the
+    * hyperplane count for LSH). */
+  def dimOf(corpus: DataFrame, vecCol: String): Int =
+    corpus.select(size(col(vecCol))).head().getInt(0)
+
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
+  /** Unit-normalized copy of a vector column (computed once per row so
+    * downstream pair scoring is a dot product only). */
+  def normalized(vec: Column): Column = {
+    val n = sqrt(aggregate(vec, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    transform(vec, x => x.cast("double") / n)
+  }
+
   /** Brute-force cosine top-k for one query vector: a single narrow map
     * over the corpus + TakeOrdered(k) — no shuffle beyond the final top-k
     * reduction. The correctness baseline, and the right plan for one-off
-    * queries even at scale (it reads each partition once). */
+    * queries even at scale (it reads each partition once). The query is
+    * pre-normalized driver-side; each corpus row pays one norm + one dot. */
   def topK(corpus: DataFrame, query: Seq[Double], k: Int,
            vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val q = array(query.map(lit): _*)
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    val q = array(query.map(x => lit(x / qn)): _*)
     corpus
-      .select(col(idCol), round(cosine(col(vecCol), q), 6).as("score"))
+      .select(col(idCol), normalized(col(vecCol)).as("__v"))
+      .select(col(idCol), round(dot(col("__v"), q), 6).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }
@@ -97,10 +117,18 @@ object Embed {
     * [[nearDupLsh]]: candidates from shared hyperplane buckets only. */
   def nearDupExact(corpus: DataFrame, threshold: Double,
                    vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val l = corpus.select(col(idCol).as("a"), col(vecCol).as("va"))
-    val r = corpus.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    // normalize ONCE per row (O(n·d)), so the O(n²) pair stage is a bare
+    // dot product — at 12.5M pairs this is the difference between seconds
+    // and minutes
+    val unit = corpus.select(col(idCol).as("id"),
+      normalized(col(vecCol)).as("v"))
+    // left side repartitioned: the pair loop's parallelism is the stream
+    // side's partition count (a single parquet file would serialize it)
+    val l = unit.select(col("id").as("a"), col("v").as("va"))
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism * 2)
+    val r = unit.select(col("id").as("b"), col("v").as("vb"))
     l.join(r, col("a") < col("b"))
-      .withColumn("score", round(cosine(col("va"), col("vb")), 6))
+      .withColumn("score", round(dot(col("va"), col("vb")), 6))
       .filter(col("score") >= threshold)
       .select(col("a"), col("b"), col("score"))
   }
@@ -111,11 +139,12 @@ object Embed {
   def nearDupLsh(corpus: DataFrame, threshold: Double,
                  nPlanes: Int = 10, tables: Int = 12,
                  vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val dim = 64 // embeddings table dimension; parameterize when needed
+    val dim = dimOf(corpus, vecCol)
     val keyArr = array((0 until tables).map(t =>
       hyperplaneKey(col(vecCol), randomPlanes(nPlanes, dim, 42L + t))): _*)
     val keyed = corpus
-      .select(col(idCol).as("id"), col(vecCol).as("v"), posexplode(keyArr))
+      .select(col(idCol).as("id"), normalized(col(vecCol)).as("v"),
+        posexplode(keyArr))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "key")
     val candidates = keyed.alias("l")
       .join(keyed.alias("r"),
@@ -125,7 +154,7 @@ object Embed {
         col("l.v").as("va"), col("r.v").as("vb"))
       .dropDuplicates("a", "b")
     candidates
-      .withColumn("score", round(cosine(col("va"), col("vb")), 6))
+      .withColumn("score", round(dot(col("va"), col("vb")), 6))
       .filter(col("score") >= threshold)
       .select(col("a"), col("b"), col("score"))
   }
