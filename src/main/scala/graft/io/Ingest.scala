@@ -71,11 +71,19 @@ object Ingest {
   }
 
   /** Read the layout back as a TsStore (partition pruning on
-    * metric/day happens automatically from query predicates). */
-  def readLayout(spark: SparkSession, path: String): TsStore =
-    new TsStore(spark.read.parquet(path)
+    * metric/day happens automatically from query predicates). Pass
+    * `seriesPath` (from [[writeSeries]]) to serve metadata queries from
+    * the maintained dimension instead of the fact table. */
+  def readLayout(spark: SparkSession, path: String,
+                 seriesPath: Option[String] = None): TsStore = {
+    val facts = spark.read.parquet(path)
       .select(col("metric"), col("tags"), col("ts"), col("value"),
-        col("event")))
+        col("event"))
+    seriesPath match {
+      case Some(p) => new TsStore(facts, Some(spark.read.parquet(p)))
+      case None    => new TsStore(facts)
+    }
+  }
 
   /** The series dimension table, persisted alongside the facts so
     * suggest/search/meta queries are O(series) not O(samples)

@@ -86,6 +86,26 @@ object Meta {
     }
   }
 
+  /** `/api/function-names`: the pipeline-node registry listing
+    * (reference: list_query_registry, queryprocessor_framework.cpp:17-23). */
+  val functionNames: Seq[String] = Seq(
+    "abs", "accumulate", "cma", "cusum", "diff", "divide", "eval", "ewma",
+    "ewma-error", "frequent-items", "heavy-hitters", "multiply", "rate",
+    "sax", "scale", "sma", "sma-error", "sum", "top")
+
+  /** `/api/stats`-style summary: row/series/metric counts plus the time
+    * span, one aggregate pass (reference: httpserver.cpp:123-152 serves
+    * storage counters; here they derive from the data). */
+  def stats(store: TsStore): DataFrame =
+    store.samples.agg(
+      count(lit(1)).as("n_samples"),
+      approx_count_distinct(
+        TsStore.snameOf(col(TsStore.Metric),
+          TsStore.tagStr(col(TsStore.Tags)))).as("n_series_approx"),
+      countDistinct(col(TsStore.Metric)).as("n_metrics"),
+      min(col(TsStore.Ts)).as("min_ts"),
+      max(col(TsStore.Ts)).as("max_ts"))
+
   /** JSON entry for `/api/search` (reference: queryparser.cpp:1026-1076). */
   def searchJson(store: TsStore, json: String): DataFrame = {
     val obj = JsonMethods.parse(json)

@@ -15,18 +15,24 @@ import org.apache.spark.sql.functions._
   * partitions by `(series, ts)` so Catalyst gets partition pruning,
   * row-group min/max skipping, and predicate pushdown on every query.
   */
-final class TsStore(val samples: DataFrame) {
+final class TsStore(val samples: DataFrame,
+                    seriesDim: Option[DataFrame] = None) {
   import TsStore._
 
   /** The series dimension (one row per distinct series) — the analogue of
     * the reference's inverted series index
-    * (reference: libakumuli/index/seriesparser.h:74-140). Small next to the
-    * fact table; broadcast-joinable. */
-  def series: DataFrame =
+    * (reference: libakumuli/index/seriesparser.h:74-140). Small next to
+    * the fact table; broadcast-joinable. When a maintained dimension is
+    * attached (Ingest.writeSeries), metadata queries are O(series); the
+    * derive-from-samples fallback is for ad-hoc frames only — at 100 TB
+    * it would be a full scan to answer an autocomplete. */
+  def series: DataFrame = seriesDim.getOrElse(
     samples
       .select(col(Metric), col(Tags), tagStr(col(Tags)).as("tagstr"))
-      .dropDuplicates(Metric, "tagstr") // map cols can't key a set-op; the
-                                        // canonical tagstr is the series key
+      .dropDuplicates(Metric, "tagstr")) // map cols can't key a set-op;
+                                         // canonical tagstr is the key
+
+  def withSeriesDim(dim: DataFrame): TsStore = new TsStore(samples, Some(dim))
 }
 
 object TsStore {
