@@ -58,7 +58,8 @@ object Ingest {
       .foldLeft(samples) { (d, k) =>
         d.withColumn(s"tag_$k", element_at(col("tags"), k))
       }
-      .withColumn("day", (col("ts") / lit(bucketNs)).cast("long"))
+      .withColumn("day", expr(s"ts div ${bucketNs}L")) // exact integer div:
+      // double division would round ts (> 2^53) near bucket boundaries
       .withColumn("sname",
         TsStore.snameOf(col("metric"), TsStore.tagStr(col("tags"))))
     withBucket
@@ -78,7 +79,7 @@ object Ingest {
                  seriesPath: Option[String] = None): TsStore = {
     val facts = spark.read.parquet(path)
       .select(col("metric"), col("tags"), col("ts"), col("value"),
-        col("event"))
+        col("event"), col(TsStore.DayCol))
     seriesPath match {
       case Some(p) => new TsStore(facts, Some(spark.read.parquet(p)))
       case None    => new TsStore(facts)

@@ -111,6 +111,68 @@ object Embed {
       .limit(k)
   }
 
+  // --- IVF (inverted-file) ANN --------------------------------------------
+
+  /** Deterministic centroid selection: the `n` corpus vectors with the
+    * smallest xxhash64(id) — a uniform pseudo-random sample that needs no
+    * iteration (k-means would refine these; for ANN bucketing the win is
+    * the partitioning, not centroid optimality). Collected to the driver:
+    * n × dim doubles, tiny by construction. */
+  def sampleCentroids(corpus: DataFrame, n: Int,
+                      vecCol: String = "embedding",
+                      idCol: String = "vec_id"): Seq[Seq[Double]] =
+    corpus
+      .select(col(vecCol), xxhash64(col(idCol)).as("__h"))
+      .orderBy(col("__h")).limit(n)
+      .select(normalized(col(vecCol)))
+      .collect().toSeq
+      .map(_.getSeq[Double](0).toSeq)
+
+  /** Nearest-centroid id for a vector column (argmax of dot with each
+    * unit centroid) — the IVF list assignment. */
+  def centroidId(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    val unit = normalized(vec)
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(dot(unit, array(c.map(lit): _*)).as("score"), lit(i).as("cid"))
+    }
+    greatest(scored: _*).getField("cid")
+  }
+
+  /** IVF top-k: assign the corpus to `nCentroids` inverted lists, probe
+    * the query's `nProbe` nearest lists, rank candidates exactly.
+    * At scale the corpus is WRITTEN partitioned by `ivf_cell`
+    * ([[writeIvf]]) so a probe reads nProbe/nCentroids of the data via
+    * partition pruning; recall grows with nProbe. */
+  def topKIvf(corpus: DataFrame, query: Seq[Double], k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4,
+              vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val centroids = sampleCentroids(corpus, nCentroids, vecCol, idCol)
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    val qUnit = query.map(_ / qn)
+    val probes = centroids.zipWithIndex
+      .map { case (c, i) => (c.zip(qUnit).map { case (a, b) => a * b }.sum, i) }
+      .sortBy(-_._1).take(nProbe).map(_._2).toSet
+    val q = array(qUnit.map(lit): _*)
+    corpus
+      .withColumn("__cell", centroidId(col(vecCol), centroids))
+      .filter(col("__cell").isin(probes.toSeq: _*))
+      .select(col(idCol), round(dot(normalized(col(vecCol)), q), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Persist the corpus partitioned by IVF cell — probes then touch only
+    * matching partition directories (same pruning story as the TS layout;
+    * Debug-audited: cell predicate lands in PartitionFilters). */
+  def writeIvf(corpus: DataFrame, path: String, nCentroids: Int = 256,
+               vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
+    val centroids = sampleCentroids(corpus, nCentroids, vecCol, idCol)
+    corpus
+      .withColumn("ivf_cell", centroidId(col(vecCol), centroids))
+      .repartition(col("ivf_cell"))
+      .write.partitionBy("ivf_cell").mode("overwrite").parquet(path)
+  }
+
   /** Exact embedding near-duplicate pairs (cosine >= threshold) via
     * block-broadcast join keyed on nothing — the VERIFICATION baseline for
     * small corpora and oracles. For the 100 TB path use

@@ -90,9 +90,18 @@ object Planner {
       lit(r.from) - expr(s"((${r.from}L - $Ts) div ${step}L) * ${step}L")
 
   private def baseScan(store: TsStore, q: Query, metrics: Seq[String]): DataFrame = {
+    // Redundant day-partition bounds (superset of the exact ts range) let
+    // the layout's directory partitioning prune; the exact rangePred still
+    // applies row-level. No-op for frames without the day column.
+    val dayPred =
+      if (store.samples.columns.contains(DayCol))
+        q.range.map(r =>
+          col(DayCol) >= lit(r.lo / DayNs) && col(DayCol) <= lit(r.hi / DayNs))
+      else None
     val preds = Seq(
       Some(col(Metric).isin(metrics: _*)),
       q.range.map(rangePred),
+      dayPred,
       Some(wherePred(q.where))).flatten.reduce(_ && _)
     store.samples.filter(preds)
   }

@@ -42,6 +42,12 @@ object TsStore {
   val Value  = "value"
   val Event  = "event"
   val Sname  = "sname"
+  /** Time-partition column of the persistent layout (Ingest.writeLayout):
+    * `day = ts div DayNs`. When present, the planner adds redundant day
+    * bounds to every range scan so the parquet reader prunes whole
+    * partition directories, not just row groups. */
+  val DayCol = "day"
+  val DayNs: Long = 86400L * 1000000000L
 
   /** Canonical `tag1=v1 tag2=v2` string: tags sorted by name, single-space
     * separated (reference: libakumuli/index/seriesparser.cpp:389). Pure

@@ -35,7 +35,7 @@ object StreamIngest {
   def writeLayoutStream(samples: DataFrame, path: String,
                         checkpoint: String): DataStreamWriter[Row] =
     samples
-      .withColumn("day", (col("ts") / lit(graft.io.Ingest.DayNs)).cast("long"))
+      .withColumn("day", expr(s"ts div ${graft.io.Ingest.DayNs}L"))
       .writeStream
       .format("parquet")
       .option("path", path)

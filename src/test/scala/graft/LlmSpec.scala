@@ -114,6 +114,19 @@ class LlmSpec extends SparkFunSuite {
     assert(lsh == exact)
   }
 
+  test("IVF topK finds the true neighbors when probing their cell") {
+    val cluster1 = (0 until 8).map(i => Seq(1.0, 0.02 * i, 0.0, 0.0))
+    val cluster2 = (0 until 8).map(i => Seq(0.0, 0.0, 1.0, 0.02 * i))
+    val corpus = vecs(cluster1 ++ cluster2)
+    val exact = Embed.topK(corpus, Seq(1.0, 0.0, 0.0, 0.0), 3)
+      .collect().map(_.getLong(0)).toSet
+    // probe half the cells: with two tight clusters, the query's cells
+    // cover its own cluster
+    val ivf = Embed.topKIvf(corpus, Seq(1.0, 0.0, 0.0, 0.0), 3,
+      nCentroids = 4, nProbe = 2).collect().map(_.getLong(0)).toSet
+    assert(ivf == exact)
+  }
+
   test("nearDupLsh is a subset of exact with full recall on tight pairs") {
     val tight = Seq(Seq.fill(64)(1.0), Seq.fill(64)(1.0).updated(0, 0.9))
     val noise = (0 until 6).map(i =>
