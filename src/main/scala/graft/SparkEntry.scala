@@ -530,6 +530,28 @@ object SparkEntry {
              |    (SELECT v FROM e WHERE vec_id = 7), b.v), 6) AS score
              |FROM e b ORDER BY 2 DESC, 1 ASC LIMIT 10""".stripMargin)),
 
+    // -- full production path: events -> layout write -> pruned read -----
+    // Exercises writeLayout (partition (metric, day), in-file (sname, ts)
+    // sort) and readLayout's partition-pruned scan end-to-end; oracle
+    // queries the original table directly.
+    "layout_roundtrip" -> Gated(
+      (s, d) => {
+        val tmp = s"/tmp/graft_layout_rt_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+        graft.io.Ingest.writeLayout(
+          TestData.events(s, d).samples
+            .withColumn("event", lit(null).cast("string")),
+          tmp, flattenTags = Seq("user"))
+        val st = graft.io.Ingest.readLayout(s, tmp)
+        Planner.plan(QueryJson.parse(
+          s"""{"select":"view","range":{"from":"$T0iso","to":"$T1iso"},
+             |"where":{"user":["8","9"]},"order-by":"time"}""".stripMargin), st).df
+          .orderBy(col("ts"), col("sname"), col("value"))
+      },
+      Some(s"""SELECT ${snameSql("event_type")} AS sname, $tsSql AS ts, value
+              |FROM events WHERE event_type = 'view' AND ${rangeSql()}
+              |  AND user_id IN (8, 9)
+              |ORDER BY 2, 1, 3""".stripMargin)),
+
     // -- ingestion: RESP protocol parse (data-point + row + dictionary) --
     "ingest_resp" -> Gated(
       (s, d) => {

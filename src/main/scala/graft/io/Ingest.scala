@@ -62,9 +62,16 @@ object Ingest {
       // double division would round ts (> 2^53) near bucket boundaries
       .withColumn("sname",
         TsStore.snameOf(col("metric"), TsStore.tagStr(col("tags"))))
+    // Hash partitioning on (metric, day) + a series salt: write
+    // parallelism is NOT capped at the distinct (metric, day) count — a
+    // hot metric-day splits across `saltBuckets` tasks by series hash —
+    // with no range-sampling job, and each task still writes contiguous
+    // sorted series runs into its partition dirs.
+    val saltBuckets = 8
     withBucket
-      .repartition(col("metric"), col("day"))
-      .sortWithinPartitions(col("sname"), col("ts"))
+      .repartition(col("metric"), col("day"),
+        pmod(xxhash64(col("sname")), lit(saltBuckets)))
+      .sortWithinPartitions(col("metric"), col("day"), col("sname"), col("ts"))
       .write
       .partitionBy("metric", "day")
       .mode("overwrite")
@@ -77,9 +84,12 @@ object Ingest {
     * the maintained dimension instead of the fact table. */
   def readLayout(spark: SparkSession, path: String,
                  seriesPath: Option[String] = None): TsStore = {
-    val facts = spark.read.parquet(path)
-      .select(col("metric"), col("tags"), col("ts"), col("value"),
-        col("event"), col(TsStore.DayCol))
+    val raw = spark.read.parquet(path)
+    val eventCol =
+      if (raw.columns.contains("event")) col("event")
+      else lit(null).cast("string").as("event")
+    val facts = raw.select(col("metric"), col("tags"), col("ts"),
+      col("value"), eventCol, col(TsStore.DayCol))
     seriesPath match {
       case Some(p) => new TsStore(facts, Some(spark.read.parquet(p)))
       case None    => new TsStore(facts)
