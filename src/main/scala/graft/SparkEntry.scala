@@ -261,6 +261,23 @@ object SparkEntry {
               |FROM s WINDOW w AS (PARTITION BY sname ORDER BY ts)
               |ORDER BY 2, 1""".stripMargin)),
 
+    // -- apply: rate on a BACKWARD scan (nodes observe scan order) --------
+    "ts_apply_rate_backward" -> Gated(
+      (s, d) => run(
+        s"""{"select":"click","range":{"from":"$T1iso","to":"$T0iso"},
+           |"where":{"user":["7","42"]},"apply":[{"name":"rate"}]}""".stripMargin)(s, d)
+        .withColumn("value", round(col("value"), 6))
+        .orderBy(col("ts").desc, col("sname")),
+      Some(s"""WITH s AS (
+              |  SELECT ${snameSql("event_type")} AS sname, $tsSql AS ts, value
+              |  FROM events WHERE event_type = 'click' AND ${rangeBwSql()}
+              |    AND user_id IN (7, 42))
+              |SELECT sname, ts,
+              |  round((value - coalesce(lag(value) OVER w, 0)) /
+              |    ((ts - coalesce(lag(ts) OVER w, 0)) / 1e9), 6) AS value
+              |FROM s WINDOW w AS (PARTITION BY sname ORDER BY ts DESC)
+              |ORDER BY 2 DESC, 1""".stripMargin)),
+
     // -- apply: cusum -----------------------------------------------------
     "ts_apply_cusum" -> Gated(
       (s, d) => run(
