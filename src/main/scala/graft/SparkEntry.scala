@@ -180,6 +180,22 @@ object SparkEntry {
               |  HAVING max(value) > 15.0 AND avg(value) > 5.0)
               |ORDER BY 2, 1""".stripMargin)),
 
+    // -- candlesticks: OHLC downsample = group-aggregate with
+    // first/last/min/max (SURVEY §2.3; reference nbtree.h:218-219
+    // candlesticks serve continuous queries from tree internals) ---------
+    "ts_candlestick" -> Gated(
+      (s, d) => run(
+        s"""{"group-aggregate":{"metric":"purchase","step":"1d",
+           |"func":["first","last","min","max"]},
+           |"range":{"from":"$T0iso","to":"$T1iso"},"order-by":"time"}""".stripMargin)(s, d)
+        .orderBy(col("ts"), col("sname")),
+      Some(s"""SELECT 'purchase:first|purchase:last|purchase:min|purchase:max k='||$kSql||' user='||user_id AS sname,
+              |  $T0 + (($tsSql - $T0) // $Day) * $Day AS ts,
+              |  arg_min(value, $tsSql) AS first, arg_max(value, $tsSql) AS last,
+              |  min(value) AS min, max(value) AS max
+              |FROM events WHERE event_type = 'purchase' AND ${rangeSql()}
+              |GROUP BY 1, 2 ORDER BY 2, 1""".stripMargin)),
+
     // -- Q5 join: align metrics on exact ts, outer tuple cells -----------
     "ts_join" -> Gated(
       (s, d) => run(

@@ -218,9 +218,16 @@ object Planner {
         }
         val keyed = base.withColumn(Tags, rekeyTags(col(Tags), q.groupBy))
           .withColumn("tagstr", tagStr(col(Tags)))
+        // Conditional aggregation instead of .pivot: ONE shuffle on
+        // (tagstr, ts) with map-side partial agg, not pivot's two.
+        // Duplicate samples at the same (series, ts) collapse via max —
+        // documented deviation; the reference materializer emits one row
+        // per input sample (join.cpp:1-109), legal only when ingestion
+        // guarantees unique (series, ts).
+        val aggs = metrics.map(m =>
+          max(when(col(Metric) === m, col(Value))).as(m))
         val df = keyed.groupBy(col("tagstr"), col(Ts))
-          .pivot(Metric, metrics)
-          .agg(max(col(Value)))
+          .agg(aggs.head, aggs.tail: _*)
           .select(
             (snameOf(lit(metrics.mkString("|")), col("tagstr")).as(Sname) +:
               col(Ts) +: metrics.map(m => col(s"`$m`"))): _*)
