@@ -435,6 +435,18 @@ object SparkEntry {
         .orderBy(col("ts"), col("sname")),
       None),
 
+    // -- apply: anomaly over bucketed frames (rows-only; AnomalySpec) ----
+    // group-aggregate gives regular per-day frames across series — the
+    // shape the detector's frame-wise F2 rule is defined on.
+    "ts_apply_anomaly" -> Gated(
+      (s, d) => run(
+        s"""{"group-aggregate":{"metric":"view","step":"1d","func":"mean"},
+           |"range":{"from":"$T0iso","to":"$T1iso"},"group-by-tag":["user"],
+           |"apply":[{"name":"anomaly","method":"ewma","alpha":0.4,
+           |"threshold":0.2,"approx":false}]}""".stripMargin)(s, d)
+        .orderBy(col("ts"), col("sname")),
+      None),
+
     // -- /api/suggest: metric-names / tag-names / tag-values -------------
     "suggest_metric_names" -> Gated(
       (s, d) => Meta.suggest(TestData.events(s, d),

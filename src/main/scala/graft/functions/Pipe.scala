@@ -221,7 +221,20 @@ object Pipe {
       if (frame.valueCols.size != 1) fail("sax works only with scalars")
       Sax.node(frame, alphabet, width)
 
+    // Forecast-based anomaly detection (revived; reference anomaly.cpp)
+    case "anomaly" => Anomaly.node(frame, step.params)
+
     case other => fail(s"unknown pipeline node '$other'")
+  }
+
+  /** Run a sequential per-series state machine over a COPY of `src`,
+    * leaving the original column intact — `dst` receives the state
+    * output (used by the anomaly node for forecasts). */
+  private[functions] def statefulColumn(frame: Frame, src: String,
+      dst: String, mk: () => ColState): org.apache.spark.sql.DataFrame = {
+    val tmp = frame.copy(
+      df = frame.df.withColumn(dst, col(src)), valueCols = Seq(dst))
+    stateful(tmp)(mk).df
   }
 
   /** withColumn over all value columns where the new value depends on old

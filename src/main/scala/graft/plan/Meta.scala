@@ -89,9 +89,9 @@ object Meta {
   /** `/api/function-names`: the pipeline-node registry listing
     * (reference: list_query_registry, queryprocessor_framework.cpp:17-23). */
   val functionNames: Seq[String] = Seq(
-    "abs", "accumulate", "cma", "cusum", "diff", "divide", "eval", "ewma",
-    "ewma-error", "frequent-items", "heavy-hitters", "multiply", "rate",
-    "sax", "scale", "sma", "sma-error", "sum", "top")
+    "abs", "accumulate", "anomaly", "cma", "cusum", "diff", "divide",
+    "eval", "ewma", "ewma-error", "frequent-items", "heavy-hitters",
+    "multiply", "rate", "sax", "scale", "sma", "sma-error", "sum", "top")
 
   /** `/api/stats`-style summary: row/series/metric counts plus the time
     * span, one aggregate pass (reference: httpserver.cpp:123-152 serves

@@ -1,0 +1,63 @@
+package graft
+
+import graft.ast.QueryJson
+import graft.plan.Planner
+
+/** Forecast-based anomaly detection (revived reference anomaly.cpp
+  * semantics: error > sqrt(F2) * threshold per time frame). */
+class AnomalySpec extends SparkFunSuite {
+  import SparkSpec._
+
+  // 3 series, 20 regular samples; series C spikes at t=15
+  private def fixtureStore = store(
+    (0 until 20).flatMap { i =>
+      Seq(
+        ("m", Map("h" -> "A"), 1000000000L * i, 10.0),
+        ("m", Map("h" -> "B"), 1000000000L * i, 20.0),
+        ("m", Map("h" -> "C"), 1000000000L * i, if (i == 15) 500.0 else 30.0))
+    })
+
+  private def run(applyJson: String) = Planner.plan(QueryJson.parse(
+    s"""{"select":"m","range":{"from":0,"to":100000000000},
+       |"apply":[$applyJson]}""".stripMargin), fixtureStore).df
+
+  test("ewma detector flags the planted spike (and only series C)") {
+    val got = rows3(run(
+      """{"name":"anomaly","method":"ewma","alpha":0.5,"threshold":0.5,"approx":false}"""))
+    // the spike itself is flagged; the contaminated forecast may echo on
+    // the recovery samples (faithful detector behavior) — but never on
+    // the steady series
+    assert(got.head == (("m h=C", 15000000000L, 500.0)))
+    assert(got.forall(_._1 == "m h=C"))
+    assert(got.forall(_._2 >= 15000000000L))
+  }
+
+  test("sma detector flags the spike after warmup (series C only)") {
+    val got = rows3(run(
+      """{"name":"anomaly","method":"sma","period":5,"threshold":0.5,"approx":false}"""))
+    assert(got.head == (("m h=C", 15000000000L, 500.0)))
+    assert(got.forall(_._1 == "m h=C"))
+  }
+
+  test("double-exp and holt-winters run and flag the spike") {
+    val d = rows3(run(
+      """{"name":"anomaly","method":"double-exp-smoothing","alpha":0.5,
+        |"gamma":0.3,"threshold":0.5,"approx":false}""".stripMargin))
+    assert(d.exists(r => r._1 == "m h=C" && r._2 == 15000000000L))
+    val h = rows3(run(
+      """{"name":"anomaly","method":"holt-winters","alpha":0.5,"beta":0.2,
+        |"gamma":0.3,"period":4,"threshold":0.5,"approx":false}""".stripMargin))
+    assert(h.exists(r => r._1 == "m h=C" && r._2 == 15000000000L))
+  }
+
+  test("parameter validation mirrors the reference") {
+    intercept[IllegalArgumentException](run(
+      """{"name":"anomaly","method":"psychic","threshold":0.5}"""))
+    intercept[IllegalArgumentException](run(
+      """{"name":"anomaly","method":"ewma","threshold":0.5}""")) // alpha missing
+    intercept[IllegalArgumentException](run(
+      """{"name":"anomaly","method":"ewma","alpha":1.5,"threshold":0.5}"""))
+    intercept[IllegalArgumentException](run(
+      """{"name":"anomaly","method":"sma","threshold":0.5}""")) // period missing
+  }
+}
