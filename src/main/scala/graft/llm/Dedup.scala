@@ -134,9 +134,9 @@ object Dedup {
         minhashFromHashes(col("base"), numHashes).as("sig"))
     val bandArr = array((0 until bands).map(b =>
       xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)
-    val banded = sh.select(
-      col("id"), col("sh"), size(col("sh")).as("nsh"),
-      posexplode(bandArr))
+    // banded rows carry ONLY (id, band, bandhash) — exploding the shingle
+    // arrays across all bands would multiply shuffle volume by `bands`
+    val banded = sh.select(col("id"), posexplode(bandArr))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bandhash")
     val candidates = banded.alias("l")
@@ -144,11 +144,15 @@ object Dedup {
         col("l.band") === col("r.band") &&
           col("l.bandhash") === col("r.bandhash") &&
           col("l.id") < col("r.id"))
-      .select(col("l.id").as("a"), col("r.id").as("b"),
-        col("l.sh").as("sha"), col("l.nsh").as("na"),
-        col("r.sh").as("shb"), col("r.nsh").as("nb"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
       .dropDuplicates("a", "b")
+    // shingle arrays join back only for the (few) candidate pairs
+    val sets = sh.select(col("id"), col("sh"), size(col("sh")).as("nsh"))
     candidates
+      .join(sets.select(col("id").as("a"), col("sh").as("sha"),
+        col("nsh").as("na")), "a")
+      .join(sets.select(col("id").as("b"), col("sh").as("shb"),
+        col("nsh").as("nb")), "b")
       .withColumn("inter",
         size(array_intersect(col("sha"), col("shb"))).cast("double"))
       .withColumn("jaccard",
