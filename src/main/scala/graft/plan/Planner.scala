@@ -287,6 +287,10 @@ object Planner {
         }
       }
     }
+    // NOTE intentional deviation: the reference's parse_limit_offset has a
+    // copy-paste bug (queryparser.cpp:627 assigns `limit = offset`), so
+    // offset never actually works there. We implement the documented
+    // intent: skip `offset` rows, then emit up to `limit`.
     for (o <- q.offset) df = df.offset(o.toInt)
     for (l <- q.limit) df = df.limit(l.toInt)
     frame.copy(df = df)

@@ -120,6 +120,24 @@ class PlannerSpec extends SparkFunSuite {
     assert(df.collect().head.getString(0) == "a|b host=X")
   }
 
+  test("join: per-metric value filters apply before alignment") {
+    val st = store(Seq(
+      ("a", Map("h" -> "X"), 100L, 1.0),
+      ("b", Map("h" -> "X"), 100L, 10.0),
+      ("a", Map("h" -> "X"), 200L, 5.0),
+      ("b", Map("h" -> "X"), 200L, 50.0)))
+    val df = Planner.plan(QueryJson.parse(
+      """{"join":["a","b"],"range":{"from":0,"to":1000},
+        |"filter":{"a":{"gt":2},"b":{"lt":20}}}""".stripMargin), st).df
+    val got = df.collect().map(r => (r.getLong(1),
+      Option(r.get(2)).map(_.asInstanceOf[Double]),
+      Option(r.get(3)).map(_.asInstanceOf[Double])))
+    // a@100 filtered (1<=2), b@200 filtered (50>=20) -> null cells remain
+    assert(got.toSeq == Seq(
+      (100L, None, Some(10.0)),
+      (200L, Some(5.0), None)))
+  }
+
   test("group-aggregate-join: bucketed agg then align, renamed m:f") {
     val st = store(Seq(
       ("a", Map("h" -> "X"), 0L, 1.0), ("a", Map("h" -> "X"), 5L, 3.0),
