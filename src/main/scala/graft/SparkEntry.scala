@@ -196,6 +196,51 @@ object SparkEntry {
               |FROM events WHERE event_type = 'purchase' AND ${rangeSql()}
               |GROUP BY 1, 2 ORDER BY 2, 1""".stripMargin)),
 
+    // -- Q4 + filter combiner "require": "any" (OR of components) --------
+    "ts_group_aggregate_filter_any" -> Gated(
+      (s, d) => run(
+        s"""{"group-aggregate":{"metric":"view","step":"1d","func":["min","max"]},
+           |"range":{"from":"$T0iso","to":"$T1iso"},
+           |"filter":{"max":{"gt":90.0},"min":{"lt":1.0},"=":{"require":"any"}},
+           |"order-by":"time"}""".stripMargin)(s, d)
+        .orderBy(col("ts"), col("sname")),
+      Some(s"""SELECT * FROM (
+              |  SELECT 'view:min|view:max k='||$kSql||' user='||user_id AS sname,
+              |    $T0 + (($tsSql - $T0) // $Day) * $Day AS ts,
+              |    min(value) AS min, max(value) AS max
+              |  FROM events WHERE event_type = 'view' AND ${rangeSql()}
+              |  GROUP BY 1, 2
+              |  HAVING max(value) > 90.0 OR min(value) < 1.0)
+              |ORDER BY 2, 1""".stripMargin)),
+
+    // -- Q3 aggregate + where clause (test_aggregate_where behavior) -----
+    "ts_aggregate_where" -> Gated(
+      (s, d) => run(
+        """{"aggregate":{"purchase":["sum","count"]},"where":{"user":["1","2","3","4"]}}""")(s, d)
+        .withColumn("value", round(col("value"), 6))
+        .orderBy(col("sname"), col("value")),
+      Some(s"""WITH g AS (
+              |  SELECT $kSql AS k, user_id AS u,
+              |    sum(value) AS vsum, count(value)::DOUBLE AS vcnt
+              |  FROM events WHERE event_type = 'purchase' AND user_id IN (1,2,3,4)
+              |  GROUP BY 1, 2)
+              |SELECT sname, round(value, 6) AS value FROM (
+              |  SELECT 'purchase:sum k='||k||' user='||u AS sname, vsum AS value FROM g
+              |  UNION ALL
+              |  SELECT 'purchase:count k='||k||' user='||u, vcnt FROM g)
+              |ORDER BY 1, 2""".stripMargin)),
+
+    // -- Q2 select-events BACKWARD (test_events.py backward behavior) ----
+    "ts_select_events_backward" -> Gated(
+      (s, d) => runEv(
+        s"""{"select-events":"!signup","range":{"from":"$W1iso","to":"$W0iso"}}""")(s, d)
+        .orderBy(col("ts").desc, col("sname"), col("event")),
+      Some(s"""SELECT '!signup user=' || user_id AS sname, $tsSql AS ts,
+              |  props AS event
+              |FROM events WHERE event_type = 'signup'
+              |  AND ts <= TIMESTAMP '2024-02-01' AND ts > TIMESTAMP '2024-01-01'
+              |ORDER BY 2 DESC, 1, 3""".stripMargin)),
+
     // -- Q5 join: align metrics on exact ts, outer tuple cells -----------
     "ts_join" -> Gated(
       (s, d) => run(
