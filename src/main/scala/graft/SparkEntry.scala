@@ -555,6 +555,23 @@ object SparkEntry {
               |  md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
               |FROM documents ORDER BY 1""".stripMargin)),
 
+    // -- text analysis: context-window chunking (token windows) ----------
+    "doc_chunks" -> Gated(
+      (s, d) => Text.chunk(TestData.table(s, d, "documents"),
+        maxTokens = 64, overlap = 16)
+        .orderBy(col("doc_id"), col("chunk_id")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+             |  FROM documents),
+             |c AS (SELECT doc_id, t,
+             |        greatest(cast(ceil((len(t) - 16) / 48.0) AS INT), 1) AS nc
+             |      FROM toks),
+             |u AS (SELECT doc_id, t, unnest(range(0, nc)) AS i FROM c)
+             |SELECT doc_id, i AS chunk_id,
+             |  array_to_string(t[i*48+1 : least(i*48+64, len(t))], ' ') AS chunk_text,
+             |  least(i*48+64, len(t)) - i*48 AS n_chunk_tokens
+             |FROM u ORDER BY 1, 2""".stripMargin)),
+
     // -- text analysis: language-ID + quality (rows-only; LangIdSpec) ----
     "doc_quality_langid" -> Gated(
       (s, d) => Text.docStats(TestData.table(s, d, "documents"))

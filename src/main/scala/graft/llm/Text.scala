@@ -106,6 +106,38 @@ object Text {
       .otherwise(lit("und"))
   }
 
+  /** Within-document repetition: 1 - distinct/total tokens. High values
+    * flag boilerplate/spam (standard Gopher-style repetition filter). */
+  def repetitionRatio(text: Column): Column = {
+    val toks = tokens(lower(text))
+    round(lit(1.0) -
+      size(array_distinct(toks)).cast("double") /
+      greatest(size(toks).cast("double"), lit(1.0)), 6)
+  }
+
+  /** Split a document into fixed-size token windows with overlap — the
+    * context-window packing step of a training pipeline. Output: one row
+    * per chunk `(doc_id, chunk_id, chunk_text, n_chunk_tokens)`. Chunk i
+    * covers tokens [i*(maxTokens-overlap), ...+maxTokens). Pure
+    * explode/slice column work — distributes as a narrow map + explode. */
+  def chunk(docs: DataFrame, maxTokens: Int, overlap: Int = 0,
+            textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(maxTokens > overlap && overlap >= 0, "need maxTokens > overlap >= 0")
+    val stride = maxTokens - overlap
+    val toks = Text.tokens(col(textCol))
+    val nChunks = greatest(
+      ceil((size(toks) - lit(overlap)).cast("double") / lit(stride)).cast("int"),
+      lit(1))
+    docs
+      .select(col(idCol), toks.as("__t"), nChunks.as("__n"))
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), col("__n") - 1),
+          i => slice(col("__t"), i * stride + 1, lit(maxTokens)))))
+      .select(col(idCol), col("pos").as("chunk_id"),
+        array_join(col("col"), " ").as("chunk_text"),
+        size(col("col")).as("n_chunk_tokens"))
+  }
+
   /** One-call document stats frame: the per-document feature row a
     * training-data pipeline materializes before filtering. */
   def docStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
@@ -119,6 +151,7 @@ object Text {
       round(alphaRatio(t), 6).as("alpha_ratio"),
       round(stopwordRatio(t), 6).as("stopword_ratio"),
       qualityScore(t).as("quality"),
+      repetitionRatio(t).as("repetition_ratio"),
       langId(t).as("lang_pred"),
       fingerprint(t).as("fingerprint"))
   }

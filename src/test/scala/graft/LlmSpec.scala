@@ -82,6 +82,23 @@ class LlmSpec extends SparkFunSuite {
     assert(got.toSeq == Seq((0L, 1L, 0)))
   }
 
+  test("chunk splits into overlapping token windows") {
+    val d = docs(Seq((1 to 10).map(i => s"w$i").mkString(" "), "one"))
+    val got = Text.chunk(d, maxTokens = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.filter(_._1 == 0L).map(_._3).toSeq == Seq(
+      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10"))
+    assert(got.filter(_._1 == 1L).map(_._3).toSeq == Seq("one"))
+  }
+
+  test("repetitionRatio flags duplicated tokens") {
+    val d = docs(Seq("a b c d", "a a a a"))
+    val got = d.select(Text.repetitionRatio(col("text"))).collect()
+      .map(_.getDouble(0))
+    assert(got(0) == 0.0 && got(1) == 0.75)
+  }
+
   private def vecs(vs: Seq[Seq[Double]]) = {
     val schema = StructType(Seq(
       StructField("vec_id", LongType),
