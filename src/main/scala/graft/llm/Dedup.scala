@@ -60,10 +60,13 @@ object Dedup {
                    textCol: String = "text", idCol: String = "doc_id",
                    maxBucket: Int = 1000): DataFrame = {
     // repartition first: a single-file parquet scan would otherwise run
-    // the whole shingle stage on one core
+    // the whole shingle stage on one core. Shingles become 64-bit hashes
+    // immediately — 8-byte shuffle keys instead of n-word strings; a hash
+    // collision would need ~2^32 distinct shingles per bucket to matter.
     val sh = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism * 2)
-      .select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
+      .select(col(idCol).as("id"),
+        transform(wordShingles(col(textCol), n), s => xxhash64(s)).as("sh"))
     // Shingles are distinct per doc, so |A ∩ B| = the number of buckets a
     // pair co-occurs in — one groupBy(pair).count, no array payloads ever
     // cross the shuffle. Sizes join back as two small int columns.
@@ -123,15 +126,16 @@ object Dedup {
                  rowsPerBand: Int = 3, threshold: Double = 0.5,
                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val numHashes = bands * rowsPerBand
+    // string-hash each shingle exactly once; everything downstream
+    // (signature, bands, verification intersection) works on the 64-bit
+    // hashes — identical results barring ~2^-64 collisions
     val sh = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism * 2)
-      .select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
+      .select(col(idCol).as("id"),
+        transform(wordShingles(col(textCol), n), s => xxhash64(s)).as("sh"))
       .filter(size(col("sh")) > 0)
-      // separate projection: string-hash each shingle exactly once
       .select(col("id"), col("sh"),
-        transform(col("sh"), s => xxhash64(s)).as("base"))
-      .select(col("id"), col("sh"),
-        minhashFromHashes(col("base"), numHashes).as("sig"))
+        minhashFromHashes(col("sh"), numHashes).as("sig"))
     val bandArr = array((0 until bands).map(b =>
       xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)
     // banded rows carry ONLY (id, band, bandhash) — exploding the shingle
