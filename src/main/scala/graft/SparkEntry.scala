@@ -108,6 +108,33 @@ object SparkEntry {
               |  AND user_id IN (3, 7, 52, 101) AND value > 2.0 AND value <= 50.0
               |ORDER BY 2, 1, 3 LIMIT 200 OFFSET 5""".stripMargin)),
 
+    // -- Q1 + enumerate-form where (OR of exact tag combos) --------------
+    "ts_select_where_enumerate" -> Gated(
+      (s, d) => run(
+        s"""{"select":"view","range":{"from":"$T0iso","to":"$T1iso"},
+           |"where":[{"user":"5","k":"5"},{"user":"6","k":"6"}],
+           |"order-by":"time"}""".stripMargin)(s, d)
+        .orderBy(col("ts"), col("sname"), col("value")),
+      Some(s"""SELECT ${snameSql("event_type")} AS sname, $tsSql AS ts, value
+              |FROM events WHERE event_type = 'view' AND ${rangeSql()}
+              |  AND ((user_id = 5 AND $kSql = 5) OR (user_id = 6 AND $kSql = 6))
+              |ORDER BY 2, 1, 3""".stripMargin)),
+
+    // -- Q3 aggregate + group-by-tag (merge series across dropped tag) ---
+    "ts_aggregate_group_by" -> Gated(
+      (s, d) => run(
+        """{"aggregate":{"click":["max","count"]},"group-by-tag":["user"]}""")(s, d)
+        .orderBy(col("sname"), col("value")),
+      Some(s"""WITH g AS (
+              |  SELECT $kSql AS k, max(value) AS vmax,
+              |         count(value)::DOUBLE AS vcnt
+              |  FROM events WHERE event_type = 'click' GROUP BY 1)
+              |SELECT sname, value FROM (
+              |  SELECT 'click:max k='||k AS sname, vmax AS value FROM g
+              |  UNION ALL
+              |  SELECT 'click:count k='||k, vcnt FROM g)
+              |ORDER BY 1, 2""".stripMargin)),
+
     // -- Q3 aggregate: whole-history, multi-metric multi-func ------------
     "ts_aggregate" -> Gated(
       (s, d) => run(
