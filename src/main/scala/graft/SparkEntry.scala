@@ -599,6 +599,16 @@ object SparkEntry {
              |  least(i*48+64, len(t)) - i*48 AS n_chunk_tokens
              |FROM u ORDER BY 1, 2""".stripMargin)),
 
+    // -- text analysis: PII counts (regexes shared Java/RE2 syntax) ------
+    "doc_pii" -> Gated(
+      (s, d) => Text.piiStats(TestData.table(s, d, "documents"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+              |  len(regexp_extract_all(text, '${Text.EmailRe}')) AS n_emails,
+              |  len(regexp_extract_all(text, '${Text.Ipv4Re}')) AS n_ipv4,
+              |  len(regexp_extract_all(text, '${Text.PhoneRe}')) AS n_phones
+              |FROM documents ORDER BY 1""".stripMargin)),
+
     // -- text analysis: language-ID + quality (rows-only; LangIdSpec) ----
     "doc_quality_langid" -> Gated(
       (s, d) => Text.docStats(TestData.table(s, d, "documents"))

@@ -106,6 +106,37 @@ object Text {
       .otherwise(lit("und"))
   }
 
+  // --- PII scrubbing -------------------------------------------------------
+  // Regexes restricted to syntax shared by Java regex and RE2 so DuckDB
+  // oracles can replicate counts exactly.
+
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val PhoneRe = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+
+  private def countMatches(text: Column, re: String): Column =
+    size(filter(split(regexp_replace(text, re, ""), ""),
+      c => c === ""))
+
+  /** Per-document PII signal counts (emails, IPv4s, phone-ish runs). */
+  def piiStats(docs: DataFrame, textCol: String = "text",
+               idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
+    docs.select(col(idCol),
+      countMatches(t, EmailRe).as("n_emails"),
+      countMatches(t, Ipv4Re).as("n_ipv4"),
+      countMatches(t, PhoneRe).as("n_phones"))
+  }
+
+  /** Redact PII spans with typed placeholders — the pre-training scrub
+    * transform (pure regexp_replace chain, narrow map). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
   /** Within-document repetition: 1 - distinct/total tokens. High values
     * flag boilerplate/spam (standard Gopher-style repetition filter). */
   def repetitionRatio(text: Column): Column = {

@@ -82,6 +82,23 @@ class LlmSpec extends SparkFunSuite {
     assert(got.toSeq == Seq((0L, 1L, 0)))
   }
 
+  test("piiStats counts and redactPii replaces typed spans") {
+    val d = docs(Seq(
+      "contact bob@example.com or alice@test.org at 10.0.0.1 " +
+        "or call +1 (555) 123-4567 now",
+      "no pii in this clean document at all"))
+    val stats = Text.piiStats(d).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(stats(0L) == ((2, 1, 1)))
+    assert(stats(1L) == ((0, 0, 0)))
+    val red = d.select(col("doc_id"), Text.redactPii(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(red(0L).contains("<EMAIL>") && red(0L).contains("<IP>") &&
+      red(0L).contains("<PHONE>"))
+    assert(!red(0L).contains("example.com") && !red(0L).contains("10.0.0.1"))
+    assert(red(1L) == "no pii in this clean document at all")
+  }
+
   test("chunk splits into overlapping token windows") {
     val d = docs(Seq((1 to 10).map(i => s"w$i").mkString(" "), "one"))
     val got = Text.chunk(d, maxTokens = 4, overlap = 1)
