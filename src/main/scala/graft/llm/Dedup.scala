@@ -96,10 +96,9 @@ object Dedup {
 
   /** `numHashes` MinHash signature of the shingle set — standard MinHash
     * (Broder '97), computed per row with no shuffle. Each shingle string
-    * is hashed ONCE (xxhash64); the hash family is derived by affine
-    * 64-bit mixing `a_i*h + b_i` (multiply-shift universal hashing), so
-    * the cost is one string hash + numHashes integer ops per shingle
-    * instead of numHashes string hashes. */
+    * is hashed ONCE; the family is derived by seeded long-hashing (see
+    * [[minhashFromHashes]]), so the per-shingle cost is one string hash
+    * plus numHashes integer hashes. */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     minhashFromHashes(transform(shingles, s => xxhash64(s)), numHashes)
 
