@@ -41,6 +41,32 @@ class StreamingSpec extends SparkFunSuite {
     } finally query.stop()
   }
 
+  test("checkpointed layout sink survives restart without duplicates") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-stream").toFile
+    val in = new java.io.File(dir, "in"); in.mkdirs()
+    val out = new java.io.File(dir, "out").getAbsolutePath
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    def writeBatch(name: String, lines: Seq[String]): Unit =
+      Files.write(new java.io.File(in, name).toPath, lines.mkString("\n").getBytes)
+    def startQuery() = {
+      val lines = spark.readStream.textFile(in.getAbsolutePath)
+      val parsed = StreamIngest.parseOpenTsdbStream(lines)
+      StreamIngest.writeLayoutStream(parsed, out, ckpt).start()
+    }
+    writeBatch("b1.txt", (0 until 5).map(i => s"put cpu ${1000 + i} $i.0 host=a"))
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(out).count() == 5)
+    // restart from the same checkpoint; only the new file is processed
+    writeBatch("b2.txt", (5 until 8).map(i => s"put cpu ${1000 + i} $i.0 host=a"))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = spark.read.parquet(out)
+    assert(rows.count() == 8) // exactly once: no replay of batch 1
+    assert(rows.select("ts").distinct().count() == 8)
+  }
+
   test("streaming EWMA keeps per-series state across micro-batches") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
