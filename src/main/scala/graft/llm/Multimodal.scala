@@ -88,6 +88,46 @@ object Multimodal {
     }(Encoders.row(featureSchema))
   }
 
+  val resizedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("content", BinaryType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("resize_ok", BooleanType)))
+
+  /** STUB resize kernel: a real implementation decodes, scales to
+    * (targetW, targetH) preserving aspect, re-encodes. The deterministic
+    * fake derives bytes from (content, target dims) so tests are
+    * reproducible; the batch loop, schema, and size metadata are the
+    * real contract. */
+  private[llm] def resizeKernel(content: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    if (content == null || content.isEmpty) None
+    else {
+      val out = new Array[Byte](math.min(content.length, 64))
+      var i = 0
+      while (i < out.length) {
+        out(i) = (content(i) ^ (w * 31 + h)).toByte
+        i += 1
+      }
+      Some(out)
+    }
+
+  /** Image resize stage over the media table: per-partition batch map,
+    * image rows only (partition pruning when the table is partitioned by
+    * modality). */
+  def resizeImages(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val images = media.filter(col("modality") === "image")
+    val schema = images.schema
+    val idIdx = schema.fieldIndex("media_id")
+    val cIdx = schema.fieldIndex("content")
+    images.mapPartitions { it =>
+      it.map { row =>
+        val r = resizeKernel(row.getAs[Array[Byte]](cIdx), targetW, targetH)
+        Row(row.getLong(idIdx), r.orNull, targetW, targetH, r.isDefined)
+      }
+    }(Encoders.row(resizedSchema))
+  }
+
   /** Frame-sampling plan for video rows: expands each video into
     * `fps`-spaced frame REFERENCES (no decode; offsets only) — the shape
     * a downstream batch decoder consumes. Pure column math. */

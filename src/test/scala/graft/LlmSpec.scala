@@ -183,5 +183,26 @@ class LlmSpec extends SparkFunSuite {
     val frames = Multimodal.sampleFrames(media, everyMs = 5000)
       .groupBy(col("media_id")).count().collect()
     assert(frames.nonEmpty)
+    val resized = Multimodal.resizeImages(media, 224, 224).collect()
+    assert(resized.nonEmpty && resized.forall(_.getBoolean(4)))
+    assert(resized.forall(r => r.getInt(2) == 224 && r.getInt(3) == 224))
+  }
+
+  test("high cardinality: correctness independent of series count") {
+    import org.apache.spark.sql.functions.{concat, lit}
+    val n = 20000
+    val samples = spark.range(n.toLong).select(
+      lit("m").as("metric"),
+      org.apache.spark.sql.functions.map(lit("host"),
+        concat(lit("h"), col("id").cast("string"))).as("tags"),
+      (col("id") * 1000L).as("ts"),
+      col("id").cast("double").as("value"))
+    val st = new graft.plan.TsStore(samples)
+    val meta = graft.plan.Planner.plan(
+      graft.ast.QueryJson.parse("""{"select":"meta:names"}"""), st).df
+    assert(meta.count() == n) // one series per host tag
+    val agg = graft.plan.Planner.plan(graft.ast.QueryJson.parse(
+      """{"aggregate":{"m":"count"}}"""), st).df
+    assert(agg.count() == n)
   }
 }
