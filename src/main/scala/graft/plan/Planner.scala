@@ -270,7 +270,13 @@ object Planner {
     * storage_engine/operators/merge.h:14-79; Limiter
     * query_processing/limiter.cpp:6-39). Time order: ts-major with series
     * tiebreak; series order: series-major with ts within. Backward scans
-    * reverse the ts direction only. */
+    * reverse the ts direction only.
+    *
+    * CONTRACT NOTE: the reference tiebreaks equal timestamps on numeric
+    * series id (assignment order); ids are an ingestion artifact with no
+    * meaning to clients, so this engine tiebreaks on the canonical series
+    * NAME — deterministic across runs and clusters, which id order is
+    * not. Orders differ only when two series share an exact ns timestamp. */
   private def finish(frame: Frame, q: Query): Frame = {
     var df = frame.df
     if (!frame.ordered) {
