@@ -70,6 +70,27 @@ object Text {
   def fingerprint64(text: Column): Column =
     xxhash64(lower(regexp_replace(trim(text), "\\s+", " ")))
 
+  /** Winnowing fingerprint set (Schleimer/Wilkerson/Aiken '03, the MOSS
+    * algorithm): hash every k-token gram, then keep the MINIMUM hash of
+    * each sliding window of `w` consecutive gram hashes. Guarantees any
+    * shared run of >= w+k-1 tokens yields a shared fingerprint, with a
+    * ~2/(w+1) selection rate — the standard scalable document-similarity
+    * fingerprint. Pure column expressions. */
+  def winnow(text: Column, k: Int = 5, w: Int = 4): Column = {
+    val grams = transform(
+      filter(
+        transform(sequence(lit(0),
+          greatest(size(tokens(lower(text))) - k, lit(0))),
+          i => when(size(tokens(lower(text))) >= k,
+            array_join(slice(tokens(lower(text)), i + 1, lit(k)), " "))),
+        x => x.isNotNull),
+      g => xxhash64(g))
+    val nw = greatest(size(grams) - (w - 1), lit(1))
+    array_distinct(
+      transform(sequence(lit(0), nw - 1),
+        i => array_min(slice(grams, i + 1, lit(w)))))
+  }
+
   // --- language identification -------------------------------------------
 
   /** Stopword profiles for the n-gram-free heuristic: the most frequent

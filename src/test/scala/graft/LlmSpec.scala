@@ -82,6 +82,20 @@ class LlmSpec extends SparkFunSuite {
     assert(got.toSeq == Seq((0L, 1L, 0)))
   }
 
+  test("winnowing: shared long runs share fingerprints, disjoint texts don't") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val d = docs(Seq(
+      base,
+      "prefix words here " + base,              // shares a 30-token run
+      (101 to 130).map(i => s"tok$i").mkString(" "))) // disjoint
+    val fps = d.select(col("doc_id"), Text.winnow(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(0L) & fps(1L)).nonEmpty)  // guaranteed shared fingerprint
+    assert((fps(0L) & fps(2L)).isEmpty)
+    // selection: far fewer fingerprints than grams
+    assert(fps(0L).size < 26)
+  }
+
   test("piiStats counts and redactPii replaces typed spans") {
     val d = docs(Seq(
       "contact bob@example.com or alice@test.org at 10.0.0.1 " +
