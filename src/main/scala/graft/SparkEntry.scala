@@ -452,6 +452,25 @@ object SparkEntry {
               |FROM events WHERE event_type IN ('click','view') AND ${rangeSql()}
               |GROUP BY 1, 2 ORDER BY 2, 1""".stripMargin)),
 
+    // -- apply: chained nodes (scale -> cusum -> abs composition) --------
+    "ts_apply_chain" -> Gated(
+      (s, d) => run(
+        s"""{"select":"error","range":{"from":"$T0iso","to":"$T1iso"},
+           |"where":{"user":["3","9"]},
+           |"apply":[{"name":"scale","weights":[-2.0]},{"name":"cusum"},
+           |{"name":"abs"}]}""".stripMargin)(s, d)
+        .withColumn("value", round(col("value"), 6))
+        .orderBy(col("ts"), col("sname")),
+      Some(s"""WITH s AS (
+              |  SELECT ${snameSql("event_type")} AS sname, $tsSql AS ts,
+              |         value * -2.0 AS value
+              |  FROM events WHERE event_type = 'error' AND ${rangeSql()}
+              |    AND user_id IN (3, 9))
+              |SELECT sname, ts,
+              |  round(abs(sum(value) OVER (PARTITION BY sname ORDER BY ts
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS value
+              |FROM s ORDER BY 2, 1""".stripMargin)),
+
     // -- apply: eval (expression over join tuple columns) ----------------
     "ts_apply_eval" -> Gated(
       (s, d) => run(

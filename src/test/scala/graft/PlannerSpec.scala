@@ -170,6 +170,31 @@ class PlannerSpec extends SparkFunSuite {
       "y host=A", "y host=B", "y host=C"))
   }
 
+  test("backward scan with limit takes the latest rows first") {
+    val df = run(
+      s"""{"select":"test","range":{"from":${T0 + 10 * Step},"to":$T0},
+         |"limit":3}""".stripMargin)
+    assert(rows3(df).map(_._3) == Seq(9.0, 8.0, 7.0))
+  }
+
+  test("offset beyond result size yields empty, not error") {
+    val df = run(
+      s"""{"select":"test","range":{"from":$T0,"to":${T0 + 3 * Step}},
+         |"offset":100}""".stripMargin)
+    assert(df.count() == 0)
+  }
+
+  test("group-aggregate-join honors the where clause") {
+    val st = store(Seq(
+      ("a", Map("h" -> "X"), 5L, 1.0), ("b", Map("h" -> "X"), 5L, 2.0),
+      ("a", Map("h" -> "Y"), 5L, 9.0), ("b", Map("h" -> "Y"), 5L, 8.0)))
+    val df = Planner.plan(QueryJson.parse(
+      """{"group-aggregate-join":{"metric":["a","b"],"step":10,"func":"max"},
+        |"range":{"from":0,"to":20},"where":{"h":["X"]}}""".stripMargin), st).df
+    val got = df.collect()
+    assert(got.length == 1 && got.head.getString(0) == "a:max|b:max h=X")
+  }
+
   test("order-by series with limit/offset") {
     val df = run(
       s"""{"select":"test","range":{"from":$T0,"to":${T0 + 6 * Step}},
