@@ -413,13 +413,39 @@ object SparkEntry {
               |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value
               |FROM s ORDER BY 2, 1""".stripMargin)),
 
-    // -- apply: ewma (recursive, stateful scan) — rows-only check ---------
+    // -- apply: ewma — exact warmup-10 state machine, oracled via a
+    // DuckDB recursive CTE replicating the reference transition
+    // (sliding_window.cpp:15-110). group-by-tag merges tags so the
+    // series crosses warmup into the recursive branch.
     "ts_apply_ewma" -> Gated(
       (s, d) => run(
         s"""{"select":"click","range":{"from":"$T0iso","to":"$T1iso"},
-           |"where":{"user":["11"]},"apply":[{"name":"ewma","decay":0.3}]}""".stripMargin)(s, d)
+           |"where":{"user":["11","21","31","41","51"]},
+           |"group-by-tag":["k","user"],
+           |"apply":[{"name":"ewma","decay":0.3}]}""".stripMargin)(s, d)
+        .withColumn("value", round(col("value"), 6))
         .orderBy(col("ts"), col("sname")),
-      None),
+      Some(s"""WITH RECURSIVE src AS (
+              |  SELECT 'click' AS sname, $tsSql AS ts, value
+              |  FROM events WHERE event_type = 'click' AND ${rangeSql()}
+              |    AND user_id IN (11, 21, 31, 41, 51)),
+              |base AS (SELECT sname, ts, value,
+              |  row_number() OVER (PARTITION BY sname ORDER BY ts) AS rn FROM src),
+              |r AS (
+              |  SELECT sname, ts, value, rn,
+              |    CAST(value AS DOUBLE) AS forecast,
+              |    CAST(value AS DOUBLE) AS state, 1 AS w
+              |  FROM base WHERE rn = 1
+              |  UNION ALL
+              |  SELECT b.sname, b.ts, b.value, b.rn,
+              |    CASE WHEN r.w <= 10 THEN b.value ELSE r.state END,
+              |    CASE WHEN r.w < 10 THEN r.state + b.value
+              |         WHEN r.w = 10 THEN b.value*0.3 + ((r.state + b.value)/11.0)*0.7
+              |         ELSE b.value*0.3 + r.state*0.7 END,
+              |    r.w + 1
+              |  FROM r JOIN base b ON b.sname = r.sname AND b.rn = r.rn + 1)
+              |SELECT sname, ts, round(forecast, 6) AS value FROM r
+              |ORDER BY 2, 1""".stripMargin)),
 
     // -- apply: top-N by time-weighted sum --------------------------------
     "ts_apply_top" -> Gated(
@@ -517,14 +543,45 @@ object SparkEntry {
               |WHERE w > 0.005 * (SELECT sum(w) FROM c)
               |ORDER BY w DESC, 1""".stripMargin)),
 
-    // -- apply: sax (rows-only; golden unit tests in SaxSpec) ------------
+    // -- apply: sax — oracled: the window z-norm + Gaussian-cutpoint
+    // bucketing + numerosity reduction replicated with DuckDB list
+    // functions (alphabet 5 cutpoints are N(0,1) quintiles) -------------
     "ts_apply_sax" -> Gated(
       (s, d) => run(
         s"""{"select":"view","range":{"from":"$T0iso","to":"$T1iso"},
            |"where":{"user":["21","41"]},"group-by-tag":["k"],
            |"apply":[{"name":"sax","alphabet_size":5,"window_width":4}]}""".stripMargin)(s, d)
         .orderBy(col("ts"), col("sname")),
-      None),
+      Some(s"""WITH s AS (
+              |  SELECT 'view user=' || user_id AS sname, $tsSql AS ts, value
+              |  FROM events WHERE event_type = 'view' AND ${rangeSql()}
+              |    AND user_id IN (21, 41)),
+              |w AS (SELECT sname, ts,
+              |  list(value) OVER (PARTITION BY sname ORDER BY ts
+              |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS win,
+              |  row_number() OVER (PARTITION BY sname ORDER BY ts) AS rn FROM s),
+              |z AS (
+              |  SELECT sname, ts, win, list_sum(win) / 4.0 AS mean,
+              |    sqrt((4.0 * list_sum(list_transform(win, x -> x*x)) -
+              |      list_sum(win)*list_sum(win)) / 12.0) AS sd
+              |  FROM w WHERE rn >= 4),
+              |words AS (
+              |  SELECT sname, ts,
+              |    array_to_string(list_transform(
+              |      list_transform(win, x -> CASE WHEN sd < 1e-10 THEN x - mean
+              |                                    ELSE (x - mean) / sd END),
+              |      zz -> CASE WHEN zz < -0.8416212335729143 THEN 'a'
+              |                 WHEN zz < -0.2533471031357997 THEN 'b'
+              |                 WHEN zz <  0.2533471031357997 THEN 'c'
+              |                 WHEN zz <  0.8416212335729143 THEN 'd'
+              |                 ELSE 'e' END), '') AS sax
+              |  FROM z)
+              |SELECT sname, ts, sax FROM (
+              |  SELECT sname, ts, sax,
+              |         lag(sax) OVER (PARTITION BY sname ORDER BY ts) AS prev
+              |  FROM words)
+              |WHERE prev IS NULL OR sax != prev
+              |ORDER BY 2, 1""".stripMargin)),
 
     // -- apply: anomaly over bucketed frames (rows-only; AnomalySpec) ----
     // group-aggregate gives regular per-day frames across series — the
@@ -628,10 +685,30 @@ object SparkEntry {
               |  len(regexp_extract_all(text, '${Text.PhoneRe}')) AS n_phones
               |FROM documents ORDER BY 1""".stripMargin)),
 
-    // -- text analysis: language-ID + quality (rows-only; LangIdSpec) ----
-    "doc_quality_langid" -> Gated(
+    // -- text analysis: composite quality score (oracled arithmetic) -----
+    "doc_quality" -> Gated(
       (s, d) => Text.docStats(TestData.table(s, d, "documents"))
-        .select(col("doc_id"), col("quality"), col("lang_pred"))
+        .select(col("doc_id"), col("quality"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH f AS (
+              |  SELECT doc_id,
+              |    len(string_split_regex(trim(text), '\\s+'))::DOUBLE AS ntok,
+              |    len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+              |      x -> list_contains([${Text.EnStopwords.map("'" + _ + "'").mkString(",")}], x)))::DOUBLE AS nstop,
+              |    (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+              |      / greatest(length(text)::DOUBLE, 1.0) AS punct
+              |  FROM documents)
+              |SELECT doc_id, round(
+              |  least(ntok / 50.0, 1.0) * 0.4 +
+              |  least(nstop / greatest(ntok, 1.0) * 5.0, 1.0) * 0.4 +
+              |  greatest(0.0, 1.0 - punct * 4.0) * 0.2, 6) AS quality
+              |FROM f ORDER BY 1""".stripMargin)),
+
+    // -- text analysis: language-ID (rows-only; LlmSpec has real-language
+    // coverage — synthetic corpus text is vocabulary salad) --------------
+    "doc_langid" -> Gated(
+      (s, d) => Text.docStats(TestData.table(s, d, "documents"))
+        .select(col("doc_id"), col("lang_pred"))
         .orderBy(col("doc_id")),
       None),
 
