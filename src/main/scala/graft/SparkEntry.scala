@@ -397,7 +397,23 @@ object SparkEntry {
               |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS value
               |FROM s ORDER BY 2, 1""".stripMargin)),
 
-    // -- apply: cma (cumulative mean) -------------------------------------
+    // -- apply: sma-error (forecast error vs previous window) -------------
+    "ts_apply_sma_error" -> Gated(
+      (s, d) => run(
+        s"""{"select":"click","range":{"from":"$T0iso","to":"$T1iso"},
+           |"where":{"user":["11","21"]},"group-by-tag":["k","user"],
+           |"apply":[{"name":"sma-error","window-width":3}]}""".stripMargin)(s, d)
+        .withColumn("value", round(col("value"), 6))
+        .orderBy(col("ts"), col("sname")),
+      Some(s"""WITH s AS (
+              |  SELECT 'click' AS sname, $tsSql AS ts, value
+              |  FROM events WHERE event_type = 'click' AND ${rangeSql()}
+              |    AND user_id IN (11, 21))
+              |SELECT sname, ts,
+              |  round(value - coalesce(avg(value) OVER (PARTITION BY sname
+              |    ORDER BY ts ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), value), 6)
+              |    AS value
+              |FROM s ORDER BY 2, 1""".stripMargin)),
     "ts_apply_cma" -> Gated(
       (s, d) => run(
         s"""{"select":"view","range":{"from":"$T0iso","to":"$T1iso"},
@@ -446,6 +462,51 @@ object SparkEntry {
               |  FROM r JOIN base b ON b.sname = r.sname AND b.rn = r.rn + 1)
               |SELECT sname, ts, round(forecast, 6) AS value FROM r
               |ORDER BY 2, 1""".stripMargin)),
+
+    // -- apply: ewma-error (x - warmup-10 forecast; same CTE machine) ----
+    "ts_apply_ewma_error" -> Gated(
+      (s, d) => run(
+        s"""{"select":"click","range":{"from":"$T0iso","to":"$T1iso"},
+           |"where":{"user":["11","21","31","41","51"]},
+           |"group-by-tag":["k","user"],
+           |"apply":[{"name":"ewma-error","decay":0.3}]}""".stripMargin)(s, d)
+        .withColumn("value", round(col("value"), 6))
+        .orderBy(col("ts"), col("sname")),
+      Some(s"""WITH RECURSIVE src AS (
+              |  SELECT 'click' AS sname, $tsSql AS ts, value
+              |  FROM events WHERE event_type = 'click' AND ${rangeSql()}
+              |    AND user_id IN (11, 21, 31, 41, 51)),
+              |base AS (SELECT sname, ts, value,
+              |  row_number() OVER (PARTITION BY sname ORDER BY ts) AS rn FROM src),
+              |r AS (
+              |  SELECT sname, ts, value, rn,
+              |    CAST(value AS DOUBLE) AS forecast,
+              |    CAST(value AS DOUBLE) AS state, 1 AS w
+              |  FROM base WHERE rn = 1
+              |  UNION ALL
+              |  SELECT b.sname, b.ts, b.value, b.rn,
+              |    CASE WHEN r.w <= 10 THEN b.value ELSE r.state END,
+              |    CASE WHEN r.w < 10 THEN r.state + b.value
+              |         WHEN r.w = 10 THEN b.value*0.3 + ((r.state + b.value)/11.0)*0.7
+              |         ELSE b.value*0.3 + r.state*0.7 END,
+              |    r.w + 1
+              |  FROM r JOIN base b ON b.sname = r.sname AND b.rn = r.rn + 1)
+              |SELECT sname, ts, round(value - forecast, 6) AS value FROM r
+              |ORDER BY 2, 1""".stripMargin)),
+
+    // -- apply: divide fold over join tuple (1 / (a*b) from unit) --------
+    "ts_apply_math_divide" -> Gated(
+      (s, d) => run(
+        s"""{"join":["click","view"],"range":{"from":"$T0iso","to":"$T1iso"},
+           |"apply":[{"name":"divide","ignore_missing":true}]}""".stripMargin)(s, d)
+        .withColumn("value", round(col("value"), 6))
+        .orderBy(col("ts"), col("sname")),
+      Some(s"""SELECT 'click|view k='||$kSql||' user='||user_id AS sname,
+              |  $tsSql AS ts,
+              |  round(1.0 / coalesce(max(value) FILTER (event_type = 'click'), 1.0)
+              |      / coalesce(max(value) FILTER (event_type = 'view'), 1.0), 6) AS value
+              |FROM events WHERE event_type IN ('click','view') AND ${rangeSql()}
+              |GROUP BY 1, 2 ORDER BY 2, 1""".stripMargin)),
 
     // -- apply: top-N by time-weighted sum --------------------------------
     "ts_apply_top" -> Gated(
