@@ -301,6 +301,19 @@ object SparkEntry {
       Some(s"""SELECT DISTINCT ${snameSql("event_type")} AS sname
               |FROM events ORDER BY 1""".stripMargin)),
 
+    // -- Q7 meta:names with where + metric pattern forms -----------------
+    "ts_meta_names_where" -> Gated(
+      (s, d) => run("""{"select":"meta:names","where":{"user":["7","8"]}}""")(s, d)
+        .orderBy(col("sname")),
+      Some(s"""SELECT DISTINCT ${snameSql("event_type")} AS sname
+              |FROM events WHERE user_id IN (7, 8) ORDER BY 1""".stripMargin)),
+
+    "ts_meta_names_metric" -> Gated(
+      (s, d) => run("""{"select":"meta:names:purchase"}""")(s, d)
+        .orderBy(col("sname")),
+      Some(s"""SELECT DISTINCT ${snameSql("event_type")} AS sname
+              |FROM events WHERE event_type = 'purchase' ORDER BY 1""".stripMargin)),
+
     // -- Q2 select-events: string payloads + body regex ------------------
     "ts_select_events" -> Gated(
       (s, d) => runEv(
