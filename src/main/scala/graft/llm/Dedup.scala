@@ -30,6 +30,26 @@ object Dedup {
       .groupBy(col("fingerprint"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_doc_id"))
 
+  /** Return the deduplicated corpus: exact duplicates collapse to the
+    * smallest doc_id; when `nearDupThreshold` is set, near-duplicate
+    * pairs (MinHash-LSH) additionally drop the larger id of each pair —
+    * the standard greedy survivor policy (lower id wins; a broadcast
+    * anti-join, no driver-side clustering). */
+  def deduplicate(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id",
+                  nearDupThreshold: Option[Double] = None): DataFrame = {
+    val survivors = exact(docs, textCol, idCol)
+      .select(col("keep_doc_id").as(idCol))
+    var kept = docs.join(survivors, idCol)
+    for (t <- nearDupThreshold) {
+      val losers = minhashLsh(kept, threshold = t,
+        textCol = textCol, idCol = idCol)
+        .select(col("b").as(idCol)).distinct()
+      kept = kept.join(broadcast(losers), Seq(idCol), "left_anti")
+    }
+    kept
+  }
+
   // --- word shingles -------------------------------------------------------
 
   /** Distinct word n-gram shingles of the normalized text (Column

@@ -47,6 +47,20 @@ class LlmSpec extends SparkFunSuite {
     assert(got.toSeq == Seq((2L, 0L), (1L, 2L))) // group of 2 keeps doc 0
   }
 
+  test("deduplicate keeps one survivor per exact and near-dup group") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d = docs(Seq(
+      base,
+      base,                   // exact dup of 0 -> dropped
+      base + " lambda",       // near-dup of 0 -> dropped at threshold 0.3
+      "entirely different content with no overlap at all whatsoever here"))
+    val exactOnly = Dedup.deduplicate(d)
+    assert(exactOnly.count() == 3) // drops doc 1
+    val near = Dedup.deduplicate(d, nearDupThreshold = Some(0.3))
+    assert(near.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(0L, 3L))
+  }
+
   test("ngramJaccard finds planted near-dups exactly") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val d = docs(Seq(
