@@ -514,12 +514,26 @@ object SparkEntry {
            |"apply":[{"name":"divide","ignore_missing":true}]}""".stripMargin)(s, d)
         .withColumn("value", round(col("value"), 6))
         .orderBy(col("ts"), col("sname")),
-      Some(s"""SELECT 'click|view k='||$kSql||' user='||user_id AS sname,
-              |  $tsSql AS ts,
-              |  round(1.0 / coalesce(max(value) FILTER (event_type = 'click'), 1.0)
-              |      / coalesce(max(value) FILTER (event_type = 'view'), 1.0), 6) AS value
-              |FROM events WHERE event_type IN ('click','view') AND ${rangeSql()}
-              |GROUP BY 1, 2 ORDER BY 2, 1""".stripMargin)),
+      // IEEE division in the oracle (DuckDB's x/0 is NULL, the engine's —
+      // like the reference's C++ doubles — is ±inf/NaN)
+      Some(s"""WITH j AS (
+              |  SELECT 'click|view k='||$kSql||' user='||user_id AS sname,
+              |    $tsSql AS ts,
+              |    coalesce(max(value) FILTER (event_type = 'click'), 1.0) AS a,
+              |    coalesce(max(value) FILTER (event_type = 'view'), 1.0) AS b
+              |  FROM events WHERE event_type IN ('click','view') AND ${rangeSql()}
+              |  GROUP BY 1, 2),
+              |d1 AS (SELECT sname, ts, b,
+              |  CASE WHEN a <> 0 THEN 1.0 / a ELSE 'Infinity'::DOUBLE END AS x
+              |  FROM j),
+              |d2 AS (SELECT sname, ts,
+              |  CASE WHEN b <> 0 THEN x / b
+              |       WHEN x = 0 OR isnan(x) THEN 'NaN'::DOUBLE
+              |       WHEN x > 0 THEN 'Infinity'::DOUBLE
+              |       ELSE '-Infinity'::DOUBLE END AS value
+              |  FROM d1)
+              |SELECT sname, ts, round(value, 6) AS value FROM d2
+              |ORDER BY 2, 1""".stripMargin)),
 
     // -- apply: top-N by time-weighted sum --------------------------------
     "ts_apply_top" -> Gated(

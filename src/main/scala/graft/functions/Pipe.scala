@@ -20,6 +20,15 @@ object Pipe {
   final case class PipeException(msg: String) extends IllegalArgumentException(msg)
   private def fail(msg: String): Nothing = throw PipeException(msg)
 
+  /** IEEE-754 division like the reference's C++ doubles: x/0 = ±inf,
+    * 0/0 = NaN — Spark 4's ANSI mode would throw instead. Used at every
+    * division site a query can drive to a zero divisor. */
+  def ieeeDiv(num: Column, den: Column): Column =
+    when(den =!= 0.0, num / den)
+      .otherwise(when(num === 0.0 || num.isNull || isnan(num), lit(Double.NaN))
+        .when(num > 0, lit(Double.PositiveInfinity))
+        .otherwise(lit(Double.NegativeInfinity)))
+
   def applyAll(steps: Seq[Apply], frame: Frame): Frame =
     steps.foldLeft(frame)((f, s) => applyStep(f, s))
 
@@ -55,8 +64,9 @@ object Pipe {
     case "rate" =>
       val w = scanWindow(frame)
       mapValues2(frame) { vc =>
-        (col(vc) - coalesce(lag(col(vc), 1).over(w), lit(0.0))) /
-          ((col(Ts) - coalesce(lag(col(Ts), 1).over(w), lit(0L))) / lit(1e9))
+        ieeeDiv(
+          col(vc) - coalesce(lag(col(vc), 1).over(w), lit(0.0)),
+          (col(Ts) - coalesce(lag(col(Ts), 1).over(w), lit(0L))) / lit(1e9))
       }
 
     // running sum per series (reference: rate.cpp:63-105, tokens
@@ -117,7 +127,7 @@ object Pipe {
         case "sum"      => (0.0, _ + _)
         case "diff"     => (0.0, _ - _)
         case "multiply" => (1.0, _ * _)
-        case "divide"   => (1.0, _ / _)
+        case "divide"   => (1.0, ieeeDiv)
       }
       val terms = frame.valueCols.map { vc =>
         if (ignoreMissing) coalesce(col(vc), lit(unit))
