@@ -56,7 +56,7 @@ object Ingest {
                   bucketNs: Long = DayNs): Unit = {
     val withBucket = flattenTags
       .foldLeft(samples) { (d, k) =>
-        d.withColumn(s"tag_$k", element_at(col("tags"), k))
+        d.withColumn(s"tag_$k", try_element_at(col("tags"), lit(k)))
       }
       .withColumn("day", expr(s"ts div ${bucketNs}L")) // exact integer div:
       // double division would round ts (> 2^53) near bucket boundaries

@@ -47,7 +47,7 @@ object Meta {
                 startsWith: String = ""): DataFrame =
     store.series
       .filter(col(TsStore.Metric) === metric)
-      .select(element_at(col(TsStore.Tags), tag).as("name"))
+      .select(try_element_at(col(TsStore.Tags), lit(tag)).as("name"))
       .filter(col("name").isNotNull && col("name").startsWith(startsWith))
       .distinct()
       .orderBy(col("name"))

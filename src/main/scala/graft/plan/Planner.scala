@@ -54,11 +54,11 @@ object Planner {
   def wherePred(w: Where): Column = w match {
     case Where.All => lit(true)
     case Where.TagMap(m) =>
-      m.map { case (t, vs) => element_at(col(Tags), t).isin(vs: _*) }
+      m.map { case (t, vs) => try_element_at(col(Tags), lit(t)).isin(vs: _*) }
         .reduceOption(_ && _).getOrElse(lit(true))
     case Where.Enumerate(rows) =>
       rows.map { r =>
-        r.map { case (t, v) => element_at(col(Tags), t) === v }
+        r.map { case (t, v) => try_element_at(col(Tags), lit(t)) === v }
           .reduceOption(_ && _).getOrElse(lit(true))
       }.reduceOption(_ || _).getOrElse(lit(true))
   }

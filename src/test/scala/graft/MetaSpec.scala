@@ -46,6 +46,12 @@ class MetaSpec extends SparkFunSuite {
       Seq("cpu.user dc=east host=web1", "cpu.user dc=west host=web2"))
   }
 
+  test("tag-values on a tag the metric's series lack returns empty") {
+    assert(Meta.suggest(st,
+      """{"select":"tag-values","metric":"mem.free","tag":"dc"}""")
+      .collect().isEmpty)
+  }
+
   test("suggest errors mirror the reference") {
     intercept[IllegalArgumentException](Meta.suggest(st, """{"select":"tag-names"}"""))
     intercept[IllegalArgumentException](Meta.suggest(st,

@@ -40,6 +40,15 @@ class PlannerSpec extends SparkFunSuite {
     assert(got.map(_._3) == Seq(3.0, 4.0, 6.0, 7.0))
   }
 
+  test("where on a tag some/all series lack matches nothing, no error") {
+    // ANSI element_at would throw on missing map keys; the engine must
+    // treat an absent tag as a non-match like the reference
+    val df = run(
+      s"""{"select":"test","range":{"from":$T0,"to":${T0 + 5 * Step}},
+         |"where":{"nosuchtag":["x"]}}""".stripMargin)
+    assert(df.count() == 0)
+  }
+
   test("select: enumerate where-form ORs exact tag combos") {
     val df = run(
       s"""{"select":"test","range":{"from":$T0,"to":${T0 + 6 * Step}},
