@@ -8,6 +8,45 @@ import org.apache.spark.sql.functions._
   * Failures are reported as explicit error markers (value -1, message in
   * "errors") — never as a fast wall-time. Output: ONE JSON line. */
 object Bench {
+
+  /** Render `n` samples as RESP session files (one per session, written in
+    * parallel): an 800-series dictionary prelude, then `:id`/`:ts`/`+value`
+    * data points — the wire shape a dictionary-enabled TCP client sends. */
+  def renderRespSessions(dir: java.io.File, n: Long, sessions: Int): Unit = {
+    val metrics = 8; val hosts = 100
+    val nSeries = metrics * hosts
+    val per = (n / sessions).toInt
+    require(per.toLong * sessions == n, s"n=$n not divisible by $sessions")
+    if (dir.exists()) dir.listFiles().foreach(_.delete())
+    dir.mkdirs()
+    val threads = (0 until sessions).map { s =>
+      new Thread(() => {
+        val sb = new java.lang.StringBuilder(per * 44 + nSeries * 32)
+        sb.append('*').append(nSeries * 2).append('\n')
+        var i = 0
+        while (i < nSeries) {
+          sb.append("+cpu").append(i % metrics)
+            .append(" host=h").append(i / metrics).append('\n')
+          sb.append(':').append(i).append('\n')
+          i += 1
+        }
+        var j = 0
+        var ts = 1700000000000000000L + s.toLong * per * 40000L
+        while (j < per) {
+          sb.append(':').append(j % nSeries).append('\n')
+          sb.append(':').append(ts).append('\n')
+          sb.append('+').append((j % 1000).toDouble).append('\n')
+          ts += 40000L
+          j += 1
+        }
+        java.nio.file.Files.write(
+          new java.io.File(dir, f"session_$s%02d.resp").toPath,
+          sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -16,41 +55,59 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // local-FS bench IO: v2 commit (no sequential final renames) and no
+      // client-side CRC shadow files — a cluster deployment gets both
+      // from its real DFS/object-store committer instead
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .config("spark.hadoop.fs.file.impl",
+        "org.apache.hadoop.fs.RawLocalFileSystem")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val skipQueries = sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("ingest")
     val errors = scala.collection.mutable.Map[String, String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .linesIterator.next().take(120)
-          false
-        }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }
+    val results =
+      if (skipQueries) Seq.empty[(String, Double)]
+      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .linesIterator.next().take(120)
+            false
+          }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
 
-    // Ingestion throughput: generate samples and push them through the
-    // REAL write path — partitioned/sorted parquet layout — and measure
-    // end-to-end samples/s (BASELINE.md rows 1-3 are write throughput).
-    val n = 2000000L
-    val tIn = System.nanoTime()
-    val ingested = spark.range(n).select(
-      concat(lit("cpu"), (col("id") % 8).cast("string")).as("metric"),
-      map(lit("host"), concat(lit("h"), (col("id") % 100).cast("string"))).as("tags"),
-      (lit(1700000000000000000L) + col("id") * 40000L).as("ts"),
-      (col("id") % 1000).cast("double").as("value"),
-      lit(null).cast("string").as("event"))
-    // parse-only rate (generation + scan, the reference's TCP-parse
-    // analogue) and full write rate (sorted partitioned parquet) reported
-    // separately
-    val parsed = ingested.selectExpr("count(*)").collect()(0).getLong(0)
-    val parseSec = (System.nanoTime() - tIn) / 1e9
-    val tW = System.nanoTime()
+    // Ingestion throughput against BASELINE.md rows 1-3: REAL wire-format
+    // text through the REAL parser and write path. Outside the timers we
+    // render n samples of RESP (session dictionary + :id/:ts/+value data
+    // points — the reference's high-throughput wire shape,
+    // protocolparser.h:133-268) into one file per session. Timed:
+    //   parse  = read text + LineProtocol.parseResp -> count
+    //   write  = read text + parse + Ingest.writeLayout (sorted
+    //            partitioned parquet), i.e. the full TCP-to-storage path.
+    val n = 8000000L // ~ the reference CI corpus (8.64M pts, roundtrip.sh)
+    val sessions = cpus.toInt
+    val respDir = new java.io.File("/tmp/graft_bench_resp")
+    renderRespSessions(respDir, n, sessions)
     val benchPath = "/tmp/graft_bench_ingest"
-    graft.io.Ingest.writeLayout(ingested, benchPath, flattenTags = Seq("host"))
+
+    // warm-up pass (JIT the parser + writer code paths, prime page cache),
+    // then one measured pass of each stage
+    graft.io.Ingest.respFilesFlat(spark, respDir.getPath, Seq("host"),
+      sessions).count()
+
+    val tIn = System.nanoTime()
+    val parsed = graft.io.Ingest.respFilesFlat(spark, respDir.getPath,
+      Seq("host"), sessions).count()
+    val parseSec = (System.nanoTime() - tIn) / 1e9
+    require(parsed == n, s"parse bench dropped rows: $parsed != $n")
+
+    val tW = System.nanoTime()
+    graft.io.Ingest.ingestResp(spark, respDir.getPath, benchPath,
+      flattenTags = Seq("host"), minPartitions = sessions)
     val writeSec = (System.nanoTime() - tW) / 1e9
     val ingestRate = parsed / parseSec
     val writeRate = n / writeSec

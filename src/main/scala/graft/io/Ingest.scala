@@ -3,6 +3,7 @@ package graft.io
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.model.SeriesKey
 import graft.plan.TsStore
 
 /** Spark entry points for batch ingestion and the persistent table layout.
@@ -24,13 +25,57 @@ object Ingest {
 
   private val sampleEnc = Encoders.product[LineProtocol.ParsedSample]
 
+  /** Flat parse output for the ingest fast path: the canonical sname and
+    * the flattened tag values are derived ONCE PER SERIES inside the
+    * parser (dictionary sessions share one SeriesKey per series), so the
+    * write pipeline never evaluates the per-row map->sname expression
+    * chain that dominated the DataFrame path. */
+  final case class FlatSample(metric: String, sname: String, ts: Long,
+                              value: Double, event: String, tagv: Seq[String])
+  private val flatEnc = Encoders.product[FlatSample]
+
   /** Parse RESP session files: one file = one session (dictionary scope),
-    * parallel across files. */
-  def respFiles(spark: SparkSession, path: String): DataFrame = {
-    val files = spark.sparkContext.wholeTextFiles(path)
+    * parallel across files. `minPartitions` defaults to the cluster
+    * parallelism — `wholeTextFiles`' own default of 2 would funnel every
+    * session through two tasks regardless of core count. */
+  def respFiles(spark: SparkSession, path: String,
+                minPartitions: Int = 0): DataFrame = {
+    val mp = if (minPartitions > 0) minPartitions
+             else spark.sparkContext.defaultParallelism
+    val files = spark.sparkContext.wholeTextFiles(path, mp)
     spark.createDataset(files.flatMap { case (_, content) =>
-      LineProtocol.parseResp(content.linesIterator)
+      LineProtocol.parseRespText(content)
     })(sampleEnc).toDF()
+  }
+
+  /** RESP sessions parsed straight to the flat layout schema
+    * `(metric, sname, ts, value, event, tag_<k>...)` — the ingest fast
+    * path (see [[FlatSample]]). */
+  def respFilesFlat(spark: SparkSession, path: String,
+                    flattenTags: Seq[String] = Nil,
+                    minPartitions: Int = 0): DataFrame = {
+    val mp = if (minPartitions > 0) minPartitions
+             else spark.sparkContext.defaultParallelism
+    val tagKeys = flattenTags.toArray
+    val files = spark.sparkContext.wholeTextFiles(path, mp)
+    val ds = spark.createDataset(files.flatMap { case (_, content) =>
+      // identity cache: dictionary sessions reuse one SeriesKey instance
+      // per series; bounded so a dictionary-less session can't grow it
+      val cache =
+        new java.util.IdentityHashMap[SeriesKey, (String, Seq[String])]()
+      LineProtocol.parseRespWith[FlatSample](content, (k, ts, v, ev) => {
+        var d = cache.get(k)
+        if (d == null) {
+          if (cache.size > 100000) cache.clear()
+          d = (k.canonical, tagKeys.toSeq.map(t => k.tags.getOrElse(t, null)))
+          cache.put(k, d)
+        }
+        FlatSample(k.metric, d._1, ts, v, ev, d._2)
+      })
+    })(flatEnc)
+    flattenTags.zipWithIndex.foldLeft(ds.toDF()) { case (df, (t, i)) =>
+      df.withColumn(s"tag_$t", col("tagv")(i))
+    }.drop("tagv")
   }
 
   /** Parse OpenTSDB telnet put lines (stateless -> line-parallel). */
@@ -53,30 +98,62 @@ object Ingest {
     * tag keys into `tag_<k>` string columns for predicate pushdown. */
   def writeLayout(samples: DataFrame, path: String,
                   flattenTags: Seq[String] = Nil,
-                  bucketNs: Long = DayNs): Unit = {
+                  bucketNs: Long = DayNs,
+                  saltBuckets: Int = 32,
+                  codec: String = "snappy"): Unit = {
     val withBucket = flattenTags
       .foldLeft(samples) { (d, k) =>
         d.withColumn(s"tag_$k", try_element_at(col("tags"), lit(k)))
       }
-      .withColumn("day", expr(s"ts div ${bucketNs}L")) // exact integer div:
-      // double division would round ts (> 2^53) near bucket boundaries
       .withColumn("sname",
         TsStore.snameOf(col("metric"), TsStore.tagStr(col("tags"))))
-    // Hash partitioning on (metric, day) + a series salt: write
-    // parallelism is NOT capped at the distinct (metric, day) count — a
-    // hot metric-day splits across `saltBuckets` tasks by series hash —
-    // with no range-sampling job, and each task still writes contiguous
-    // sorted series runs into its partition dirs.
-    val saltBuckets = 8
-    withBucket
+    // The `tags` map is NOT stored: the canonical `sname` carries the
+    // full tag set (the reference's series-id model, seriesparser.cpp:389),
+    // so the shuffle payload and the parquet schema stay flat —
+    // map<string,string> encoding was the most expensive part of both.
+    // readLayout reconstructs the map lazily; flattened `tag_<k>` columns
+    // carry the pushdown-relevant tags as real columns.
+    writePrepared(withBucket.drop("tags"), path, bucketNs, saltBuckets, codec)
+  }
+
+  /** Parse RESP session files and write the layout in one pipeline — the
+    * full wire-to-storage ingest path (the analogue of the reference's
+    * TCP server -> NB+tree write path). Uses the flat parse
+    * ([[respFilesFlat]]): sname derived in the parser, no map column ever
+    * materialized. */
+  def ingestResp(spark: SparkSession, inPath: String, outPath: String,
+                 flattenTags: Seq[String] = Nil,
+                 bucketNs: Long = DayNs,
+                 saltBuckets: Int = 32,
+                 codec: String = "snappy",
+                 minPartitions: Int = 0): Unit =
+    writePrepared(respFilesFlat(spark, inPath, flattenTags, minPartitions),
+      outPath, bucketNs, saltBuckets, codec)
+
+  /** Shared write tail: input already carries
+    * `(metric, sname, ts, value [, event, tag_*])`.
+    * Hash partitioning on (metric, day) + a series salt: write
+    * parallelism is NOT capped at the distinct (metric, day) count — a
+    * hot metric-day splits across `saltBuckets` tasks by series hash —
+    * with no range-sampling job, and each task still writes contiguous
+    * sorted series runs into its partition dirs. */
+  private def writePrepared(df: DataFrame, path: String, bucketNs: Long,
+                            saltBuckets: Int, codec: String): Unit =
+    df
+      .withColumn("day", expr(s"ts div ${bucketNs}L")) // exact integer div:
+      // double division would round ts (> 2^53) near bucket boundaries
       .repartition(col("metric"), col("day"),
         pmod(xxhash64(col("sname")), lit(saltBuckets)))
       .sortWithinPartitions(col("metric"), col("day"), col("sname"), col("ts"))
       .write
       .partitionBy("metric", "day")
+      .option("compression", codec)
+      // v2 data pages: DELTA_BINARY_PACKED for the sorted ts column —
+      // both faster to encode and far smaller than v1's
+      // dictionary-attempt-then-plain on high-cardinality longs
+      .option("parquet.writer.version", "v2")
       .mode("overwrite")
       .parquet(path)
-  }
 
   /** Read the layout back as a TsStore (partition pruning on
     * metric/day happens automatically from query predicates). Pass
@@ -88,7 +165,19 @@ object Ingest {
     val eventCol =
       if (raw.columns.contains("event")) col("event")
       else lit(null).cast("string").as("event")
-    val facts = raw.select(col("metric"), col("tags"), col("ts"),
+    // Tags are reconstructed from the canonical sname (exact inverse of
+    // tagStr: space-separated k=v pairs, '=' split at first occurrence
+    // — str_to_map splits each pair with limit 2, like SeriesKey.parse).
+    // Queries that never touch `tags` (flattened-tag filters, aggregates)
+    // prune the projection away entirely.
+    val tagsCol =
+      if (raw.columns.contains("tags")) col("tags")
+      else when(instr(col("sname"), " ") > 0,
+          str_to_map(expr("substring(sname, instr(sname, ' ') + 1)"),
+            lit(" "), lit("=")))
+        .otherwise(map().cast("map<string,string>"))
+        .as("tags")
+    val facts = raw.select(col("metric"), tagsCol, col("ts"),
       col("value"), eventCol, col(TsStore.DayCol))
     seriesPath match {
       case Some(p) => new TsStore(facts, Some(spark.read.parquet(p)))
