@@ -631,6 +631,42 @@ object SparkEntry {
               |WHERE w > 0.005 * (SELECT sum(w) FROM c)
               |ORDER BY w DESC, 1""".stripMargin)),
 
+    // -- apply: frequent-items via the REAL bounded-memory SpaceSaver
+    // sketch (SpaceSaverAgg, per-partition summaries + merge). error=1e-6
+    // puts M far above the series cardinality, where the reference
+    // guarantees sketch == exact — same oracle as the exact gate. --------
+    "ts_apply_frequent_items_sketch" -> Gated(
+      (s, d) => run(
+        s"""{"select":"click","range":{"from":"$T0iso","to":"$T1iso"},
+           |"apply":[{"name":"frequent-items","error":0.000001,
+           |"portion":0.002,"approx":true}]}""".stripMargin)(s, d)
+        .orderBy(col("value").desc, col("sname")),
+      Some(s"""WITH c AS (
+              |  SELECT ${snameSql("event_type")} AS sname, min($tsSql) AS ts,
+              |         count(*)::DOUBLE AS value
+              |  FROM events WHERE event_type = 'click' AND ${rangeSql()}
+              |  GROUP BY 1)
+              |SELECT sname, ts, value FROM c
+              |WHERE value > 0.002 * (SELECT sum(value) FROM c)
+              |ORDER BY 3 DESC, 1""".stripMargin)),
+
+    // -- apply: heavy-hitters through the sketch path (value-weighted) ---
+    "ts_apply_heavy_hitters_sketch" -> Gated(
+      (s, d) => run(
+        s"""{"select":"purchase","range":{"from":"$T0iso","to":"$T1iso"},
+           |"apply":[{"name":"heavy-hitters","error":0.000001,
+           |"portion":0.005,"approx":true}]}""".stripMargin)(s, d)
+        .withColumn("value", round(col("value"), 6))
+        .orderBy(col("value").desc, col("sname")),
+      Some(s"""WITH c AS (
+              |  SELECT ${snameSql("event_type")} AS sname, min($tsSql) AS ts,
+              |         sum(value) AS w
+              |  FROM events WHERE event_type = 'purchase' AND ${rangeSql()}
+              |  GROUP BY 1)
+              |SELECT sname, ts, round(w, 6) AS value FROM c
+              |WHERE w > 0.005 * (SELECT sum(w) FROM c)
+              |ORDER BY w DESC, 1""".stripMargin)),
+
     // -- apply: sax — oracled: the window z-norm + Gaussian-cutpoint
     // bucketing + numerosity reduction replicated with DuckDB list
     // functions (alphabet 5 cutpoints are N(0,1) quintiles) -------------

@@ -188,12 +188,15 @@ object Pipe {
 
     // SpaceSaver frequent-items / heavy-hitters (reference:
     // spacesaver.h:1-153): series whose (weighted) frequency exceeds
-    // portion*N, count desc. With M = ceil(1/error) >= series cardinality
-    // the sketch is exact, so the distributed plan computes the exact
-    // counts with a single shuffle agg (map-side partial combine); the
-    // bounded-memory sketch itself lives in SpaceSaverAgg for
-    // stream/sketch parity. Emitted ts is the first-seen timestamp in
-    // scan order (spacesaver.h:137 `sample.get_timestamp()` at insert).
+    // portion*N, count desc. Default plan computes the EXACT counts with
+    // a single shuffle agg (map-side partial combine) — with
+    // M = ceil(1/error) >= series cardinality the reference's sketch is
+    // exact too, so the answers coincide there and the exact plan is
+    // strictly more accurate below it. `"approx": true` runs the actual
+    // bounded-memory sketch (SpaceSaverAgg, one O(M) summary per
+    // partition, merged) for reference sketch parity at cardinalities
+    // where exact per-key state would not fit. Emitted ts is the
+    // first-seen timestamp in scan order (spacesaver.h:137).
     case "frequent-items" | "heavy-hitters" =>
       val err = doubleParam(step, "error")
       if (err == 0.0) fail("`error` can't be 0.")
@@ -204,19 +207,38 @@ object Pipe {
       val vc = frame.valueCols.head
       val weighted = step.name == "heavy-hitters"
       val w = if (weighted) col(vc) else lit(1.0)
-      val firstTs = if (frame.backward) max(col(Ts)) else min(col(Ts))
-      val counted = frame.df
-        .groupBy(col(Sname))
-        .agg(sum(w).as("__count"), firstTs.as(Ts))
-      // support = N*P where N = total weight of the whole stream; kept
-      // lazy as a broadcast 1-row cross join (no driver-side action).
-      val totalDf = counted.agg(sum(col("__count")).as("__total"))
-      val df = counted
-        .crossJoin(broadcast(totalDf))
-        .filter(col("__count") > col("__total") * lit(portion))
-        .select(col(Sname), col(Ts), col("__count").as(vc))
-        .orderBy(col(vc).desc, col(Sname).asc)
-      frame.copy(df = df, valueCols = Seq(vc), ordered = true)
+      val approx = step.params.get("approx").exists {
+        case b: Boolean => b
+        case s: String  => s.equalsIgnoreCase("true")
+        case _          => false
+      }
+      if (approx) {
+        val m = math.ceil(1.0 / err).toLong
+          .min(Int.MaxValue.toLong).toInt // M = ceil(1/error), spacesaver.h:36
+        val agg = udaf(new SpaceSaverAgg(m, portion, frame.backward),
+          Encoders.product[SpaceSaverAgg.In])
+        val df = frame.df
+          .select(agg(col(Sname), col(Ts), w.cast("double")).as("__items"))
+          .select(explode(col("__items")).as("__it"))
+          .select(col("__it.sname").as(Sname), col("__it.ts").as(Ts),
+            col("__it.value").as(vc))
+          .orderBy(col(vc).desc, col(Sname).asc)
+        frame.copy(df = df, valueCols = Seq(vc), ordered = true)
+      } else {
+        val firstTs = if (frame.backward) max(col(Ts)) else min(col(Ts))
+        val counted = frame.df
+          .groupBy(col(Sname))
+          .agg(sum(w).as("__count"), firstTs.as(Ts))
+        // support = N*P where N = total weight of the whole stream; kept
+        // lazy as a broadcast 1-row cross join (no driver-side action).
+        val totalDf = counted.agg(sum(col("__count")).as("__total"))
+        val df = counted
+          .crossJoin(broadcast(totalDf))
+          .filter(col("__count") > col("__total") * lit(portion))
+          .select(col(Sname), col(Ts), col("__count").as(vc))
+          .orderBy(col(vc).desc, col(Sname).asc)
+        frame.copy(df = df, valueCols = Seq(vc), ordered = true)
+      }
 
     // SAX symbolic encoding (reference: sax.cpp:1-91, saxencoder.cpp):
     // sliding window z-norm -> alphabet buckets -> word per point, with

@@ -140,4 +140,59 @@ class PipeSpec extends SparkFunSuite {
     assert(rows3(df).map(t => (t._1, t._3)) == Seq(
       ("m h=A", 50.0), ("m h=B", 30.0)))
   }
+
+  test("approx:true matches exact when M >= cardinality (sketch gate)") {
+    val rows = (0 until 8).map(i => ("m", Map("h" -> "A"), 100L + i, 1.0)) ++
+      (0 until 3).map(i => ("m", Map("h" -> "B"), 200L + i, 1.0)) ++
+      Seq(("m", Map("h" -> "C"), 300L, 1.0))
+    val df = run(
+      """{"name":"frequent-items","error":0.01,"portion":0.2,"approx":true}""",
+      store(rows))
+    assert(rows3(df).map(t => (t._1, t._2, t._3)) == Seq(
+      ("m h=A", 100L, 8.0), ("m h=B", 200L, 3.0)))
+  }
+
+  test("SpaceSaverSketch eviction: min counter seeds newcomer with error") {
+    val sk = new graft.functions.SpaceSaverSketch(2, backward = false)
+    sk.put("a", 1L, 1.0); sk.put("a", 2L, 1.0) // a: count 2
+    sk.put("b", 3L, 1.0)                       // b: count 1
+    sk.put("c", 4L, 1.0) // evicts b (min=1): c count=2, error=1
+    assert(sk.counters.size == 2)
+    assert(!sk.counters.containsKey("b"))
+    val c = sk.counters.get("c")
+    assert(c.count == 2.0 && c.error == 1.0 && c.time == 4L)
+    assert(sk.n == 4.0)
+    // bounds: count - error <= true (1) <= count
+    assert(c.count - c.error <= 1.0 && 1.0 <= c.count)
+  }
+
+  test("SpaceSaverSketch merge is exact when neither side overflowed") {
+    val x = new graft.functions.SpaceSaverSketch(10, backward = false)
+    val y = new graft.functions.SpaceSaverSketch(10, backward = false)
+    x.put("a", 5L, 2.0); x.put("b", 6L, 1.0)
+    y.put("a", 3L, 3.0); y.put("c", 7L, 4.0)
+    val m = x.merge(y)
+    assert(m.n == 10.0)
+    val a = m.counters.get("a")
+    assert(a.count == 5.0 && a.error == 0.0 && a.time == 3L) // min ts wins
+    assert(m.counters.get("b").count == 1.0)
+    assert(m.counters.get("c").count == 4.0)
+    // exact: every item's bounds are tight
+    m.counters.forEach((_, it) => assert(it.error == 0.0))
+  }
+
+  test("SpaceSaverSketch merge prunes to capacity and keeps bounds") {
+    val x = new graft.functions.SpaceSaverSketch(2, backward = false)
+    val y = new graft.functions.SpaceSaverSketch(2, backward = false)
+    for (_ <- 0 until 5) x.put("a", 1L, 1.0)
+    for (_ <- 0 until 4) x.put("b", 2L, 1.0)
+    for (_ <- 0 until 3) y.put("a", 3L, 1.0)
+    for (_ <- 0 until 2) y.put("d", 4L, 1.0)
+    val m = x.merge(y)
+    assert(m.counters.size <= 2)
+    assert(m.n == 14.0)
+    val a = m.counters.get("a")
+    // true count of a = 8; upper bound holds, lower bound holds
+    assert(a.count >= 8.0 && a.count - a.error <= 8.0)
+  }
 }
