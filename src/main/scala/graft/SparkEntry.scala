@@ -707,7 +707,9 @@ object SparkEntry {
               |WHERE prev IS NULL OR sax != prev
               |ORDER BY 2, 1""".stripMargin)),
 
-    // -- apply: anomaly over bucketed frames (rows-only; AnomalySpec) ----
+    // -- apply: anomaly over bucketed frames — oracled: the EWMA
+    // forecaster (seeded with the first observation) via recursive CTE,
+    // then the frame-wise rule err > sqrt(sum err^2 over frame) * T ------
     // group-aggregate gives regular per-day frames across series — the
     // shape the detector's frame-wise F2 rule is defined on.
     "ts_apply_anomaly" -> Gated(
@@ -716,8 +718,34 @@ object SparkEntry {
            |"range":{"from":"$T0iso","to":"$T1iso"},"group-by-tag":["user"],
            |"apply":[{"name":"anomaly","method":"ewma","alpha":0.4,
            |"threshold":0.2,"approx":false}]}""".stripMargin)(s, d)
+        .withColumn("mean", round(col("mean"), 6))
         .orderBy(col("ts"), col("sname")),
-      None),
+      Some(s"""WITH RECURSIVE src AS (
+              |  SELECT 'view:mean k=' || $kSql AS sname,
+              |    $T0 + (($tsSql - $T0) // $Day) * $Day AS ts,
+              |    avg(value) AS value
+              |  FROM events WHERE event_type = 'view' AND ${rangeSql()}
+              |  GROUP BY 1, 2),
+              |base AS (SELECT sname, ts, value,
+              |  row_number() OVER (PARTITION BY sname ORDER BY ts) AS rn
+              |  FROM src),
+              |r AS (
+              |  SELECT sname, ts, value, rn,
+              |    CAST(value AS DOUBLE) AS forecast,
+              |    CAST(value AS DOUBLE) AS state
+              |  FROM base WHERE rn = 1
+              |  UNION ALL
+              |  SELECT b.sname, b.ts, b.value, b.rn,
+              |    r.state,
+              |    b.value * 0.4 + r.state * 0.6
+              |  FROM r JOIN base b ON b.sname = r.sname AND b.rn = r.rn + 1),
+              |e AS (SELECT sname, ts, value,
+              |        abs(value - forecast) AS err FROM r),
+              |f AS (SELECT sname, ts, value, err,
+              |        sqrt(sum(err * err) OVER (PARTITION BY ts)) AS f2
+              |      FROM e)
+              |SELECT sname, ts, round(value, 6) AS mean FROM f
+              |WHERE err > f2 * 0.2 ORDER BY 2, 1""".stripMargin)),
 
     // -- /api/suggest: metric-names / tag-names / tag-values -------------
     "suggest_metric_names" -> Gated(
@@ -828,13 +856,35 @@ object SparkEntry {
               |  greatest(0.0, 1.0 - punct * 4.0) * 0.2, 6) AS quality
               |FROM f ORDER BY 1""".stripMargin)),
 
-    // -- text analysis: language-ID (rows-only; LlmSpec has real-language
-    // coverage — synthetic corpus text is vocabulary salad) --------------
+    // -- text analysis: language-ID — oracled: the same stopword-profile
+    // argmax + CJK short-circuit replicated in SQL (struct list_sort[-1]
+    // = Spark's greatest(struct(score, lang)), ties and all) -------------
     "doc_langid" -> Gated(
       (s, d) => Text.docStats(TestData.table(s, d, "documents"))
         .select(col("doc_id"), col("lang_pred"))
         .orderBy(col("doc_id")),
-      None),
+      Some {
+        val hits = Text.Profiles.map { case (lang, words) =>
+          s"""{'score': len(list_filter(toks, t -> list_contains(
+             |  [${words.map("'" + _.replace("'", "''") + "'").mkString(",")}], t)))::DOUBLE
+             |  / greatest(len(toks)::DOUBLE, 1.0), 'lang': '$lang'}""".stripMargin
+        }.mkString(",\n")
+        s"""WITH f AS (
+           |  SELECT doc_id, text,
+           |    string_split_regex(trim(lower(text)), '\\s+') AS toks
+           |  FROM documents),
+           |b AS (
+           |  SELECT doc_id,
+           |    length(regexp_replace(text, '[^\\p{Han}]', '', 'g'))::DOUBLE /
+           |      greatest(length(text)::DOUBLE, 1.0) AS cjk,
+           |    (list_sort([
+           |$hits
+           |    ]))[-1] AS best
+           |  FROM f)
+           |SELECT doc_id, CASE WHEN cjk > 0.3 THEN 'zh'
+           |  WHEN best.score > 0.05 THEN best.lang ELSE 'und' END AS lang_pred
+           |FROM b ORDER BY 1""".stripMargin
+      }),
 
     // -- dedup: exact content-hash groups --------------------------------
     "doc_dedup_exact" -> Gated(
@@ -858,12 +908,35 @@ object SparkEntry {
         .orderBy(col("a"), col("b")),
       Some(ngramJaccardOracle)),
 
-    // -- dedup: SimHash near-dup (rows-only; SimHashSpec) ----------------
+    // -- dedup: SimHash near-dup — oracled under the md5-based feature
+    // hash (xxhash64 has no DuckDB twin); the full bit-vote sketch, the
+    // pigeonhole banding, and the Hamming filter are all exercised and
+    // the oracle rebuilds the sketch bit for bit over all pairs ----------
     "doc_simhash" -> Gated(
       (s, d) => Dedup.simhashNearDup(TestData.table(s, d, "documents"),
-        maxDist = 6)
+        maxDist = 6, hashFn = Dedup.md5Hash60)
         .orderBy(col("a"), col("b")),
-      None),
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    string_split_regex(trim(lower(text)), '\s+') AS t
+             |  FROM documents),
+             |hx AS (
+             |  SELECT doc_id, list_transform(t, s ->
+             |    list_sum(list_transform(range(1, 16),
+             |      i -> (strpos('0123456789abcdef', (md5(s))[i]) - 1)::BIGINT
+             |           * (1::BIGINT << ((15 - i) * 4))))::BIGINT) AS h
+             |  FROM toks),
+             |sh AS (
+             |  SELECT doc_id, list_sum(list_transform(range(0, 60), b ->
+             |    CASE WHEN 2 * list_sum(list_transform(h, x -> (x >> b) & 1))
+             |              > len(h)
+             |         THEN (1::BIGINT << b) ELSE 0::BIGINT END))::BIGINT AS sig
+             |  FROM hx)
+             |SELECT a, b, hamming FROM (
+             |  SELECT x.doc_id AS a, y.doc_id AS b,
+             |    bit_count(xor(x.sig, y.sig))::INT AS hamming
+             |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id)
+             |WHERE hamming <= 6 ORDER BY 1, 2""".stripMargin)),
 
     // -- similarity: embedding near-dup pairs (exact cosine) -------------
     "embed_neardup" -> Gated(

@@ -192,6 +192,15 @@ object Dedup {
   def simhash64(text: Column): Column =
     simhashFromHashes(transform(Text.tokens(lower(text)), t => xxhash64(t)))
 
+  /** Oracle-replicable 60-bit feature hash: the first 15 hex chars of the
+    * md5 digest as a long. xxhash64 (the default feature hash) has no
+    * DuckDB twin; md5 does, so gates run the full SimHash pipeline under
+    * this hash and the oracle rebuilds it bit for bit. 60 bits keep the
+    * ANSI-safe long cast; the top 4 sketch bits are constant zero on both
+    * sides, which shifts no Hamming distance. */
+  val md5Hash60: Column => Column =
+    c => conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** SimHash from pre-hashed features. Callers should materialize the
     * hash array in its own projection (one string hash per token; the 64
     * bit-vote passes then run on longs). */
@@ -211,13 +220,14 @@ object Dedup {
     * exact band (pigeonhole), so candidates form by groupBy(band value),
     * never all-pairs. Output: (a, b, hamming). */
   def simhashNearDup(docs: DataFrame, maxDist: Int = 3,
-                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                     textCol: String = "text", idCol: String = "doc_id",
+                     hashFn: Column => Column = c => xxhash64(c)): DataFrame = {
     val nBands = maxDist + 1
     val width = 64 / nBands
     val sh = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism * 2)
       .select(col(idCol).as("id"),
-        transform(Text.tokens(lower(col(textCol))), t => xxhash64(t)).as("th"))
+        transform(Text.tokens(lower(col(textCol))), t => hashFn(t)).as("th"))
       .select(col("id"), simhashFromHashes(col("th")).as("h"))
     // band b: bits [b*width, (b+1)*width) (last band takes the rest)
     val bandKeys = array((0 until nBands).map { b =>

@@ -94,8 +94,9 @@ object Text {
   // --- language identification -------------------------------------------
 
   /** Stopword profiles for the n-gram-free heuristic: the most frequent
-    * function words of each language (public linguistic knowledge). */
-  private val Profiles: Seq[(String, Seq[String])] = Seq(
+    * function words of each language (public linguistic knowledge).
+    * Public so the oracle SQL can be generated from the same lists. */
+  val Profiles: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was",
       "for", "with", "as", "his", "on", "be", "at", "by", "this", "had", "not"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein",
