@@ -74,6 +74,24 @@ object SparkEntry {
       |  FROM grams x JOIN grams y ON x.doc_id < y.doc_id)
       |WHERE jaccard >= 0.5 ORDER BY 1, 2""".stripMargin
 
+  // list_transform to DOUBLE: DuckDB's float32 cosine differs from the
+  // engine's double math in the 7th decimal otherwise
+  private val embedNearDupOracle: String =
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
+      |SELECT a, b, score FROM (
+      |  SELECT x.vec_id AS a, y.vec_id AS b,
+      |    round(list_cosine_similarity(x.v, y.v), 6) AS score
+      |  FROM e x JOIN e y ON x.vec_id < y.vec_id)
+      |WHERE score >= 0.4 ORDER BY 1, 2""".stripMargin
+
+  private val annTopKOracle: String =
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
+      |SELECT b.vec_id, round(list_cosine_similarity(
+      |    (SELECT v FROM e WHERE vec_id = 7), b.v), 6) AS score
+      |FROM e b ORDER BY 2 DESC, 1 ASC LIMIT 10""".stripMargin
+
   // =====================================================================
   private lazy val gated: Seq[(String, Gated)] = Seq(
 
@@ -943,15 +961,18 @@ object SparkEntry {
       (s, d) => Embed.nearDupExact(TestData.table(s, d, "embeddings"),
         threshold = 0.4)
         .orderBy(col("a"), col("b")),
-      // list_transform to DOUBLE: DuckDB's float32 cosine differs from the
-      // engine's double math in the 7th decimal otherwise
-      Some("""WITH e AS (SELECT vec_id,
-             |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
-             |SELECT a, b, score FROM (
-             |  SELECT x.vec_id AS a, y.vec_id AS b,
-             |    round(list_cosine_similarity(x.v, y.v), 6) AS score
-             |  FROM e x JOIN e y ON x.vec_id < y.vec_id)
-             |WHERE score >= 0.4 ORDER BY 1, 2""".stripMargin)),
+      Some(embedNearDupOracle)),
+
+    // -- similarity: near-dup via the hyperplane-LSH SCALE path ----------
+    // Same oracle as the exact pair set: with 2 planes x 24 tables the
+    // per-pair miss probability at cosine 0.4 is (1-0.398)^24 ~ 5e-6 —
+    // recall 1 on the gated corpus by construction (the minhash-gate
+    // argument). Candidates still come only from shared buckets.
+    "embed_neardup_lsh" -> Gated(
+      (s, d) => Embed.nearDupLsh(TestData.table(s, d, "embeddings"),
+        threshold = 0.4, nPlanes = 2, tables = 24)
+        .orderBy(col("a"), col("b")),
+      Some(embedNearDupOracle)),
 
     // -- similarity: brute-force cosine top-k ANN baseline ---------------
     "ann_topk" -> Gated(
@@ -961,11 +982,42 @@ object SparkEntry {
           .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
         Embed.topK(emb, q, k = 10)
       },
-      Some("""WITH e AS (SELECT vec_id,
-             |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
-             |SELECT b.vec_id, round(list_cosine_similarity(
-             |    (SELECT v FROM e WHERE vec_id = 7), b.v), 6) AS score
-             |FROM e b ORDER BY 2 DESC, 1 ASC LIMIT 10""".stripMargin)),
+      Some(annTopKOracle)),
+
+    // -- similarity: top-k via hyperplane-LSH bucket probing -------------
+    // 2 planes x 32 tables: P(candidate missed) <= (1-0.35)^32 ~ 1e-6
+    // even at cosine 0.29 (the weakest top-10 score in the corpus), so
+    // the probe returns the exact brute-force top-10 on the gated data.
+    "ann_topk_lsh" -> Gated(
+      (s, d) => {
+        val emb = TestData.table(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") === 7)
+          .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+        Embed.topKLsh(emb, q, k = 10, nPlanes = 2, tables = 32)
+      },
+      Some(annTopKOracle)),
+
+    // -- similarity: top-k through the STORED partition-pruned IVF layout
+    // (writeIvf -> ivf_cell partition dirs -> cell-predicate probe). The
+    // gate probes ALL cells: this corpus is near-uniform random
+    // directions, so no partial probe can guarantee brute-force recall
+    // (a top-10 at cosine ~0.3 lands in cells uncorrelated with the
+    // query) — the full probe keeps the oracle exact while still running
+    // writeIvf + centroid assignment + the pruned-scan plumbing
+    // end-to-end. The partial-probe property that matters at scale —
+    // probing p cells reads ONLY those partition directories, and ranks
+    // them exactly — is asserted in LlmSpec via inputFiles.
+    "ann_topk_ivf" -> Gated(
+      (s, d) => {
+        val emb = TestData.table(s, d, "embeddings")
+        val tmp = s"/tmp/graft_ivf_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+        Embed.writeIvf(emb, tmp, nCentroids = 16)
+        val q = emb.filter(col("vec_id") === 7)
+          .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+        Embed.topKIvfStored(s.read.parquet(tmp), q, k = 10,
+          nCentroids = 16, nProbe = 16)
+      },
+      Some(annTopKOracle)),
 
     // -- full production path: events -> layout write -> pruned read -----
     // Exercises writeLayout (partition (metric, day), in-file (sname, ts)

@@ -173,6 +173,29 @@ object Embed {
       .write.partitionBy("ivf_cell").mode("overwrite").parquet(path)
   }
 
+  /** Top-k probe against a [[writeIvf]] layout: the `ivf_cell` filter is a
+    * partition-column predicate, so only `nProbe` of `nCentroids`
+    * directories are read — the 100 TB ANN path. Centroid selection is
+    * deterministic in the stored ids (xxhash64 sample), so recomputing it
+    * from the stored corpus reproduces the writer's centroids exactly. */
+  def topKIvfStored(stored: DataFrame, query: Seq[Double], k: Int,
+                    nCentroids: Int, nProbe: Int,
+                    vecCol: String = "embedding",
+                    idCol: String = "vec_id"): DataFrame = {
+    val centroids = sampleCentroids(stored, nCentroids, vecCol, idCol)
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    val qUnit = query.map(_ / qn)
+    val probes = centroids.zipWithIndex
+      .map { case (c, i) => (c.zip(qUnit).map { case (a, b) => a * b }.sum, i) }
+      .sortBy(-_._1).take(nProbe).map(_._2)
+    val q = array(qUnit.map(lit): _*)
+    stored
+      .filter(col("ivf_cell").isin(probes: _*))
+      .select(col(idCol), round(dot(normalized(col(vecCol)), q), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Exact embedding near-duplicate pairs (cosine >= threshold) via
     * block-broadcast join keyed on nothing — the VERIFICATION baseline for
     * small corpora and oracles. For the 100 TB path use

@@ -189,6 +189,29 @@ class LlmSpec extends SparkFunSuite {
     assert(ivf == exact)
   }
 
+  test("stored IVF partial probe reads only probed cell directories") {
+    val cluster1 = (0 until 8).map(i => Seq(1.0, 0.02 * i, 0.0, 0.0))
+    val cluster2 = (0 until 8).map(i => Seq(0.0, 0.0, 1.0, 0.02 * i))
+    val corpus = vecs(cluster1 ++ cluster2)
+    val path = "/tmp/graft_ivf_spec"
+    Embed.writeIvf(corpus, path, nCentroids = 4)
+    val stored = spark.read.parquet(path)
+    val probe = Embed.topKIvfStored(stored, Seq(1.0, 0.0, 0.0, 0.0), 3,
+      nCentroids = 4, nProbe = 2)
+    val got = probe.collect().map(_.getLong(0)).toSet
+    // pruning: the executed scan read at most 2 of the 4 cell partitions
+    // (inputFiles ignores pruning; the scan's runtime metric does not)
+    val scan = probe.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    val partsRead = scan.metrics("numPartitions").value
+    assert(partsRead <= 2, s"expected <=2 probed cell dirs, read $partsRead")
+    // ranking within the probed cells is the exact brute force
+    val exact = Embed.topK(corpus, Seq(1.0, 0.0, 0.0, 0.0), 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == exact)
+  }
+
   test("nearDupLsh is a subset of exact with full recall on tight pairs") {
     val tight = Seq(Seq.fill(64)(1.0), Seq.fill(64)(1.0).updated(0, 0.9))
     val noise = (0 until 6).map(i =>
