@@ -1043,6 +1043,27 @@ object SparkEntry {
               |  AND user_id IN (8, 9)
               |ORDER BY 2, 1, 3""".stripMargin)),
 
+    // -- meta:names served from the MAINTAINED series dimension ----------
+    // writeLayout + writeSeriesFromLayout, then readLayout attaches the
+    // dimension: the metadata query is O(series), never a fact scan
+    // (IngestSpec asserts the plan reads only the dimension parquet).
+    "layout_meta_names" -> Gated(
+      (s, d) => {
+        val base = s"/tmp/graft_layout_meta_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+        graft.io.Ingest.writeLayout(
+          TestData.events(s, d).samples
+            .filter(col("metric") === "purchase")
+            .withColumn("event", lit(null).cast("string")),
+          base, flattenTags = Seq("user"))
+        graft.io.Ingest.writeSeriesFromLayout(s, base, s"$base-series")
+        val st = graft.io.Ingest.readLayout(s, base, Some(s"$base-series"))
+        Planner.plan(QueryJson.parse(
+          s"""{"select":"meta:names","where":{"user":["4","5","6"]}}"""), st).df
+      },
+      Some(s"""SELECT DISTINCT ${snameSql("event_type")} AS sname FROM events
+              |WHERE event_type = 'purchase' AND user_id IN (4, 5, 6)
+              |ORDER BY 1""".stripMargin)),
+
     // -- ingestion: RESP protocol parse (data-point + row + dictionary) --
     "ingest_resp" -> Gated(
       (s, d) => {

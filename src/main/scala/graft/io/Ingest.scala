@@ -185,14 +185,35 @@ object Ingest {
     }
   }
 
-  /** The series dimension table, persisted alongside the facts so
-    * suggest/search/meta queries are O(series) not O(samples)
-    * (reference SeriesMatcher, seriesparser.h:74-140). */
+  /** The series dimension table `(metric, tags, tagstr)`, persisted
+    * alongside the facts so suggest/search/meta queries are O(series) not
+    * O(samples) (reference SeriesMatcher, seriesparser.h:74-140).
+    * Distributed: dropDuplicates shuffles on the key and each reducer
+    * writes its slice — no single-task bottleneck at 10^8 series. */
   def writeSeries(samples: DataFrame, path: String): Unit =
     samples
       .select(col("metric"), col("tags"),
         TsStore.tagStr(col("tags")).as("tagstr"))
       .dropDuplicates("metric", "tagstr")
-      .repartition(1)
       .write.mode("overwrite").parquet(path)
+
+  /** Derive + persist the series dimension from an already-written layout:
+    * reads only the (metric, sname) columns — a column-pruned scan, far
+    * cheaper than re-parsing the wire input — and reconstructs the tag
+    * map from the canonical sname. */
+  def writeSeriesFromLayout(spark: SparkSession, layoutPath: String,
+                            seriesPath: String): Unit = {
+    val tagstr = when(instr(col("sname"), " ") > 0,
+      expr("substring(sname, instr(sname, ' ') + 1)")).otherwise(lit(""))
+    spark.read.parquet(layoutPath)
+      .select(col("metric"), col("sname"))
+      .dropDuplicates("sname")
+      .withColumn("tagstr", tagstr)
+      .select(col("metric"),
+        when(length(col("tagstr")) > 0,
+          str_to_map(col("tagstr"), lit(" "), lit("=")))
+          .otherwise(map().cast("map<string,string>")).as("tags"),
+        col("tagstr"))
+      .write.mode("overwrite").parquet(seriesPath)
+  }
 }

@@ -96,6 +96,44 @@ class IngestSpec extends SparkFunSuite {
       LineProtocol.parseOpenTsdb("get cpu.real 123 1 h=a"))
   }
 
+  test("meta queries with a maintained dimension never scan the facts") {
+    val dir = Files.createTempDirectory("graft-seriesdim").toFile
+    val respFile = new java.io.File(dir, "session1.resp")
+    val lines = (0 until 30).flatMap { i =>
+      Seq(s"+cpu host=h${i % 3} dc=d${i % 2}", s":${1000000000L * i}", s":$i")
+    }
+    Files.write(respFile.toPath, lines.mkString("\n").getBytes)
+    val layout = new java.io.File(dir, "layout").getAbsolutePath
+    val seriesP = new java.io.File(dir, "series").getAbsolutePath
+    Ingest.ingestResp(spark, respFile.getAbsolutePath, layout,
+      flattenTags = Seq("host"))
+    Ingest.writeSeriesFromLayout(spark, layout, seriesP)
+    val st = Ingest.readLayout(spark, layout, Some(seriesP))
+    // full ingest flow: flat parse derived the same dimension writeSeries
+    // would have (6 distinct series, canonical tag order)
+    val meta = Planner.plan(QueryJson.parse(
+      """{"select":"meta:names","where":{"dc":["d0"]}}"""), st).df
+    assert(meta.collect().map(_.getString(0)).toSeq ==
+      Seq("cpu dc=d0 host=h0", "cpu dc=d0 host=h1", "cpu dc=d0 host=h2"))
+    // the plan must read ONLY the dimension parquet — a fact scan here is
+    // the 100TB-autocomplete-does-a-table-scan bug
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec        => scans(q.plan)
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString).toSeq
+      case other => other.children.flatMap(scans)
+    }
+    val scanned = scans(meta.queryExecution.executedPlan)
+    assert(scanned.nonEmpty && scanned.forall(_.contains("series")),
+      s"meta query scanned fact paths: ${scanned.mkString(",")}")
+    // suggest endpoints ride the same dimension
+    val tv = graft.plan.Meta.tagValues(st, "cpu", "host")
+    assert(tv.collect().map(_.getString(0)).toSeq == Seq("h0", "h1", "h2"))
+  }
+
   test("round-trip: RESP text -> layout write -> read -> query") {
     val dir = Files.createTempDirectory("graft-ingest").toFile
     val respFile = new java.io.File(dir, "session1.resp")
