@@ -28,8 +28,33 @@ object Api {
   def query(store: TsStore, json: String): QueryResult = {
     val root = JsonMethods.parse(json)
     val frame = Planner.plan(QueryJson.fromJValue(root), store)
+    outputSpec(root) match {
+      case None             => Rows(frame.df)
+      case Some((fmt, iso)) => Lines(format(frame, fmt, iso))
+    }
+  }
+
+  /** `/api/query` as formatted wire lines — the HTTP serving shape. The
+    * reference's default output format is RESP
+    * (query_results_pooler.cpp:367-380). */
+  def queryLines(store: TsStore, json: String): Dataset[String] = {
+    val root = JsonMethods.parse(json)
+    val frame = Planner.plan(QueryJson.fromJValue(root), store)
+    val (fmt, iso) = outputSpec(root).getOrElse(("resp", true))
+    format(frame, fmt, iso)
+  }
+
+  private def format(frame: Frame, fmt: String, iso: Boolean): Dataset[String] =
+    fmt match {
+      case "csv"  => OutputFormat.csv(frame, iso)
+      case "resp" => OutputFormat.resp(frame, iso)
+      case other  =>
+        throw QueryJson.QueryParseException(s"bad output.format '$other'")
+    }
+
+  private def outputSpec(root: JValue): Option[(String, Boolean)] =
     (root \ "output") match {
-      case JNothing => Rows(frame.df)
+      case JNothing => None
       case o =>
         val fmt = (o \ "format") match {
           case JString(f)   => f
@@ -43,14 +68,8 @@ object Api {
             throw QueryJson.QueryParseException(s"bad output.timestamp '$other'")
           case _ => throw QueryJson.QueryParseException("bad output.timestamp")
         }
-        fmt match {
-          case "csv"  => Lines(OutputFormat.csv(frame, iso))
-          case "resp" => Lines(OutputFormat.resp(frame, iso))
-          case other  =>
-            throw QueryJson.QueryParseException(s"bad output.format '$other'")
-        }
+        Some((fmt, iso))
     }
-  }
 
   /** `/api/suggest`. */
   def suggest(store: TsStore, json: String): DataFrame = Meta.suggest(store, json)
