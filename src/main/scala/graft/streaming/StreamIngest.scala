@@ -29,6 +29,48 @@ object StreamIngest {
     }.toDF()
   }
 
+  /** Parse a stream of whole RESP sessions (one element per session) —
+    * the reference's PRIMARY wire protocol in its streaming form. The
+    * session dictionary stays session-scoped exactly like the reference's
+    * per-connection parser state (akumulid/protocolparser.cpp:133-268).
+    * A malformed session is truncated at the first protocol error —
+    * samples parsed before it are kept, the rest of the session is
+    * dropped (the reference closes the connection on AKU_EBAD_DATA). */
+  def parseRespStream(sessions: Dataset[String]): DataFrame = {
+    import sessions.sparkSession.implicits._
+    sessions.flatMap(content =>
+      truncateOnError(LineProtocol.parseRespText(content))).toDF()
+  }
+
+  /** File-source RESP stream: one file = one session (`wholetext` keeps
+    * the dictionary scope intact; a line-split source would shear it). */
+  def respFileStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    parseRespStream(
+      spark.readStream.format("text").option("wholetext", "true")
+        .load(dir).select(col("value")).as[String])
+  }
+
+  private def truncateOnError(
+      it: Iterator[LineProtocol.ParsedSample]): Iterator[LineProtocol.ParsedSample] =
+    new scala.collection.AbstractIterator[LineProtocol.ParsedSample] {
+      private var pending: LineProtocol.ParsedSample = _
+      private var ready = false
+      private var dead = false
+      private def advance(): Unit =
+        if (!ready && !dead) {
+          try {
+            if (it.hasNext) { pending = it.next(); ready = true } else dead = true
+          } catch { case _: IllegalArgumentException => dead = true }
+        }
+      def hasNext: Boolean = { advance(); ready }
+      def next(): LineProtocol.ParsedSample = {
+        advance()
+        if (!ready) throw new NoSuchElementException("end of session")
+        ready = false; pending
+      }
+    }
+
   /** Append sink in the engine's layout: parquet partitioned by
     * (metric, day). `checkpoint` is the WAL: exactly-once per micro-batch
     * across restarts. */
@@ -46,19 +88,30 @@ object StreamIngest {
   /** Continuous group-aggregate: per (series, bucket) min/max/sum/count
     * over event-time windows with a watermark — the streaming analogue of
     * Q4 (reference continuous queries read the tail repeatedly; here the
-    * aggregation is incremental). `stepNs` buckets anchor at epoch. */
+    * aggregation is incremental).
+    *
+    * `anchorNs` anchors buckets exactly like batch Q4 anchors them at the
+    * query's `range.from` (reference aggregate.cpp:171-173) — pass the
+    * continuous query's start so batch and streaming produce identical
+    * bucket timestamps. Default 0 = epoch anchoring. The event-time
+    * window gets the same anchor via `startTime`, so the watermark's
+    * eviction window and the emitted bucket coincide. */
   def continuousGroupAggregate(samples: DataFrame, stepNs: Long,
-                               latenessSec: Int = 60): DataFrame = {
+                               latenessSec: Int = 60,
+                               anchorNs: Long = 0L): DataFrame = {
     val withEvent = samples
       .withColumn("event_time", timestamp_micros((col("ts") / 1000L).cast("long")))
       .withColumn("bucket_ts",
-        (col("ts") - pmod(col("ts"), lit(stepNs))).cast("long"))
+        (col("ts") - pmod(col("ts") - lit(anchorNs), lit(stepNs))).cast("long"))
       .withColumn("sname",
         TsStore.snameOf(col("metric"), TsStore.tagStr(col("tags"))))
+    val stepMs = stepNs / 1000000L
+    val startMs = java.lang.Math.floorMod(anchorNs / 1000000L, stepMs)
     withEvent
       .withWatermark("event_time", s"$latenessSec seconds")
       .groupBy(col("sname"), col("bucket_ts"),
-        window(col("event_time"), s"${stepNs / 1000000L} milliseconds"))
+        window(col("event_time"), s"$stepMs milliseconds",
+          s"$stepMs milliseconds", s"$startMs milliseconds"))
       .agg(
         min(col("value")).as("min"), max(col("value")).as("max"),
         sum(col("value")).as("sum"), count(col("value")).as("count"),
@@ -66,11 +119,18 @@ object StreamIngest {
       .drop("window")
   }
 
-  /** Streaming EWMA per series via mapGroupsWithState — the stateful
+  /** Streaming EWMA per series via flatMapGroupsWithState — the stateful
     * pipeline nodes (ewma/sma) in their streaming form (SURVEY §2.5:
-    * `KeyValueGroupedDataset.mapGroupsWithState` for custom state).
-    * Emits the latest forecast per series each micro-batch. */
-  def streamingEwma(samples: DataFrame, decay: Double): Dataset[(String, Double)] = {
+    * `KeyValueGroupedDataset` custom state). Emits one forecast PER
+    * SAMPLE, like the batch ewma node.
+    *
+    * Memory bound: one series' rows within one micro-batch are sorted in
+    * memory to restore event-time order (Spark hands the group unordered)
+    * — O(samples per series per batch) per task, NOT O(stream). With
+    * second-level batches that is a handful of points; a series hot
+    * enough to break this needs a watermarked window design instead. */
+  def streamingEwma(samples: DataFrame,
+                    decay: Double): Dataset[(String, Long, Double)] = {
     import samples.sparkSession.implicits._
     implicit val stateEnc: org.apache.spark.sql.Encoder[graft.functions.EwmaState] =
       org.apache.spark.sql.Encoders.kryo[graft.functions.EwmaState]
@@ -81,15 +141,17 @@ object StreamIngest {
         col("value").as[Double])
       .as[(String, Long, Double)]
       .groupByKey(_._1)
-    keyed.mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+    keyed.flatMapGroupsWithState(OutputMode.Append,
+      GroupStateTimeout.NoTimeout) {
       (key: String, rows: Iterator[(String, Long, Double)],
        state: GroupState[graft.functions.EwmaState]) =>
-        val st = state.getOption.getOrElse(new graft.functions.EwmaState(decay, delta = false))
-        var last = Double.NaN
-        // feed in event-time order within the batch
-        rows.toSeq.sortBy(_._2).foreach { case (_, _, v) => last = st.step(v) }
+        val st = state.getOption.getOrElse(
+          new graft.functions.EwmaState(decay, delta = false))
+        val out = rows.toArray.sortBy(_._2).map { case (_, ts, v) =>
+          (key, ts, st.step(v))
+        }
         state.update(st)
-        key -> last
+        out.iterator
     }
   }
 }

@@ -67,6 +67,103 @@ class StreamingSpec extends SparkFunSuite {
     assert(rows.select("ts").distinct().count() == 8)
   }
 
+  test("RESP session stream: dictionary scope, restart without duplicates") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-resp-stream").toFile
+    val in = new java.io.File(dir, "in"); in.mkdirs()
+    val out = new java.io.File(dir, "out").getAbsolutePath
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    def session(name: String, ids: Range): Unit = {
+      // per-session dictionary, then :id data points (the reference's
+      // high-throughput wire shape)
+      val dict = Seq("*2", "+cpu host=a", ":7")
+      val points = ids.flatMap(i =>
+        Seq(":7", s":${1000000000L * i}", s"+$i.5"))
+      Files.write(new java.io.File(in, name).toPath,
+        (dict ++ points).mkString("\n").getBytes)
+    }
+    def startQuery() = StreamIngest.writeLayoutStream(
+      StreamIngest.respFileStream(spark, in.getAbsolutePath), out, ckpt).start()
+    session("s1.resp", 0 until 5)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(out).count() == 5)
+    // restart on the same checkpoint: only the new session is processed
+    session("s2.resp", 5 until 8)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = spark.read.parquet(out)
+    assert(rows.count() == 8)
+    assert(rows.select("ts").distinct().count() == 8)
+    val vals = rows.select("value").collect().map(_.getDouble(0)).sorted
+    assert(vals.toSeq == (0 until 8).map(_ + 0.5))
+  }
+
+  test("malformed RESP session truncates at the error, keeps prior samples") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val input = MemoryStream[String]
+    val parsed = StreamIngest.parseRespStream(input.toDS())
+    val query = parsed.writeStream
+      .format("memory").queryName("resptrunc")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      input.addData(
+        "+cpu host=a\n:1000\n:1\n+cpu host=a\n:2000\n:2\n*BROKEN\n:junk")
+      query.processAllAvailable()
+      val got = spark.sql("SELECT ts, value FROM resptrunc ORDER BY ts").collect()
+      assert(got.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+        Seq((1000L, 1.0), (2000L, 2.0)))
+    } finally query.stop()
+  }
+
+  test("continuous aggregate with anchor matches batch Q4 buckets exactly") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    // T0 NOT a multiple of the step: epoch anchoring would misplace every
+    // bucket; begin anchoring must reproduce batch Q4's bucket_ts
+    val t0s = 1418197421L
+    val t0 = t0s * 1000000000L
+    val step = 10L * 1000000000L
+    val offsets = Seq(0L, 3L, 9L, 12L, 17L, 25L)
+    val input = MemoryStream[String]
+    val parsed = StreamIngest.parseOpenTsdbStream(input.toDS())
+    val agg = StreamIngest.continuousGroupAggregate(parsed, stepNs = step,
+      anchorNs = t0)
+    val query = agg.writeStream
+      .format("memory").queryName("cga_anchor")
+      .outputMode(OutputMode.Update)
+      .start()
+    try {
+      input.addData(offsets.map(o =>
+        s"put cpu ${t0s + o} ${o.toDouble} host=a"): _*)
+      query.processAllAvailable()
+      val streamRows = spark.sql(
+        """SELECT bucket_ts, min, max, sum, count FROM cga_anchor""")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+          r.getDouble(3), r.getLong(4))).sortBy(_._1)
+      // batch Q4 over the same samples, range beginning at T0
+      val st = SparkSpec.store(offsets.map(o =>
+        ("cpu", Map("host" -> "a"), t0 + o * 1000000000L, o.toDouble)))
+      val batch = graft.plan.Planner.plan(graft.ast.QueryJson.parse(
+        s"""{"group-aggregate":{"metric":"cpu","step":"10s",
+           |"func":["min","max","sum","count"]},
+           |"range":{"from":$t0,"to":${t0 + 30L * 1000000000L}}}""".stripMargin),
+        st).df
+      val batchRows = batch
+        .select("ts", "min", "max", "sum", "count")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4).toLong)).sortBy(_._1)
+      assert(batchRows.nonEmpty)
+      assert(streamRows.toSeq == batchRows.toSeq)
+      // and every bucket is begin-anchored, not epoch-anchored
+      assert(streamRows.forall { case (b, _, _, _, _) => (b - t0) % step == 0 })
+    } finally query.stop()
+  }
+
   test("streaming EWMA keeps per-series state across micro-batches") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
@@ -74,21 +171,22 @@ class StreamingSpec extends SparkFunSuite {
     val input = MemoryStream[String]
     val parsed = StreamIngest.parseOpenTsdbStream(input.toDS())
     val ewma = StreamIngest.streamingEwma(parsed, decay = 0.5)
-    val query = ewma.toDF("sname", "forecast").writeStream
+    val query = ewma.toDF("sname", "ts", "forecast").writeStream
       .format("memory").queryName("sewma")
-      .outputMode(OutputMode.Update)
+      .outputMode(OutputMode.Append)
       .start()
     try {
-      // warmup < 10 samples: forecast equals the current value
+      // warmup < 10 samples: forecast equals the current value, one
+      // emission PER SAMPLE like the batch node
       input.addData((1 to 3).map(i => s"put m $i $i.0 host=a"): _*)
       query.processAllAvailable()
-      val b1 = spark.sql("SELECT forecast FROM sewma").collect()
-      assert(b1.last.getDouble(0) == 3.0)
+      val b1 = spark.sql("SELECT forecast FROM sewma ORDER BY ts").collect()
+      assert(b1.map(_.getDouble(0)).toSeq == Seq(1.0, 2.0, 3.0))
       input.addData("put m 4 9.0 host=a")
       query.processAllAvailable()
-      // state persisted: still in warmup, forecast = current value
-      val b2 = spark.sql("SELECT forecast FROM sewma").collect()
-      assert(b2.last.getDouble(0) == 9.0)
+      // state persisted across micro-batches: still in warmup
+      val b2 = spark.sql("SELECT forecast FROM sewma ORDER BY ts").collect()
+      assert(b2.map(_.getDouble(0)).toSeq == Seq(1.0, 2.0, 3.0, 9.0))
     } finally query.stop()
   }
 }
