@@ -18,11 +18,14 @@ object Smoke {
     val n = SparkEntry.entry(spark).count()
     println(s"PROBE1 entry rows = $n")
 
+    // order-by on aggregate: accepted and ignored (reference
+    // parse_aggregate_query never reads it; output stays series-ordered)
     try {
-      ast.QueryJson.parse("""{"aggregate":{"click":"max"},"order-by":"time"}""")
-      println("PROBE2 FAIL: order-by on aggregate accepted")
+      val q = ast.QueryJson.parse(
+        """{"aggregate":{"click":"max"},"order-by":"time"}""")
+      println(s"PROBE2 order-by on aggregate ignored (kind=${q.kind.getClass.getSimpleName})")
     } catch { case e: IllegalArgumentException =>
-      println(s"PROBE2 rejected: ${e.getMessage}") }
+      println(s"PROBE2 FAIL: order-by on aggregate rejected: ${e.getMessage}") }
 
     try {
       val q = ast.QueryJson.parse("""{"aggregate":{"click":"median"}}""")

@@ -109,11 +109,11 @@ object QueryJson {
       case JString(s)        => fail(s"unexpected order-by value '$s'")
       case _                 => fail("bad order-by clause")
     }
-    // Any explicit order-by is disallowed on aggregate: the clause whitelist
-    // in the reference's validate_query excludes it (queryparser.cpp:934-985)
-    // and the aggregate frame has no ts column to time-order by.
-    if ((obj \ "order-by") != JNothing && kind.isInstanceOf[QueryKind.Aggregate])
-      fail("order-by is not allowed in aggregate queries")
+    // order-by on aggregate is ACCEPTED and ignored, matching the
+    // reference: validate_query whitelists order-by for every query kind
+    // and parse_aggregate_query simply never reads it, always emitting
+    // series order (queryparser.cpp:1569). The aggregate frame has no ts
+    // column, so the planner's finish() sorts by sname regardless.
 
     val limit  = (obj \ "limit")  match { case JNothing => None; case v => Some(num(v).toLong) }
     val offset = (obj \ "offset") match { case JNothing => None; case v => Some(num(v).toLong) }

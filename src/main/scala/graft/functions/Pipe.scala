@@ -20,14 +20,20 @@ object Pipe {
   final case class PipeException(msg: String) extends IllegalArgumentException(msg)
   private def fail(msg: String): Nothing = throw PipeException(msg)
 
-  /** IEEE-754 division like the reference's C++ doubles: x/0 = ±inf,
-    * 0/0 = NaN — Spark 4's ANSI mode would throw instead. Used at every
-    * division site a query can drive to a zero divisor. */
-  def ieeeDiv(num: Column, den: Column): Column =
-    when(den =!= 0.0, num / den)
-      .otherwise(when(num === 0.0 || num.isNull || isnan(num), lit(Double.NaN))
-        .when(num > 0, lit(Double.PositiveInfinity))
-        .otherwise(lit(Double.NegativeInfinity)))
+  /** IEEE-754 division like the reference's C++ doubles: x/0 = ±inf
+    * (sign of the result = XOR of operand signs, so a -0.0 denominator
+    * flips it), 0/0 and NaN/0 = NaN — Spark 4's ANSI mode would throw
+    * instead. NULL operands stay NULL (SQL semantics; C++ has no NULL).
+    * The -0.0 check reads the sign off the string cast ("-0.0"), which
+    * stays inside codegen and only evaluates on the zero branch. */
+  def ieeeDiv(num: Column, den: Column): Column = {
+    val negZeroDen = den.cast("string").startsWith("-")
+    when(num.isNull || den.isNull, lit(null).cast("double"))
+      .when(den =!= 0.0, num / den)
+      .when(num === 0.0 || isnan(num), lit(Double.NaN))
+      .when((num > 0) =!= negZeroDen, lit(Double.PositiveInfinity))
+      .otherwise(lit(Double.NegativeInfinity))
+  }
 
   def applyAll(steps: Seq[Apply], frame: Frame): Frame =
     steps.foldLeft(frame)((f, s) => applyStep(f, s))

@@ -30,7 +30,7 @@ object Sax {
   /** Gaussian equiprobable cutpoints per alphabet size (public normal-
     * distribution quantiles; reference table saxencoder.cpp:60-131). */
   def cutpoints(n: Int): Array[Double] = {
-    require(n >= 1 && n <= 21, "invalid alphabet size")
+    require(n >= 1 && n <= 20, "invalid alphabet size") // node range [1,20]
     // quantiles at k/n for k = 1..n-1 of N(0,1), via inverse erf
     Array.tabulate(n - 1)(k => normInv((k + 1).toDouble / n))
   }
@@ -98,8 +98,12 @@ object Sax {
       val v =
         if (stddev < ZnormThreshold) window(i) - mean // incl. NaN stddev
         else (window(i) - mean) / stddev
+      // NaN falls through every cutpoint and takes the LAST letter,
+      // matching the reference's to_char (saxencoder.cpp:135-142:
+      // `value < cuts[i]` is false for NaN at every i)
       var j = 0
-      while (j < cuts.length && v >= cuts(j)) j += 1
+      if (v.isNaN) j = cuts.length
+      else while (j < cuts.length && v >= cuts(j)) j += 1
       sb.append(Alphabet(j))
       i += 1
     }

@@ -72,10 +72,13 @@ object Dedup {
     * Jaccard > 0 shares one, so recall is exactly 1 — this is not a
     * sketch). Shape: explode(shingle) -> self-join per shingle bucket ->
     * distinct pair -> verify. `maxBucket` caps pathological shingle
-    * frequencies (boilerplate): buckets above the cap are dropped, which
-    * only ever drops candidates whose similarity evidence is carried
-    * ENTIRELY by ultra-common shingles — at scale, raise `n` instead.
-    * Output: (a, b, jaccard) with a < b. */
+    * frequencies (boilerplate): buckets above the cap are dropped, and
+    * set sizes are computed over the SAME retained universe as the
+    * intersection, so the reported score is the exact Jaccard over
+    * non-boilerplate shingles (when the cap never triggers — any corpus
+    * with < maxBucket docs sharing a shingle — it is the plain Jaccard).
+    * Pairs whose evidence is entirely heavy-carried drop out; at scale,
+    * raise `n` instead. Output: (a, b, jaccard) with a < b. */
   def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
                    textCol: String = "text", idCol: String = "doc_id",
                    maxBucket: Int = 1000): DataFrame = {
@@ -90,14 +93,16 @@ object Dedup {
     // Shingles are distinct per doc, so |A ∩ B| = the number of buckets a
     // pair co-occurs in — one groupBy(pair).count, no array payloads ever
     // cross the shuffle. Sizes join back as two small int columns.
-    val sizes = sh.select(col("id"), size(col("sh")).as("nsh"))
     val ex = sh.select(col("id"), explode(col("sh")).as("g"))
     // Heavy-shingle exclusion: the over-cap key set is tiny (boilerplate
-    // n-grams), broadcast anti-join; count-based intersection stays exact
-    // for every pair whose shingles are all under the cap.
+    // n-grams), broadcast anti-join. Set sizes count the RETAINED
+    // shingles (post anti-join), keeping numerator and denominator over
+    // one universe — sizing on the raw sets would bias every score low
+    // whenever part of a pair's overlap is heavy-carried.
     val heavy = ex.groupBy(col("g")).count().filter(col("count") > maxBucket)
       .select(col("g"))
     val bucketed = ex.join(broadcast(heavy), Seq("g"), "left_anti")
+    val sizes = bucketed.groupBy(col("id")).agg(count(lit(1)).as("nsh"))
     val inter = bucketed.alias("l")
       .join(bucketed.alias("r"), col("l.g") === col("r.g") &&
         col("l.id") < col("r.id"))

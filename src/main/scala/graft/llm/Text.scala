@@ -137,8 +137,8 @@ object Text {
   val PhoneRe = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
 
   private def countMatches(text: Column, re: String): Column =
-    size(filter(split(regexp_replace(text, re, ""), ""),
-      c => c === ""))
+    size(filter(split(regexp_replace(text, re, "\u0001"), ""),
+      c => c === "\u0001"))
 
   /** Per-document PII signal counts (emails, IPv4s, phone-ish runs). */
   def piiStats(docs: DataFrame, textCol: String = "text",

@@ -152,6 +152,25 @@ class PipeSpec extends SparkFunSuite {
       ("m h=A", 100L, 8.0), ("m h=B", 200L, 3.0)))
   }
 
+  test("ieeeDiv: signed zero denominators and NULL passthrough") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(1).select(
+      graft.functions.Pipe.ieeeDiv(lit(1.0), lit(0.0)).as("a"),
+      graft.functions.Pipe.ieeeDiv(lit(1.0), lit(-0.0)).as("b"),
+      graft.functions.Pipe.ieeeDiv(lit(-1.0), lit(-0.0)).as("c"),
+      graft.functions.Pipe.ieeeDiv(lit(0.0), lit(0.0)).as("d"),
+      graft.functions.Pipe.ieeeDiv(lit(1.0), lit(null).cast("double")).as("e"),
+      graft.functions.Pipe.ieeeDiv(lit(null).cast("double"), lit(2.0)).as("f"),
+      graft.functions.Pipe.ieeeDiv(lit(6.0), lit(2.0)).as("g"))
+    val r = df.collect().head
+    assert(r.getDouble(0).isPosInfinity)
+    assert(r.getDouble(1).isNegInfinity) // C++: 1.0 / -0.0 = -inf
+    assert(r.getDouble(2).isPosInfinity) // -1.0 / -0.0 = +inf
+    assert(r.getDouble(3).isNaN)
+    assert(r.isNullAt(4) && r.isNullAt(5)) // NULL stays NULL, not ±inf
+    assert(r.getDouble(6) == 3.0)
+  }
+
   test("SpaceSaverSketch eviction: min counter seeds newcomer with error") {
     val sk = new graft.functions.SpaceSaverSketch(2, backward = false)
     sk.put("a", 1L, 1.0); sk.put("a", 2L, 1.0) // a: count 2

@@ -58,8 +58,10 @@ class QueryJsonSpec extends AnyFunSuite {
   test("order-by validation") {
     intercept[IllegalArgumentException](QueryJson.parse(
       """{"select":"m","range":{"from":0,"to":1},"order-by":"sideways"}"""))
-    intercept[IllegalArgumentException](QueryJson.parse(
-      """{"aggregate":{"m":"max"},"order-by":"time"}"""))
+    // order-by on aggregate is accepted and ignored like the reference
+    // (validate_query whitelists it; parse_aggregate_query never reads it)
+    val q = QueryJson.parse("""{"aggregate":{"m":"max"},"order-by":"time"}""")
+    assert(q.kind.isInstanceOf[graft.ast.QueryKind.Aggregate])
   }
 
   test("backward range flag and ISO timestamps") {

@@ -41,6 +41,19 @@ class SaxSpec extends SparkFunSuite {
     assert(got == Seq((3000000000L, "abcd")))
   }
 
+  test("NaN z-values take the LAST alphabet letter like the reference") {
+    // reference to_char: NaN falls through every cutpoint
+    // (saxencoder.cpp:135-142) -> ALPHABET[cuts.size()]
+    val cuts = Sax.cutpoints(5)
+    val word = Sax.saxify(Array(1.0, 2.0, Double.NaN, 3.0), cuts)
+    assert(word.length == 4)
+    assert(word(2) == 'e') // alphabet_size 5 -> last letter 'e'
+    // all-NaN window: NaN stddev -> subtraction keeps NaN -> all last
+    assert(Sax.saxify(Array(Double.NaN, Double.NaN), cuts) == "ee")
+    // alphabet size capped at the node-level 20
+    intercept[IllegalArgumentException](Sax.cutpoints(21))
+  }
+
   test("sax node emits a new word when shape changes") {
     val vals = Seq(0.0, 1.0, 2.0, 3.0, 0.0) // last window [1,2,3,0] differs
     val rows = vals.zipWithIndex.map { case (v, i) =>
