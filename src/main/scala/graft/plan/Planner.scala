@@ -95,8 +95,14 @@ object Planner {
     // applies row-level. No-op for frames without the day column.
     val dayPred =
       if (store.samples.columns.contains(DayCol))
-        q.range.map(r =>
-          col(DayCol) >= lit(r.lo / DayNs) && col(DayCol) <= lit(r.hi / DayNs))
+        q.range.map { r =>
+          // the exclusive endpoint must not widen the bound: a
+          // boundary-aligned [d, d+1day) query reads ONE day directory,
+          // not two (forward excludes `to`, backward excludes `to` below)
+          val (loIncl, hiIncl) =
+            if (!r.backward) (r.from, r.to - 1) else (r.to + 1, r.from)
+          col(DayCol) >= lit(loIncl / DayNs) && col(DayCol) <= lit(hiIncl / DayNs)
+        }
       else None
     val preds = Seq(
       Some(col(Metric).isin(metrics: _*)),

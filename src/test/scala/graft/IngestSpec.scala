@@ -134,6 +134,37 @@ class IngestSpec extends SparkFunSuite {
     assert(tv.collect().map(_.getString(0)).toSeq == Seq("h0", "h1", "h2"))
   }
 
+  test("day-range queries prune layout partition directories") {
+    val dir = Files.createTempDirectory("graft-prune").toFile
+    val respFile = new java.io.File(dir, "s.resp")
+    // 3 days x 4 points; day = ts div DayNs
+    val day = 86400L * 1000000000L
+    val lines = (0 until 12).flatMap { i =>
+      Seq("+cpu host=h0", s":${(i / 4) * day + (i % 4) * 1000000000L}", s":$i")
+    }
+    Files.write(respFile.toPath, lines.mkString("\n").getBytes)
+    val layout = new java.io.File(dir, "layout").getAbsolutePath
+    Ingest.ingestResp(spark, respFile.getAbsolutePath, layout)
+    val st = Ingest.readLayout(spark, layout)
+    // query only day 1
+    val df = Planner.plan(QueryJson.parse(
+      s"""{"select":"cpu","range":{"from":$day,"to":${2 * day}}}"""), st).df
+    assert(df.collect().map(_.getDouble(2)).sorted.toSeq ==
+      Seq(4.0, 5.0, 6.0, 7.0))
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec        => scans(q.plan)
+      case f: FileSourceScanExec    => Seq(f)
+      case other                    => other.children.flatMap(scans)
+    }
+    val scan = scans(df.queryExecution.executedPlan).head
+    // of the 3 day directories, only day=1 is read
+    assert(scan.metrics("numPartitions").value == 1,
+      s"expected 1 day partition read, got ${scan.metrics("numPartitions").value}")
+  }
+
   test("round-trip: RESP text -> layout write -> read -> query") {
     val dir = Files.createTempDirectory("graft-ingest").toFile
     val respFile = new java.io.File(dir, "session1.resp")
