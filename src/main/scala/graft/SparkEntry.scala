@@ -845,6 +845,36 @@ object SparkEntry {
              |  least(i*48+64, len(t)) - i*48 AS n_chunk_tokens
              |FROM u ORDER BY 1, 2""".stripMargin)),
 
+    // -- text analysis: winnowing (MOSS) fingerprints — oracled under the
+    // md5-based 60-bit gram hash (xxhash64 has no DuckDB twin); gram
+    // construction, window-min selection, and per-doc dedup replicated
+    // in SQL. Empty-gram docs yield no rows on either side. ---------------
+    "doc_winnow" -> Gated(
+      (s, d) => TestData.table(s, d, "documents")
+        .select(col("doc_id"),
+          explode(Text.winnow(col("text"), k = 5, w = 4,
+            hashFn = Dedup.md5Hash60)).as("fp"))
+        .filter(col("fp").isNotNull)
+        .orderBy(col("doc_id"), col("fp")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+             |  FROM documents),
+             |grams AS (
+             |  SELECT doc_id, list_transform(
+             |    list_transform(range(0, greatest(len(t) - 4, 0)),
+             |      i -> array_to_string(t[i+1 : i+5], ' ')),
+             |    g -> list_sum(list_transform(range(1, 16),
+             |      j -> (strpos('0123456789abcdef', (md5(g))[j]) - 1)::BIGINT
+             |           * (1::BIGINT << ((15 - j) * 4))))::BIGINT) AS gh
+             |  FROM toks),
+             |win AS (
+             |  SELECT doc_id, list_distinct(list_transform(
+             |    range(0, greatest(len(gh) - 3, 1)),
+             |    i -> list_min(gh[i+1 : i+4]))) AS fps
+             |  FROM grams)
+             |SELECT doc_id, fp FROM (SELECT doc_id, unnest(fps) AS fp FROM win)
+             |WHERE fp IS NOT NULL ORDER BY 1, 2""".stripMargin)),
+
     // -- text analysis: PII counts (regexes shared Java/RE2 syntax) ------
     "doc_pii" -> Gated(
       (s, d) => Text.piiStats(TestData.table(s, d, "documents"))

@@ -75,8 +75,11 @@ object Text {
     * each sliding window of `w` consecutive gram hashes. Guarantees any
     * shared run of >= w+k-1 tokens yields a shared fingerprint, with a
     * ~2/(w+1) selection rate — the standard scalable document-similarity
-    * fingerprint. Pure column expressions. */
-  def winnow(text: Column, k: Int = 5, w: Int = 4): Column = {
+    * fingerprint. Pure column expressions. `hashFn` is pluggable so the
+    * correctness gate can run under an oracle-replicable hash (see
+    * [[graft.llm.Dedup.md5Hash60]]); the default is the fast xxhash64. */
+  def winnow(text: Column, k: Int = 5, w: Int = 4,
+             hashFn: Column => Column = c => xxhash64(c)): Column = {
     val grams = transform(
       filter(
         transform(sequence(lit(0),
@@ -84,7 +87,7 @@ object Text {
           i => when(size(tokens(lower(text))) >= k,
             array_join(slice(tokens(lower(text)), i + 1, lit(k)), " "))),
         x => x.isNotNull),
-      g => xxhash64(g))
+      g => hashFn(g))
     val nw = greatest(size(grams) - (w - 1), lit(1))
     array_distinct(
       transform(sequence(lit(0), nw - 1),
