@@ -1,0 +1,26 @@
+package graft
+
+/** Perf harness: time the heavy gated queries at sf0.1 after the
+  * let-binding fix (winnow was 350s, minhash 10.6s, jaccard 10.3s,
+  * simhash 4.7s, embed_neardup_lsh 7.4s, ann_topk_ivf 10.0s). */
+object GateProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val d = "/root/testdata/sf0.1"
+    val heavy = Seq("doc_winnow", "doc_minhash_lsh", "doc_ngram_jaccard",
+      "doc_simhash", "embed_neardup", "embed_neardup_lsh", "ann_topk",
+      "ann_topk_lsh", "ann_topk_ivf", "doc_chunks", "doc_langid")
+    for (name <- heavy) {
+      val t0 = System.nanoTime()
+      val cnt = SparkEntry.queries(name)(spark, d).count()
+      println(f"HEAVY $name%-22s ${(System.nanoTime() - t0) / 1e9}%6.2f s  ($cnt rows)")
+    }
+    spark.stop()
+  }
+}

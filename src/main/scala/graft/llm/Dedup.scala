@@ -52,17 +52,19 @@ object Dedup {
 
   // --- word shingles -------------------------------------------------------
 
-  /** Distinct word n-gram shingles of the normalized text (Column
-    * expression; `transform` over a token-index sequence — stays codegen). */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = Text.tokens(lower(text))
-    array_distinct(
-      filter(
-        transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-          i => when(size(toks) >= n,
-            array_join(slice(toks, i + 1, lit(n)), " "))),
-        x => x.isNotNull))
-  }
+  /** Distinct word n-gram shingles of the normalized text. The token
+    * array is let-bound ([[Text.bindOnce]]) so the slice lambda reads a
+    * variable instead of re-tokenizing the document per gram index —
+    * without the binding this expression is O(tokens²) per row. */
+  def wordShingles(text: Column, n: Int): Column =
+    Text.bindOnce(Text.tokens(lower(text))) { toks =>
+      array_distinct(
+        filter(
+          transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+            i => when(size(toks) >= n,
+              array_join(slice(toks, i + 1, lit(n)), " "))),
+          x => x.isNotNull))
+    }
 
   // --- exact n-gram Jaccard near-dup --------------------------------------
 
@@ -133,9 +135,13 @@ object Dedup {
     * (long, seed) — cheap integer hashing, and no 64-bit multiply that
     * would trip ANSI overflow checking. */
   def minhashFromHashes(baseHashes: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(baseHashes, h => xxhash64(h, lit(i))))
-    }: _*)
+    // let-bound: the input array is referenced once per family member, so
+    // a non-attribute argument would be re-evaluated numHashes times
+    Text.bindOnce(baseHashes) { hs =>
+      array((0 until numHashes).map { i =>
+        array_min(transform(hs, h => xxhash64(h, lit(i))))
+      }: _*)
+    }
 
   /** MinHash-LSH near-duplicate candidates: signature split into `bands`
     * bands of `rowsPerBand`, docs grouped by (band index, band hash) —
@@ -209,15 +215,16 @@ object Dedup {
   /** SimHash from pre-hashed features. Callers should materialize the
     * hash array in its own projection (one string hash per token; the 64
     * bit-vote passes then run on longs). */
-  def simhashFromHashes(hashes: Column): Column = {
-    // For each of 64 bits: majority vote of the feature-hash bits.
-    val bits = (0 until 64).map { b =>
-      val votes = aggregate(hashes, lit(0L),
-        (acc, h) => acc + shiftright(h, b).bitwiseAND(lit(1L)))
-      when(votes * 2 > size(hashes), lit(1L << b)).otherwise(lit(0L))
+  def simhashFromHashes(hashes: Column): Column =
+    // let-bound: referenced by all 64 bit-vote aggregates
+    Text.bindOnce(hashes) { hs =>
+      val bits = (0 until 64).map { b =>
+        val votes = aggregate(hs, lit(0L),
+          (acc, h) => acc + shiftright(h, b).bitwiseAND(lit(1L)))
+        when(votes * 2 > size(hs), lit(1L << b)).otherwise(lit(0L))
+      }
+      bits.reduce((a, x) => a.bitwiseOR(x))
     }
-    bits.reduce((a, x) => a.bitwiseOR(x))
-  }
 
   /** SimHash near-dup pairs with Hamming distance <= maxDist. Candidates
     * via the standard banded-permutation trick: split 64 bits into

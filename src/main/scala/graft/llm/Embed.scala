@@ -30,12 +30,15 @@ object Embed {
     dot(a, b) / (norm(a) * norm(b))
 
   /** Unit-normalized copy of a vector column (computed once per row so
-    * downstream pair scoring is a dot product only). */
-  def normalized(vec: Column): Column = {
-    val n = sqrt(aggregate(vec, lit(0.0),
-      (acc, x) => acc + x.cast("double") * x.cast("double")))
-    transform(vec, x => x.cast("double") / n)
-  }
+    * downstream pair scoring is a dot product only). The norm scalar is
+    * let-bound ([[Text.bindOnce]]): referenced directly inside the
+    * transform lambda it would be re-evaluated per element — an O(d)
+    * aggregate per component, O(d²) per vector. */
+  def normalized(vec: Column): Column =
+    Text.bindOnce(sqrt(aggregate(vec, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))) { n =>
+      transform(vec, x => x.cast("double") / n)
+    }
 
   /** Brute-force cosine top-k for one query vector: a single narrow map
     * over the corpus + TakeOrdered(k) — no shuffle beyond the final top-k
@@ -130,13 +133,15 @@ object Embed {
 
   /** Nearest-centroid id for a vector column (argmax of dot with each
     * unit centroid) — the IVF list assignment. */
-  def centroidId(vec: Column, centroids: Seq[Seq[Double]]): Column = {
-    val unit = normalized(vec)
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      struct(dot(unit, array(c.map(lit): _*)).as("score"), lit(i).as("cid"))
+  def centroidId(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    // let-bound: inlining `normalized(vec)` into every centroid's dot
+    // would recompute the normalization nCentroids times per row
+    Text.bindOnce(normalized(vec)) { unit =>
+      val scored = centroids.zipWithIndex.map { case (c, i) =>
+        struct(dot(unit, array(c.map(lit): _*)).as("score"), lit(i).as("cid"))
+      }
+      greatest(scored: _*).getField("cid")
     }
-    greatest(scored: _*).getField("cid")
-  }
 
   /** IVF top-k: assign the corpus to `nCentroids` inverted lists, probe
     * the query's `nProbe` nearest lists, rank candidates exactly.

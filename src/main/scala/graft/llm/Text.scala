@@ -11,6 +11,19 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
+  /** Let-binding for column expressions: evaluate `bound` ONCE per row
+    * and pass the result to `body` as a lambda variable. Catalyst copies
+    * expression trees instead of sharing them, so a Column val referenced
+    * inside a higher-order-function lambda is re-evaluated PER ELEMENT —
+    * an O(n) subexpression inside a `transform` over n elements silently
+    * becomes O(n²) per row (measured: the winnowing gate spent 350 s at
+    * sf0.1 re-deriving gram hashes per window position; with binding it
+    * runs in under a second). Encoded as `transform` over a one-element
+    * array: the argument is evaluated once, the lambda variable is a
+    * plain slot read. */
+  def bindOnce(bound: Column)(body: Column => Column): Column =
+    get(transform(array(bound), body), lit(0))
+
   /** Whitespace tokens. `split` on `\s+` after trim — matches DuckDB's
     * `string_split_regex(trim(text), '\s+')` so oracles line up. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
@@ -79,20 +92,21 @@ object Text {
     * correctness gate can run under an oracle-replicable hash (see
     * [[graft.llm.Dedup.md5Hash60]]); the default is the fast xxhash64. */
   def winnow(text: Column, k: Int = 5, w: Int = 4,
-             hashFn: Column => Column = c => xxhash64(c)): Column = {
-    val grams = transform(
-      filter(
-        transform(sequence(lit(0),
-          greatest(size(tokens(lower(text))) - k, lit(0))),
-          i => when(size(tokens(lower(text))) >= k,
-            array_join(slice(tokens(lower(text)), i + 1, lit(k)), " "))),
-        x => x.isNotNull),
-      g => hashFn(g))
-    val nw = greatest(size(grams) - (w - 1), lit(1))
-    array_distinct(
-      transform(sequence(lit(0), nw - 1),
-        i => array_min(slice(grams, i + 1, lit(w)))))
-  }
+             hashFn: Column => Column = c => xxhash64(c)): Column =
+    bindOnce(tokens(lower(text))) { toks =>
+      bindOnce(transform(
+        filter(
+          transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
+            i => when(size(toks) >= k,
+              array_join(slice(toks, i + 1, lit(k)), " "))),
+          x => x.isNotNull),
+        g => hashFn(g))) { grams =>
+        val nw = greatest(size(grams) - (w - 1), lit(1))
+        array_distinct(
+          transform(sequence(lit(0), nw - 1),
+            i => array_min(slice(grams, i + 1, lit(w)))))
+      }
+    }
 
   // --- language identification -------------------------------------------
 
