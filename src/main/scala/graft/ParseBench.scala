@@ -16,10 +16,12 @@ import graft.io.{Ingest, LineProtocol}
   *    (Hadoop Text decode) ~19M samples/s, binaryFiles + String(UTF_8)
   *    ~36M/s, raw NIO reads ~85M/s; Ingest.sessionFiles uses
   *    binaryFiles (portable to HDFS/S3, 2x the Text path);
-  *  - a Dataset-level count costs ~3x the RDD-level parse: catalyst row
-  *    materialization (object->row or InternalRow->unsafe projection)
-  *    dominates, which is storage-write work, so Bench charges it to the
-  *    write metric and measures parse at the RDD level;
+  *  - row materialization dominates the write path's head: the
+  *    object-encoder was 4x, GenericInternalRow (Object[] + boxed
+  *    ts/value per sample) 2.2x slower than the adopted
+  *    UnsafeRowWriter emission. It is storage-write work, so Bench
+  *    charges it to the write metric and measures parse at the RDD
+  *    level;
   *  - of the full write path, the shuffle adds ~0.8s, the in-partition
   *    sort ~0.8s, and parquet encode ~1.1s on top of ~1.2s of row
   *    materialization.
