@@ -217,8 +217,12 @@ object Ingest {
             lit(" "), lit("=")))
         .otherwise(map().cast("map<string,string>"))
         .as("tags")
-    val facts = raw.select(col("metric"), tagsCol, col("ts"),
-      col("value"), eventCol, col(TsStore.DayCol))
+    // flattened tag_<k> columns ride along: the planner routes `where`
+    // predicates to them (parquet pushdown) instead of the reconstructed
+    // map; projections that don't filter on tags prune them away
+    val tagCols = raw.columns.filter(_.startsWith("tag_")).toSeq.map(col)
+    val facts = raw.select(Seq(col("metric"), tagsCol, col("ts"),
+      col("value"), eventCol, col(TsStore.DayCol)) ++ tagCols: _*)
     seriesPath match {
       case Some(p) => new TsStore(facts, Some(spark.read.parquet(p)))
       case None    => new TsStore(facts)

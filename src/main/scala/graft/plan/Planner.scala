@@ -51,16 +51,30 @@ object Planner {
 
   /** Tag predicate (reference: queryparser.cpp:692-750 — OR within a tag,
     * AND across tags; list form enumerates exact combinations). */
-  def wherePred(w: Where): Column = w match {
-    case Where.All => lit(true)
-    case Where.TagMap(m) =>
-      m.map { case (t, vs) => try_element_at(col(Tags), lit(t)).isin(vs: _*) }
-        .reduceOption(_ && _).getOrElse(lit(true))
-    case Where.Enumerate(rows) =>
-      rows.map { r =>
-        r.map { case (t, v) => try_element_at(col(Tags), lit(t)) === v }
+  def wherePred(w: Where): Column = wherePredOver(w, _ => None)
+
+  /** [[wherePred]] with a per-tag column override. When the frame carries
+    * a tag as a flattened top-level `tag_<k>` column (the layout's
+    * pushdown contract, Ingest.writeLayout), the predicate must use THAT
+    * column: a filter on the reconstructed `tags` map evaluates
+    * str_to_map over the sname per row and never reaches the parquet
+    * scan, while the flat column lands in PushedFilters and skips row
+    * groups via min/max stats. Same null semantics either way (absent
+    * tag -> null -> predicate false). */
+  def wherePredOver(w: Where, tagCol: String => Option[Column]): Column = {
+    def tc(t: String): Column =
+      tagCol(t).getOrElse(try_element_at(col(Tags), lit(t)))
+    w match {
+      case Where.All => lit(true)
+      case Where.TagMap(m) =>
+        m.map { case (t, vs) => tc(t).isin(vs: _*) }
           .reduceOption(_ && _).getOrElse(lit(true))
-      }.reduceOption(_ || _).getOrElse(lit(true))
+      case Where.Enumerate(rows) =>
+        rows.map { r =>
+          r.map { case (t, v) => tc(t) === v }
+            .reduceOption(_ && _).getOrElse(lit(true))
+        }.reduceOption(_ || _).getOrElse(lit(true))
+    }
   }
 
   private def vfPred(c: Column, f: ValueFilter): Column =
@@ -104,11 +118,14 @@ object Planner {
           col(DayCol) >= lit(loIncl / DayNs) && col(DayCol) <= lit(hiIncl / DayNs)
         }
       else None
+    val flatTag: String => Option[Column] = t =>
+      if (store.samples.columns.contains(s"tag_$t")) Some(col(s"tag_$t"))
+      else None
     val preds = Seq(
       Some(col(Metric).isin(metrics: _*)),
       q.range.map(rangePred),
       dayPred,
-      Some(wherePred(q.where))).flatten.reduce(_ && _)
+      Some(wherePredOver(q.where, flatTag))).flatten.reduce(_ && _)
     store.samples.filter(preds)
   }
 

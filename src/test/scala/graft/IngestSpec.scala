@@ -165,6 +165,39 @@ class IngestSpec extends SparkFunSuite {
       s"expected 1 day partition read, got ${scan.metrics("numPartitions").value}")
   }
 
+  test("where filters on flattened tags reach the parquet scan as pushed filters") {
+    val dir = Files.createTempDirectory("graft-pushdown").toFile
+    val respFile = new java.io.File(dir, "s.resp")
+    val lines = (0 until 20).flatMap { i =>
+      Seq(s"+cpu host=h${i % 4}", s":${1000000000L * i}", s":$i")
+    }
+    Files.write(respFile.toPath, lines.mkString("\n").getBytes)
+    val layout = new java.io.File(dir, "layout").getAbsolutePath
+    Ingest.ingestResp(spark, respFile.getAbsolutePath, layout,
+      flattenTags = Seq("host"))
+    val st = Ingest.readLayout(spark, layout)
+    val df = Planner.plan(QueryJson.parse(
+      s"""{"select":"cpu","range":{"from":0,"to":${1000000000L * 30}},
+         |"where":{"host":["h1","h2"]}}""".stripMargin), st).df
+    assert(df.collect().map(_.getDouble(2)).sorted.toSeq ==
+      Seq(1.0, 2.0, 5.0, 6.0, 9.0, 10.0, 13.0, 14.0, 17.0, 18.0))
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec        => scans(q.plan)
+      case f: FileSourceScanExec    => Seq(f)
+      case other                    => other.children.flatMap(scans)
+    }
+    val scan = scans(df.queryExecution.executedPlan).head
+    // the tag predicate must hit the scan as a data filter on the flat
+    // tag_host column (row-group min/max skipping), not evaluate on the
+    // reconstructed tags map post-scan
+    val pushed = scan.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("tag_host"),
+      s"tag filter not pushed into the scan: PushedFilters=$pushed")
+  }
+
   test("round-trip: RESP text -> layout write -> read -> query") {
     val dir = Files.createTempDirectory("graft-ingest").toFile
     val respFile = new java.io.File(dir, "session1.resp")
