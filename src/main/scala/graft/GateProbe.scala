@@ -5,14 +5,15 @@ package graft
   * simhash 4.7s, embed_neardup_lsh 7.4s, ann_topk_ivf 10.0s). */
 object GateProbe {
   def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = org.apache.spark.sql.SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val d = "/root/testdata/sf0.1"
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val heavy = Seq("doc_winnow", "doc_minhash_lsh", "doc_ngram_jaccard",
       "doc_simhash", "embed_neardup", "embed_neardup_lsh", "ann_topk",
       "ann_topk_lsh", "ann_topk_ivf", "doc_chunks", "doc_langid")

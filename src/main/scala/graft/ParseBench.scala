@@ -63,17 +63,22 @@ object ParseBench {
       println(f"STAGE single-thread-parse        ${best}%6.2f s  ${per / best / 1e6}%6.2f M/s")
     }
 
-    // 2. 32 plain JVM threads, raw parse (the parser's own ceiling)
+    // 2. 32 plain JVM threads, raw parse (the parser's own ceiling).
+    // Counts are checked on the MAIN thread after join: a require inside
+    // a spawned thread would be swallowed by the default handler and the
+    // stage would report a bogus (faster) rate from the dead thread.
     time("32-threads-parse") {
+      val total = new java.util.concurrent.atomic.AtomicLong()
       val ts = files.map { content =>
         new Thread(() => {
           val it = LineProtocol.parseRespText(content)
           var c = 0L
           while (it.hasNext) { it.next(); c += 1 }
-          require(c == per)
+          total.addAndGet(c)
         })
       }
       ts.foreach(_.start()); ts.foreach(_.join())
+      require(total.get() == n, s"threaded parse dropped rows: ${total.get()}")
     }
 
     val spark = org.apache.spark.sql.SparkSession.builder()

@@ -25,14 +25,6 @@ object Ingest {
 
   private val sampleEnc = Encoders.product[LineProtocol.ParsedSample]
 
-  /** Flat parse output for the ingest fast path: the canonical sname and
-    * the flattened tag values are derived ONCE PER SERIES inside the
-    * parser (dictionary sessions share one SeriesKey per series), so the
-    * write pipeline never evaluates the per-row map->sname expression
-    * chain that dominated the DataFrame path. */
-  final case class FlatSample(metric: String, sname: String, ts: Long,
-                              value: Double, event: String, tagv: Seq[String])
-
   /** Whole-session file contents, one String per file. `binaryFiles` +
     * an explicit UTF-8 decode, NOT `wholeTextFiles`: Hadoop's Text
     * re-decode path measured 2x slower end-to-end (ParseBench), while
