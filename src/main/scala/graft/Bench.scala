@@ -67,6 +67,15 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val skipQueries = sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("ingest")
+    // warm the engine before any timer starts: JVM/codegen/shuffle init
+    // otherwise lands on whichever query runs first (~4s on its number)
+    if (!skipQueries) {
+      import spark.implicits._
+      spark.range(1000000).select(sum(col("id"))).head()
+      Seq(("w", 1)).toDF("a", "b").repartition(2, col("a"))
+        .groupBy("a").agg(sum(col("b"))).count()
+      SparkEntry.entry(spark).count()
+    }
     val errors = scala.collection.mutable.Map[String, String]()
     val results =
       if (skipQueries) Seq.empty[(String, Double)]
