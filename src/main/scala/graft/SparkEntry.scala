@@ -142,6 +142,7 @@ object SparkEntry {
     "ts_aggregate_group_by" -> Gated(
       (s, d) => run(
         """{"aggregate":{"click":["max","count"]},"group-by-tag":["user"]}""")(s, d)
+        .select("sname", "value")
         .orderBy(col("sname"), col("value")),
       Some(s"""WITH g AS (
               |  SELECT $kSql AS k, max(value) AS vmax,
@@ -157,6 +158,7 @@ object SparkEntry {
     "ts_aggregate" -> Gated(
       (s, d) => run(
         """{"aggregate":{"click":["min","max","count","mean","sum"],"view":["max"]}}""")(s, d)
+        .select("sname", "value")
         .withColumn("value", round(col("value"), 6))
         .orderBy(col("sname"), col("value")),
       Some(s"""WITH g AS (
@@ -178,6 +180,43 @@ object SparkEntry {
               |  UNION ALL
               |  SELECT m||':max k='||k||' user='||u, vmax FROM g WHERE m='view')
               |ORDER BY 1, 2""".stripMargin)),
+
+    // -- Q3 aggregate output timestamps: each row carries the per-func ts
+    // (reference: operators/aggregate.cpp:270-350 — min->mints, max->maxts,
+    // first->_begin, sum/last->_end; *_timestamp rows have payload NONE,
+    // i.e. a null value cell) -----------------------------------------------
+    "ts_aggregate_output_ts" -> Gated(
+      (s, d) => run(
+        """{"aggregate":{"click":["min","max","first","last","sum",
+          |"first_timestamp","last_timestamp"]}}""".stripMargin)(s, d)
+        .withColumn("value", round(col("value"), 6))
+        .orderBy(col("sname")),
+      Some(s"""WITH b AS (
+              |  SELECT $kSql AS k, user_id AS u, $tsSql AS ts, value
+              |  FROM events WHERE event_type = 'click'),
+              |w AS (
+              |  SELECT *, min(value) OVER p AS wvmin, max(value) OVER p AS wvmax,
+              |         min(ts) OVER p AS wtmin, max(ts) OVER p AS wtmax
+              |  FROM b WINDOW p AS (PARTITION BY k, u)),
+              |g AS (
+              |  SELECT k, u,
+              |    min(value) AS vmin, max(value) AS vmax, sum(value) AS vsum,
+              |    min(ts) AS tfirst, max(ts) AS tlast,
+              |    min(ts) FILTER (WHERE value = wvmin) AS tminv,
+              |    max(ts) FILTER (WHERE value = wvmax) AS tmaxv,
+              |    min(value) FILTER (WHERE ts = wtmin) AS vfirst,
+              |    max(value) FILTER (WHERE ts = wtmax) AS vlast
+              |  FROM w GROUP BY 1, 2)
+              |SELECT 'click:'||f||' k='||k||' user='||u AS sname, ts,
+              |       round(value, 6) AS value FROM (
+              |  SELECT k, u, 'min' AS f, tminv AS ts, vmin AS value FROM g
+              |  UNION ALL SELECT k, u, 'max', tmaxv, vmax FROM g
+              |  UNION ALL SELECT k, u, 'first', tfirst, vfirst FROM g
+              |  UNION ALL SELECT k, u, 'last', tlast, vlast FROM g
+              |  UNION ALL SELECT k, u, 'sum', tlast, vsum FROM g
+              |  UNION ALL SELECT k, u, 'first_timestamp', tfirst, NULL FROM g
+              |  UNION ALL SELECT k, u, 'last_timestamp', tlast, NULL FROM g)
+              |ORDER BY 1""".stripMargin)),
 
     // -- Q4 group-aggregate: day buckets anchored at query begin ---------
     "ts_group_aggregate" -> Gated(
@@ -262,6 +301,7 @@ object SparkEntry {
     "ts_aggregate_where" -> Gated(
       (s, d) => run(
         """{"aggregate":{"purchase":["sum","count"]},"where":{"user":["1","2","3","4"]}}""")(s, d)
+        .select("sname", "value")
         .withColumn("value", round(col("value"), 6))
         .orderBy(col("sname"), col("value")),
       Some(s"""WITH g AS (

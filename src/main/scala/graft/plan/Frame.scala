@@ -15,9 +15,20 @@ import org.apache.spark.sql.DataFrame
   * @param ordered   true when a terminal pipeline node (e.g. `top`) already
   *                  defined the output order; the planner skips its final
   *                  order-by in that case
+  * @param seriesOrder   force series-major output regardless of order-by —
+  *                      `aggregate` emits one row per (series, func) in
+  *                      series order and the reference ignores any explicit
+  *                      order-by there (queryparser.cpp parse_aggregate_query)
+  * @param omitNullValue render a null value cell as NO field at all (the
+  *                      reference's payload-NONE samples from
+  *                      first_timestamp/last_timestamp,
+  *                      operators/aggregate.cpp:341-347) instead of the
+  *                      tuple empty-field form
   */
 final case class Frame(
     df: DataFrame,
     valueCols: Seq[String],
     backward: Boolean,
-    ordered: Boolean = false)
+    ordered: Boolean = false,
+    seriesOrder: Boolean = false,
+    omitNullValue: Boolean = false)

@@ -43,6 +43,25 @@ object Planner {
     "mean", "first", "last", "min_timestamp", "max_timestamp",
     "first_timestamp", "last_timestamp")
 
+  /** Output timestamp of an `aggregate` row (reference:
+    * operators/aggregate.cpp:270-350 — min family carries mints, max
+    * family maxts, first `_begin` = earliest sample ts, everything else
+    * `_end` = latest sample ts; `_begin`/`_end` are direction-independent
+    * after combine, operator.cpp:88-94). Extreme-value ties: earliest ts
+    * at the min, latest at the max (deterministic struct order; the
+    * reference's pick is scan-order-dependent under ties). */
+  private def aggOutputTs(func: String): Column = func match {
+    case "min" | "min_timestamp"     => min_by(col(Ts), struct(col(Value), col(Ts)))
+    case "max" | "max_timestamp"     => max_by(col(Ts), struct(col(Value), col(Ts)))
+    case "first" | "first_timestamp" => min(col(Ts))
+    case _                           => max(col(Ts))
+  }
+
+  /** Funcs whose aggregate rows carry NO value payload — the result IS the
+    * timestamp (reference: aggregate.cpp:341-347, AKU_PAYLOAD_NONE: the
+    * CSV/RESP line is just `sname,timestamp`). */
+  val NoPayloadFuncs: Set[String] = Set("first_timestamp", "last_timestamp")
+
   /** Semi-open scan range: forward `[from, to)`, backward `(to, from]`
     * (reference: storage_engine/operators/operator.h:77-104). */
   private def rangePred(r: TimeRange): Column =
@@ -168,12 +187,15 @@ object Planner {
         val base = baseScan(store, q, metrics)
           .withColumn(Tags, rekeyTags(col(Tags), q.groupBy))
           .withColumn("tagstr", tagStr(col(Tags)))
-        val aggCols = funcs.map(f => aggFunc(f).as(s"__$f"))
+        val aggCols = funcs.flatMap(f =>
+          Seq(aggFunc(f).as(s"__$f"), aggOutputTs(f).as(s"__ts_$f")))
         val grouped = base.groupBy(col(Metric), col("tagstr"))
           .agg(aggCols.head, aggCols.tail: _*)
         val fanout = array(pairs.map { case (m, f) =>
+          val v = if (NoPayloadFuncs(f)) lit(null).cast("double")
+                  else col(s"__$f").cast("double")
           when(col(Metric) === m,
-            struct(lit(f).as("func"), col(s"__$f").cast("double").as(Value)))
+            struct(lit(f).as("func"), col(s"__ts_$f").as(Ts), v.as(Value)))
         }: _*)
         val df = grouped
           .select(col(Metric), col("tagstr"), explode(fanout).as("pf"))
@@ -181,8 +203,9 @@ object Planner {
           .select(
             snameOf(concat(col(Metric), lit(":"), col("pf.func")),
               col("tagstr")).as(Sname),
+            col("pf.ts").as(Ts),
             col("pf.value").as(Value))
-        Frame(df, Seq(Value), bw)
+        Frame(df, Seq(Value), bw, seriesOrder = true, omitNullValue = true)
 
       // ---- group-aggregate: time-bucketed aggregate tuples ---------------
       // (reference: queryparser.cpp:1666-1777; plan queryplan.cpp:1341-1405)
@@ -303,10 +326,10 @@ object Planner {
   private def finish(frame: Frame, q: Query): Frame = {
     var df = frame.df
     if (!frame.ordered) {
-      // `aggregate` frames have no ts column (one row per series×func);
-      // the reference disallows explicit order-by there entirely and emits
-      // series-major (queryparser.cpp validate_query) — sort by sname only.
-      if (!df.columns.contains(Ts)) {
+      // `aggregate` frames are one row per (series, func); the reference
+      // ignores any explicit order-by there and emits series-major
+      // (queryparser.cpp parse_aggregate_query) — sort by sname only.
+      if (frame.seriesOrder || !df.columns.contains(Ts)) {
         df = df.orderBy(col(Sname).asc)
       } else {
         val tsCol = if (frame.backward) col(Ts).desc else col(Ts).asc

@@ -55,11 +55,17 @@ object OutputFormat {
         }
         var j = 0
         while (j < vIdxs.length) {
-          sb.append(if (resp) "\r\n+" else ",")
-          if (!row.isNullAt(vIdxs(j))) {
+          if (row.isNullAt(vIdxs(j))) {
+            // missing tuple cell -> empty field (bitmap bit = 0); but a
+            // payload-NONE sample (first/last_timestamp aggregates) emits
+            // NO field at all (reference: query_results_pooler.cpp:113-130
+            // skips the value when FLOAT_BIT is unset)
+            if (!frame.omitNullValue) sb.append(if (resp) "\r\n+" else ",")
+          } else {
+            sb.append(if (resp) "\r\n+" else ",")
             if (stringy(j)) sb.append(row.getString(vIdxs(j)))
             else sb.append(formatG17(row.getDouble(vIdxs(j))))
-          } // missing tuple cell -> empty field (bitmap bit = 0)
+          }
           j += 1
         }
         sb.toString

@@ -66,18 +66,21 @@ class PlannerSpec extends SparkFunSuite {
     val df = Planner.plan(QueryJson.parse(
       """{"aggregate":{"m":["min","max","sum","count","mean","first","last",
         |"min_timestamp","max_timestamp","first_timestamp","last_timestamp"]}}""".stripMargin), st).df
-    val got = df.collect().map(r => (r.getString(0), r.getDouble(1))).toMap
-    assert(got("m:min host=A") == 1.0)
-    assert(got("m:max host=A") == 9.0)
-    assert(got("m:sum host=A") == 18.0)
-    assert(got("m:count host=A") == 4.0)
-    assert(got("m:mean host=A") == 4.5)
-    assert(got("m:first host=A") == 5.0)          // value at earliest ts
-    assert(got("m:last host=A") == 3.0)           // value at latest ts
-    assert(got("m:min_timestamp host=A") == 200.0) // ts of min value
-    assert(got("m:max_timestamp host=A") == 300.0) // ts of max value
-    assert(got("m:first_timestamp host=A") == 100.0)
-    assert(got("m:last_timestamp host=A") == 400.0)
+    // each row: (sname, output ts per reference aggregate.cpp:270-350,
+    // value; *_timestamp rows carry payload NONE -> null value)
+    val got = df.collect().map(r => (r.getString(0),
+      (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    assert(got("m:min host=A") == ((200L, Some(1.0))))   // ts at min value
+    assert(got("m:max host=A") == ((300L, Some(9.0))))   // ts at max value
+    assert(got("m:sum host=A") == ((400L, Some(18.0))))  // _end
+    assert(got("m:count host=A") == ((400L, Some(4.0))))
+    assert(got("m:mean host=A") == ((400L, Some(4.5))))
+    assert(got("m:first host=A") == ((100L, Some(5.0)))) // value at _begin
+    assert(got("m:last host=A") == ((400L, Some(3.0))))  // value at _end
+    assert(got("m:min_timestamp host=A") == ((200L, Some(200.0))))
+    assert(got("m:max_timestamp host=A") == ((300L, Some(300.0))))
+    assert(got("m:first_timestamp host=A") == ((100L, None))) // payload NONE
+    assert(got("m:last_timestamp host=A") == ((400L, None)))
   }
 
   test("group-aggregate: buckets anchor at query begin (not wall clock)") {
