@@ -270,14 +270,22 @@ object Planner {
         // documented deviation; the reference materializer emits one row
         // per input sample (join.cpp:1-109), legal only when ingestion
         // guarantees unique (series, ts).
-        val aggs = metrics.map(m =>
+        // A repeated metric (legal: the reference joins a metric with
+        // itself, functests make_join_query(["test","test"])) aggregates
+        // once and fans out to one column per requested position.
+        val distinctMs = metrics.distinct
+        val aggs = distinctMs.map(m =>
           max(when(col(Metric) === m, col(Value))).as(m))
+        val outNames =
+          if (distinctMs.size == metrics.size) metrics
+          else metrics.zipWithIndex.map { case (m, i) => s"$m#$i" }
         val df = keyed.groupBy(col("tagstr"), col(Ts))
           .agg(aggs.head, aggs.tail: _*)
           .select(
             (snameOf(lit(metrics.mkString("|")), col("tagstr")).as(Sname) +:
-              col(Ts) +: metrics.map(m => col(s"`$m`"))): _*)
-        Frame(df, metrics, bw)
+              col(Ts) +:
+              metrics.zip(outNames).map { case (m, o) => col(s"`$m`").as(o) }): _*)
+        Frame(df, outNames, bw)
 
       // ---- group-aggregate-join: bucketed agg per metric, then align -----
       // (reference: queryparser.cpp:1819-1933; plan queryplan.cpp:1296-1338)

@@ -24,10 +24,45 @@ object Api {
   final case class Rows(df: DataFrame) extends QueryResult
   final case class Lines(ds: Dataset[String]) extends QueryResult
 
+  /** A data query whose series resolution is empty — the reference's
+    * `AKU_ENOT_FOUND` (`-not found` line, HTTP 404). */
+  final case class NotFoundException(msg: String = "not found")
+      extends RuntimeException(msg)
+
+  /** The reference returns `-not found` when the FIRST select column
+    * resolves to zero series (storage2.cpp:1449-1452: checks
+    * `columns.at(0).ids.empty()`), while an existing series with an empty
+    * time range streams an empty result. Metadata queries bypass the check
+    * (SELECT_META branch, storage2.cpp:1407-1424). Resolution = first
+    * metric + where-clause against the series index (the inverted-matcher
+    * lookup, queryparser.cpp:86-140) — here a `limit(1)` probe on the
+    * series dimension. */
+  private def requireSeries(store: TsStore, q: graft.ast.Query): Unit = {
+    import graft.ast.QueryKind._
+    val firstMetric = q.kind match {
+      case Select(m)                      => Some(m)
+      case SelectEvents(m, _)             => Some(m)
+      case Aggregate(pairs)               => pairs.headOption.map(_._1)
+      case GroupAggregate(ms, _, _)       => ms.headOption
+      case Join(ms)                       => ms.headOption
+      case GroupAggregateJoin(ms, _, _)   => ms.headOption
+      case MetaNames(_)                   => None
+    }
+    for (m <- firstMetric) {
+      val matched = store.series
+        .filter(org.apache.spark.sql.functions.col(TsStore.Metric) === m &&
+          Planner.wherePred(q.where))
+        .limit(1).count()
+      if (matched == 0L) throw NotFoundException()
+    }
+  }
+
   /** `/api/query` with optional output formatting. */
   def query(store: TsStore, json: String): QueryResult = {
     val root = JsonMethods.parse(json)
-    val frame = Planner.plan(QueryJson.fromJValue(root), store)
+    val q = QueryJson.fromJValue(root)
+    requireSeries(store, q)
+    val frame = Planner.plan(q, store)
     outputSpec(root) match {
       case None             => Rows(frame.df)
       case Some((fmt, iso)) => Lines(format(frame, fmt, iso))
@@ -39,7 +74,9 @@ object Api {
     * (query_results_pooler.cpp:367-380). */
   def queryLines(store: TsStore, json: String): Dataset[String] = {
     val root = JsonMethods.parse(json)
-    val frame = Planner.plan(QueryJson.fromJValue(root), store)
+    val q = QueryJson.fromJValue(root)
+    requireSeries(store, q)
+    val frame = Planner.plan(q, store)
     val (fmt, iso) = outputSpec(root).getOrElse(("resp", true))
     format(frame, fmt, iso)
   }

@@ -83,6 +83,9 @@ final class ApiHttp(store: TsStore, port: Int = 0) {
           errorLine(ex, 404, "Invalid request")
         else streamLines(ex, fn(readBody(ex)))
       } catch {
+        // empty series resolution -> the reference's 404 `-not found`
+        // (httpserver.cpp:111-114 maps AKU_ENOT_FOUND to MHD_HTTP_NOT_FOUND)
+        case e: Api.NotFoundException => errorLine(ex, 404, e.msg)
         case e: Exception =>
           errorLine(ex, 400,
             Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
