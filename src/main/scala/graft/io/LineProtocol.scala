@@ -88,7 +88,11 @@ object LineProtocol {
           while (e < len && content.charAt(e) != '\n') e += 1
           pos = e + 1
           while (s < e && content.charAt(s) <= ' ') s += 1
-          while (e > s && content.charAt(e - 1) <= ' ') e -= 1
+          // right-trim CONTROL chars only (the CRLF '\r'): a string body
+          // runs verbatim to the line break in the reference's RESP reader,
+          // so a trailing SPACE inside an event payload must survive
+          // (protocolparser.cpp read_string semantics)
+          while (e > s && content.charAt(e - 1) < ' ') e -= 1
           if (e > s) { lStart = s; lEnd = e; return true }
         }
         false

@@ -106,11 +106,14 @@ object Meta {
       min(col(TsStore.Ts)).as("min_ts"),
       max(col(TsStore.Ts)).as("max_ts"))
 
-  /** JSON entry for `/api/search` (reference: queryparser.cpp:1026-1076). */
+  /** JSON entry for `/api/search` (reference: queryparser.cpp:1026-1076).
+    * An empty or missing `select` lists every series — SeriesRetreiver's
+    * no-metric case returns all ids (queryparser.cpp:100-105;
+    * functests/test_search_api.py test_search_all_names). */
   def searchJson(store: TsStore, json: String): DataFrame = {
     val obj = JsonMethods.parse(json)
     val metric = (obj \ "select") match {
-      case JString(m) => Some(m)
+      case JString(m) => Some(m).filter(_.nonEmpty)
       case JNothing   => None
       case _          => fail("bad select field")
     }
