@@ -346,7 +346,7 @@ object SparkEntry {
         s"""{"group-aggregate-join":{"metric":["click","error"],"step":"6h","func":"max"},
            |"range":{"from":"$T0iso","to":"$T1iso"}}""".stripMargin)(s, d)
         .orderBy(col("ts"), col("sname")),
-      Some(s"""SELECT 'click:max|error:max k='||$kSql||' user='||user_id AS sname,
+      Some(s"""SELECT 'click|error k='||$kSql||' user='||user_id AS sname,
               |  $T0 + (($tsSql - $T0) // $H6) * $H6 AS ts,
               |  max(value) FILTER (event_type = 'click') AS click,
               |  max(value) FILTER (event_type = 'error') AS error

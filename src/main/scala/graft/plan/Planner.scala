@@ -295,12 +295,16 @@ object Planner {
         val base = baseScan(store, q, metrics)
           .withColumn(Tags, rekeyTags(col(Tags), q.groupBy))
           .withColumn("tagstr", tagStr(col(Tags)))
+        // Output series named `m1|m2|... tags` — the JOIN naming, WITHOUT
+        // per-column `:func` suffixes (reference: init_matcher_in_join_query
+        // queryparser.cpp:1792-1812, shared by join and group-aggregate-join;
+        // functests/test_eval.py asserts the "cpu.user|cpu.syst" prefix).
         val df = base
           .groupBy(col("tagstr"), bucketCol(r, step).as(Ts))
           .pivot(Metric, metrics)
           .agg(aggFunc(func))
           .select(
-            (snameOf(lit(metrics.map(m => s"$m:$func").mkString("|")),
+            (snameOf(lit(metrics.mkString("|")),
               col("tagstr")).as(Sname) +:
               col(Ts) +: metrics.map(m => col(s"`$m`"))): _*)
         Frame(df, metrics, bw)

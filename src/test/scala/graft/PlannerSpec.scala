@@ -150,7 +150,7 @@ class PlannerSpec extends SparkFunSuite {
       (200L, Some(5.0), None)))
   }
 
-  test("group-aggregate-join: bucketed agg then align, renamed m:f") {
+  test("group-aggregate-join: bucketed agg then align, join naming m1|m2") {
     val st = store(Seq(
       ("a", Map("h" -> "X"), 0L, 1.0), ("a", Map("h" -> "X"), 5L, 3.0),
       ("b", Map("h" -> "X"), 5L, 7.0)))
@@ -158,7 +158,7 @@ class PlannerSpec extends SparkFunSuite {
       """{"group-aggregate-join":{"metric":["a","b"],"step":10,"func":"max"},
         |"range":{"from":0,"to":20}}""".stripMargin), st).df
     val r = df.collect().head
-    assert(r.getString(0) == "a:max|b:max h=X")
+    assert(r.getString(0) == "a|b h=X")
     assert(r.getDouble(2) == 3.0 && r.getDouble(3) == 7.0)
   }
 
@@ -204,7 +204,7 @@ class PlannerSpec extends SparkFunSuite {
       """{"group-aggregate-join":{"metric":["a","b"],"step":10,"func":"max"},
         |"range":{"from":0,"to":20},"where":{"h":["X"]}}""".stripMargin), st).df
     val got = df.collect()
-    assert(got.length == 1 && got.head.getString(0) == "a:max|b:max h=X")
+    assert(got.length == 1 && got.head.getString(0) == "a|b h=X")
   }
 
   test("order-by series with limit/offset") {
