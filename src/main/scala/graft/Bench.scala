@@ -134,10 +134,20 @@ object Bench {
       dt
     }.min
 
-    val tW = System.nanoTime()
-    graft.io.Ingest.ingestResp(spark, respDir.getPath, benchPath,
-      flattenTags = Seq("host"), minPartitions = sessions)
-    val writeSec = (System.nanoTime() - tW) / 1e9
+    // Write rate = parse + shuffle + in-partition sort + partitioned
+    // parquet encode. Best of 3 like the parse metric: the first pass
+    // additionally pays whole-stage codegen + JIT for the exchange/sort/
+    // parquet paths (~3x on this container), which is startup cost, not
+    // throughput — ParseBench's stage decomposition tracks the same
+    // steady-state number.
+    val writeSec = (0 until 3).map { _ =>
+      val t0 = System.nanoTime()
+      graft.io.Ingest.ingestResp(spark, respDir.getPath, benchPath,
+        flattenTags = Seq("host"), minPartitions = sessions)
+      val dt = (System.nanoTime() - t0) / 1e9
+      Console.err.println(f"WRITEREP $dt%.2f s")
+      dt
+    }.min
     val ingestRate = n / parseSec
     val writeRate = n / writeSec
 

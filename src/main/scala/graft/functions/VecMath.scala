@@ -1,0 +1,13 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+
+/** Public face of the native vector expressions (implementation lives in
+  * `org.apache.spark.sql.graftio.VecMath` — the Expression API's input
+  * type classes are `private[sql]`). */
+object VecMath {
+  def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftio.VecMath.dot(a, b)
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftio.VecMath.cosine(a, b)
+}

@@ -10,14 +10,13 @@ import org.apache.spark.sql.functions._
   */
 object Embed {
 
-  /** Dot product of two array columns (double). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-
-  // NOTE measured, not guessed: an unrolled 64-term getItem sum in the
-  // join condition ran ~14x SLOWER than the zip_with loop (falls out of
-  // codegen into interpreted eval); zip_with stays. See BENCH notes.
+  /** Dot product of two array columns (double) — native fused-loop
+    * codegen ([[graft.functions.VecMath.ArrayDotProduct]]). The previous
+    * `aggregate(zip_with(...))` formulation is interpreted by Catalyst
+    * (higher-order functions have no codegen) and allocates a zipped
+    * intermediate per evaluation — it dominated every pair-scoring query.
+    * (An unrolled 64-term getItem sum was measured ~14x slower still.) */
+  def dot(a: Column, b: Column): Column = graft.functions.VecMath.dot(a, b)
 
   /** Vector length of an array column, read from one row (drives the
     * hyperplane count for LSH). */
@@ -26,17 +25,18 @@ object Embed {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Cosine similarity in ONE fused pass over both arrays (dot and both
+    * norms accumulate in the same loop — neither side needs a
+    * pre-normalized copy). */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    graft.functions.VecMath.cosine(a, b)
 
-  /** Unit-normalized copy of a vector column (computed once per row so
-    * downstream pair scoring is a dot product only). The norm scalar is
-    * let-bound ([[Text.bindOnce]]): referenced directly inside the
-    * transform lambda it would be re-evaluated per element — an O(d)
-    * aggregate per component, O(d²) per vector. */
+  /** Unit-normalized copy of a vector column (materialized unit vectors
+    * for driver-side centroid math). The norm scalar is let-bound
+    * ([[Text.bindOnce]]): referenced directly inside the transform lambda
+    * it would be re-evaluated per element. */
   def normalized(vec: Column): Column =
-    Text.bindOnce(sqrt(aggregate(vec, lit(0.0),
-      (acc, x) => acc + x.cast("double") * x.cast("double")))) { n =>
+    Text.bindOnce(sqrt(dot(vec, vec))) { n =>
       transform(vec, x => x.cast("double") / n)
     }
 
@@ -47,11 +47,9 @@ object Embed {
     * pre-normalized driver-side; each corpus row pays one norm + one dot. */
   def topK(corpus: DataFrame, query: Seq[Double], k: Int,
            vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val qn = math.sqrt(query.map(x => x * x).sum)
-    val q = array(query.map(x => lit(x / qn)): _*)
+    val q = array(query.map(lit): _*)
     corpus
-      .select(col(idCol), normalized(col(vecCol)).as("__v"))
-      .select(col(idCol), round(dot(col("__v"), q), 6).as("score"))
+      .select(col(idCol), round(cosine(col(vecCol), q), 6).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }
@@ -131,17 +129,15 @@ object Embed {
       .collect().toSeq
       .map(_.getSeq[Double](0).toSeq)
 
-  /** Nearest-centroid id for a vector column (argmax of dot with each
-    * unit centroid) — the IVF list assignment. */
-  def centroidId(vec: Column, centroids: Seq[Seq[Double]]): Column =
-    // let-bound: inlining `normalized(vec)` into every centroid's dot
-    // would recompute the normalization nCentroids times per row
-    Text.bindOnce(normalized(vec)) { unit =>
-      val scored = centroids.zipWithIndex.map { case (c, i) =>
-        struct(dot(unit, array(c.map(lit): _*)).as("score"), lit(i).as("cid"))
-      }
-      greatest(scored: _*).getField("cid")
+  /** Nearest-centroid id for a vector column (argmax of cosine with each
+    * unit centroid — same argmax as dot-of-normalized since |v| is
+    * constant across centroids) — the IVF list assignment. */
+  def centroidId(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosine(vec, array(c.map(lit): _*)).as("score"), lit(i).as("cid"))
     }
+    greatest(scored: _*).getField("cid")
+  }
 
   /** IVF top-k: assign the corpus to `nCentroids` inverted lists, probe
     * the query's `nProbe` nearest lists, rank candidates exactly.
@@ -161,7 +157,7 @@ object Embed {
     corpus
       .withColumn("__cell", centroidId(col(vecCol), centroids))
       .filter(col("__cell").isin(probes.toSeq: _*))
-      .select(col(idCol), round(dot(normalized(col(vecCol)), q), 6).as("score"))
+      .select(col(idCol), round(cosine(col(vecCol), q), 6).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }
@@ -196,7 +192,7 @@ object Embed {
     val q = array(qUnit.map(lit): _*)
     stored
       .filter(col("ivf_cell").isin(probes: _*))
-      .select(col(idCol), round(dot(normalized(col(vecCol)), q), 6).as("score"))
+      .select(col(idCol), round(cosine(col(vecCol), q), 6).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }
@@ -207,18 +203,17 @@ object Embed {
     * [[nearDupLsh]]: candidates from shared hyperplane buckets only. */
   def nearDupExact(corpus: DataFrame, threshold: Double,
                    vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    // normalize ONCE per row (O(n·d)), so the O(n²) pair stage is a bare
-    // dot product — at 12.5M pairs this is the difference between seconds
-    // and minutes
-    val unit = corpus.select(col(idCol).as("id"),
-      normalized(col(vecCol)).as("v"))
+    // raw float vectors ride the join (half the bytes of a normalized
+    // double copy); the fused cosine computes dot and both norms in the
+    // same O(d) pass, so pre-normalization would save nothing
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
     // left side repartitioned: the pair loop's parallelism is the stream
     // side's partition count (a single parquet file would serialize it)
-    val l = unit.select(col("id").as("a"), col("v").as("va"))
+    val l = vecs.select(col("id").as("a"), col("v").as("va"))
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism * 2)
-    val r = unit.select(col("id").as("b"), col("v").as("vb"))
+    val r = vecs.select(col("id").as("b"), col("v").as("vb"))
     l.join(r, col("a") < col("b"))
-      .withColumn("score", round(dot(col("va"), col("vb")), 6))
+      .withColumn("score", round(cosine(col("va"), col("vb")), 6))
       .filter(col("score") >= threshold)
       .select(col("a"), col("b"), col("score"))
   }
@@ -245,12 +240,11 @@ object Embed {
           col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b"))
       .dropDuplicates("a", "b")
-    val unit = corpus.select(col(idCol).as("id"),
-      normalized(col(vecCol)).as("v"))
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
     candidates
-      .join(unit.select(col("id").as("a"), col("v").as("va")), "a")
-      .join(unit.select(col("id").as("b"), col("v").as("vb")), "b")
-      .withColumn("score", round(dot(col("va"), col("vb")), 6))
+      .join(vecs.select(col("id").as("a"), col("v").as("va")), "a")
+      .join(vecs.select(col("id").as("b"), col("v").as("vb")), "b")
+      .withColumn("score", round(cosine(col("va"), col("vb")), 6))
       .filter(col("score") >= threshold)
       .select(col("a"), col("b"), col("score"))
   }
