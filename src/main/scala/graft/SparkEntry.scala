@@ -1038,12 +1038,9 @@ object SparkEntry {
     // per-pair miss probability at cosine 0.4 is (1-0.398)^24 ~ 5e-6 —
     // recall 1 on the gated corpus by construction (the minhash-gate
     // argument). Candidates still come only from shared buckets.
-    // carryVectors: at threshold 0.4 on this corpus (max pair cosine
-    // ~0.51) nearly every pair collides in some table — the dense regime,
-    // where inline scoring beats dedup-then-join-back (see nearDupLsh).
     "embed_neardup_lsh" -> Gated(
       (s, d) => Embed.nearDupLsh(TestData.table(s, d, "embeddings"),
-        threshold = 0.4, nPlanes = 2, tables = 24, carryVectors = true)
+        threshold = 0.4, nPlanes = 2, tables = 24)
         .orderBy(col("a"), col("b")),
       Some(embedNearDupOracle)),
 

@@ -220,57 +220,32 @@ object Embed {
 
   /** Scale path for near-dup: pairs colliding in >= 1 of `tables`
     * hyperplane tables, verified exactly. groupBy(bucket) keeps the join
-    * bucket-local — never all-pairs.
-    *
-    * Two plan shapes, chosen by collision density:
-    *  - `carryVectors = false` (default, the sparse/scale regime — high
-    *    thresholds where collisions are rare): banded rows carry ONLY
-    *    (id, table, key); candidate pairs are deduplicated and vectors
-    *    join back once per candidate. Shuffle stays O(tables·n) longs.
-    *  - `carryVectors = true` (the dense regime — low thresholds /
-    *    verification corpora where most pairs collide somewhere): vectors
-    *    ride the banded rows (O(tables·n) vector copies) and every
-    *    collision is scored INLINE by the fused cosine; the dedup runs on
-    *    the post-threshold survivors instead of the full collision set.
-    *    With dense collisions the join-back shape shuffles the collision
-    *    set twice (dedup + two vector joins), which costs more than the
-    *    extra vector copies — measured 3x on the gated corpus. */
+    * bucket-local — never all-pairs. */
   def nearDupLsh(corpus: DataFrame, threshold: Double,
                  nPlanes: Int = 10, tables: Int = 12,
-                 carryVectors: Boolean = false,
                  vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val dim = dimOf(corpus, vecCol)
     val keyArr = array((0 until tables).map(t =>
       hyperplaneKey(col(vecCol), randomPlanes(nPlanes, dim, 42L + t))): _*)
-    if (carryVectors) {
-      val banded = corpus
-        .select(col(idCol).as("id"), col(vecCol).as("v"), posexplode(keyArr))
-        .withColumnRenamed("pos", "table").withColumnRenamed("col", "key")
-      banded.alias("l")
-        .join(banded.alias("r"),
-          col("l.table") === col("r.table") && col("l.key") === col("r.key") &&
-            col("l.id") < col("r.id"))
-        .select(col("l.id").as("a"), col("r.id").as("b"),
-          round(cosine(col("l.v"), col("r.v")), 6).as("score"))
-        .filter(col("score") >= threshold)
-        .dropDuplicates("a", "b")
-    } else {
-      val banded = corpus
-        .select(col(idCol).as("id"), posexplode(keyArr))
-        .withColumnRenamed("pos", "table").withColumnRenamed("col", "key")
-      val candidates = banded.alias("l")
-        .join(banded.alias("r"),
-          col("l.table") === col("r.table") && col("l.key") === col("r.key") &&
-            col("l.id") < col("r.id"))
-        .select(col("l.id").as("a"), col("r.id").as("b"))
-        .dropDuplicates("a", "b")
-      val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-      candidates
-        .join(vecs.select(col("id").as("a"), col("v").as("va")), "a")
-        .join(vecs.select(col("id").as("b"), col("v").as("vb")), "b")
-        .withColumn("score", round(cosine(col("va"), col("vb")), 6))
-        .filter(col("score") >= threshold)
-        .select(col("a"), col("b"), col("score"))
-    }
+    // banded rows carry ONLY (id, table, key): dragging the vectors into
+    // the bucket self-join would multiply the shuffle by the candidate
+    // count times 2·dim doubles (measured 35x slower). Vectors join back
+    // once per DEDUPLICATED pair for scoring — the minhashLsh shape.
+    val banded = corpus
+      .select(col(idCol).as("id"), posexplode(keyArr))
+      .withColumnRenamed("pos", "table").withColumnRenamed("col", "key")
+    val candidates = banded.alias("l")
+      .join(banded.alias("r"),
+        col("l.table") === col("r.table") && col("l.key") === col("r.key") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+      .dropDuplicates("a", "b")
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    candidates
+      .join(vecs.select(col("id").as("a"), col("v").as("va")), "a")
+      .join(vecs.select(col("id").as("b"), col("v").as("vb")), "b")
+      .withColumn("score", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("score") >= threshold)
+      .select(col("a"), col("b"), col("score"))
   }
 }

@@ -223,11 +223,6 @@ class LlmSpec extends SparkFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.contains((0L, 1L)))
     assert(lsh == exact)
-    // the dense-regime plan (vectors carried, inline scoring) returns the
-    // same pair set and scores as the join-back plan
-    val inline = Embed.nearDupLsh(corpus, 0.99, carryVectors = true)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(inline == exact)
   }
 
   test("multimodal: features are deterministic, frames sample by offset") {
