@@ -71,156 +71,233 @@ object LineProtocol {
   def parseRespWith[T](content: String,
                        mk: (SeriesKey, Long, Double, String) => T): Iterator[T] =
     new scala.collection.AbstractIterator[T] {
-      private val len = content.length
-      private var pos = 0
-      private val dict = new java.util.HashMap[java.lang.Long, Seq[SeriesKey]]()
-      private var inPrelude = true // dictionary arrays legal only before data
-      private val queue = new java.util.ArrayDeque[T](MaxRowWidth)
-
-      // bounds of the current (trimmed, non-empty) line
-      private var lStart = 0
-      private var lEnd = 0
-
-      private def readLine(): Boolean = {
-        while (pos < len) {
-          var s = pos
-          var e = s
-          while (e < len && content.charAt(e) != '\n') e += 1
-          pos = e + 1
-          while (s < e && content.charAt(s) <= ' ') s += 1
-          // right-trim CONTROL chars only (the CRLF '\r'): a string body
-          // runs verbatim to the line break in the reference's RESP reader,
-          // so a trailing SPACE inside an event payload must survive
-          // (protocolparser.cpp read_string semantics)
-          while (e > s && content.charAt(e - 1) < ' ') e -= 1
-          if (e > s) { lStart = s; lEnd = e; return true }
-        }
-        false
+      private val cur = new RespCursor[T](mk)
+      cur.append(content)
+      cur.finish()
+      def hasNext: Boolean = {
+        while (!cur.hasQueued && cur.step()) {}
+        cur.hasQueued
       }
-      private def requireLine(): Unit =
-        if (!readLine()) fail("unexpected end of stream")
-
-      private def first: Char = content.charAt(lStart)
-      private def lineStr: String = content.substring(lStart, lEnd)
-      /** Body after the one-char type prefix, left-trimmed. */
-      private def bodyStr: String = {
-        var s = lStart + 1
-        while (s < lEnd && content.charAt(s) <= ' ') s += 1
-        content.substring(s, lEnd)
-      }
-
-      /** In-place integer parse of the body (no substring). */
-      private def parseLongBody(): Long = {
-        var i = lStart + 1
-        while (i < lEnd && content.charAt(i) <= ' ') i += 1
-        var neg = false
-        if (i < lEnd && (content.charAt(i) == '-' || content.charAt(i) == '+')) {
-          neg = content.charAt(i) == '-'; i += 1
-        }
-        if (i >= lEnd) fail(s"bad integer '$lineStr'")
-        var v = 0L
-        while (i < lEnd) {
-          val c = content.charAt(i)
-          if (c < '0' || c > '9') fail(s"bad integer '$lineStr'")
-          v = v * 10 + (c - '0')
-          i += 1
-        }
-        if (neg) -v else v
-      }
-
-      /** Double parse of the body: pure-digit bodies (the common `:123`
-        * integer value) parse in place; anything else — signs, `.`,
-        * exponents — goes through `Double.parseDouble` on one substring so
-        * rounding is bit-identical to the JDK. */
-      private def parseDoubleBody(): Double = {
-        var i = lStart + 1
-        while (i < lEnd && content.charAt(i) <= ' ') i += 1
-        val s0 = i
-        var v = 0L
-        var ok = i < lEnd
-        while (ok && i < lEnd) {
-          val c = content.charAt(i)
-          if (c >= '0' && c <= '9' && v <= 922337203685477579L) {
-            v = v * 10 + (c - '0'); i += 1
-          } else ok = false
-        }
-        if (ok) v.toDouble
-        else {
-          if (s0 >= lEnd) fail(s"bad value '$lineStr'")
-          java.lang.Double.parseDouble(content.substring(s0, lEnd))
-        }
-      }
-
-      private def oneSample(k: SeriesKey, ts: Long): T =
-        if (k.isEvent) {
-          if (first != '+') fail(s"expected RESP string, got '$lineStr'")
-          mk(k, ts, Double.NaN, bodyStr)
-        } else if (first == ':' || first == '+')
-          mk(k, ts, parseDoubleBody(), null)
-        else fail(s"expected RESP string, got '$lineStr'")
-
-      private def fillQueue(): Unit =
-        while (queue.isEmpty && readLine()) {
-          val c = first
-          if (c == '*' && inPrelude) {
-            // dictionary array: N elements = N/2 (name, id) pairs
-            val n = parseLongBody().toInt
-            if (n % 2 != 0) fail("dictionary array length must be even")
-            var k = 0
-            while (k < n / 2) {
-              requireLine()
-              if (first != '+') fail(s"expected RESP string, got '$lineStr'")
-              val name = bodyStr
-              requireLine()
-              if (first != ':')
-                fail(s"dictionary id must be integer, got '$lineStr'")
-              val id = parseLongBody()
-              val keys = expand(name)
-              if (dict.containsKey(id)) fail(s"dictionary id clash: $id")
-              dict.put(id, keys)
-              k += 1
-            }
-          } else {
-            inPrelude = false
-            // series: +name or :dict-id
-            val keys: Seq[SeriesKey] =
-              if (c == ':') {
-                val ks = dict.get(parseLongBody())
-                if (ks == null) fail(s"unknown dictionary id '$lineStr'")
-                ks
-              } else if (c == '+') expand(bodyStr)
-              else fail(s"expected RESP string, got '$lineStr'")
-            // timestamp: +ISO or :ns
-            requireLine()
-            val ts =
-              if (first == ':') parseLongBody()
-              else if (first == '+') AkuTime.parseTs(bodyStr)
-              else fail(s"expected RESP string, got '$lineStr'")
-            // value(s): scalar token or *N array (row protocol)
-            requireLine()
-            if (first == '*') {
-              val nv = parseLongBody().toInt
-              if (nv != keys.size)
-                fail(s"row width ${keys.size} != value count $nv")
-              var k = 0
-              while (k < nv) {
-                requireLine()
-                queue.add(oneSample(keys(k), ts))
-                k += 1
-              }
-            } else {
-              if (keys.size != 1) fail("scalar value against compound series")
-              queue.add(oneSample(keys.head, ts))
-            }
-          }
-        }
-
-      def hasNext: Boolean = { if (queue.isEmpty) fillQueue(); !queue.isEmpty }
       def next(): T = {
         if (!hasNext) throw new NoSuchElementException("end of RESP stream")
-        queue.poll()
+        cur.poll()
       }
     }
+
+  private object NeedMore extends scala.util.control.ControlThrowable
+
+  /** Resumable RESP session parser: the single implementation behind both
+    * the batch/file path ([[parseRespWith]] — whole session appended, then
+    * [[finish]]) and the wire transports, which [[append]] line-bounded
+    * chunks as they arrive and [[step]] after each one. An entry left
+    * incomplete at the end of the appended text suspends — the cursor
+    * rewinds to the entry start and `step` returns false until more text
+    * arrives (after [[finish]], a dangling entry is the reference's
+    * "unexpected end of stream" error instead). Dictionary inserts and
+    * row-protocol samples are staged per entry and committed only when the
+    * entry completes, so a replay after suspension cannot double-apply.
+    *
+    * `strict` mirrors the reference's wire behavior where an EMPTY line is
+    * a protocol error (akumulid issue #94; the file path keeps tolerating
+    * blank separator lines, which the UDP spool writer emits).
+    */
+  final class RespCursor[T](mk: (SeriesKey, Long, Double, String) => T,
+                            strict: Boolean = false) {
+    private var content: String = ""
+    private var len = 0
+    private var pos = 0
+    private var eof = false
+    private val dict = new java.util.HashMap[java.lang.Long, Seq[SeriesKey]]()
+    private var inPrelude = true // dictionary arrays legal only before data
+    private val queue = new java.util.ArrayDeque[T](MaxRowWidth)
+    private val staged = new java.util.ArrayList[T](MaxRowWidth)
+
+    /** Append a chunk of session text. Wire callers must cut chunks at a
+      * line boundary ('\n' is ASCII, so the cut is UTF-8 safe). */
+    def append(chunk: String): Unit = {
+      require(!eof, "append after finish")
+      content = if (pos == 0) {
+        if (content.isEmpty) chunk else content + chunk
+      } else content.substring(pos) + chunk // drop consumed prefix
+      pos = 0
+      len = content.length
+    }
+
+    /** No more input: a suspended entry now fails instead of waiting. */
+    def finish(): Unit = eof = true
+
+    /** Unconsumed tail (the suspended entry's text, if any). */
+    def pending: String = content.substring(pos)
+
+    def hasQueued: Boolean = !queue.isEmpty
+    def poll(): T = queue.poll()
+
+    // bounds of the current (trimmed, non-empty) line
+    private var lStart = 0
+    private var lEnd = 0
+
+    private def readLine(): Boolean = {
+      while (pos < len) {
+        var s = pos
+        var e = s
+        while (e < len && content.charAt(e) != '\n') e += 1
+        if (e == len && !eof) return false // partial line: wait for more
+        pos = e + 1
+        while (s < e && content.charAt(s) <= ' ') s += 1
+        // right-trim CONTROL chars only (the CRLF '\r'): a string body
+        // runs verbatim to the line break in the reference's RESP reader,
+        // so a trailing SPACE inside an event payload must survive
+        // (protocolparser.cpp read_string semantics)
+        while (e > s && content.charAt(e - 1) < ' ') e -= 1
+        if (e > s) { lStart = s; lEnd = e; return true }
+        if (strict) fail("empty line in stream") // akumulid issue #94
+      }
+      false
+    }
+    private def requireLine(): Unit =
+      if (!readLine()) {
+        if (eof) fail("unexpected end of stream") else throw NeedMore
+      }
+
+    private def first: Char = content.charAt(lStart)
+    private def lineStr: String = content.substring(lStart, lEnd)
+    /** Body after the one-char type prefix, left-trimmed. */
+    private def bodyStr: String = {
+      var s = lStart + 1
+      while (s < lEnd && content.charAt(s) <= ' ') s += 1
+      content.substring(s, lEnd)
+    }
+
+    /** In-place integer parse of the body (no substring). */
+    private def parseLongBody(): Long = {
+      var i = lStart + 1
+      while (i < lEnd && content.charAt(i) <= ' ') i += 1
+      var neg = false
+      if (i < lEnd && (content.charAt(i) == '-' || content.charAt(i) == '+')) {
+        neg = content.charAt(i) == '-'; i += 1
+      }
+      if (i >= lEnd) fail(s"bad integer '$lineStr'")
+      var v = 0L
+      while (i < lEnd) {
+        val c = content.charAt(i)
+        if (c < '0' || c > '9') fail(s"bad integer '$lineStr'")
+        v = v * 10 + (c - '0')
+        i += 1
+      }
+      if (neg) -v else v
+    }
+
+    /** Double parse of the body: pure-digit bodies (the common `:123`
+      * integer value) parse in place; anything else — signs, `.`,
+      * exponents — goes through `Double.parseDouble` on one substring so
+      * rounding is bit-identical to the JDK. */
+    private def parseDoubleBody(): Double = {
+      var i = lStart + 1
+      while (i < lEnd && content.charAt(i) <= ' ') i += 1
+      val s0 = i
+      var v = 0L
+      var ok = i < lEnd
+      while (ok && i < lEnd) {
+        val c = content.charAt(i)
+        if (c >= '0' && c <= '9' && v <= 922337203685477579L) {
+          v = v * 10 + (c - '0'); i += 1
+        } else ok = false
+      }
+      if (ok) v.toDouble
+      else {
+        if (s0 >= lEnd) fail(s"bad value '$lineStr'")
+        java.lang.Double.parseDouble(content.substring(s0, lEnd))
+      }
+    }
+
+    private def oneSample(k: SeriesKey, ts: Long): T =
+      if (k.isEvent) {
+        if (first != '+') fail(s"expected RESP string, got '$lineStr'")
+        mk(k, ts, Double.NaN, bodyStr)
+      } else if (first == ':' || first == '+')
+        mk(k, ts, parseDoubleBody(), null)
+      else fail(s"expected RESP string, got '$lineStr'")
+
+    /** Parse ONE protocol entry (dictionary array, data point, or row)
+      * into the queue. Returns false when no complete entry is available
+      * — end of the appended text, or a suspended partial entry. Throws
+      * [[ProtocolParseException]] on a protocol error. */
+    def step(): Boolean = {
+      val entryStart = pos
+      try {
+        if (!readLine()) { pos = entryStart; return false }
+        val c = first
+        if (c == '*' && inPrelude) {
+          // dictionary array: N elements = N/2 (name, id) pairs, staged
+          // and committed only once the whole array parsed
+          val n = parseLongBody().toInt
+          if (n % 2 != 0) fail("dictionary array length must be even")
+          val ids = new java.util.ArrayList[java.lang.Long](n / 2)
+          val keyss = new java.util.ArrayList[Seq[SeriesKey]](n / 2)
+          var k = 0
+          while (k < n / 2) {
+            requireLine()
+            if (first != '+') fail(s"expected RESP string, got '$lineStr'")
+            val name = bodyStr
+            requireLine()
+            if (first != ':')
+              fail(s"dictionary id must be integer, got '$lineStr'")
+            val id = parseLongBody()
+            val keys = expand(name)
+            if (dict.containsKey(id) || ids.contains(id))
+              fail(s"dictionary id clash: $id")
+            ids.add(id); keyss.add(keys)
+            k += 1
+          }
+          k = 0
+          while (k < ids.size) { dict.put(ids.get(k), keyss.get(k)); k += 1 }
+        } else {
+          // series: +name or :dict-id
+          val keys: Seq[SeriesKey] =
+            if (c == ':') {
+              val ks = dict.get(parseLongBody())
+              if (ks == null) fail(s"unknown dictionary id '$lineStr'")
+              ks
+            } else if (c == '+') expand(bodyStr)
+            else fail(s"expected RESP string, got '$lineStr'")
+          // timestamp: +ISO or :ns
+          requireLine()
+          val ts =
+            if (first == ':') parseLongBody()
+            else if (first == '+') AkuTime.parseTs(bodyStr)
+            else fail(s"expected RESP string, got '$lineStr'")
+          // value(s): scalar token or *N array (row protocol)
+          requireLine()
+          if (first == '*') {
+            val nv = parseLongBody().toInt
+            if (nv != keys.size)
+              fail(s"row width ${keys.size} != value count $nv")
+            staged.clear()
+            var k = 0
+            while (k < nv) {
+              requireLine()
+              staged.add(oneSample(keys(k), ts))
+              k += 1
+            }
+            queue.addAll(staged)
+            staged.clear()
+          } else {
+            if (keys.size != 1) fail("scalar value against compound series")
+            queue.add(oneSample(keys.head, ts))
+          }
+          inPrelude = false
+        }
+        true
+      } catch {
+        case NeedMore => pos = entryStart; false
+        case e: ProtocolParseException =>
+          // rewind so `pending` reports the text FROM the bad entry:
+          // callers spool/keep exactly the validated prefix
+          pos = entryStart
+          throw e
+      }
+    }
+  }
 
   // --- OpenTSDB telnet ----------------------------------------------------
 

@@ -45,18 +45,75 @@ final class WireIngest(spoolDir: File, tcpPort: Int = 0, udpPort: Int = 0) {
       StandardCopyOption.ATOMIC_MOVE)
 
   // --- TCP: session file per connection ---------------------------------
+  // The stream is validated INLINE with a resumable parser (strict mode:
+  // empty lines are errors, akumulid issue #94); on a protocol error the
+  // handler answers the reference's `-PARSER <err>\r\n` line on the
+  // socket (protocolparser.cpp error_repr) and keeps only the samples
+  // parsed BEFORE the bad entry — the spool receives validated bytes
+  // only, so downstream batch/stream consumers never see the bad tail.
   private def handleConn(sock: Socket): Unit = {
     val tmp = Files.createTempFile(tmpDir.toPath, "tcp", ".part")
     val out = new BufferedOutputStream(new FileOutputStream(tmp.toFile), 1 << 16)
+    val cursor = new LineProtocol.RespCursor[Unit](
+      (_, _, _, _) => (), strict = true)
+    var spooled = false
+    // bytes received but not yet decoded+fed ('\n' is ASCII, so cutting
+    // at the last newline is UTF-8 safe)
+    var tail = Array.emptyByteArray
+
+    def drain(): Unit =
+      while (cursor.step()) while (cursor.hasQueued) cursor.poll()
+    /** Feed `bs`, then spool the prefix the parser consumed (everything
+      * but the suspended entry's text, which is re-spooled once it
+      * completes on a later feed). */
+    def feed(bs: Array[Byte], eof: Boolean): Unit = {
+      val before = cursor.pending
+      cursor.append(new String(bs, java.nio.charset.StandardCharsets.UTF_8))
+      if (eof) cursor.finish()
+      // spool in finally: on a protocol error the cursor rewinds to the
+      // bad entry's start, so entries validated earlier in this same
+      // chunk still reach the spool before the error propagates
+      try drain() finally {
+        // consumed this round = (old carry + chunk) minus the new carry;
+        // carries start at line boundaries so the re-encode is exact
+        val consumed = (before + new String(bs,
+          java.nio.charset.StandardCharsets.UTF_8))
+          .dropRight(cursor.pending.length)
+        if (consumed.nonEmpty) {
+          out.write(consumed.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          spooled = true
+        }
+      }
+    }
+
     try {
       val in = sock.getInputStream
       val buf = new Array[Byte](1 << 16)
       var n = in.read(buf)
-      var any = false
-      while (n > 0) { out.write(buf, 0, n); any = true; n = in.read(buf) }
+      while (n > 0) {
+        val chunk = tail ++ java.util.Arrays.copyOf(buf, n)
+        var cut = chunk.length - 1
+        while (cut >= 0 && chunk(cut) != '\n') cut -= 1
+        if (cut >= 0) {
+          feed(java.util.Arrays.copyOf(chunk, cut + 1), eof = false)
+          tail = java.util.Arrays.copyOfRange(chunk, cut + 1, chunk.length)
+        } else tail = chunk
+        n = in.read(buf)
+      }
+      // connection closed cleanly: the last line may lack a newline
+      feed(tail, eof = true)
       out.close()
-      if (any) publish(tmp, "tcp") else Files.deleteIfExists(tmp)
+      if (spooled) publish(tmp, "tcp") else Files.deleteIfExists(tmp)
     } catch {
+      case e: LineProtocol.ProtocolParseException =>
+        try sock.getOutputStream.write(
+          s"-PARSER ${e.msg}\r\n".getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+        catch { case _: java.io.IOException => () }
+        out.close()
+        // keep the validated prefix (reference: WAL retains points
+        // written before the error)
+        if (spooled) publish(tmp, "tcp") else Files.deleteIfExists(tmp)
       case _: java.io.IOException =>
         out.close(); Files.deleteIfExists(tmp) // reset mid-session: dropped
     } finally sock.close()

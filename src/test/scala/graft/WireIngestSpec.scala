@@ -68,6 +68,52 @@ class WireIngestSpec extends SparkFunSuite {
     } finally srv.stop()
   }
 
+  // --- functests/test_ingestion_errors.py parity ------------------------
+  /** Send `msg`, then read the server's response (the reference answers
+    * a `-PARSER <err>\r\n` line while the client keeps the socket open —
+    * send_malicious_message in the functest). */
+  private def sendMalicious(port: Int, msg: String): String = {
+    val sock = new Socket("127.0.0.1", port)
+    sock.setSoTimeout(5000)
+    sock.getOutputStream.write(msg.getBytes(UTF_8))
+    sock.getOutputStream.flush()
+    val buf = new Array[Byte](1024)
+    val n = sock.getInputStream.read(buf)
+    sock.close()
+    if (n <= 0) "" else new String(buf, 0, n, UTF_8)
+  }
+
+  test("TCP answers -PARSER to malformed input (test_ingestion_errors)") {
+    val spool = Files.createTempDirectory("graft-wire-err").toFile
+    val srv = new WireIngest(spool)
+    srv.start()
+    try {
+      // issue #94: a bare empty line must not crash or hang the server
+      assert(sendMalicious(srv.tcpBoundPort, "\n").startsWith("-PARSER"))
+      // issue #96: series name without tags is invalid
+      assert(sendMalicious(srv.tcpBoundPort, "+metric\r\n:123\r\n+5.0")
+        .startsWith("-PARSER"))
+      // nothing valid arrived: no session published
+      Thread.sleep(200)
+      assert(spool.listFiles().count(_.getName.endsWith(".resp")) == 0)
+    } finally srv.stop()
+  }
+
+  test("TCP keeps samples validated before a protocol error") {
+    val spool = Files.createTempDirectory("graft-wire-trunc").toFile
+    val srv = new WireIngest(spool)
+    srv.start()
+    try {
+      val good = (0 until 4).map(i =>
+        s"+cpu host=a\n:${1000000000L * i}\n:$i\n").mkString
+      val resp = sendMalicious(srv.tcpBoundPort, good + "+broken\n:1\n:2\n")
+      assert(resp.startsWith("-PARSER"))
+      awaitSpool(spool, 1)
+      val parsed = Ingest.respFiles(spark, spool.getAbsolutePath)
+      assert(parsed.count() == 4) // the prefix before the bad entry
+    } finally srv.stop()
+  }
+
   test("TCP sessions feed the full ingest path end-to-end") {
     val spool = Files.createTempDirectory("graft-wire-e2e").toFile
     val out = Files.createTempDirectory("graft-wire-out").toFile
