@@ -10,4 +10,6 @@ object VecMath {
     org.apache.spark.sql.graftio.VecMath.dot(a, b)
   def cosine(a: Column, b: Column): Column =
     org.apache.spark.sql.graftio.VecMath.cosine(a, b)
+  def minhashMins(baseHashes: Column, numHashes: Int): Column =
+    org.apache.spark.sql.graftio.VecMath.minhashMins(baseHashes, numHashes)
 }

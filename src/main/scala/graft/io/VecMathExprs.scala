@@ -133,4 +133,88 @@ object VecMath {
 
   def cosine(a: Column, b: Column): Column =
     Columns.of(ArrayCosine(Columns.exprOf(a), Columns.exprOf(b)))
+
+  /** splitmix64 finalizer over `h + GOLDEN*(i+1)` — the per-permutation
+    * hash family for [[MinHashMins]]. Kept as one shared definition so
+    * the interpreted and codegen paths cannot diverge. */
+  def minhashMix(h: Long, i: Int): Long = {
+    var z = h + 0x9e3779b97f4a7c15L * (i + 1).toLong
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** MinHash signature in ONE fused pass: for each of `numHashes`
+    * splitmix64-derived permutations, the minimum over the input 64-bit
+    * shingle hashes. The higher-order formulation
+    * (`transform(0..n, i => array_min(transform(hs, h => xxhash64(h, i))))`)
+    * evaluates interpreted and allocates `numHashes` intermediate arrays
+    * per document; this loops elements x permutations in generated code
+    * with a single primitive output array. An empty input yields
+    * Long.MaxValue sentinels (all empty docs still collide in every band,
+    * like the null signature of the HOF version; exact verification
+    * filters them either way). */
+  final case class MinHashMins(child: Expression, numHashes: Int)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with ExpectsInputTypes {
+    require(numHashes > 0)
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_mins"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val mins = Array.fill(numHashes)(Long.MaxValue)
+      var j = 0
+      val n = arr.numElements()
+      while (j < n) {
+        if (!arr.isNullAt(j)) {
+          val h = arr.getLong(j)
+          var i = 0
+          while (i < numHashes) {
+            val z = VecMath.minhashMix(h, i)
+            if (z < mins(i)) mins(i) = z
+            i += 1
+          }
+        }
+        j += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(mins)
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, arr => {
+        val mins = ctx.freshName("mins")
+        val j = ctx.freshName("j")
+        val i = ctx.freshName("i")
+        val h = ctx.freshName("h")
+        val z = ctx.freshName("z")
+        val n = ctx.freshName("n")
+        s"""
+           |final long[] $mins = new long[$numHashes];
+           |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+           |final int $n = $arr.numElements();
+           |for (int $j = 0; $j < $n; $j++) {
+           |  if ($arr.isNullAt($j)) continue;
+           |  final long $h = $arr.getLong($j);
+           |  for (int $i = 0; $i < $numHashes; $i++) {
+           |    long $z = $h + 0x9e3779b97f4a7c15L * (long) ($i + 1);
+           |    $z = ($z ^ ($z >>> 30)) * 0xbf58476d1ce4e5b9L;
+           |    $z = ($z ^ ($z >>> 27)) * 0x94d049bb133111ebL;
+           |    $z = $z ^ ($z >>> 31);
+           |    if ($z < $mins[$i]) $mins[$i] = $z;
+           |  }
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.expressions
+           |  .UnsafeArrayData.fromPrimitiveArray($mins);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): MinHashMins =
+      copy(child = newChild)
+  }
+
+  def minhashMins(baseHashes: Column, numHashes: Int): Column =
+    Columns.of(MinHashMins(Columns.exprOf(baseHashes), numHashes))
 }

@@ -131,17 +131,13 @@ object Dedup {
 
   /** Signature from pre-hashed shingles. Callers should materialize the
     * base-hash array in its own projection so the string hashing runs
-    * once, not once per family member. The family is xxhash64 over
-    * (long, seed) — cheap integer hashing, and no 64-bit multiply that
-    * would trip ANSI overflow checking. */
+    * once, not once per family member. The family is a splitmix64
+    * finalizer per permutation index, fused into ONE codegen pass over
+    * the hash array ([[org.apache.spark.sql.graftio.VecMath.MinHashMins]]
+    * — the higher-order formulation evaluated interpreted with numHashes
+    * intermediate arrays per document and dominated the LSH query). */
   def minhashFromHashes(baseHashes: Column, numHashes: Int): Column =
-    // let-bound: the input array is referenced once per family member, so
-    // a non-attribute argument would be re-evaluated numHashes times
-    Text.bindOnce(baseHashes) { hs =>
-      array((0 until numHashes).map { i =>
-        array_min(transform(hs, h => xxhash64(h, lit(i))))
-      }: _*)
-    }
+    graft.functions.VecMath.minhashMins(baseHashes, numHashes)
 
   /** MinHash-LSH near-duplicate candidates: signature split into `bands`
     * bands of `rowsPerBand`, docs grouped by (band index, band hash) —
