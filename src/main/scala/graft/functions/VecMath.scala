@@ -12,4 +12,6 @@ object VecMath {
     org.apache.spark.sql.graftio.VecMath.cosine(a, b)
   def minhashMins(baseHashes: Column, numHashes: Int): Column =
     org.apache.spark.sql.graftio.VecMath.minhashMins(baseHashes, numHashes)
+  def simhashVote(hashes: Column): Column =
+    org.apache.spark.sql.graftio.VecMath.simhashVote(hashes)
 }

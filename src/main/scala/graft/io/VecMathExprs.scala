@@ -217,4 +217,71 @@ object VecMath {
 
   def minhashMins(baseHashes: Column, numHashes: Int): Column =
     Columns.of(MinHashMins(Columns.exprOf(baseHashes), numHashes))
+
+  /** 64-bit SimHash majority vote in ONE fused pass: bit b of the result
+    * is set when more than half of the input hashes have bit b set.
+    * Replicates the per-bit Column-aggregate formulation exactly,
+    * including its null semantics (any null element nulls every vote,
+    * collapsing the sketch to 0). */
+  final case class SimHashVote(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash_vote"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val counts = new Array[Int](64)
+      var j = 0
+      while (j < n) {
+        if (arr.isNullAt(j)) return 0L
+        val h = arr.getLong(j)
+        var b = 0
+        while (b < 64) { counts(b) += ((h >>> b) & 1L).toInt; b += 1 }
+        j += 1
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) { if (2L * counts(b) > n) sig |= 1L << b; b += 1 }
+      sig
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, arr => {
+        val counts = ctx.freshName("counts")
+        val j = ctx.freshName("j")
+        val b = ctx.freshName("b")
+        val h = ctx.freshName("h")
+        val n = ctx.freshName("n")
+        val sig = ctx.freshName("sig")
+        val anyNull = ctx.freshName("anyNull")
+        s"""
+           |final int $n = $arr.numElements();
+           |final int[] $counts = new int[64];
+           |boolean $anyNull = false;
+           |for (int $j = 0; $j < $n && !$anyNull; $j++) {
+           |  if ($arr.isNullAt($j)) { $anyNull = true; break; }
+           |  final long $h = $arr.getLong($j);
+           |  for (int $b = 0; $b < 64; $b++) {
+           |    $counts[$b] += (int) (($h >>> $b) & 1L);
+           |  }
+           |}
+           |long $sig = 0L;
+           |if (!$anyNull) {
+           |  for (int $b = 0; $b < 64; $b++) {
+           |    if (2L * $counts[$b] > $n) $sig |= 1L << $b;
+           |  }
+           |}
+           |${ev.value} = $sig;
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): SimHashVote =
+      copy(child = newChild)
+  }
+
+  def simhashVote(hashes: Column): Column =
+    Columns.of(SimHashVote(Columns.exprOf(hashes)))
 }

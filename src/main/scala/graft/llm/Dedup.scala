@@ -208,19 +208,13 @@ object Dedup {
   val md5Hash60: Column => Column =
     c => conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** SimHash from pre-hashed features. Callers should materialize the
-    * hash array in its own projection (one string hash per token; the 64
-    * bit-vote passes then run on longs). */
+  /** SimHash from pre-hashed features — the 64 bit-votes fused into one
+    * codegen pass ([[org.apache.spark.sql.graftio.VecMath.SimHashVote]];
+    * the per-bit Column-aggregate formulation ran 64 interpreted passes
+    * over the hash array per document). Callers should materialize the
+    * hash array in its own projection (one string hash per token). */
   def simhashFromHashes(hashes: Column): Column =
-    // let-bound: referenced by all 64 bit-vote aggregates
-    Text.bindOnce(hashes) { hs =>
-      val bits = (0 until 64).map { b =>
-        val votes = aggregate(hs, lit(0L),
-          (acc, h) => acc + shiftright(h, b).bitwiseAND(lit(1L)))
-        when(votes * 2 > size(hs), lit(1L << b)).otherwise(lit(0L))
-      }
-      bits.reduce((a, x) => a.bitwiseOR(x))
-    }
+    graft.functions.VecMath.simhashVote(hashes)
 
   /** SimHash near-dup pairs with Hamming distance <= maxDist. Candidates
     * via the standard banded-permutation trick: split 64 bits into
