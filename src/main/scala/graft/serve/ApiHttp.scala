@@ -21,8 +21,18 @@ import graft.plan.TsStore
   * arbitrarily large result set never materializes driver-side.
   *
   * JDK-built-in `com.sun.net.httpserver` — no added dependencies.
+  *
+  * `storeProvider` is re-invoked PER REQUEST: the reference server is
+  * always live (a query sees everything ingested before it,
+  * test_continuous_queries.py), and on the Spark side liveness comes
+  * from re-planning — a provider that re-reads the spool/layout path
+  * lists the files published so far, so each query serves a consistent
+  * snapshot of complete sessions. A static deployment passes a fixed
+  * store (the single-argument constructor) and pays no re-listing.
   */
-final class ApiHttp(store: TsStore, port: Int = 0) {
+final class ApiHttp(storeProvider: () => TsStore, port: Int = 0) {
+
+  def this(store: TsStore, port: Int) = this(() => store, port)
 
   private val server =
     HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -102,13 +112,13 @@ final class ApiHttp(store: TsStore, port: Int = 0) {
             Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
       }
 
-  server.createContext("/api/query", post(Api.queryLines(store, _)))
+  server.createContext("/api/query", post(Api.queryLines(storeProvider(), _)))
   server.createContext("/api/search",
-    post(json => firstColumn(Api.search(store, json))))
+    post(json => firstColumn(Api.search(storeProvider(), json))))
   server.createContext("/api/suggest",
-    post(json => firstColumn(Api.suggest(store, json))))
+    post(json => firstColumn(Api.suggest(storeProvider(), json))))
   server.createContext("/api/stats", get { () =>
-    val r = Api.stats(store).collect()(0) // one aggregate row by contract
+    val r = Api.stats(storeProvider()).collect()(0) // one aggregate row by contract
     val fields = r.schema.fieldNames.zipWithIndex.map { case (f, i) =>
       s""""$f":${if (r.isNullAt(i)) "null" else r.get(i).toString}"""
     }
