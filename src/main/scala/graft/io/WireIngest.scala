@@ -30,6 +30,9 @@ final class WireIngest(spoolDir: File, tcpPort: Int = 0, udpPort: Int = 0) {
 
   private val running = new AtomicBoolean(false)
   private val seq = new AtomicLong()
+  // open TCP connections, so stop() can sever them like a process death
+  private val conns =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Socket]()
 
   private val tcpSocket = new ServerSocket()
   tcpSocket.bind(new InetSocketAddress("127.0.0.1", tcpPort))
@@ -39,9 +42,16 @@ final class WireIngest(spoolDir: File, tcpPort: Int = 0, udpPort: Int = 0) {
   def tcpBoundPort: Int = tcpSocket.getLocalPort
   def udpBoundPort: Int = udpSocket.getLocalPort
 
+  // per-instance nonce: without it a RESTARTED server's counter begins
+  // at 1 again and its first sessions silently REPLACE the previous
+  // lifetime's spool files (ATOMIC_MOVE overwrites) — data loss across
+  // restarts, caught by the test_restart parity spec
+  private val nonce = java.lang.Long.toHexString(
+    System.currentTimeMillis() ^ System.nanoTime())
+
   private def publish(tmp: Path, kind: String): Unit =
     Files.move(tmp,
-      new File(spoolDir, s"$kind-${seq.incrementAndGet()}.resp").toPath,
+      new File(spoolDir, s"$kind-$nonce-${seq.incrementAndGet()}.resp").toPath,
       StandardCopyOption.ATOMIC_MOVE)
 
   // --- TCP: session file per connection ---------------------------------
@@ -115,14 +125,21 @@ final class WireIngest(spoolDir: File, tcpPort: Int = 0, udpPort: Int = 0) {
         // written before the error)
         if (spooled) publish(tmp, "tcp") else Files.deleteIfExists(tmp)
       case _: java.io.IOException =>
-        out.close(); Files.deleteIfExists(tmp) // reset mid-session: dropped
-    } finally sock.close()
+        // connection reset / server crash mid-session: keep the validated
+        // prefix, like the reference's WAL — test_kill.py restarts after
+        // SIGKILL and reads back whatever arrived before the crash. The
+        // suspended entry's text was never spooled, so no torn sample can
+        // surface after recovery.
+        out.close()
+        if (spooled) publish(tmp, "tcp") else Files.deleteIfExists(tmp)
+    } finally { conns.remove(sock); sock.close() }
   }
 
   private val tcpThread = new Thread(() => {
     while (running.get()) {
       try {
         val sock = tcpSocket.accept()
+        conns.add(sock)
         val t = new Thread(() => handleConn(sock))
         t.setDaemon(true); t.start()
       } catch { case _: java.io.IOException => /* closed during stop() */ }
@@ -183,5 +200,9 @@ final class WireIngest(spoolDir: File, tcpPort: Int = 0, udpPort: Int = 0) {
     flush()
     tcpSocket.close()
     udpSocket.close()
+    // sever open connections like a process death: handlers take their
+    // IOException path and publish each session's validated prefix
+    conns.forEach(s => try s.close() catch { case _: Exception => () })
+    conns.clear()
   }
 }

@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`Array[Float]`):
   * cosine top-k (brute force baseline + LSH-bucketed scale path) and
-  * embedding near-duplicate detection. Dot products are
-  * `aggregate(zip_with(...))` column expressions — codegen, no UDFs.
+  * embedding near-duplicate detection. Dot products and cosines are
+  * native fused-loop Catalyst expressions (graft.functions.VecMath) —
+  * whole-stage codegen, no UDFs, no per-row intermediate arrays.
   */
 object Embed {
 
