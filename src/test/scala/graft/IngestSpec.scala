@@ -134,6 +134,34 @@ class IngestSpec extends SparkFunSuite {
     assert(tv.collect().map(_.getString(0)).toSeq == Seq("h0", "h1", "h2"))
   }
 
+  // functests/test_high_cardinality.py spirit: the series dimension
+  // answers metadata completely at high cardinality, without the fact
+  // scan that would make autocomplete a table scan at 10^8 series
+  test("series dimension serves meta queries at 100k-series cardinality") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-highcard").toFile
+    val layout = new java.io.File(dir, "layout").getAbsolutePath
+    val seriesP = new java.io.File(dir, "series").getAbsolutePath
+    val nSeries = 100000
+    val samples = spark.range(nSeries.toLong).select(
+      lit("test").as("metric"),
+      map(lit("tag1"), lit("A"), lit("tag2"), col("id").cast("string"))
+        .as("tags"),
+      (col("id") * 1000000L).as("ts"),
+      col("id").cast("double").as("value"),
+      lit(null).cast("string").as("event"))
+    Ingest.writeLayout(samples, layout)
+    Ingest.writeSeriesFromLayout(spark, layout, seriesP)
+    val st = Ingest.readLayout(spark, layout, Some(seriesP))
+    val meta = Planner.plan(
+      QueryJson.parse("""{"select":"meta:names"}"""), st).df
+    assert(meta.count() == nSeries)
+    // suggest rides the dimension: tag2 values with prefix "123" are
+    // "123", "1230".."1239", "12300".."12399"
+    val tv = graft.plan.Meta.tagValues(st, "test", "tag2", "123")
+    assert(tv.count() == 111)
+  }
+
   test("day-range queries prune layout partition directories") {
     val dir = Files.createTempDirectory("graft-prune").toFile
     val respFile = new java.io.File(dir, "s.resp")
