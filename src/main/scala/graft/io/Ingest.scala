@@ -221,6 +221,44 @@ object Ingest {
     }
   }
 
+  /** Retention enforcement — the Spark analogue of the reference's
+    * fixed-volume rotation (test_database_overflow.py: when volumes
+    * fill, the OLDEST data disappears and reads return a contiguous
+    * recent suffix). Drops whole `day=` partition directories, oldest
+    * day first across all metrics, until the layout fits `maxBytes`.
+    * Day granularity mirrors volume granularity: a reader never sees a
+    * torn day, and queries keep partition-pruning against the surviving
+    * directories. Uses the Hadoop FS API, so HDFS/S3 layouts work
+    * unchanged. Returns the dropped day ids (oldest first). */
+  def enforceRetention(spark: SparkSession, path: String,
+                       maxBytes: Long): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val dayDirs = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("metric="))
+      .flatMap(m => fs.listStatus(m.getPath).toSeq)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
+      .map { s =>
+        val day = s.getPath.getName.stripPrefix("day=").toLong
+        (day, s.getPath, fs.getContentSummary(s.getPath).getLength)
+      }
+    val byDay = dayDirs.groupBy(_._1).toSeq.sortBy(_._1) // oldest first
+    var excess = dayDirs.map(_._3).sum - maxBytes
+    val dropped = scala.collection.mutable.ArrayBuffer[Long]()
+    val it = byDay.iterator
+    while (excess > 0 && it.hasNext) {
+      val (day, dirs) = it.next()
+      // never drop the newest remaining day, however large: the
+      // reference's circular volumes always retain the write head
+      if (it.hasNext) {
+        dirs.foreach { case (_, p, _) => fs.delete(p, true) }
+        excess -= dirs.map(_._3).sum
+        dropped += day
+      }
+    }
+    dropped.toSeq
+  }
+
   /** The series dimension table `(metric, tags, tagstr)`, persisted
     * alongside the facts so suggest/search/meta queries are O(series) not
     * O(samples) (reference SeriesMatcher, seriesparser.h:74-140).

@@ -134,6 +134,40 @@ class IngestSpec extends SparkFunSuite {
     assert(tv.collect().map(_.getString(0)).toSeq == Seq("h0", "h1", "h2"))
   }
 
+  // functests/test_database_overflow.py spirit: when the layout exceeds
+  // its budget the OLDEST days vanish whole; reads return a contiguous
+  // recent suffix and queries keep pruning the surviving directories
+  test("retention drops oldest days whole; reads return the recent suffix") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-retention").toFile
+    val layout = new java.io.File(dir, "layout").getAbsolutePath
+    val day = Ingest.DayNs
+    val samples = spark.range(300).select(
+      lit("temp").as("metric"),
+      map(lit("host"), lit("h0")).as("tags"),
+      (col("id") / 100).cast("long") * day + (col("id") % 100) * 1000000000L,
+      col("id").cast("double").as("value"),
+      lit(null).cast("string").as("event"))
+      .toDF("metric", "tags", "ts", "value", "event")
+    Ingest.writeLayout(samples, layout)
+    def dirSize(f: java.io.File): Long =
+      if (f.isFile) f.length
+      else Option(f.listFiles).map(_.map(dirSize).sum).getOrElse(0L)
+    val total = dirSize(new java.io.File(layout))
+    // budget forces out at least the oldest day but keeps the newest
+    val dropped = Ingest.enforceRetention(spark, layout, total / 2)
+    assert(dropped.nonEmpty && dropped == dropped.sorted)
+    assert(!dropped.contains(2L), "the newest day must survive")
+    val st = Ingest.readLayout(spark, layout)
+    val got = st.samples.select("value").collect().map(_.getDouble(0)).sorted
+    // a contiguous suffix: exactly the rows of the surviving days
+    val expect = (0 until 300).filterNot(i => dropped.contains(i / 100))
+      .map(_.toDouble)
+    assert(got.toSeq == expect)
+    // idempotent when already under budget
+    assert(Ingest.enforceRetention(spark, layout, Long.MaxValue).isEmpty)
+  }
+
   // functests/test_high_cardinality.py spirit: the series dimension
   // answers metadata completely at high cardinality, without the fact
   // scan that would make autocomplete a table scan at 10^8 series
