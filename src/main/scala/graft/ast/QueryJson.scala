@@ -18,6 +18,11 @@ object QueryJson {
     Seq("select", "aggregate", "join", "group-aggregate",
         "group-aggregate-join", "select-events")
 
+  /** validate_query's ALLOWED_STMTS, queryparser.cpp:943-962. */
+  private val AllowedStmts = kindFields.toSet ++ Set(
+    "output", "order-by", "group-by", "group-by-tag", "pivot-by-tag",
+    "limit", "offset", "range", "where", "apply", "eval", "filter")
+
   def parse(json: String): Query = fromJValue(JsonMethods.parse(json))
 
   def fromJValue(root: JValue): Query = {
@@ -26,6 +31,12 @@ object QueryJson {
       case _          => fail("query must be a JSON object")
     }
     val fields = obj.obj.map(_._1).toSet
+    // validate_query's ALLOWED_STMTS (queryparser.cpp:943-985): unknown
+    // top-level keywords are rejected. "eval" is whitelisted there but
+    // never consumed (only the apply-node token exists), so like the
+    // reference we accept and ignore it.
+    fields.find(!AllowedStmts.contains(_))
+      .foreach(k => fail(s"unknown statement '$k'"))
     val present = kindFields.filter(fields.contains)
     if (present.isEmpty) fail(s"query kind not found (one of ${kindFields.mkString(", ")})")
     if (present.size > 1)

@@ -76,4 +76,15 @@ class QueryJsonSpec extends AnyFunSuite {
       """{"select":"m","range":{"from":0,"to":1},"group-by":["h"]}""")
     assert(q.groupBy.contains(GroupByTag(GroupOp.Pivot, Seq("h"))))
   }
+
+  test("unknown top-level statements rejected; whitelisted eval ignored") {
+    // validate_query rejects keywords outside ALLOWED_STMTS
+    val e = intercept[QueryJson.QueryParseException](QueryJson.parse(
+      """{"select":"m","range":{"from":0,"to":1},"bogus":1}"""))
+    assert(e.getMessage.contains("unknown statement"))
+    // "eval" is whitelisted but never consumed -> accepted and ignored
+    val q = QueryJson.parse(
+      """{"select":"m","range":{"from":0,"to":1},"eval":{"expr":"m+1"}}""")
+    assert(q.kind.isInstanceOf[graft.ast.QueryKind.Select])
+  }
 }
