@@ -301,15 +301,27 @@ object LineProtocol {
 
   // --- OpenTSDB telnet ----------------------------------------------------
 
+  /** Telnet commands the reference recognizes but does not ingest:
+    * rollup/histogram/help/dropcaches fall through the dispatch switch
+    * ("just ignore"), stats/version get canned responses at the
+    * TRANSPORT layer (protocolparser.cpp:690-742, 942-951). */
+  val OpenTsdbIgnoredCommands: Set[String] =
+    Set("rollup", "histogram", "help", "dropcaches", "stats", "version")
+
   /** `put metric ts value tag=v ...` — one command per line; stateless,
     * so it distributes as a flatMap. Timestamps: ISO basic, or integer
     * (< 2^32 -> unix seconds, else ns — reference
-    * protocolparser.cpp:880-898). */
+    * protocolparser.cpp:880-898). Non-put known commands yield no
+    * samples; unknown commands error like the reference's UNKNOWN case
+    * (protocolparser.cpp:953-958). */
   def parseOpenTsdb(line: String): Seq[ParsedSample] = {
     val t = line.trim
     if (t.isEmpty) return Nil
     val parts = t.split("\\s+").toSeq
-    if (parts.head != "put") fail(s"unknown OpenTSDB command: '${parts.head}'")
+    if (parts.head != "put") {
+      if (OpenTsdbIgnoredCommands(parts.head)) return Nil
+      fail(s"unknown command: ${parts.head}.  Try `help'.")
+    }
     if (parts.size < 5)
       fail(s"put: illegal argument: not enough arguments (need least 4, got ${parts.size - 1})")
     val metric = parts(1)

@@ -23,7 +23,12 @@ import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
   *    concatenate into rolling shared files (identical parse result, far
   *    fewer files).
   */
-final class WireIngest(spoolDir: File, tcpPort: Int = 0, udpPort: Int = 0) {
+final class WireIngest(spoolDir: File, tcpPort: Int = 0, udpPort: Int = 0,
+                       protocol: WireIngest.Protocol = WireIngest.Resp) {
+  // Like the reference's paired TCPAcceptors (RESP on 8282, OpenTSDB
+  // telnet on 4242): run ONE WireIngest per protocol, each with its own
+  // spool directory, and read RESP spools with Ingest.respFiles /
+  // OpenTSDB spools with Ingest.openTsdbFiles.
 
   spoolDir.mkdirs()
   private val tmpDir = new File(spoolDir, ".tmp"); tmpDir.mkdirs()
@@ -61,7 +66,11 @@ final class WireIngest(spoolDir: File, tcpPort: Int = 0, udpPort: Int = 0) {
   // socket (protocolparser.cpp error_repr) and keeps only the samples
   // parsed BEFORE the bad entry — the spool receives validated bytes
   // only, so downstream batch/stream consumers never see the bad tail.
-  private def handleConn(sock: Socket): Unit = {
+  private def handleConn(sock: Socket): Unit =
+    if (protocol == WireIngest.OpenTsdb) handleConnOpenTsdb(sock)
+    else handleConnResp(sock)
+
+  private def handleConnResp(sock: Socket): Unit = {
     val tmp = Files.createTempFile(tmpDir.toPath, "tcp", ".part")
     val out = new BufferedOutputStream(new FileOutputStream(tmp.toFile), 1 << 16)
     val cursor = new LineProtocol.RespCursor[Unit](
@@ -135,6 +144,69 @@ final class WireIngest(spoolDir: File, tcpPort: Int = 0, udpPort: Int = 0) {
     } finally { conns.remove(sock); sock.close() }
   }
 
+  // --- OpenTSDB telnet over TCP (reference: the second TCPAcceptor on
+  // port 4242, protocolparser.cpp:690-965): line-oriented and stateless.
+  // `put` lines are validated and spooled; stats/version get the
+  // reference's canned responses; rollup/histogram/help/dropcaches are
+  // ignored; an unknown command answers `error: <msg>` and closes with
+  // the validated prefix kept.
+  private def handleConnOpenTsdb(sock: Socket): Unit = {
+    val tmp = Files.createTempFile(tmpDir.toPath, "tsdb", ".part")
+    val out = new BufferedOutputStream(new FileOutputStream(tmp.toFile), 1 << 16)
+    var spooled = false
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+
+    def handleLine(line: String): Unit = {
+      val cmd = line.trim.takeWhile(!_.isWhitespace)
+      cmd match {
+        case "" => ()
+        case "stats" => // reference's fake stats (protocolparser.cpp:942-947)
+          sock.getOutputStream.write(
+            "akumuli.rpcs 1479600574 0 type=fake\n".getBytes(utf8))
+        case "version" =>
+          sock.getOutputStream.write(
+            ("net.opentsdb.tools BuildData built at revision a000000\n" +
+              "Akumuli to TSD converter\n").getBytes(utf8))
+        case _ =>
+          // validates puts, ignores the known-no-op commands, throws on
+          // unknown commands
+          if (LineProtocol.parseOpenTsdb(line).nonEmpty || cmd == "put") {
+            out.write(line.getBytes(utf8)); out.write('\n')
+            spooled = true
+          }
+      }
+    }
+
+    var tail = Array.emptyByteArray
+    try {
+      val in = sock.getInputStream
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n > 0) {
+        val chunk = tail ++ java.util.Arrays.copyOf(buf, n)
+        var cut = chunk.length - 1
+        while (cut >= 0 && chunk(cut) != '\n') cut -= 1
+        if (cut >= 0) {
+          new String(chunk, 0, cut + 1, utf8).linesIterator.foreach(handleLine)
+          tail = java.util.Arrays.copyOfRange(chunk, cut + 1, chunk.length)
+        } else tail = chunk
+        n = in.read(buf)
+      }
+      if (tail.nonEmpty) handleLine(new String(tail, utf8))
+      out.close()
+      if (spooled) publish(tmp, "opentsdb") else Files.deleteIfExists(tmp)
+    } catch {
+      case e: LineProtocol.ProtocolParseException =>
+        try sock.getOutputStream.write(s"error: ${e.msg}\n".getBytes(utf8))
+        catch { case _: java.io.IOException => () }
+        out.close()
+        if (spooled) publish(tmp, "opentsdb") else Files.deleteIfExists(tmp)
+      case _: java.io.IOException =>
+        out.close()
+        if (spooled) publish(tmp, "opentsdb") else Files.deleteIfExists(tmp)
+    } finally { conns.remove(sock); sock.close() }
+  }
+
   private val tcpThread = new Thread(() => {
     while (running.get()) {
       try {
@@ -205,4 +277,12 @@ final class WireIngest(spoolDir: File, tcpPort: Int = 0, udpPort: Int = 0) {
     conns.forEach(s => try s.close() catch { case _: Exception => () })
     conns.clear()
   }
+}
+
+object WireIngest {
+  /** Wire protocol served by an instance (reference: akumulid runs one
+    * TCPAcceptor per protocol). */
+  sealed trait Protocol
+  case object Resp extends Protocol
+  case object OpenTsdb extends Protocol
 }

@@ -114,6 +114,40 @@ class WireIngestSpec extends SparkFunSuite {
     } finally srv.stop()
   }
 
+  test("OpenTSDB telnet: puts spool, stats/version answer, unknown errors") {
+    val spool = Files.createTempDirectory("graft-wire-tsdb").toFile
+    val srv = new WireIngest(spool, protocol = WireIngest.OpenTsdb)
+    srv.start()
+    try {
+      // puts + ignored command on one connection
+      val sock = new Socket("127.0.0.1", srv.tcpBoundPort)
+      sock.getOutputStream.write(
+        ("put cpu 1000 1.5 host=a\nhelp\nput cpu 2000 2.5 host=a\n")
+          .getBytes(UTF_8))
+      sock.close()
+      awaitSpool(spool, 1)
+      val parsed = Ingest.openTsdbFiles(spark, spool.getAbsolutePath)
+      assert(parsed.count() == 2)
+      assert(parsed.selectExpr("max(value)").head.getDouble(0) == 2.5)
+      // version gets the reference's canned response
+      val v = new Socket("127.0.0.1", srv.tcpBoundPort)
+      v.setSoTimeout(5000)
+      v.getOutputStream.write("version\n".getBytes(UTF_8))
+      val vbuf = new Array[Byte](256)
+      val vn = v.getInputStream.read(vbuf)
+      v.close()
+      assert(new String(vbuf, 0, vn, UTF_8).contains("net.opentsdb.tools"))
+      // unknown command answers the reference's error line
+      val u = new Socket("127.0.0.1", srv.tcpBoundPort)
+      u.setSoTimeout(5000)
+      u.getOutputStream.write("nosuchcommand\n".getBytes(UTF_8))
+      val ubuf = new Array[Byte](256)
+      val un = u.getInputStream.read(ubuf)
+      u.close()
+      assert(new String(ubuf, 0, un, UTF_8).startsWith("error: unknown command"))
+    } finally srv.stop()
+  }
+
   test("TCP sessions feed the full ingest path end-to-end") {
     val spool = Files.createTempDirectory("graft-wire-e2e").toFile
     val out = Files.createTempDirectory("graft-wire-out").toFile
