@@ -99,6 +99,49 @@ class StreamingSpec extends SparkFunSuite {
     assert(vals.toSeq == (0 until 8).map(_ + 0.5))
   }
 
+  test("live TCP wire feeds the streaming layout sink end-to-end") {
+    // the full production topology: sockets -> WireIngest spool (atomic
+    // session publish) -> file-source RESP stream -> checkpointed layout
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-wire-stream").toFile
+    val spool = new java.io.File(dir, "spool")
+    val out = new java.io.File(dir, "out").getAbsolutePath
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    val srv = new graft.io.WireIngest(spool)
+    srv.start()
+    try {
+      def send(ids: Range): Unit = {
+        val sock = new java.net.Socket("127.0.0.1", srv.tcpBoundPort)
+        val body = ids.map(i =>
+          s"+cpu host=h${i % 2}\r\n:${1000000000L * i}\r\n:$i\r\n").mkString
+        sock.getOutputStream.write(
+          body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        sock.close()
+      }
+      send(0 until 6)
+      send(6 until 10)
+      val deadline = System.nanoTime() + 10L * 1000000000L
+      while (spool.listFiles().count(_.getName.endsWith(".resp")) < 2 &&
+             System.nanoTime() < deadline) Thread.sleep(20)
+      val q = StreamIngest.writeLayoutStream(
+        StreamIngest.respFileStream(spark, spool.getAbsolutePath), out, ckpt)
+        .start()
+      try {
+        q.processAllAvailable()
+        assert(spark.read.parquet(out).count() == 10)
+        send(10 until 13) // live tail while the query runs
+        val d2 = System.nanoTime() + 10L * 1000000000L
+        while (spool.listFiles().count(_.getName.endsWith(".resp")) < 3 &&
+               System.nanoTime() < d2) Thread.sleep(20)
+        q.processAllAvailable()
+        val rows = spark.read.parquet(out)
+        assert(rows.count() == 13)
+        assert(rows.select("value").collect().map(_.getDouble(0)).sorted.toSeq
+          == (0 until 13).map(_.toDouble))
+      } finally q.stop()
+    } finally srv.stop()
+  }
+
   test("malformed RESP session truncates at the error, keeps prior samples") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
