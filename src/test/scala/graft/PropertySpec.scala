@@ -78,4 +78,56 @@ class PropertySpec extends AnyFunSuite {
       got == want
     }, n = 60)
   }
+
+  test("resumable RESP cursor: any chunking parses like the whole string") {
+    import graft.io.LineProtocol
+    // random sessions: dictionary prelude, data points, row-protocol
+    // entries, events — the cursor must suspend/resume at EVERY line
+    // boundary without dropping, duplicating, or re-applying anything
+    val session: Gen[String] = for {
+      nDict <- Gen.chooseNum(0, 3)
+      nPts <- Gen.chooseNum(1, 20)
+      useRow <- Gen.oneOf(true, false)
+    } yield {
+      val sb = new StringBuilder
+      if (nDict > 0) {
+        sb.append(s"*${nDict * 2}\r\n")
+        for (i <- 0 until nDict)
+          sb.append(s"+m$i host=h$i\r\n:$i\r\n")
+      }
+      for (p <- 0 until nPts) {
+        val ts = 1000000000L * (p + 1)
+        if (nDict > 0 && p % 2 == 0) sb.append(s":${p % nDict}\r\n")
+        else if (useRow && p % 3 == 0)
+          sb.append(s"+a$p|b$p x=1\r\n") // compound name, row protocol
+        else sb.append(s"+c$p tag=v\r\n")
+        sb.append(s":$ts\r\n")
+        if (useRow && p % 3 == 0 && !(nDict > 0 && p % 2 == 0))
+          sb.append(s"*2\r\n:$p\r\n:${p + 1}\r\n")
+        else sb.append(s"+$p.5\r\n")
+      }
+      sb.toString
+    }
+    val chunked = for {
+      s <- session
+      // cut points at random LINE boundaries
+      cuts <- Gen.someOf(s.indices.filter(i => s.charAt(i) == '\n').init)
+    } yield (s, cuts.toSeq.sorted)
+    check("cursor-chunking", Prop.forAll(chunked) { case (s, cuts) =>
+      def mk = (k: graft.model.SeriesKey, ts: Long, v: Double, ev: String) =>
+        (k.canonical, ts, v, ev)
+      val whole = LineProtocol.parseRespWith(s, mk).toList
+      val cursor = new LineProtocol.RespCursor(mk)
+      val bounds = (-1L +: cuts.map(_.toLong) :+ (s.length - 1).toLong)
+      val out = scala.collection.mutable.ListBuffer[(String, Long, Double, String)]()
+      bounds.sliding(2).foreach { case Seq(a, b) =>
+        cursor.append(s.substring(a.toInt + 1, b.toInt + 1))
+        while (cursor.step()) while (cursor.hasQueued) out += cursor.poll()
+      }
+      cursor.finish()
+      while (cursor.step()) ()
+      while (cursor.hasQueued) out += cursor.poll()
+      out.toList == whole
+    }, n = 150)
+  }
 }
