@@ -221,6 +221,37 @@ object Ingest {
     }
   }
 
+  /** Compact an existing layout in place-shape: re-reads the flat files
+    * and rewrites them salted + sorted. The streaming sink
+    * (`StreamIngest.writeLayoutStream`) appends one small file per
+    * micro-batch per partition with no cross-file clustering — over time
+    * a day directory accumulates hundreds of files and per-series scans
+    * lose their in-file locality. Compaction restores the batch layout
+    * contract (salt-bucketed files, `(sname, ts)` sorted runs, v2 data
+    * pages) — the analogue of the reference's tree maintenance. The
+    * output goes to `outPath`; swap directories (or point readers at the
+    * new path) after it commits, like any immutable-layout compactor. */
+  def compactLayout(spark: SparkSession, inPath: String, outPath: String,
+                    flattenTags: Seq[String] = Nil,
+                    bucketNs: Long = DayNs,
+                    saltBuckets: Int = 32, codec: String = "snappy"): Unit = {
+    val raw = spark.read.parquet(inPath).drop(TsStore.DayCol)
+    // batch layouts are already flat (sname carries the tag set); the
+    // streaming sink stores the tags MAP instead — compaction upgrades it
+    // to the flat schema, deriving sname and the flattened tag_<k>
+    // pushdown columns on the way
+    val flat =
+      if (raw.columns.contains("sname")) raw
+      else flattenTags
+        .foldLeft(raw) { (d, k) =>
+          d.withColumn(s"tag_$k", try_element_at(col("tags"), lit(k)))
+        }
+        .withColumn("sname",
+          TsStore.snameOf(col("metric"), TsStore.tagStr(col("tags"))))
+        .drop("tags")
+    writePrepared(flat, outPath, bucketNs, saltBuckets, codec)
+  }
+
   /** Retention enforcement — the Spark analogue of the reference's
     * fixed-volume rotation (test_database_overflow.py: when volumes
     * fill, the OLDEST data disappears and reads return a contiguous

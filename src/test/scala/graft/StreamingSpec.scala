@@ -142,6 +142,46 @@ class StreamingSpec extends SparkFunSuite {
     } finally srv.stop()
   }
 
+  test("compaction collapses micro-batch files into the sorted batch layout") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-compact").toFile
+    val in = new java.io.File(dir, "in"); in.mkdirs()
+    val out = new java.io.File(dir, "out").getAbsolutePath
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    val compacted = new java.io.File(dir, "compacted").getAbsolutePath
+    def session(name: String, ids: Range): Unit =
+      Files.write(new java.io.File(in, name).toPath,
+        ids.flatMap(i => Seq(s"+cpu host=h${i % 2}",
+          s":${1000000000L * i}", s":$i")).mkString("\n").getBytes)
+    // several micro-batches -> several small files per partition dir
+    val q = StreamIngest.writeLayoutStream(
+      StreamIngest.respFileStream(spark, in.getAbsolutePath), out, ckpt)
+      .start()
+    try {
+      for (b <- 0 until 4) {
+        session(s"s$b.resp", b * 10 until (b + 1) * 10)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    def parquetFiles(p: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isFile) Seq(f)
+        else Option(f.listFiles).map(_.toSeq.flatMap(walk)).getOrElse(Nil)
+      walk(new java.io.File(p)).count(_.getName.endsWith(".parquet"))
+    }
+    val before = parquetFiles(out)
+    assert(before >= 4, s"expected one file per micro-batch, saw $before")
+    graft.io.Ingest.compactLayout(spark, out, compacted, flattenTags = Seq("host"),
+      saltBuckets = 1)
+    assert(parquetFiles(compacted) < before)
+    // identical sample set through the normal read path, flat schema
+    val st = graft.io.Ingest.readLayout(spark, compacted)
+    assert(st.samples.count() == 40)
+    assert(st.samples.selectExpr("sum(value)").head.getDouble(0) ==
+      (0 until 40).sum.toDouble)
+    assert(spark.read.parquet(compacted).columns.contains("tag_host"))
+  }
+
   test("malformed RESP session truncates at the error, keeps prior samples") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
