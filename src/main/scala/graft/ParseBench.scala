@@ -164,7 +164,13 @@ object ParseBench {
         .sortWithinPartitions(col("metric"), col("day"), col("sname"), col("ts"))
         .write.format("noop").mode("overwrite").save()
     }
-    time("w4-full-parquet") {
+    time("w4-full-parquet-exchange") {
+      Ingest.ingestResp(spark, dir.getPath, "/tmp/graft_parsebench_out",
+        flattenTags = Seq("host"), minPartitions = sessions, exchange = true)
+    }
+    // shuffle-free sorted-run write (the ingest default): parse + local
+    // sort + partitioned parquet fused into one stage
+    time("w5-full-parquet-sortedrun") {
       Ingest.ingestResp(spark, dir.getPath, "/tmp/graft_parsebench_out",
         flattenTags = Seq("host"), minPartitions = sessions)
     }

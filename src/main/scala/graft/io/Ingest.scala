@@ -158,24 +158,48 @@ object Ingest {
                  bucketNs: Long = DayNs,
                  saltBuckets: Int = 32,
                  codec: String = "snappy",
-                 minPartitions: Int = 0): Unit =
+                 minPartitions: Int = 0,
+                 exchange: Boolean = false): Unit =
     writePrepared(respFilesFlat(spark, inPath, flattenTags, minPartitions),
-      outPath, bucketNs, saltBuckets, codec)
+      outPath, bucketNs, saltBuckets, codec, exchange)
 
   /** Shared write tail: input already carries
     * `(metric, sname, ts, value [, event, tag_*])`.
-    * Hash partitioning on (metric, day) + a series salt: write
-    * parallelism is NOT capped at the distinct (metric, day) count — a
-    * hot metric-day splits across `saltBuckets` tasks by series hash —
-    * with no range-sampling job, and each task still writes contiguous
-    * sorted series runs into its partition dirs. */
+    *
+    * Two modes, both ending in per-file `(sname, ts)` sorted runs:
+    *
+    *  - `exchange = true` (writeLayout/compactLayout default): hash
+    *    partitioning on (metric, day) + a series salt: write parallelism
+    *    is NOT capped at the distinct (metric, day) count — a hot
+    *    metric-day splits across `saltBuckets` tasks by series hash —
+    *    with no range-sampling job, and each task writes contiguous
+    *    sorted series runs into its partition dirs. One file per
+    *    (metric, day, salt): the fully-clustered layout.
+    *
+    *  - `exchange = false` (the wire-ingest path): NO shuffle — each
+    *    parse task sorts ITS slice and writes one sorted run per
+    *    (metric, day) it touched. Parse -> sort -> parquet fuse into a
+    *    single stage; the 8M-sample exchange (serialize + spill + read
+    *    back, ~25% of the write wall) disappears. This is the LSM shape
+    *    and the honest analogue of the reference's ingest (per-series
+    *    append, no global sort at write time, input_log.cpp): sessions
+    *    arrive partitioned by connection, runs land sorted, and
+    *    [[compactLayout]] (the tree-maintenance analogue) re-clusters
+    *    runs into the salted layout. File count = tasks x touched
+    *    partitions, bounded at scale by routing/compaction cadence, not
+    *    by the writer. */
   private def writePrepared(df: DataFrame, path: String, bucketNs: Long,
-                            saltBuckets: Int, codec: String): Unit =
-    df
-      .withColumn("day", expr(s"ts div ${bucketNs}L")) // exact integer div:
+                            saltBuckets: Int, codec: String,
+                            exchange: Boolean = true): Unit = {
+    val withDay =
+      df.withColumn("day", expr(s"ts div ${bucketNs}L")) // exact integer div:
       // double division would round ts (> 2^53) near bucket boundaries
-      .repartition(col("metric"), col("day"),
-        pmod(xxhash64(col("sname")), lit(saltBuckets)))
+    val placed =
+      if (exchange)
+        withDay.repartition(col("metric"), col("day"),
+          pmod(xxhash64(col("sname")), lit(saltBuckets)))
+      else withDay
+    placed
       .sortWithinPartitions(col("metric"), col("day"), col("sname"), col("ts"))
       .write
       .partitionBy("metric", "day")
@@ -186,6 +210,7 @@ object Ingest {
       .option("parquet.writer.version", "v2")
       .mode("overwrite")
       .parquet(path)
+  }
 
   /** Read the layout back as a TsStore (partition pruning on
     * metric/day happens automatically from query predicates). Pass

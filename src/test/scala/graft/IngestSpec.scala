@@ -96,6 +96,45 @@ class IngestSpec extends SparkFunSuite {
       LineProtocol.parseOpenTsdb("get cpu.real 123 1 h=a"))
   }
 
+  // the shuffle-free ingest default (sorted-run write) and the salted
+  // exchange write are the same layout to every reader: identical rows,
+  // per-file (sname, ts) sorted runs, same partition directories
+  test("sorted-run write is read-identical to the salted exchange write") {
+    val dir = Files.createTempDirectory("graft-sortedrun").toFile
+    val respFile = new java.io.File(dir, "session1.resp")
+    val day = Ingest.DayNs
+    val lines = (0 until 200).flatMap { i =>
+      Seq(s"+m${i % 2} host=h${i % 5}", s":${i * (day / 50)}", s":$i")
+    }
+    Files.write(respFile.toPath, lines.mkString("\n").getBytes)
+    val runs = new java.io.File(dir, "runs").getAbsolutePath
+    val salted = new java.io.File(dir, "salted").getAbsolutePath
+    Ingest.ingestResp(spark, respFile.getAbsolutePath, runs,
+      flattenTags = Seq("host"))
+    Ingest.ingestResp(spark, respFile.getAbsolutePath, salted,
+      flattenTags = Seq("host"), exchange = true)
+    def snap(p: String) = Ingest.readLayout(spark, p).samples
+      .select("metric", "ts", "value")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(snap(runs).toSeq == snap(salted).toSeq)
+    // same partition dirs (metric=/day=) either way
+    def dirs(p: String) = new java.io.File(p).listFiles
+      .filter(_.isDirectory).flatMap(m => m.listFiles.filter(_.isDirectory)
+        .map(d => s"${m.getName}/${d.getName}")).sorted.toSeq
+    assert(dirs(runs) == dirs(salted))
+    // every file in the run layout is internally (sname, ts)-sorted
+    val files = spark.read.parquet(runs)
+      .select(org.apache.spark.sql.functions.input_file_name().as("f"),
+        org.apache.spark.sql.functions.col("sname"),
+        org.apache.spark.sql.functions.col("ts"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    files.groupBy(_._1).foreach { case (_, rows) =>
+      val keys = rows.map(r => (r._2, r._3)).toSeq
+      assert(keys == keys.sorted, "file not (sname, ts)-sorted")
+    }
+  }
+
   test("meta queries with a maintained dimension never scan the facts") {
     val dir = Files.createTempDirectory("graft-seriesdim").toFile
     val respFile = new java.io.File(dir, "session1.resp")
