@@ -85,10 +85,9 @@ final class WireIngest(spoolDir: File, tcpPort: Int = 0, udpPort: Int = 0,
     /** Feed `bs`, then spool the prefix the parser consumed (everything
       * but the suspended entry's text, which is re-spooled once it
       * completes on a later feed). */
-    def feed(bs: Array[Byte], eof: Boolean): Unit = {
+    def feed(bs: Array[Byte]): Unit = {
       val before = cursor.pending
       cursor.append(new String(bs, java.nio.charset.StandardCharsets.UTF_8))
-      if (eof) cursor.finish()
       // spool in finally: on a protocol error the cursor rewinds to the
       // bad entry's start, so entries validated earlier in this same
       // chunk still reach the spool before the error propagates
@@ -114,13 +113,19 @@ final class WireIngest(spoolDir: File, tcpPort: Int = 0, udpPort: Int = 0,
         var cut = chunk.length - 1
         while (cut >= 0 && chunk(cut) != '\n') cut -= 1
         if (cut >= 0) {
-          feed(java.util.Arrays.copyOf(chunk, cut + 1), eof = false)
+          feed(java.util.Arrays.copyOf(chunk, cut + 1))
           tail = java.util.Arrays.copyOfRange(chunk, cut + 1, chunk.length)
         } else tail = chunk
         n = in.read(buf)
       }
-      // connection closed cleanly: the last line may lack a newline
-      feed(tail, eof = true)
+      // connection closed cleanly: an incomplete trailing entry — a
+      // partial line left in `tail` (no terminator arrived) or an entry
+      // suspended mid-way across complete lines — is discarded SILENTLY,
+      // no error and no data, like the reference's parser coroutine just
+      // ending at stream EOF (functests/test_incomplete_write.py case 2:
+      // "No error message expected because the write is incomplete").
+      // The suspended text was never spooled, so nothing torn reaches
+      // consumers; everything validated before it is published.
       out.close()
       if (spooled) publish(tmp, "tcp") else Files.deleteIfExists(tmp)
     } catch {
@@ -192,7 +197,8 @@ final class WireIngest(spoolDir: File, tcpPort: Int = 0, udpPort: Int = 0,
         } else tail = chunk
         n = in.read(buf)
       }
-      if (tail.nonEmpty) handleLine(new String(tail, utf8))
+      // an unterminated final line is an incomplete write: discarded
+      // silently, same contract as the RESP handler above
       out.close()
       if (spooled) publish(tmp, "opentsdb") else Files.deleteIfExists(tmp)
     } catch {

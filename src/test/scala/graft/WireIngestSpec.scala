@@ -114,6 +114,90 @@ class WireIngestSpec extends SparkFunSuite {
     } finally srv.stop()
   }
 
+  // --- functests/test_incomplete_write.py parity ------------------------
+  test("incomplete final entry at clean close is discarded silently") {
+    val spool = Files.createTempDirectory("graft-wire-incomplete").toFile
+    val srv = new WireIngest(spool)
+    srv.start()
+    try {
+      // case 2: the value line never gets its terminator — an incomplete
+      // write. No data may surface and NO error line is sent.
+      val sock = new Socket("127.0.0.1", srv.tcpBoundPort)
+      sock.setSoTimeout(5000)
+      sock.getOutputStream.write(
+        "+cpuload host=machine2\r\n:1418224205000000000\r\n+25.0"
+          .getBytes(UTF_8))
+      sock.getOutputStream.flush()
+      sock.shutdownOutput() // clean close of the write half
+      // server closes without answering anything: read returns EOF
+      assert(sock.getInputStream.read() == -1)
+      sock.close()
+      // an entry suspended at a LINE boundary (series+ts sent, value
+      // missing entirely) is equally incomplete: same silent discard
+      val s2 = new Socket("127.0.0.1", srv.tcpBoundPort)
+      s2.setSoTimeout(5000)
+      s2.getOutputStream.write("+cpuload host=machine3\r\n:1\r\n".getBytes(UTF_8))
+      s2.shutdownOutput()
+      assert(s2.getInputStream.read() == -1)
+      s2.close()
+      Thread.sleep(200)
+      assert(spool.listFiles().count(_.getName.endsWith(".resp")) == 0)
+    } finally srv.stop()
+  }
+
+  test("valid prefix survives an incomplete tail on the same connection") {
+    val spool = Files.createTempDirectory("graft-wire-prefix").toFile
+    val srv = new WireIngest(spool)
+    srv.start()
+    try {
+      val good = (0 until 3).map(i =>
+        s"+cpu host=a\r\n:${1000000000L * i}\r\n:$i\r\n").mkString
+      val sock = new Socket("127.0.0.1", srv.tcpBoundPort)
+      sock.setSoTimeout(5000)
+      sock.getOutputStream.write((good + "+cpu host=a\r\n:99").getBytes(UTF_8))
+      sock.getOutputStream.flush()
+      sock.shutdownOutput()
+      assert(sock.getInputStream.read() == -1) // still no error line
+      sock.close()
+      awaitSpool(spool, 1)
+      val parsed = Ingest.respFiles(spark, spool.getAbsolutePath)
+      assert(parsed.count() == 3) // the complete entries, nothing torn
+    } finally srv.stop()
+  }
+
+  // --- functests/test_wal_parallel.py parity ----------------------------
+  test("parallel TCP writers: every sample from every connection lands") {
+    val spool = Files.createTempDirectory("graft-wire-par").toFile
+    val srv = new WireIngest(spool)
+    srv.start()
+    try {
+      val writers = 4; val per = 500
+      val threads = (0 until writers).map { w =>
+        new Thread(() => {
+          val sock = new Socket("127.0.0.1", srv.tcpBoundPort)
+          val sb = new java.lang.StringBuilder(per * 40)
+          for (i <- 0 until per)
+            sb.append(s"+cpu host=h$w\r\n:")
+              .append(1000000000L * (w * per + i)).append("\r\n:")
+              .append(w * per + i).append("\r\n")
+          sock.getOutputStream.write(sb.toString.getBytes(UTF_8))
+          sock.close()
+        }, s"par-writer-$w")
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      awaitSpool(spool, writers)
+      val parsed = Ingest.respFiles(spark, spool.getAbsolutePath)
+      assert(parsed.count() == writers.toLong * per)
+      // per-series completeness: each writer's full value range arrived
+      val sums = parsed.groupBy("tags.host").sum("value")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      for (w <- 0 until writers) {
+        val lo = w.toLong * per; val hi = lo + per - 1
+        assert(sums(s"h$w") == (lo to hi).sum.toDouble)
+      }
+    } finally srv.stop()
+  }
+
   test("OpenTSDB telnet: puts spool, stats/version answer, unknown errors") {
     val spool = Files.createTempDirectory("graft-wire-tsdb").toFile
     val srv = new WireIngest(spool, protocol = WireIngest.OpenTsdb)
