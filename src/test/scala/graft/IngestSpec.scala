@@ -318,4 +318,61 @@ class IngestSpec extends SparkFunSuite {
     assert(got.map(_._3) == (0 until 20 by 2).map(_.toDouble))
     assert(got.forall(_._1 == "cpu host=h0"))
   }
+
+  test("roundtrip golden: RESP and OpenTSDB ingests serve identical CSV") {
+    // functests/roundtrip.sh analogue at spec scale: the SAME dataset
+    // rendered in both wire formats (the script's RESP and OpenTSDB
+    // input variants), each ingested through its own parser into its own
+    // layout, must answer the same queries with byte-identical reference
+    // CSV. 10s step, values = point index, tags cycling — the canonical
+    // functest generator shape (akumulid_test_tools.py:58-125).
+    val dir = Files.createTempDirectory("graft-roundtrip").toFile
+    val nSeries = 10; val perSeries = 120
+    val t0 = 1418000000000000000L; val stepNs = 10L * 1000000000L
+    val samples = for {
+      s <- 0 until nSeries
+      i <- 0 until perSeries
+    } yield (s"host=h$s region=${if (s % 2 == 0) "NW" else "SE"}",
+             t0 + i.toLong * nSeries * stepNs + s * stepNs,
+             (i * nSeries + s).toDouble)
+    val respText = samples.map { case (tags, ts, v) =>
+      s"+cpu $tags\n:$ts\n+$v\n"
+    }.mkString
+    val tsdbText = samples.map { case (tags, ts, v) =>
+      s"put cpu $ts $v $tags\n"
+    }.mkString
+    val respIn = new java.io.File(dir, "in.resp")
+    val tsdbIn = new java.io.File(dir, "in.tsdb")
+    Files.write(respIn.toPath, respText.getBytes)
+    Files.write(tsdbIn.toPath, tsdbText.getBytes)
+
+    val respLayout = new java.io.File(dir, "layout-resp").getAbsolutePath
+    val tsdbLayout = new java.io.File(dir, "layout-tsdb").getAbsolutePath
+    Ingest.writeLayout(Ingest.respFiles(spark, respIn.getAbsolutePath),
+      respLayout, flattenTags = Seq("host"))
+    Ingest.writeLayout(Ingest.openTsdbFiles(spark, tsdbIn.getAbsolutePath),
+      tsdbLayout, flattenTags = Seq("host"))
+    val stResp = Ingest.readLayout(spark, respLayout)
+    val stTsdb = Ingest.readLayout(spark, tsdbLayout)
+
+    val tEnd = t0 + perSeries.toLong * nSeries * stepNs
+    val queries = Seq(
+      // forward scan, ISO-timestamp CSV (the script's read-back diff)
+      s"""{"select":"cpu","range":{"from":$t0,"to":$tEnd},
+         |"order-by":"time","output":{"format":"csv"}}""".stripMargin,
+      // tag-filtered backward scan
+      s"""{"select":"cpu","range":{"from":$tEnd,"to":$t0},
+         |"where":{"region":["NW"]},"output":{"format":"csv"}}""".stripMargin,
+      // whole-range aggregate per series
+      s"""{"aggregate":{"cpu":"sum"},"output":{"format":"csv"}}""")
+    for (q <- queries) {
+      val a = graft.serve.Api.queryLines(stResp, q).collect().toSeq
+      val b = graft.serve.Api.queryLines(stTsdb, q).collect().toSeq
+      assert(a.nonEmpty && a == b, s"roundtrip divergence for $q")
+    }
+    // spot-check content against the closed-form generator, like the
+    // script's diff against expected output: first CSV line of the scan
+    val first = graft.serve.Api.queryLines(stResp, queries.head).head()
+    assert(first == s"cpu host=h0 region=NW,20141208T005320.000000000,0")
+  }
 }
