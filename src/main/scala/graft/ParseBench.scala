@@ -174,6 +174,23 @@ object ParseBench {
       Ingest.ingestResp(spark, dir.getPath, "/tmp/graft_parsebench_out",
         flattenTags = Seq("host"), minPartitions = sessions)
     }
+    // codec comparison on the sorted-run path (lz4_raw/no-dict is the
+    // adopted default — measured faster AND smaller than snappy/dict;
+    // zstd smallest, encode speed within noise of snappy)
+    def sizeOf(p: String): Long = {
+      def rec(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(rec).sum else f.length()
+      rec(new java.io.File(p))
+    }
+    for (codec <- Seq("snappy", "zstd")) {
+      val out = s"/tmp/graft_parsebench_out_$codec"
+      time(s"w5-codec-$codec") {
+        Ingest.ingestResp(spark, dir.getPath, out,
+          flattenTags = Seq("host"), minPartitions = sessions, codec = codec)
+      }
+      println(f"SIZE $codec ${sizeOf(out) / 1e6}%8.1f MB")
+    }
+    println(f"SIZE lz4_raw(default) ${sizeOf("/tmp/graft_parsebench_out") / 1e6}%8.1f MB")
     spark.stop()
   }
 }

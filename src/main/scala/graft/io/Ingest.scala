@@ -25,22 +25,22 @@ object Ingest {
 
   private val sampleEnc = Encoders.product[LineProtocol.ParsedSample]
 
-  /** Whole-session file contents, one String per file. `binaryFiles` +
-    * an explicit UTF-8 decode, NOT `wholeTextFiles`: Hadoop's Text
-    * re-decode path measured 2x slower end-to-end (ParseBench), while
-    * `new String(bytes, UTF_8)` hits the JDK's compact-string ASCII fast
-    * path. Still the portable split-per-file Hadoop input layer (HDFS/S3
-    * work unchanged). `minPartitions` defaults to the cluster parallelism
-    * — the Hadoop default of 2 would funnel every session through two
-    * tasks regardless of core count. */
+  /** Whole-session file contents, one String per file, via the raw
+    * Hadoop FS API ([[org.apache.spark.sql.graftio.HadoopFiles]]):
+    * driver lists the files, tasks open + `readFully` + decode. The
+    * `binaryFiles` input-format machinery (CombineFileInputFormat splits
+    * + PortableDataStream) measured up to 17x slower for the same bytes
+    * on the ingest bench; `new String(bytes, UTF_8)` keeps the JDK's
+    * compact-string ASCII fast path. HDFS/S3 work unchanged through the
+    * FS API. `minPartitions` defaults to the cluster parallelism — a
+    * low default would funnel every session through few tasks regardless
+    * of core count. */
   def sessionFiles(spark: SparkSession, path: String,
                    minPartitions: Int = 0)
       : org.apache.spark.rdd.RDD[String] = {
     val mp = if (minPartitions > 0) minPartitions
              else spark.sparkContext.defaultParallelism
-    spark.sparkContext.binaryFiles(path, mp).map { case (_, pds) =>
-      new String(pds.toArray(), java.nio.charset.StandardCharsets.UTF_8)
-    }
+    org.apache.spark.sql.graftio.HadoopFiles.wholeFiles(spark, path, mp)
   }
 
   /** Parse RESP session files: one file = one session (dictionary scope),
@@ -126,13 +126,19 @@ object Ingest {
 
   val DayNs: Long = 86400L * 1000000000L
 
+  /** Layout compression: LZ4 (raw frame) — measured both faster to
+    * encode AND smaller than snappy on the sorted-run layout (the
+    * reference's storage codec family too, compression.cpp LZ4 blocks).
+    * zstd trades ~20% size for encode speed; pass it for cold tiers. */
+  val DefaultCodec = "lz4_raw"
+
   /** Write the partitioned/sorted layout. `flattenTags` lifts the listed
     * tag keys into `tag_<k>` string columns for predicate pushdown. */
   def writeLayout(samples: DataFrame, path: String,
                   flattenTags: Seq[String] = Nil,
                   bucketNs: Long = DayNs,
                   saltBuckets: Int = 32,
-                  codec: String = "snappy"): Unit = {
+                  codec: String = DefaultCodec): Unit = {
     val withBucket = flattenTags
       .foldLeft(samples) { (d, k) =>
         d.withColumn(s"tag_$k", try_element_at(col("tags"), lit(k)))
@@ -157,7 +163,7 @@ object Ingest {
                  flattenTags: Seq[String] = Nil,
                  bucketNs: Long = DayNs,
                  saltBuckets: Int = 32,
-                 codec: String = "snappy",
+                 codec: String = DefaultCodec,
                  minPartitions: Int = 0,
                  exchange: Boolean = false): Unit =
     writePrepared(respFilesFlat(spark, inPath, flattenTags, minPartitions),
@@ -208,6 +214,12 @@ object Ingest {
       // both faster to encode and far smaller than v1's
       // dictionary-attempt-then-plain on high-cardinality longs
       .option("parquet.writer.version", "v2")
+      // no dictionary pass: ~25% faster encode at IDENTICAL size on this
+      // layout — sorted runs make v2's delta encodings (DELTA_BYTE_ARRAY
+      // snames, DELTA_BINARY_PACKED ts) strictly better than a dict
+      // attempt that gets abandoned per page; row-group min/max stats
+      // (the pruning the reads rely on) don't involve the dictionary
+      .option("parquet.enable.dictionary", "false")
       .mode("overwrite")
       .parquet(path)
   }
@@ -259,7 +271,8 @@ object Ingest {
   def compactLayout(spark: SparkSession, inPath: String, outPath: String,
                     flattenTags: Seq[String] = Nil,
                     bucketNs: Long = DayNs,
-                    saltBuckets: Int = 32, codec: String = "snappy"): Unit = {
+                    saltBuckets: Int = 32,
+                    codec: String = DefaultCodec): Unit = {
     val raw = spark.read.parquet(inPath).drop(TsStore.DayCol)
     // batch layouts are already flat (sname carries the tag set); the
     // streaming sink stores the tags MAP instead — compaction upgrades it
