@@ -206,7 +206,10 @@ object LineProtocol {
       if (ok) v.toDouble
       else {
         if (s0 >= lEnd) fail(s"bad value '$lineStr'")
-        java.lang.Double.parseDouble(content.substring(s0, lEnd))
+        try java.lang.Double.parseDouble(content.substring(s0, lEnd))
+        catch { // NFE must not escape the -PARSER contract (wire fuzz)
+          case _: NumberFormatException => fail(s"bad value '$lineStr'")
+        }
       }
     }
 
@@ -231,9 +234,13 @@ object LineProtocol {
           // dictionary array: N elements = N/2 (name, id) pairs, staged
           // and committed only once the whole array parsed
           val n = parseLongBody().toInt
+          if (n < 0) fail("dictionary array length must be non-negative")
           if (n % 2 != 0) fail("dictionary array length must be even")
-          val ids = new java.util.ArrayList[java.lang.Long](n / 2)
-          val keyss = new java.util.ArrayList[Seq[SeriesKey]](n / 2)
+          // capacity hint bounded: a hostile `*2000000000` header must
+          // not pre-allocate gigabytes before the missing entries fail
+          val cap = math.min(n / 2, 1024)
+          val ids = new java.util.ArrayList[java.lang.Long](cap)
+          val keyss = new java.util.ArrayList[Seq[SeriesKey]](cap)
           var k = 0
           while (k < n / 2) {
             requireLine()
@@ -264,7 +271,16 @@ object LineProtocol {
           requireLine()
           val ts =
             if (first == ':') parseLongBody()
-            else if (first == '+') AkuTime.parseTs(bodyStr)
+            else if (first == '+')
+              // parseTs raises IllegalArgument / DateTimeException on
+              // garbage (bad month, overflow): normalize to the protocol
+              // error so wire callers keep the -PARSER contract
+              try AkuTime.parseTs(bodyStr)
+              catch {
+                case e if !e.isInstanceOf[ProtocolParseException] &&
+                          scala.util.control.NonFatal(e) =>
+                  fail(s"bad timestamp '$lineStr'")
+              }
             else fail(s"expected RESP string, got '$lineStr'")
           // value(s): scalar token or *N array (row protocol)
           requireLine()
@@ -325,14 +341,24 @@ object LineProtocol {
     if (parts.size < 5)
       fail(s"put: illegal argument: not enough arguments (need least 4, got ${parts.size - 1})")
     val metric = parts(1)
-    val ts = {
-      val tok = parts(2)
-      if (tok.forall(_.isDigit)) {
-        val v = tok.toLong
-        if (v < 0xFFFFFFFFL) v * AkuTime.NsPerSec else v
-      } else AkuTime.parseTs(tok)
-    }
-    val value = parts(3).toDouble
+    val ts =
+      try {
+        val tok = parts(2)
+        if (tok.forall(_.isDigit)) {
+          val v = tok.toLong
+          if (v < 0xFFFFFFFFL) v * AkuTime.NsPerSec else v
+        } else AkuTime.parseTs(tok)
+      } catch { // keep telnet's `error:` contract on garbage timestamps
+        case e if !e.isInstanceOf[ProtocolParseException] &&
+                  scala.util.control.NonFatal(e) =>
+          fail(s"put: illegal argument: invalid timestamp '${parts(2)}'")
+      }
+    val value =
+      try parts(3).toDouble
+      catch {
+        case _: NumberFormatException =>
+          fail(s"put: illegal argument: invalid value '${parts(3)}'")
+      }
     val key = SeriesKey.parse((metric +: parts.drop(4)).mkString(" "))
       .fold(fail, identity)
     Seq(ParsedSample(key.metric, key.tags, ts, value, null))

@@ -146,6 +146,16 @@ final class WireIngest(spoolDir: File, tcpPort: Int = 0, udpPort: Int = 0,
         // surface after recovery.
         out.close()
         if (spooled) publish(tmp, "tcp") else Files.deleteIfExists(tmp)
+      case scala.util.control.NonFatal(e) =>
+        // defense in depth: the parser layer normalizes its errors to
+        // ProtocolParseException (fuzz-tested), but an unforeseen throw
+        // must degrade to the -PARSER contract, never a dead thread
+        try sock.getOutputStream.write(
+          s"-PARSER internal error: ${e.getClass.getSimpleName}\r\n"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        catch { case _: java.io.IOException => () }
+        out.close()
+        if (spooled) publish(tmp, "tcp") else Files.deleteIfExists(tmp)
     } finally { conns.remove(sock); sock.close() }
   }
 
@@ -208,6 +218,12 @@ final class WireIngest(spoolDir: File, tcpPort: Int = 0, udpPort: Int = 0,
         out.close()
         if (spooled) publish(tmp, "opentsdb") else Files.deleteIfExists(tmp)
       case _: java.io.IOException =>
+        out.close()
+        if (spooled) publish(tmp, "opentsdb") else Files.deleteIfExists(tmp)
+      case scala.util.control.NonFatal(e) =>
+        try sock.getOutputStream.write(
+          s"error: internal: ${e.getClass.getSimpleName}\n".getBytes(utf8))
+        catch { case _: java.io.IOException => () }
         out.close()
         if (spooled) publish(tmp, "opentsdb") else Files.deleteIfExists(tmp)
     } finally { conns.remove(sock); sock.close() }
