@@ -191,6 +191,78 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  // --- near-dup clustering -------------------------------------------------
+
+  /** Connected components of a near-dup pair graph: `(node, component)`
+    * with `component` = the smallest id reachable from the node over the
+    * pair edges. The step a training-data pipeline runs after pair
+    * generation: a transitive family of near-dups collapses to ONE
+    * cluster, not a tangle of pairwise drops.
+    *
+    * Min-label propagation with pointer jumping: each round every node
+    * takes the min label over its neighbors, then labels shortcut
+    * through their own label (`l(v) <- l(l(v))`), giving O(log diameter)
+    * rounds. State per round is only `(node, label)` pairs and each round
+    * is a bounded number of hash-shuffles — no driver-side graph, no
+    * unbounded collect; `localCheckpoint` cuts the iterative lineage.
+    * Nodes appearing in no pair are absent (their component is
+    * themselves). */
+  def connectedComponents(pairs: DataFrame, aCol: String = "a",
+                          bCol: String = "b", maxIter: Int = 30): DataFrame = {
+    val sym = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+    val edges = sym.localCheckpoint()
+    var labels = edges.groupBy(col("u"))
+      .agg(min(col("v")).as("mn"))
+      .select(col("u").as("node"), least(col("u"), col("mn")).as("label"))
+      .localCheckpoint()
+    var prevSig: Option[(Long, Long)] = None
+    var iter = 0
+    var done = false
+    while (iter < maxIter && !done) {
+      // neighbor-min: l(u) <- min(l(u), min over v in N(u) of l(v))
+      val prop = edges
+        .join(labels.withColumnRenamed("node", "v"), "v")
+        .groupBy(col("u")).agg(min(col("label")).as("nl"))
+        .withColumnRenamed("u", "node")
+      val merged = labels.join(prop, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+      // pointer jump: l(u) <- l(l(u)) (labels are node ids, so the label
+      // table joins against itself keyed by label)
+      val jumped = merged
+        .join(merged.select(col("node").as("label"), col("label").as("ll")),
+          Seq("label"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
+        .localCheckpoint()
+      // fixpoint when the (count, content-hash) signature repeats —
+      // bit_xor: order-independent and immune to ANSI long overflow
+      val sig = jumped
+        .agg(count(lit(1)), bit_xor(xxhash64(col("node"), col("label")))).head()
+      val cur = (sig.getLong(0), if (sig.isNullAt(1)) 0L else sig.getLong(1))
+      done = prevSig.contains(cur)
+      prevSig = Some(cur)
+      labels = jumped
+      iter += 1
+    }
+    labels.withColumnRenamed("label", "component")
+  }
+
+  /** Corpus dedup with CLUSTER survivors: ONE document kept per
+    * connected component of the near-dup pair graph (the smallest id),
+    * plus every document in no pair. Unlike [[deduplicate]]'s greedy
+    * per-pair policy (drop the larger side of each pair), the survivor
+    * set is closed under transitivity: a's dup b and b's dup c collapse
+    * to {a}, never {a, c}. */
+  def deduplicateClustered(docs: DataFrame, pairs: DataFrame,
+                           idCol: String = "doc_id"): DataFrame = {
+    val losers = connectedComponents(pairs)
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   // --- SimHash -------------------------------------------------------------
 
   /** 64-bit SimHash of the token multiset (Charikar '02): each feature

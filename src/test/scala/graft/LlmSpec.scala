@@ -225,6 +225,63 @@ class LlmSpec extends SparkFunSuite {
     assert(lsh == exact)
   }
 
+  test("connectedComponents matches union-find on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val nNodes = 60
+      val edges = Seq.fill(40)((rnd.nextInt(nNodes).toLong,
+        rnd.nextInt(nNodes).toLong)).filter { case (a, b) => a != b }
+      // reference: plain union-find over the same edges
+      val parent = Array.tabulate(nNodes)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        .map(n => n -> {
+          // component = min node of the union-find class
+          val r = find(n.toInt)
+          (0 until nNodes).filter(m => find(m) == r).min.toLong
+        }).toMap
+      val sp = SparkSpec.spark
+      import sp.implicits._
+      val got = Dedup.connectedComponents(edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial $trial")
+    }
+  }
+
+  test("connectedComponents collapses a long chain in logarithmic rounds") {
+    // a path 0-1-2-...-99: worst case for plain label propagation
+    // (diameter 99); pointer jumping must still converge inside the
+    // default maxIter=30 — and every node must label to 0
+    val sp = SparkSpec.spark
+    import sp.implicits._
+    val chain = (0L until 99L).map(i => (i, i + 1)).toDF("a", "b")
+    val comp = Dedup.connectedComponents(chain).collect()
+    assert(comp.length == 100 && comp.forall(_.getLong(1) == 0L))
+  }
+
+  test("deduplicateClustered keeps one survivor per component") {
+    // components {0,1,2} (chain via 1) and {5,6}; 3 and 4 unpaired
+    val sp = SparkSpec.spark
+    import sp.implicits._
+    val d = docs(Seq.tabulate(7)(i => s"unique text number $i"))
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("a", "b")
+    val kept = Dedup.deduplicateClustered(d, pairs)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(0L, 3L, 4L, 5L))
+    // greedy pair policy on the SAME chain keeps {0} too but drops 2
+    // only because it is the larger side of (1,2) — with pairs
+    // (1,2),(2,0) transitivity matters: clustering keeps min 0
+    val pairs2 = Seq((1L, 2L), (0L, 2L)).toDF("a", "b")
+    val kept2 = Dedup.deduplicateClustered(d, pairs2)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept2 == Seq(0L, 3L, 4L, 5L, 6L))
+  }
+
   test("multimodal: features are deterministic, frames sample by offset") {
     val media = Multimodal.syntheticMedia(spark, 9)
     val feats = Multimodal.extractFeatures(media).collect()
