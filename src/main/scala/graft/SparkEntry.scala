@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ast.QueryJson
-import graft.llm.{Dedup, Embed, Text}
+import graft.llm.{Dedup, Embed, Sample, Text}
 import graft.model.AkuTime
 import graft.plan.{Meta, Planner}
 import graft.serve.OutputFormat
@@ -1030,6 +1030,39 @@ object SparkEntry {
              |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
              |SELECT u AS doc_id, least(u, min(v)) AS component
              |FROM reach GROUP BY u ORDER BY 1""".stripMargin)),
+
+    // -- curation: deterministic corpus mixing (per-stratum sampling) ----
+    // Hash-Bernoulli keep decision (md5 of doc_id + seed), stratified by
+    // token-count bucket — reproducible on any cluster size; the oracle
+    // rebuilds the 60-bit md5 fraction digit for digit.
+    "doc_corpus_mix" -> Gated(
+      (s, d) => {
+        val docs = TestData.table(s, d, "documents")
+        val stratum = when(Text.tokenCount(col("text")) < 40, "short")
+          .when(Text.tokenCount(col("text")) < 80, "medium")
+          .otherwise("long")
+        Sample.mix(docs, stratum,
+          Map("short" -> 0.25, "medium" -> 0.5), defaultRate = 1.0,
+          seed = "mix1")
+          .select(col("doc_id"), col("stratum"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    len(string_split_regex(trim(text), '\s+')) AS n
+             |  FROM documents),
+             |s AS (SELECT doc_id,
+             |    CASE WHEN n < 40 THEN 'short'
+             |         WHEN n < 80 THEN 'medium' ELSE 'long' END AS stratum,
+             |    list_sum(list_transform(range(1, 16),
+             |      i -> (strpos('0123456789abcdef',
+             |              (md5(doc_id::VARCHAR || 'mix1'))[i]) - 1)::BIGINT
+             |           * (1::BIGINT << ((15 - i) * 4))))::BIGINT::DOUBLE
+             |      / 1152921504606846976.0 AS frac
+             |  FROM t)
+             |SELECT doc_id, stratum FROM s
+             |WHERE frac < CASE stratum WHEN 'short' THEN 0.25
+             |                          WHEN 'medium' THEN 0.5 ELSE 1.0 END
+             |ORDER BY 1""".stripMargin)),
 
     // -- dedup: SimHash near-dup — oracled under the md5-based feature
     // hash (xxhash64 has no DuckDB twin); the full bit-vote sketch, the

@@ -1,0 +1,48 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling and mixing for training-data pipelines.
+  *
+  * `rand()`-based sampling is non-reproducible across retries, task
+  * re-execution, and cluster sizes — a poisoned property for dataset
+  * curation, where the sample IS the artifact. Everything here derives
+  * the keep/drop decision from a hash of the row's own id, so:
+  *  - the same (corpus, seed, rate) always selects the same rows, on
+  *    any cluster, after any retry — safe under speculative execution;
+  *  - sampling is a narrow per-row filter (no shuffle, no state) that
+  *    pushes down like any predicate;
+  *  - the oracle can replicate the exact selection in SQL (md5-based
+  *    fraction, the doc_simhash hash-twin pattern).
+  */
+object Sample {
+
+  /** Uniform [0, 1) fraction from the md5 of `id` (+ seed): the first 15
+    * hex chars as a 60-bit integer over 2^60. ANSI-safe (stays under 63
+    * bits), identical in DuckDB via the hex-digit rebuild. */
+  def hashFrac(id: Column, seed: String = ""): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(seed))), 1, 15), 16, 10)
+      .cast("long").cast("double") / lit(1152921504606846976.0) // 2^60
+
+  /** Deterministic Bernoulli sample: keep each row iff
+    * hashFrac(id) < rate. */
+  def bernoulli(df: DataFrame, rate: Double, idCol: String = "doc_id",
+                seed: String = ""): DataFrame =
+    df.filter(hashFrac(col(idCol), seed) < lit(rate))
+
+  /** Corpus mixing: per-stratum sampling rates in one pass. `stratum` is
+    * any string-valued Column (language, quality bucket, source); rows
+    * keep iff hashFrac < rates(stratum), `defaultRate` for strata not in
+    * the map. The standard "mix languages/sources at target proportions"
+    * curation step, as a single narrow filter. */
+  def mix(df: DataFrame, stratum: Column, rates: Map[String, Double],
+          defaultRate: Double = 1.0, idCol: String = "doc_id",
+          seed: String = ""): DataFrame = {
+    val rateMap = map(rates.toSeq.flatMap { case (k, v) =>
+      Seq(lit(k), lit(v)) }: _*)
+    df.withColumn("stratum", stratum)
+      .filter(hashFrac(col(idCol), seed) <
+        coalesce(try_element_at(rateMap, col("stratum")), lit(defaultRate)))
+  }
+}

@@ -282,6 +282,30 @@ class LlmSpec extends SparkFunSuite {
     assert(kept2 == Seq(0L, 3L, 4L, 5L, 6L))
   }
 
+  test("deterministic sampling: reproducible, rate-accurate, stratified") {
+    import graft.llm.Sample
+    val d = docs(Seq.tabulate(1000)(i => s"document body $i"))
+    val s1 = Sample.bernoulli(d, 0.5, seed = "s").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val s2 = Sample.bernoulli(d, 0.5, seed = "s").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == s2)                       // reproducible
+    assert(s1.size > 400 && s1.size < 600) // rate-accurate
+    val s3 = Sample.bernoulli(d, 0.5, seed = "other").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(s3 != s1)                       // seed-sensitive
+    // nested property: a lower-rate sample is a subset of a higher-rate
+    // one under the same seed (frac < 0.2 implies frac < 0.5)
+    val s4 = Sample.bernoulli(d, 0.2, seed = "s").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(s4.subsetOf(s1))
+    // mixing: rate 0 drops a stratum entirely, rate 1 keeps it whole
+    val stratum = when(col("doc_id") < 500, "a").otherwise("b")
+    val mixed = Sample.mix(d, stratum, Map("a" -> 0.0, "b" -> 1.0))
+      .collect().map(r => r.getAs[Long]("doc_id"))
+    assert(mixed.length == 500 && mixed.forall(_ >= 500))
+  }
+
   test("multimodal: features are deterministic, frames sample by offset") {
     val media = Multimodal.syntheticMedia(spark, 9)
     val feats = Multimodal.extractFeatures(media).collect()
