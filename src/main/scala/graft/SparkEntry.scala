@@ -1031,6 +1031,31 @@ object SparkEntry {
              |SELECT u AS doc_id, least(u, min(v)) AS component
              |FROM reach GROUP BY u ORDER BY 1""".stripMargin)),
 
+    // -- text analysis: per-doc TF-IDF top terms -------------------------
+    // Ranking runs on the ROUNDED score with term tiebreak, so selection
+    // at the top-k boundary is identical on both sides regardless of
+    // libm ulp differences in ln.
+    "doc_tfidf" -> Gated(
+      (s, d) => Text.tfidfTopTerms(TestData.table(s, d, "documents"), k = 3)
+        .orderBy(col("doc_id"), col("rank")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |scored AS (
+             |  SELECT tf.doc_id, tf.term,
+             |    round(tf.tf * (ln(((SELECT count(*) FROM documents) + 1)::DOUBLE
+             |      / (df.df + 1)) + 1), 6) AS tfidf
+             |  FROM tf JOIN df USING (term)),
+             |ranked AS (
+             |  SELECT doc_id, term, tfidf, row_number() OVER (
+             |    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC)::INT AS rank
+             |  FROM scored)
+             |SELECT doc_id, term, tfidf, rank FROM ranked
+             |WHERE rank <= 3 ORDER BY 1, 4""".stripMargin)),
+
     // -- curation: deterministic corpus mixing (per-stratum sampling) ----
     // Hash-Bernoulli keep decision (md5 of doc_id + seed), stratified by
     // token-count bucket — reproducible on any cluster size; the oracle

@@ -208,6 +208,41 @@ object Text {
         size(col("col")).as("n_chunk_tokens"))
   }
 
+  /** Per-document TF-IDF top-`k` terms — the distinctive-term extraction
+    * step (topic tagging, boilerplate spotting, index keys).
+    *
+    * tf = raw term count in the doc; idf = ln((N+1)/(df+1)) + 1 (the
+    * smoothed scikit-style form, never negative or divide-by-zero).
+    * Shape at scale: explode -> (doc, term) count -> (term) doc-freq ->
+    * join back on term -> per-doc top-k window. Both aggregations and
+    * the join shuffle on `term`, so the plan reuses one partitioning;
+    * the window partitions by doc. Ranking uses the ROUNDED score (and
+    * term as tiebreak) so selection is reproducible bit-for-bit against
+    * a SQL twin regardless of libm ulp differences in ln.
+    *
+    * `n` (corpus size) is taken from a metadata-only count when the
+    * caller doesn't pass it — for parquet sources that's a footer read,
+    * not a scan. */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3,
+                    textCol: String = "text", idCol: String = "doc_id",
+                    n: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = n.getOrElse(docs.count())
+    val tf = docs
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "term")
+      .withColumn("tfidf", round(col("tf") *
+        (log(lit((nDocs + 1).toDouble) / (col("df") + lit(1))) + lit(1)), 6))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("tfidf").desc, col("term").asc)))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tfidf"), col("rank"))
+  }
+
   /** One-call document stats frame: the per-document feature row a
     * training-data pipeline materializes before filtering. */
   def docStats(docs: DataFrame, textCol: String = "text"): DataFrame = {

@@ -282,6 +282,19 @@ class LlmSpec extends SparkFunSuite {
     assert(kept2 == Seq(0L, 3L, 4L, 5L, 6L))
   }
 
+  test("tfidf ranks distinctive terms above corpus-common ones") {
+    val d = docs(Seq(
+      "the shared words appear everywhere in the corpus always",
+      "the shared words appear everywhere plus zebra here",
+      "the shared words appear everywhere plus quasar here"))
+    val got = Text.tfidfTopTerms(d, k = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(3)))
+    // each doc's rank-1 term is its unique word, never a shared one
+    val rank1 = got.filter(_._3 == 1).map(t => t._1 -> t._2).toMap
+    assert(rank1(1L) == "zebra" && rank1(2L) == "quasar")
+    assert(got.count(_._1 == 0L) == 2) // k rows per doc
+  }
+
   test("deterministic sampling: reproducible, rate-accurate, stratified") {
     import graft.llm.Sample
     val d = docs(Seq.tabulate(1000)(i => s"document body $i"))
