@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ast.QueryJson
-import graft.llm.{Dedup, Embed, Sample, Text}
+import graft.llm.{Dedup, Embed, Multimodal, Sample, Text}
 import graft.model.AkuTime
 import graft.plan.{Meta, Planner}
 import graft.serve.OutputFormat
@@ -1088,6 +1088,66 @@ object SparkEntry {
              |WHERE frac < CASE stratum WHEN 'short' THEN 0.25
              |                          WHEN 'medium' THEN 0.5 ELSE 1.0 END
              |ORDER BY 1""".stripMargin)),
+
+    // -- multimodal: feature extraction over binary media columns --------
+    // Media table derived from documents (content = UTF-8 bytes of the
+    // text's sha256 hex — fixed 64-byte payloads). The per-partition batch
+    // decode kernel averages byte lanes in Float32; quantizing by
+    // 255*(len/8) = 2040 recovers the integer per-lane byte sums exactly
+    // (float accumulation error over 8 terms is ~1e-4 of an ulp of the
+    // quantized value), so the oracle compares in integer space.
+    "mm_features" -> Gated(
+      (s, d) => {
+        val media = Multimodal.fromDocuments(TestData.table(s, d, "documents"))
+        Multimodal.extractFeatures(media)
+          .select(col("media_id"), col("modality"), col("decode_ok"),
+            posexplode(col("feature")))
+          .select(col("media_id"), col("modality"), col("decode_ok"),
+            col("pos").cast("int").as("lane"),
+            round(col("col") * 2040).cast("long").as("qsum"))
+          .orderBy(col("media_id"), col("lane"))
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+             |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+             |         ELSE 'video' END AS modality,
+             |    sha256(text) AS h
+             |  FROM documents)
+             |SELECT media_id, modality, TRUE AS decode_ok, lane,
+             |  list_sum(list_transform(generate_series(lane + 1, 64, 8),
+             |    j -> ord(h[j])))::BIGINT AS qsum
+             |FROM m CROSS JOIN (SELECT unnest(generate_series(0, 7))::INT AS lane)
+             |ORDER BY 1, 4""".stripMargin)),
+
+    // -- multimodal: image resize stage (batch kernel over image rows) ---
+    // resizeKernel XORs payload bytes with (w*31+h) truncated to a byte;
+    // the oracle rebuilds the output hex string character by character.
+    "mm_resize" -> Gated(
+      (s, d) => {
+        val media = Multimodal.fromDocuments(TestData.table(s, d, "documents"))
+        Multimodal.resizeImages(media, targetW = 17, targetH = 9)
+          .select(col("media_id"), hex(col("content")).as("chex"),
+            col("width"), col("height"), col("resize_ok"))
+          .orderBy(col("media_id"))
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  upper(array_to_string(list_transform(generate_series(1, 64),
+             |    j -> printf('%02x', xor(ord((sha256(text))[j]), 536) & 255)),
+             |    '')) AS chex,
+             |  17 AS width, 9 AS height, TRUE AS resize_ok
+             |FROM documents WHERE doc_id % 3 = 0 ORDER BY 1""".stripMargin)),
+
+    // -- multimodal: video frame-sampling plan (offset references) -------
+    "mm_frames" -> Gated(
+      (s, d) => {
+        val media = Multimodal.fromDocuments(TestData.table(s, d, "documents"))
+        Multimodal.sampleFrames(media, everyMs = 1000L)
+          .orderBy(col("media_id"), col("frame_offset_ms"))
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  (doc_id % 30000 + 1000) AS duration_ms,
+             |  unnest(generate_series(0, doc_id % 30000 + 1000 - 1, 1000))
+             |    AS frame_offset_ms
+             |FROM documents WHERE doc_id % 3 = 2 ORDER BY 1, 3""".stripMargin)),
 
     // -- dedup: SimHash near-dup — oracled under the md5-based feature
     // hash (xxhash64 has no DuckDB twin); the full bit-vote sketch, the

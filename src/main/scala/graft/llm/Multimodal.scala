@@ -46,6 +46,24 @@ object Multimodal {
       concat(lit("caption "), col("id")).as("caption"))
   }
 
+  /** Media table derived from the documents corpus: a data-driven variant
+    * of [[syntheticMedia]] for oracle-gated tests. Content is the UTF-8
+    * bytes of the text's sha256 hex digest — a fixed 64-byte payload that
+    * is bit-reproducible in SQL (`sha256(text)`), so the deterministic
+    * decode/resize kernels round-trip exactly through a DuckDB oracle. */
+  def fromDocuments(docs: DataFrame): DataFrame = {
+    val mods = Seq("image", "audio", "video")
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(typedLit(mods), (col("doc_id") % 3 + 1).cast("int")).as("modality"),
+      sha2(col("text"), 256).cast("binary").as("content"),
+      lit("application/octet-stream").as("mime"),
+      (col("doc_id") % 640 + 32).cast("int").as("width"),
+      (col("doc_id") % 480 + 32).cast("int").as("height"),
+      (col("doc_id") % 30000 + 1000).as("duration_ms"),
+      col("text").as("caption"))
+  }
+
   val featureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("modality", StringType),

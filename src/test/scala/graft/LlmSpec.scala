@@ -333,6 +333,29 @@ class LlmSpec extends SparkFunSuite {
     assert(resized.forall(r => r.getInt(2) == 224 && r.getInt(3) == 224))
   }
 
+  test("multimodal: fromDocuments media round-trips the kernels exactly") {
+    val sp = SparkSpec.spark
+    import sp.implicits._
+    val docs = Seq((0L, "alpha beta"), (1L, "gamma"), (2L, "delta epsilon"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.fromDocuments(docs).collect()
+    assert(media.length == 3)
+    // content = UTF-8 bytes of the sha256 hex digest: always 64 bytes
+    assert(media.forall(_.getAs[Array[Byte]]("content").length == 64))
+    assert(media.map(_.getString(1)).toSet == Set("image", "audio", "video"))
+    // quantized feature recovers integer per-lane byte sums (the exact
+    // contract the mm_features oracle relies on)
+    val m0 = Multimodal.fromDocuments(docs).filter(col("media_id") === 0L)
+    val feat = Multimodal.extractFeatures(m0).head.getSeq[Float](2)
+    val bytes = m0.head.getAs[Array[Byte]]("content")
+    val sums = Array.tabulate(8)(l =>
+      bytes.indices.filter(_ % 8 == l).map(bytes(_) & 0xff).sum)
+    assert(feat.map(f => math.round(f * 2040.0)).toSeq == sums.map(_.toLong).toSeq)
+    // resize output = payload XOR (w*31+h) low byte
+    val rz = Multimodal.resizeImages(m0, 17, 9).head.getAs[Array[Byte]]("content")
+    assert(rz.toSeq == bytes.map(b => ((b ^ (17 * 31 + 9)).toByte)).toSeq)
+  }
+
   test("high cardinality: correctness independent of series count") {
     import org.apache.spark.sql.functions.{concat, lit}
     val n = 20000
