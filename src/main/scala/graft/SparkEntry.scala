@@ -1089,6 +1089,37 @@ object SparkEntry {
              |                          WHEN 'medium' THEN 0.5 ELSE 1.0 END
              |ORDER BY 1""".stripMargin)),
 
+    // -- curation: benchmark decontamination ------------------------------
+    // Corpus = docs outside the holdout, benchmark = every 50th doc; a
+    // doc is contaminated at >= 3 shared word-3-gram shingles. The
+    // benchmark shingle set is broadcast; only hit rows shuffle.
+    "doc_decontaminate" -> Gated(
+      (s, d) => {
+        val docs = TestData.table(s, d, "documents")
+        Dedup.decontaminate(
+          docs.filter(col("doc_id") % 50 =!= 3),
+          docs.filter(col("doc_id") % 50 === 3),
+          n = 3, minHits = 3)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+             |  FROM documents),
+             |grams AS (
+             |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+             |    THEN list_transform(range(1, len(t) - 1),
+             |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+             |    ELSE [] END) AS g
+             |  FROM toks),
+             |bench AS (
+             |  SELECT list_distinct(flatten(list(g))) AS bg FROM grams
+             |  WHERE doc_id % 50 = 3)
+             |SELECT doc_id, len(g)::INT AS n_shingles,
+             |  len(list_intersect(g, bg))::INT AS hits,
+             |  len(list_intersect(g, bg)) >= 3 AS contaminated
+             |FROM grams CROSS JOIN bench
+             |WHERE doc_id % 50 <> 3 ORDER BY 1""".stripMargin)),
+
     // -- multimodal: feature extraction over binary media columns --------
     // Media table derived from documents (content = UTF-8 bytes of the
     // text's sha256 hex — fixed 64-byte payloads). The per-partition batch

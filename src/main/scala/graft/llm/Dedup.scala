@@ -119,6 +119,42 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  // --- benchmark decontamination -------------------------------------------
+
+  /** Benchmark decontamination: per corpus document, how many word
+    * n-gram shingles it shares with ANY benchmark document, and a
+    * contamination flag at `minHits`. The standard pre-training step that
+    * removes evaluation data from the training corpus.
+    *
+    * Scale shape (the benchmark is an eval set — MBs against TBs of
+    * corpus): the benchmark reduces to a distinct shingle-HASH set that
+    * is broadcast; the corpus makes one narrow pass, and only HIT rows
+    * (rare by construction) reach the hit-count shuffle. The final
+    * enrichment join keys on doc ids with two int columns — and since
+    * contaminated docs are a sliver of the corpus, AQE turns it into a
+    * broadcast join in the common case.
+    *
+    * Output: (idCol, n_shingles, hits, contaminated), one row per corpus
+    * document. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 3,
+                    minHits: Int = 1, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val benchSh = benchmark
+      .select(explode(transform(wordShingles(col(textCol), n),
+        s => xxhash64(s))).as("g"))
+      .distinct()
+    val sh = corpus.select(col(idCol),
+      transform(wordShingles(col(textCol), n), s => xxhash64(s)).as("sh"))
+    val hits = sh.select(col(idCol), explode(col("sh")).as("g"))
+      .join(broadcast(benchSh), Seq("g")) // inner: only hits survive
+      .groupBy(col(idCol)).agg(count(lit(1)).cast("int").as("hits"))
+    sh.select(col(idCol), size(col("sh")).as("n_shingles"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("hits"), lit(0)).as("hits"),
+        (coalesce(col("hits"), lit(0)) >= minHits).as("contaminated"))
+  }
+
   // --- MinHash + LSH -------------------------------------------------------
 
   /** `numHashes` MinHash signature of the shingle set — standard MinHash

@@ -319,6 +319,26 @@ class LlmSpec extends SparkFunSuite {
     assert(mixed.length == 500 && mixed.forall(_ >= 500))
   }
 
+  test("decontaminate: hit counts are exact, flag respects minHits") {
+    val corpus = docs(Seq(
+      "the quick brown fox jumps over the lazy dog", // 7 shingles, 2 hit
+      "completely different words entirely here now",  // 0 hits
+      "the quick brown fox runs away fast"))           // 2 hit
+    val bench = docs(Seq("a quick brown fox jumps across"))
+      .withColumn("doc_id", col("doc_id") + 100)
+    // bench 3-grams: {a quick brown, quick brown fox, brown fox jumps,
+    // fox jumps across}; doc0 shares {quick brown fox, brown fox jumps},
+    // doc2 shares {quick brown fox}
+    val got = Dedup.decontaminate(corpus, bench, n = 3, minHits = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getBoolean(3))).toMap
+    assert(got(0L) == ((7, 2, true)))
+    assert(got(1L)._2 == 0 && !got(1L)._3)
+    assert(got(2L) == ((5, 1, false)))
+    // every corpus doc appears exactly once, hit or not
+    assert(got.size == 3)
+  }
+
   test("multimodal: features are deterministic, frames sample by offset") {
     val media = Multimodal.syntheticMedia(spark, 9)
     val feats = Multimodal.extractFeatures(media).collect()
