@@ -14,12 +14,16 @@ object GateProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val heavy = Seq("doc_winnow", "doc_minhash_lsh", "doc_ngram_jaccard",
-      "doc_simhash", "embed_neardup", "embed_neardup_lsh", "ann_topk",
-      "ann_topk_lsh", "ann_topk_ivf", "doc_chunks", "doc_langid")
+    val heavy = if (args.nonEmpty) args.toSeq
+      else Seq("doc_winnow", "doc_minhash_lsh", "doc_ngram_jaccard",
+        "doc_simhash", "embed_neardup", "embed_neardup_lsh", "ann_topk",
+        "ann_topk_lsh", "ann_topk_ivf", "doc_chunks", "doc_langid")
+    val explain = sys.env.contains("SPARK_GRAFT_EXPLAIN")
     for (name <- heavy) {
+      val df = SparkEntry.queries(name)(spark, d)
+      if (explain) { println(s"===== $name ====="); df.explain("formatted") }
       val t0 = System.nanoTime()
-      val cnt = SparkEntry.queries(name)(spark, d).count()
+      val cnt = df.count()
       println(f"HEAVY $name%-22s ${(System.nanoTime() - t0) / 1e9}%6.2f s  ($cnt rows)")
     }
     spark.stop()

@@ -128,11 +128,10 @@ object Dedup {
     *
     * Scale shape (the benchmark is an eval set — MBs against TBs of
     * corpus): the benchmark reduces to a distinct shingle-HASH set that
-    * is broadcast; the corpus makes one narrow pass, and only HIT rows
-    * (rare by construction) reach the hit-count shuffle. The final
-    * enrichment join keys on doc ids with two int columns — and since
-    * contaminated docs are a sliver of the corpus, AQE turns it into a
-    * broadcast join in the common case.
+    * is broadcast; the corpus is scanned and shingled exactly ONCE —
+    * n_shingles rides through the explode, the broadcast left-join marks
+    * hits in the same stage, and map-side partial aggregation compacts
+    * the shuffle to one short row per document.
     *
     * Output: (idCol, n_shingles, hits, contaminated), one row per corpus
     * document. */
@@ -143,16 +142,20 @@ object Dedup {
       .select(explode(transform(wordShingles(col(textCol), n),
         s => xxhash64(s))).as("g"))
       .distinct()
-    val sh = corpus.select(col(idCol),
-      transform(wordShingles(col(textCol), n), s => xxhash64(s)).as("sh"))
-    val hits = sh.select(col(idCol), explode(col("sh")).as("g"))
-      .join(broadcast(benchSh), Seq("g")) // inner: only hits survive
-      .groupBy(col(idCol)).agg(count(lit(1)).cast("int").as("hits"))
-    sh.select(col(idCol), size(col("sh")).as("n_shingles"))
-      .join(hits, Seq(idCol), "left")
-      .select(col(idCol), col("n_shingles"),
-        coalesce(col("hits"), lit(0)).as("hits"),
-        (coalesce(col("hits"), lit(0)) >= minHits).as("contaminated"))
+      .withColumn("hit", lit(1))
+    corpus
+      .select(col(idCol),
+        transform(wordShingles(col(textCol), n), s => xxhash64(s)).as("sh"))
+      // explode_outer keeps shingle-less docs as a null-gram row (which
+      // can never match a bench key), so every corpus doc gets a row out
+      .select(col(idCol), size(col("sh")).as("n_shingles"),
+        explode_outer(col("sh")).as("g"))
+      .join(broadcast(benchSh), Seq("g"), "left")
+      .groupBy(col(idCol))
+      .agg(first(col("n_shingles")).as("n_shingles"),
+        count(col("hit")).cast("int").as("hits"))
+      .select(col(idCol), col("n_shingles"), col("hits"),
+        (col("hits") >= minHits).as("contaminated"))
   }
 
   // --- MinHash + LSH -------------------------------------------------------
