@@ -1251,6 +1251,41 @@ object SparkEntry {
       },
       Some(annTopKOracle)),
 
+    // -- similarity: one distributed spherical k-means (Lloyd) step ------
+    // IVF centroid training. Init = the first 4 vectors (normalized);
+    // output = per-(cell, dimension) member means. Assignment runs on the
+    // 6-decimal-rounded cosine with a deterministic tiebreak so the
+    // argmax is reproducible against the double-math oracle.
+    "embed_kmeans" -> Gated(
+      (s, d) => {
+        val emb = TestData.table(s, d, "embeddings")
+        val init = emb.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+          .select(Embed.normalized(col("embedding")))
+          .collect().toSeq.map(_.getSeq[Double](0).toSeq)
+        Embed.kmeansStep(emb, init)
+          .select(col("cell"), col("dim"), round(col("m"), 6).as("m"))
+          .orderBy(col("cell"), col("dim"))
+      },
+      Some("""WITH e AS (SELECT vec_id,
+             |    list_transform(embedding, x -> x::DOUBLE) AS v
+             |  FROM embeddings),
+             |n AS (SELECT vec_id,
+             |    list_transform(v, x ->
+             |      x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS u
+             |  FROM e),
+             |init AS (SELECT vec_id::INT AS cid, u FROM n WHERE vec_id < 4),
+             |assign AS (
+             |  SELECT vec_id, cid FROM (
+             |    SELECT n.vec_id, init.cid,
+             |      row_number() OVER (PARTITION BY n.vec_id
+             |        ORDER BY round(list_cosine_similarity(n.u, init.u), 6)
+             |          DESC, init.cid DESC) AS rn
+             |    FROM n CROSS JOIN init) WHERE rn = 1),
+             |mem AS (SELECT a.cid AS cell, n.u FROM assign a JOIN n USING (vec_id))
+             |SELECT cell, (i - 1)::INT AS dim, round(avg(u[i]), 6) AS m
+             |FROM mem CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // -- similarity: top-k through the STORED partition-pruned IVF layout
     // (writeIvf -> ivf_cell partition dirs -> cell-predicate probe). The
     // gate probes ALL cells: this corpus is near-uniform random

@@ -163,14 +163,74 @@ object Embed {
       .limit(k)
   }
 
+  /** Nearest-centroid id on the 6-decimal-ROUNDED cosine (ties break to
+    * the larger cid, the `greatest` struct order): k-means assignments
+    * must be reproducible across runs and against the SQL oracle, and
+    * raw float-vs-double scores can disagree in the 7th decimal right at
+    * a cell boundary. Rounding makes near-ties exact ties, and exact
+    * ties resolve identically on both sides. */
+  private def centroidIdRounded(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(round(cosine(vec, array(c.map(lit): _*)), 6).as("score"),
+        lit(i).as("cid"))
+    }
+    greatest(scored: _*).getField("cid")
+  }
+
+  /** One distributed Lloyd step for spherical k-means: assign every
+    * vector to its nearest centroid, then emit the per-(cell, dimension)
+    * MEAN of the unit-normalized members. One narrow map (assignment is
+    * k fused cosines per row) + one groupBy over (cell, dim) — k·dim
+    * result rows, map-side combined; nothing else shuffles. The gate
+    * `embed_kmeans` runs this step against a DuckDB argmax/avg twin. */
+  def kmeansStep(corpus: DataFrame, centroids: Seq[Seq[Double]],
+                 vecCol: String = "embedding"): DataFrame =
+    corpus
+      .select(normalized(col(vecCol)).as("u"))
+      .select(centroidIdRounded(col("u"), centroids).as("cell"),
+        posexplode(col("u")))
+      .groupBy(col("cell"), col("pos").as("dim"))
+      .agg(avg(col("col")).as("m"))
+      .select(col("cell"), col("dim"), col("m"))
+
+  /** Distributed spherical k-means (Lloyd) centroid training for IVF:
+    * `iters` rounds of [[kmeansStep]], re-normalizing each mean on the
+    * driver (k·dim doubles — the only driver-side state). Cells that
+    * lose all members keep their previous centroid. Train once, then
+    * pass the result to BOTH [[writeIvf]] and [[topKIvfStored]]. */
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int = 5,
+                      init: Option[Seq[Seq[Double]]] = None,
+                      vecCol: String = "embedding",
+                      idCol: String = "vec_id"): Seq[Seq[Double]] = {
+    var cents = init.getOrElse(sampleCentroids(corpus, k, vecCol, idCol))
+    for (_ <- 0 until iters) {
+      val byCell = kmeansStep(corpus, cents, vecCol)
+        .collect()
+        .groupBy(_.getAs[Int]("cell"))
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        byCell.get(c).fold(old) { rs =>
+          val mean = rs.sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("m"))
+          val n = math.sqrt(mean.map(x => x * x).sum)
+          if (n == 0.0) old else mean.map(_ / n).toSeq
+        }
+      }
+    }
+    cents
+  }
+
   /** Persist the corpus partitioned by IVF cell — probes then touch only
     * matching partition directories (same pruning story as the TS layout;
-    * Debug-audited: cell predicate lands in PartitionFilters). */
+    * Debug-audited: cell predicate lands in PartitionFilters).
+    * `centroids` (e.g. from [[kmeansCentroids]]) must then be passed to
+    * [[topKIvfStored]] too; when omitted, both sides derive the same
+    * deterministic sample from the stored ids. */
   def writeIvf(corpus: DataFrame, path: String, nCentroids: Int = 256,
-               vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
-    val centroids = sampleCentroids(corpus, nCentroids, vecCol, idCol)
+               vecCol: String = "embedding", idCol: String = "vec_id",
+               centroids: Option[Seq[Seq[Double]]] = None): Unit = {
+    val cents = centroids.getOrElse(
+      sampleCentroids(corpus, nCentroids, vecCol, idCol))
     corpus
-      .withColumn("ivf_cell", centroidId(col(vecCol), centroids))
+      .withColumn("ivf_cell", centroidId(col(vecCol), cents))
       .repartition(col("ivf_cell"))
       .write.partitionBy("ivf_cell").mode("overwrite").parquet(path)
   }
@@ -183,8 +243,10 @@ object Embed {
   def topKIvfStored(stored: DataFrame, query: Seq[Double], k: Int,
                     nCentroids: Int, nProbe: Int,
                     vecCol: String = "embedding",
-                    idCol: String = "vec_id"): DataFrame = {
-    val centroids = sampleCentroids(stored, nCentroids, vecCol, idCol)
+                    idCol: String = "vec_id",
+                    trained: Option[Seq[Seq[Double]]] = None): DataFrame = {
+    val centroids = trained.getOrElse(
+      sampleCentroids(stored, nCentroids, vecCol, idCol))
     val qn = math.sqrt(query.map(x => x * x).sum)
     val qUnit = query.map(_ / qn)
     val probes = centroids.zipWithIndex

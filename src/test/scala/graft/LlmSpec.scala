@@ -319,6 +319,28 @@ class LlmSpec extends SparkFunSuite {
     assert(mixed.length == 500 && mixed.forall(_ >= 500))
   }
 
+  test("kmeans: converges to separable clusters, keeps empty cells") {
+    val sp = SparkSpec.spark
+    import sp.implicits._
+    // two tight clusters around orthogonal axes e0 and e1 (dim 4)
+    val vecs = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) Array(1f, 0.02f * (i % 5), 0f, 0f)
+                 else Array(0.02f * (i % 5), 1f, 0f, 0f)
+      (i.toLong, base.toSeq)
+    }.toDF("vec_id", "embedding")
+    val init = Seq(Seq(0.9, 0.1, 0.0, 0.0), Seq(0.1, 0.9, 0.0, 0.0),
+      Seq(0.0, 0.0, 1.0, 0.0)) // third cell will go empty
+    val cents = Embed.kmeansCentroids(vecs, k = 3, iters = 4,
+      init = Some(init))
+    // cluster centroids align with their axes
+    assert(cents(0)(0) > 0.99 && cents(1)(1) > 0.99)
+    // the empty cell keeps its initial centroid verbatim
+    assert(cents(2) == init(2))
+    // training then assigning reproduces a clean 2-way split
+    val step = Embed.kmeansStep(vecs, cents).collect()
+    assert(step.map(_.getInt(0)).distinct.sorted.toSeq == Seq(0, 1))
+  }
+
   test("decontaminate: hit counts are exact, flag respects minHits") {
     val corpus = docs(Seq(
       "the quick brown fox jumps over the lazy dog", // 7 shingles, 2 hit
