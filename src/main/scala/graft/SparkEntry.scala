@@ -1180,6 +1180,28 @@ object SparkEntry {
              |    AS frame_offset_ms
              |FROM documents WHERE doc_id % 3 = 2 ORDER BY 1, 3""".stripMargin)),
 
+    // -- curation: exact-N-per-stratum deterministic sample ---------------
+    // Take exactly 30 'en' docs and 20 of every other language, ranked by
+    // the seeded md5 fraction — the oracle rebuilds rank and fraction.
+    "doc_take_exact" -> Gated(
+      (s, d) => Sample.takeExact(TestData.table(s, d, "documents"),
+        col("lang"), Map("en" -> 30), defaultN = 20, seed = "tk1")
+        .select(col("doc_id"), col("stratum"))
+        .orderBy(col("doc_id")),
+      Some("""WITH f AS (SELECT doc_id, lang AS stratum,
+             |    list_sum(list_transform(range(1, 16),
+             |      i -> (strpos('0123456789abcdef',
+             |              (md5(doc_id::VARCHAR || 'tk1'))[i]) - 1)::BIGINT
+             |           * (1::BIGINT << ((15 - i) * 4))))::BIGINT::DOUBLE
+             |      / 1152921504606846976.0 AS frac
+             |  FROM documents),
+             |r AS (SELECT doc_id, stratum, row_number() OVER (
+             |    PARTITION BY stratum ORDER BY frac, doc_id) AS rk
+             |  FROM f)
+             |SELECT doc_id, stratum FROM r
+             |WHERE rk <= CASE stratum WHEN 'en' THEN 30 ELSE 20 END
+             |ORDER BY 1""".stripMargin)),
+
     // -- dedup: SimHash near-dup — oracled under the md5-based feature
     // hash (xxhash64 has no DuckDB twin); the full bit-vote sketch, the
     // pigeonhole banding, and the Hamming filter are all exercised and

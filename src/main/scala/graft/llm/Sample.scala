@@ -45,4 +45,29 @@ object Sample {
       .filter(hashFrac(col(idCol), seed) <
         coalesce(try_element_at(rateMap, col("stratum")), lit(defaultRate)))
   }
+
+  /** Exactly-n-per-stratum deterministic sample: rows rank within their
+    * stratum by (hashFrac, id) — a seeded total order — and the first
+    * `counts(stratum)` survive (`defaultN` otherwise). Same
+    * reproducibility contract as [[mix]], but with exact output sizes
+    * ("take 10k docs per language").
+    *
+    * Scale note: the rank is one window per stratum, so a stratum sorts
+    * in a single task chain — right for bounded strata (languages,
+    * sources). When one stratum is most of a 100 TB corpus, use the
+    * rate-based [[mix]] (a narrow filter) instead. */
+  def takeExact(df: DataFrame, stratum: Column, counts: Map[String, Int],
+                defaultN: Int = Int.MaxValue, idCol: String = "doc_id",
+                seed: String = ""): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nMap = map(counts.toSeq.flatMap { case (k, v) =>
+      Seq(lit(k), lit(v)) }: _*)
+    df.withColumn("stratum", stratum)
+      .withColumn("__rank", row_number().over(
+        Window.partitionBy(col("stratum"))
+          .orderBy(hashFrac(col(idCol), seed), col(idCol))))
+      .filter(col("__rank") <=
+        coalesce(try_element_at(nMap, col("stratum")), lit(defaultN)))
+      .drop("__rank")
+  }
 }

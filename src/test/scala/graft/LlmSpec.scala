@@ -319,6 +319,23 @@ class LlmSpec extends SparkFunSuite {
     assert(mixed.length == 500 && mixed.forall(_ >= 500))
   }
 
+  test("takeExact: exact per-stratum sizes, deterministic, seed-sensitive") {
+    import graft.llm.Sample
+    val d = docs((0 until 100).map(i => s"doc number $i content"))
+    val stratum = when(col("doc_id") % 2 === 0, "even").otherwise("odd")
+    val a = Sample.takeExact(d, stratum, Map("even" -> 7), defaultN = 3)
+      .collect()
+    val sizes = a.groupBy(_.getAs[String]("stratum"))
+      .view.mapValues(_.length).toMap
+    assert(sizes == Map("even" -> 7, "odd" -> 3))
+    val again = Sample.takeExact(d, stratum, Map("even" -> 7), defaultN = 3)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(again == a.map(_.getLong(0)).sorted.toSeq)
+    val other = Sample.takeExact(d, stratum, Map("even" -> 7), defaultN = 3,
+      seed = "x").collect().map(_.getLong(0)).sorted.toSeq
+    assert(other != again) // a different seed selects a different sample
+  }
+
   test("kmeans: converges to separable clusters, keeps empty cells") {
     val sp = SparkSpec.spark
     import sp.implicits._

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.StreamIngest
@@ -271,5 +272,28 @@ class StreamingSpec extends SparkFunSuite {
       val b2 = spark.sql("SELECT forecast FROM sewma ORDER BY ts").collect()
       assert(b2.map(_.getDouble(0)).toSeq == Seq(1.0, 2.0, 3.0, 9.0))
     } finally query.stop()
+  }
+
+  test("streaming exact dedup drops repeats across micro-batches") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val input = MemoryStream[(Long, Long, String)] // (doc_id, sec, text)
+    val docs = input.toDF().toDF("doc_id", "sec", "text")
+      .withColumn("event_time", col("sec").cast("timestamp"))
+    val deduped = StreamIngest.streamingDedupDocs(docs, "event_time", "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("sdedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((0L, 100L, "alpha  beta"), (1L, 101L, "gamma"))
+      q.processAllAvailable()
+      // doc 2 repeats doc 0's normalized content in a LATER micro-batch;
+      // the fingerprint state must survive the batch boundary
+      input.addData((2L, 102L, "alpha beta"), (3L, 103L, "delta"))
+      q.processAllAvailable()
+      val ids = sp.sql("SELECT doc_id FROM sdedup").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(0L, 1L, 3L))
+    } finally q.stop()
   }
 }
