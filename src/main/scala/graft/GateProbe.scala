@@ -19,11 +19,18 @@ object GateProbe {
         "doc_simhash", "embed_neardup", "embed_neardup_lsh", "ann_topk",
         "ann_topk_lsh", "ann_topk_ivf", "doc_chunks", "doc_langid")
     val explain = sys.env.contains("SPARK_GRAFT_EXPLAIN")
+    val unknown = heavy.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown gate name(s): ${unknown.mkString(", ")}")
     for (name <- heavy) {
-      val df = SparkEntry.queries(name)(spark, d)
-      if (explain) { println(s"===== $name ====="); df.explain("formatted") }
+      if (explain) {
+        println(s"===== $name =====")
+        SparkEntry.queries(name)(spark, d).explain("formatted")
+      }
+      // the builder runs INSIDE the timer: several gates do real Spark
+      // work there (writeIvf, query-vector collects), and past sessions'
+      // numbers counted it
       val t0 = System.nanoTime()
-      val cnt = df.count()
+      val cnt = SparkEntry.queries(name)(spark, d).count()
       println(f"HEAVY $name%-22s ${(System.nanoTime() - t0) / 1e9}%6.2f s  ($cnt rows)")
     }
     spark.stop()

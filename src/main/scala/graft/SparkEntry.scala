@@ -1326,7 +1326,8 @@ object SparkEntry {
         val q = emb.filter(col("vec_id") === 7)
           .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
         Embed.topKIvfStored(s.read.parquet(tmp), q, k = 10,
-          nCentroids = 16, nProbe = 16)
+          nCentroids = 16, nProbe = 16,
+          trained = Some(Embed.readIvfCentroids(s, tmp)))
       },
       Some(annTopKOracle)),
 

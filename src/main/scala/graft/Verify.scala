@@ -8,8 +8,12 @@ object Verify {
     val (sfDir, outDir) = (args(0), args(1))
     // optional: further args name a subset of gates to dump (targeted
     // re-checks at larger scale factors); oracle_sql.json is filtered to
-    // match so scripts/check.py sees a consistent set
+    // match so scripts/check.py sees a consistent set. Unknown names are
+    // an error — a typo would otherwise produce an empty run that
+    // check.py reports as vacuously passing.
     val only = args.drop(2).toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty, s"unknown gate name(s): ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

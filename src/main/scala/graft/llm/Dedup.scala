@@ -66,6 +66,13 @@ object Dedup {
           x => x.isNotNull))
     }
 
+  /** 64-bit hashes of the distinct word n-gram shingles — the ONE shingle
+    * identity every candidate-generation path keys on (Jaccard buckets,
+    * MinHash base hashes, decontamination sets); the collision analyses
+    * and oracles all assume this exact xxhash64-over-wordShingles form. */
+  def hashedShingles(text: Column, n: Int): Column =
+    transform(wordShingles(text, n), s => xxhash64(s))
+
   // --- exact n-gram Jaccard near-dup --------------------------------------
 
   /** EXACT near-duplicate pairs with word-`n`-gram Jaccard >= `threshold`.
@@ -91,7 +98,7 @@ object Dedup {
     val sh = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism * 2)
       .select(col(idCol).as("id"),
-        transform(wordShingles(col(textCol), n), s => xxhash64(s)).as("sh"))
+        hashedShingles(col(textCol), n).as("sh"))
     // Shingles are distinct per doc, so |A ∩ B| = the number of buckets a
     // pair co-occurs in — one groupBy(pair).count, no array payloads ever
     // cross the shuffle. Sizes join back as two small int columns.
@@ -139,13 +146,12 @@ object Dedup {
                     minHits: Int = 1, textCol: String = "text",
                     idCol: String = "doc_id"): DataFrame = {
     val benchSh = benchmark
-      .select(explode(transform(wordShingles(col(textCol), n),
-        s => xxhash64(s))).as("g"))
+      .select(explode(hashedShingles(col(textCol), n)).as("g"))
       .distinct()
       .withColumn("hit", lit(1))
     corpus
       .select(col(idCol),
-        transform(wordShingles(col(textCol), n), s => xxhash64(s)).as("sh"))
+        hashedShingles(col(textCol), n).as("sh"))
       // explode_outer keeps shingle-less docs as a null-gram row (which
       // can never match a bench key), so every corpus doc gets a row out
       .select(col(idCol), size(col("sh")).as("n_shingles"),
@@ -197,7 +203,7 @@ object Dedup {
     val sh = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism * 2)
       .select(col(idCol).as("id"),
-        transform(wordShingles(col(textCol), n), s => xxhash64(s)).as("sh"))
+        hashedShingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("id"), col("sh"),
         minhashFromHashes(col("sh"), numHashes).as("sig"))

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`Array[Float]`):
@@ -233,13 +233,41 @@ object Embed {
       .withColumn("ivf_cell", centroidId(col(vecCol), cents))
       .repartition(col("ivf_cell"))
       .write.partitionBy("ivf_cell").mode("overwrite").parquet(path)
+    // persist the centroid matrix INSIDE the layout (after the overwrite,
+    // which clears the directory): a probe can then never pair the data
+    // with a different centroid set than the one that assigned the cells
+    val p = new org.apache.hadoop.fs.Path(centroidsFile(path))
+    val fs = p.getFileSystem(
+      corpus.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(cents.map(_.mkString(","))
+      .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Underscore-prefixed, so parquet directory listings skip it. */
+  private def centroidsFile(path: String) = s"$path/_ivf_centroids.txt"
+
+  /** The centroid matrix persisted by [[writeIvf]] — pass this to
+    * [[topKIvfStored]] as `trained`. Double text round-trips exactly
+    * (shortest-repr toString), so the probe sees bit-identical centroids. */
+  def readIvfCentroids(spark: SparkSession, path: String): Seq[Seq[Double]] = {
+    val p = new org.apache.hadoop.fs.Path(centroidsFile(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val text = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+    text.split("\n").toSeq.map(_.split(",").toSeq.map(_.toDouble))
   }
 
   /** Top-k probe against a [[writeIvf]] layout: the `ivf_cell` filter is a
     * partition-column predicate, so only `nProbe` of `nCentroids`
-    * directories are read — the 100 TB ANN path. Centroid selection is
-    * deterministic in the stored ids (xxhash64 sample), so recomputing it
-    * from the stored corpus reproduces the writer's centroids exactly. */
+    * directories are read — the 100 TB ANN path. Pass the layout's
+    * persisted centroid matrix ([[readIvfCentroids]]) as `trained`; when
+    * omitted, the default xxhash64 sample is recomputed from the stored
+    * ids, which reproduces the writer's centroids ONLY if the writer also
+    * used the default sample. */
   def topKIvfStored(stored: DataFrame, query: Seq[Double], k: Int,
                     nCentroids: Int, nProbe: Int,
                     vecCol: String = "embedding",

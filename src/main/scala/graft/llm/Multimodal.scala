@@ -30,39 +30,35 @@ object Multimodal {
     StructField("duration_ms", LongType),                  // audio/video
     StructField("caption", StringType)))
 
+  /** The one mediaSchema projection both fake-corpus builders share:
+    * id-derived modality/dims/duration, sha256-digest-bytes content
+    * (a fixed 64-byte payload, bit-reproducible in SQL). */
+  private def mediaProjection(df: DataFrame, id: org.apache.spark.sql.Column,
+                              hashSrc: org.apache.spark.sql.Column,
+                              caption: org.apache.spark.sql.Column): DataFrame =
+    df.select(
+      id.as("media_id"),
+      element_at(typedLit(Seq("image", "audio", "video")),
+        (id % 3 + 1).cast("int")).as("modality"),
+      sha2(hashSrc, 256).cast("binary").as("content"),
+      lit("application/octet-stream").as("mime"),
+      (id % 640 + 32).cast("int").as("width"),
+      (id % 480 + 32).cast("int").as("height"),
+      (id % 30000 + 1000).as("duration_ms"),
+      caption.as("caption"))
+
   /** Deterministic fake corpus: blob bytes derived from media_id so tests
     * are reproducible without real media files. */
-  def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {
-    import spark.implicits._
-    val mods = Seq("image", "audio", "video")
-    spark.range(n.toLong).select(
-      col("id").as("media_id"),
-      element_at(typedLit(mods), (col("id") % 3 + 1).cast("int")).as("modality"),
-      sha2(col("id").cast("string"), 256).cast("binary").as("content"),
-      lit("application/octet-stream").as("mime"),
-      (col("id") % 640 + 32).cast("int").as("width"),
-      (col("id") % 480 + 32).cast("int").as("height"),
-      (col("id") % 30000 + 1000).as("duration_ms"),
-      concat(lit("caption "), col("id")).as("caption"))
-  }
+  def syntheticMedia(spark: SparkSession, n: Int): DataFrame =
+    mediaProjection(spark.range(n.toLong).toDF(), col("id"),
+      col("id").cast("string"), concat(lit("caption "), col("id")))
 
   /** Media table derived from the documents corpus: a data-driven variant
     * of [[syntheticMedia]] for oracle-gated tests. Content is the UTF-8
-    * bytes of the text's sha256 hex digest — a fixed 64-byte payload that
-    * is bit-reproducible in SQL (`sha256(text)`), so the deterministic
+    * bytes of the text's sha256 hex digest, so the deterministic
     * decode/resize kernels round-trip exactly through a DuckDB oracle. */
-  def fromDocuments(docs: DataFrame): DataFrame = {
-    val mods = Seq("image", "audio", "video")
-    docs.select(
-      col("doc_id").as("media_id"),
-      element_at(typedLit(mods), (col("doc_id") % 3 + 1).cast("int")).as("modality"),
-      sha2(col("text"), 256).cast("binary").as("content"),
-      lit("application/octet-stream").as("mime"),
-      (col("doc_id") % 640 + 32).cast("int").as("width"),
-      (col("doc_id") % 480 + 32).cast("int").as("height"),
-      (col("doc_id") % 30000 + 1000).as("duration_ms"),
-      col("text").as("caption"))
-  }
+  def fromDocuments(docs: DataFrame): DataFrame =
+    mediaProjection(docs, col("doc_id"), col("text"), col("text"))
 
   val featureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

@@ -129,22 +129,6 @@ object StreamIngest {
     * — O(samples per series per batch) per task, NOT O(stream). With
     * second-level batches that is a handful of points; a series hot
     * enough to break this needs a watermarked window design instead. */
-  /** Streaming exact dedup of a document feed: content-fingerprint
-    * `dropDuplicatesWithinWatermark` — a doc whose normalized text was
-    * already seen within the watermark horizon is dropped; state expires
-    * with the watermark, so memory is bounded by the horizon, not the
-    * stream. The streaming twin of [[graft.llm.Dedup.exact]]: an
-    * arriving-corpus pipeline dedups before paying storage, the batch
-    * pass dedups what is already stored. `eventTimeCol` must be a
-    * timestamp column. */
-  def streamingDedupDocs(docs: DataFrame, eventTimeCol: String,
-                         watermark: String,
-                         textCol: String = "text"): DataFrame =
-    docs
-      .withColumn("fingerprint", graft.llm.Text.fingerprint(col(textCol)))
-      .withWatermark(eventTimeCol, watermark)
-      .dropDuplicatesWithinWatermark("fingerprint")
-
   def streamingEwma(samples: DataFrame,
                     decay: Double): Dataset[(String, Long, Double)] = {
     import samples.sparkSession.implicits._
@@ -170,4 +154,20 @@ object StreamIngest {
         out.iterator
     }
   }
+
+  /** Streaming exact dedup of a document feed: content-fingerprint
+    * `dropDuplicatesWithinWatermark` — a doc whose normalized text was
+    * already seen within the watermark horizon is dropped; state expires
+    * with the watermark, so memory is bounded by the horizon, not the
+    * stream. The streaming twin of [[graft.llm.Dedup.exact]]: an
+    * arriving-corpus pipeline dedups before paying storage, the batch
+    * pass dedups what is already stored. `eventTimeCol` must be a
+    * timestamp column. */
+  def streamingDedupDocs(docs: DataFrame, eventTimeCol: String,
+                         watermark: String,
+                         textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("fingerprint", graft.llm.Text.fingerprint(col(textCol)))
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
 }
