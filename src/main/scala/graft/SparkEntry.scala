@@ -1331,6 +1331,26 @@ object SparkEntry {
       },
       Some(annTopKOracle)),
 
+    // -- similarity: int8 vector quantization (exact integer twin) -------
+    "embed_quantize" -> Gated(
+      (s, d) => TestData.table(s, d, "embeddings")
+        .select(col("vec_id"), Embed.quantizeInt8(col("embedding")).as("qv"))
+        .select(col("vec_id"), round(col("qv.scale"), 6).as("scale"),
+          posexplode(col("qv.q")))
+        .select(col("vec_id"), col("scale"), col("pos").cast("int").as("dim"),
+          col("col").cast("int").as("qval"))
+        .orderBy(col("vec_id"), col("dim")),
+      Some("""WITH e AS (SELECT vec_id,
+             |    list_transform(embedding, x -> x::DOUBLE) AS v
+             |  FROM embeddings),
+             |s AS (SELECT vec_id, v,
+             |    list_max(list_transform(v, x -> abs(x))) AS scale FROM e)
+             |SELECT vec_id, round(scale, 6) AS scale, (i - 1)::INT AS dim,
+             |  (CASE WHEN scale = 0 THEN 0
+             |        ELSE round(v[i] / scale * 127) END)::INT AS qval
+             |FROM s CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+             |ORDER BY 1, 3""".stripMargin)),
+
     // -- full production path: events -> layout write -> pruned read -----
     // Exercises writeLayout (partition (metric, day), in-file (sname, ts)
     // sort) and readLayout's partition-pruned scan end-to-end; oracle

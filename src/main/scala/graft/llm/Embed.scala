@@ -288,6 +288,32 @@ object Embed {
       .limit(k)
   }
 
+  // --- int8 vector quantization ---------------------------------------------
+
+  /** Per-vector symmetric int8 quantization: `scale` = max |x| over the
+    * vector, `q[i] = round(x[i] / scale * 127)`. One float + d bytes
+    * replaces d floats — the standard ~4x storage/bandwidth shrink for
+    * memory-bound ANN; reconstruction error is bounded by scale/254 per
+    * element. Returns `struct(scale double, q array<tinyint>)`; an
+    * all-zero vector quantizes to scale 0 and zero codes. */
+  def quantizeInt8(vec: Column): Column =
+    Text.bindOnce(array_max(transform(vec, x => abs(x.cast("double"))))) { s =>
+      struct(
+        s.as("scale"),
+        transform(vec, x =>
+          when(s === 0.0, lit(0))
+            .otherwise(round(x.cast("double") / s * 127))
+            .cast("tinyint")).as("q"))
+    }
+
+  /** Reconstruction of a [[quantizeInt8]] struct: `q[i] * scale / 127`.
+    * Downstream scoring (cosine/dot) runs on the reconstruction — recall
+    * loss at top-k is the quantization error, ~1% of scale. */
+  def dequantizeInt8(qv: Column): Column =
+    Text.bindOnce(qv.getField("scale")) { s =>
+      transform(qv.getField("q"), x => x.cast("double") * s / 127.0)
+    }
+
   /** Exact embedding near-duplicate pairs (cosine >= threshold) via
     * block-broadcast join keyed on nothing — the VERIFICATION baseline for
     * small corpora and oracles. For the 100 TB path use

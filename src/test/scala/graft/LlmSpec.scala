@@ -336,6 +336,39 @@ class LlmSpec extends SparkFunSuite {
     assert(other != again) // a different seed selects a different sample
   }
 
+  test("int8 quantization: error bounded by scale/254, codes in range") {
+    val sp = SparkSpec.spark
+    import sp.implicits._
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, (0 until 16).map(j =>
+        math.sin(i * 16 + j).toFloat * (1 + i % 7)).toSeq)
+    }.toDF("vec_id", "embedding")
+    val rows = vecs.select(col("vec_id"), col("embedding"),
+        Embed.quantizeInt8(col("embedding")).as("qv"))
+      .select(col("vec_id"), col("embedding"), col("qv"),
+        Embed.dequantizeInt8(col("qv")).as("dq"))
+      .collect()
+    for (r <- rows) {
+      val orig = r.getSeq[Float](1).map(_.toDouble)
+      val qv = r.getStruct(2)
+      val scale = qv.getDouble(0)
+      val codes = qv.getSeq[Byte](1)
+      val dq = r.getSeq[Double](3)
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      assert(scale == orig.map(math.abs).max)
+      orig.zip(dq).foreach { case (o, d) =>
+        assert(math.abs(o - d) <= scale / 254.0 + 1e-12,
+          s"vec ${r.getLong(0)}: $o vs $d (scale $scale)")
+      }
+    }
+    // an all-zero vector quantizes to scale 0 / zero codes and round-trips
+    val zero = Seq((0L, Seq.fill(16)(0f))).toDF("vec_id", "embedding")
+    val zr = zero.select(Embed.quantizeInt8(col("embedding")).as("qv"))
+      .select(col("qv"), Embed.dequantizeInt8(col("qv")).as("dq")).head
+    assert(zr.getStruct(0).getDouble(0) == 0.0)
+    assert(zr.getSeq[Double](1).forall(_ == 0.0))
+  }
+
   test("kmeans: converges to separable clusters, keeps empty cells") {
     val sp = SparkSpec.spark
     import sp.implicits._
