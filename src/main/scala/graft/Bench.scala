@@ -17,12 +17,16 @@ object Bench {
   def renderRespSessions(dir: java.io.File, n: Long, sessions: Int): Unit = {
     val metrics = 8; val hosts = 100
     val nSeries = metrics * hosts
-    val per = (n / sessions).toInt
-    require(per.toLong * sessions == n, s"n=$n not divisible by $sessions")
+    // any session count works: the first (n % sessions) sessions carry
+    // one extra sample; ts ranges stay disjoint via the (base+1) stride
+    val base = n / sessions
+    val rem = (n % sessions).toInt
     if (dir.exists()) dir.listFiles().foreach(_.delete())
     dir.mkdirs()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     val threads = (0 until sessions).map { s =>
-      new Thread(() => {
+      new Thread(() => try {
+        val per = (base + (if (s < rem) 1 else 0)).toInt
         val sb = new java.lang.StringBuilder(per * 44 + nSeries * 32)
         sb.append('*').append(nSeries * 2).append('\n')
         var i = 0
@@ -33,7 +37,7 @@ object Bench {
           i += 1
         }
         var j = 0
-        var ts = 1700000000000000000L + s.toLong * per * 40000L
+        var ts = 1700000000000000000L + s.toLong * (base + 1) * 40000L
         while (j < per) {
           sb.append(':').append(j % nSeries).append('\n')
           sb.append(':').append(ts).append('\n')
@@ -44,9 +48,13 @@ object Bench {
         java.nio.file.Files.write(
           new java.io.File(dir, f"session_$s%02d.resp").toPath,
           sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      })
+      } catch { case t: Throwable => errs.add(t) })
     }
     threads.foreach(_.start()); threads.foreach(_.join())
+    // a swallowed writer failure would otherwise surface later as a
+    // baffling "parse bench dropped rows"
+    if (!errs.isEmpty) throw new RuntimeException("session render failed",
+      errs.peek())
   }
 
   def main(args: Array[String]): Unit = {

@@ -25,6 +25,15 @@ object LineProtocol {
 
   val MaxRowWidth = 58 // reference: AKU_LIMITS_MAX_ROW_WIDTH
 
+  /** Upper bound on text a wire session may hold SUSPENDED mid-entry
+    * (and on a single unterminated line in the transports). Far above
+    * any legal entry — names cap at 4096 (AKU_LIMITS_MAX_SNAME), events
+    * at 4096, rows at 58 values — so only a hostile or broken client
+    * hits it; without the bound a newline-less stream or a drip-fed
+    * giant dictionary array accumulates heap without limit (and the
+    * carry-compaction copy turns quadratic). */
+  val MaxCarryBytes: Int = 1 << 20
+
   /** Expand a (possibly compound `m1|m2|m3 tags`) series name into
     * per-metric keys (reference: storage2.cpp:265-360). */
   private def expand(series: String): Seq[SeriesKey] = {
@@ -116,6 +125,12 @@ object LineProtocol {
       * line boundary ('\n' is ASCII, so the cut is UTF-8 safe). */
     def append(chunk: String): Unit = {
       require(!eof, "append after finish")
+      // a suspended entry's carry is bounded: batch callers append a
+      // whole session in ONE call (carry 0 — no bound applies); a wire
+      // session that keeps an entry suspended past MaxCarryBytes is a
+      // protocol error, not a heap hazard
+      if (len - pos > MaxCarryBytes)
+        fail(s"suspended entry exceeds $MaxCarryBytes bytes")
       content = if (pos == 0) {
         if (content.isEmpty) chunk else content + chunk
       } else content.substring(pos) + chunk // drop consumed prefix

@@ -116,6 +116,11 @@ final class WireIngest(spoolDir: File, tcpPort: Int = 0, udpPort: Int = 0,
           feed(java.util.Arrays.copyOf(chunk, cut + 1))
           tail = java.util.Arrays.copyOfRange(chunk, cut + 1, chunk.length)
         } else tail = chunk
+        // bound the carry: a newline-less stream would otherwise grow
+        // (and re-copy) `tail` without limit
+        if (tail.length > LineProtocol.MaxCarryBytes)
+          throw LineProtocol.ProtocolParseException(
+            s"line exceeds ${LineProtocol.MaxCarryBytes} bytes")
         n = in.read(buf)
       }
       // connection closed cleanly: an incomplete trailing entry — a
@@ -183,9 +188,9 @@ final class WireIngest(spoolDir: File, tcpPort: Int = 0, udpPort: Int = 0,
             ("net.opentsdb.tools BuildData built at revision a000000\n" +
               "Akumuli to TSD converter\n").getBytes(utf8))
         case _ =>
-          // validates puts, ignores the known-no-op commands, throws on
-          // unknown commands
-          if (LineProtocol.parseOpenTsdb(line).nonEmpty || cmd == "put") {
+          // validates puts (one sample each, or a throw), ignores the
+          // known-no-op commands, throws on unknown commands
+          if (LineProtocol.parseOpenTsdb(line).nonEmpty) {
             out.write(line.getBytes(utf8)); out.write('\n')
             spooled = true
           }
@@ -205,6 +210,9 @@ final class WireIngest(spoolDir: File, tcpPort: Int = 0, udpPort: Int = 0,
           new String(chunk, 0, cut + 1, utf8).linesIterator.foreach(handleLine)
           tail = java.util.Arrays.copyOfRange(chunk, cut + 1, chunk.length)
         } else tail = chunk
+        if (tail.length > LineProtocol.MaxCarryBytes)
+          throw LineProtocol.ProtocolParseException(
+            s"line exceeds ${LineProtocol.MaxCarryBytes} bytes")
         n = in.read(buf)
       }
       // an unterminated final line is an incomplete write: discarded

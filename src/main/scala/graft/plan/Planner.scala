@@ -299,15 +299,25 @@ object Planner {
         // per-column `:func` suffixes (reference: init_matcher_in_join_query
         // queryparser.cpp:1792-1812, shared by join and group-aggregate-join;
         // functests/test_eval.py asserts the "cpu.user|cpu.syst" prefix).
+        // A repeated metric (legal, same as Join) pivots once per distinct
+        // metric and fans out to one column per requested position —
+        // pivoting on the raw list would emit duplicate columns and the
+        // output select would hit an ambiguous reference.
+        val distinctMs = metrics.distinct
+        val outNames =
+          if (distinctMs.size == metrics.size) metrics
+          else metrics.zipWithIndex.map { case (m, i) => s"$m#$i" }
         val df = base
           .groupBy(col("tagstr"), bucketCol(r, step).as(Ts))
-          .pivot(Metric, metrics)
+          .pivot(Metric, distinctMs)
           .agg(aggFunc(func))
           .select(
             (snameOf(lit(metrics.mkString("|")),
               col("tagstr")).as(Sname) +:
-              col(Ts) +: metrics.map(m => col(s"`$m`"))): _*)
-        Frame(df, metrics, bw)
+              col(Ts) +:
+              metrics.zip(outNames).map { case (m, o) =>
+                col(s"`$m`").as(o) }): _*)
+        Frame(df, outNames, bw)
 
       // ---- meta:names: series listing (dimension-table query) ------------
       // (reference: queryparser.cpp:987-1022; queryprocessor.cpp:78-110)

@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   * row-group min/max skipping, and predicate pushdown on every query.
   */
 final class TsStore(val samples: DataFrame,
-                    seriesDim: Option[DataFrame] = None) {
+                    val seriesDim: Option[DataFrame] = None) {
   import TsStore._
 
   /** The series dimension (one row per distinct series) — the analogue of

@@ -49,7 +49,13 @@ object Api {
       case MetaNames(_)                   => None
     }
     for (m <- firstMetric) {
-      val matched = store.series
+      // probe the maintained dimension when attached; otherwise probe the
+      // FACT table directly — metric lands in PartitionFilters and
+      // CollectLimit(1) stops at the first matching row. The derived
+      // `store.series` view would put a whole-corpus dropDuplicates
+      // shuffle in front of EVERY request just to answer "exists?".
+      val base = store.seriesDim.getOrElse(store.samples)
+      val matched = base
         .filter(org.apache.spark.sql.functions.col(TsStore.Metric) === m &&
           Planner.wherePred(q.where))
         .limit(1).count()

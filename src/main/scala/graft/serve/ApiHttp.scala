@@ -52,18 +52,33 @@ final class ApiHttp(storeProvider: () => TsStore, port: Int = 0) {
 
   /** Chunked text stream, one line per element (crlf-terminated). */
   private def streamLines(ex: HttpExchange, lines: Dataset[String]): Unit = {
+    // plan + first partition run BEFORE the 200 commits: analysis errors
+    // and immediate execution failures become clean error responses (the
+    // caller's catch). Only genuinely mid-stream failures remain.
+    val it = lines.toLocalIterator()
+    var more = it.hasNext
     ex.getResponseHeaders.add("Content-Type", "text/plain; charset=utf-8")
     ex.sendResponseHeaders(200, 0) // length 0 => chunked
     val out: OutputStream = ex.getResponseBody
     try {
-      val it = lines.toLocalIterator()
       var n = 0
-      while (it.hasNext) {
+      while (more) {
         out.write(it.next().getBytes(UTF_8))
         out.write('\r'); out.write('\n')
         n += 1
         if ((n & 0x3ff) == 0) out.flush()
+        more = it.hasNext
       }
+    } catch {
+      // headers are already committed — a re-sent error response would
+      // throw on the handler thread and leave the client a truncated 200
+      // indistinguishable from success. Report IN-BAND instead: an error
+      // line in the stream, the reference cursor's own contract.
+      case e: Exception =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+          .linesIterator.next().take(200)
+        try out.write(s"-$msg\r\n".getBytes(UTF_8))
+        catch { case _: java.io.IOException => () }
     } finally { out.close(); ex.close() }
   }
 

@@ -99,24 +99,28 @@ object StreamIngest {
   def continuousGroupAggregate(samples: DataFrame, stepNs: Long,
                                latenessSec: Int = 60,
                                anchorNs: Long = 0L): DataFrame = {
-    val withEvent = samples
-      .withColumn("event_time", timestamp_micros((col("ts") / 1000L).cast("long")))
+    // The watermark column IS the bucket END (µs-truncated): state for a
+    // bucket expires once the stream moves `latenessSec` past its close —
+    // the same reference point window() uses (window.end). No window():
+    // ns-precision steps of ANY size bucket exactly like batch Q4 (a
+    // window would need ms-aligned steps and would split a ns-anchored
+    // bucket that straddles two windows into partial rows). ns-distinct
+    // buckets inside one µs stay distinct via the bucket_ts key; the µs
+    // column only drives expiry.
+    samples
       .withColumn("bucket_ts",
         (col("ts") - pmod(col("ts") - lit(anchorNs), lit(stepNs))).cast("long"))
+      .withColumn("bucket_event",
+        timestamp_micros(((col("bucket_ts") + lit(stepNs)) / 1000L).cast("long")))
       .withColumn("sname",
         TsStore.snameOf(col("metric"), TsStore.tagStr(col("tags"))))
-    val stepMs = stepNs / 1000000L
-    val startMs = java.lang.Math.floorMod(anchorNs / 1000000L, stepMs)
-    withEvent
-      .withWatermark("event_time", s"$latenessSec seconds")
-      .groupBy(col("sname"), col("bucket_ts"),
-        window(col("event_time"), s"$stepMs milliseconds",
-          s"$stepMs milliseconds", s"$startMs milliseconds"))
+      .withWatermark("bucket_event", s"$latenessSec seconds")
+      .groupBy(col("sname"), col("bucket_ts"), col("bucket_event"))
       .agg(
         min(col("value")).as("min"), max(col("value")).as("max"),
         sum(col("value")).as("sum"), count(col("value")).as("count"),
         avg(col("value")).as("mean"))
-      .drop("window")
+      .drop("bucket_event")
   }
 
   /** Streaming EWMA per series via flatMapGroupsWithState — the stateful

@@ -23,20 +23,8 @@ class ApiHttpSpec extends SparkFunSuite {
   }
 
   private def http(port: Int, path: String, method: String,
-                   body: String = ""): (Int, String) = {
-    val conn = URI.create(s"http://127.0.0.1:$port$path").toURL
-      .openConnection().asInstanceOf[HttpURLConnection]
-    conn.setRequestMethod(method)
-    if (method == "POST") {
-      conn.setDoOutput(true)
-      conn.getOutputStream.write(body.getBytes(UTF_8))
-    }
-    val code = conn.getResponseCode
-    val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
-    val text = new String(is.readAllBytes(), UTF_8)
-    conn.disconnect()
-    (code, text)
-  }
+                   body: String = ""): (Int, String) =
+    HttpTest.http(port, path, method, body)
 
   test("POST /api/query streams chunked CSV lines") {
     withServer { port =>

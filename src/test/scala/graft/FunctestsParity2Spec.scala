@@ -23,18 +23,8 @@ import graft.serve.ApiHttp
   */
 class FunctestsParity2Spec extends SparkFunSuite {
 
-  private def http(port: Int, path: String, body: String): (Int, String) = {
-    val conn = URI.create(s"http://127.0.0.1:$port$path").toURL
-      .openConnection().asInstanceOf[HttpURLConnection]
-    conn.setRequestMethod("POST")
-    conn.setDoOutput(true)
-    conn.getOutputStream.write(body.getBytes(UTF_8))
-    val code = conn.getResponseCode
-    val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
-    val text = new String(is.readAllBytes(), UTF_8)
-    conn.disconnect()
-    (code, text)
-  }
+  private def http(port: Int, path: String, body: String): (Int, String) =
+    HttpTest.http(port, path, body = body)
 
   private def serve(name: String, wire: String): Int = {
     val tmp = Files.createTempDirectory(s"graft_parity_$name").toFile

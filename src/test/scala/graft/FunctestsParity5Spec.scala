@@ -25,18 +25,8 @@ class FunctestsParity5Spec extends SparkFunSuite {
   private val DeltaNs = 1000000L // 1ms, like the functest
   private val T0 = AkuTime.parseTs("20240401T000000")
 
-  private def http(port: Int, body: String): (Int, String) = {
-    val conn = URI.create(s"http://127.0.0.1:$port/api/query").toURL
-      .openConnection().asInstanceOf[HttpURLConnection]
-    conn.setRequestMethod("POST")
-    conn.setDoOutput(true)
-    conn.getOutputStream.write(body.getBytes(UTF_8))
-    val code = conn.getResponseCode
-    val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
-    val text = new String(is.readAllBytes(), UTF_8)
-    conn.disconnect()
-    (code, text)
-  }
+  private def http(port: Int, body: String): (Int, String) =
+    HttpTest.http(port, body = body)
 
   test("reader sees gap-free prefixes while a TCP writer streams (continuous queries)") {
     val spool = Files.createTempDirectory("graft-continuous").toFile

@@ -21,18 +21,8 @@ class FunctestsParity6Spec extends SparkFunSuite {
   private val DeltaNs = 1000000L
   private val T0 = AkuTime.parseTs("20240501T000000")
 
-  private def http(port: Int, body: String): (Int, String) = {
-    val conn = URI.create(s"http://127.0.0.1:$port/api/query").toURL
-      .openConnection().asInstanceOf[HttpURLConnection]
-    conn.setRequestMethod("POST")
-    conn.setDoOutput(true)
-    conn.getOutputStream.write(body.getBytes(UTF_8))
-    val code = conn.getResponseCode
-    val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
-    val text = new String(is.readAllBytes(), UTF_8)
-    conn.disconnect()
-    (code, text)
-  }
+  private def http(port: Int, body: String): (Int, String) =
+    HttpTest.http(port, body = body)
 
   /** Send samples [i0, i0+n) over one TCP connection; 10 series like the
     * functest's tag generator. */

@@ -86,18 +86,8 @@ class FunctestsParitySpec extends SparkFunSuite {
     srv.boundPort
   }
 
-  private def http(path: String, body: String): (Int, String) = {
-    val conn = URI.create(s"http://127.0.0.1:$port$path").toURL
-      .openConnection().asInstanceOf[HttpURLConnection]
-    conn.setRequestMethod("POST")
-    conn.setDoOutput(true)
-    conn.getOutputStream.write(body.getBytes(UTF_8))
-    val code = conn.getResponseCode
-    val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
-    val text = new String(is.readAllBytes(), UTF_8)
-    conn.disconnect()
-    (code, text)
-  }
+  private def http(path: String, body: String): (Int, String) =
+    HttpTest.http(port, path, body = body)
 
   private def csvLines(body: String): Seq[Array[String]] =
     body.split("\r\n").toIndexedSeq.filter(_.nonEmpty).map(_.split(","))

@@ -162,6 +162,18 @@ class PlannerSpec extends SparkFunSuite {
     assert(r.getDouble(2) == 3.0 && r.getDouble(3) == 7.0)
   }
 
+  test("group-aggregate-join: a repeated metric is legal, like join") {
+    val st = store(Seq(
+      ("a", Map("h" -> "X"), 0L, 1.0), ("a", Map("h" -> "X"), 5L, 3.0)))
+    val df = Planner.plan(QueryJson.parse(
+      """{"group-aggregate-join":{"metric":["a","a"],"step":10,"func":"max"},
+        |"range":{"from":0,"to":20}}""".stripMargin), st).df
+    val r = df.collect().head
+    assert(r.getString(0) == "a|a h=X")
+    // the metric aggregates once and fans out to both tuple positions
+    assert(r.getDouble(2) == 3.0 && r.getDouble(3) == 3.0)
+  }
+
   test("pivot-by-tag keeps listed tags; group-by-tag drops them") {
     val st = store(Seq(
       ("m", Map("host" -> "A", "dc" -> "east"), 100L, 1.0),

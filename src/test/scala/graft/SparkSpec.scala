@@ -50,3 +50,24 @@ abstract class SparkFunSuite extends AnyFunSuite {
     df.collect().toIndexedSeq.map(r =>
       (r.getString(0), r.getLong(1), r.getDouble(2)))
 }
+
+/** The one HTTP client the ApiHttp suites share — connection setup, error
+  * stream selection, and charset handling live here, not in seven copies. */
+object HttpTest {
+  def http(port: Int, path: String = "/api/query", method: String = "POST",
+           body: String = ""): (Int, String) = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val conn = java.net.URI.create(s"http://127.0.0.1:$port$path").toURL
+      .openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod(method)
+    if (method == "POST") {
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(body.getBytes(utf8))
+    }
+    val code = conn.getResponseCode
+    val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val text = new String(is.readAllBytes(), utf8)
+    conn.disconnect()
+    (code, text)
+  }
+}

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, map}
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.StreamIngest
@@ -272,6 +272,30 @@ class StreamingSpec extends SparkFunSuite {
       val b2 = spark.sql("SELECT forecast FROM sewma ORDER BY ts").collect()
       assert(b2.map(_.getDouble(0)).toSeq == Seq(1.0, 2.0, 3.0, 9.0))
     } finally query.stop()
+  }
+
+  test("continuous aggregate buckets exactly on ns steps (not ms-aligned)") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val input = MemoryStream[(String, Long, Double)]
+    val samples = input.toDF().toDF("metric", "ts", "value")
+      .withColumn("tags", map(lit("h"), lit("a")))
+    // 1.5 ms step: impossible for a ms-aligned event-time window — one
+    // ns bucket would straddle two windows and emit partial rows
+    val agg = StreamIngest.continuousGroupAggregate(samples,
+      stepNs = 1500000L)
+    val q = agg.writeStream.format("memory").queryName("cgans")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(("m", 100000L, 1.0), ("m", 1400000L, 3.0),
+        ("m", 1600000L, 5.0))
+      q.processAllAvailable()
+      val rows = sp.sql(
+        "SELECT bucket_ts, `count`, `max` FROM cgans ORDER BY bucket_ts")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.toSeq == Seq((0L, 2L, 3.0), (1500000L, 1L, 5.0)))
+    } finally q.stop()
   }
 
   test("streaming exact dedup drops repeats across micro-batches") {

@@ -99,6 +99,44 @@ class WireIngestSpec extends SparkFunSuite {
     } finally srv.stop()
   }
 
+  test("TCP bounds the carry: a newline-less flood answers -PARSER") {
+    val spool = Files.createTempDirectory("graft-wire-flood").toFile
+    val srv = new WireIngest(spool)
+    srv.start()
+    try {
+      // a few valid samples, then a single "line" that never terminates:
+      // the server must cut the connection with a protocol error once the
+      // carry passes the bound instead of buffering the stream into heap
+      val good = (0 until 3).map(i =>
+        s"+cpu host=a\n:${1000000000L * i}\n:$i\n").mkString
+      val sock = new Socket("127.0.0.1", srv.tcpBoundPort)
+      sock.setSoTimeout(10000)
+      val out = sock.getOutputStream
+      out.write(good.getBytes(UTF_8))
+      val blob = new Array[Byte](1 << 16)
+      java.util.Arrays.fill(blob, 'x'.toByte)
+      var resp = ""
+      try {
+        var sent = 0L
+        while (sent < (64L << 20)) { // far past MaxCarryBytes; -PARSER cuts in
+          out.write(blob); out.flush(); sent += blob.length
+        }
+      } catch { case _: java.io.IOException => () } // server closed on us
+      try {
+        val b = new Array[Byte](256)
+        val m = sock.getInputStream.read(b)
+        if (m > 0) resp = new String(b, 0, m, UTF_8)
+      } catch { case _: java.io.IOException => () }
+      sock.close()
+      // either we read the -PARSER line or the server already tore down
+      // the socket after sending it; the spooled prefix must survive
+      if (resp.nonEmpty) assert(resp.startsWith("-PARSER"))
+      awaitSpool(spool, 1)
+      val parsed = Ingest.respFiles(spark, spool.getAbsolutePath)
+      assert(parsed.count() == 3)
+    } finally srv.stop()
+  }
+
   test("TCP keeps samples validated before a protocol error") {
     val spool = Files.createTempDirectory("graft-wire-trunc").toFile
     val srv = new WireIngest(spool)
