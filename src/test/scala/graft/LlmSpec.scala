@@ -336,6 +336,24 @@ class LlmSpec extends SparkFunSuite {
     assert(other != again) // a different seed selects a different sample
   }
 
+  test("decontaminate: empty benchmark flags nothing; full overlap flags all") {
+    val corpus = docs(Seq("alpha beta gamma delta", "epsilon zeta eta theta"))
+    val empty = docs(Seq.empty[String])
+    val got = Dedup.decontaminate(corpus, empty, n = 3, minHits = 1).collect()
+    assert(got.length == 2 && got.forall(r => r.getInt(2) == 0 && !r.getBoolean(3)))
+    // benchmark == corpus: every doc fully hit
+    val all = Dedup.decontaminate(corpus, corpus, n = 3, minHits = 1).collect()
+    assert(all.forall(r => r.getInt(2) == r.getInt(1) && r.getBoolean(3)))
+  }
+
+  test("takeExact: a count above the stratum size keeps the whole stratum") {
+    import graft.llm.Sample
+    val d = docs((0 until 10).map(i => s"doc $i"))
+    val kept = Sample.takeExact(d, lit("only"), Map("only" -> 1000))
+      .collect()
+    assert(kept.length == 10)
+  }
+
   test("int8 quantization: error bounded by scale/254, codes in range") {
     val sp = SparkSpec.spark
     import sp.implicits._
