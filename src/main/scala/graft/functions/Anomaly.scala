@@ -27,13 +27,9 @@ object Anomaly {
   private def fail(msg: String): Nothing = throw Pipe.PipeException(msg)
 
   def node(frame: Frame, params: Map[String, Any]): Frame = {
-    def dbl(k: String): Option[Double] = params.get(k).map {
-      case d: Double => d
-      case l: Long   => l.toDouble
-      case i: Int    => i.toDouble
-      case s: String => s.toDouble
-      case o         => fail(s"bad $k: $o")
-    }
+    // numeric-param coercion is Pipe's, so the rules can never drift
+    // between the anomaly node and the other pipeline nodes
+    def dbl(k: String): Option[Double] = params.get(k).map(Pipe.anyToDouble)
     def req(k: String): Double =
       dbl(k).getOrElse(fail(s"Parameter $k should be set"))
     val method = params.get("method") match {

@@ -89,30 +89,33 @@ object EvalExpr {
     }
 
     private def term(): Column = {
-      var acc = pow()
+      var acc = unary()
       var done = false
       while (!done) {
         ws()
         peek match {
-          case '*' => i += 1; acc = acc * pow()
-          case '/' => i += 1; acc = Pipe.ieeeDiv(acc, pow())
+          case '*' => i += 1; acc = acc * unary()
+          case '/' => i += 1; acc = Pipe.ieeeDiv(acc, unary())
           case _   => done = true
         }
       }
       acc
     }
 
-    private def pow(): Column = {
-      val base = unary()
-      ws()
-      if (peek == '^') { i += 1; org.apache.spark.sql.functions.pow(base, pow()) }
-      else base
-    }
-
+    // '^' binds TIGHTER than unary minus, like muparser's pow vs infix
+    // operators (the reference's eval engine): -x^2 = -(x^2), while the
+    // exponent itself may be signed (x^-2). Right-associative.
     private def unary(): Column = {
       ws()
       if (peek == '-') { i += 1; -unary() }
-      else primary()
+      else pow()
+    }
+
+    private def pow(): Column = {
+      val base = primary()
+      ws()
+      if (peek == '^') { i += 1; org.apache.spark.sql.functions.pow(base, unary()) }
+      else base
     }
 
     private def primary(): Column = {

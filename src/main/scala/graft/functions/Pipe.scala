@@ -66,20 +66,29 @@ object Pipe {
       })
 
     // rate = dx/dt per second; the first point's predecessor is (t=0, x=0),
-    // matching the reference exactly (reference: rate.cpp:25-48).
+    // matching the reference exactly (reference: rate.cpp:25-48). The
+    // predecessor is the last PRESENT cell, not the previous row: the
+    // reference's per-(series, index) state skips missing tuple cells
+    // without updating (rate.cpp:30 `if (pval)`), so a gap in a joined
+    // column spans to the prior value/ts, never to an implicit 0.
     case "rate" =>
-      val w = scanWindow(frame)
+      val w = scanWindow(frame).rowsBetween(Window.unboundedPreceding, -1)
       mapValues2(frame) { vc =>
+        val prevV  = last(col(vc), ignoreNulls = true).over(w)
+        val prevTs = last(when(col(vc).isNotNull, col(Ts)),
+          ignoreNulls = true).over(w)
         ieeeDiv(
-          col(vc) - coalesce(lag(col(vc), 1).over(w), lit(0.0)),
-          (col(Ts) - coalesce(lag(col(Ts), 1).over(w), lit(0L))) / lit(1e9))
+          col(vc) - coalesce(prevV, lit(0.0)),
+          (col(Ts) - coalesce(prevTs, lit(0L))) / lit(1e9))
       }
 
     // running sum per series (reference: rate.cpp:63-105, tokens
-    // "accumulate"/"cusum")
+    // "accumulate"/"cusum"); missing tuple cells stay missing and add
+    // nothing (the window sum already skips nulls)
     case "accumulate" | "cusum" =>
       val w = scanWindow(frame).rowsBetween(Window.unboundedPreceding, 0)
-      mapValues2(frame)(vc => sum(col(vc)).over(w))
+      mapValues2(frame)(vc =>
+        when(col(vc).isNotNull, sum(col(vc)).over(w)))
 
     // Simple moving average over the trailing `window-width` samples
     // (reference: sliding_window.h:62-100). NOTE the reference's circular-
@@ -153,7 +162,12 @@ object Pipe {
       val n = intParam(step, "N")
       if (frame.valueCols.size != 1) fail("top requires a scalar stream")
       val vc = frame.valueCols.head
-      val w = scanWindow(frame)
+      // the time-weighted integral is direction-independent: integrate in
+      // ascending ts even on a backward scan. A backward window would
+      // negate every interval and rank bottom-N; the reference's u64
+      // delta (top.cpp:65) underflows to garbage there — not a behavior
+      // worth copying.
+      val w = Window.partitionBy(Sname).orderBy(col(Ts).asc)
       val contrib =
         ((col(Ts) - lag(col(Ts), 1).over(w)) / lit(1e9)) *
           lag(col(vc), 1).over(w)
@@ -276,12 +290,16 @@ object Pipe {
   }
 
   /** withColumn over all value columns where the new value depends on old
-    * columns — computed in one select so self-references see OLD values. */
+    * columns — computed in one select so self-references see OLD values.
+    * The window functions the callers pass reshuffle the frame, so an
+    * upstream `ordered` claim (top/frequent-items output order) no longer
+    * holds afterwards — cleared, or finish() would skip its sort and emit
+    * partition-hash order. */
   private def mapValues2(frame: Frame)(f: String => Column): Frame = {
     val cols = frame.df.columns.map { c =>
       if (frame.valueCols.contains(c)) f(c).as(c) else col(c)
     }
-    frame.copy(df = frame.df.select(cols.toSeq: _*))
+    frame.copy(df = frame.df.select(cols.toSeq: _*), ordered = false)
   }
 
   /** Per-(series, column) sequential state machine: repartition by series,
@@ -315,7 +333,8 @@ object Pipe {
         Row.fromSeq(arr.toIndexedSeq)
       }
     }(Encoders.row(schema))
-    frame.copy(df = out)
+    // the repartition invalidates any upstream output-order claim
+    frame.copy(df = out, ordered = false)
   }
 
   private def intParam(step: Apply, key: String): Int =
@@ -324,7 +343,7 @@ object Pipe {
   private def doubleParam(step: Apply, key: String): Double =
     step.params.get(key).map(anyToDouble)
       .getOrElse(fail(s"${step.name} requires '$key'"))
-  private def anyToDouble(a: Any): Double = a match {
+  private[functions] def anyToDouble(a: Any): Double = a match {
     case d: Double => d
     case l: Long   => l.toDouble
     case i: Int    => i.toDouble

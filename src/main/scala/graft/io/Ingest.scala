@@ -229,7 +229,8 @@ object Ingest {
     * `seriesPath` (from [[writeSeries]]) to serve metadata queries from
     * the maintained dimension instead of the fact table. */
   def readLayout(spark: SparkSession, path: String,
-                 seriesPath: Option[String] = None): TsStore = {
+                 seriesPath: Option[String] = None,
+                 bucketNs: Long = DayNs): TsStore = {
     val raw = spark.read.parquet(path)
     val eventCol =
       if (raw.columns.contains("event")) col("event")
@@ -252,10 +253,9 @@ object Ingest {
     val tagCols = raw.columns.filter(_.startsWith("tag_")).toSeq.map(col)
     val facts = raw.select(Seq(col("metric"), tagsCol, col("ts"),
       col("value"), eventCol, col(TsStore.DayCol)) ++ tagCols: _*)
-    seriesPath match {
-      case Some(p) => new TsStore(facts, Some(spark.read.parquet(p)))
-      case None    => new TsStore(facts)
-    }
+    // a layout written with a non-default bucketNs MUST be read with the
+    // same value: the planner prunes `day` directories with it
+    new TsStore(facts, seriesPath.map(spark.read.parquet), bucketNs)
   }
 
   /** Compact an existing layout in place-shape: re-reads the flat files

@@ -134,7 +134,11 @@ object Planner {
           // not two (forward excludes `to`, backward excludes `to` below)
           val (loIncl, hiIncl) =
             if (!r.backward) (r.from, r.to - 1) else (r.to + 1, r.from)
-          col(DayCol) >= lit(loIncl / DayNs) && col(DayCol) <= lit(hiIncl / DayNs)
+          // the store carries the layout's actual bucket width: pruning
+          // with a hardcoded day divisor would silently drop rows from
+          // layouts written with a non-default bucketNs
+          col(DayCol) >= lit(loIncl / store.bucketNs) &&
+            col(DayCol) <= lit(hiIncl / store.bucketNs)
         }
       else None
     val flatTag: String => Option[Column] = t =>
@@ -149,6 +153,14 @@ object Planner {
   }
 
   private def snameExpr: Column = snameOf(col(Metric), col("tagstr"))
+
+  /** limit/offset arrive as JSON longs; a blind .toInt would WRAP values
+    * over Int.MaxValue (4294967297 -> limit 1: silent truncation). Counts
+    * beyond Int.MaxValue mean "everything" — clamp. */
+  private def clampCount(n: Long): Int =
+    if (n > Int.MaxValue) Int.MaxValue
+    else if (n < 0) fail(s"negative limit/offset $n")
+    else n.toInt
 
   def plan(q: Query, store: TsStore): Frame = {
     val bw = q.backward
@@ -307,10 +319,38 @@ object Planner {
         val outNames =
           if (distinctMs.size == metrics.size) metrics
           else metrics.zipWithIndex.map { case (m, i) => s"$m#$i" }
-        val df = base
+        val pivoted = base
           .groupBy(col("tagstr"), bucketCol(r, step).as(Ts))
           .pivot(Metric, distinctMs)
           .agg(aggFunc(func))
+        // Per-metric `filter` on the bucket aggregates, BEFORE the align:
+        // a filtered-out bucket becomes a missing cell (null) in the
+        // joined tuple, and a bucket no metric emits disappears
+        // (reference: layout_aggregate_join_filters +
+        // GroupAggregateFilterProcessingStep, queryplan.cpp:1044-1082,
+        // 1296-1318). Only min/max/mean may drive the filter
+        // (convert_aggregate_filter rejects the rest); with require:any,
+        // an UN-filtered metric's empty AggregateFilter matches nothing
+        // (AggregateFilter::match, operator.cpp:233-263) — mirrored here.
+        val filtered = q.filter match {
+          case None => pivoted
+          case Some(fc) =>
+            if (!Set("min", "max", "mean").contains(func))
+              fail(s"aggregation function '$func' can't be used with the filter")
+            val cells = distinctMs.map { m =>
+              fc.byKey.get(m) match {
+                case Some(vf) =>
+                  when(vfPred(col(s"`$m`"), vf), col(s"`$m`")).as(m)
+                case None =>
+                  (if (fc.requireAll) col(s"`$m`")
+                   else lit(null).cast("double")).as(m)
+              }
+            }
+            pivoted.select((col("tagstr") +: col(Ts) +: cells): _*)
+              .filter(distinctMs.map(m => col(s"`$m`").isNotNull)
+                .reduce(_ || _))
+        }
+        val df = filtered
           .select(
             (snameOf(lit(metrics.mkString("|")),
               col("tagstr")).as(Sname) +:
@@ -365,15 +405,15 @@ object Planner {
     // copy-paste bug (queryparser.cpp:627 assigns `limit = offset`), so
     // offset never actually works there. We implement the documented
     // intent: skip `offset` rows, then emit up to `limit`.
-    for (o <- q.offset) df = df.offset(o.toInt)
-    for (l <- q.limit) df = df.limit(l.toInt)
+    for (o <- q.offset) df = df.offset(clampCount(o))
+    for (l <- q.limit) df = df.limit(clampCount(l))
     frame.copy(df = df)
   }
 
   private def finishMeta(frame: Frame, q: Query): Frame = {
     var df = frame.df.distinct().orderBy(col(Sname).asc)
-    for (o <- q.offset) df = df.offset(o.toInt)
-    for (l <- q.limit) df = df.limit(l.toInt)
+    for (o <- q.offset) df = df.offset(clampCount(o))
+    for (l <- q.limit) df = df.limit(clampCount(l))
     frame.copy(df = df, ordered = true)
   }
 }

@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
   * row-group min/max skipping, and predicate pushdown on every query.
   */
 final class TsStore(val samples: DataFrame,
-                    val seriesDim: Option[DataFrame] = None) {
+                    val seriesDim: Option[DataFrame] = None,
+                    val bucketNs: Long = TsStore.DayNs) {
   import TsStore._
 
   /** The series dimension (one row per distinct series) — the analogue of
@@ -32,7 +33,8 @@ final class TsStore(val samples: DataFrame,
       .dropDuplicates(Metric, "tagstr")) // map cols can't key a set-op;
                                          // canonical tagstr is the key
 
-  def withSeriesDim(dim: DataFrame): TsStore = new TsStore(samples, Some(dim))
+  def withSeriesDim(dim: DataFrame): TsStore =
+    new TsStore(samples, Some(dim), bucketNs)
 }
 
 object TsStore {

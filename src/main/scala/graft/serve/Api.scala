@@ -63,12 +63,19 @@ object Api {
     }
   }
 
-  /** `/api/query` with optional output formatting. */
-  def query(store: TsStore, json: String): QueryResult = {
+  /** One request path for both entry points: parse, existence probe,
+    * plan. A new validation step added here reaches the library AND the
+    * HTTP shapes. */
+  private def planRequest(store: TsStore, json: String): (JValue, Frame) = {
     val root = JsonMethods.parse(json)
     val q = QueryJson.fromJValue(root)
     requireSeries(store, q)
-    val frame = Planner.plan(q, store)
+    (root, Planner.plan(q, store))
+  }
+
+  /** `/api/query` with optional output formatting. */
+  def query(store: TsStore, json: String): QueryResult = {
+    val (root, frame) = planRequest(store, json)
     outputSpec(root) match {
       case None             => Rows(frame.df)
       case Some((fmt, iso)) => Lines(format(frame, fmt, iso))
@@ -79,10 +86,7 @@ object Api {
     * reference's default output format is RESP
     * (query_results_pooler.cpp:367-380). */
   def queryLines(store: TsStore, json: String): Dataset[String] = {
-    val root = JsonMethods.parse(json)
-    val q = QueryJson.fromJValue(root)
-    requireSeries(store, q)
-    val frame = Planner.plan(q, store)
+    val (root, frame) = planRequest(store, json)
     val (fmt, iso) = outputSpec(root).getOrElse(("resp", true))
     format(frame, fmt, iso)
   }

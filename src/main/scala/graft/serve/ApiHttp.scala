@@ -43,8 +43,13 @@ final class ApiHttp(storeProvider: () => TsStore, port: Int = 0) {
   def start(): Unit = server.start()
   def stop(): Unit = server.stop(0)
 
+  /** First line of a (possibly empty) message — an empty exception
+    * message must not blow up the error path itself. */
+  private def firstLine(msg: String): String =
+    msg.linesIterator.nextOption().getOrElse("error")
+
   private def errorLine(ex: HttpExchange, code: Int, msg: String): Unit = {
-    val body = s"-${msg.linesIterator.next()}\r\n".getBytes(UTF_8)
+    val body = s"-${firstLine(msg)}\r\n".getBytes(UTF_8)
     ex.sendResponseHeaders(code, body.length)
     ex.getResponseBody.write(body)
     ex.close()
@@ -75,8 +80,8 @@ final class ApiHttp(storeProvider: () => TsStore, port: Int = 0) {
       // indistinguishable from success. Report IN-BAND instead: an error
       // line in the stream, the reference cursor's own contract.
       case e: Exception =>
-        val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
-          .linesIterator.next().take(200)
+        val msg = firstLine(
+          Option(e.getMessage).getOrElse(e.getClass.getSimpleName)).take(200)
         try out.write(s"-$msg\r\n".getBytes(UTF_8))
         catch { case _: java.io.IOException => () }
     } finally { out.close(); ex.close() }

@@ -207,6 +207,29 @@ class IngestSpec extends SparkFunSuite {
     assert(Ingest.enforceRetention(spark, layout, Long.MaxValue).isEmpty)
   }
 
+  test("non-default bucketNs round-trips: pruning uses the layout's width") {
+    import org.apache.spark.sql.functions._
+    val sp = spark
+    import sp.implicits._
+    val layout = java.nio.file.Files
+      .createTempDirectory("graft_hourly").toString
+    val hour = 3600L * 1000000000L
+    // 48 hourly points spanning 2 days — hourly buckets make `day` hold
+    // hour indices; a day-divisor prune would drop nearly everything
+    val samples = sp.range(48).select(
+      lit("temp").as("metric"),
+      map(lit("host"), lit("h0")).as("tags"),
+      (col("id") * hour).as("ts"),
+      col("id").cast("double").as("value"),
+      lit(null).cast("string").as("event"))
+      .toDF("metric", "tags", "ts", "value", "event")
+    Ingest.writeLayout(samples, layout, bucketNs = hour)
+    val st = Ingest.readLayout(sp, layout, bucketNs = hour)
+    val df = graft.plan.Planner.plan(graft.ast.QueryJson.parse(
+      s"""{"select":"temp","range":{"from":0,"to":${48 * hour}}}"""), st).df
+    assert(df.count() == 48)
+  }
+
   // functests/test_high_cardinality.py spirit: the series dimension
   // answers metadata completely at high cardinality, without the fact
   // scan that would make autocomplete a table scan at 10^8 series

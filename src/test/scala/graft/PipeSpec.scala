@@ -119,6 +119,49 @@ class PipeSpec extends SparkFunSuite {
       ("m h=A", 20.0), ("m h=B", 6.0)))
   }
 
+  test("top: backward scan ranks identically to forward") {
+    val st = store(Seq(
+      ("m", Map("h" -> "A"), 1000000000L, 10.0),
+      ("m", Map("h" -> "A"), 3000000000L, 0.0),
+      ("m", Map("h" -> "B"), 1000000000L, 3.0),
+      ("m", Map("h" -> "B"), 3000000000L, 0.0)))
+    // range reversed: the integral must not negate (a backward window
+    // would rank bottom-N)
+    val df = Planner.plan(QueryJson.parse(
+      """{"select":"m","range":{"from":1000000000000000,"to":0},
+        |"apply":[{"name":"top","N":1}]}""".stripMargin), st).df
+    assert(rows3(df).map(t => (t._1, t._3)) == Seq(("m h=A", 20.0)))
+  }
+
+  test("rate over join tuples: a gap spans to the last present cell") {
+    val st = store(Seq(
+      ("a", Map("h" -> "X"), 1000000000L, 10.0),
+      ("b", Map("h" -> "X"), 1000000000L, 1.0),
+      ("b", Map("h" -> "X"), 2000000000L, 2.0), // a missing at t=2s
+      ("a", Map("h" -> "X"), 3000000000L, 16.0),
+      ("b", Map("h" -> "X"), 3000000000L, 3.0)))
+    val df = Planner.plan(QueryJson.parse(
+      """{"join":["a","b"],"range":{"from":0,"to":1000000000000},
+        |"apply":[{"name":"rate"}]}""".stripMargin), st).df
+    val rows = df.orderBy(df("ts")).collect()
+    // a's rate at t=3s spans the gap: (16-10)/(3-1) = 3, not (16-0)/(3-2)
+    val aAt3 = rows.find(_.getLong(1) == 3000000000L).get
+    assert(aAt3.getDouble(2) == 3.0)
+    // a's cell at t=2s is missing and stays missing
+    assert(rows.find(_.getLong(1) == 2000000000L).get.isNullAt(2))
+  }
+
+  test("eval: unary minus binds looser than '^' (muparser precedence)") {
+    val st = store(Seq(("a", Map("h" -> "X"), 100L, 3.0)))
+    def eval(e: String) = Planner.plan(QueryJson.parse(
+      s"""{"select":"a","range":{"from":0,"to":1000},
+         |"apply":[{"name":"eval","expr":"$e"}]}""".stripMargin), st).df
+    assert(rows3(eval("0 - value^2")).map(_._3) == Seq(-9.0))
+    assert(rows3(eval("-value^2")).map(_._3) == Seq(-9.0)) // -(3^2), not 9
+    assert(rows3(eval("value^-1")).map(_._3) == Seq(1.0 / 3.0)) // signed exp
+    assert(rows3(eval("2^3^2")).map(_._3) == Seq(512.0)) // right-assoc
+  }
+
   test("frequent-items: exact SpaceSaver emission rule and order") {
     val rows = (0 until 8).map(i => ("m", Map("h" -> "A"), 100L + i, 1.0)) ++
       (0 until 3).map(i => ("m", Map("h" -> "B"), 200L + i, 1.0)) ++

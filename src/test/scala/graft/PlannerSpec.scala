@@ -162,6 +162,45 @@ class PlannerSpec extends SparkFunSuite {
     assert(r.getDouble(2) == 3.0 && r.getDouble(3) == 7.0)
   }
 
+  test("group-aggregate-join: per-metric filter nulls cells, drops empty buckets") {
+    val st = store(Seq(
+      ("a", Map("h" -> "X"), 0L, 1.0), ("a", Map("h" -> "X"), 5L, 3.0),
+      ("b", Map("h" -> "X"), 5L, 7.0),
+      ("a", Map("h" -> "X"), 15L, 2.0))) // bucket 10: a=2 (fails), b absent
+    val df = Planner.plan(QueryJson.parse(
+      """{"group-aggregate-join":{"metric":["a","b"],"step":10,"func":"max"},
+        |"range":{"from":0,"to":20},
+        |"filter":{"a":{"gt":2.5}}}""".stripMargin), st).df
+    val rows = df.collect()
+    // bucket 0 survives (a=3 passes, b=7 unfiltered); bucket 10 vanishes
+    // entirely (a fails -> null, b absent -> null)
+    assert(rows.length == 1)
+    assert(rows.head.getLong(1) == 0L)
+    assert(rows.head.getDouble(2) == 3.0 && rows.head.getDouble(3) == 7.0)
+    // a failing cell becomes a MISSING cell, not a dropped row, when the
+    // other metric still has data in the bucket
+    val df2 = Planner.plan(QueryJson.parse(
+      """{"group-aggregate-join":{"metric":["a","b"],"step":10,"func":"max"},
+        |"range":{"from":0,"to":20},
+        |"filter":{"a":{"gt":5}}}""".stripMargin), st).df
+    val r2 = df2.collect()
+    assert(r2.length == 1 && r2.head.isNullAt(2) && r2.head.getDouble(3) == 7.0)
+    // sum can't drive an aggregate filter (reference rejects it)
+    intercept[Planner.PlanException] {
+      Planner.plan(QueryJson.parse(
+        """{"group-aggregate-join":{"metric":["a","b"],"step":10,"func":"sum"},
+          |"range":{"from":0,"to":20},
+          |"filter":{"a":{"gt":0}}}""".stripMargin), st)
+    }
+  }
+
+  test("limit above Int.MaxValue means everything, not a wrapped count") {
+    val df = run(
+      s"""{"select":"test","range":{"from":$T0,"to":${T0 + 5 * Step}},
+         |"limit":4294967297}""".stripMargin)
+    assert(df.count() == 5)
+  }
+
   test("group-aggregate-join: a repeated metric is legal, like join") {
     val st = store(Seq(
       ("a", Map("h" -> "X"), 0L, 1.0), ("a", Map("h" -> "X"), 5L, 3.0)))
