@@ -196,6 +196,9 @@ object LineProtocol {
       while (i < lEnd) {
         val c = content.charAt(i)
         if (c < '0' || c > '9') fail(s"bad integer '$lineStr'")
+        // overflow is a protocol error, not a silent wrap: `:1844...615`
+        // (u64 max) must answer -PARSER, not become ts = -1
+        if (v > (Long.MaxValue - (c - '0')) / 10) fail(s"integer overflow '$lineStr'")
         v = v * 10 + (c - '0')
         i += 1
       }
@@ -248,8 +251,11 @@ object LineProtocol {
         if (c == '*' && inPrelude) {
           // dictionary array: N elements = N/2 (name, id) pairs, staged
           // and committed only once the whole array parsed
-          val n = parseLongBody().toInt
-          if (n < 0) fail("dictionary array length must be non-negative")
+          val n64 = parseLongBody()
+          if (n64 < 0) fail("dictionary array length must be non-negative")
+          if (n64 > Int.MaxValue) fail("dictionary array too large")
+          val n = n64.toInt // checked above: a `*8589934592` header must
+          // not truncate to 0 and leak the entries into the data section
           if (n % 2 != 0) fail("dictionary array length must be even")
           // capacity hint bounded: a hostile `*2000000000` header must
           // not pre-allocate gigabytes before the missing entries fail
@@ -300,8 +306,9 @@ object LineProtocol {
           // value(s): scalar token or *N array (row protocol)
           requireLine()
           if (first == '*') {
-            val nv = parseLongBody().toInt
-            if (nv != keys.size)
+            val nv = parseLongBody() // compared as Long: a 2^33+2 header
+            // must not truncate into a matching width
+            if (nv != keys.size.toLong)
               fail(s"row width ${keys.size} != value count $nv")
             staged.clear()
             var k = 0

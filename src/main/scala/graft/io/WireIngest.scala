@@ -299,9 +299,13 @@ final class WireIngest(spoolDir: File, tcpPort: Int = 0, udpPort: Int = 0,
 
   def stop(): Unit = {
     running.set(false)
-    flush()
+    // close the socket and JOIN the receive thread BEFORE the final
+    // flush: a datagram landing between flush and close would open a
+    // fresh roll that nothing ever publishes — accepted data lost
     tcpSocket.close()
     udpSocket.close()
+    try udpThread.join(5000) catch { case _: InterruptedException => () }
+    flush()
     // sever open connections like a process death: handlers take their
     // IOException path and publish each session's validated prefix
     conns.forEach(s => try s.close() catch { case _: Exception => () })

@@ -124,6 +124,10 @@ object Embed {
                       vecCol: String = "embedding",
                       idCol: String = "vec_id"): Seq[Seq[Double]] =
     corpus
+      // a zero-norm vector would normalize to all-NaN, and NaN cosine
+      // scores sort above every real score in greatest() — one poisoned
+      // centroid would swallow ALL assignments into its cell
+      .filter(dot(col(vecCol), col(vecCol)) > 0.0)
       .select(col(vecCol), xxhash64(col(idCol)).as("__h"))
       .orderBy(col("__h")).limit(n)
       .select(normalized(col(vecCol)))
@@ -134,10 +138,14 @@ object Embed {
     * unit centroid — same argmax as dot-of-normalized since |v| is
     * constant across centroids) — the IVF list assignment. */
   def centroidId(vec: Column, centroids: Seq[Seq[Double]]): Column = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      struct(cosine(vec, array(c.map(lit): _*)).as("score"), lit(i).as("cid"))
+    require(centroids.nonEmpty, "no centroids")
+    if (centroids.size == 1) lit(0) // greatest() needs >= 2 args
+    else {
+      val scored = centroids.zipWithIndex.map { case (c, i) =>
+        struct(cosine(vec, array(c.map(lit): _*)).as("score"), lit(i).as("cid"))
+      }
+      greatest(scored: _*).getField("cid")
     }
-    greatest(scored: _*).getField("cid")
   }
 
   /** IVF top-k: assign the corpus to `nCentroids` inverted lists, probe
@@ -170,11 +178,15 @@ object Embed {
     * a cell boundary. Rounding makes near-ties exact ties, and exact
     * ties resolve identically on both sides. */
   private def centroidIdRounded(vec: Column, centroids: Seq[Seq[Double]]): Column = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      struct(round(cosine(vec, array(c.map(lit): _*)), 6).as("score"),
-        lit(i).as("cid"))
+    require(centroids.nonEmpty, "no centroids")
+    if (centroids.size == 1) lit(0)
+    else {
+      val scored = centroids.zipWithIndex.map { case (c, i) =>
+        struct(round(cosine(vec, array(c.map(lit): _*)), 6).as("score"),
+          lit(i).as("cid"))
+      }
+      greatest(scored: _*).getField("cid")
     }
-    greatest(scored: _*).getField("cid")
   }
 
   /** One distributed Lloyd step for spherical k-means: assign every

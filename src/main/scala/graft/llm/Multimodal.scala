@@ -146,7 +146,9 @@ object Multimodal {
     * `fps`-spaced frame REFERENCES (no decode; offsets only) — the shape
     * a downstream batch decoder consumes. Pure column math. */
   def sampleFrames(media: DataFrame, everyMs: Long = 1000L): DataFrame =
-    media.filter(col("modality") === "video")
+    media.filter(col("modality") === "video" && col("duration_ms") > 0)
+      // zero/negative durations yield no frames; without the guard,
+      // sequence(0, -1, everyMs) rejects the whole job at runtime
       .select(col("media_id"), col("duration_ms"),
         explode(sequence(lit(0L), col("duration_ms") - 1, lit(everyMs)))
           .as("frame_offset_ms"))

@@ -35,7 +35,11 @@ object Sample {
     * any string-valued Column (language, quality bucket, source); rows
     * keep iff hashFrac < rates(stratum), `defaultRate` for strata not in
     * the map. The standard "mix languages/sources at target proportions"
-    * curation step, as a single narrow filter. */
+    * curation step, as a single narrow filter.
+    *
+    * OUTPUT CONTRACT: the result carries the evaluated stratum as a
+    * `stratum` column, REPLACING any existing column of that name
+    * (same for [[takeExact]]). */
   def mix(df: DataFrame, stratum: Column, rates: Map[String, Double],
           defaultRate: Double = 1.0, idCol: String = "doc_id",
           seed: String = ""): DataFrame = {

@@ -102,9 +102,14 @@ object Text {
           x => x.isNotNull),
         g => hashFn(g))) { grams =>
         val nw = greatest(size(grams) - (w - 1), lit(1))
+        // a doc with < k tokens has NO grams: the window min over the
+        // empty slice is null — filtered, so the result is [] and short
+        // docs can never share a spurious null fingerprint bucket
         array_distinct(
-          transform(sequence(lit(0), nw - 1),
-            i => array_min(slice(grams, i + 1, lit(w)))))
+          filter(
+            transform(sequence(lit(0), nw - 1),
+              i => array_min(slice(grams, i + 1, lit(w)))),
+            x => x.isNotNull))
       }
     }
 
@@ -154,8 +159,10 @@ object Text {
   val PhoneRe = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
 
   private def countMatches(text: Column, re: String): Column =
-    size(filter(split(regexp_replace(text, re, "\u0001"), ""),
-      c => c === "\u0001"))
+    // exact, sentinel-free, codegen'd; the previous replace-and-count
+    // miscounted documents already containing the sentinel char and
+    // allocated a one-char string per character per pattern
+    regexp_count(text, lit(re))
 
   /** Per-document PII signal counts (emails, IPv4s, phone-ish runs). */
   def piiStats(docs: DataFrame, textCol: String = "text",

@@ -20,6 +20,10 @@ object AkuTime {
   def parseTs(s: String): Long = s.trim match {
     case IsoRe(y, mo, d, h, mi, se, frac) =>
       val date = LocalDate.of(y.toInt, mo.toInt, d.toInt)
+      // time-of-day fields validate like the date ones: '990000' is a
+      // bad timestamp, not 99 hours silently added (= 4 days of shift)
+      if (h != null && (h.toInt > 23 || mi.toInt > 59 || se.toInt > 59))
+        throw new IllegalArgumentException(s"bad timestamp: '$s'")
       val secs = date.toEpochDay * 86400L +
         (if (h == null) 0L else h.toLong * 3600 + mi.toLong * 60 + se.toLong)
       val ns = if (frac == null) 0L else frac.padTo(9, '0').toLong

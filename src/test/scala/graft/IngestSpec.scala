@@ -79,6 +79,19 @@ class IngestSpec extends SparkFunSuite {
         |+3""".stripMargin.linesIterator).toSeq)
   }
 
+  test("RESP integer overflow is a protocol error, never a silent wrap") {
+    // u64-max timestamp would wrap to ts = -1 under i64 arithmetic
+    intercept[IllegalArgumentException](LineProtocol.parseResp(
+      Seq("+m host=x", ":18446744073709551615", ":1").iterator).toSeq)
+    // a 2^33 dictionary header must not truncate to 0 and leak the
+    // entries into the data section
+    intercept[IllegalArgumentException](LineProtocol.parseResp(
+      Seq("*8589934592", "+m host=x", ":9").iterator).toSeq)
+    // a 2^33+2 row header must not truncate into a matching width
+    intercept[IllegalArgumentException](LineProtocol.parseResp(
+      Seq("+a|b host=x", ":100", "*8589934594", "+1", "+2").iterator).toSeq)
+  }
+
   test("OpenTSDB put: unix-seconds vs ns timestamps") {
     val s = LineProtocol.parseOpenTsdb(
       "put cpu.real 1418197423 3.12 host=machine1 region=NW").head

@@ -354,6 +354,27 @@ class LlmSpec extends SparkFunSuite {
     assert(kept.length == 10)
   }
 
+  test("winnow of a sub-k-token doc is empty, not a null fingerprint") {
+    val d = docs(Seq("one two", "alpha beta gamma delta epsilon zeta eta theta"))
+    val fps = d.select(col("doc_id"), Text.winnow(col("text"), k = 5, w = 4)
+      .as("fp")).collect()
+    val short = fps.find(_.getLong(0) == 0L).get.getSeq[Long](1)
+    assert(short.isEmpty) // not Seq(null): no spurious shared bucket
+    assert(fps.find(_.getLong(0) == 1L).get.getSeq[Long](1).nonEmpty)
+  }
+
+  test("zero-norm vectors never poison centroid selection") {
+    val sp = SparkSpec.spark
+    import sp.implicits._
+    val vecs = ((0L, Seq.fill(4)(0f)) +: (1 until 12).map(i =>
+      (i.toLong, Seq(i.toFloat, 1f, 0f, 0f)))).toDF("vec_id", "embedding")
+    val cents = Embed.sampleCentroids(vecs, 4)
+    assert(cents.forall(c => !c.exists(_.isNaN)))
+    // the step runs clean over the remaining corpus (no NaN winner)
+    val step = Embed.kmeansStep(vecs.filter(col("vec_id") > 0), cents)
+    assert(step.collect().forall(r => !r.getDouble(2).isNaN))
+  }
+
   test("int8 quantization: error bounded by scale/254, codes in range") {
     val sp = SparkSpec.spark
     import sp.implicits._

@@ -29,6 +29,10 @@ class ModelSpec extends AnyFunSuite {
       AkuTime.parseTs("20240105") )
     assert(AkuTime.parseTs("123456789") == 123456789L) // raw ns
     intercept[IllegalArgumentException](AkuTime.parseTs("not-a-time"))
+    // out-of-range time-of-day is a bad timestamp, not 99 silent hours
+    intercept[IllegalArgumentException](AkuTime.parseTs("20200101T990000"))
+    intercept[IllegalArgumentException](AkuTime.parseTs("20200101T006100"))
+    intercept[IllegalArgumentException](AkuTime.parseTs("20200101T000061"))
   }
 
   test("durations parse with reference units") {
