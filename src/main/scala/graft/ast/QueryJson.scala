@@ -58,17 +58,24 @@ object QueryJson {
         QueryKind.SelectEvents(m, (obj \ "filter") match {
           case JString(re)            => Some(re)
           case JNothing               => None
-          case o: JObject             => None // value filter, handled below
+          // an OBJECT filter on select-events is silently ignored, like
+          // the reference (parse_select_events_filter_field returns ""
+          // for any non-leaf node, queryparser.cpp:338-353)
+          case o: JObject             => None
           case _                      => fail("bad event filter")
         })
       case "aggregate" =>
         (obj \ "aggregate") match {
           case JObject(kvs) if kvs.nonEmpty =>
-            QueryKind.Aggregate(kvs.flatMap {
-              case (m, JString(f))  => Seq(m -> f)
-              case (m, JArray(fs))  => fs.map(f => m -> str(f))
-              case _                => fail("bad aggregate clause")
-            })
+            val pairs = kvs.flatMap {
+              case (m, JString(f)) => Seq(m -> f)
+              case (m, JArray(fs)) if fs.nonEmpty => fs.map(f => m -> str(f))
+              // an empty func array would silently drop the metric (or
+              // reach the planner as zero aggregations and crash it)
+              case (m, JArray(_)) => fail(s"empty func list for metric '$m'")
+              case _              => fail("bad aggregate clause")
+            }
+            QueryKind.Aggregate(pairs)
           case _ => fail("aggregate clause must be a non-empty object")
         }
       case "group-aggregate" =>

@@ -251,8 +251,11 @@ object Ingest {
     // predicates to them (parquet pushdown) instead of the reconstructed
     // map; projections that don't filter on tags prune them away
     val tagCols = raw.columns.filter(_.startsWith("tag_")).toSeq.map(col)
+    // the stored canonical sname rides along: consumers that need the
+    // series identity (stats' distinct count) read the column instead of
+    // rebuilding it from the reconstructed tags map per row
     val facts = raw.select(Seq(col("metric"), tagsCol, col("ts"),
-      col("value"), eventCol, col(TsStore.DayCol)) ++ tagCols: _*)
+      col("value"), eventCol, col(TsStore.DayCol), col("sname")) ++ tagCols: _*)
     // a layout written with a non-default bucketNs MUST be read with the
     // same value: the planner prunes `day` directories with it
     new TsStore(facts, seriesPath.map(spark.read.parquet), bucketNs)

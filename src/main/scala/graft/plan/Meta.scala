@@ -96,15 +96,21 @@ object Meta {
   /** `/api/stats`-style summary: row/series/metric counts plus the time
     * span, one aggregate pass (reference: httpserver.cpp:123-152 serves
     * storage counters; here they derive from the data). */
-  def stats(store: TsStore): DataFrame =
+  def stats(store: TsStore): DataFrame = {
+    // layout-backed frames carry the stored canonical sname: counting on
+    // it directly keeps this a plain column scan. Rebuilding it via the
+    // lazily-reconstructed tags map (str_to_map + sort + concat per row)
+    // would dominate the pass on a large fact table.
+    val snameCol =
+      if (store.samples.columns.contains(TsStore.Sname)) col(TsStore.Sname)
+      else TsStore.snameOf(col(TsStore.Metric), TsStore.tagStr(col(TsStore.Tags)))
     store.samples.agg(
       count(lit(1)).as("n_samples"),
-      approx_count_distinct(
-        TsStore.snameOf(col(TsStore.Metric),
-          TsStore.tagStr(col(TsStore.Tags)))).as("n_series_approx"),
+      approx_count_distinct(snameCol).as("n_series_approx"),
       countDistinct(col(TsStore.Metric)).as("n_metrics"),
       min(col(TsStore.Ts)).as("min_ts"),
       max(col(TsStore.Ts)).as("max_ts"))
+  }
 
   /** JSON entry for `/api/search` (reference: queryparser.cpp:1026-1076).
     * An empty or missing `select` lists every series — SeriesRetreiver's

@@ -76,13 +76,7 @@ object OutputFormat {
   /** ISO-8601 basic format with 9-digit ns fraction, UTC — matches the
     * reference's `%04d%02d%02dT%02d%02d%02d.%09d`
     * (reference: datetime.cpp:150-172). */
-  def isoBasic(tsNs: Long): String = {
-    val sec = Math.floorDiv(tsNs, 1000000000L)
-    val ns = Math.floorMod(tsNs, 1000000000L)
-    val dt = java.time.LocalDateTime.ofEpochSecond(sec, 0, java.time.ZoneOffset.UTC)
-    f"${dt.getYear}%04d${dt.getMonthValue}%02d${dt.getDayOfMonth}%02d" +
-      f"T${dt.getHour}%02d${dt.getMinute}%02d${dt.getSecond}%02d.$ns%09d"
-  }
+  def isoBasic(tsNs: Long): String = graft.model.AkuTime.formatIso(tsNs)
 
   /** C `printf("%.17g")` semantics: 17 significant digits, trailing zeros
     * stripped, scientific notation when exp < -4 or >= 17. Java's own %g
@@ -91,8 +85,11 @@ object OutputFormat {
     if (x.isNaN) return "nan"
     if (x.isInfinite) return if (x > 0) "inf" else "-inf"
     if (x == 0.0) return if (1.0 / x < 0) "-0" else "0"
+    // HALF_EVEN: C's %g rounds the exact decimal expansion of the binary
+    // value half-to-even; MathContext's default HALF_UP prints one ULP
+    // high on exact ties (e.g. 125000000000000.125)
     val bd = new java.math.BigDecimal(x)
-      .round(new java.math.MathContext(17))
+      .round(new java.math.MathContext(17, java.math.RoundingMode.HALF_EVEN))
       .stripTrailingZeros()
     val exp = bd.precision() - bd.scale() - 1 // decimal exponent
     if (exp < -4 || exp >= 17) {

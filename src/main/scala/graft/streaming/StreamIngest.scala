@@ -75,9 +75,13 @@ object StreamIngest {
     * (metric, day). `checkpoint` is the WAL: exactly-once per micro-batch
     * across restarts. */
   def writeLayoutStream(samples: DataFrame, path: String,
-                        checkpoint: String): DataStreamWriter[Row] =
+                        checkpoint: String,
+                        bucketNs: Long = graft.io.Ingest.DayNs): DataStreamWriter[Row] =
+    // bucketNs MUST match the layout this stream appends to (and what
+    // readLayout is called with): a mismatched divisor writes day values
+    // the planner's directory pruning filters out — silent row loss
     samples
-      .withColumn("day", expr(s"ts div ${graft.io.Ingest.DayNs}L"))
+      .withColumn("day", expr(s"ts div ${bucketNs}L"))
       .writeStream
       .format("parquet")
       .option("path", path)
@@ -118,7 +122,10 @@ object StreamIngest {
       .groupBy(col("sname"), col("bucket_ts"), col("bucket_event"))
       .agg(
         min(col("value")).as("min"), max(col("value")).as("max"),
-        sum(col("value")).as("sum"), count(col("value")).as("count"),
+        sum(col("value")).as("sum"),
+        // double like batch Q4's count (Planner.aggFunc): batch and
+        // streaming outputs must union/compare without a schema clash
+        count(col("value")).cast("double").as("count"),
         avg(col("value")).as("mean"))
       .drop("bucket_event")
   }
@@ -133,8 +140,8 @@ object StreamIngest {
     * — O(samples per series per batch) per task, NOT O(stream). With
     * second-level batches that is a handful of points; a series hot
     * enough to break this needs a watermarked window design instead. */
-  def streamingEwma(samples: DataFrame,
-                    decay: Double): Dataset[(String, Long, Double)] = {
+  def streamingEwma(samples: DataFrame, decay: Double,
+                    idleTimeout: Option[String] = None): Dataset[(String, Long, Double)] = {
     import samples.sparkSession.implicits._
     implicit val stateEnc: org.apache.spark.sql.Encoder[graft.functions.EwmaState] =
       org.apache.spark.sql.Encoders.kryo[graft.functions.EwmaState]
@@ -145,17 +152,29 @@ object StreamIngest {
         col("value").as[Double])
       .as[(String, Long, Double)]
       .groupByKey(_._1)
-    keyed.flatMapGroupsWithState(OutputMode.Append,
-      GroupStateTimeout.NoTimeout) {
+    // idleTimeout bounds state CARDINALITY under series churn: a series
+    // silent for the duration drops its state (and restarts its EWMA
+    // warmup if it ever returns). Without it, cumulative distinct series
+    // grow the state store forever — fine for stable fleets, not for
+    // per-pod/per-request series names.
+    val timeoutConf = if (idleTimeout.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    keyed.flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
       (key: String, rows: Iterator[(String, Long, Double)],
        state: GroupState[graft.functions.EwmaState]) =>
-        val st = state.getOption.getOrElse(
-          new graft.functions.EwmaState(decay, delta = false))
-        val out = rows.toArray.sortBy(_._2).map { case (_, ts, v) =>
-          (key, ts, st.step(v))
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          val st = state.getOption.getOrElse(
+            new graft.functions.EwmaState(decay, delta = false))
+          val out = rows.toArray.sortBy(_._2).map { case (_, ts, v) =>
+            (key, ts, st.step(v))
+          }
+          state.update(st)
+          idleTimeout.foreach(state.setTimeoutDuration)
+          out.iterator
         }
-        state.update(st)
-        out.iterator
     }
   }
 
@@ -171,7 +190,11 @@ object StreamIngest {
                          watermark: String,
                          textCol: String = "text"): DataFrame =
     docs
-      .withColumn("fingerprint", graft.llm.Text.fingerprint(col(textCol)))
+      // null-text docs (failed extraction, media-only) get a unique key:
+      // dropDuplicates treats null keys as EQUAL, so a null fingerprint
+      // would keep the first such doc and silently delete every other
+      .withColumn("fingerprint",
+        coalesce(graft.llm.Text.fingerprint(col(textCol)), expr("uuid()")))
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
 }

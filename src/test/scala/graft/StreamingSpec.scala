@@ -38,7 +38,7 @@ class StreamingSpec extends SparkFunSuite {
       assert(r.getString(0) == "cpu host=a")
       assert(r.getLong(1) == 1418197420L * 1000000000L)
       assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 7.0)
-      assert(r.getDouble(4) == 16.0 && r.getLong(5) == 4L)
+      assert(r.getDouble(4) == 16.0 && r.getDouble(5) == 4.0)
     } finally query.stop()
   }
 
@@ -228,7 +228,7 @@ class StreamingSpec extends SparkFunSuite {
       val streamRows = spark.sql(
         """SELECT bucket_ts, min, max, sum, count FROM cga_anchor""")
         .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
-          r.getDouble(3), r.getLong(4))).sortBy(_._1)
+          r.getDouble(3), r.getDouble(4).toLong)).sortBy(_._1)
       // batch Q4 over the same samples, range beginning at T0
       val st = SparkSpec.store(offsets.map(o =>
         ("cpu", Map("host" -> "a"), t0 + o * 1000000000L, o.toDouble)))
@@ -293,8 +293,8 @@ class StreamingSpec extends SparkFunSuite {
       q.processAllAvailable()
       val rows = sp.sql(
         "SELECT bucket_ts, `count`, `max` FROM cgans ORDER BY bucket_ts")
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-      assert(rows.toSeq == Seq((0L, 2L, 3.0), (1500000L, 1L, 5.0)))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      assert(rows.toSeq == Seq((0L, 2.0, 3.0), (1500000L, 1.0, 5.0)))
     } finally q.stop()
   }
 
