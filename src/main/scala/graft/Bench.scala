@@ -165,11 +165,18 @@ object Bench {
     val errs = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":"${v.replace("\"", "'")}"""" }
       .mkString("{", ",", "}")
-    println(
+    val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""errors":$errs,"n_ok":${okResults.size},"n_failed":${errors.size},""" +
       s""""ingest_samples_per_sec":$ingestRate,""" +
-      s""""write_samples_per_sec":$writeRate,"sf":"$sfDir"}""")
+      s""""write_samples_per_sec":$writeRate,"sf":"$sfDir"}"""
+    println(json)
+    // the driver captures stdout through a `tail` that can truncate the
+    // per-query map — persist the complete artifact next to the repo so
+    // every query stays comparable round-over-round
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: java.io.IOException => () } // read-only cwd: stdout stands
     spark.stop()
   }
 }

@@ -835,6 +835,17 @@ object SparkEntry {
               |WHERE event_type = 'view' AND user_id IN (1,2,3,4,5)
               |ORDER BY 1""".stripMargin)),
 
+    // -- /api/search: regex over canonical series names ------------------
+    // reference PlainSeriesMatcher::regex_match (seriesparser.h:149-201):
+    // the pattern runs over the flat series-name table
+    "search_series_regex" -> Gated(
+      (s, d) => Meta.searchJson(TestData.events(s, d),
+        """{"regex":"^view k=[0-3] user=1[0-9]$"}"""),
+      Some(s"""SELECT DISTINCT sname FROM
+              |  (SELECT ${snameSql("event_type")} AS sname FROM events)
+              |WHERE regexp_matches(sname, '^view k=[0-3] user=1[0-9]$$')
+              |ORDER BY 1""".stripMargin)),
+
     // -- output: reference CSV row format (ISO ts + %.17g doubles) -------
     "output_csv" -> Gated(
       (s, d) => OutputFormat.csv(runFrame(

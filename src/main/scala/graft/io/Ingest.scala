@@ -194,6 +194,39 @@ object Ingest {
     *    runs into the salted layout. File count = tasks x touched
     *    partitions, bounded at scale by routing/compaction cadence, not
     *    by the writer. */
+  /** Sidecar recording the layout's bucket width. Underscore-prefixed so
+    * parquet directory listings skip it. The planner prunes `day=`
+    * directories with `ts div bucketNs` — reading a layout with a
+    * DIFFERENT width than it was written with silently drops rows, so
+    * the width is persisted inside the layout (like `_ivf_centroids.txt`)
+    * and [[readLayout]] picks it up by default. */
+  private def bucketNsFile(path: String) = s"$path/_graft_bucket_ns"
+
+  private[graft] def writeBucketNs(spark: SparkSession, path: String,
+                                   bucketNs: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(bucketNsFile(path))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(bucketNs.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The persisted bucket width, or None for layouts predating the
+    * sidecar (then [[DayNs]] applies, the only width that existed). */
+  def readBucketNs(spark: SparkSession, path: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(bucketNsFile(path))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+      Some(text.trim.toLong)
+    }
+  }
+
   private def writePrepared(df: DataFrame, path: String, bucketNs: Long,
                             saltBuckets: Int, codec: String,
                             exchange: Boolean = true): Unit = {
@@ -222,6 +255,9 @@ object Ingest {
       .option("parquet.enable.dictionary", "false")
       .mode("overwrite")
       .parquet(path)
+    // after the overwrite (which clears the directory), like writeIvf's
+    // centroids: reader and writer can never disagree on the bucket width
+    writeBucketNs(df.sparkSession, path, bucketNs)
   }
 
   /** Read the layout back as a TsStore (partition pruning on
@@ -230,7 +266,13 @@ object Ingest {
     * the maintained dimension instead of the fact table. */
   def readLayout(spark: SparkSession, path: String,
                  seriesPath: Option[String] = None,
-                 bucketNs: Long = DayNs): TsStore = {
+                 bucketNs: Long = 0L): TsStore = {
+    // bucketNs <= 0 (the default) = read the layout's own persisted width
+    // (falling back to DayNs for layouts predating the sidecar); an
+    // explicit positive value overrides
+    val width =
+      if (bucketNs > 0) bucketNs
+      else readBucketNs(spark, path).getOrElse(DayNs)
     val raw = spark.read.parquet(path)
     val eventCol =
       if (raw.columns.contains("event")) col("event")
@@ -253,12 +295,16 @@ object Ingest {
     val tagCols = raw.columns.filter(_.startsWith("tag_")).toSeq.map(col)
     // the stored canonical sname rides along: consumers that need the
     // series identity (stats' distinct count) read the column instead of
-    // rebuilding it from the reconstructed tags map per row
+    // rebuilding it from the reconstructed tags map per row. Layouts
+    // written by the STREAMING sink (ParsedSample schema, pre-compaction)
+    // have no sname column — derive it from the tags map, mirroring the
+    // tagsCol fallback in the other direction.
+    val snameCol =
+      if (raw.columns.contains("sname")) col("sname")
+      else TsStore.snameOf(col("metric"), TsStore.tagStr(tagsCol)).as("sname")
     val facts = raw.select(Seq(col("metric"), tagsCol, col("ts"),
-      col("value"), eventCol, col(TsStore.DayCol), col("sname")) ++ tagCols: _*)
-    // a layout written with a non-default bucketNs MUST be read with the
-    // same value: the planner prunes `day` directories with it
-    new TsStore(facts, seriesPath.map(spark.read.parquet), bucketNs)
+      col("value"), eventCol, col(TsStore.DayCol), snameCol) ++ tagCols: _*)
+    new TsStore(facts, seriesPath.map(spark.read.parquet), width)
   }
 
   /** Compact an existing layout in place-shape: re-reads the flat files
@@ -273,9 +319,13 @@ object Ingest {
     * new path) after it commits, like any immutable-layout compactor. */
   def compactLayout(spark: SparkSession, inPath: String, outPath: String,
                     flattenTags: Seq[String] = Nil,
-                    bucketNs: Long = DayNs,
+                    bucketNs: Long = 0L,
                     saltBuckets: Int = 32,
                     codec: String = DefaultCodec): Unit = {
+    // default = preserve the input layout's persisted width
+    val width =
+      if (bucketNs > 0) bucketNs
+      else readBucketNs(spark, inPath).getOrElse(DayNs)
     val raw = spark.read.parquet(inPath).drop(TsStore.DayCol)
     // batch layouts are already flat (sname carries the tag set); the
     // streaming sink stores the tags MAP instead — compaction upgrades it
@@ -290,7 +340,7 @@ object Ingest {
         .withColumn("sname",
           TsStore.snameOf(col("metric"), TsStore.tagStr(col("tags"))))
         .drop("tags")
-    writePrepared(flat, outPath, bucketNs, saltBuckets, codec)
+    writePrepared(flat, outPath, width, saltBuckets, codec)
   }
 
   /** Retention enforcement — the Spark analogue of the reference's

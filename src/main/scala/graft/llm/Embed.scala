@@ -198,6 +198,11 @@ object Embed {
   def kmeansStep(corpus: DataFrame, centroids: Seq[Seq[Double]],
                  vecCol: String = "embedding"): DataFrame =
     corpus
+      // same zero-norm guard as sampleCentroids: a zero vector normalizes
+      // to all-NaN, the NaN enters the cell average, and the poisoned
+      // centroid (norm NaN, not 0) would propagate through every
+      // remaining Lloyd iteration
+      .filter(dot(col(vecCol), col(vecCol)) > 0.0)
       .select(normalized(col(vecCol)).as("u"))
       .select(centroidIdRounded(col("u"), centroids).as("cell"),
         posexplode(col("u")))
@@ -223,7 +228,9 @@ object Embed {
         byCell.get(c).fold(old) { rs =>
           val mean = rs.sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("m"))
           val n = math.sqrt(mean.map(x => x * x).sum)
-          if (n == 0.0) old else mean.map(_ / n).toSeq
+          // NaN-mean belt-and-braces: treat a poisoned cell like an
+          // empty one (keep the previous centroid)
+          if (n == 0.0 || n.isNaN) old else mean.map(_ / n).toSeq
         }
       }
     }

@@ -64,6 +64,25 @@ object Meta {
       .orderBy(col(TsStore.Sname))
   }
 
+  /** Regex series search over canonical series names — the analogue of
+    * the reference's `PlainSeriesMatcher::regex_match`
+    * (libakumuli/index/seriesparser.h:149-201, seriesparser.cpp:462-480:
+    * the pattern runs over the flat series-name table and every match is
+    * returned). Dimension-only scan, never touches facts. */
+  def searchRegex(store: TsStore, pattern: String): DataFrame = {
+    // fail fast on a bad pattern (driver-side), like the reference's
+    // regex constructor throwing before any matching starts
+    try java.util.regex.Pattern.compile(pattern)
+    catch { case e: java.util.regex.PatternSyntaxException =>
+      fail(s"invalid regex: ${e.getMessage.linesIterator.next()}") }
+    store.series
+      .select(
+        TsStore.snameOf(col(TsStore.Metric), col("tagstr")).as(TsStore.Sname))
+      .filter(col(TsStore.Sname).rlike(pattern))
+      .distinct()
+      .orderBy(col(TsStore.Sname))
+  }
+
   /** JSON entry for `/api/suggest` (reference: queryparser.cpp:1139-1273). */
   def suggest(store: TsStore, json: String): DataFrame = {
     val obj = JsonMethods.parse(json)
@@ -118,6 +137,14 @@ object Meta {
     * functests/test_search_api.py test_search_all_names). */
   def searchJson(store: TsStore, json: String): DataFrame = {
     val obj = JsonMethods.parse(json)
+    // `regex` searches canonical names (PlainSeriesMatcher::regex_match);
+    // the reference exposes the capability on the matcher, not the HTTP
+    // parser — here it composes with neither select nor where by design
+    (obj \ "regex") match {
+      case JString(p) => return searchRegex(store, p)
+      case JNothing   => ()
+      case _          => fail("bad regex field")
+    }
     val metric = (obj \ "select") match {
       case JString(m) => Some(m).filter(_.nonEmpty)
       case JNothing   => None

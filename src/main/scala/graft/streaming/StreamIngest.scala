@@ -76,10 +76,13 @@ object StreamIngest {
     * across restarts. */
   def writeLayoutStream(samples: DataFrame, path: String,
                         checkpoint: String,
-                        bucketNs: Long = graft.io.Ingest.DayNs): DataStreamWriter[Row] =
+                        bucketNs: Long = graft.io.Ingest.DayNs): DataStreamWriter[Row] = {
     // bucketNs MUST match the layout this stream appends to (and what
     // readLayout is called with): a mismatched divisor writes day values
-    // the planner's directory pruning filters out — silent row loss
+    // the planner's directory pruning filters out — silent row loss.
+    // Persist it up front (append sink — the directory is never wiped)
+    // so readLayout's default picks it up without caller coordination.
+    graft.io.Ingest.writeBucketNs(samples.sparkSession, path, bucketNs)
     samples
       .withColumn("day", expr(s"ts div ${bucketNs}L"))
       .writeStream
@@ -88,6 +91,7 @@ object StreamIngest {
       .option("checkpointLocation", checkpoint)
       .partitionBy("metric", "day")
       .outputMode(OutputMode.Append)
+  }
 
   /** Continuous group-aggregate: per (series, bucket) min/max/sum/count
     * over event-time windows with a watermark — the streaming analogue of

@@ -241,6 +241,37 @@ class IngestSpec extends SparkFunSuite {
     val df = graft.plan.Planner.plan(graft.ast.QueryJson.parse(
       s"""{"select":"temp","range":{"from":0,"to":${48 * hour}}}"""), st).df
     assert(df.count() == 48)
+    // the width is persisted inside the layout: the DEFAULT read (no
+    // bucketNs argument) must pick it up — a caller can no longer
+    // silently lose rows by forgetting to repeat the writer's width
+    assert(Ingest.readBucketNs(sp, layout).contains(hour))
+    val auto = Ingest.readLayout(sp, layout)
+    assert(auto.bucketNs == hour)
+    val df2 = graft.plan.Planner.plan(graft.ast.QueryJson.parse(
+      s"""{"select":"temp","range":{"from":0,"to":${48 * hour}}}"""), auto).df
+    assert(df2.count() == 48)
+  }
+
+  test("readLayout tolerates the streaming sink's pre-compaction schema") {
+    import org.apache.spark.sql.functions._
+    // the streaming sink writes ParsedSample rows + day: tags MAP, no
+    // sname — reading such a layout before first compaction must derive
+    // sname instead of failing on the missing column
+    val layout = Files.createTempDirectory("graft-streamschema").toString
+    val samples = spark.range(10).select(
+      lit("cpu").as("metric"),
+      map(lit("host"), concat(lit("h"), (col("id") % 2).cast("string")))
+        .as("tags"),
+      (col("id") * 1000000000L).as("ts"),
+      col("id").cast("double").as("value"),
+      lit(null).cast("string").as("event"),
+      expr(s"id * 1000000000 div ${Ingest.DayNs}L").as("day"))
+    samples.write.mode("overwrite").partitionBy("metric", "day").parquet(layout)
+    val st = Ingest.readLayout(spark, layout)
+    val got = st.samples.select("sname", "value").collect()
+    assert(got.length == 10)
+    assert(got.map(_.getString(0)).toSet ==
+      Set("cpu host=h0", "cpu host=h1"))
   }
 
   // functests/test_high_cardinality.py spirit: the series dimension

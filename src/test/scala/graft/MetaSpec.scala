@@ -46,6 +46,21 @@ class MetaSpec extends SparkFunSuite {
       Seq("cpu.user dc=east host=web1", "cpu.user dc=west host=web2"))
   }
 
+  test("search: regex over canonical names (PlainSeriesMatcher::regex_match)") {
+    // matches any cpu.* series on host web1, like the reference's
+    // regex_match over the flat series-name table
+    assert(Meta.searchRegex(st, "cpu\\..* host=web1.*")
+      .collect().map(_.getString(0)).toSeq ==
+      Seq("cpu.syst dc=east host=web1", "cpu.user dc=east host=web1"))
+    // via the /api/search JSON surface
+    assert(Meta.searchJson(st, """{"regex":"mem\\.free.*"}""")
+      .collect().map(_.getString(0)).toSeq == Seq("mem.free host=db1"))
+    // anchored non-match
+    assert(Meta.searchRegex(st, "^nothing$").collect().isEmpty)
+    // invalid pattern fails fast, driver-side
+    intercept[IllegalArgumentException](Meta.searchRegex(st, "cpu.["))
+  }
+
   test("tag-values on a tag the metric's series lack returns empty") {
     assert(Meta.suggest(st,
       """{"select":"tag-values","metric":"mem.free","tag":"dc"}""")
