@@ -9,13 +9,38 @@ import org.apache.spark.sql.types._
   * extraction runs as a per-partition batch map (the Scala analogue of
   * `mapInPandas` — one JVM-side batch loop per partition, vectorizable).
   *
-  * The actual codecs (JPEG decode, audio resample, video frame-sample)
-  * are NOT available in this container, so the decode kernel is STUBBED
-  * with a deterministic fake (content-hash-seeded); everything around it
-  * — schema, batching, partition sizing, output shape — is real and
-  * tested, so swapping in a real codec is a one-function change.
+  * The IMAGE path is real: payloads carrying a PNG/JPEG/GIF/BMP magic are
+  * decoded with the JDK's `javax.imageio`, features come from actual
+  * pixels, and resize rescales + re-encodes. Audio/video codecs are NOT
+  * available in this container, so those payloads fall through to a
+  * deterministic fake (content-derived); everything around the kernel —
+  * schema, batching, partition sizing, output shape — is identical for
+  * both paths, so swapping in a real audio/video codec is a one-function
+  * change.
   */
 object Multimodal {
+
+  // executor-side: never spill ImageIO's read buffer to temp files
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Cheap magic-byte sniff deciding whether a payload enters the real
+    * image decoder: PNG / JPEG / GIF / BMP — the formats the JDK's
+    * imageio ships readers for. Everything else (audio, video, digest
+    * fakes) takes the deterministic stub path. */
+  private[llm] def looksLikeImage(b: Array[Byte]): Boolean =
+    b != null && b.length >= 4 && (
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+      (b(0) == 0xff.toByte && b(1) == 0xd8.toByte && b(2) == 0xff.toByte) ||
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') ||
+      (b(0) == 'B' && b(1) == 'M'))
+
+  /** Real image decode via the JDK codec. None = the payload claims an
+    * image magic but does not parse (truncated/corrupt) — a real decode
+    * FAILURE, surfaced as decode_ok=false downstream. */
+  private[llm] def decodeImage(content: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(content)))
+    catch { case _: java.io.IOException => None }
 
   /** Typed media row: the canonical wide-table layout. Partition by
     * (modality, shard) at scale so decode stages are pruned per modality;
@@ -66,12 +91,17 @@ object Multimodal {
     StructField("feature", ArrayType(FloatType)),  // embedding-shaped
     StructField("decode_ok", BooleanType)))
 
-  /** STUB decode kernel: a real implementation would parse `content`
-    * with an image/audio codec; here the "feature" is a deterministic
-    * 8-dim projection of the payload bytes. Signature and batch shape are
-    * the real contract. */
+  /** Decode kernel. Image payloads (magic-sniffed) decode for REAL via
+    * the JDK codec and the 8-dim feature comes from actual pixels:
+    * `[meanR, meanG, meanB, meanLuma, stdLuma, aspect, log2 w, log2 h]`
+    * (channel means in [0,1], Rec.601 luma, aspect = w/h). A payload
+    * claiming an image magic that fails to parse is a decode FAILURE
+    * (None -> decode_ok=false). Non-image payloads (audio/video — no
+    * codecs in this container) take the deterministic byte-projection
+    * stub, same shape. */
   private[llm] def decodeKernel(content: Array[Byte]): Option[Array[Float]] = {
     if (content == null || content.isEmpty) None
+    else if (looksLikeImage(content)) decodeImage(content).map(imageFeature)
     else {
       val out = new Array[Float](8)
       var i = 0
@@ -82,6 +112,33 @@ object Multimodal {
       val n = math.max(1, content.length / 8)
       Some(out.map(_ / n))
     }
+  }
+
+  private def imageFeature(img: java.awt.image.BufferedImage): Array[Float] = {
+    val w = img.getWidth; val h = img.getHeight
+    var r = 0.0; var g = 0.0; var b = 0.0; var l = 0.0; var l2 = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val pr = ((p >> 16) & 0xff) / 255.0
+        val pg = ((p >> 8) & 0xff) / 255.0
+        val pb = (p & 0xff) / 255.0
+        val pl = 0.299 * pr + 0.587 * pg + 0.114 * pb
+        r += pr; g += pg; b += pb; l += pl; l2 += pl * pl
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w * h).toDouble
+    val meanL = l / n
+    Array(
+      (r / n).toFloat, (g / n).toFloat, (b / n).toFloat, meanL.toFloat,
+      math.sqrt(math.max(0.0, l2 / n - meanL * meanL)).toFloat,
+      (w.toDouble / h).toFloat,
+      (math.log(w.toDouble) / math.log(2)).toFloat,
+      (math.log(h.toDouble) / math.log(2)).toFloat)
   }
 
   /** Feature extraction over the media table: per-partition batch loop
@@ -109,13 +166,29 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("resize_ok", BooleanType)))
 
-  /** STUB resize kernel: a real implementation decodes, scales to
-    * (targetW, targetH) preserving aspect, re-encodes. The deterministic
-    * fake derives bytes from (content, target dims) so tests are
-    * reproducible; the batch loop, schema, and size metadata are the
-    * real contract. */
+  /** Resize kernel. Image payloads decode for REAL, rescale to exactly
+    * (targetW, targetH) — the square-fill shape vision-training pipelines
+    * use; aspect changes are the caller's policy — with bilinear
+    * interpolation, and re-encode as PNG. An image-magic payload that
+    * fails to parse is a resize FAILURE (None -> resize_ok=false).
+    * Non-image payloads keep the deterministic (content, dims)-derived
+    * fake so the plumbing is testable without audio/video codecs. */
   private[llm] def resizeKernel(content: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
     if (content == null || content.isEmpty) None
+    else if (looksLikeImage(content)) decodeImage(content).flatMap { img =>
+      val scaled = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val gfx = scaled.createGraphics()
+      try {
+        gfx.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        gfx.drawImage(img, 0, 0, w, h, null)
+      } finally gfx.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      if (javax.imageio.ImageIO.write(scaled, "png", bos)) Some(bos.toByteArray)
+      else None
+    }
     else {
       val out = new Array[Byte](math.min(content.length, 64))
       var i = 0

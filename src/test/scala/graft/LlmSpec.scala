@@ -487,6 +487,46 @@ class LlmSpec extends SparkFunSuite {
     assert(rz.toSeq == bytes.map(b => ((b ^ (17 * 31 + 9)).toByte)).toSeq)
   }
 
+  test("multimodal: real PNG bytes decode, feature, and resize via imageio") {
+    // a real 8x4 solid-red PNG rendered with the JDK codec
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val red = png(8, 4, 0xff0000)
+    // image magic + garbage = a real decode FAILURE, not a fake feature
+    val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', 1, 2, 3, 4, 5)
+    val rows = Seq(
+      Row(1L, "image", red, "image/png", 8, 4, null, "red"),
+      Row(2L, "image", corrupt, "image/png", 0, 0, null, "bad"))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r =>
+        Row(r.get(0), r.get(1), r.get(2), r.get(3), r.get(4), r.get(5),
+          null, r.get(7))), 2),
+      Multimodal.mediaSchema)
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(feats(1).getBoolean(3) && !feats(2).getBoolean(3))
+    val f = feats(1).getSeq[Float](2)
+    // pixel-derived: meanR=1, meanG=meanB=0, luma=0.299, stdLuma=0,
+    // aspect=2, log2(8)=3, log2(4)=2
+    assert(math.abs(f(0) - 1.0f) < 1e-6 && f(1) == 0.0f && f(2) == 0.0f)
+    assert(math.abs(f(3) - 0.299f) < 1e-3 && math.abs(f(4)) < 1e-3)
+    assert(f(5) == 2.0f && f(6) == 3.0f && f(7) == 2.0f)
+    // resize: output is a REAL 5x7 PNG, still solid red
+    val rz = Multimodal.resizeImages(media, 5, 7).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rz(1).getBoolean(4) && !rz(2).getBoolean(4))
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(rz(1).getAs[Array[Byte]](1)))
+    assert(back.getWidth == 5 && back.getHeight == 7)
+    assert((back.getRGB(2, 3) & 0xffffff) == 0xff0000)
+  }
+
   test("high cardinality: correctness independent of series count") {
     import org.apache.spark.sql.functions.{concat, lit}
     val n = 20000
