@@ -1261,6 +1261,34 @@ object SparkEntry {
         .orderBy(col("a"), col("b")),
       Some(embedNearDupOracle)),
 
+    // -- similarity: near-dup LSH in the SPARSE (100 TB) regime ----------
+    // High threshold over the corpus + planted EXACT clones of vec_id<10:
+    // only the clone pairs score >= 0.9 (max organic pair cosine is 0.60
+    // at sf0.1), and identical vectors share every bucket key, so recall
+    // is deterministic — while 16 planes x 8 tables keep the candidate
+    // set a sliver of n^2/2 (LlmSpec asserts the count). This is the
+    // regime the scale path actually runs in, unlike embed_neardup_lsh's
+    // dense recall-1 verification gate.
+    "embed_neardup_lsh_sparse" -> Gated(
+      (s, d) => {
+        val emb = TestData.table(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val clones = emb.filter(col("vec_id") < 10)
+          .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+        Embed.nearDupLsh(emb.unionAll(clones),
+          threshold = 0.9, nPlanes = 16, tables = 8)
+          .orderBy(col("a"), col("b"))
+      },
+      Some("""WITH e AS (SELECT vec_id,
+             |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+             |u AS (SELECT vec_id, v FROM e UNION ALL
+             |      SELECT vec_id + 100000, v FROM e WHERE vec_id < 10)
+             |SELECT a, b, score FROM (
+             |  SELECT x.vec_id AS a, y.vec_id AS b,
+             |    round(list_cosine_similarity(x.v, y.v), 6) AS score
+             |  FROM u x JOIN u y ON x.vec_id < y.vec_id)
+             |WHERE score >= 0.9 ORDER BY 1, 2""".stripMargin)),
+
     // -- similarity: brute-force cosine top-k ANN baseline ---------------
     "ann_topk" -> Gated(
       (s, d) => {

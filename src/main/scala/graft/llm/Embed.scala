@@ -354,28 +354,40 @@ object Embed {
       .select(col("a"), col("b"), col("score"))
   }
 
-  /** Scale path for near-dup: pairs colliding in >= 1 of `tables`
-    * hyperplane tables, verified exactly. groupBy(bucket) keeps the join
-    * bucket-local — never all-pairs. */
-  def nearDupLsh(corpus: DataFrame, threshold: Double,
-                 nPlanes: Int = 10, tables: Int = 12,
-                 vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+  /** The LSH candidate-pair stage of [[nearDupLsh]]: deduplicated id
+    * pairs colliding in >= 1 of `tables` hyperplane tables. Exposed so
+    * the sparse-regime claim — |candidates| << n²/2 at high thresholds —
+    * is directly measurable (LlmSpec asserts it); exact duplicates share
+    * every bucket key, so their recall is deterministic, not
+    * probabilistic. Banded rows carry ONLY (id, table, key): dragging
+    * the vectors into the bucket self-join would multiply the shuffle by
+    * the candidate count times 2·dim doubles (measured 35x slower). */
+  def lshCandidatePairs(corpus: DataFrame,
+                        nPlanes: Int = 10, tables: Int = 12,
+                        vecCol: String = "embedding",
+                        idCol: String = "vec_id"): DataFrame = {
     val dim = dimOf(corpus, vecCol)
     val keyArr = array((0 until tables).map(t =>
       hyperplaneKey(col(vecCol), randomPlanes(nPlanes, dim, 42L + t))): _*)
-    // banded rows carry ONLY (id, table, key): dragging the vectors into
-    // the bucket self-join would multiply the shuffle by the candidate
-    // count times 2·dim doubles (measured 35x slower). Vectors join back
-    // once per DEDUPLICATED pair for scoring — the minhashLsh shape.
     val banded = corpus
       .select(col(idCol).as("id"), posexplode(keyArr))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "key")
-    val candidates = banded.alias("l")
+    banded.alias("l")
       .join(banded.alias("r"),
         col("l.table") === col("r.table") && col("l.key") === col("r.key") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b"))
       .dropDuplicates("a", "b")
+  }
+
+  /** Scale path for near-dup: pairs colliding in >= 1 of `tables`
+    * hyperplane tables, verified exactly. groupBy(bucket) keeps the join
+    * bucket-local — never all-pairs. Vectors join back once per
+    * DEDUPLICATED pair for scoring — the minhashLsh shape. */
+  def nearDupLsh(corpus: DataFrame, threshold: Double,
+                 nPlanes: Int = 10, tables: Int = 12,
+                 vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val candidates = lshCandidatePairs(corpus, nPlanes, tables, vecCol, idCol)
     val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
     candidates
       .join(vecs.select(col("id").as("a"), col("v").as("va")), "a")

@@ -225,6 +225,27 @@ class LlmSpec extends SparkFunSuite {
     assert(lsh == exact)
   }
 
+  test("sparse-regime LSH: full recall on planted dups, candidates << n^2/2") {
+    // 300 seeded random unit-ish vectors + 5 planted EXACT clones — the
+    // regime the 100 TB path runs in: nearly every pair is far apart, so
+    // the candidate stage must stay a sliver of all-pairs while the
+    // planted duplicates are found deterministically (identical vectors
+    // share every bucket key)
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 300).map(_ => Seq.fill(64)(rnd.nextGaussian()))
+    val corpus = vecs(base ++ base.take(5)) // ids 300..304 clone 0..4
+    val n = 305
+    val got = Embed.nearDupLsh(corpus, 0.999, nPlanes = 16, tables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (0 until 5).map(i => (i.toLong, (300 + i).toLong)).toSet)
+    // the scale claim, measured: candidate pairs from shared buckets are
+    // a tiny fraction of the 46k all-pairs a theta join would score
+    val cand = Embed.lshCandidatePairs(corpus, nPlanes = 16, tables = 8).count()
+    assert(cand < n.toLong * n / 2 / 20,
+      s"candidate stage degenerated to near-all-pairs: $cand of ${n * (n - 1) / 2}")
+    assert(cand >= 5) // the planted pairs are always candidates
+  }
+
   test("connectedComponents matches union-find on random graphs") {
     val rnd = new scala.util.Random(42)
     for (trial <- 0 until 3) {
