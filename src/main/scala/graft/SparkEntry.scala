@@ -993,6 +993,47 @@ object SparkEntry {
              |  count(*) AS n_docs, min(doc_id) AS keep_doc_id
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // -- dedup: STREAMING exact dedup through real micro-batches ---------
+    // The corpus arrives as micro-batch 1, then replays ENTIRELY as
+    // micro-batch 2 inside the watermark: dropDuplicatesWithinWatermark
+    // state must survive the batch boundary, or every replayed row leaks
+    // into the output and the row count/hash diverges from the oracle's
+    // one-row-per-fingerprint. Output is the kept fingerprints only —
+    // which organic duplicate wins within batch 1 is partition-order
+    // dependent, the fingerprint set is not.
+    "doc_dedup_stream" -> Gated(
+      (s, d) => {
+        val docs = TestData.table(s, d, "documents")
+          .select(col("doc_id"), col("text"))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_sdedup").toString
+        val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+        def batchAt(ts: String) = docs.withColumn("event_time",
+          lit(java.sql.Timestamp.valueOf(ts)))
+        batchAt("2024-01-01 00:00:00").write.mode("append").parquet(src)
+        val deduped = graft.streaming.StreamIngest.streamingDedupDocs(
+          s.readStream.schema(batchAt("2024-01-01 00:00:00").schema)
+            .parquet(src),
+          "event_time", "1 hour")
+        val q = deduped.select(col("fingerprint")).writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             _: Long) => b.write.mode("append").parquet(out); ()
+          }
+          .start()
+        try {
+          q.processAllAvailable()
+          // full replay, 10 min later — within the 1h watermark horizon
+          batchAt("2024-01-01 00:10:00").write.mode("append").parquet(src)
+          q.processAllAvailable()
+        } finally q.stop()
+        s.read.parquet(out).orderBy(col("fingerprint"))
+      },
+      Some("""SELECT DISTINCT
+             |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+             |FROM documents ORDER BY 1""".stripMargin)),
+
     // -- dedup: EXACT word-3gram Jaccard pairs (shared-shingle buckets) --
     "doc_ngram_jaccard" -> Gated(
       (s, d) => Dedup.ngramJaccard(TestData.table(s, d, "documents"),
