@@ -21,7 +21,9 @@ object QueryJson {
   /** validate_query's ALLOWED_STMTS, queryparser.cpp:943-962. */
   private val AllowedStmts = kindFields.toSet ++ Set(
     "output", "order-by", "group-by", "group-by-tag", "pivot-by-tag",
-    "limit", "offset", "range", "where", "apply", "eval", "filter")
+    "limit", "offset", "range", "where", "apply", "eval", "filter",
+    "sample") // legacy alias for "apply" (functests/test_sax.py drives
+              // sax through it; the modern reference parser dropped it)
 
   def parse(json: String): Query = fromJValue(JsonMethods.parse(json))
 
@@ -136,7 +138,14 @@ object QueryJson {
     val limit  = (obj \ "limit")  match { case JNothing => None; case v => Some(num(v).toLong) }
     val offset = (obj \ "offset") match { case JNothing => None; case v => Some(num(v).toLong) }
 
-    val pipeline = (obj \ "apply") match {
+    // "sample" is the deprecated spelling of "apply" (the reference's
+    // old parser; functests/test_sax.py still sends it). "apply" wins
+    // when both are present.
+    val pipelineJson = (obj \ "apply") match {
+      case JNothing => obj \ "sample"
+      case v        => v
+    }
+    val pipeline = pipelineJson match {
       case JNothing => Nil
       case JArray(steps) => steps.map {
         case JObject(kvs) =>

@@ -17,6 +17,21 @@ class QueryJsonSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](QueryJson.parse("""{"range":{"from":0,"to":1}}"""))
   }
 
+  test("legacy 'sample' clause is an alias for 'apply'") {
+    // functests/test_sax.py shape: string-typed params, sample key
+    val q = QueryJson.parse(
+      """{"select":"test","range":{"from":0,"to":1},
+        |"sample":[{"name":"sax","alphabet_size":"5","window_width":"10"}]}"""
+        .stripMargin)
+    assert(q.pipeline.map(_.name) == Seq("sax"))
+    assert(q.pipeline.head.params("alphabet_size") == "5")
+    // "apply" wins when both are present (the modern parser's key)
+    val both = QueryJson.parse(
+      """{"select":"test","range":{"from":0,"to":1},
+        |"apply":[{"name":"abs"}],"sample":[{"name":"sax"}]}""".stripMargin)
+    assert(both.pipeline.map(_.name) == Seq("abs"))
+  }
+
   test("range required except aggregate/meta") {
     intercept[IllegalArgumentException](QueryJson.parse("""{"select":"cpu"}"""))
     assert(QueryJson.parse("""{"aggregate":{"cpu":"max"}}""").range.isEmpty)

@@ -65,4 +65,17 @@ class SaxSpec extends SparkFunSuite {
     val got = df.collect().map(_.getString(2)).toSeq
     assert(got.size == 2 && got.head == "abcd" && got(1) != "abcd")
   }
+
+  test("sax via the legacy 'sample' clause with string params (test_sax.py)") {
+    // the functest's exact query shape: sample key, quoted numbers
+    val rows = (0 until 6).map(i =>
+      ("m", Map("h" -> "X"), 1000000000L * i, i.toDouble))
+    val st = store(rows)
+    val df = Planner.plan(QueryJson.parse(
+      """{"select":"m","range":{"from":0,"to":100000000000},
+        |"sample":[{"name":"sax","alphabet_size":"4","window_width":"4"}]}"""
+        .stripMargin), st).df
+    // a linear ramp: every window is the same shape -> one word
+    assert(df.collect().map(_.getString(2)).toSeq == Seq("abcd"))
+  }
 }
