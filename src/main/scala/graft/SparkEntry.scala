@@ -805,6 +805,73 @@ object SparkEntry {
               |SELECT sname, ts, round(value, 6) AS mean FROM f
               |WHERE err > f2 * 0.2 ORDER BY 2, 1""".stripMargin)),
 
+    // -- apply: anomaly approx:true — the REAL CountMin sketch pipeline
+    // (anomalydetector.cpp CountingSketch): N x K cells of summed values
+    // per frame, cell-wise EWMA forecast (recursive CTE twin), error
+    // sketch, median-of-rows estimate vs sqrt(estimateF2)*threshold.
+    // K = 2^10: hash mod K depends only on the last 3 hex digits of the
+    // 15-digit md5 prefix (16^3 = 0 mod 1024), so DuckDB rebuilds it
+    // digit-for-digit like the SimHash gate.
+    "ts_apply_anomaly_sketch" -> Gated(
+      (s, d) => run(
+        s"""{"group-aggregate":{"metric":"view","step":"1d","func":"mean"},
+           |"range":{"from":"$T0iso","to":"$T1iso"},"group-by-tag":["user"],
+           |"apply":[{"name":"anomaly","method":"ewma","alpha":0.4,
+           |"threshold":0.2,"approx":true,"bits":10,"hashes":3}]}""".stripMargin)(s, d)
+        .withColumn("mean", round(col("mean"), 6))
+        .orderBy(col("ts"), col("sname")),
+      Some(s"""WITH RECURSIVE src AS (
+              |  SELECT 'view:mean k=' || $kSql AS sname,
+              |    $T0 + (($tsSql - $T0) // $Day) * $Day AS ts,
+              |    avg(value) AS value
+              |  FROM events WHERE event_type = 'view' AND ${rangeSql()}
+              |  GROUP BY 1, 2),
+              |hd AS (SELECT sname, i,
+              |    ((strpos('0123456789abcdef', md5(sname || '#' || i)[13]) - 1) * 256 +
+              |     (strpos('0123456789abcdef', md5(sname || '#' || i)[14]) - 1) * 16 +
+              |     (strpos('0123456789abcdef', md5(sname || '#' || i)[15]) - 1)) % 1024 AS h
+              |  FROM (SELECT DISTINCT sname FROM src) CROSS JOIN range(3) t(i)),
+              |grid AS (SELECT f.ts, t.i, c.h
+              |  FROM (SELECT DISTINCT ts FROM src) f
+              |  CROSS JOIN range(3) t(i) CROSS JOIN range(1024) c(h)),
+              |sparse AS (SELECT s.ts, hd.i, hd.h, sum(s.value) AS cv
+              |  FROM src s JOIN hd ON hd.sname = s.sname GROUP BY 1, 2, 3),
+              |dense AS (SELECT g.ts, g.i, g.h, coalesce(sp.cv, 0.0) AS cv,
+              |    row_number() OVER (PARTITION BY g.i, g.h ORDER BY g.ts) AS rn
+              |  FROM grid g LEFT JOIN sparse sp
+              |    ON sp.ts = g.ts AND sp.i = g.i AND sp.h = g.h),
+              |rc AS (
+              |  SELECT ts, i, h, cv, rn,
+              |    CAST(cv AS DOUBLE) AS fc, CAST(cv AS DOUBLE) AS state
+              |  FROM dense WHERE rn = 1
+              |  UNION ALL
+              |  SELECT d.ts, d.i, d.h, d.cv, d.rn,
+              |    r.state, d.cv * 0.4 + r.state * 0.6
+              |  FROM rc r JOIN dense d ON d.i = r.i AND d.h = r.h AND d.rn = r.rn + 1),
+              |e AS (SELECT ts, i, h, abs(cv - fc) AS err FROM rc),
+              |rowstats AS (SELECT ts, i, sum(err * err) AS rowsum,
+              |    sum(err) AS rowerr FROM e GROUP BY 1, 2),
+              |se AS (SELECT ts, rowerr AS sumerr FROM rowstats WHERE i = 0),
+              |res AS (SELECT r.ts,
+              |    1024 * (1.0/1023) * sqrt(r.rowsum) -
+              |      (1.0/1023) * s.sumerr * s.sumerr AS res
+              |  FROM rowstats r JOIN se s ON s.ts = r.ts),
+              |gates AS (SELECT g.ts,
+              |    CASE WHEN g.f2raw < 0 THEN NULL ELSE sqrt(g.f2raw) END * 0.2 AS gate,
+              |    s.sumerr
+              |  FROM (SELECT ts, (list_sort(list(res)))[2] AS f2raw
+              |        FROM res GROUP BY 1) g
+              |  JOIN se s ON s.ts = g.ts),
+              |est AS (SELECT s.sname, s.ts, s.value,
+              |    (list_sort(list((e.err - g.sumerr/1024) / (1.0 - 1.0/1024))))[2] AS med,
+              |    any_value(g.gate) AS gate
+              |  FROM src s JOIN hd ON hd.sname = s.sname
+              |  JOIN e ON e.ts = s.ts AND e.i = hd.i AND e.h = hd.h
+              |  JOIN gates g ON g.ts = s.ts
+              |  GROUP BY 1, 2, 3)
+              |SELECT sname, ts, round(value, 6) AS mean FROM est
+              |WHERE med > gate ORDER BY 2, 1""".stripMargin)),
+
     // -- /api/suggest: metric-names / tag-names / tag-values -------------
     "suggest_metric_names" -> Gated(
       (s, d) => Meta.suggest(TestData.events(s, d),

@@ -11,9 +11,19 @@ import graft.plan.{Frame, TsStore}
   * error_s = |x_s - forecast_s|, a series is anomalous when
   * error_s > sqrt(sum_s error_s^2) * threshold). The reference node is
   * dead code (put() returns false); semantics here follow its detector
-  * classes. The `approx` (CountMin sketch) variants exist in the
-  * reference purely to bound memory — the distributed implementation is
-  * exact, so `approx:true` is accepted and served by the same path.
+  * classes.
+  *
+  * `approx:true` runs the reference's REAL CountMin pipeline
+  * (anomalydetector.cpp CountingSketch, :18-168 + the sketch detector
+  * :545-600): per frame an N x K sketch of summed values, the forecaster
+  * applied CELL-wise across frames, error sketch = |forecast - actual|,
+  * anomaly when the median-of-rows unbiased estimate exceeds
+  * sqrt(estimateF2) * threshold. Sketch state is N*2^bits cells per
+  * frame regardless of series cardinality — that is the scale contract
+  * the sketch exists for, and it holds here as the shuffle width.
+  * Note the sketch RULE differs from the exact rule even collision-free
+  * (the reference's F2 estimator subtracts sum^2/(K-1)); both are
+  * faithfully implemented, both oracle-gated.
   *
   * Forecasters (anomalydetector.cpp sliding windows):
   *  - sma:                  mean of the last `period` values (NaN until full)
@@ -68,6 +78,25 @@ object Anomaly {
     // group-aggregate frame with one func qualifies (its single value
     // column is the scalar).
     if (frame.valueCols.size != 1) fail("anomaly requires a scalar stream")
+
+    val approx = params.get("approx") match {
+      case Some(b: Boolean) => b
+      case Some(s: String)  => s == "true"
+      case None             => false
+      case other            => fail(s"bad approx: $other")
+    }
+    if (approx) {
+      // reference ctor defaults (anomaly.cpp:101-102) + validate_sketch_params
+      val bits = dbl("bits").map(_.toInt).getOrElse(10)
+      val nHashes = dbl("hashes").map(_.toInt).getOrElse(3)
+      if (bits < 8 || bits > 16)
+        fail("Anomaly detector parameter `bits` out of range")
+      if (nHashes % 2 == 0)
+        fail("Anomaly detector parameter `hashes` should be odd")
+      if (nHashes > 9) fail("Anomaly detector parameter `hashes` out of range")
+      return sketchNode(frame, mk, threshold, bits, nHashes)
+    }
+
     val Value = frame.valueCols.head
     // 1. per-series sequential forecast (partition-local state)
     val withF = Pipe.statefulColumn(frame, Value, "__forecast", mk)
@@ -81,6 +110,92 @@ object Anomaly {
       .filter(!isnan(col("__err")) && col("__err") > col("__f2") * lit(threshold))
       .select(col(Sname), col(Ts), col(Value))
     frame.copy(df = df, valueCols = Seq(Value))
+  }
+
+  /** The CountMin variant (anomalydetector.cpp CountingSketch + the
+    * sketch detector pipeline). Hash family is md5-based (a DuckDB twin
+    * exists, like the SimHash gate) — the reference's table-driven
+    * HashFnFamily is an implementation detail, not a published contract.
+    *
+    * Per frame ts: cell(i, h) = sum of values whose hash_i(sname) == h
+    * (CountingSketch::add); each of the N*K cell streams runs the SAME
+    * forecaster the exact path uses (the reference forecasts whole
+    * sketches cell-wise: SMASlidingWindow<CountingSketch> etc.); the
+    * error sketch is |actual - forecast| (::diff); a series is anomalous
+    * when its median-of-rows unbiased estimate (::estimate) exceeds
+    * sqrt(median-of-rows F2 estimate) * threshold (::estimateF2,
+    * is_anomaly_candidate). */
+  private def sketchNode(frame: Frame, mk: () => ColState, threshold: Double,
+                         bits: Int, nHashes: Int): Frame = {
+    import TsStore.{Sname, Ts}
+    val Value = frame.valueCols.head
+    val k = 1 << bits
+    val f = 1.0 / (k - 1)
+    // 60-bit md5 hash mod K (conv stays ANSI-safe at 15 hex digits)
+    def hashCol(i: Int) =
+      pmod(conv(substring(md5(concat(col(Sname), lit(s"#$i"))), 1, 15),
+        16, 10).cast("long"), lit(k.toLong)).cast("int")
+    val hashes = array((0 until nHashes).map(hashCol): _*)
+    val df = frame.df
+
+    // 1. the actual sketch: nonzero cells per frame...
+    val sparse = df
+      .select(col(Ts), col(Value).as("__v"), posexplode(hashes))
+      .groupBy(col(Ts), col("pos").as("i"), col("col").as("h"))
+      .agg(sum(col("__v")).as("__cv"))
+    // ...densified to all N*K cells (a cell silent in a frame holds 0 and
+    // MUST still feed its forecaster, like the reference's table arrays)
+    val cells = df.sparkSession.range(nHashes.toLong * k)
+      .select((col("id") / k).cast("int").as("i"),
+        pmod(col("id"), lit(k.toLong)).cast("int").as("h"))
+    val dense = df.select(col(Ts)).distinct()
+      .crossJoin(cells)
+      .join(sparse, Seq(Ts, "i", "h"), "left")
+      .na.fill(0.0, Seq("__cv"))
+
+    // 2. per-cell forecast across frames (cell id doubles as the series
+    // key for the stateful scan machinery)
+    val cellFrame = frame.copy(df = dense.select(
+        concat_ws(":", col("i"), col("h")).as(Sname),
+        col(Ts), col("i"), col("h"), col("__cv")),
+      valueCols = Seq("__cv"))
+    val errCells = Pipe.statefulColumn(cellFrame, "__cv", "__fc", mk)
+      .withColumn("__err", abs(col("__cv") - col("__fc")))
+
+    // 3. frame statistics: sum_ = row-0 error sum (::_update_sum), per-row
+    // F2 estimate, median across rows (N is odd)
+    val rowStats = errCells.groupBy(col(Ts), col("i"))
+      .agg(sum(col("__err") * col("__err")).as("__rowsum"),
+        sum(col("__err")).as("__rowerr"))
+    val sumErr = rowStats.filter(col("i") === 0)
+      .select(col(Ts), col("__rowerr").as("__sumerr"))
+    val frameStats = rowStats.join(sumErr, Seq(Ts))
+      .withColumn("__res",
+        lit(k) * lit(f) * sqrt(col("__rowsum")) -
+          lit(f) * col("__sumerr") * col("__sumerr"))
+      .groupBy(col(Ts))
+      .agg(element_at(array_sort(collect_list(col("__res"))),
+          nHashes / 2 + 1).as("__f2"),
+        first(col("__sumerr")).as("__sumerr"))
+      .withColumn("__gate", sqrt(col("__f2")) * lit(threshold))
+
+    // 4. per-series estimate: median over rows of the unbiased cell
+    // estimate, compared against the frame gate
+    val out = df
+      .select(col(Sname), col(Ts), col(Value), posexplode(hashes))
+      .withColumnRenamed("pos", "i").withColumnRenamed("col", "h")
+      .join(errCells.select(col(Ts), col("i"), col("h"), col("__err")),
+        Seq(Ts, "i", "h"))
+      .join(frameStats, Seq(Ts))
+      .withColumn("__est",
+        (col("__err") - col("__sumerr") / k) / (1.0 - 1.0 / k))
+      .groupBy(col(Sname), col(Ts), col(Value), col("__gate"))
+      .agg(element_at(array_sort(collect_list(col("__est"))),
+        nHashes / 2 + 1).as("__med"))
+      .filter(!isnan(col("__med")) && !isnan(col("__gate")) &&
+        col("__med") > col("__gate"))
+      .select(col(Sname), col(Ts), col(Value))
+    frame.copy(df = out, valueCols = Seq(Value), ordered = false)
   }
 }
 

@@ -50,6 +50,41 @@ class AnomalySpec extends SparkFunSuite {
     assert(h.exists(r => r._1 == "m h=C" && r._2 == 15000000000L))
   }
 
+  test("approx:true runs the REAL CountMin pipeline and flags the spike") {
+    // collision-free regime (3 series, K=1024 — K must exceed the spike
+    // error: the reference F2 estimator K*f*e - f*e^2 goes NEGATIVE for a
+    // single error e > K, sqrt -> NaN, and the frame silently detects
+    // nothing, faithfully): the sketch detector's own
+    // rule — median-of-rows estimate > sqrt(estimateF2) * threshold —
+    // must flag the planted spike on series C and nothing on A/B
+    val got = rows3(run(
+      """{"name":"anomaly","method":"ewma","alpha":0.5,"threshold":0.5,
+        |"approx":true,"bits":10,"hashes":3}""".stripMargin))
+    assert(got.exists(r => r._1 == "m h=C" && r._2 == 15000000000L))
+    assert(got.forall(_._1 == "m h=C"))
+    // sketch parameter validation (reference validate_sketch_params)
+    intercept[IllegalArgumentException](run(
+      """{"name":"anomaly","method":"ewma","alpha":0.5,"threshold":0.5,
+        |"approx":true,"bits":7}""".stripMargin))
+    intercept[IllegalArgumentException](run(
+      """{"name":"anomaly","method":"ewma","alpha":0.5,"threshold":0.5,
+        |"approx":true,"hashes":4}""".stripMargin))
+    intercept[IllegalArgumentException](run(
+      """{"name":"anomaly","method":"ewma","alpha":0.5,"threshold":0.5,
+        |"approx":true,"hashes":11}""".stripMargin))
+  }
+
+  test("sketch collisions merge series like the reference's tables") {
+    // K=1024 with 3 series: the estimate for an untouched series rides on
+    // its own cells, so a spike 100x the baseline cannot leak a false
+    // positive onto A/B via the subtract-mean correction
+    val got = rows3(run(
+      """{"name":"anomaly","method":"sma","period":5,"threshold":0.5,
+        |"approx":true,"bits":10,"hashes":3}""".stripMargin))
+    assert(got.exists(r => r._1 == "m h=C" && r._2 == 15000000000L))
+    assert(got.forall(_._1 == "m h=C"))
+  }
+
   test("parameter validation mirrors the reference") {
     intercept[IllegalArgumentException](run(
       """{"name":"anomaly","method":"psychic","threshold":0.5}"""))
