@@ -57,6 +57,14 @@ class ApiHttpSpec extends SparkFunSuite {
       val (c2, t2) = http(port, "/api/search", "POST",
         """{"select":"cpu","where":{"host":["a"]}}""")
       assert(c2 == 200 && t2.split("\r\n").toSeq == Seq("cpu host=a"))
+      // regex form (PlainSeriesMatcher::regex_match) over canonical names
+      val (c3, t3) = http(port, "/api/search", "POST",
+        """{"regex":"cpu host=.*"}""")
+      assert(c3 == 200 &&
+        t3.split("\r\n").toSeq == Seq("cpu host=a", "cpu host=b"))
+      // invalid pattern -> 400 error line, driver-side fail-fast
+      val (c4, t4) = http(port, "/api/search", "POST", """{"regex":"cpu["}""")
+      assert(c4 == 400 && t4.startsWith("-"))
     }
   }
 
