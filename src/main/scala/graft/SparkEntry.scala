@@ -1060,6 +1060,28 @@ object SparkEntry {
              |  count(*) AS n_docs, min(doc_id) AS keep_doc_id
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // -- cleaning: cross-document repeated-line (boilerplate) removal ----
+    // The synthetic corpus has no organic boilerplate, so the gate plants
+    // it (the sparse-LSH-gate trick): every doc gets a shared header and
+    // footer line, every 5th doc a unique extra line. The op must strip
+    // exactly the planted boilerplate (occurring in > 2 docs) from every
+    // document, keep unique lines, and preserve line order — any
+    // rebuild-order or normalization slip breaks the constructive oracle.
+    "doc_drop_boilerplate" -> Gated(
+      (s, d) => Text.dropRepeatedLines(
+        TestData.table(s, d, "documents").select(col("doc_id"),
+          concat(
+            lit("Subscribe To Our Newsletter\n"), col("text"),
+            when(col("doc_id") % 5 === 0,
+              concat(lit("\nunique line "), col("doc_id"))).otherwise(lit("")),
+            lit("\nall rights reserved")).as("text")),
+        maxDocs = 2)
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  text || CASE WHEN doc_id % 5 = 0
+             |    THEN chr(10) || 'unique line ' || doc_id ELSE '' END AS text
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // -- dedup: STREAMING exact dedup through real micro-batches ---------
     // The corpus arrives as micro-batch 1, then replays ENTIRELY as
     // micro-batch 2 inside the watermark: dropDuplicatesWithinWatermark

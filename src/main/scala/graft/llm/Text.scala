@@ -215,6 +215,39 @@ object Text {
         size(col("col")).as("n_chunk_tokens"))
   }
 
+  /** Cross-document repeated-line removal — the boilerplate-stripping
+    * step of web-corpus cleaning (C4/CCNet/Gopher drop lines occurring
+    * in many documents: navigation, cookie banners, footers). A line
+    * whose normalized form (trim + lowercase) occurs in MORE THAN
+    * `maxDocs` distinct documents is boilerplate and is removed from
+    * every document; remaining lines keep their order. Documents whose
+    * every line is boilerplate vanish from the output (the usual
+    * pipeline behavior — nothing left to train on).
+    *
+    * Shape at scale: explode to (doc, line-index, line) rows, one
+    * count-distinct shuffle on the normalized line, a left-anti join
+    * back on the same key, one groupBy(doc) to reassemble — line order
+    * restored via array_sort on (index, line) structs, no window. */
+  def dropRepeatedLines(docs: DataFrame, maxDocs: Int,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val lines = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n")))
+      .withColumnRenamed("pos", "__i").withColumnRenamed("col", "__line")
+      .withColumn("__k", trim(lower(col("__line"))))
+    val boiler = lines.groupBy(col("__k"))
+      .agg(countDistinct(col(idCol)).as("__docs"))
+      .filter(col("__docs") > maxDocs)
+      .select(col("__k"))
+    lines.join(boiler, Seq("__k"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("__i"), col("__line")))),
+          e => e.getField("__line")),
+        "\n").as(textCol))
+  }
+
   /** Per-document TF-IDF top-`k` terms — the distinctive-term extraction
     * step (topic tagging, boilerplate spotting, index keys).
     *

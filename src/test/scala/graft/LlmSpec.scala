@@ -225,6 +225,27 @@ class LlmSpec extends SparkFunSuite {
     assert(lsh == exact)
   }
 
+  test("dropRepeatedLines strips cross-document boilerplate, keeps order") {
+    val d = docs(Seq(
+      "FOOTER\nkeep one\nfooter\nkeep two",   // footer twice, case-insensitive
+      "intro\nfooter\nbody text",
+      "  footer  \nonly mine",                 // whitespace-normalized match
+      "footer"))                               // all-boilerplate doc
+    val got = Text.dropRepeatedLines(d, maxDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 'footer' appears (normalized) in 4 docs > 2 -> dropped everywhere;
+    // unique lines keep their original text and ORDER
+    assert(got(0) == "keep one\nkeep two")
+    assert(got(1) == "intro\nbody text")
+    assert(got(2) == "only mine")
+    // a doc made entirely of boilerplate vanishes
+    assert(!got.contains(3L) && got.size == 3)
+    // below the threshold nothing is dropped
+    val loose = Text.dropRepeatedLines(d, maxDocs = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(loose(3L) == "footer" && loose.size == 4)
+  }
+
   test("sparse-regime LSH: full recall on planted dups, candidates << n^2/2") {
     // 300 seeded random unit-ish vectors + 5 planted EXACT clones — the
     // regime the 100 TB path runs in: nearly every pair is far apart, so
