@@ -1060,6 +1060,49 @@ object SparkEntry {
              |  count(*) AS n_docs, min(doc_id) AS keep_doc_id
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // -- quality: Gopher-style intra-document repetition signals ---------
+    "doc_repetition" -> Gated(
+      (s, d) => Text.repetitionStats(TestData.table(s, d, "documents"))
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id, length(text)::DOUBLE AS chars,
+             |    string_split_regex(trim(lower(text)), '\s+') AS tk
+             |  FROM documents),
+             |g2 AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
+             |    THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+             |    ELSE [] END) AS g FROM t),
+             |g3 AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
+             |    THEN list_transform(range(1, len(tk) - 1),
+             |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+             |    ELSE [] END) AS g FROM t),
+             |top2 AS (SELECT doc_id, (n * length(g))::DOUBLE AS topchars FROM
+             |  (SELECT doc_id, g, n, row_number() OVER
+             |     (PARTITION BY doc_id ORDER BY n DESC, g ASC) AS rn
+             |   FROM (SELECT doc_id, g, count(*) AS n FROM g2 GROUP BY 1, 2))
+             |  WHERE rn = 1),
+             |d3 AS (SELECT doc_id, sum(n * length(g))::DOUBLE AS dupchars FROM
+             |  (SELECT doc_id, g, count(*) AS n FROM g3 GROUP BY 1, 2)
+             |  WHERE n >= 2 GROUP BY 1),
+             |lg AS (SELECT doc_id, trim(lower(l)) AS k, count(*) AS n,
+             |    sum(length(l))::DOUBLE AS c
+             |  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+             |        FROM documents)
+             |  GROUP BY 1, 2),
+             |lf AS (SELECT doc_id,
+             |    1.0 - count(*)::DOUBLE / sum(n) AS dlf,
+             |    sum(CASE WHEN n >= 2 THEN c ELSE 0.0 END)
+             |      / greatest(sum(c), 1.0) AS dlcf
+             |  FROM lg GROUP BY 1)
+             |SELECT t.doc_id,
+             |  round(coalesce(lf.dlf, 0.0), 6) AS dup_line_frac,
+             |  round(coalesce(lf.dlcf, 0.0), 6) AS dup_line_char_frac,
+             |  round(coalesce(top2.topchars, 0.0) / greatest(t.chars, 1.0), 6)
+             |    AS top_bigram_char_frac,
+             |  round(coalesce(d3.dupchars, 0.0) / greatest(t.chars, 1.0), 6)
+             |    AS dup_trigram_char_frac
+             |FROM t LEFT JOIN lf USING (doc_id)
+             |LEFT JOIN top2 USING (doc_id) LEFT JOIN d3 USING (doc_id)
+             |ORDER BY 1""".stripMargin)),
+
     // -- cleaning: cross-document repeated-line (boilerplate) removal ----
     // The synthetic corpus has no organic boilerplate, so the gate plants
     // it (the sparse-LSH-gate trick): every doc gets a shared header and

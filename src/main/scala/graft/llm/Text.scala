@@ -248,6 +248,79 @@ object Text {
         "\n").as(textCol))
   }
 
+  /** Intra-document repetition statistics — the Gopher-style quality
+    * signals (repetitive documents are low-quality training data):
+    *
+    *  - `dup_line_frac`: 1 - distinct lines / lines (normalized lines)
+    *  - `dup_line_char_frac`: characters on lines whose normalized form
+    *    repeats within the doc (every occurrence counted) / all line chars
+    *  - `top_bigram_char_frac`: chars of the most frequent word 2-gram
+    *    x its count / doc chars (ties: lexicographically smallest gram)
+    *  - `dup_trigram_char_frac`: sum over word 3-grams occurring >= 2
+    *    times of gram chars x count / doc chars
+    *
+    * Formulas are exact and SQL-twinned (the gate rebuilds them in
+    * DuckDB); fractions round to 6. Shape at scale: two explode ->
+    * groupBy(doc, unit) -> groupBy(doc) ladders (lines, grams) joined
+    * back on doc — the tfidf shuffle shape, no windows. */
+  def repetitionStats(docs: DataFrame,
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val base = docs.select(col(idCol),
+      length(col(textCol)).cast("double").as("__chars"))
+
+    val lineRows = docs
+      .select(col(idCol), explode(split(col(textCol), "\n")).as("__line"))
+      .select(col(idCol), trim(lower(col("__line"))).as("__k"),
+        length(col("__line")).cast("double").as("__lc"))
+    val lineStats = lineRows
+      .groupBy(col(idCol), col("__k"))
+      .agg(count(lit(1)).as("__n"), sum(col("__lc")).as("__c"))
+      .groupBy(col(idCol))
+      .agg(
+        (lit(1.0) - count(lit(1)) / sum(col("__n"))).as("dup_line_frac"),
+        (sum(when(col("__n") >= 2, col("__c")).otherwise(0.0)) /
+          greatest(sum(col("__c")), lit(1.0))).as("dup_line_char_frac"))
+
+    def gramRows(n: Int) = {
+      val toks = tokens(lower(col(textCol)))
+      docs.select(col(idCol),
+          bindOnce(toks) { t =>
+            when(size(t) >= n,
+              transform(sequence(lit(1), size(t) - (n - 1)), i =>
+                array_join(slice(t, i, lit(n)), " ")))
+              .otherwise(array().cast("array<string>"))
+          }.as("__gs"))
+        .select(col(idCol), explode(col("__gs")).as("__g"))
+    }
+    val bigramTop = gramRows(2)
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__n"))
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("__n")).as("__neg"), col("__g").as("__g"),
+        col("__n").as("__n"))).as("__top"))
+      .select(col(idCol),
+        (col("__top.__n") * length(col("__top.__g"))).cast("double")
+          .as("__topchars"))
+    val trigramDup = gramRows(3)
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2)
+      .groupBy(col(idCol))
+      .agg(sum(col("__n") * length(col("__g"))).cast("double").as("__dupchars"))
+
+    base
+      .join(lineStats, Seq(idCol), "left")
+      .join(bigramTop, Seq(idCol), "left")
+      .join(trigramDup, Seq(idCol), "left")
+      .select(col(idCol),
+        round(coalesce(col("dup_line_frac"), lit(0.0)), 6).as("dup_line_frac"),
+        round(coalesce(col("dup_line_char_frac"), lit(0.0)), 6)
+          .as("dup_line_char_frac"),
+        round(coalesce(col("__topchars"), lit(0.0)) /
+          greatest(col("__chars"), lit(1.0)), 6).as("top_bigram_char_frac"),
+        round(coalesce(col("__dupchars"), lit(0.0)) /
+          greatest(col("__chars"), lit(1.0)), 6).as("dup_trigram_char_frac"))
+  }
+
   /** Per-document TF-IDF top-`k` terms — the distinctive-term extraction
     * step (topic tagging, boilerplate spotting, index keys).
     *

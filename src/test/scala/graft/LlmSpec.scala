@@ -225,6 +225,19 @@ class LlmSpec extends SparkFunSuite {
     assert(lsh == exact)
   }
 
+  test("repetitionStats computes the Gopher signals exactly") {
+    val d = docs(Seq(
+      "a b a b a b",  // 11 chars; top 2-gram "a b" x3; 3-grams "a b a"/"b a b" x2
+      "x\nx\ny",      // repeated line x; 2-grams unique; no dup 3-gram
+      "solo"))        // single token: no grams at all
+    val got = Text.repetitionStats(d)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got(0) == ((0.0, 0.0, 0.818182, 1.818182))) // 9/11, 20/11 (>1: overlaps)
+    assert(got(1) == ((0.333333, 0.666667, 0.6, 0.0))) // 2-of-3 dup lines; "x x" 3/5
+    assert(got(2) == ((0.0, 0.0, 0.0, 0.0)))
+  }
+
   test("dropRepeatedLines strips cross-document boilerplate, keeps order") {
     val d = docs(Seq(
       "FOOTER\nkeep one\nfooter\nkeep two",   // footer twice, case-insensitive
