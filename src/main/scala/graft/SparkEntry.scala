@@ -1060,6 +1060,29 @@ object SparkEntry {
              |  count(*) AS n_docs, min(doc_id) AS keep_doc_id
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // -- quality: self-trained char-bigram LM perplexity (CCNet shape) ---
+    "doc_lm_score" -> Gated(
+      (s, d) => Text.charBigramLm(TestData.table(s, d, "documents"))
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id,
+             |    regexp_replace(lower(text), '[^a-z0-9 ]', '_', 'g') AS s
+             |  FROM documents),
+             |bg AS (SELECT doc_id, unnest(CASE WHEN length(s) >= 2
+             |    THEN list_transform(range(1, length(s)), i -> substr(s, i, 2))
+             |    ELSE [] END) AS b FROM t),
+             |m AS (SELECT b, count(*) AS cbg FROM bg GROUP BY 1),
+             |cx AS (SELECT substr(b, 1, 1) AS c, sum(cbg) AS cctx
+             |  FROM m GROUP BY 1),
+             |a AS (SELECT bg.doc_id, avg(ln((m.cbg + 1)::DOUBLE
+             |    / (cx.cctx + 38))) AS alp
+             |  FROM bg JOIN m USING (b)
+             |  JOIN cx ON cx.c = substr(bg.b, 1, 1)
+             |  GROUP BY 1)
+             |SELECT d.doc_id, round(coalesce(a.alp, 0.0), 6) AS avg_logp,
+             |  round(exp(-coalesce(a.alp, 0.0)), 6) AS perplexity
+             |FROM documents d LEFT JOIN a USING (doc_id)
+             |ORDER BY 1""".stripMargin)),
+
     // -- quality: Gopher-style intra-document repetition signals ---------
     "doc_repetition" -> Gated(
       (s, d) => Text.repetitionStats(TestData.table(s, d, "documents"))

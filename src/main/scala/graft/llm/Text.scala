@@ -215,6 +215,48 @@ object Text {
         size(col("col")).as("n_chunk_tokens"))
   }
 
+  /** Character-bigram language-model score — the CCNet-shaped perplexity
+    * quality filter (docs scoring far from the corpus LM are outliers:
+    * gibberish, wrong language, markup). Self-trained: one pass counts
+    * corpus bigrams over a bounded alphabet (lowercase + digits + space;
+    * everything else buckets to '_', so the model is <= 38^2 cells
+    * regardless of corpus size), Laplace-smoothed
+    * P(b|a) = (c(ab)+1)/(c(a)+38); each document scores the mean ln P of
+    * its bigrams, `perplexity` = exp(-mean). Documents shorter than one
+    * bigram score 0 / 1.
+    *
+    * Shape at scale: explode -> one bigram-count shuffle (map-side
+    * combined); the MODEL is tiny and broadcast back onto the bigram
+    * stream — no second wide shuffle; per-doc mean groups by doc. */
+  def charBigramLm(docs: DataFrame,
+                   textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    val V = 38
+    val chars = split(regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", "_"), "")
+    val bigrams = docs.select(col(idCol),
+        bindOnce(chars) { t =>
+          when(size(t) >= 2, transform(sequence(lit(1), size(t) - 1),
+            i => concat(element_at(t, i), element_at(t, i + 1))))
+            .otherwise(array().cast("array<string>"))
+        }.as("__bgs"))
+      .select(col(idCol), explode(col("__bgs")).as("__bg"))
+    val model = bigrams.groupBy(col("__bg")).agg(count(lit(1)).as("__cbg"))
+    val ctx = model.groupBy(substring(col("__bg"), 1, 1).as("__c"))
+      .agg(sum(col("__cbg")).as("__cctx"))
+    val perDoc = bigrams
+      .join(broadcast(model), "__bg")
+      .withColumn("__c", substring(col("__bg"), 1, 1))
+      .join(broadcast(ctx), "__c")
+      .withColumn("__lp",
+        log((col("__cbg") + 1).cast("double") / (col("__cctx") + V)))
+      .groupBy(col(idCol)).agg(avg(col("__lp")).as("__alp"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        round(coalesce(col("__alp"), lit(0.0)), 6).as("avg_logp"),
+        round(exp(-coalesce(col("__alp"), lit(0.0))), 6).as("perplexity"))
+  }
+
   /** Cross-document repeated-line removal — the boilerplate-stripping
     * step of web-corpus cleaning (C4/CCNet/Gopher drop lines occurring
     * in many documents: navigation, cookie banners, footers). A line

@@ -225,6 +225,28 @@ class LlmSpec extends SparkFunSuite {
     assert(lsh == exact)
   }
 
+  test("charBigramLm scores against the self-trained model exactly") {
+    // corpus = two copies of "ab": one bigram "ab" with count 2, context
+    // 'a' count 2 -> P = (2+1)/(2+38) = 3/40; perplexity = 40/3
+    val d = docs(Seq("ab", "ab", "x"))
+    val got = Text.charBigramLm(d)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val lp = math.log(3.0 / 40.0)
+    assert(got(0) == ((BigDecimal(lp).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      13.333333)))
+    assert(got(0) == got(1))
+    // single-char doc: no bigrams -> 0 / 1
+    assert(got(2) == ((0.0, 1.0)))
+    // a gibberish doc scores WORSE (higher perplexity) than a normal one
+    val d2 = docs(Seq(
+      "the cat sat on the mat and the dog sat on the log",
+      "the dog sat on the mat and the cat ran to the log",
+      "zq jx qv kz wq xj zv qk"))
+    val ppl = Text.charBigramLm(d2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(ppl(2) > ppl(0) && ppl(2) > ppl(1))
+  }
+
   test("repetitionStats computes the Gopher signals exactly") {
     val d = docs(Seq(
       "a b a b a b",  // 11 chars; top 2-gram "a b" x3; 3-grams "a b a"/"b a b" x2
