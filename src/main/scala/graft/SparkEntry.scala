@@ -1060,6 +1060,38 @@ object SparkEntry {
              |  count(*) AS n_docs, min(doc_id) AS keep_doc_id
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // -- dedup: span-level duplicates (shared winnowing fingerprints) ----
+    // winnowing guarantees a shared fingerprint per shared >= w+k-1-token
+    // run, so the pair count thresholds VERBATIM-shared text
+    "doc_shared_spans" -> Gated(
+      (s, d) => Dedup.sharedSpanPairs(TestData.table(s, d, "documents"),
+        minShared = 3, hashFn = Dedup.md5Hash60)
+        .orderBy(col("a"), col("b")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+             |  FROM documents),
+             |grams AS (
+             |  SELECT doc_id, list_transform(
+             |    list_transform(range(0, greatest(len(t) - 4, 0)),
+             |      i -> array_to_string(t[i+1 : i+5], ' ')),
+             |    g -> list_sum(list_transform(range(1, 16),
+             |      j -> (strpos('0123456789abcdef', (md5(g))[j]) - 1)::BIGINT
+             |           * (1::BIGINT << ((15 - j) * 4))))::BIGINT) AS gh
+             |  FROM toks),
+             |win AS (
+             |  SELECT doc_id, list_distinct(list_transform(
+             |    range(0, greatest(len(gh) - 3, 1)),
+             |    i -> list_min(gh[i+1 : i+4]))) AS fps
+             |  FROM grams),
+             |fp AS (SELECT doc_id, fp FROM
+             |  (SELECT doc_id, unnest(fps) AS fp FROM win) WHERE fp IS NOT NULL),
+             |hv AS (SELECT fp FROM
+             |  (SELECT fp, count(*) AS c FROM fp GROUP BY 1) WHERE c > 1000),
+             |kept AS (SELECT * FROM fp WHERE fp NOT IN (SELECT fp FROM hv))
+             |SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS shared_fps
+             |FROM kept l JOIN kept r ON l.fp = r.fp AND l.doc_id < r.doc_id
+             |GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY 1, 2""".stripMargin)),
+
     // -- quality: self-trained char-bigram LM perplexity (CCNet shape) ---
     "doc_lm_score" -> Gated(
       (s, d) => Text.charBigramLm(TestData.table(s, d, "documents"))

@@ -126,6 +126,42 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Span-level duplicate detection: pairs of documents sharing at least
+    * `minShared` winnowing fingerprints — the scalable form of exact
+    * substring dedup (deduplicating long repeated spans across a corpus,
+    * the Lee et al. '22 cleaning step). Winnowing guarantees every
+    * shared token run of >= w+k-1 tokens yields a shared fingerprint
+    * (~2/(w+1) selection rate), so `minShared` thresholds the amount of
+    * verbatim-shared text, not whole-document similarity — two documents
+    * that each embed the same long quotation are caught even when
+    * everything else differs.
+    *
+    * Shape: same fingerprint-bucket join as [[ngramJaccard]] — (id, fp)
+    * rows only, heavy fingerprints (> maxBucket docs: boilerplate)
+    * anti-joined out via broadcast, one groupBy(pair) count. Output
+    * (a, b, shared_fps) with a < b. */
+  def sharedSpanPairs(docs: DataFrame, minShared: Int,
+                      k: Int = 5, w: Int = 4,
+                      textCol: String = "text", idCol: String = "doc_id",
+                      maxBucket: Int = 1000,
+                      hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                        c => org.apache.spark.sql.functions.xxhash64(c)): DataFrame = {
+    val fps = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism * 2)
+      .select(col(idCol).as("id"),
+        explode(Text.winnow(col(textCol), k, w, hashFn)).as("fp"))
+    val heavy = fps.groupBy(col("fp")).count()
+      .filter(col("count") > maxBucket).select(col("fp"))
+    val kept = fps.join(broadcast(heavy), Seq("fp"), "left_anti")
+    kept.alias("l")
+      .join(kept.alias("r"), col("l.fp") === col("r.fp") &&
+        col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("a"), col("r.id").as("b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+      .select(col("a"), col("b"), col("shared_fps"))
+  }
+
   // --- benchmark decontamination -------------------------------------------
 
   /** Benchmark decontamination: per corpus document, how many word

@@ -225,6 +225,24 @@ class LlmSpec extends SparkFunSuite {
     assert(lsh == exact)
   }
 
+  test("sharedSpanPairs catches verbatim shared spans, caps boilerplate") {
+    val quote = (0 until 16).map(i => s"q$i").mkString(" ")
+    val d = docs(Seq(
+      s"alpha beta $quote",
+      s"$quote gamma delta epsilon",
+      "totally unrelated text with many different words here"))
+    val pairs = Dedup.sharedSpanPairs(d, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the 16-token quote guarantees shared fingerprints for (0,1) only
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((0L, 1L)))
+    assert(pairs.head._3 >= 1)
+    // a fingerprint present in > maxBucket docs is boilerplate: with the
+    // quote in all three docs and maxBucket = 2, every pair vanishes
+    val d3 = docs(Seq(s"a b $quote", s"$quote c d", s"e f $quote g"))
+    assert(Dedup.sharedSpanPairs(d3, minShared = 1, maxBucket = 2)
+      .collect().isEmpty)
+  }
+
   test("charBigramLm scores against the self-trained model exactly") {
     // corpus = two copies of "ab": one bigram "ab" with count 2, context
     // 'a' count 2 -> P = (2+1)/(2+38) = 3/40; perplexity = 40/3
