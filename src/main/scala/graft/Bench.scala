@@ -160,7 +160,7 @@ object Bench {
       graft.io.Ingest.ingestResp(spark, respDir.getPath, benchPath,
         flattenTags = Seq("host"), minPartitions = sessions)
       val dt = (System.nanoTime() - t0) / 1e9
-      Console.err.println(f"WRITEREP $dt%.2f s")
+      Console.err.println(f"CLUSTERREP $dt%.2f s")
       dt
     }.min
 
@@ -216,7 +216,13 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""errors":$errs,"n_ok":${okResults.size},"n_failed":${errors.size},""" +
       s""""ingest_samples_per_sec":$ingestRate,""" +
-      s""""write_samples_per_sec":$writeRate,""" +
+      // write_samples_per_sec was REDEFINED in round 4 from the
+      // synchronous clustered-parquet write (now published as
+      // write_clustered_samples_per_sec) to the run-log spool — the
+      // adopted ingest architecture; write_path makes the redefinition
+      // explicit in the artifact so r1-r3 comparisons aren't read as a
+      // like-for-like speedup
+      s""""write_samples_per_sec":$writeRate,"write_path":"runlog_spool",""" +
       s""""write_clustered_samples_per_sec":$clusteredRate,""" +
       s""""compact_samples_per_sec":$compactRate,"sf":"$sfDir"}"""
     println(json)

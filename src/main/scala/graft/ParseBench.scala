@@ -175,10 +175,17 @@ object ParseBench {
         flattenTags = Seq("host"), minPartitions = sessions)
     }
     // the run-log spool (the adopted ingest write path, WAL-then-tree):
-    // parse -> delta-encoded run files, no shuffle/sort/columnar encode
+    // parse -> delta-encoded run files, no shuffle/sort/columnar encode.
+    // Each rep wipes the spool dir first (inside the timer, ~ms): without
+    // it every rep/run would append another full corpus of run files
     time("w6-runlog-spool") {
+      val spool = new java.io.File("/tmp/graft_parsebench_spool")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(spool)
       require(graft.io.RunLog.spoolResp(spark, dir.getPath,
-        "/tmp/graft_parsebench_spool", Seq("host"), sessions) == n)
+        spool.getPath, Seq("host"), sessions) == n)
     }
     // codec comparison on the sorted-run path (lz4_raw/no-dict is the
     // adopted default — measured faster AND smaller than snappy/dict;

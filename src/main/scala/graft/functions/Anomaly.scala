@@ -93,7 +93,8 @@ object Anomaly {
         fail("Anomaly detector parameter `bits` out of range")
       if (nHashes % 2 == 0)
         fail("Anomaly detector parameter `hashes` should be odd")
-      if (nHashes > 9) fail("Anomaly detector parameter `hashes` out of range")
+      if (nHashes < 1 || nHashes > 9)
+        fail("Anomaly detector parameter `hashes` out of range")
       return sketchNode(frame, mk, threshold, bits, nHashes)
     }
 
@@ -136,7 +137,12 @@ object Anomaly {
       pmod(conv(substring(md5(concat(col(Sname), lit(s"#$i"))), 1, 15),
         16, 10).cast("long"), lit(k.toLong)).cast("int")
     val hashes = array((0 until nHashes).map(hashCol): _*)
-    val df = frame.df
+    // NaN samples are excluded like the exact path excludes NaN errors
+    // (when(isnan(err), 0.0)): one NaN would otherwise poison its cell in
+    // EVERY sketch row, turn all F2 estimates NaN, and silently disable
+    // detection for the whole frame. The dropped row also can't be
+    // flagged itself — same outcome as the exact path's !isnan filter.
+    val df = frame.df.filter(!isnan(col(Value)))
 
     // 1. the actual sketch: nonzero cells per frame...
     val sparse = df

@@ -95,16 +95,25 @@ object RunLog {
     val tagKeys = flattenTags.toArray
     val sconf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
+    // Run nonce generated ONCE on the driver: every attempt of a
+    // partition publishes to the SAME final name, so a task retry or
+    // speculative duplicate re-publishes identical bytes instead of
+    // adding a second file — a per-attempt nonce would silently
+    // double-count the partition in readRuns. Distinct spoolResp calls
+    // into one directory still get distinct names via the nonce.
+    val runNonce = java.lang.Long.toHexString(
+      System.currentTimeMillis() ^ System.nanoTime())
     val counts = Ingest.sessionFiles(spark, inPath, minPartitions)
       .mapPartitionsWithIndex { (pid, it) =>
         if (it.isEmpty) Iterator.single(0L)
         else {
-          val nonce = java.lang.Long.toHexString(
-            System.currentTimeMillis() ^ System.nanoTime())
+          val attempt = java.util.UUID.randomUUID().toString.take(8)
           val dir = new org.apache.hadoop.fs.Path(outDir)
           val fs = dir.getFileSystem(sconf.value)
-          val tmp = new org.apache.hadoop.fs.Path(dir, s".tmp.run-$nonce-$pid")
-          val fin = new org.apache.hadoop.fs.Path(dir, s"run-$nonce-$pid.grun")
+          val tmp = new org.apache.hadoop.fs.Path(dir,
+            s".tmp.run-$runNonce-$pid-$attempt")
+          val fin = new org.apache.hadoop.fs.Path(dir,
+            s"run-$runNonce-$pid.grun")
           val out = new DataOutputStream(new BufferedOutputStream(
             fs.create(tmp, true), 1 << 20))
           var n = 0L
@@ -156,7 +165,14 @@ object RunLog {
               }).foreach(_ => ())
             }
           } finally out.close()
-          require(fs.rename(tmp, fin), s"run publish failed: $tmp -> $fin")
+          // first attempt to rename wins; a losing attempt's target was
+          // already published with identical content (same partition,
+          // deterministic encoding) — drop the temp and succeed
+          if (!fs.rename(tmp, fin)) {
+            if (!fs.exists(fin))
+              throw new java.io.IOException(s"run publish failed: $tmp -> $fin")
+            fs.delete(tmp, false)
+          }
           Iterator.single(n)
         }
       }.sum().toLong

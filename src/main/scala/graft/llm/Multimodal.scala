@@ -40,7 +40,13 @@ object Multimodal {
   private[llm] def decodeImage(content: Array[Byte]): Option[java.awt.image.BufferedImage] =
     try Option(javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(content)))
-    catch { case _: java.io.IOException => None }
+    catch {
+      // JDK readers throw RuntimeExceptions (IllegalArgument, AIOOBE,
+      // NegativeArraySize...) on malformed headers, not just IOException;
+      // any parse failure is decode_ok=false, never a job abort — a
+      // web-corpus pipeline meets malformed media routinely
+      case scala.util.control.NonFatal(_) => None
+    }
 
   /** Typed media row: the canonical wide-table layout. Partition by
     * (modality, shard) at scale so decode stages are pruned per modality;

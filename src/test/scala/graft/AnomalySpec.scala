@@ -72,6 +72,30 @@ class AnomalySpec extends SparkFunSuite {
     intercept[IllegalArgumentException](run(
       """{"name":"anomaly","method":"ewma","alpha":0.5,"threshold":0.5,
         |"approx":true,"hashes":11}""".stripMargin))
+    // negative odd values must not slip through (-3 % 2 == -1)
+    intercept[IllegalArgumentException](run(
+      """{"name":"anomaly","method":"ewma","alpha":0.5,"threshold":0.5,
+        |"approx":true,"hashes":-3}""".stripMargin))
+  }
+
+  test("a NaN sample cannot silently disable a sketch frame") {
+    // series D is all-NaN; the exact path zeroes NaN errors out of F2 and
+    // the sketch path must do the equivalent — without the guard the NaN
+    // poisons its cell in every row, all F2 estimates go NaN, and the
+    // frame detects NOTHING (the C spike would be missed)
+    val st = store((0 until 20).flatMap { i =>
+      Seq(
+        ("m", Map("h" -> "A"), 1000000000L * i, 10.0),
+        ("m", Map("h" -> "C"), 1000000000L * i, if (i == 15) 500.0 else 30.0),
+        ("m", Map("h" -> "D"), 1000000000L * i, Double.NaN))
+    })
+    val got = rows3(Planner.plan(QueryJson.parse(
+      """{"select":"m","range":{"from":0,"to":100000000000},
+        |"apply":[{"name":"anomaly","method":"ewma","alpha":0.5,
+        |"threshold":0.5,"approx":true,"bits":10,"hashes":3}]}""".stripMargin),
+      st).df)
+    assert(got.exists(r => r._1 == "m h=C" && r._2 == 15000000000L))
+    assert(got.forall(_._1 == "m h=C"))
   }
 
   test("sketch collisions merge series like the reference's tables") {

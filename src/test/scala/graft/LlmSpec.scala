@@ -593,11 +593,16 @@ class LlmSpec extends SparkFunSuite {
       bos.toByteArray
     }
     val red = png(8, 4, 0xff0000)
-    // image magic + garbage = a real decode FAILURE, not a fake feature
+    // image magic + garbage = a real decode FAILURE, not a fake feature.
+    // JDK readers throw RuntimeExceptions on some malformed headers
+    // (e.g. BMP with absurd declared dimensions) — must also be a clean
+    // decode_ok=false, never a task abort
     val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', 1, 2, 3, 4, 5)
+    val badBmp = Array[Byte]('B', 'M') ++ Array.fill[Byte](40)(0xff.toByte)
     val rows = Seq(
       Row(1L, "image", red, "image/png", 8, 4, null, "red"),
-      Row(2L, "image", corrupt, "image/png", 0, 0, null, "bad"))
+      Row(2L, "image", corrupt, "image/png", 0, 0, null, "bad"),
+      Row(3L, "image", badBmp, "image/bmp", 0, 0, null, "badbmp"))
     val media = spark.createDataFrame(
       spark.sparkContext.parallelize(rows.map(r =>
         Row(r.get(0), r.get(1), r.get(2), r.get(3), r.get(4), r.get(5),
@@ -606,6 +611,7 @@ class LlmSpec extends SparkFunSuite {
     val feats = Multimodal.extractFeatures(media).collect()
       .map(r => r.getLong(0) -> r).toMap
     assert(feats(1).getBoolean(3) && !feats(2).getBoolean(3))
+    assert(!feats(3).getBoolean(3)) // hostile BMP: failure, not an abort
     val f = feats(1).getSeq[Float](2)
     // pixel-derived: meanR=1, meanG=meanB=0, luma=0.299, stdLuma=0,
     // aspect=2, log2(8)=3, log2(4)=2
@@ -615,7 +621,7 @@ class LlmSpec extends SparkFunSuite {
     // resize: output is a REAL 5x7 PNG, still solid red
     val rz = Multimodal.resizeImages(media, 5, 7).collect()
       .map(r => r.getLong(0) -> r).toMap
-    assert(rz(1).getBoolean(4) && !rz(2).getBoolean(4))
+    assert(rz(1).getBoolean(4) && !rz(2).getBoolean(4) && !rz(3).getBoolean(4))
     val back = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(rz(1).getAs[Array[Byte]](1)))
     assert(back.getWidth == 5 && back.getHeight == 7)

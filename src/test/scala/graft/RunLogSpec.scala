@@ -90,6 +90,30 @@ class RunLogSpec extends SparkFunSuite {
     assert(df.count() > 0)
   }
 
+  test("run names are deterministic per partition (retry-idempotent)") {
+    val dir = Files.createTempDirectory("graft-runlog5").toFile
+    renderSessions(dir)
+    val runs = new java.io.File(dir, "runs")
+    RunLog.spoolResp(spark, dir.getAbsolutePath, runs.getAbsolutePath,
+      Seq("host"))
+    val names = runs.listFiles().map(_.getName).filter(_.endsWith(".grun"))
+    // one file per non-empty partition, named run-<run nonce>-<pid>.grun:
+    // the nonce is fixed driver-side for the whole call, so a RETRIED
+    // task republishes to the same name instead of adding a duplicate
+    assert(names.nonEmpty)
+    val nonces = names.map(_.split("-")(1)).toSet
+    assert(nonces.size == 1, s"per-attempt nonces would duplicate data: $names")
+    assert(names.forall(_.matches("run-[0-9a-f]+-\\d+\\.grun")))
+    // a second spool CALL into the same directory is new data, not a
+    // retry: distinct nonce, both file sets readable together
+    RunLog.spoolResp(spark, dir.getAbsolutePath, runs.getAbsolutePath,
+      Seq("host"))
+    val all = runs.listFiles().map(_.getName).filter(_.endsWith(".grun"))
+    assert(all.map(_.split("-")(1)).toSet.size == 2)
+    assert(RunLog.readRuns(spark, runs.getAbsolutePath, Seq("host"))
+      .count() == 304) // both spools: 2 x 152
+  }
+
   test("tag-key mismatch between spool and read fails fast") {
     val dir = Files.createTempDirectory("graft-runlog4").toFile
     renderSessions(dir)
