@@ -299,10 +299,28 @@ object RunLog {
     Ingest.writePrepared(readRuns(spark, runsPath, flattenTags),
       layoutPath, bucketNs, saltBuckets, codec)
 
+  /** The complete live view: compacted layout UNION not-yet-compacted
+    * runs — the serving shape of the reference's tree + input-log pair
+    * (reads see spooled data immediately; compaction later folds it into
+    * the clustered layout with no visible change). The runs side derives
+    * its `day` column with the LAYOUT's persisted bucket width and its
+    * flattened tag columns from the layout's schema, so both legs plan
+    * identically; the series dimension is derived from the union (a
+    * maintained dimension would not know about spooled-only series). */
+  def liveStore(spark: SparkSession, layoutPath: String,
+                runsPath: String): TsStore = {
+    val base = Ingest.readLayout(spark, layoutPath)
+    val tagKeys = base.samples.columns.filter(_.startsWith("tag_"))
+      .map(_.stripPrefix("tag_")).toSeq
+    val runs = toStore(spark, runsPath, tagKeys).samples
+      .withColumn(TsStore.DayCol, expr(s"ts div ${base.bucketNs}L"))
+    new TsStore(base.samples.unionByName(runs), None, base.bucketNs)
+  }
+
   /** Query view over not-yet-compacted runs: the live-serving analogue of
     * the reference's in-memory tree (data is queryable the moment the
     * spool publishes, before any compaction). Union with the compacted
-    * layout's store for the full view. */
+    * layout's store for the full view ([[liveStore]]). */
   def toStore(spark: SparkSession, runsPath: String,
               flattenTags: Seq[String] = Nil): TsStore = {
     val raw = readRuns(spark, runsPath, flattenTags)

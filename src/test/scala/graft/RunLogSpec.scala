@@ -90,6 +90,39 @@ class RunLogSpec extends SparkFunSuite {
     assert(df.count() > 0)
   }
 
+  test("liveStore serves layout + uncompacted runs as one view") {
+    val dir = Files.createTempDirectory("graft-runlog6").toFile
+    val day = Ingest.DayNs
+    // batch half: ingested + compacted into the layout
+    val batchDir = new java.io.File(dir, "batch"); batchDir.mkdirs()
+    Files.write(new java.io.File(batchDir, "s.resp").toPath,
+      (0 until 40).flatMap(i =>
+        Seq(s"+m0 host=h${i % 2}", s":${i * 1000000000L}", s":$i"))
+        .mkString("\n").getBytes)
+    val layout = new java.io.File(dir, "layout").getAbsolutePath
+    Ingest.ingestResp(spark, batchDir.getAbsolutePath, layout,
+      flattenTags = Seq("host"))
+    // live half: spooled runs only, one day later, NOT compacted
+    val liveDir = new java.io.File(dir, "live"); liveDir.mkdirs()
+    Files.write(new java.io.File(liveDir, "s.resp").toPath,
+      (0 until 25).flatMap(i =>
+        Seq(s"+m0 host=h${i % 2}", s":${day + i * 1000000000L}", s":${100 + i}"))
+        .mkString("\n").getBytes)
+    val runs = new java.io.File(dir, "runs").getAbsolutePath
+    RunLog.spoolResp(spark, liveDir.getAbsolutePath, runs, Seq("host"))
+    // one query over the union sees BOTH halves, correctly filtered
+    val st = RunLog.liveStore(spark, layout, runs)
+    val df = graft.plan.Planner.plan(graft.ast.QueryJson.parse(
+      s"""{"select":"m0","range":{"from":0,"to":${3 * day}},
+         |"where":{"host":"h1"}}""".stripMargin), st).df
+    val vals = df.collect().map(_.getDouble(2)).sorted.toSeq
+    assert(vals == ((0 until 40).filter(_ % 2 == 1).map(_.toDouble) ++
+      (0 until 25).filter(_ % 2 == 1).map(i => (100 + i).toDouble)).sorted)
+    // and the derived series dimension knows both halves' series
+    assert(graft.plan.Meta.metricNames(st).collect().map(_.getString(0))
+      .toSeq == Seq("m0"))
+  }
+
   test("run names are deterministic per partition (retry-idempotent)") {
     val dir = Files.createTempDirectory("graft-runlog5").toFile
     renderSessions(dir)
