@@ -44,7 +44,7 @@ object RunLog {
 
   // ---- varint codec ------------------------------------------------------
 
-  private def writeVarLong(out: DataOutputStream, v0: Long): Unit = {
+  private[graft] def writeVarLong(out: DataOutputStream, v0: Long): Unit = {
     var v = v0
     while ((v & ~0x7fL) != 0) {
       out.writeByte(((v & 0x7f) | 0x80).toInt)
@@ -53,7 +53,7 @@ object RunLog {
     out.writeByte(v.toInt)
   }
 
-  private def readVarLong(in: DataInputStream): Long = {
+  private[graft] def readVarLong(in: DataInputStream): Long = {
     var shift = 0; var acc = 0L
     var b = in.readUnsignedByte()
     while ((b & 0x80) != 0) {
@@ -63,8 +63,8 @@ object RunLog {
     acc | (b.toLong << shift)
   }
 
-  private def zigzag(v: Long): Long = (v << 1) ^ (v >> 63)
-  private def unzigzag(v: Long): Long = (v >>> 1) ^ -(v & 1)
+  private[graft] def zigzag(v: Long): Long = (v << 1) ^ (v >> 63)
+  private[graft] def unzigzag(v: Long): Long = (v >>> 1) ^ -(v & 1)
 
   private def writeStr(out: DataOutputStream, s: String): Unit = {
     val bs = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -235,9 +235,9 @@ object RunLog {
         new Iterator[InternalRow] {
           private var nextRow: InternalRow = _
           private var done = false
-          private def advance(): Unit = {
+          private def advance(): Unit = try {
             while (nextRow == null && !done) {
-              val tag = try in.read() catch { case _: EOFException => -1 }
+              val tag = in.read()
               if (tag < 0) { done = true; in.close() }
               else tag match {
                 case 0x01 =>
@@ -276,6 +276,13 @@ object RunLog {
                   throw new IllegalStateException(s"run $p: bad frame $other")
               }
             }
+          } catch {
+            // publish is atomic, so a mid-frame EOF means real corruption
+            // — fail loudly WITH the file path, not a bare EOFException
+            case _: EOFException =>
+              in.close()
+              throw new IllegalStateException(
+                s"corrupt run file (truncated mid-frame): $p")
           }
           def hasNext: Boolean = { advance(); nextRow != null }
           def next(): InternalRow = {

@@ -147,6 +147,46 @@ class RunLogSpec extends SparkFunSuite {
       .count() == 304) // both spools: 2 x 152
   }
 
+  test("varint/zigzag codec round-trips arbitrary longs") {
+    val rnd = new scala.util.Random(99)
+    val probe = Seq(0L, 1L, -1L, 127L, 128L, -128L, Long.MaxValue,
+      Long.MinValue) ++ Seq.fill(500)(rnd.nextLong())
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    probe.foreach(v => RunLog.writeVarLong(out, RunLog.zigzag(v)))
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+    probe.foreach { v =>
+      assert(RunLog.unzigzag(RunLog.readVarLong(in)) == v)
+    }
+    // small magnitudes stay small on the wire (the point of the delta
+    // encoding): |v| < 2^6 fits one byte
+    val b1 = new java.io.ByteArrayOutputStream()
+    RunLog.writeVarLong(new java.io.DataOutputStream(b1), RunLog.zigzag(-42L))
+    assert(b1.size == 1)
+  }
+
+  test("a truncated run file fails loudly with the file path") {
+    val dir = Files.createTempDirectory("graft-runlog7").toFile
+    renderSessions(dir)
+    val runs = new java.io.File(dir, "runs")
+    RunLog.spoolResp(spark, dir.getAbsolutePath, runs.getAbsolutePath,
+      Seq("host"))
+    // corrupt one published run: chop its tail mid-frame (and drop the
+    // local-FS checksum sidecar, which would otherwise catch it first —
+    // also acceptable, but here we exercise the decoder's own guard)
+    val f = runs.listFiles().filter(_.getName.endsWith(".grun")).head
+    val bytes = Files.readAllBytes(f.toPath)
+    Files.write(f.toPath, bytes.take(bytes.length - 3))
+    new java.io.File(runs, s".${f.getName}.crc").delete()
+    val e = intercept[org.apache.spark.SparkException] {
+      RunLog.readRuns(spark, runs.getAbsolutePath, Seq("host")).count()
+    }
+    val msg = e.getMessage +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("corrupt run file") && msg.contains(f.getName))
+  }
+
   test("tag-key mismatch between spool and read fails fast") {
     val dir = Files.createTempDirectory("graft-runlog4").toFile
     renderSessions(dir)
