@@ -1406,6 +1406,25 @@ object SparkEntry {
              |  17 AS width, 9 AS height, TRUE AS resize_ok
              |FROM documents WHERE doc_id % 3 = 0 ORDER BY 1""".stripMargin)),
 
+    // -- multimodal: audio resample stage (batch kernel over audio rows) -
+    // Digest payloads carry no WAV magic, so they take the deterministic
+    // fake: payload XOR (targetHz*7) low byte. Real WAVs resample through
+    // the JDK codec (LlmSpec covers that path bit-exactly).
+    "mm_resample" -> Gated(
+      (s, d) => {
+        val media = Multimodal.fromDocuments(TestData.table(s, d, "documents"))
+        Multimodal.resampleAudio(media, targetHz = 16000)
+          .select(col("media_id"), hex(col("content")).as("chex"),
+            col("sample_rate"), col("resample_ok"))
+          .orderBy(col("media_id"))
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  upper(array_to_string(list_transform(generate_series(1, 64),
+             |    j -> printf('%02x', xor(ord((sha256(text))[j]), 112000) & 255)),
+             |    '')) AS chex,
+             |  16000 AS sample_rate, TRUE AS resample_ok
+             |FROM documents WHERE doc_id % 3 = 1 ORDER BY 1""".stripMargin)),
+
     // -- multimodal: video frame-sampling plan (offset references) -------
     "mm_frames" -> Gated(
       (s, d) => {

@@ -11,12 +11,14 @@ import org.apache.spark.sql.types._
   *
   * The IMAGE path is real: payloads carrying a PNG/JPEG/GIF/BMP magic are
   * decoded with the JDK's `javax.imageio`, features come from actual
-  * pixels, and resize rescales + re-encodes. Audio/video codecs are NOT
-  * available in this container, so those payloads fall through to a
+  * pixels, and resize rescales + re-encodes. The AUDIO path is real for
+  * RIFF/WAVE payloads: `javax.sound.sampled` decodes PCM frames, features
+  * come from the actual waveform, and [[resampleAudio]] linearly resamples
+  * and re-encodes a real WAV. Video codecs are NOT available in this
+  * container, so video payloads (and non-WAV audio) fall through to a
   * deterministic fake (content-derived); everything around the kernel —
   * schema, batching, partition sizing, output shape — is identical for
-  * both paths, so swapping in a real audio/video codec is a one-function
-  * change.
+  * both paths, so swapping in a real video codec is a one-function change.
   */
 object Multimodal {
 
@@ -45,6 +47,60 @@ object Multimodal {
       // NegativeArraySize...) on malformed headers, not just IOException;
       // any parse failure is decode_ok=false, never a job abort — a
       // web-corpus pipeline meets malformed media routinely
+      case scala.util.control.NonFatal(_) => None
+    }
+
+  /** RIFF/WAVE magic sniff — the container format the JDK ships a real
+    * decoder for (`javax.sound.sampled`). */
+  private[llm] def looksLikeWav(b: Array[Byte]): Boolean =
+    b != null && b.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  /** Decoded waveform: samples downmixed to mono in [-1, 1] plus source
+    * format facts. */
+  private[graft] final case class Waveform(
+      samples: Array[Float], sampleRate: Float, channels: Int)
+
+  /** Real audio decode via the JDK codec: any encoding the JDK can convert
+    * to 16-bit signed PCM (PCM, A-law, mu-law, float WAV). None = the
+    * payload claims a WAV magic but does not parse — a real decode
+    * FAILURE, surfaced as decode_ok=false downstream. */
+  private[graft] def decodeAudio(content: Array[Byte]): Option[Waveform] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        val src = in.getFormat
+        val ch = src.getChannels
+        val target = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          src.getSampleRate, 16, ch, ch * 2, src.getSampleRate, false)
+        val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+        val bytes = pcm.readAllBytes()
+        val nFrames = bytes.length / (2 * ch)
+        if (nFrames == 0) None
+        else {
+          val mono = new Array[Float](nFrames)
+          var f = 0
+          while (f < nFrames) {
+            var s = 0.0f
+            var c = 0
+            while (c < ch) {
+              val i = (f * ch + c) * 2
+              // little-endian 16-bit signed
+              s += ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort / 32768.0f
+              c += 1
+            }
+            mono(f) = s / ch
+            f += 1
+          }
+          Some(Waveform(mono, src.getSampleRate, ch))
+        }
+      } finally in.close()
+    } catch {
+      // same contract as decodeImage: hostile/truncated media is a clean
+      // per-row failure, never a job abort
       case scala.util.control.NonFatal(_) => None
     }
 
@@ -100,14 +156,18 @@ object Multimodal {
   /** Decode kernel. Image payloads (magic-sniffed) decode for REAL via
     * the JDK codec and the 8-dim feature comes from actual pixels:
     * `[meanR, meanG, meanB, meanLuma, stdLuma, aspect, log2 w, log2 h]`
-    * (channel means in [0,1], Rec.601 luma, aspect = w/h). A payload
-    * claiming an image magic that fails to parse is a decode FAILURE
-    * (None -> decode_ok=false). Non-image payloads (audio/video — no
-    * codecs in this container) take the deterministic byte-projection
-    * stub, same shape. */
+    * (channel means in [0,1], Rec.601 luma, aspect = w/h). WAV payloads
+    * decode for REAL via `javax.sound.sampled` and the feature comes from
+    * the actual waveform: `[durationSec, log2 sampleRate, channels,
+    * meanAbs, rms, peak, zeroCrossRate, log2 frames]`. A payload claiming
+    * an image/WAV magic that fails to parse is a decode FAILURE
+    * (None -> decode_ok=false). Everything else (video — no codec in this
+    * container — and digest fakes) takes the deterministic
+    * byte-projection stub, same shape. */
   private[llm] def decodeKernel(content: Array[Byte]): Option[Array[Float]] = {
     if (content == null || content.isEmpty) None
     else if (looksLikeImage(content)) decodeImage(content).map(imageFeature)
+    else if (looksLikeWav(content)) decodeAudio(content).map(audioFeature)
     else {
       val out = new Array[Float](8)
       var i = 0
@@ -145,6 +205,29 @@ object Multimodal {
       (w.toDouble / h).toFloat,
       (math.log(w.toDouble) / math.log(2)).toFloat,
       (math.log(h.toDouble) / math.log(2)).toFloat)
+  }
+
+  private def audioFeature(wf: Waveform): Array[Float] = {
+    val n = wf.samples.length
+    var sumAbs = 0.0; var sum2 = 0.0; var peak = 0.0; var zc = 0
+    var i = 0
+    while (i < n) {
+      val v = wf.samples(i).toDouble
+      val a = math.abs(v)
+      sumAbs += a; sum2 += v * v
+      if (a > peak) peak = a
+      if (i > 0 && (v > 0) != (wf.samples(i - 1) > 0)) zc += 1
+      i += 1
+    }
+    Array(
+      (n / wf.sampleRate.toDouble).toFloat,
+      (math.log(wf.sampleRate.toDouble) / math.log(2)).toFloat,
+      wf.channels.toFloat,
+      (sumAbs / n).toFloat,
+      math.sqrt(sum2 / n).toFloat,
+      peak.toFloat,
+      (zc.toDouble / n).toFloat,
+      (math.log(n.toDouble) / math.log(2)).toFloat)
   }
 
   /** Feature extraction over the media table: per-partition batch loop
@@ -219,6 +302,74 @@ object Multimodal {
         Row(row.getLong(idIdx), r.orNull, targetW, targetH, r.isDefined)
       }
     }(Encoders.row(resizedSchema))
+  }
+
+  val resampledSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("content", BinaryType),
+    StructField("sample_rate", IntegerType),
+    StructField("resample_ok", BooleanType)))
+
+  /** Resample kernel. WAV payloads decode for REAL, linearly interpolate
+    * the mono waveform to `targetHz`, and re-encode as a real 16-bit PCM
+    * mono WAV (the fixed-rate mono shape audio-training pipelines feed
+    * their tokenizers). A WAV-magic payload that fails to parse is a
+    * resample FAILURE (None -> resample_ok=false). Non-WAV payloads keep
+    * a deterministic (content, rate)-derived fake so the plumbing is
+    * testable without more codecs. */
+  private[graft] def resampleKernel(content: Array[Byte], targetHz: Int): Option[Array[Byte]] =
+    if (content == null || content.isEmpty || targetHz <= 0) None
+    else if (looksLikeWav(content)) decodeAudio(content).flatMap { wf =>
+      val ratio = wf.sampleRate.toDouble / targetHz
+      val outN = math.max(1, math.ceil(wf.samples.length / ratio).toInt)
+      val out = new Array[Byte](outN * 2)
+      var i = 0
+      while (i < outN) {
+        val pos = i * ratio
+        val i0 = math.min(pos.toInt, wf.samples.length - 1)
+        val i1 = math.min(i0 + 1, wf.samples.length - 1)
+        val frac = pos - i0
+        val v = wf.samples(i0) * (1.0 - frac) + wf.samples(i1) * frac
+        val s = math.max(-32768L, math.min(32767L, math.round(v * 32767.0))).toInt
+        out(i * 2) = (s & 0xff).toByte
+        out(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        targetHz.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(out), fmt, outN.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      try {
+        javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        Some(bos.toByteArray)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+    else {
+      val out = new Array[Byte](math.min(content.length, 64))
+      var i = 0
+      while (i < out.length) {
+        out(i) = (content(i) ^ (targetHz * 7)).toByte
+        i += 1
+      }
+      Some(out)
+    }
+
+  /** Audio resample stage over the media table: per-partition batch map,
+    * audio rows only (partition pruning when the table is partitioned by
+    * modality). */
+  def resampleAudio(media: DataFrame, targetHz: Int): DataFrame = {
+    val audio = media.filter(col("modality") === "audio")
+    val schema = audio.schema
+    val idIdx = schema.fieldIndex("media_id")
+    val cIdx = schema.fieldIndex("content")
+    audio.mapPartitions { it =>
+      it.map { row =>
+        val r = resampleKernel(row.getAs[Array[Byte]](cIdx), targetHz)
+        Row(row.getLong(idIdx), r.orNull, targetHz, r.isDefined)
+      }
+    }(Encoders.row(resampledSchema))
   }
 
   /** Frame-sampling plan for video rows: expands each video into

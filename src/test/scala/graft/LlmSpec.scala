@@ -628,6 +628,59 @@ class LlmSpec extends SparkFunSuite {
     assert((back.getRGB(2, 3) & 0xffffff) == 0xff0000)
   }
 
+  test("multimodal: real WAV bytes decode, feature, and resample via javax.sound") {
+    import javax.sound.sampled._
+    // a real 8000 Hz mono 16-bit PCM WAV: 440 Hz sine, half amplitude
+    def wav(hz: Double, rate: Int, n: Int, amp: Double): Array[Byte] = {
+      val pcm = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val s = math.round(math.sin(2 * math.Pi * hz * i / rate) * amp * 32767).toInt
+        pcm(i * 2) = (s & 0xff).toByte
+        pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(
+        new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+        AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val sine = wav(440.0, 8000, 8000, 0.5) // exactly 1 second
+    // WAV magic + garbage = a real decode FAILURE, not a fake feature
+    val corrupt = "RIFF0000WAVE".getBytes("UTF-8") ++ Array.fill[Byte](8)(0x7f)
+    val rows = Seq(
+      Row(1L, "audio", sine, "audio/wav", null, null, 1000L, "sine"),
+      Row(2L, "audio", corrupt, "audio/wav", null, null, 0L, "bad"))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.mediaSchema)
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(feats(1).getBoolean(3) && !feats(2).getBoolean(3))
+    val f = feats(1).getSeq[Float](2)
+    // waveform-derived: 1.0 s, log2(8000)≈12.97, mono, sine statistics
+    // (meanAbs = 2A/π, rms = A/√2, peak ≈ A, zcr = 2·440/8000)
+    assert(math.abs(f(0) - 1.0f) < 1e-4 && math.abs(f(1) - 12.966f) < 1e-3)
+    assert(f(2) == 1.0f)
+    assert(math.abs(f(3) - (2 * 0.5 / math.Pi)) < 1e-2)
+    assert(math.abs(f(4) - (0.5 / math.sqrt(2))) < 1e-2)
+    assert(math.abs(f(5) - 0.5f) < 1e-2)
+    assert(math.abs(f(6) - 2 * 440.0 / 8000) < 1e-2)
+    assert(math.abs(f(7) - 12.966f) < 1e-3)
+    // resample 8000 -> 4000 Hz: output is a REAL WAV at the target rate,
+    // half the frames, still the same sine (same duration, same rms)
+    val rz = Multimodal.resampleAudio(media, 4000).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rz(1).getBoolean(3) && !rz(2).getBoolean(3))
+    val back = Multimodal.decodeAudio(rz(1).getAs[Array[Byte]](1)).get
+    assert(back.sampleRate == 4000.0f && back.channels == 1)
+    assert(math.abs(back.samples.length - 4000) <= 1)
+    val rms = math.sqrt(back.samples.map(v => v.toDouble * v).sum / back.samples.length)
+    assert(math.abs(rms - 0.5 / math.sqrt(2)) < 1e-2)
+    // a digest payload (no WAV magic) keeps the deterministic fake path
+    val fake = Multimodal.resampleKernel("0123456789abcdef".getBytes, 16000).get
+    assert(fake.toSeq == "0123456789abcdef".getBytes.map(b => (b ^ (16000 * 7)).toByte).toSeq)
+  }
+
   test("high cardinality: correctness independent of series count") {
     import org.apache.spark.sql.functions.{concat, lit}
     val n = 20000
