@@ -1425,6 +1425,22 @@ object SparkEntry {
              |  16000 AS sample_rate, TRUE AS resample_ok
              |FROM documents WHERE doc_id % 3 = 1 ORDER BY 1""".stripMargin)),
 
+    // -- multimodal: video container probe (batch kernel over video rows)
+    // Digest payloads carry no ftyp magic, so they take the metadata
+    // passthrough fake. Real MP4 box parsing is covered bit-exactly in
+    // LlmSpec with a hand-built moov.
+    "mm_probe" -> Gated(
+      (s, d) => {
+        val media = Multimodal.fromDocuments(TestData.table(s, d, "documents"))
+        Multimodal.probeVideos(media).orderBy(col("media_id"))
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  (doc_id % 30000 + 1000) AS duration_ms,
+             |  (doc_id % 640 + 32)::INT AS width,
+             |  (doc_id % 480 + 32)::INT AS height,
+             |  1 AS tracks, 'fake' AS brand, TRUE AS probe_ok
+             |FROM documents WHERE doc_id % 3 = 2 ORDER BY 1""".stripMargin)),
+
     // -- multimodal: video frame-sampling plan (offset references) -------
     "mm_frames" -> Gated(
       (s, d) => {

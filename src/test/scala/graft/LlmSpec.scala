@@ -681,6 +681,47 @@ class LlmSpec extends SparkFunSuite {
     assert(fake.toSeq == "0123456789abcdef".getBytes.map(b => (b ^ (16000 * 7)).toByte).toSeq)
   }
 
+  test("multimodal: real MP4 box structure probes duration and dimensions") {
+    // hand-build a minimal ISO-BMFF file: ftyp + moov{mvhd, trak{tkhd}}
+    def box(typ: String, content: Array[Byte]): Array[Byte] = {
+      val size = content.length + 8
+      Array[Byte](((size >> 24) & 0xff).toByte, ((size >> 16) & 0xff).toByte,
+        ((size >> 8) & 0xff).toByte, (size & 0xff).toByte) ++
+        typ.getBytes("ISO-8859-1") ++ content
+    }
+    def be32(v: Long): Array[Byte] = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(0) ++ "isom".getBytes)
+    // mvhd v0: version/flags, creation, modification, timescale=1000,
+    // duration=5000 ticks -> 5000 ms; rest zero-padded to the v0 size
+    val mvhd = box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(1000) ++
+      be32(5000) ++ Array.fill[Byte](80)(0))
+    // tkhd v0: width/height are 16.16 fixed at content offsets 76/80
+    val tkhd = box("tkhd", Array.fill[Byte](76)(0) ++
+      be32(640L << 16) ++ be32(360L << 16))
+    val mp4 = ftyp ++ box("moov", mvhd ++ box("trak", tkhd))
+    val info = Multimodal.probeVideo(mp4).get
+    assert(info.durationMs == 5000L && info.width == 640 && info.height == 360)
+    assert(info.tracks == 1 && info.brand == "isom")
+    // ftyp magic + garbage moov = a real probe FAILURE, not a fake
+    val corrupt = ftyp ++ "garbagegarbage".getBytes
+    val rows = Seq(
+      Row(1L, "video", mp4, "video/mp4", 0, 0, 0L, "real"),
+      Row(2L, "video", corrupt, "video/mp4", 0, 0, 0L, "bad"),
+      Row(3L, "video", "notanmp4payload".getBytes, "application/octet-stream",
+        99, 88, 1234L, "fake"))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.mediaSchema)
+    val got = Multimodal.probeVideos(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1).getLong(1) == 5000L && got(1).getInt(2) == 640 &&
+      got(1).getInt(3) == 360 && got(1).getBoolean(6))
+    assert(!got(2).getBoolean(6) && got(2).isNullAt(1))
+    // non-MP4: declared metadata passes through, brand marks the fake
+    assert(got(3).getLong(1) == 1234L && got(3).getInt(2) == 99 &&
+      got(3).getString(5) == "fake" && got(3).getBoolean(6))
+  }
+
   test("high cardinality: correctness independent of series count") {
     import org.apache.spark.sql.functions.{concat, lit}
     val n = 20000
