@@ -333,6 +333,124 @@ object Embed {
       transform(qv.getField("q"), x => x.cast("double") * s / 127.0)
     }
 
+  // --- product quantization (PQ / ADC) --------------------------------------
+
+  /** Contiguous sub-vector `s` of an m-way split: dims
+    * [s·dim/m, (s+1)·dim/m). */
+  private def subVec(vec: Column, subDim: Int, s: Int): Column =
+    slice(vec, s * subDim + 1, subDim)
+
+  /** Nearest-codeword id for a sub-vector on the 6-decimal-ROUNDED
+    * inner-product score `dot(x, c) - |c|²/2` (the L2 argmin rewritten
+    * without the per-row constant |x|²; ties break to the larger code,
+    * the `greatest` struct order) — same reproducibility contract as
+    * [[centroidIdRounded]], mirrored exactly by the SQL oracle. */
+  private def codeIdRounded(sub: Column, book: Seq[Seq[Double]]): Column =
+    if (book.size == 1) lit(0)
+    else greatest(book.zipWithIndex.map { case (c, i) =>
+      struct(
+        round(dot(sub, array(c.map(lit): _*)) - lit(c.map(x => x * x).sum / 2),
+          6).as("score"),
+        lit(i).as("cid"))
+    }: _*).getField("cid")
+
+  /** One distributed training step for product quantization (Jégou et
+    * al., "Product Quantization for Nearest Neighbor Search", TPAMI
+    * 2011): assign every unit-normalized sub-vector to its nearest
+    * codeword in ITS subspace's codebook, emit the per-(subspace, code,
+    * dimension) member MEAN. One narrow map (m·k fused dots per row,
+    * k·dim multiplies total — the full-vector assignment cost) + one
+    * groupBy over m·k·(dim/m) result cells, map-side combined. */
+  def pqStep(corpus: DataFrame, books: Seq[Seq[Seq[Double]]],
+             vecCol: String = "embedding"): DataFrame = {
+    val m = books.size
+    val subDim = books.head.head.size
+    corpus
+      .filter(dot(col(vecCol), col(vecCol)) > 0.0) // zero-norm guard, as kmeansStep
+      .select(normalized(col(vecCol)).as("u"))
+      .select(posexplode(array((0 until m).map { s =>
+        Text.bindOnce(subVec(col("u"), subDim, s)) { sv =>
+          struct(codeIdRounded(sv, books(s)).as("code"), sv.as("sv"))
+        }
+      }: _*)).as(Seq("subspace", "sc")))
+      .select(col("subspace"), col("sc.code").as("code"),
+        posexplode(col("sc.sv")))
+      .groupBy(col("subspace"), col("code"), col("pos").as("dim"))
+      .agg(avg(col("col")).as("m"))
+      .select(col("subspace"), col("code"), col("dim"), col("m"))
+  }
+
+  /** Distributed PQ codebook training: `iters` Lloyd rounds of
+    * [[pqStep]] per subspace; codes that lose all members (or go NaN)
+    * keep their previous codeword. Driver state is m·k·(dim/m) = k·dim
+    * doubles — broadcast-sized at any corpus scale. Codewords are plain
+    * sub-space means (standard PQ — NOT re-normalized). */
+  def pqTrain(corpus: DataFrame, m: Int, k: Int, iters: Int = 5,
+              init: Option[Seq[Seq[Seq[Double]]]] = None,
+              vecCol: String = "embedding",
+              idCol: String = "vec_id"): Seq[Seq[Seq[Double]]] = {
+    val dim = dimOf(corpus, vecCol)
+    require(m > 0 && dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    var books = init.getOrElse {
+      val seeds = sampleCentroids(corpus, k, vecCol, idCol)
+      (0 until m).map(s => seeds.map(_.slice(s * subDim, (s + 1) * subDim)))
+    }
+    for (_ <- 0 until iters) {
+      val byKey = pqStep(corpus, books, vecCol).collect()
+        .groupBy(r => (r.getAs[Int]("subspace"), r.getAs[Int]("code")))
+      books = books.zipWithIndex.map { case (book, s) =>
+        book.zipWithIndex.map { case (old, c) =>
+          byKey.get((s, c)).fold(old) { rs =>
+            val mean = rs.sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("m")).toSeq
+            if (mean.exists(_.isNaN)) old else mean
+          }
+        }
+      }
+    }
+    books
+  }
+
+  /** PQ-encode the corpus: each unit-normalized vector becomes m small
+    * codes (one byte each at k <= 256) — a ~dim·4/m-fold shrink that
+    * makes 100 TB of embeddings scannable from a few TB of codes. Pure
+    * narrow map, no shuffle. */
+  def pqEncode(corpus: DataFrame, books: Seq[Seq[Seq[Double]]],
+               vecCol: String = "embedding",
+               idCol: String = "vec_id"): DataFrame = {
+    val subDim = books.head.head.size
+    corpus
+      .filter(dot(col(vecCol), col(vecCol)) > 0.0)
+      .select(col(idCol), normalized(col(vecCol)).as("u"))
+      .select(col(idCol), array(books.indices.map { s =>
+        codeIdRounded(subVec(col("u"), subDim, s), books(s))
+      }: _*).as("codes"))
+  }
+
+  /** Asymmetric-distance top-k over PQ codes: the query's per-(subspace,
+    * code) inner products form an m×k lookup TABLE (computed once on the
+    * driver, broadcast as a literal), and each row's approximate cosine
+    * is m table lookups summed — no vector data is touched at query
+    * time. Narrow scan + TakeOrdered; recall is bounded by the
+    * quantization error, verified in LlmSpec against brute force. */
+  def pqTopKAdc(codes: DataFrame, books: Seq[Seq[Seq[Double]]],
+                query: Seq[Double], k: Int,
+                idCol: String = "vec_id"): DataFrame = {
+    val subDim = books.head.head.size
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    val qUnit = query.map(_ / qn)
+    val table: Seq[Seq[Double]] = books.zipWithIndex.map { case (book, s) =>
+      val qSub = qUnit.slice(s * subDim, (s + 1) * subDim)
+      book.map(c => c.zip(qSub).map { case (a, b) => a * b }.sum)
+    }
+    codes
+      .select(col(idCol), round(books.indices.map { s =>
+        element_at(typedLit(table(s)), col("codes").getItem(s) + 1)
+      }.reduce(_ + _), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Exact embedding near-duplicate pairs (cosine >= threshold) via
     * block-broadcast join keyed on nothing — the VERIFICATION baseline for
     * small corpora and oracles. For the 100 TB path use

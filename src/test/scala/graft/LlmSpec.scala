@@ -212,6 +212,41 @@ class LlmSpec extends SparkFunSuite {
     assert(got == exact)
   }
 
+  test("PQ: codes are valid, ADC recovers brute-force order on clusters") {
+    // two tight clusters in 4d, m=2 subspaces of 2 dims, k=2 codewords
+    val cluster1 = (0 until 6).map(i => Seq(1.0, 0.02 * i, 0.0, 0.0))
+    val cluster2 = (0 until 6).map(i => Seq(0.0, 0.0, 1.0, 0.02 * i))
+    val corpus = vecs(cluster1 ++ cluster2)
+    val books = Embed.pqTrain(corpus, m = 2, k = 2, iters = 3)
+    assert(books.size == 2 && books.forall(_.size == 2) &&
+      books.forall(_.forall(_.size == 2)))
+    val codes = Embed.pqEncode(corpus, books).collect()
+    assert(codes.length == 12)
+    assert(codes.forall(_.getSeq[Int](1).forall(c => c >= 0 && c < 2)))
+    // ADC top-6 for a cluster-1 query = exactly cluster 1 (inter-cluster
+    // gap >> quantization error; within-cluster order may shuffle)
+    val got = Embed.pqTopKAdc(Embed.pqEncode(corpus, books), books,
+      Seq(1.0, 0.0, 0.0, 0.0), k = 6).collect().map(_.getLong(0)).toSet
+    assert(got == (0L until 6L).toSet)
+    // ADC scores approximate the true cosine within quantization error
+    val scores = Embed.pqTopKAdc(Embed.pqEncode(corpus, books), books,
+      Seq(1.0, 0.0, 0.0, 0.0), k = 12).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores.filterKeys(_ < 6).values.forall(s => s > 0.99))
+    assert(scores.filterKeys(_ >= 6).values.forall(s => s < 0.1))
+  }
+
+  test("PQ: a codeword that loses all members keeps its previous value") {
+    val corpus = vecs(Seq(Seq(1.0, 0.0), Seq(0.9, 0.1)))
+    // k=2 init, second codeword deliberately far from every vector
+    val init = Seq(Seq(Seq(1.0, 0.0), Seq(-1.0, -1.0)),
+      Seq(Seq(0.0, 1.0), Seq(-1.0, -1.0))) // m=2 subspaces of 1 dim
+    val books = Embed.pqTrain(corpus, m = 2, k = 2, iters = 2,
+      init = Some(init.map(_.map(_.take(1)))))
+    // the orphaned code (index 1) keeps the init codeword verbatim
+    assert(books(0)(1) == Seq(-1.0) && books(1)(1) == Seq(-1.0))
+  }
+
   test("nearDupLsh is a subset of exact with full recall on tight pairs") {
     val tight = Seq(Seq.fill(64)(1.0), Seq.fill(64)(1.0).updated(0, 0.9))
     val noise = (0 until 6).map(i =>
