@@ -1697,6 +1697,49 @@ object SparkEntry {
              |  GROUP BY 1)
              |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)),
 
+    // -- similarity: SemDeDup (cluster-bucketed semantic dedup) ----------
+    // Pinned centroids (vec_id < 4, the embed_kmeans convention) make
+    // the cell assignment reproducible; survivors = corpus minus every
+    // non-minimal member of a within-cluster cosine>=0.4 component. The
+    // oracle rebuilds assign -> co-cell pairs -> reachability -> losers.
+    "embed_semdedup" -> Gated(
+      (s, d) => {
+        val emb = TestData.table(s, d, "embeddings")
+        val init = emb.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+          .select(Embed.normalized(col("embedding")))
+          .collect().toSeq.map(_.getSeq[Double](0).toSeq)
+        Embed.semDedup(emb, init, threshold = 0.4)
+          .select(col("vec_id")).orderBy(col("vec_id"))
+      },
+      Some("""WITH RECURSIVE e AS (SELECT vec_id,
+             |    list_transform(embedding, x -> x::DOUBLE) AS v
+             |  FROM embeddings),
+             |n AS (SELECT vec_id, list_transform(v, x ->
+             |    x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS u
+             |  FROM e),
+             |init AS (SELECT vec_id::INT AS cid, u FROM n WHERE vec_id < 4),
+             |assign AS (SELECT vec_id, cid FROM (
+             |    SELECT n.vec_id, init.cid,
+             |      row_number() OVER (PARTITION BY n.vec_id
+             |        ORDER BY round(list_cosine_similarity(n.u, init.u), 6)
+             |          DESC, init.cid DESC) AS rn
+             |    FROM n CROSS JOIN init) WHERE rn = 1),
+             |pairs AS (SELECT ax.vec_id AS a, ay.vec_id AS b
+             |  FROM assign ax JOIN assign ay
+             |    ON ax.cid = ay.cid AND ax.vec_id < ay.vec_id
+             |  JOIN e x ON x.vec_id = ax.vec_id
+             |  JOIN e y ON y.vec_id = ay.vec_id
+             |  WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.4),
+             |edges AS (SELECT a AS u, b AS v FROM pairs
+             |  UNION SELECT b, a FROM pairs),
+             |reach(u, v) AS (SELECT u, v FROM edges
+             |  UNION SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u),
+             |losers AS (SELECT u AS vec_id FROM reach
+             |  GROUP BY u HAVING min(v) < u)
+             |SELECT vec_id FROM e
+             |WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+             |ORDER BY vec_id""".stripMargin)),
+
     // -- similarity: int8 vector quantization (exact integer twin) -------
     "embed_quantize" -> Gated(
       (s, d) => TestData.table(s, d, "embeddings")

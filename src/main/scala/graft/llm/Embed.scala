@@ -451,6 +451,53 @@ object Embed {
       .limit(k)
   }
 
+  // --- SemDeDup (semantic deduplication) ------------------------------------
+
+  /** Within-cluster semantic near-dup pairs (SemDeDup, Abbas et al.
+    * 2023, arXiv:2303.09540): assign every vector to its nearest
+    * centroid on the 6-decimal-rounded cosine and score ONLY
+    * co-clustered pairs. The cluster is the candidate bucket — pairwise
+    * cost is Σ|cell|² instead of n², and k is the knob that bounds it
+    * (the paper runs k≈√n·c). `maxCell` is the same safety valve as
+    * [[Dedup.ngramJaccard]]'s heavy-shingle cap: a cell the centroids
+    * failed to split (degenerate corpus mass) is excluded rather than
+    * silently re-creating the all-pairs regime; the excluded cell ids
+    * are broadcast-sized. Raw float vectors ride the join (the fused
+    * [[cosine]] needs no normalized copy). */
+  def semDedupPairs(corpus: DataFrame, centroids: Seq[Seq[Double]],
+                    threshold: Double,
+                    vecCol: String = "embedding", idCol: String = "vec_id",
+                    maxCell: Long = 100000L): DataFrame = {
+    val assigned = corpus
+      .filter(dot(col(vecCol), col(vecCol)) > 0.0)
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism * 2)
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("cell", centroidIdRounded(col("v"), centroids))
+    val heavy = assigned.groupBy(col("cell")).count()
+      .filter(col("count") > maxCell).select(col("cell"))
+    val kept = assigned.join(broadcast(heavy), Seq("cell"), "left_anti")
+    kept.alias("l")
+      .join(kept.alias("r"),
+        col("l.cell") === col("r.cell") && col("l.id") < col("r.id"))
+      .withColumn("score", round(cosine(col("l.v"), col("r.v")), 6))
+      .filter(col("score") >= threshold)
+      .select(col("l.id").as("a"), col("r.id").as("b"),
+        col("l.cell").as("cell"), col("score"))
+  }
+
+  /** SemDeDup survivors: the corpus minus every non-minimal member of a
+    * within-cluster near-dup component ([[Dedup.deduplicateClustered]]
+    * policy — one row kept per connected pair group, smallest id wins;
+    * rows in no pair survive untouched). Centroids come from
+    * [[kmeansCentroids]] at scale; the gate pins them for the oracle. */
+  def semDedup(corpus: DataFrame, centroids: Seq[Seq[Double]],
+               threshold: Double,
+               vecCol: String = "embedding", idCol: String = "vec_id",
+               maxCell: Long = 100000L): DataFrame =
+    Dedup.deduplicateClustered(corpus,
+      semDedupPairs(corpus, centroids, threshold, vecCol, idCol, maxCell),
+      idCol)
+
   /** Exact embedding near-duplicate pairs (cosine >= threshold) via
     * block-broadcast join keyed on nothing — the VERIFICATION baseline for
     * small corpora and oracles. For the 100 TB path use

@@ -247,6 +247,42 @@ class LlmSpec extends SparkFunSuite {
     assert(books(0)(1) == Seq(-1.0) && books(1)(1) == Seq(-1.0))
   }
 
+  test("semDedup: within-cluster pairs only, one survivor per dup group") {
+    // cluster A: three near-copies + one distinct; cluster B: two copies
+    val a = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.999, 0.01, 0.0, 0.0),
+      Seq(0.998, 0.02, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0))
+    val b = Seq(Seq(0.0, 0.0, 1.0, 0.0), Seq(0.0, 0.0, 0.999, 0.01))
+    val corpus = vecs(a ++ b)
+    val cents = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 0.0, 1.0, 0.0))
+    val pairs = Embed.semDedupPairs(corpus, cents, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ids 0,1,2 co-cluster and are mutual near-dups; 4,5 likewise; id 3
+    // shares cluster 0 but scores below threshold against everything
+    assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L), (4L, 5L)))
+    val survivors = Embed.semDedup(corpus, cents, threshold = 0.95)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(0L, 3L, 4L))
+    // cross-cluster near-dups are NOT candidates (the SemDeDup contract):
+    // a clone of id 0 assigned to cluster B would pair with nothing in A
+    val pairsHigh = Embed.semDedupPairs(corpus, cents, threshold = 0.99999)
+      .collect()
+    assert(pairsHigh.isEmpty)
+  }
+
+  test("semDedup: maxCell excludes a degenerate cell from pairing") {
+    val clones = (0 until 8).map(_ => Seq(1.0, 0.0))
+    val corpus = vecs(clones :+ Seq(0.0, 1.0))
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val capped = Embed.semDedupPairs(corpus, cents, threshold = 0.9,
+      maxCell = 4L).collect()
+    assert(capped.isEmpty) // the 8-clone cell is over the cap, excluded
+    val full = Embed.semDedupPairs(corpus, cents, threshold = 0.9)
+      .collect()
+    assert(full.length == 8 * 7 / 2)
+    // capped semDedup keeps everything (no pairs -> no losers)
+    assert(Embed.semDedup(corpus, cents, 0.9, maxCell = 4L).count() == 9)
+  }
+
   test("nearDupLsh is a subset of exact with full recall on tight pairs") {
     val tight = Seq(Seq.fill(64)(1.0), Seq.fill(64)(1.0).updated(0, 0.9))
     val noise = (0 until 6).map(i =>
