@@ -92,6 +92,49 @@ object SparkEntry {
       |    (SELECT v FROM e WHERE vec_id = 7), b.v), 6) AS score
       |FROM e b ORDER BY 2 DESC, 1 ASC LIMIT 10""".stripMargin
 
+  private val annTopKPqOracle: String =
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      |n AS (SELECT vec_id, list_transform(v, x ->
+      |    x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS u FROM e),
+      |sub AS (SELECT vec_id, s, u[s*8+1 : s*8+8] AS sv
+      |  FROM n CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s)),
+      |init AS (SELECT vec_id::INT AS cid, s, sv AS cw
+      |  FROM sub WHERE vec_id < 4),
+      |a0 AS (SELECT vec_id, s, cid FROM (
+      |    SELECT sub.vec_id, sub.s, init.cid,
+      |      row_number() OVER (PARTITION BY sub.vec_id, sub.s
+      |        ORDER BY round(list_inner_product(sub.sv, init.cw)
+      |          - list_sum(list_transform(init.cw, x -> x * x)) / 2, 6)
+      |          DESC, init.cid DESC) AS rn
+      |    FROM sub JOIN init USING (s)) WHERE rn = 1),
+      |mean AS (SELECT a0.s, a0.cid, d, round(avg(sub.sv[d]), 6) AS m
+      |  FROM a0 JOIN sub ON a0.vec_id = sub.vec_id AND a0.s = sub.s
+      |  CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS d)
+      |  GROUP BY 1, 2, 3),
+      |trained AS (SELECT s, cid, list(m ORDER BY d) AS cw
+      |  FROM mean GROUP BY 1, 2),
+      |book AS (SELECT init.s, init.cid,
+      |    coalesce(trained.cw, list_transform(init.cw, x -> round(x, 6)))
+      |      AS cw
+      |  FROM init LEFT JOIN trained
+      |    ON init.s = trained.s AND init.cid = trained.cid),
+      |codes AS (SELECT vec_id, s, cid FROM (
+      |    SELECT sub.vec_id, sub.s, book.cid,
+      |      row_number() OVER (PARTITION BY sub.vec_id, sub.s
+      |        ORDER BY round(list_inner_product(sub.sv, book.cw)
+      |          - list_sum(list_transform(book.cw, x -> x * x)) / 2, 6)
+      |          DESC, book.cid DESC) AS rn
+      |    FROM sub JOIN book USING (s)) WHERE rn = 1),
+      |q AS (SELECT s, sv AS qv FROM sub WHERE vec_id = 7)
+      |SELECT vec_id, score FROM (
+      |  SELECT c.vec_id, round(sum(list_inner_product(q.qv, book.cw)), 6)
+      |      AS score
+      |  FROM codes c JOIN book ON c.s = book.s AND c.cid = book.cid
+      |  JOIN q ON q.s = c.s
+      |  GROUP BY 1)
+      |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+
   // =====================================================================
   private lazy val gated: Seq[(String, Gated)] = Seq(
 
@@ -1655,47 +1698,40 @@ object SparkEntry {
           .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
         Embed.pqTopKAdc(Embed.pqEncode(emb, books), books, q, k = 10)
       },
-      Some("""WITH e AS (SELECT vec_id,
-             |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-             |n AS (SELECT vec_id, list_transform(v, x ->
-             |    x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS u FROM e),
-             |sub AS (SELECT vec_id, s, u[s*8+1 : s*8+8] AS sv
-             |  FROM n CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s)),
-             |init AS (SELECT vec_id::INT AS cid, s, sv AS cw
-             |  FROM sub WHERE vec_id < 4),
-             |a0 AS (SELECT vec_id, s, cid FROM (
-             |    SELECT sub.vec_id, sub.s, init.cid,
-             |      row_number() OVER (PARTITION BY sub.vec_id, sub.s
-             |        ORDER BY round(list_inner_product(sub.sv, init.cw)
-             |          - list_sum(list_transform(init.cw, x -> x * x)) / 2, 6)
-             |          DESC, init.cid DESC) AS rn
-             |    FROM sub JOIN init USING (s)) WHERE rn = 1),
-             |mean AS (SELECT a0.s, a0.cid, d, round(avg(sub.sv[d]), 6) AS m
-             |  FROM a0 JOIN sub ON a0.vec_id = sub.vec_id AND a0.s = sub.s
-             |  CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS d)
-             |  GROUP BY 1, 2, 3),
-             |trained AS (SELECT s, cid, list(m ORDER BY d) AS cw
-             |  FROM mean GROUP BY 1, 2),
-             |book AS (SELECT init.s, init.cid,
-             |    coalesce(trained.cw, list_transform(init.cw, x -> round(x, 6)))
-             |      AS cw
-             |  FROM init LEFT JOIN trained
-             |    ON init.s = trained.s AND init.cid = trained.cid),
-             |codes AS (SELECT vec_id, s, cid FROM (
-             |    SELECT sub.vec_id, sub.s, book.cid,
-             |      row_number() OVER (PARTITION BY sub.vec_id, sub.s
-             |        ORDER BY round(list_inner_product(sub.sv, book.cw)
-             |          - list_sum(list_transform(book.cw, x -> x * x)) / 2, 6)
-             |          DESC, book.cid DESC) AS rn
-             |    FROM sub JOIN book USING (s)) WHERE rn = 1),
-             |q AS (SELECT s, sv AS qv FROM sub WHERE vec_id = 7)
-             |SELECT vec_id, score FROM (
-             |  SELECT c.vec_id, round(sum(list_inner_product(q.qv, book.cw)), 6)
-             |      AS score
-             |  FROM codes c JOIN book ON c.s = book.s AND c.cid = book.cid
-             |  JOIN q ON q.s = c.s
-             |  GROUP BY 1)
-             |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)),
+      Some(annTopKPqOracle)),
+
+    // -- similarity: ADC top-k through the STORED IVF-PQ layout ----------
+    // Same pinned-init books as ann_topk_pq, coarse cells from the same
+    // four init vectors, ALL cells probed (the ann_topk_ivf full-probe
+    // rationale: this corpus is near-uniform, no partial probe can
+    // guarantee recall) — so the result is EXACTLY the PQ oracle while
+    // the gate still runs write -> sidecar quantizer round-trip ->
+    // partition-pruned scan -> ADC end-to-end. The partial-probe
+    // property (only probed directories read; no vector column in the
+    // layout) is asserted in LlmSpec.
+    "ann_topk_ivfpq" -> Gated(
+      (s, d) => {
+        val emb = TestData.table(s, d, "embeddings")
+        val init = emb.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+          .select(Embed.normalized(col("embedding")))
+          .collect().toSeq.map(_.getSeq[Double](0).toSeq)
+        val books0 = (0 until 8).map(sub =>
+          init.map(_.slice(sub * 8, sub * 8 + 8)))
+        val books = Embed.pqTrain(emb, m = 8, k = 4, iters = 1,
+            init = Some(books0))
+          .map(_.map(_.map(x =>
+            BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+        val tmp = s"/tmp/graft_ivfpq_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+        Embed.writeIvfPq(emb, tmp, nCentroids = 4, m = 8, k = 4,
+          centroids = Some(init), books = Some(books))
+        val q = emb.filter(col("vec_id") === 7)
+          .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+        Embed.topKIvfPqStored(s.read.parquet(tmp), q, k = 10, nProbe = 4,
+          cents = Embed.readIvfCentroids(s, tmp),
+          books = Embed.readPqBooks(s, tmp))
+      },
+      Some(annTopKPqOracle)),
+
 
     // -- similarity: SemDeDup (cluster-bucketed semantic dedup) ----------
     // Pinned centroids (vec_id < 4, the embed_kmeans convention) make

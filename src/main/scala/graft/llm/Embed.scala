@@ -436,17 +436,115 @@ object Embed {
   def pqTopKAdc(codes: DataFrame, books: Seq[Seq[Seq[Double]]],
                 query: Seq[Double], k: Int,
                 idCol: String = "vec_id"): DataFrame = {
-    val subDim = books.head.head.size
     val qn = math.sqrt(query.map(x => x * x).sum)
-    val qUnit = query.map(_ / qn)
+    codes
+      .select(col(idCol),
+        adcScore(col("codes"), books, query.map(_ / qn)).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** The ADC score of a codes column: the unit query's per-(subspace,
+    * code) inner products form an m×k lookup table baked into the plan
+    * as array literals; each row's score is m `element_at` lookups
+    * summed, rounded to the gate contract's 6 decimals. */
+  private def adcScore(codes: Column, books: Seq[Seq[Seq[Double]]],
+                       qUnit: Seq[Double]): Column = {
+    val subDim = books.head.head.size
     val table: Seq[Seq[Double]] = books.zipWithIndex.map { case (book, s) =>
       val qSub = qUnit.slice(s * subDim, (s + 1) * subDim)
       book.map(c => c.zip(qSub).map { case (a, b) => a * b }.sum)
     }
-    codes
-      .select(col(idCol), round(books.indices.map { s =>
-        element_at(typedLit(table(s)), col("codes").getItem(s) + 1)
-      }.reduce(_ + _), 6).as("score"))
+    round(books.indices.map { s =>
+      element_at(typedLit(table(s)), codes.getItem(s) + 1)
+    }.reduce(_ + _), 6)
+  }
+
+  // --- IVF-PQ: partition-pruned cells over m-byte codes ---------------------
+
+  private def pqBooksFile(path: String) = s"$path/_pq_books.txt"
+
+  private def writeTextFile(spark: SparkSession, pathStr: String,
+                            text: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(pathStr)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Write an IVF-PQ layout — the composite 100 TB ANN shape (Jégou et
+    * al. 2011): rows are coarse-assigned to `nCentroids` partition
+    * directories (pruned at probe time, as [[writeIvf]]) but store ONLY
+    * `(id, m codes)` — ~dim·4/m-fold smaller than the vectors, so a
+    * probe scans a few small directories of byte codes. Codes quantize
+    * the UNIT vector itself (the cosine-metric formulation, shared with
+    * [[pqEncode]]/[[pqTopKAdc]]), not the cell residual — residual
+    * coding buys accuracy only under L2 re-ranking, which the cosine
+    * contract here doesn't use. Coarse centroids AND codebooks persist
+    * inside the layout (the writeIvf sidecar rule: a prober can never
+    * pair data with the wrong quantizers). */
+  def writeIvfPq(corpus: DataFrame, path: String,
+                 nCentroids: Int = 256, m: Int = 8, k: Int = 256,
+                 iters: Int = 5,
+                 vecCol: String = "embedding", idCol: String = "vec_id",
+                 centroids: Option[Seq[Seq[Double]]] = None,
+                 books: Option[Seq[Seq[Seq[Double]]]] = None): Unit = {
+    val cents = centroids.getOrElse(
+      sampleCentroids(corpus, nCentroids, vecCol, idCol))
+    val bks = books.getOrElse(
+      pqTrain(corpus, m, k, iters, None, vecCol, idCol))
+    val subDim = bks.head.head.size
+    corpus
+      .filter(dot(col(vecCol), col(vecCol)) > 0.0)
+      .select(col(idCol), normalized(col(vecCol)).as("u"))
+      .select(col(idCol),
+        array(bks.indices.map(s =>
+          codeIdRounded(subVec(col("u"), subDim, s), bks(s))): _*).as("codes"),
+        centroidIdRounded(col("u"), cents).as("ivf_cell"))
+      .repartition(col("ivf_cell"))
+      .write.partitionBy("ivf_cell").mode("overwrite").parquet(path)
+    val spark = corpus.sparkSession
+    writeTextFile(spark, centroidsFile(path),
+      cents.map(_.mkString(",")).mkString("\n"))
+    writeTextFile(spark, pqBooksFile(path),
+      (for (s <- bks.indices; c <- bks(s).indices)
+        yield s"$s $c ${bks(s)(c).mkString(",")}").mkString("\n"))
+  }
+
+  /** The PQ codebooks persisted by [[writeIvfPq]] (double text
+    * round-trips exactly). */
+  def readPqBooks(spark: SparkSession, path: String): Seq[Seq[Seq[Double]]] = {
+    val p = new org.apache.hadoop.fs.Path(pqBooksFile(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val text = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+    text.split("\n").toSeq.map { line =>
+      val Array(s, c, vs) = line.split(" ", 3)
+      (s.toInt, c.toInt, vs.split(",").toSeq.map(_.toDouble))
+    }.groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3))
+  }
+
+  /** ADC top-k against a [[writeIvfPq]] layout: `ivf_cell` is a
+    * partition-column predicate (only `nProbe` directories are listed
+    * and read), and scoring touches only the m-byte codes — no vector
+    * data anywhere in the plan. Pass the layout's own persisted
+    * quantizers ([[readIvfCentroids]], [[readPqBooks]]). */
+  def topKIvfPqStored(stored: DataFrame, query: Seq[Double], k: Int,
+                      nProbe: Int, cents: Seq[Seq[Double]],
+                      books: Seq[Seq[Seq[Double]]],
+                      idCol: String = "vec_id"): DataFrame = {
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    val qUnit = query.map(_ / qn)
+    val probes = cents.zipWithIndex
+      .map { case (c, i) => (c.zip(qUnit).map { case (a, b) => a * b }.sum, i) }
+      .sortBy(-_._1).take(nProbe).map(_._2)
+    stored
+      .filter(col("ivf_cell").isin(probes: _*))
+      .select(col(idCol), adcScore(col("codes"), books, qUnit).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }

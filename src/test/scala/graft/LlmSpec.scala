@@ -236,6 +236,42 @@ class LlmSpec extends SparkFunSuite {
     assert(scores.filterKeys(_ >= 6).values.forall(s => s < 0.1))
   }
 
+  test("IVF-PQ layout: no vector column, pruned probe, ADC parity") {
+    val cluster1 = (0 until 6).map(i => Seq(1.0, 0.02 * i, 0.0, 0.0))
+    val cluster2 = (0 until 6).map(i => Seq(0.0, 0.0, 1.0, 0.02 * i))
+    val corpus = vecs(cluster1 ++ cluster2)
+    val cents = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 0.0, 1.0, 0.0),
+      Seq(0.0, 1.0, 0.0, 0.0), Seq(0.0, 0.0, 0.0, 1.0))
+    val books = Embed.pqTrain(corpus, m = 2, k = 2, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    Embed.writeIvfPq(corpus, path, nCentroids = 4, m = 2, k = 2,
+      centroids = Some(cents), books = Some(books))
+    val stored = spark.read.parquet(path)
+    // the layout stores ONLY (id, codes, cell) — no vector data at rest
+    assert(stored.columns.sorted.toSeq == Seq("codes", "ivf_cell", "vec_id"))
+    // sidecar quantizers round-trip exactly
+    assert(Embed.readIvfCentroids(spark, path) == cents)
+    assert(Embed.readPqBooks(spark, path) == books)
+    // partial probe: the executed scan reads only the probed cell dirs
+    val probe = Embed.topKIvfPqStored(stored, Seq(1.0, 0.0, 0.0, 0.0), 6,
+      nProbe = 1, cents = cents, books = books)
+    val scan = probe.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    probe.collect()
+    assert(scan.metrics("numPartitions").value <= 1)
+    // the probed cell is cluster 1; ADC ranks its 6 members on top
+    assert(probe.collect().map(_.getLong(0)).toSet == (0L until 6L).toSet)
+    // full probe == pqTopKAdc over pqEncode (same books, same scores)
+    val full = Embed.topKIvfPqStored(stored, Seq(1.0, 0.0, 0.0, 0.0), 12,
+      nProbe = 4, cents = cents, books = books)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val direct = Embed.pqTopKAdc(Embed.pqEncode(corpus, books), books,
+      Seq(1.0, 0.0, 0.0, 0.0), 12)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == direct)
+  }
+
   test("PQ: a codeword that loses all members keeps its previous value") {
     val corpus = vecs(Seq(Seq(1.0, 0.0), Seq(0.9, 0.1)))
     // k=2 init, second codeword deliberately far from every vector
