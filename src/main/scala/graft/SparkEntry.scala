@@ -1371,6 +1371,46 @@ object SparkEntry {
              |                          WHEN 'medium' THEN 0.5 ELSE 1.0 END
              |ORDER BY 1""".stripMargin)),
 
+    // -- sampling: epoch upsampling (rates > 1 repeat rows) --------------
+    // rate 2.3 = two full epochs + a deterministic 30% third; the
+    // fractional subset derives from the same md5 fraction as mix, so
+    // the oracle rebuilds membership exactly. floor/frac arithmetic is
+    // the same IEEE double op on both sides.
+    "doc_upsample" -> Gated(
+      (s, d) => {
+        val docs = TestData.table(s, d, "documents")
+        val stratum = when(Text.tokenCount(col("text")) < 40, "short")
+          .when(Text.tokenCount(col("text")) < 80, "medium")
+          .otherwise("long")
+        Sample.upsample(docs, stratum,
+          Map("short" -> 2.3, "medium" -> 0.5), defaultRate = 1.0,
+          seed = "up1")
+          .select(col("doc_id"), col("stratum"), col("epoch"))
+          .orderBy(col("doc_id"), col("epoch"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    len(string_split_regex(trim(text), '\s+')) AS n
+             |  FROM documents),
+             |s AS (SELECT doc_id,
+             |    CASE WHEN n < 40 THEN 'short'
+             |         WHEN n < 80 THEN 'medium' ELSE 'long' END AS stratum,
+             |    list_sum(list_transform(range(1, 16),
+             |      i -> (strpos('0123456789abcdef',
+             |              (md5(doc_id::VARCHAR || 'up1'))[i]) - 1)::BIGINT
+             |           * (1::BIGINT << ((15 - i) * 4))))::BIGINT::DOUBLE
+             |      / 1152921504606846976.0 AS frac
+             |  FROM t),
+             |r AS (SELECT doc_id, stratum, frac,
+             |    CASE stratum WHEN 'short' THEN 2.3
+             |                 WHEN 'medium' THEN 0.5 ELSE 1.0 END AS rate
+             |  FROM s)
+             |SELECT doc_id, stratum, epoch FROM (
+             |  SELECT doc_id, stratum, rate, frac,
+             |    unnest(generate_series(0, ceil(rate)::INT - 1)) AS epoch
+             |  FROM r WHERE rate > 0)
+             |WHERE epoch < floor(rate) OR frac < rate - floor(rate)
+             |ORDER BY 1, 3""".stripMargin)),
+
     // -- curation: benchmark decontamination ------------------------------
     // Corpus = docs outside the holdout, benchmark = every 50th doc; a
     // doc is contaminated at >= 3 shared word-3-gram shingles. The

@@ -50,6 +50,35 @@ object Sample {
         coalesce(try_element_at(rateMap, col("stratum")), lit(defaultRate)))
   }
 
+  /** Epoch upsampling: per-stratum rates MAY exceed 1 — rate 2.3 yields
+    * two full copies of every row plus a deterministic 30% subset as a
+    * third, each tagged with an `epoch` index (0-based). This is the
+    * "repeat high-quality sources for n.m epochs" curation step
+    * (training-mixture weighting), with [[mix]]'s reproducibility
+    * contract: the fractional epoch's membership derives from
+    * hashFrac(id), so the same rows get the extra epoch on any cluster,
+    * after any retry. A narrow per-row explode — output size is
+    * Σ rate(stratum)·|stratum| rows, no shuffle.
+    *
+    * OUTPUT CONTRACT: adds `stratum` AND `epoch` columns (replacing
+    * existing ones of those names). Rates <= 0 drop the stratum. */
+  def upsample(df: DataFrame, stratum: Column, rates: Map[String, Double],
+               defaultRate: Double = 1.0, idCol: String = "doc_id",
+               seed: String = ""): DataFrame = {
+    val rateMap = map(rates.toSeq.flatMap { case (k, v) =>
+      Seq(lit(k), lit(v)) }: _*)
+    df.withColumn("stratum", stratum)
+      .withColumn("__rate",
+        coalesce(try_element_at(rateMap, col("stratum")), lit(defaultRate)))
+      // sequence(0, n) counts DOWN when n < 0 — guard non-positive rates
+      .withColumn("epoch", explode(when(col("__rate") <= 0,
+          array().cast("array<int>"))
+        .otherwise(sequence(lit(0), ceil(col("__rate")).cast("int") - 1))))
+      .filter(col("epoch") < floor(col("__rate")) ||
+        hashFrac(col(idCol), seed) < col("__rate") - floor(col("__rate")))
+      .drop("__rate")
+  }
+
   /** Exactly-n-per-stratum deterministic sample: rows rank within their
     * stratum by (hashFrac, id) — a seeded total order — and the first
     * `counts(stratum)` survive (`defaultN` otherwise). Same

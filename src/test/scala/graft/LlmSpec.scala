@@ -521,6 +521,36 @@ class LlmSpec extends SparkFunSuite {
     assert(mixed.length == 500 && mixed.forall(_ >= 500))
   }
 
+  test("upsample: integer epochs + deterministic fractional epoch") {
+    import graft.llm.Sample
+    val d = docs(Seq.tabulate(1000)(i => s"document body $i"))
+    val stratum = when(col("doc_id") < 500, "hot").otherwise("cold")
+    val up = Sample.upsample(d, stratum,
+      Map("hot" -> 2.5, "cold" -> 0.0), seed = "e")
+      .select(col("doc_id"), col("epoch"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(up.forall(_._1 < 500))               // rate 0 drops cold
+    val byDoc = up.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq)
+    // every hot doc gets epochs 0 and 1; a ~50% subset gets epoch 2
+    assert(byDoc.values.forall(e =>
+      e.startsWith(Seq(0, 1)) && (e.size == 2 || e == Seq(0, 1, 2))))
+    val third = byDoc.count(_._2.size == 3)
+    assert(third > 150 && third < 350)
+    // reproducible; fractional membership = bernoulli at the fraction
+    val again = Sample.upsample(d, stratum,
+      Map("hot" -> 2.5, "cold" -> 0.0), seed = "e")
+      .select(col("doc_id"), col("epoch"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(up.sorted.toSeq == again.sorted.toSeq)
+    val bern = Sample.bernoulli(d.filter(col("doc_id") < 500), 0.5, seed = "e")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(byDoc.filter(_._2.size == 3).keySet == bern)
+    // rate 1.0 (default) = exactly one epoch-0 copy
+    val plain = Sample.upsample(d, stratum, Map("hot" -> 1.0, "cold" -> 1.0))
+    assert(plain.count() == 1000 &&
+      plain.filter(col("epoch") =!= 0).count() == 0)
+  }
+
   test("takeExact: exact per-stratum sizes, deterministic, seed-sensitive") {
     import graft.llm.Sample
     val d = docs((0 until 100).map(i => s"doc number $i content"))
