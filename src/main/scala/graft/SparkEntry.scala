@@ -1374,8 +1374,10 @@ object SparkEntry {
     // -- sampling: epoch upsampling (rates > 1 repeat rows) --------------
     // rate 2.3 = two full epochs + a deterministic 30% third; the
     // fractional subset derives from the same md5 fraction as mix, so
-    // the oracle rebuilds membership exactly. floor/frac arithmetic is
-    // the same IEEE double op on both sides.
+    // the oracle rebuilds membership exactly. The oracle casts the rate
+    // to ::DOUBLE before the subtraction — DuckDB types the CASE
+    // literal as DECIMAL(2,1), whose exact 0.3 differs from Spark's
+    // double(2.3) - 2.0 in the 17th digit.
     "doc_upsample" -> Gated(
       (s, d) => {
         val docs = TestData.table(s, d, "documents")
@@ -1401,8 +1403,9 @@ object SparkEntry {
              |      / 1152921504606846976.0 AS frac
              |  FROM t),
              |r AS (SELECT doc_id, stratum, frac,
-             |    CASE stratum WHEN 'short' THEN 2.3
-             |                 WHEN 'medium' THEN 0.5 ELSE 1.0 END AS rate
+             |    (CASE stratum WHEN 'short' THEN 2.3
+             |                  WHEN 'medium' THEN 0.5 ELSE 1.0
+             |     END)::DOUBLE AS rate
              |  FROM s)
              |SELECT doc_id, stratum, epoch FROM (
              |  SELECT doc_id, stratum, rate, frac,

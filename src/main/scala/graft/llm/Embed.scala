@@ -255,13 +255,8 @@ object Embed {
     // persist the centroid matrix INSIDE the layout (after the overwrite,
     // which clears the directory): a probe can then never pair the data
     // with a different centroid set than the one that assigned the cells
-    val p = new org.apache.hadoop.fs.Path(centroidsFile(path))
-    val fs = p.getFileSystem(
-      corpus.sparkSession.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(cents.map(_.mkString(","))
-      .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    writeTextFile(corpus.sparkSession, centroidsFile(path),
+      cents.map(_.mkString(",")).mkString("\n"))
   }
 
   /** Underscore-prefixed, so parquet directory listings skip it. */
@@ -270,15 +265,9 @@ object Embed {
   /** The centroid matrix persisted by [[writeIvf]] — pass this to
     * [[topKIvfStored]] as `trained`. Double text round-trips exactly
     * (shortest-repr toString), so the probe sees bit-identical centroids. */
-  def readIvfCentroids(spark: SparkSession, path: String): Seq[Seq[Double]] = {
-    val p = new org.apache.hadoop.fs.Path(centroidsFile(path))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
-    val text = try new String(in.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8)
-    finally in.close()
-    text.split("\n").toSeq.map(_.split(",").toSeq.map(_.toDouble))
-  }
+  def readIvfCentroids(spark: SparkSession, path: String): Seq[Seq[Double]] =
+    readTextFile(spark, centroidsFile(path))
+      .split("\n").toSeq.map(_.split(",").toSeq.map(_.toDouble))
 
   /** Top-k probe against a [[writeIvf]] layout: the `ivf_cell` filter is a
     * partition-column predicate, so only `nProbe` of `nCentroids`
@@ -414,7 +403,11 @@ object Embed {
   /** PQ-encode the corpus: each unit-normalized vector becomes m small
     * codes (one byte each at k <= 256) — a ~dim·4/m-fold shrink that
     * makes 100 TB of embeddings scannable from a few TB of codes. Pure
-    * narrow map, no shuffle. */
+    * narrow map, no shuffle. Zero-norm vectors are DROPPED (they have
+    * no direction on the unit sphere, so no codeword represents them) —
+    * unlike [[writeIvf]], which stores every corpus row; consumers
+    * treating codes as a complete id universe must filter the corpus
+    * the same way. */
   def pqEncode(corpus: DataFrame, books: Seq[Seq[Seq[Double]]],
                vecCol: String = "embedding",
                idCol: String = "vec_id"): DataFrame = {
@@ -473,6 +466,14 @@ object Embed {
     finally out.close()
   }
 
+  private def readTextFile(spark: SparkSession, pathStr: String): String = {
+    val p = new org.apache.hadoop.fs.Path(pathStr)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
   /** Write an IVF-PQ layout — the composite 100 TB ANN shape (Jégou et
     * al. 2011): rows are coarse-assigned to `nCentroids` partition
     * directories (pruned at probe time, as [[writeIvf]]) but store ONLY
@@ -483,7 +484,9 @@ object Embed {
     * coding buys accuracy only under L2 re-ranking, which the cosine
     * contract here doesn't use. Coarse centroids AND codebooks persist
     * inside the layout (the writeIvf sidecar rule: a prober can never
-    * pair data with the wrong quantizers). */
+    * pair data with the wrong quantizers). Zero-norm vectors are
+    * DROPPED, as in [[pqEncode]] — this layout can hold fewer rows than
+    * a [[writeIvf]] layout of the same corpus. */
   def writeIvfPq(corpus: DataFrame, path: String,
                  nCentroids: Int = 256, m: Int = 8, k: Int = 256,
                  iters: Int = 5,
@@ -515,13 +518,7 @@ object Embed {
   /** The PQ codebooks persisted by [[writeIvfPq]] (double text
     * round-trips exactly). */
   def readPqBooks(spark: SparkSession, path: String): Seq[Seq[Seq[Double]]] = {
-    val p = new org.apache.hadoop.fs.Path(pqBooksFile(path))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
-    val text = try new String(in.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8)
-    finally in.close()
-    text.split("\n").toSeq.map { line =>
+    readTextFile(spark, pqBooksFile(path)).split("\n").toSeq.map { line =>
       val Array(s, c, vs) = line.split(" ", 3)
       (s.toInt, c.toInt, vs.split(",").toSeq.map(_.toDouble))
     }.groupBy(_._1).toSeq.sortBy(_._1)
@@ -566,11 +563,15 @@ object Embed {
                     threshold: Double,
                     vecCol: String = "embedding", idCol: String = "vec_id",
                     maxCell: Long = 100000L): DataFrame = {
+    // materialized once: the plan below consumes `assigned` three times
+    // (heavy-cell count + both join sides) — without the checkpoint the
+    // k-cosine assignment would re-score the whole corpus three times
     val assigned = corpus
       .filter(dot(col(vecCol), col(vecCol)) > 0.0)
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism * 2)
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("cell", centroidIdRounded(col("v"), centroids))
+      .localCheckpoint()
     val heavy = assigned.groupBy(col("cell")).count()
       .filter(col("count") > maxCell).select(col("cell"))
     val kept = assigned.join(broadcast(heavy), Seq("cell"), "left_anti")

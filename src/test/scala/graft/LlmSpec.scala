@@ -293,7 +293,9 @@ class LlmSpec extends SparkFunSuite {
     val pairs = Embed.semDedupPairs(corpus, cents, threshold = 0.95)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // ids 0,1,2 co-cluster and are mutual near-dups; 4,5 likewise; id 3
-    // shares cluster 0 but scores below threshold against everything
+    // ties 0.0/0.0 against both centroids so the tie-break (larger cid
+    // wins) puts it in cell 1 with ids 4,5 — where it scores ~0 against
+    // both, below threshold either way
     assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L), (4L, 5L)))
     val survivors = Embed.semDedup(corpus, cents, threshold = 0.95)
       .select(col("vec_id")).collect().map(_.getLong(0)).toSet
