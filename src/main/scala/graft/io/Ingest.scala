@@ -229,7 +229,30 @@ object Ingest {
 
   private[io] def writePrepared(df: DataFrame, path: String, bucketNs: Long,
                                 saltBuckets: Int, codec: String,
-                                exchange: Boolean = true): Unit = {
+                                exchange: Boolean = true,
+                                append: Boolean = false): Unit = {
+    if (append) {
+      // appending into an existing layout: the bucket width is part of
+      // the layout's identity — a mismatched fold would scatter rows
+      // into day directories the reader's pruning never visits, and
+      // writeBucketNs below would then stamp the NEW width over the old
+      // rows, hiding them from pruning forever
+      readBucketNs(df.sparkSession, path) match {
+        case Some(w) =>
+          require(w == bucketNs,
+            s"layout $path has bucketNs $w, fold requested $bucketNs")
+        case None =>
+          // no sidecar: either a fresh layout (anything goes) or a
+          // legacy pre-sidecar layout whose implicit width is DayNs
+          val p = new org.apache.hadoop.fs.Path(path)
+          val fs = p.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+          val hasData = fs.exists(p) &&
+            fs.listStatus(p).exists(_.getPath.getName.startsWith("metric="))
+          if (hasData) require(bucketNs == DayNs,
+            s"layout $path predates the bucket sidecar (implicit DayNs); " +
+            s"fold requested $bucketNs")
+      }
+    }
     val withDay =
       df.withColumn("day", expr(s"ts div ${bucketNs}L")) // exact integer div:
       // double division would round ts (> 2^53) near bucket boundaries
@@ -253,10 +276,11 @@ object Ingest {
       // attempt that gets abandoned per page; row-group min/max stats
       // (the pruning the reads rely on) don't involve the dictionary
       .option("parquet.enable.dictionary", "false")
-      .mode("overwrite")
+      .mode(if (append) "append" else "overwrite")
       .parquet(path)
-    // after the overwrite (which clears the directory), like writeIvf's
-    // centroids: reader and writer can never disagree on the bucket width
+    // written after the parquet commit (overwrite clears the directory;
+    // append just verified the width above), like writeIvf's centroids:
+    // reader and writer can never disagree on the bucket width
     writeBucketNs(df.sparkSession, path, bucketNs)
   }
 

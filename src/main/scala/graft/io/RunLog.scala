@@ -188,7 +188,28 @@ object RunLog {
     * from the file header (they were fixed at spool time). */
   def readRuns(spark: SparkSession, path: String,
                flattenTags: Seq[String] = Nil,
-               minPartitions: Int = 0): DataFrame = {
+               minPartitions: Int = 0): DataFrame =
+    readRunFiles(spark, listRuns(spark, path), flattenTags, minPartitions)
+
+  /** Snapshot of the published run files under `path`, sorted. The
+    * snapshot is the unit of the fold protocol: [[foldRuns]] compacts
+    * and retires exactly one snapshot, so runs published concurrently
+    * are untouched and picked up by the next cycle. */
+  def listRuns(spark: SparkSession, path: String): Seq[String] = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a MISSING spool directory throws (a typo'd path must not read as
+    // "zero runs" — compactRuns would overwrite a layout with nothing);
+    // an existing-but-empty one is a legitimate drained spool
+    fs.listStatus(hp).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".grun"))
+      .map(_.getPath.toString).sorted
+  }
+
+  /** Decode an explicit run-file snapshot (see [[readRuns]]). */
+  def readRunFiles(spark: SparkSession, runFiles: Seq[String],
+                   flattenTags: Seq[String] = Nil,
+                   minPartitions: Int = 0): DataFrame = {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter
     import org.apache.spark.sql.types._
@@ -204,13 +225,7 @@ object RunLog {
              else spark.sparkContext.defaultParallelism
     val sconf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    val files = {
-      val hp = new org.apache.hadoop.fs.Path(path)
-      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.listStatus(hp).toSeq
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".grun"))
-        .map(_.getPath.toString).sorted
-    }
+    val files = runFiles
     val rdd = spark.sparkContext
       .parallelize(files, math.max(1, math.min(mp, math.max(files.size, 1))))
       .flatMap[InternalRow] { p =>
@@ -302,9 +317,66 @@ object RunLog {
                   flattenTags: Seq[String] = Nil,
                   bucketNs: Long = Ingest.DayNs,
                   saltBuckets: Int = 32,
-                  codec: String = Ingest.DefaultCodec): Unit =
-    Ingest.writePrepared(readRuns(spark, runsPath, flattenTags),
+                  codec: String = Ingest.DefaultCodec): Unit = {
+    val snapshot = listRuns(spark, runsPath)
+    // this is a REBUILD (overwrite): compacting an empty spool would
+    // replace the target layout with nothing — refuse instead
+    require(snapshot.nonEmpty,
+      s"no run files under $runsPath — refusing to overwrite $layoutPath " +
+      "with an empty layout (use foldRuns for incremental maintenance)")
+    Ingest.writePrepared(readRunFiles(spark, snapshot, flattenTags),
       layoutPath, bucketNs, saltBuckets, codec)
+  }
+
+  /** Incremental compaction with retirement — the recurring maintenance
+    * cycle of the WAL-then-tree shape. Snapshots the published runs,
+    * APPENDS exactly that snapshot into the existing layout (bucket
+    * width must match the layout's persisted sidecar), then deletes
+    * exactly those files; runs published while the fold was writing are
+    * untouched and served live until the next cycle. After a fold,
+    * [[liveStore]] over the same (layout, runs) pair serves every
+    * sample exactly once. A query that is EXECUTING across the
+    * append-to-delete window can see folded samples twice — run folds
+    * on a maintenance cadence (the reference has the same transient
+    * window when the input log recycles into the tree). Returns the
+    * retired files. */
+  def foldRuns(spark: SparkSession, runsPath: String, layoutPath: String,
+               flattenTags: Seq[String] = Nil,
+               bucketNs: Long = Ingest.DayNs,
+               saltBuckets: Int = 32,
+               codec: String = Ingest.DefaultCodec): Seq[String] = {
+    val snapshot = listRuns(spark, runsPath)
+    if (snapshot.nonEmpty) {
+      val fs = new org.apache.hadoop.fs.Path(runsPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // tag-key agreement with the existing layout: appended files with
+      // different tag_ columns would read as all-NULL tags for every
+      // folded row (no mergeSchema on the read side) — fail fast, the
+      // readRuns run-header rule applied one level up
+      val lp = new org.apache.hadoop.fs.Path(layoutPath)
+      val layoutHasData = fs.exists(lp) &&
+        fs.listStatus(lp).exists(_.getPath.getName.startsWith("metric="))
+      if (layoutHasData) {
+        val layoutTags = spark.read.parquet(layoutPath).columns
+          .filter(_.startsWith("tag_")).map(_.stripPrefix("tag_")).toSeq
+        require(layoutTags.sorted == flattenTags.sorted,
+          s"layout $layoutPath has flattened tags [${layoutTags.mkString(",")}]"
+          + s", fold called with [${flattenTags.mkString(",")}]")
+      }
+      Ingest.writePrepared(readRunFiles(spark, snapshot, flattenTags),
+        layoutPath, bucketNs, saltBuckets, codec, append = true)
+      snapshot.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        // a silently-failed delete would re-fold this file next cycle —
+        // a PERMANENT duplicate, not the documented transient window
+        if (!fs.delete(p, false) && fs.exists(p))
+          throw new java.io.IOException(
+            s"failed to retire folded run file $f — delete it before the " +
+            "next fold or its samples will be appended again")
+      }
+    }
+    snapshot
+  }
 
   /** The complete live view: compacted layout UNION not-yet-compacted
     * runs — the serving shape of the reference's tree + input-log pair

@@ -123,6 +123,65 @@ class RunLogSpec extends SparkFunSuite {
       .toSeq == Seq("m0"))
   }
 
+  test("foldRuns: appends one snapshot, retires it, view stays exactly-once") {
+    val dir = Files.createTempDirectory("graft-runlog-fold").toFile
+    val day = Ingest.DayNs
+    def spool(name: String, lines: Seq[String]): Unit = {
+      val d = new java.io.File(dir, name); d.mkdirs()
+      Files.write(new java.io.File(d, "s.resp").toPath,
+        lines.mkString("\n").getBytes)
+      RunLog.spoolResp(spark, d.getAbsolutePath,
+        new java.io.File(dir, "runs").getAbsolutePath, Seq("host"))
+    }
+    val runs = new java.io.File(dir, "runs").getAbsolutePath
+    val layout = new java.io.File(dir, "layout").getAbsolutePath
+    def liveValues(): Seq[Double] = {
+      val st = RunLog.liveStore(spark, layout, runs)
+      graft.plan.Planner.plan(graft.ast.QueryJson.parse(
+        s"""{"select":"m0","range":{"from":0,"to":${3 * day}}}"""), st).df
+        .collect().map(_.getDouble(2)).sorted.toSeq
+    }
+    // cycle 1: fold bootstraps the layout and empties the spool
+    spool("b1", (0 until 40).flatMap(i =>
+      Seq(s"+m0 host=h${i % 2}", s":${i * 1000000000L}", s":$i")))
+    val retired1 = RunLog.foldRuns(spark, runs, layout, Seq("host"))
+    assert(retired1.nonEmpty && RunLog.listRuns(spark, runs).isEmpty)
+    assert(liveValues() == (0 until 40).map(_.toDouble))
+    // a batch spooled after the fold serves live, each sample ONCE
+    spool("b2", (0 until 25).flatMap(i =>
+      Seq(s"+m0 host=h${i % 2}", s":${day + i * 1000000000L}", s":${100 + i}")))
+    val all = (0 until 40).map(_.toDouble) ++ (100 until 125).map(_.toDouble)
+    assert(liveValues() == all)
+    // cycle 2 folds EXACTLY the b2 snapshot; view unchanged, spool empty
+    val b2Files = RunLog.listRuns(spark, runs)
+    val retired2 = RunLog.foldRuns(spark, runs, layout, Seq("host"))
+    assert(retired2 == b2Files && b2Files.nonEmpty)
+    assert(RunLog.listRuns(spark, runs).isEmpty)
+    assert(liveValues() == all)
+    // mismatched tag keys are rejected before any append
+    spool("b2x", Seq("+m0 host=h0", ":2", ":9"))
+    intercept[IllegalArgumentException] {
+      RunLog.foldRuns(spark, runs, layout, Seq("dc"))
+    }
+    assert(RunLog.listRuns(spark, runs).nonEmpty)
+    assert(RunLog.foldRuns(spark, runs, layout, Seq("host")).size == 1)
+    // compactRuns (full rebuild) refuses an empty spool: a typo'd or
+    // drained runs dir must never overwrite a layout with nothing
+    intercept[IllegalArgumentException] {
+      RunLog.compactRuns(spark, runs, layout, Seq("host"))
+    }
+    assert(liveValues() == (all :+ 9.0).sorted)
+    // a mismatched bucket width is rejected BEFORE anything is written
+    // or retired: the spool survives intact
+    spool("b3", Seq("+m0 host=h0", ":1", ":7"))
+    intercept[IllegalArgumentException] {
+      RunLog.foldRuns(spark, runs, layout, Seq("host"), bucketNs = 1000L)
+    }
+    assert(RunLog.listRuns(spark, runs).nonEmpty)
+    assert(RunLog.foldRuns(spark, runs, layout, Seq("host")).size == 1)
+    assert(liveValues() == (all ++ Seq(7.0, 9.0)).sorted)
+  }
+
   test("run names are deterministic per partition (retry-idempotent)") {
     val dir = Files.createTempDirectory("graft-runlog5").toFile
     renderSessions(dir)
