@@ -1540,6 +1540,37 @@ object SparkEntry {
              |    AS frame_offset_ms
              |FROM documents WHERE doc_id % 3 = 2 ORDER BY 1, 3""".stripMargin)),
 
+    // -- multimodal: frame EXTRACTION (decodeFrames fake path) -----------
+    // The real path (MJPEG-AVI -> JDK JPEG codec) is spec-tested on
+    // synthesized AVI containers; the gate drives the same operator over
+    // the digest corpus (fake kernel: one frame/second capped at 8,
+    // stride 3, bytes = first 32 content bytes XOR index*131) so the
+    // Spark-side plumbing is oracle-checked end to end.
+    "mm_frames_decode" -> Gated(
+      (s, d) => {
+        val media = Multimodal.fromDocuments(TestData.table(s, d, "documents"))
+        Multimodal.decodeFrames(media, everyNth = 3)
+          .select(col("media_id"), col("frame_index"),
+            hex(col("frame")).as("fhex"), col("width"), col("height"),
+            col("decode_ok"))
+          .orderBy(col("media_id"), col("frame_index"))
+      },
+      Some("""WITH v AS (SELECT doc_id, text,
+             |    least((doc_id % 30000 + 1000) // 1000, 8) AS n
+             |  FROM documents WHERE doc_id % 3 = 2),
+             |f AS (SELECT doc_id, text,
+             |    unnest(generate_series(0, n::INT - 1)) AS i
+             |  FROM v WHERE n > 0)
+             |SELECT doc_id AS media_id, i AS frame_index,
+             |  upper(array_to_string(list_transform(generate_series(1, 32),
+             |    j -> printf('%02x',
+             |      xor(ord((sha256(text))[j]), i * 131) & 255)), ''))
+             |    AS fhex,
+             |  (doc_id % 640 + 32) AS width, (doc_id % 480 + 32) AS height,
+             |  TRUE AS decode_ok
+             |FROM f WHERE i % 3 = 0
+             |ORDER BY 1, 2""".stripMargin)),
+
     // -- curation: exact-N-per-stratum deterministic sample ---------------
     // Take exactly 30 'en' docs and 20 of every other language, ranked by
     // the seeded md5 fraction — the oracle rebuilds rank and fraction.

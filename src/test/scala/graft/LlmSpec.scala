@@ -861,6 +861,96 @@ class LlmSpec extends SparkFunSuite {
       got(3).getString(5) == "fake" && got(3).getBoolean(6))
   }
 
+  test("multimodal: real MJPEG-AVI frames decode via the JDK image codec") {
+    // synthesize 5 solid-color JPEG frames and wrap them in a real AVI
+    def jpegFrame(rgb: Int, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      try { g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h) }
+      finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    def le32b(v: Int): Array[Byte] = Array((v & 255).toByte,
+      ((v >> 8) & 255).toByte, ((v >> 16) & 255).toByte,
+      ((v >>> 24) & 255).toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] =
+      id.getBytes("ISO-8859-1") ++ le32b(data.length) ++ data ++
+        (if ((data.length & 1) == 1) Array[Byte](0) else Array.empty[Byte])
+    def rlist(typ: String, data: Array[Byte]): Array[Byte] =
+      chunk("LIST", typ.getBytes("ISO-8859-1") ++ data)
+    val frames = (0 until 5).map(i => jpegFrame(0x102030 * (i + 1), 32, 24))
+    val avih = chunk("avih", le32b(40000) ++ le32b(0) ++ le32b(0) ++
+      le32b(0) ++ le32b(5) ++ le32b(0) ++ le32b(1) ++ le32b(0) ++
+      le32b(32) ++ le32b(24) ++ Array.fill[Byte](16)(0))
+    val body = rlist("hdrl", avih) ++
+      rlist("movi", frames.map(f => chunk("00dc", f)).reduce(_ ++ _))
+    val avi = "RIFF".getBytes ++ le32b(body.length + 4) ++
+      "AVI ".getBytes ++ body
+    val info = Multimodal.parseAvi(avi).get
+    assert(info.usPerFrame == 40000 && info.totalFrames == 5 &&
+      info.width == 32 && info.height == 24 && info.streams == 1 &&
+      info.frames.size == 5)
+    // 'rec '-interleaved movi (the VfW/ffmpeg 1x-playback layout) parses
+    // to the same frame directory
+    val recBody = rlist("hdrl", avih) ++ rlist("movi",
+      rlist("rec ", frames.map(f => chunk("00dc", f)).reduce(_ ++ _)))
+    val recAvi = "RIFF".getBytes ++ le32b(recBody.length + 4) ++
+      "AVI ".getBytes ++ recBody
+    assert(Multimodal.parseAvi(recAvi).get.frames.size == 5)
+    // header-only AVI (no movi): decode emits ONE failure row, never
+    // zero rows — a media_id must not silently vanish
+    val hdrBody = rlist("hdrl", avih)
+    val hdrOnly = "RIFF".getBytes ++ le32b(hdrBody.length + 4) ++
+      "AVI ".getBytes ++ hdrBody
+    val d2 = Multimodal.decodeFrames(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(9L, "video", hdrOnly, "video/avi", 0, 0, 0L, "hdr")), 1),
+      Multimodal.mediaSchema)).collect()
+    assert(d2.length == 1 && d2(0).getLong(0) == 9L && !d2(0).getBoolean(5))
+    val rows = Seq(
+      Row(1L, "video", avi, "video/avi", 0, 0, 0L, "real"),
+      Row(2L, "video", "RIFF????AVI garbage!!".getBytes, "video/avi",
+        0, 0, 0L, "bad"),
+      Row(3L, "video", "notavideo".getBytes, "application/octet-stream",
+        99, 88, 3500L, "fake"))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.mediaSchema)
+    // probe: REAL duration = frames x usPerFrame, real dims, AVI brand
+    val probed = Multimodal.probeVideos(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(probed(1).getLong(1) == 200L && probed(1).getInt(2) == 32 &&
+      probed(1).getInt(3) == 24 && probed(1).getInt(4) == 1 &&
+      probed(1).getString(5) == "AVI " && probed(1).getBoolean(6))
+    assert(!probed(2).getBoolean(6))
+    // decode every 2nd frame: indices 0,2,4, true dims from the codec
+    val dec = Multimodal.decodeFrames(media, everyNth = 2).collect()
+    val real = dec.filter(_.getLong(0) == 1L)
+    assert(real.map(_.getInt(1)).sorted.toSeq == Seq(0, 2, 4))
+    assert(real.forall(r =>
+      r.getBoolean(5) && r.getInt(3) == 32 && r.getInt(4) == 24))
+    // the emitted frame bytes are REAL JPEGs that re-decode to the fill
+    // color (JPEG is lossy: small tolerance)
+    val f0 = real.find(_.getInt(1) == 0).get.getAs[Array[Byte]](2)
+    val img0 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(f0))
+    val c = new java.awt.Color(img0.getRGB(16, 12))
+    val want = new java.awt.Color(0x102030)
+    assert(math.abs(c.getRed - want.getRed) < 16 &&
+      math.abs(c.getGreen - want.getGreen) < 16 &&
+      math.abs(c.getBlue - want.getBlue) < 16)
+    // AVI magic + unparseable structure = a real decode FAILURE
+    val bad = dec.filter(_.getLong(0) == 2L)
+    assert(bad.length == 1 && !bad(0).getBoolean(5))
+    // non-AVI video: deterministic fake, one frame/second (3), stride 2
+    val fake = dec.filter(_.getLong(0) == 3L)
+    assert(fake.map(_.getInt(1)).sorted.toSeq == Seq(0, 2))
+    assert(fake.forall(r =>
+      r.getBoolean(5) && r.getInt(3) == 99 && r.getInt(4) == 88))
+  }
+
   test("high cardinality: correctness independent of series count") {
     import org.apache.spark.sql.functions.{concat, lit}
     val n = 20000
