@@ -597,15 +597,53 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("decode_ok", BooleanType)))
 
+  /** GIF87a/89a magic sniff — animated GIFs are the second multi-frame
+    * container the JDK decodes natively. */
+  private[llm] def looksLikeGif(b: Array[Byte]): Boolean =
+    b != null && b.length >= 6 &&
+      b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8'
+
+  /** Decode every `everyNth` frame of an (animated) GIF via the JDK
+    * reader, re-encoded as standalone PNGs. Frames are emitted as the
+    * reader returns them (raw rasters; delta frames of an optimized
+    * animation are NOT composited onto their predecessors). None = the
+    * payload claims a GIF magic but does not parse. */
+  private[llm] def gifFrames(content: Array[Byte],
+                             everyNth: Int): Option[Seq[(Int, Array[Byte], Int, Int)]] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(content))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          if (n <= 0) None
+          else Some((0 until n).filter(_ % everyNth == 0).map { i =>
+            val img = reader.read(i)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            (i, bos.toByteArray, img.getWidth, img.getHeight)
+          })
+        } finally reader.dispose()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally iis.close()
+  }
+
   /** Frame EXTRACTION over video rows, every `everyNth` frame. MJPEG-AVI
     * payloads decode for REAL: the RIFF walk locates each `##dc` chunk,
     * the JDK codec parses it as a JPEG, and the emitted frame is the
-    * chunk's own bytes with the decoder's true dimensions. An AVI-magic
-    * payload that fails to parse (or a frame the codec rejects) is a
-    * decode FAILURE row. Other video payloads (no H.264/VP9 codec in
-    * the JDK) take a deterministic byte-projection fake — one frame per
-    * second of duration, capped at 8 — so the plumbing is oracle-gated
-    * without codecs. Per-partition batch map, video rows only. */
+    * chunk's own bytes with the decoder's true dimensions. Animated-GIF
+    * payloads decode for REAL too (JDK GIF reader, frames re-encoded as
+    * standalone PNGs). An AVI/GIF-magic payload that fails to parse (or
+    * a frame the codec rejects) is a decode FAILURE row. Other video
+    * payloads (no H.264/VP9 codec in the JDK) take a deterministic
+    * byte-projection fake — one frame per second of duration, capped at
+    * 8 — so the plumbing is oracle-gated without codecs. Per-partition
+    * batch map, video rows only. */
   def decodeFrames(media: DataFrame, everyNth: Int = 1): DataFrame = {
     require(everyNth >= 1, s"everyNth must be >= 1, got $everyNth")
     val video = media.filter(col("modality") === "video")
@@ -634,6 +672,11 @@ object Multimodal {
                   case None => Row(id, i, null, null, null, false)
                 }
             }
+          case None => Seq(Row(id, 0, null, null, null, false))
+        }
+        else if (looksLikeGif(content)) gifFrames(content, everyNth) match {
+          case Some(fs) => fs.map { case (i, png, w, h) =>
+            Row(id, i, png, w, h, true) }
           case None => Seq(Row(id, 0, null, null, null, false))
         }
         else if (content == null || content.isEmpty)

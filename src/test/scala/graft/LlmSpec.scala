@@ -951,6 +951,47 @@ class LlmSpec extends SparkFunSuite {
       r.getBoolean(5) && r.getInt(3) == 99 && r.getInt(4) == 88))
   }
 
+  test("multimodal: animated GIF frames decode via the JDK reader") {
+    def gray(v: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      try { g.setColor(new java.awt.Color(v, v, v)); g.fillRect(0, 0, 8, 6) }
+      finally g.dispose()
+      img
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    (0 until 4).foreach(i => writer.writeToSequence(
+      new javax.imageio.IIOImage(gray(i * 60), null, null), null))
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+    val anim = bos.toByteArray
+    val rows = Seq(
+      Row(1L, "video", anim, "image/gif", 0, 0, 0L, "anim"),
+      Row(2L, "video", "GIF8garbage".getBytes, "image/gif", 0, 0, 0L, "bad"))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.mediaSchema)
+    val dec = Multimodal.decodeFrames(media, everyNth = 3).collect()
+    val real = dec.filter(_.getLong(0) == 1L)
+    // 4 frames, stride 3 -> indices 0 and 3, true dims from the reader
+    assert(real.map(_.getInt(1)).sorted.toSeq == Seq(0, 3))
+    assert(real.forall(r =>
+      r.getBoolean(5) && r.getInt(3) == 8 && r.getInt(4) == 6))
+    // frames re-encode as standalone PNGs that decode to the fill gray
+    // (solid color survives GIF palettization exactly)
+    val f3 = real.find(_.getInt(1) == 3).get.getAs[Array[Byte]](2)
+    val img3 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(f3))
+    assert(new java.awt.Color(img3.getRGB(4, 3)).getRed == 180)
+    // GIF magic + garbage = one decode-failure row
+    val bad = dec.filter(_.getLong(0) == 2L)
+    assert(bad.length == 1 && !bad(0).getBoolean(5))
+  }
+
   test("high cardinality: correctness independent of series count") {
     import org.apache.spark.sql.functions.{concat, lit}
     val n = 20000
