@@ -92,7 +92,7 @@ object SparkEntry {
       |    (SELECT v FROM e WHERE vec_id = 7), b.v), 6) AS score
       |FROM e b ORDER BY 2 DESC, 1 ASC LIMIT 10""".stripMargin
 
-  private val annTopKPqOracle: String =
+  private val pqAdcCtes: String =
     """WITH e AS (SELECT vec_id,
       |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
       |n AS (SELECT vec_id, list_transform(v, x ->
@@ -126,13 +126,27 @@ object SparkEntry {
       |          - list_sum(list_transform(book.cw, x -> x * x)) / 2, 6)
       |          DESC, book.cid DESC) AS rn
       |    FROM sub JOIN book USING (s)) WHERE rn = 1),
-      |q AS (SELECT s, sv AS qv FROM sub WHERE vec_id = 7)
-      |SELECT vec_id, score FROM (
+      |q AS (SELECT s, sv AS qv FROM sub WHERE vec_id = 7),
+      |adc AS (
       |  SELECT c.vec_id, round(sum(list_inner_product(q.qv, book.cw)), 6)
       |      AS score
       |  FROM codes c JOIN book ON c.s = book.s AND c.cid = book.cid
       |  JOIN q ON q.s = c.s
       |  GROUP BY 1)
+      |""".stripMargin
+
+  private val annTopKPqOracle: String = pqAdcCtes +
+    "SELECT vec_id, score FROM adc ORDER BY score DESC, vec_id LIMIT 10"
+
+  // two-stage: the ADC shortlist (k x overscan = 40) re-scored EXACTLY
+  // on the full vectors, then the true top-10
+  private val annTopKPqRerankOracle: String = pqAdcCtes +
+    """SELECT vec_id, score FROM (
+      |  SELECT short.vec_id, round(list_cosine_similarity(e.v,
+      |      (SELECT v FROM e WHERE vec_id = 7)), 6) AS score
+      |  FROM (SELECT vec_id FROM adc
+      |        ORDER BY score DESC, vec_id LIMIT 40) short
+      |  JOIN e USING (vec_id))
       |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
 
   // =====================================================================
@@ -1773,6 +1787,29 @@ object SparkEntry {
         Embed.pqTopKAdc(Embed.pqEncode(emb, books), books, q, k = 10)
       },
       Some(annTopKPqOracle)),
+
+    // -- similarity: two-stage PQ retrieval (ADC shortlist + exact) ------
+    // The production pattern: shortlist 40 by ADC, re-rank those 40
+    // exactly on the full vectors, serve the true top-10. Same pinned
+    // books as ann_topk_pq; the oracle replays both stages.
+    "ann_topk_pq_rerank" -> Gated(
+      (s, d) => {
+        val emb = TestData.table(s, d, "embeddings")
+        val init = emb.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+          .select(Embed.normalized(col("embedding")))
+          .collect().toSeq.map(_.getSeq[Double](0).toSeq)
+        val books0 = (0 until 8).map(sub =>
+          init.map(_.slice(sub * 8, sub * 8 + 8)))
+        val books = Embed.pqTrain(emb, m = 8, k = 4, iters = 1,
+            init = Some(books0))
+          .map(_.map(_.map(x =>
+            BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+        val q = emb.filter(col("vec_id") === 7)
+          .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+        Embed.pqTopKRerank(Embed.pqEncode(emb, books), emb, books, q,
+          k = 10, overscan = 4)
+      },
+      Some(annTopKPqRerankOracle)),
 
     // -- similarity: ADC top-k through the STORED IVF-PQ layout ----------
     // Same pinned-init books as ann_topk_pq, coarse cells from the same

@@ -437,6 +437,28 @@ object Embed {
       .limit(k)
   }
 
+  /** Two-stage retrieval, the standard recall-recovery pattern: a cheap
+    * ADC pass over the PQ codes builds a `k·overscan` shortlist (no
+    * vector data touched), then ONLY the shortlist is re-scored exactly
+    * against the full vectors. The shortlist ids broadcast into the
+    * corpus join, so the exact stage reads k·overscan vectors no matter
+    * the corpus size; recall lost to quantization at rank k is
+    * recovered whenever the true neighbor sits inside the shortlist. */
+  def pqTopKRerank(codes: DataFrame, corpus: DataFrame,
+                   books: Seq[Seq[Seq[Double]]], query: Seq[Double], k: Int,
+                   overscan: Int = 4,
+                   vecCol: String = "embedding",
+                   idCol: String = "vec_id"): DataFrame = {
+    val short = pqTopKAdc(codes, books, query, k * overscan, idCol)
+      .select(col(idCol))
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    val q = array(query.map(x => lit(x / qn)): _*)
+    corpus.join(broadcast(short), Seq(idCol))
+      .select(col(idCol), round(cosine(col(vecCol), q), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** The ADC score of a codes column: the unit query's per-(subspace,
     * code) inner products form an m×k lookup table baked into the plan
     * as array literals; each row's score is m `element_at` lookups

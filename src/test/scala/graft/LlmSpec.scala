@@ -272,6 +272,26 @@ class LlmSpec extends SparkFunSuite {
     assert(full == direct)
   }
 
+  test("PQ rerank: exact rescoring of the ADC shortlist recovers order") {
+    val cluster1 = (0 until 6).map(i => Seq(1.0, 0.02 * i, 0.0, 0.0))
+    val cluster2 = (0 until 6).map(i => Seq(0.0, 0.0, 1.0, 0.02 * i))
+    val corpus = vecs(cluster1 ++ cluster2)
+    val books = Embed.pqTrain(corpus, m = 2, k = 2, iters = 3)
+    val codes = Embed.pqEncode(corpus, books)
+    val q = Seq(1.0, 0.01, 0.0, 0.0)
+    // overscan covering the whole corpus: rerank == brute force EXACTLY
+    // (ADC ties within a cluster are broken by the exact stage)
+    val rr = Embed.pqTopKRerank(codes, corpus, books, q, k = 6,
+        overscan = 2).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = Embed.topK(corpus, q, 6)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rr == exact)
+    // tight shortlist (k x 1): still exactly the right cluster on top
+    val tight = Embed.pqTopKRerank(codes, corpus, books, q, k = 6,
+      overscan = 1).collect().map(_.getLong(0)).toSet
+    assert(tight == (0L until 6L).toSet)
+  }
+
   test("PQ: a codeword that loses all members keeps its previous value") {
     val corpus = vecs(Seq(Seq(1.0, 0.0), Seq(0.9, 0.1)))
     // k=2 init, second codeword deliberately far from every vector
