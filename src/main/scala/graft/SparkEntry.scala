@@ -1428,6 +1428,70 @@ object SparkEntry {
              |WHERE epoch < floor(rate) OR frac < rate - floor(rate)
              |ORDER BY 1, 3""".stripMargin)),
 
+    // -- curation: temperature-flattened language mixing -----------------
+    // Rates derive from the per-language counts themselves:
+    // (count/min_count)^(alpha-1), alpha = 0.5 — the countᵅ sampling
+    // rule realized as a deterministic hash filter. The oracle recomputes
+    // counts, rates, and the md5 fraction from scratch.
+    "doc_mix_temperature" -> Gated(
+      (s, d) => {
+        val docs = TestData.table(s, d, "documents")
+        Sample.temperatureMix(docs, col("lang"), alpha = 0.5,
+            seed = "temp1")._1
+          .select(col("doc_id"), col("stratum"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH c AS (SELECT lang, count(*)::DOUBLE AS c
+             |  FROM documents GROUP BY 1),
+             |r AS (SELECT lang,
+             |    pow(c / (SELECT min(c) FROM c), -0.5) AS rate FROM c),
+             |s AS (SELECT doc_id, lang,
+             |    list_sum(list_transform(range(1, 16),
+             |      i -> (strpos('0123456789abcdef',
+             |              (md5(doc_id::VARCHAR || 'temp1'))[i]) - 1)::BIGINT
+             |           * (1::BIGINT << ((15 - i) * 4))))::BIGINT::DOUBLE
+             |      / 1152921504606846976.0 AS frac
+             |  FROM documents)
+             |SELECT s.doc_id, s.lang AS stratum FROM s JOIN r USING (lang)
+             |WHERE s.frac < r.rate ORDER BY 1""".stripMargin)),
+
+    // -- curation: sequence packing (concat-and-chunk) -------------------
+    // Documents lie end to end in the seeded (hashFrac, id) order and
+    // cut into 512-token training sequences; one row per (doc, seq)
+    // overlap with the doc-relative token range. The engine computes
+    // the global prefix sum bucketed (16 deterministic hash-range
+    // buckets); the oracle uses one flat window — bucket-count
+    // independence is exactly the operator's contract.
+    "doc_pack" -> Gated(
+      (s, d) => {
+        val docs = TestData.table(s, d, "documents")
+        Sample.pack(docs, Text.tokenCount(col("text")), seqLen = 512,
+            buckets = 16, seed = "pack1")
+          .orderBy(col("seq_id"), col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS n,
+             |    list_sum(list_transform(range(1, 16),
+             |      i -> (strpos('0123456789abcdef',
+             |              (md5(doc_id::VARCHAR || 'pack1'))[i]) - 1)::BIGINT
+             |           * (1::BIGINT << ((15 - i) * 4))))::BIGINT::DOUBLE
+             |      / 1152921504606846976.0 AS frac
+             |  FROM documents),
+             |o AS (SELECT doc_id, n,
+             |    coalesce(sum(n) OVER (ORDER BY frac, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |      0)::BIGINT AS off
+             |  FROM t WHERE n > 0),
+             |x AS (SELECT doc_id, n, off,
+             |    unnest(generate_series(off // 512, (off + n - 1) // 512))
+             |      AS seq_id
+             |  FROM o)
+             |SELECT seq_id, doc_id,
+             |  greatest(seq_id * 512, off) - off AS doc_from,
+             |  least((seq_id + 1) * 512, off + n)
+             |    - greatest(seq_id * 512, off) AS len
+             |FROM x ORDER BY 1, 2""".stripMargin)),
+
     // -- curation: benchmark decontamination ------------------------------
     // Corpus = docs outside the holdout, benchmark = every 50th doc; a
     // doc is contaminated at >= 3 shared word-3-gram shingles. The

@@ -103,4 +103,86 @@ object Sample {
         coalesce(try_element_at(nMap, col("stratum")), lit(defaultN)))
       .drop("__rank")
   }
+
+  /** Temperature-flattened corpus mixing (the multilingual-LM sampling
+    * rule: target probability ∝ countᵅ, α < 1 boosting small strata).
+    * Realized as per-stratum Bernoulli keep rates
+    * `(count / min_count)^(α-1)` — the smallest stratum keeps
+    * everything (rate 1) and a stratum m× larger keeps `m^(α-1)` of its
+    * rows, which is exactly the countᵅ-proportional target. Stratum
+    * counts are one tiny aggregate (strata are bounded: languages,
+    * sources); selection itself is [[mix]]'s narrow hash filter with
+    * its full reproducibility contract. Returns the sampled frame and
+    * the realized rate map (for logging / the oracle). */
+  def temperatureMix(df: DataFrame, stratum: Column, alpha: Double,
+                     idCol: String = "doc_id", seed: String = "")
+      : (DataFrame, Map[String, Double]) = {
+    val counts = df.withColumn("stratum", stratum)
+      .groupBy(col("stratum")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val cMin = counts.values.min.toDouble
+    val rates = counts.map { case (k, c) =>
+      (k, math.pow(c / cMin, alpha - 1.0)) }
+    (mix(df, stratum, rates, defaultRate = 1.0, idCol, seed), rates)
+  }
+
+  /** Sequence packing ("concat-and-chunk"): lay every document's tokens
+    * end to end in a deterministic shuffled order — (hashFrac(id), id),
+    * the same seeded total order as [[takeExact]] — and cut the stream
+    * into fixed `seqLen`-token training sequences. Emits one row per
+    * (document, sequence) overlap: `seq_id`, the document, the token
+    * range of the document that lands in that sequence. This is the
+    * packing step every LM training pipeline runs after curation; doing
+    * it in the engine makes the doc→sequence assignment a queryable,
+    * reproducible artifact instead of a side effect of a writer job.
+    *
+    * Scale shape: a global prefix sum over the token counts, computed
+    * WITHOUT a global window. The seeded key is a uniform [0,1)
+    * fraction, so `floor(key·B)` yields `B` balanced, deterministic,
+    * ORDER-ALIGNED buckets (bucket boundaries are fixed numbers, not
+    * sampled splits — no repartitionByRange nondeterminism). Pass 1
+    * aggregates one token total per bucket (B rows to the driver);
+    * pass 2 adds the bucket's base offset to a within-bucket running
+    * sum (one window per bucket, corpus/B rows each). `buckets` is the
+    * parallelism knob — size it so a bucket's rows fit one task.
+    * The explode is narrow; output has one extra row per sequence
+    * boundary crossing. `nTokens` is any per-row token-count Column
+    * (e.g. `Text.tokenCount(col("text"))`); zero/negative-count rows
+    * pack nowhere and are dropped. */
+  def pack(df: DataFrame, nTokens: Column, seqLen: Long,
+           buckets: Int = 256, idCol: String = "doc_id",
+           seed: String = ""): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(seqLen > 0, "seqLen must be positive")
+    val key = hashFrac(col(idCol), seed)
+    val t = df.select(col(idCol), nTokens.cast("long").as("__n"),
+        key.as("__key"),
+        floor(key * buckets).cast("int").as("__b"))
+      .filter(col("__n") > 0)
+    // pass 1: one total per bucket; cumulative base offsets on the
+    // driver (B values — O(buckets), not O(rows))
+    val totals = t.groupBy(col("__b")).agg(sum(col("__n")).as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val bases = totals.scanLeft((Int.MinValue, 0L)) {
+      case ((_, acc), (b, n)) => (b, acc + n)
+    }.tail.zip(totals).map { case ((b, end), (_, n)) => (b, end - n) }.toMap
+    val baseMap = map(bases.toSeq.flatMap { case (b, o) =>
+      Seq(lit(b), lit(o)) }: _*)
+    // pass 2: within-bucket running sum + bucket base = global offset
+    val off = coalesce(sum(col("__n")).over(
+        Window.partitionBy(col("__b")).orderBy(col("__key"), col(idCol))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) +
+      element_at(baseMap, col("__b"))
+    t.withColumn("__off", off)
+      // `div`, not `/` (Spark's / on longs is double division, which
+      // loses exactness past 2^53 total tokens)
+      .withColumn("seq_id", explode(sequence(
+        expr(s"__off div ${seqLen}L"),
+        expr(s"(__off + __n - 1) div ${seqLen}L"))))
+      .select(col("seq_id"), col(idCol),
+        (greatest(col("seq_id") * seqLen, col("__off")) - col("__off"))
+          .as("doc_from"),
+        (least((col("seq_id") + 1) * seqLen, col("__off") + col("__n")) -
+          greatest(col("seq_id") * seqLen, col("__off"))).as("len"))
+  }
 }

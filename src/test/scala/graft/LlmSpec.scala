@@ -590,6 +590,66 @@ class LlmSpec extends SparkFunSuite {
     assert(other != again) // a different seed selects a different sample
   }
 
+  test("pack: lossless, dense, bucket-count independent") {
+    import graft.llm.{Sample, Text}
+    val texts = (0 until 200).map(i => Seq.tabulate(1 + i % 37)(j => s"t$j").mkString(" "))
+    val d = docs(texts)
+    val packed = Sample.pack(d, Text.tokenCount(col("text")), seqLen = 64,
+        buckets = 8, seed = "p")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // lossless: every doc's token range is fully and contiguously packed
+    val byDoc = packed.groupBy(_._2)
+    assert(byDoc.keySet == (0L until 200L).toSet)
+    for ((id, rows) <- byDoc) {
+      val sorted = rows.sortBy(_._1)
+      val n = 1 + id.toInt % 37
+      assert(sorted.map(_._4).sum == n)
+      // contiguous doc_from, consecutive seq ids
+      assert(sorted.head._3 == 0L)
+      assert(sorted.sliding(2).forall { case Array(a, b) =>
+        b._1 == a._1 + 1 && b._3 == a._3 + a._4; case _ => true })
+    }
+    // dense: every sequence but the last holds exactly seqLen tokens
+    val bySeq = packed.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    val last = bySeq.keys.max
+    val total = texts.map(_.split(" ").length).sum
+    assert(bySeq.filter(_._1 != last).values.forall(_ == 64L))
+    assert(bySeq.values.sum == total && last == (total - 1) / 64)
+    // the bucketed prefix sum is an implementation detail: any bucket
+    // count yields the identical packing
+    val b1 = Sample.pack(d, Text.tokenCount(col("text")), seqLen = 64,
+        buckets = 1, seed = "p")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(b1.sorted.toSeq == packed.sorted.toSeq)
+    // zero-token docs pack nowhere (and don't shift offsets): dropping
+    // them from the input changes nothing
+    val withEmpty = docs(texts :+ "")
+    val we = Sample.pack(withEmpty, Text.tokenCount(col("text")) - 1,
+        seqLen = 64, buckets = 8, seed = "p").count()
+    val wo = Sample.pack(d, Text.tokenCount(col("text")) - 1,
+        seqLen = 64, buckets = 8, seed = "p").count()
+    assert(we == wo)
+  }
+
+  test("temperatureMix: alpha flattens the mixture toward uniform") {
+    import graft.llm.Sample
+    val d = docs(Seq.tabulate(1100)(i => s"doc $i body"))
+    val stratum = when(col("doc_id") < 1000, "big").otherwise("small")
+    // alpha = 1: natural proportions, everything kept
+    val (nat, natRates) = Sample.temperatureMix(d, stratum, alpha = 1.0)
+    assert(natRates.values.forall(_ == 1.0) && nat.count() == 1100)
+    // alpha = 0.5: the small stratum keeps all, the 10x stratum keeps
+    // ~1/sqrt(10)
+    val (flat, rates) = Sample.temperatureMix(d, stratum, alpha = 0.5,
+      seed = "tm")
+    assert(rates("small") == 1.0)
+    assert(math.abs(rates("big") - math.pow(10.0, -0.5)) < 1e-12)
+    val kept = flat.groupBy(col("stratum")).count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(kept("small") == 100)
+    assert(kept("big") > 240 && kept("big") < 400) // ~316 expected
+  }
+
   test("decontaminate: empty benchmark flags nothing; full overlap flags all") {
     val corpus = docs(Seq("alpha beta gamma delta", "epsilon zeta eta theta"))
     val empty = docs(Seq.empty[String])
