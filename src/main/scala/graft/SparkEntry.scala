@@ -1172,6 +1172,46 @@ object SparkEntry {
              |FROM documents d LEFT JOIN a USING (doc_id)
              |ORDER BY 1""".stripMargin)),
 
+    // -- curation: DSIR importance weights (target = English docs) -------
+    // Hashed word uni+bigram models (64 buckets, md5-hash twin) over
+    // target vs raw; weight = Σ count·(ln p_tgt − ln p_raw). The oracle
+    // rebuilds grams, buckets, both smoothed models, and the per-doc sum.
+    "doc_dsir" -> Gated(
+      (s, d) => {
+        val docs = TestData.table(s, d, "documents")
+        Text.dsirWeights(docs, docs.filter(col("lang") === "en"),
+            buckets = 64)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, lang,
+             |    string_split_regex(trim(text), '\s+') AS t FROM documents),
+             |grams AS (SELECT doc_id, lang,
+             |    unnest(t || CASE WHEN len(t) >= 2
+             |      THEN list_transform(range(1, len(t)),
+             |             i -> t[i] || ' ' || t[i + 1])
+             |      ELSE []::VARCHAR[] END) AS g
+             |  FROM toks),
+             |b AS (SELECT doc_id, lang,
+             |    (list_sum(list_transform(range(1, 16),
+             |      i -> (strpos('0123456789abcdef', (md5(g))[i]) - 1)::BIGINT
+             |           * (1::BIGINT << ((15 - i) * 4))))::BIGINT % 64) AS bk
+             |  FROM grams),
+             |raw AS (SELECT bk, count(*)::BIGINT AS cr FROM b GROUP BY 1),
+             |tgt AS (SELECT bk, count(*)::BIGINT AS ct FROM b
+             |  WHERE lang = 'en' GROUP BY 1),
+             |ratio AS (SELECT raw.bk,
+             |    ln((coalesce(ct, 0) + 1)::DOUBLE
+             |       / ((SELECT sum(ct) FROM tgt) + 64))
+             |    - ln((cr + 1)::DOUBLE
+             |       / ((SELECT sum(cr) FROM raw) + 64)) AS lr
+             |  FROM raw LEFT JOIN tgt USING (bk)),
+             |perdoc AS (SELECT doc_id, sum(c * lr) AS w FROM (
+             |    SELECT doc_id, bk, count(*)::DOUBLE AS c FROM b
+             |    GROUP BY 1, 2) db
+             |  JOIN ratio USING (bk) GROUP BY 1)
+             |SELECT doc_id, round(w, 6) AS weight FROM perdoc
+             |ORDER BY 1""".stripMargin)),
+
     // -- quality: Gopher-style intra-document repetition signals ---------
     "doc_repetition" -> Gated(
       (s, d) => Text.repetitionStats(TestData.table(s, d, "documents"))
@@ -1950,6 +1990,43 @@ object SparkEntry {
              |SELECT vec_id FROM e
              |WHERE vec_id NOT IN (SELECT vec_id FROM losers)
              |ORDER BY vec_id""".stripMargin)),
+
+    // -- curation: SSL-prototypes pruning (keep the hard examples) -------
+    // Same pinned centroids as embed_semdedup; every vector's
+    // prototypicality is its 6-decimal cosine to its assigned centroid,
+    // and the 60% least prototypical of each cell survive. The oracle
+    // replays assignment (argmax with the DESC-cid tie rule) and the
+    // per-cell rank/count windows.
+    "embed_prototype_prune" -> Gated(
+      (s, d) => {
+        val emb = TestData.table(s, d, "embeddings")
+        val init = emb.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+          .select(Embed.normalized(col("embedding")))
+          .collect().toSeq.map(_.getSeq[Double](0).toSeq)
+        Embed.prototypePrune(emb, init, keepFrac = 0.6)
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH e AS (SELECT vec_id,
+             |    list_transform(embedding, x -> x::DOUBLE) AS v
+             |  FROM embeddings),
+             |n AS (SELECT vec_id, list_transform(v, x ->
+             |    x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS u
+             |  FROM e),
+             |init AS (SELECT vec_id::INT AS cid, u FROM n WHERE vec_id < 4),
+             |assign AS (SELECT vec_id, cid, score FROM (
+             |    SELECT n.vec_id, init.cid,
+             |      round(list_cosine_similarity(n.u, init.u), 6) AS score,
+             |      row_number() OVER (PARTITION BY n.vec_id
+             |        ORDER BY round(list_cosine_similarity(n.u, init.u), 6)
+             |          DESC, init.cid DESC) AS rn
+             |    FROM n CROSS JOIN init) WHERE rn = 1),
+             |ranked AS (SELECT vec_id, cid, score,
+             |    row_number() OVER (PARTITION BY cid
+             |      ORDER BY score ASC, vec_id ASC) AS rk,
+             |    count(*) OVER (PARTITION BY cid) AS cnt
+             |  FROM assign)
+             |SELECT vec_id, cid AS cell, score AS proto FROM ranked
+             |WHERE rk <= ceil(0.6 * cnt) ORDER BY 1""".stripMargin)),
 
     // -- similarity: int8 vector quantization (exact integer twin) -------
     "embed_quantize" -> Gated(

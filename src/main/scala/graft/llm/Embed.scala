@@ -619,6 +619,45 @@ object Embed {
       semDedupPairs(corpus, centroids, threshold, vecCol, idCol, maxCell),
       idCol)
 
+  /** SSL-prototypes data pruning (Sorscher et al. 2022,
+    * arXiv:2206.14486): an example's *prototypicality* is its cosine to
+    * its assigned cluster centroid; highly prototypical (easy) examples
+    * carry the least marginal signal on large corpora, so keep the
+    * `keepFrac` LEAST prototypical rows of every cluster. Centroids come
+    * from [[kmeansCentroids]] at scale (the gate pins them). Returns the
+    * survivors with their `cell` and `proto` score.
+    *
+    * Scale shape: assignment is the same narrow k-fused-cosine map as
+    * [[semDedupPairs]]; the per-cell rank + count are two window frames
+    * over ONE hash shuffle on `cell`. A cell sorts in a single task
+    * chain — k is the knob that bounds cell size (the paper's regime,
+    * k ≈ √n·c, keeps cells tiny relative to the corpus). */
+  def prototypePrune(corpus: DataFrame, centroids: Seq[Seq[Double]],
+                     keepFrac: Double,
+                     vecCol: String = "embedding", idCol: String = "vec_id")
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keepFrac >= 0.0 && keepFrac <= 1.0, "keepFrac must be in [0,1]")
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(round(cosine(col(vecCol), array(c.map(lit): _*)), 6).as("score"),
+        lit(i).as("cid"))
+    }
+    val best =
+      if (centroids.size == 1) scored.head else greatest(scored: _*)
+    val assigned = corpus
+      .filter(dot(col(vecCol), col(vecCol)) > 0.0)
+      .withColumn("__best", best)
+      .select(col(idCol), col("__best.cid").as("cell"),
+        col("__best.score").as("proto"))
+    val byCell = Window.partitionBy(col("cell"))
+    assigned
+      .withColumn("__rank", row_number().over(
+        byCell.orderBy(col("proto").asc, col(idCol).asc)))
+      .withColumn("__n", count(lit(1)).over(byCell))
+      .filter(col("__rank") <= ceil(lit(keepFrac) * col("__n")))
+      .select(col(idCol), col("cell"), col("proto"))
+  }
+
   /** Exact embedding near-duplicate pairs (cosine >= threshold) via
     * block-broadcast join keyed on nothing — the VERIFICATION baseline for
     * small corpora and oracles. For the 100 TB path use

@@ -398,6 +398,62 @@ object Text {
       .select(col(idCol), col("term"), col("tfidf"), col("rank"))
   }
 
+  /** DSIR importance weights (Xie et al. 2023, arXiv:2302.03169): score
+    * every raw document by how much likelier its hashed-n-gram bag is
+    * under the TARGET distribution than under the raw one —
+    * `log w(x) = Σ_g c_x(g)·(ln p_tgt(bucket(g)) − ln p_raw(bucket(g)))`
+    * — the importance-resampling signal for "select web data that looks
+    * like the target domain". Features are word uni+bigrams hashed into
+    * `buckets` cells (the paper's hashed generative model); both bucket
+    * models are Laplace-smoothed frequencies. Resample downstream with
+    * the [[Sample]] machinery (quantile cut or Gumbel top-k on
+    * `weight`).
+    *
+    * Shape at scale: each model is ONE bucket-count aggregate
+    * (`buckets` rows, broadcast back); scoring explodes the corpus to
+    * (doc, bucket, count) rows — map-side combined — broadcast-joins
+    * the tiny log-ratio table, and groups back by doc. Linear in corpus
+    * tokens, no wide join. */
+  def dsirWeights(corpus: DataFrame, target: DataFrame, buckets: Int = 4096,
+                  textCol: String = "text", idCol: String = "doc_id")
+      : DataFrame = {
+    // word uni+bigrams, hashed to a bucket via the md5-60-bit fraction
+    // family (the oracle's established hash twin)
+    def gramRows(df: DataFrame, keep: Column*): DataFrame =
+      df.select((keep :+ bindOnce(tokens(col(textCol))) { t =>
+          concat(t, when(size(t) >= 2,
+            transform(sequence(lit(1), size(t) - 1),
+              i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+            .otherwise(array().cast("array<string>")))
+        }.as("__gs")): _*)
+        .select((keep :+ explode(col("__gs")).as("__g")): _*)
+        .withColumn("__b",
+          conv(substring(md5(col("__g")), 1, 15), 16, 10)
+            .cast("long") % buckets)
+    val rawB = gramRows(corpus).groupBy(col("__b"))
+      .agg(count(lit(1)).as("__cr"))
+    val tgtB = gramRows(target).groupBy(col("__b"))
+      .agg(count(lit(1)).as("__ct"))
+    // model sizes: one 1-row aggregate each (tiny jobs, driver scalars)
+    val nRaw = rawB.agg(coalesce(sum(col("__cr")), lit(0L))).head.getLong(0)
+    val nTgt = tgtB.agg(coalesce(sum(col("__ct")), lit(0L))).head.getLong(0)
+    // every bucket a corpus doc references has a raw count (its own
+    // grams are in the raw model), so a left join from raw covers all
+    val ratio = rawB.join(tgtB, Seq("__b"), "left_outer")
+      .select(col("__b"),
+        (log((coalesce(col("__ct"), lit(0L)) + 1).cast("double") /
+            (nTgt + buckets).toDouble) -
+          log((col("__cr") + 1).cast("double") /
+            (nRaw + buckets).toDouble)).as("__lr"))
+    val perDoc = gramRows(corpus, col(idCol))
+      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__c"))
+      .join(broadcast(ratio), "__b")
+      .groupBy(col(idCol))
+      .agg(sum(col("__c") * col("__lr")).as("__w"))
+    corpus.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), round(coalesce(col("__w"), lit(0.0)), 6).as("weight"))
+  }
+
   /** One-call document stats frame: the per-document feature row a
     * training-data pipeline materializes before filtering. */
   def docStats(docs: DataFrame, textCol: String = "text"): DataFrame = {

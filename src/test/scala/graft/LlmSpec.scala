@@ -590,6 +590,43 @@ class LlmSpec extends SparkFunSuite {
     assert(other != again) // a different seed selects a different sample
   }
 
+  test("dsirWeights: target-like documents score higher") {
+    import graft.llm.Text
+    // two "domains" with disjoint vocabulary; target = domain A
+    val a = Seq.tabulate(20)(i => s"alpha beta gamma delta token$i alpha beta")
+    val b = Seq.tabulate(20)(i => s"omega psi chi phi word$i omega psi")
+    val d = docs(a ++ b)
+    val target = d.filter(col("doc_id") < 20)
+    val w = Text.dsirWeights(d, target, buckets = 256)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val wa = (0L until 20L).map(w).sum / 20
+    val wb = (20L until 40L).map(w).sum / 20
+    assert(wa > 0 && wb < 0 && wa > wb)
+    // every doc gets a weight; deterministic
+    assert(w.size == 40)
+    val again = Text.dsirWeights(d, target, buckets = 256)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(again == w)
+  }
+
+  test("prototypePrune: keeps the least prototypical fraction per cell") {
+    // two tight clusters around the axes; within each, vectors fan out
+    // at increasing angles — the closest-to-centroid (most prototypical)
+    // rows must be the ones pruned
+    val c1 = (0 until 5).map(i => Seq(1.0, 0.1 * i, 0.0))
+    val c2 = (0 until 5).map(i => Seq(0.0, 0.1 * i, 1.0))
+    val corpus = vecs(c1 ++ c2)
+    val cents = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 0.0, 1.0))
+    val kept = Embed.prototypePrune(corpus, cents, keepFrac = 0.4)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    // per cell: 5 members, ceil(0.4*5)=2 survivors — the two widest
+    // angles (largest second component => ids 3,4 and 8,9)
+    assert(kept == Set((3L, 0), (4L, 0), (8L, 1), (9L, 1)))
+    // keepFrac=1 keeps everything, 0 keeps nothing
+    assert(Embed.prototypePrune(corpus, cents, 1.0).count() == 10)
+    assert(Embed.prototypePrune(corpus, cents, 0.0).count() == 0)
+  }
+
   test("pack: lossless, dense, bucket-count independent") {
     import graft.llm.{Sample, Text}
     val texts = (0 until 200).map(i => Seq.tabulate(1 + i % 37)(j => s"t$j").mkString(" "))
