@@ -149,6 +149,37 @@ object SparkEntry {
       |  JOIN e USING (vec_id))
       |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
 
+  // shared by doc_dsir / doc_dsir_resample: hashed word uni+bigram
+  // bucket models over target (lang='en') vs raw, per-doc log-ratio sum
+  private val dsirCtes: String =
+    """WITH toks AS (SELECT doc_id, lang,
+      |    string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |grams AS (SELECT doc_id, lang,
+      |    unnest(t || CASE WHEN len(t) >= 2
+      |      THEN list_transform(range(1, len(t)),
+      |             i -> t[i] || ' ' || t[i + 1])
+      |      ELSE []::VARCHAR[] END) AS g
+      |  FROM toks),
+      |b AS (SELECT doc_id, lang,
+      |    (list_sum(list_transform(range(1, 16),
+      |      i -> (strpos('0123456789abcdef', (md5(g))[i]) - 1)::BIGINT
+      |           * (1::BIGINT << ((15 - i) * 4))))::BIGINT % 64) AS bk
+      |  FROM grams),
+      |raw AS (SELECT bk, count(*)::BIGINT AS cr FROM b GROUP BY 1),
+      |tgt AS (SELECT bk, count(*)::BIGINT AS ct FROM b
+      |  WHERE lang = 'en' GROUP BY 1),
+      |ratio AS (SELECT raw.bk,
+      |    ln((coalesce(ct, 0) + 1)::DOUBLE
+      |       / ((SELECT sum(ct) FROM tgt) + 64))
+      |    - ln((cr + 1)::DOUBLE
+      |       / ((SELECT sum(cr) FROM raw) + 64)) AS lr
+      |  FROM raw LEFT JOIN tgt USING (bk)),
+      |perdoc AS (SELECT doc_id, sum(c * lr) AS w FROM (
+      |    SELECT doc_id, bk, count(*)::DOUBLE AS c FROM b
+      |    GROUP BY 1, 2) db
+      |  JOIN ratio USING (bk) GROUP BY 1)
+      |""".stripMargin
+
   // =====================================================================
   private lazy val gated: Seq[(String, Gated)] = Seq(
 
@@ -1183,34 +1214,33 @@ object SparkEntry {
             buckets = 64)
           .orderBy(col("doc_id"))
       },
-      Some("""WITH toks AS (SELECT doc_id, lang,
-             |    string_split_regex(trim(text), '\s+') AS t FROM documents),
-             |grams AS (SELECT doc_id, lang,
-             |    unnest(t || CASE WHEN len(t) >= 2
-             |      THEN list_transform(range(1, len(t)),
-             |             i -> t[i] || ' ' || t[i + 1])
-             |      ELSE []::VARCHAR[] END) AS g
-             |  FROM toks),
-             |b AS (SELECT doc_id, lang,
-             |    (list_sum(list_transform(range(1, 16),
-             |      i -> (strpos('0123456789abcdef', (md5(g))[i]) - 1)::BIGINT
-             |           * (1::BIGINT << ((15 - i) * 4))))::BIGINT % 64) AS bk
-             |  FROM grams),
-             |raw AS (SELECT bk, count(*)::BIGINT AS cr FROM b GROUP BY 1),
-             |tgt AS (SELECT bk, count(*)::BIGINT AS ct FROM b
-             |  WHERE lang = 'en' GROUP BY 1),
-             |ratio AS (SELECT raw.bk,
-             |    ln((coalesce(ct, 0) + 1)::DOUBLE
-             |       / ((SELECT sum(ct) FROM tgt) + 64))
-             |    - ln((cr + 1)::DOUBLE
-             |       / ((SELECT sum(cr) FROM raw) + 64)) AS lr
-             |  FROM raw LEFT JOIN tgt USING (bk)),
-             |perdoc AS (SELECT doc_id, sum(c * lr) AS w FROM (
-             |    SELECT doc_id, bk, count(*)::DOUBLE AS c FROM b
-             |    GROUP BY 1, 2) db
-             |  JOIN ratio USING (bk) GROUP BY 1)
-             |SELECT doc_id, round(w, 6) AS weight FROM perdoc
-             |ORDER BY 1""".stripMargin)),
+      Some(dsirCtes +
+        "SELECT doc_id, round(w, 6) AS weight FROM perdoc ORDER BY 1")),
+
+    // -- curation: Gumbel top-k importance resampling --------------------
+    // The DSIR selection step: sampling 50 docs with probability
+    // ∝ exp(weight), without replacement, is exactly the 50 largest
+    // weight + Gumbel(0,1) keys; the noise comes from each row's own
+    // hash fraction (-ln(-ln u)), so the draw replays in SQL.
+    "doc_dsir_resample" -> Gated(
+      (s, d) => {
+        val docs = TestData.table(s, d, "documents")
+        val w = Text.dsirWeights(docs, docs.filter(col("lang") === "en"),
+          buckets = 64)
+        Sample.gumbelTopK(w, col("weight"), k = 50, seed = "g1")
+          .orderBy(col("gumbel_key").desc, col("doc_id"))
+      },
+      Some(dsirCtes +
+        """SELECT doc_id, weight,
+          |  round(weight + (-ln(-ln(frac))), 6) AS gumbel_key
+          |FROM (SELECT doc_id, round(w, 6) AS weight,
+          |    list_sum(list_transform(range(1, 16),
+          |      i -> (strpos('0123456789abcdef',
+          |              (md5(doc_id::VARCHAR || 'g1'))[i]) - 1)::BIGINT
+          |           * (1::BIGINT << ((15 - i) * 4))))::BIGINT::DOUBLE
+          |      / 1152921504606846976.0 AS frac
+          |  FROM perdoc)
+          |ORDER BY 3 DESC, 1 LIMIT 50""".stripMargin)),
 
     // -- quality: Gopher-style intra-document repetition signals ---------
     "doc_repetition" -> Gated(
@@ -1532,6 +1562,50 @@ object SparkEntry {
              |    - greatest(seq_id * 512, off) AS len
              |FROM x ORDER BY 1, 2""".stripMargin)),
 
+    // -- curation: deterministic train/val/test split --------------------
+    // Integer weights 8/1/1 give exact double bounds 0.8/0.9; the split
+    // label is a pure function of (doc_id, seed).
+    "doc_split" -> Gated(
+      (s, d) => {
+        val docs = TestData.table(s, d, "documents")
+        Sample.split(docs,
+            Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0), seed = "sp1")
+          .select(col("doc_id"), col("split"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  CASE WHEN frac < 0.8 THEN 'train'
+             |       WHEN frac < 0.9 THEN 'val' ELSE 'test' END AS split
+             |FROM (SELECT doc_id,
+             |    list_sum(list_transform(range(1, 16),
+             |      i -> (strpos('0123456789abcdef',
+             |              (md5(doc_id::VARCHAR || 'sp1'))[i]) - 1)::BIGINT
+             |           * (1::BIGINT << ((15 - i) * 4))))::BIGINT::DOUBLE
+             |      / 1152921504606846976.0 AS frac
+             |  FROM documents)
+             |ORDER BY 1""".stripMargin)),
+
+    // -- curation: incremental dedup against the seen corpus -------------
+    // "Seen" = doc_id % 5 == 0; new docs whose normalized fingerprint
+    // already exists there are dropped (cross-snapshot append-only
+    // dedup). Fingerprints, never text, ride the anti-join.
+    "doc_dedup_incremental" -> Gated(
+      (s, d) => {
+        val docs = TestData.table(s, d, "documents")
+        Dedup.dedupAgainst(
+            docs.filter(col("doc_id") % 5 =!= 0),
+            docs.filter(col("doc_id") % 5 === 0))
+          .select(col("doc_id")).orderBy(col("doc_id"))
+      },
+      Some("""WITH fp AS (SELECT doc_id,
+             |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+             |      AS fp
+             |  FROM documents)
+             |SELECT doc_id FROM fp
+             |WHERE doc_id % 5 <> 0 AND fp NOT IN
+             |  (SELECT fp FROM fp WHERE doc_id % 5 = 0)
+             |ORDER BY 1""".stripMargin)),
+
     // -- curation: benchmark decontamination ------------------------------
     // Corpus = docs outside the holdout, benchmark = every 50th doc; a
     // doc is contaminated at >= 3 shared word-3-gram shingles. The
@@ -1687,6 +1761,66 @@ object SparkEntry {
              |  (doc_id % 640 + 32) AS width, (doc_id % 480 + 32) AS height,
              |  TRUE AS decode_ok
              |FROM f WHERE i % 3 = 0
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // -- multimodal: perceptual-hash image dedup (planted clones) --------
+    // The documents-derived media table unioned with byte-identical
+    // clones (id + 99999 keeps id%3, so modality is preserved); the
+    // digest payloads take dHash's md5-60 fake path, each image doc
+    // pairs its clone at hamming 0, and the banded pigeonhole join must
+    // find EXACTLY the pairs the oracle's all-pairs bit_count scan does.
+    "mm_dhash_dedup" -> Gated(
+      (s, d) => {
+        val docs = TestData.table(s, d, "documents")
+        val media = Multimodal.fromDocuments(docs).unionByName(
+          Multimodal.fromDocuments(
+            docs.withColumn("doc_id", col("doc_id") + 99999L)))
+        Multimodal.imageNearDup(media, maxDist = 3)
+          .orderBy(col("a"), col("b"))
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id, sha256(text) AS c
+             |    FROM documents WHERE doc_id % 3 = 0
+             |  UNION ALL SELECT doc_id + 99999, sha256(text)
+             |    FROM documents WHERE doc_id % 3 = 0),
+             |h AS (SELECT media_id,
+             |    list_sum(list_transform(range(1, 16),
+             |      i -> (strpos('0123456789abcdef', (md5(c))[i]) - 1)::BIGINT
+             |           * (1::BIGINT << ((15 - i) * 4))))::BIGINT AS v
+             |  FROM m)
+             |SELECT l.media_id AS a, r.media_id AS b,
+             |  bit_count(xor(l.v, r.v))::INT AS hamming
+             |FROM h l JOIN h r ON l.media_id < r.media_id
+             |WHERE bit_count(xor(l.v, r.v)) <= 3
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // -- dedup: banded Hamming join vs an all-pairs oracle ---------------
+    // Hash family with REAL nonzero distances: ids in groups of 8 share
+    // an md5-60 base, each member XORs in its own low bit — intra-group
+    // pairs sit at hamming 2 (or 0 on the same bit), cross-group pairs
+    // are ~30 bits apart. The pigeonhole join must reproduce the
+    // all-pairs scan exactly.
+    "dedup_hamming" -> Gated(
+      (s, d) => {
+        val hashed = TestData.table(s, d, "embeddings")
+          .select(col("vec_id"),
+            Dedup.md5Hash60(expr("vec_id div 8").cast("string"))
+              .bitwiseXOR(expr("shiftleft(1L, cast(vec_id % 8 as int))"))
+              .as("h"))
+        Dedup.hammingNearDup(hashed, maxDist = 3,
+            hashCol = "h", idCol = "vec_id")
+          .orderBy(col("a"), col("b"))
+      },
+      Some("""WITH h AS (SELECT vec_id,
+             |    xor(list_sum(list_transform(range(1, 16),
+             |      i -> (strpos('0123456789abcdef',
+             |              (md5((vec_id // 8)::VARCHAR))[i]) - 1)::BIGINT
+             |           * (1::BIGINT << ((15 - i) * 4))))::BIGINT,
+             |        1::BIGINT << (vec_id % 8)::INT) AS v
+             |  FROM embeddings)
+             |SELECT l.vec_id AS a, r.vec_id AS b,
+             |  bit_count(xor(l.v, r.v))::INT AS hamming
+             |FROM h l JOIN h r ON l.vec_id < r.vec_id
+             |WHERE bit_count(xor(l.v, r.v)) <= 3
              |ORDER BY 1, 2""".stripMargin)),
 
     // -- curation: exact-N-per-stratum deterministic sample ---------------

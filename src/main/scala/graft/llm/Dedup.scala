@@ -30,6 +30,27 @@ object Dedup {
       .groupBy(col("fingerprint"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_doc_id"))
 
+  /** Incremental (cross-snapshot) exact dedup: drop every new document
+    * whose normalized-content fingerprint already exists in the `seen`
+    * corpus — the "dedup this crawl against everything already
+    * ingested" step that makes corpus curation append-only. Exact
+    * fingerprints only ride the join (never text), the seen side
+    * reduces to DISTINCT fingerprints first, and the anti-join shuffles
+    * hashes — at 100 TB the seen side is a materialized fingerprint
+    * table you keep between snapshots, not a rescan. Within-batch
+    * duplicates are kept (dedup the batch itself with [[deduplicate]]
+    * before or after). */
+  def dedupAgainst(newDocs: DataFrame, seen: DataFrame,
+                   textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    val seenFps = seen
+      .select(Text.fingerprint(col(textCol)).as("__fp")).distinct()
+    newDocs
+      .withColumn("__fp", Text.fingerprint(col(textCol)))
+      .join(seenFps, Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
   /** Return the deduplicated corpus: exact duplicates collapse to the
     * smallest doc_id; when `nearDupThreshold` is set, near-duplicate
     * pairs (MinHash-LSH) additionally drop the larger id of each pair —
@@ -377,13 +398,28 @@ object Dedup {
   def simhashNearDup(docs: DataFrame, maxDist: Int = 3,
                      textCol: String = "text", idCol: String = "doc_id",
                      hashFn: Column => Column = c => xxhash64(c)): DataFrame = {
-    val nBands = maxDist + 1
-    val width = 64 / nBands
     val sh = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism * 2)
       .select(col(idCol).as("id"),
         transform(Text.tokens(lower(col(textCol))), t => hashFn(t)).as("th"))
       .select(col("id"), simhashFromHashes(col("th")).as("h"))
+    hammingNearDup(sh, maxDist)
+  }
+
+  /** All pairs within Hamming distance `maxDist` of any 64-bit sketch
+    * column — the shared engine under [[simhashNearDup]] and
+    * [[Multimodal.imageNearDup]]'s perceptual hashes. EXACT despite the
+    * bucketing: splitting 64 bits into `maxDist+1` bands means any pair
+    * within `maxDist` shares at least one whole band (pigeonhole), so
+    * candidates form by equi-join on (band, value) — never all-pairs —
+    * and the bit_count verification drops nothing that should survive.
+    * Input: (`idCol`, `hashCol`) rows. Output: (a, b, hamming). */
+  def hammingNearDup(hashed: DataFrame, maxDist: Int = 3,
+                     hashCol: String = "h", idCol: String = "id"): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64, "maxDist must be in [0, 64)")
+    val nBands = maxDist + 1
+    val width = 64 / nBands
+    val sh = hashed.select(col(idCol).as("id"), col(hashCol).as("h"))
     // band b: bits [b*width, (b+1)*width) (last band takes the rest)
     val bandKeys = array((0 until nBands).map { b =>
       if (b == nBands - 1) shiftrightunsigned(col("h"), b * width)

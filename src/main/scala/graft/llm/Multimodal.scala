@@ -699,4 +699,84 @@ object Multimodal {
       }
     }(Encoders.row(decodedFrameSchema))
   }
+
+  // --- Perceptual hashing (image near-duplicate detection) ----------------
+
+  val dhashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("dhash", LongType),
+    StructField("hash_ok", BooleanType)))
+
+  /** 64-bit difference hash (dHash) of an image payload: decode for
+    * REAL, bilinear-resize to 9×8 grayscale, and emit one bit per
+    * horizontally-adjacent luma comparison. Robust to re-encoding,
+    * resizing, and small edits — the standard cheap perceptual signature
+    * for image dedup at corpus scale. Non-image payloads (no codec in
+    * the JDK, or digest fakes) take the md5-60-bit byte hash — a
+    * deterministic, oracle-replicable stand-in under which only exact
+    * byte duplicates collide (the right degradation for a content-
+    * addressed fake). None = an image-magic payload that fails to
+    * decode. */
+  private[graft] def dHashKernel(content: Array[Byte]): Option[Long] =
+    if (content == null || content.isEmpty) None
+    else if (looksLikeImage(content)) decodeImage(content).map { img =>
+      val scaled = new java.awt.image.BufferedImage(
+        9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val gfx = scaled.createGraphics()
+      try {
+        gfx.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        gfx.drawImage(img, 0, 0, 9, 8, null)
+      } finally gfx.dispose()
+      var h = 0L
+      var bit = 0
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          def luma(px: Int): Double = {
+            val p = scaled.getRGB(px, y)
+            0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) +
+              0.114 * (p & 0xff)
+          }
+          if (luma(x) < luma(x + 1)) h |= (1L << bit)
+          bit += 1
+          x += 1
+        }
+        y += 1
+      }
+      h
+    }
+    else {
+      // md5-60-bit of the raw bytes: the Dedup.md5Hash60 twin, so the
+      // fake path is bit-for-bit replicable by a SQL oracle
+      val d = java.security.MessageDigest.getInstance("MD5").digest(content)
+      val hex = d.map(b => f"${b & 0xff}%02x").mkString
+      Some(java.lang.Long.parseLong(hex.substring(0, 15), 16))
+    }
+
+  /** Perceptual-hash stage over the media table: image rows only,
+    * per-partition batch map (same shape as [[extractFeatures]]). */
+  def dHash(media: DataFrame): DataFrame = {
+    val images = media.filter(col("modality") === "image")
+    val schema = images.schema
+    val idIdx = schema.fieldIndex("media_id")
+    val cIdx = schema.fieldIndex("content")
+    images.mapPartitions { it =>
+      it.map { row =>
+        val h = dHashKernel(row.getAs[Array[Byte]](cIdx))
+        Row(row.getLong(idIdx), h.map(Long.box).orNull, h.isDefined)
+      }
+    }(Encoders.row(dhashSchema))
+  }
+
+  /** Image near-duplicate pairs: dHash + [[Dedup.hammingNearDup]]'s
+    * exact banded pigeonhole join — candidates only ever form on shared
+    * 16-bit bands, never all-pairs, so the shape survives a billion
+    * images. Output: (a, b, hamming). */
+  def imageNearDup(media: DataFrame, maxDist: Int = 3): DataFrame =
+    Dedup.hammingNearDup(
+      dHash(media).filter(col("hash_ok")),
+      maxDist, hashCol = "dhash", idCol = "media_id")
 }

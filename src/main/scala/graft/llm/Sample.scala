@@ -126,6 +126,48 @@ object Sample {
     (mix(df, stratum, rates, defaultRate = 1.0, idCol, seed), rates)
   }
 
+  /** Deterministic dataset split: every row gets a `split` label from
+    * its hash fraction — `weights` like `Seq("train" -> 0.98,
+    * "val" -> 0.01, "test" -> 0.01)` partition [0,1) into consecutive
+    * intervals (normalized, so any positive weights work). The
+    * train/val/test assignment is a pure function of (id, seed): stable
+    * across cluster sizes, retries, and re-runs, and a narrow per-row
+    * projection — the properties an eval holdout must have. */
+  def split(df: DataFrame, weights: Seq[(String, Double)],
+            idCol: String = "doc_id", seed: String = ""): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be positive")
+    val total = weights.map(_._2).sum
+    // cumulate then divide once: integer-valued weights yield exact
+    // double bounds (8,1,1 -> 0.8, 0.9), which the oracle can state as
+    // plain literals
+    val bounds = weights.scanLeft(0.0)(_ + _._2).tail.map(_ / total)
+    val frac = hashFrac(col(idCol), seed)
+    // the last branch is the otherwise-arm: frac < 1.0 always, and
+    // float accumulation must not leave a sliver above the last bound
+    val label = weights.init.zip(bounds.init)
+      .foldRight(lit(weights.last._1): Column) { case (((name, _), b), rest) =>
+        when(frac < b, name).otherwise(rest)
+      }
+    df.withColumn("split", label)
+  }
+
+  /** Gumbel top-k importance resampling — the selection step of DSIR
+    * ([[Text.dsirWeights]]) and of any weighted-sampling-without-
+    * replacement curation: sampling k rows with probability ∝ exp(w) is
+    * exactly taking the k largest `w + Gumbel(0,1)` keys. The noise
+    * derives from the row's own hash fraction (`-ln(-ln u)`), so the
+    * draw is reproducible on any cluster and the oracle replays it.
+    * One narrow projection + one global top-k (rank via max-k sort,
+    * no full sort materialized at the driver). */
+  def gumbelTopK(df: DataFrame, weight: Column, k: Int,
+                 idCol: String = "doc_id", seed: String = ""): DataFrame = {
+    val key = weight + (-log(-log(hashFrac(col(idCol), seed))))
+    df.withColumn("gumbel_key", round(key, 6))
+      .orderBy(col("gumbel_key").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Sequence packing ("concat-and-chunk"): lay every document's tokens
     * end to end in a deterministic shuffled order — (hashFrac(id), id),
     * the same seeded total order as [[takeExact]] — and cut the stream

@@ -668,6 +668,65 @@ class LlmSpec extends SparkFunSuite {
     assert(we == wo)
   }
 
+  test("split: exhaustive, disjoint, rate-accurate, seed-stable") {
+    import graft.llm.Sample
+    val d = docs(Seq.tabulate(2000)(i => s"doc $i"))
+    val sp = Sample.split(d,
+      Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0), seed = "s")
+    val byLabel = sp.groupBy(col("split")).count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // every row labeled exactly once, proportions near 80/10/10
+    assert(byLabel.values.sum == 2000)
+    assert(byLabel("train") > 1500 && byLabel("val") > 120 &&
+      byLabel("test") > 120)
+    // label is a pure function of (id, seed): stable across runs
+    val a = sp.collect().map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[String]("split"))).toMap
+    val b = Sample.split(d,
+      Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0), seed = "s")
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("split"))).toMap
+    assert(a == b)
+    // and independent of weights scaling
+    val c = Sample.split(d,
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = "s")
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("split"))).toMap
+    assert((a.toSet diff c.toSet).size < 3) // fp-boundary slivers only
+  }
+
+  test("gumbelTopK: weights dominate noise; exp-weight sampling is fair") {
+    import graft.llm.Sample
+    val d = docs(Seq.tabulate(100)(i => s"doc $i")).withColumn("w",
+      when(col("doc_id") < 10, 20.0).otherwise(0.0))
+    // +20 log-weight >> Gumbel noise spread: the heavy 10 always win
+    val top = Sample.gumbelTopK(d, col("w"), k = 10, seed = "g")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(top == (0L until 10L).toSet)
+    // equal weights: the draw is a uniform k-subset — another seed
+    // draws a different one, the same seed the same one
+    val u1 = Sample.gumbelTopK(d, lit(0.0), 10, seed = "a")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val u2 = Sample.gumbelTopK(d, lit(0.0), 10, seed = "a")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val u3 = Sample.gumbelTopK(d, lit(0.0), 10, seed = "b")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(u1 == u2 && u1 != u3)
+  }
+
+  test("dedupAgainst: drops only fingerprints present in seen") {
+    val seen = docs(Seq("alpha beta", "gamma  delta", "unused"))
+    // doc 3 matches "alpha beta" exactly, doc 4 matches "gamma delta"
+    // after whitespace normalization, doc 5 is new
+    val batch = docs(Seq("alpha beta", "GAMMA delta", "epsilon zeta"))
+      .withColumn("doc_id", col("doc_id") + 3)
+    val kept = Dedup.dedupAgainst(batch, seen)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(kept == Seq(5L))
+    // empty seen side keeps everything
+    assert(Dedup.dedupAgainst(batch, seen.limit(0)).count() == 3)
+  }
+
   test("temperatureMix: alpha flattens the mixture toward uniform") {
     import graft.llm.Sample
     val d = docs(Seq.tabulate(1100)(i => s"doc $i body"))
@@ -882,6 +941,49 @@ class LlmSpec extends SparkFunSuite {
       new java.io.ByteArrayInputStream(rz(1).getAs[Array[Byte]](1)))
     assert(back.getWidth == 5 && back.getHeight == 7)
     assert((back.getRGB(2, 3) & 0xffffff) == 0xff0000)
+  }
+
+  test("multimodal: real dHash is resize-invariant; imageNearDup pairs") {
+    def grad(w: Int, h: Int, reverse: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (if (reverse) (w - 1 - x) else x) * 255 / (w - 1)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // luma strictly increases left-to-right: every adjacent comparison
+    // sets its bit -> all-ones hash, at ANY source size
+    val h1 = Multimodal.dHashKernel(grad(64, 64, reverse = false)).get
+    val h2 = Multimodal.dHashKernel(grad(120, 40, reverse = false)).get
+    assert(h1 == -1L && h2 == h1)
+    val hRev = Multimodal.dHashKernel(grad(64, 64, reverse = true)).get
+    assert(java.lang.Long.bitCount(h1 ^ hRev) == 64)
+    // corrupt image magic: no hash, surfaced as hash_ok=false
+    assert(Multimodal.dHashKernel(
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 9, 9)).isEmpty)
+    // fake (non-image) payloads: md5-60 of the bytes — equal only on
+    // exact byte equality
+    val fake = Multimodal.dHashKernel("not an image".getBytes("UTF-8"))
+    assert(fake == Multimodal.dHashKernel("not an image".getBytes("UTF-8")))
+    assert(fake.get >= 0L && fake.get < (1L << 60))
+    // near-dup over a media frame: the two same-direction gradients pair
+    // (hamming 0), the reversed one pairs with nothing, the corrupt row
+    // is excluded by hash_ok
+    val rows = Seq(
+      Row(1L, "image", grad(64, 64, false), "image/png", 64, 64, null, "g1"),
+      Row(2L, "image", grad(120, 40, false), "image/png", 120, 40, null, "g2"),
+      Row(3L, "image", grad(64, 64, true), "image/png", 64, 64, null, "rev"),
+      Row(4L, "image", Array[Byte](0x89.toByte, 'P', 'N', 'G', 9), "image/png",
+        0, 0, null, "bad"))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.mediaSchema)
+    val pairs = Multimodal.imageNearDup(media, maxDist = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(pairs == Seq((1L, 2L, 0)))
   }
 
   test("multimodal: real WAV bytes decode, feature, and resample via javax.sound") {
