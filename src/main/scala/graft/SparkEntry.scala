@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ast.QueryJson
-import graft.llm.{Dedup, Embed, Multimodal, Sample, Text}
+import graft.llm.{Bpe, Dedup, Embed, Multimodal, Sample, Text}
 import graft.model.AkuTime
 import graft.plan.{Meta, Planner}
 import graft.serve.OutputFormat
@@ -179,6 +179,73 @@ object SparkEntry {
       |    GROUP BY 1, 2) db
       |  JOIN ratio USING (bk) GROUP BY 1)
       |""".stripMargin
+
+  /** The BPE training loop unrolled into a DuckDB CTE chain, one block
+    * per merge round: pair counts -> best pair (count desc, pair asc)
+    * -> greedy non-overlapping application. The greedy "merge every
+    * other match in a run of back-to-back matches" semantics replays
+    * via the gaps-and-islands parity trick (i - row_number groups a
+    * run; even offsets from the run start merge). MATERIALIZED stops
+    * DuckDB from inlining each round into the next (the chain is
+    * referenced twice per round — inlined it re-evaluates
+    * exponentially). */
+  private def bpeCtes(k: Int): String = {
+    val head =
+      """WITH w AS (SELECT regexp_replace(lower(unnest(
+        |    string_split_regex(trim(text), '\s+'))), '[^a-z0-9]', '', 'g')
+        |    AS word
+        |  FROM documents),
+        |v0 AS MATERIALIZED (SELECT word, count(*)::BIGINT AS freq,
+        |    list_transform(range(1, len(word) + 1), i -> word[i]) AS s
+        |  FROM w WHERE len(word) > 0 GROUP BY word)""".stripMargin
+    val rounds = (1 to k).map { n =>
+      val p = n - 1
+      s"""p$n AS (SELECT p.l AS l, p.r AS r, sum(freq)::BIGINT AS cnt FROM (
+         |    SELECT freq, unnest(list_transform(range(1, len(s)),
+         |      i -> {'l': s[i], 'r': s[i+1]})) AS p
+         |    FROM v$p) GROUP BY 1, 2),
+         |b$n AS MATERIALIZED (SELECT l, r, cnt FROM p$n
+         |  ORDER BY cnt DESC, l, r LIMIT 1),
+         |pos$n AS MATERIALIZED (SELECT word, freq, s,
+         |  unnest(range(1, len(s) + 1))::BIGINT AS i FROM v$p),
+         |m$n AS (SELECT pos$n.word, i FROM pos$n, b$n
+         |  WHERE i < len(s) AND s[i] = b$n.l AND s[i+1] = b$n.r),
+         |sel$n AS MATERIALIZED (SELECT word, i FROM (
+         |    SELECT word, i, grp, min(i) OVER (PARTITION BY word, grp) AS g0
+         |    FROM (SELECT word, i,
+         |        i - row_number() OVER (PARTITION BY word ORDER BY i) AS grp
+         |      FROM m$n))
+         |  WHERE (i - g0) % 2 = 0),
+         |v$n AS MATERIALIZED (SELECT word, freq, list(sym ORDER BY pi) AS s
+         |  FROM (
+         |    SELECT pos$n.word AS word, freq, pos$n.i AS pi,
+         |      CASE WHEN sel.i IS NOT NULL THEN b$n.l || b$n.r
+         |           ELSE s[pos$n.i] END AS sym,
+         |      CASE WHEN selp.i IS NOT NULL THEN 1 ELSE 0 END AS dropped
+         |    FROM pos$n CROSS JOIN b$n
+         |      LEFT JOIN sel$n sel
+         |        ON sel.word = pos$n.word AND sel.i = pos$n.i
+         |      LEFT JOIN sel$n selp
+         |        ON selp.word = pos$n.word AND selp.i = pos$n.i - 1)
+         |  WHERE dropped = 0 GROUP BY word, freq)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
+  }
+
+  private def bpeTrainOracle(k: Int): String =
+    bpeCtes(k) + "\n" + (1 to k).map { n =>
+      s"SELECT $n AS merge_rank, l AS lft, r AS rgt, cnt FROM b$n"
+    }.mkString("\nUNION ALL ") + "\nORDER BY 1"
+
+  private def bpeEncodeOracle(k: Int): String =
+    bpeCtes(k) +
+      s""",
+         |dw AS (SELECT doc_id, regexp_replace(lower(unnest(
+         |    string_split_regex(trim(text), '\\s+'))), '[^a-z0-9]', '', 'g')
+         |    AS word
+         |  FROM documents)
+         |SELECT doc_id, sum(len(v$k.s))::BIGINT AS n_bpe_tokens
+         |FROM dw JOIN v$k USING (word) GROUP BY 1 ORDER BY 1""".stripMargin
 
   // =====================================================================
   private lazy val gated: Seq[(String, Gated)] = Seq(
@@ -1605,6 +1672,35 @@ object SparkEntry {
              |WHERE doc_id % 5 <> 0 AND fp NOT IN
              |  (SELECT fp FROM fp WHERE doc_id % 5 = 0)
              |ORDER BY 1""".stripMargin)),
+
+    // -- tokenizer: distributed BPE training -----------------------------
+    // Six merges learned from the corpus word-frequency table (ties
+    // break to the lexicographically smallest pair); the oracle unrolls
+    // the training loop round by round and must reproduce every merge
+    // and its count.
+    "bpe_train" -> Gated(
+      (s, d) => {
+        val docs = TestData.table(s, d, "documents")
+        val merges = Bpe.train(Bpe.wordVocab(docs), k = 6)
+        Bpe.mergesDf(s, merges)
+          .select(col("rank").as("merge_rank"), col("left").as("lft"),
+            col("right").as("rgt"), col("count").as("cnt"))
+          .orderBy(col("merge_rank"))
+      },
+      Some(bpeTrainOracle(6))),
+
+    // -- tokenizer: BPE encoding (dictionary-join shape) -----------------
+    // Per-document subword counts under the six learned merges; the
+    // fold runs once per DISTINCT word, broadcast back onto the word
+    // stream. The oracle encodes through the unrolled chain's final
+    // vocab state.
+    "bpe_encode" -> Gated(
+      (s, d) => {
+        val docs = TestData.table(s, d, "documents")
+        val merges = Bpe.train(Bpe.wordVocab(docs), k = 6)
+        Bpe.encode(docs, merges).orderBy(col("doc_id"))
+      },
+      Some(bpeEncodeOracle(6))),
 
     // -- curation: benchmark decontamination ------------------------------
     // Corpus = docs outside the holdout, benchmark = every 50th doc; a

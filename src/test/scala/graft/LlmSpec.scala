@@ -590,6 +590,63 @@ class LlmSpec extends SparkFunSuite {
     assert(other != again) // a different seed selects a different sample
   }
 
+  test("BPE: merges match the hand-computed greedy sequence; encode counts") {
+    import graft.llm.Bpe
+    // classic tiny corpus: 'low'x5 'lower'x2 'newest'x6 'widest'x3
+    val d = docs(Seq(
+      (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")))
+    val vocab = Bpe.wordVocab(d)
+    assert(vocab.collect().map(r => (r.getString(0), r.getLong(1))).toMap ==
+      Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L))
+    val merges = Bpe.train(vocab, 4)
+    // round 1: 'es' 9 (newest+widest); round 2: 'est' 9; then 'w'+'est'?
+    // no — 'west' pairs: ne-w/wi-d... hand-compute: after est(9):
+    // n e w est / w i d est / l o w / l o w e r
+    // pairs: lo 7, ow 7, es gone, st gone, ne 6, ew 6, west 9? 'w','est':
+    // newest has w+est, widest has d+est -> ('w','est') 6, ('d','est') 3,
+    // lo 7, ow 7 -> best is lo 7 (count 7, 'lo' < 'ow')
+    assert(merges.map(m => (m.left, m.right, m.count)) == Seq(
+      ("e", "s", 9L), ("es", "t", 9L), ("l", "o", 7L), ("lo", "w", 7L)))
+    // greedy fold on repeats: pair (a,a) over 'aaaa' -> [aa][aa]
+    val aa = Bpe.train(Bpe.wordVocab(docs(Seq("aaaa"))), 1)
+    assert(aa.head.left == "a" && aa.head.right == "a")
+    val encoded = Bpe.encode(docs(Seq("aaaa aaa a")), aa).collect()
+    // aaaa->2 tokens, aaa->[aa,a]=2, a->1
+    assert(encoded.head.getLong(1) == 5L)
+    // full encode under the 4 learned merges:
+    // low=[low]? lo+w merged: l o w -> lo w -> low? 'lo','w' is rank-4
+    // merge -> low=1 token; lower=low,e,r=3; newest=n,e,w,est=4;
+    // widest=w,i,d,est=4
+    val enc = Bpe.encode(d, merges).collect()
+    assert(enc.head.getLong(1) == 5 * 1 + 2 * 3 + 6 * 4 + 3 * 4)
+  }
+
+  test("plan shapes: dsir broadcasts models; hamming join is equi; pack partitions its window") {
+    import graft.llm.{Sample, Text}
+    val d = docs(Seq.tabulate(50)(i => s"some text body $i"))
+    // DSIR: the bucket log-ratio table must broadcast — a shuffled join
+    // of a `buckets`-row table against the corpus stream would be wrong
+    val dsirPlan = Text.dsirWeights(d, d.limit(10), buckets = 32)
+      .queryExecution.executedPlan.toString
+    assert(dsirPlan.contains("BroadcastHashJoin"),
+      s"expected broadcast model join:\n$dsirPlan")
+    // Hamming near-dup: candidates come from the banded equi-join —
+    // never a nested-loop/cartesian all-pairs
+    val hashed = d.select(col("doc_id"),
+      Dedup.md5Hash60(col("text")).as("h"))
+    val hamPlan = Dedup.hammingNearDup(hashed, 3, "h", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!hamPlan.contains("CartesianProduct") &&
+      !hamPlan.contains("BroadcastNestedLoopJoin"), hamPlan)
+    // pack: the prefix-sum window partitions by bucket (no global
+    // single-task window)
+    val packPlan = Sample.pack(d, Text.tokenCount(col("text")), 64,
+      buckets = 8).queryExecution.executedPlan.toString
+    assert(packPlan.contains("hashpartitioning(__b"),
+      s"expected bucket-partitioned window:\n$packPlan")
+  }
+
   test("dsirWeights: target-like documents score higher") {
     import graft.llm.Text
     // two "domains" with disjoint vocabulary; target = domain A
