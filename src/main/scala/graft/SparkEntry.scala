@@ -1673,6 +1673,47 @@ object SparkEntry {
              |  (SELECT fp FROM fp WHERE doc_id % 5 = 0)
              |ORDER BY 1""".stripMargin)),
 
+    // -- curation: the Gopher quality-rule bundle ------------------------
+    // Published MassiveText thresholds over exact token/line signals;
+    // the oracle recomputes every signal and the conjunction.
+    "doc_gopher" -> Gated(
+      (s, d) => {
+        val docs = TestData.table(s, d, "documents")
+        Text.gopherRules(docs).orderBy(col("doc_id"))
+      },
+      Some("""WITH sig AS (SELECT doc_id,
+             |    string_split_regex(trim(text), '\s+') AS w,
+             |    string_split(text, chr(10)) AS ln,
+             |    ((len(text) - len(replace(text, '#', '')))
+             |     + (len(text) - len(replace(text, '...', ''))) / 3
+             |    )::DOUBLE AS sym
+             |  FROM documents),
+             |sc AS (SELECT doc_id,
+             |    len(w)::INT AS n_words,
+             |    round(list_sum(list_transform(w, x -> len(x)))::DOUBLE
+             |      / len(w), 6) AS mean_word_len,
+             |    round(len(list_filter(w, x ->
+             |        regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(w), 6)
+             |      AS alpha_word_frac,
+             |    round(len(list_filter(ln, l ->
+             |        substr(trim(l), 1, 1) IN ('•', '-', '*')))::DOUBLE
+             |      / len(ln), 6) AS bullet_line_frac,
+             |    round(len(list_filter(ln, l ->
+             |        ends_with(trim(l), '...')))::DOUBLE / len(ln), 6)
+             |      AS ellipsis_line_frac,
+             |    round(sym / len(w), 6) AS symbol_word_ratio,
+             |    len(list_filter(w, x -> lower(x) IN
+             |      ('the','be','to','of','and','that','have','with')))::INT
+             |      AS stop_hits
+             |  FROM sig)
+             |SELECT *,
+             |  (n_words >= 50 AND n_words <= 100000
+             |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+             |   AND symbol_word_ratio < 0.1 AND bullet_line_frac < 0.9
+             |   AND ellipsis_line_frac < 0.3 AND alpha_word_frac > 0.8
+             |   AND stop_hits >= 2) AS keep
+             |FROM sc ORDER BY doc_id""".stripMargin)),
+
     // -- tokenizer: distributed BPE training -----------------------------
     // Six merges learned from the corpus word-frequency table (ties
     // break to the lexicographically smallest pair); the oracle unrolls
@@ -2220,6 +2261,27 @@ object SparkEntry {
              |SELECT vec_id FROM e
              |WHERE vec_id NOT IN (SELECT vec_id FROM losers)
              |ORDER BY vec_id""".stripMargin)),
+
+    // -- curation: semantic decontamination (embedding space) ------------
+    // Benchmark = every 29th vector; corpus rows within 0.4 cosine of
+    // any benchmark vector drop. The bench side broadcasts; the oracle
+    // is a NOT EXISTS over the same rounded cosine.
+    "embed_decontaminate" -> Gated(
+      (s, d) => {
+        val emb = TestData.table(s, d, "embeddings")
+        Embed.semanticDecontaminate(
+            emb.filter(col("vec_id") % 29 =!= 3),
+            emb.filter(col("vec_id") % 29 === 3), threshold = 0.4)
+          .select(col("vec_id")).orderBy(col("vec_id"))
+      },
+      Some("""WITH e AS (SELECT vec_id,
+             |    list_transform(embedding, x -> x::DOUBLE) AS v
+             |  FROM embeddings)
+             |SELECT vec_id FROM e
+             |WHERE vec_id % 29 <> 3 AND NOT EXISTS (
+             |  SELECT 1 FROM e b WHERE b.vec_id % 29 = 3
+             |    AND round(list_cosine_similarity(e.v, b.v), 6) >= 0.4)
+             |ORDER BY 1""".stripMargin)),
 
     // -- curation: SSL-prototypes pruning (keep the hard examples) -------
     // Same pinned centroids as embed_semdedup; every vector's

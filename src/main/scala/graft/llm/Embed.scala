@@ -658,6 +658,23 @@ object Embed {
       .select(col(idCol), col("cell"), col("proto"))
   }
 
+  /** Semantic decontamination: drop every corpus row whose embedding
+    * sits within `threshold` cosine of ANY benchmark vector — the
+    * embedding-space analogue of [[Dedup.decontaminate]]'s n-gram
+    * overlap, catching paraphrased eval leakage that exact shingles
+    * miss. The benchmark side broadcasts (eval suites are thousands of
+    * rows, never corpus-scale), so this is ONE corpus pass with a
+    * per-row scan of the broadcast vectors — no shuffle, no candidate
+    * machinery needed. */
+  def semanticDecontaminate(corpus: DataFrame, bench: DataFrame,
+                            threshold: Double,
+                            vecCol: String = "embedding",
+                            idCol: String = "vec_id"): DataFrame = {
+    val b = bench.select(col(vecCol).as("__bv"))
+    corpus.join(broadcast(b),
+      round(cosine(col(vecCol), col("__bv")), 6) >= threshold, "left_anti")
+  }
+
   /** Exact embedding near-duplicate pairs (cosine >= threshold) via
     * block-broadcast join keyed on nothing — the VERIFICATION baseline for
     * small corpora and oracles. For the 100 TB path use

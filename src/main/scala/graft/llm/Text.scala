@@ -398,6 +398,51 @@ object Text {
       .select(col(idCol), col("term"), col("tfidf"), col("rank"))
   }
 
+  /** The Gopher document-quality rule bundle (Rae et al. 2021,
+    * arXiv:2112.11446 Appendix A, the filter set MassiveText and its
+    * descendants apply): per-document signals plus the conjunction
+    * `keep`. All signals are exact arithmetic over the token/line
+    * arrays — pure narrow projections with SQL twins (counts via the
+    * replace-length trick, non-overlapping like the reference). The
+    * thresholds are the published ones; docs failing any rule drop. */
+  def gopherRules(docs: DataFrame, minWords: Int = 50,
+                  maxWords: Int = 100000,
+                  textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
+    val hashes = length(t) - length(regexp_replace(t, "#", ""))
+    val ellipses = (length(t) -
+      length(regexp_replace(t, "\\.\\.\\.", ""))) / 3
+    val scored = docs
+      .select(col(idCol), t.as("__t"), tokens(t).as("__w"),
+        split(t, "\n").as("__ln"),
+        (hashes + ellipses).cast("double").as("__sym"))
+      .select(col(idCol),
+        size(col("__w")).as("n_words"),
+        round(aggregate(transform(col("__w"), w => length(w)), lit(0),
+            (a, x) => a + x).cast("double") / size(col("__w")), 6)
+          .as("mean_word_len"),
+        round(size(filter(col("__w"), w => w.rlike("[A-Za-z]")))
+          .cast("double") / size(col("__w")), 6).as("alpha_word_frac"),
+        round(size(filter(col("__ln"), l =>
+            substring(trim(l), 1, 1).isin("•", "-", "*")))
+          .cast("double") / size(col("__ln")), 6).as("bullet_line_frac"),
+        round(size(filter(col("__ln"), l => trim(l).endsWith("...")))
+          .cast("double") / size(col("__ln")), 6).as("ellipsis_line_frac"),
+        round(col("__sym") / size(col("__w")), 6).as("symbol_word_ratio"),
+        size(filter(col("__w"), w => lower(w).isin(
+          "the", "be", "to", "of", "and", "that", "have", "with")))
+          .as("stop_hits"))
+    scored.withColumn("keep",
+      col("n_words") >= minWords && col("n_words") <= maxWords &&
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+        col("symbol_word_ratio") < 0.1 &&
+        col("bullet_line_frac") < 0.9 &&
+        col("ellipsis_line_frac") < 0.3 &&
+        col("alpha_word_frac") > 0.8 &&
+        col("stop_hits") >= 2)
+  }
+
   /** DSIR importance weights (Xie et al. 2023, arXiv:2302.03169): score
     * every raw document by how much likelier its hashed-n-gram bag is
     * under the TARGET distribution than under the raw one —

@@ -590,6 +590,36 @@ class LlmSpec extends SparkFunSuite {
     assert(other != again) // a different seed selects a different sample
   }
 
+  test("gopherRules: signals and conjunction on constructed documents") {
+    import graft.llm.Text
+    val good = (Seq.fill(60)("the quick brown fox jumped over lazy dogs") :+
+      "of and that have with").mkString(" ") // 485 words, stopword-rich
+    val short = "too few words here"
+    val symbols = (Seq.fill(30)("the of ### and ... that ### have ...")).mkString(" ")
+    val rows = Text.gopherRules(docs(Seq(good, short, symbols)))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(0).getAs[Boolean]("keep"))
+    assert(!rows(1).getAs[Boolean]("keep"))      // n_words < 50
+    assert(rows(1).getAs[Int]("n_words") == 4)
+    assert(!rows(2).getAs[Boolean]("keep"))      // symbol ratio + alpha
+    assert(rows(2).getAs[Double]("symbol_word_ratio") > 0.1)
+    assert(rows(0).getAs[Int]("stop_hits") >= 2)
+    assert(rows(0).getAs[Double]("alpha_word_frac") == 1.0)
+  }
+
+  test("semanticDecontaminate: drops neighbors of bench vectors only") {
+    val corpus = vecs(Seq(
+      Seq(1.0, 0.0, 0.0), Seq(0.99, 0.1, 0.0), // near bench
+      Seq(0.0, 1.0, 0.0), Seq(0.0, 0.0, 1.0))) // far
+    val bench = vecs(Seq(Seq(1.0, 0.05, 0.0)))
+    val kept = Embed.semanticDecontaminate(corpus, bench, threshold = 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+    // empty bench: nothing drops
+    assert(Embed.semanticDecontaminate(corpus, bench.limit(0), 0.9)
+      .count() == 4)
+  }
+
   test("BPE: merges match the hand-computed greedy sequence; encode counts") {
     import graft.llm.Bpe
     // classic tiny corpus: 'low'x5 'lower'x2 'newest'x6 'widest'x3
