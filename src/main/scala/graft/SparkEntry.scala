@@ -149,11 +149,26 @@ object SparkEntry {
       |  JOIN e USING (vec_id))
       |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
 
+  /** DuckDB twin of the engine's md5-60-bit hash family
+    * ([[graft.llm.Sample.hashFrac]] / [[graft.llm.Dedup.md5Hash60]]):
+    * the first 15 hex digits of md5(`arg`) rebuilt as a BIGINT. `v`
+    * names the lambda variable (pass a fresh one when splicing inside
+    * an outer DuckDB lambda that already binds `i`). */
+  private def md5Int60Sql(arg: String, v: String = "i"): String =
+    s"list_sum(list_transform(range(1, 16), $v -> " +
+      s"(strpos('0123456789abcdef', (md5($arg))[$v]) - 1)::BIGINT * " +
+      s"(1::BIGINT << ((15 - $v) * 4))))::BIGINT"
+
+  /** [[md5Int60Sql]] as the uniform [0,1) fraction — the
+    * [[graft.llm.Sample.hashFrac]] twin. */
+  private def md5FracSql(arg: String): String =
+    md5Int60Sql(arg) + "::DOUBLE / 1152921504606846976.0"
+
   // shared by doc_dsir / doc_dsir_resample: hashed word uni+bigram
   // bucket models over target (lang='en') vs raw, per-doc log-ratio sum
-  private val dsirCtes: String =
-    """WITH toks AS (SELECT doc_id, lang,
-      |    string_split_regex(trim(text), '\s+') AS t FROM documents),
+  private lazy val dsirCtes: String =
+    s"""WITH toks AS (SELECT doc_id, lang,
+      |    string_split_regex(trim(text), '\\s+') AS t FROM documents),
       |grams AS (SELECT doc_id, lang,
       |    unnest(t || CASE WHEN len(t) >= 2
       |      THEN list_transform(range(1, len(t)),
@@ -161,9 +176,7 @@ object SparkEntry {
       |      ELSE []::VARCHAR[] END) AS g
       |  FROM toks),
       |b AS (SELECT doc_id, lang,
-      |    (list_sum(list_transform(range(1, 16),
-      |      i -> (strpos('0123456789abcdef', (md5(g))[i]) - 1)::BIGINT
-      |           * (1::BIGINT << ((15 - i) * 4))))::BIGINT % 64) AS bk
+      |    (${md5Int60Sql("g")} % 64) AS bk
       |  FROM grams),
       |raw AS (SELECT bk, count(*)::BIGINT AS cr FROM b GROUP BY 1),
       |tgt AS (SELECT bk, count(*)::BIGINT AS ct FROM b
@@ -1129,16 +1142,14 @@ object SparkEntry {
             hashFn = Dedup.md5Hash60)).as("fp"))
         .filter(col("fp").isNotNull)
         .orderBy(col("doc_id"), col("fp")),
-      Some("""WITH toks AS (
+      Some(("""WITH toks AS (
              |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
              |  FROM documents),
              |grams AS (
              |  SELECT doc_id, list_transform(
              |    list_transform(range(0, greatest(len(t) - 4, 0)),
              |      i -> array_to_string(t[i+1 : i+5], ' ')),
-             |    g -> list_sum(list_transform(range(1, 16),
-             |      j -> (strpos('0123456789abcdef', (md5(g))[j]) - 1)::BIGINT
-             |           * (1::BIGINT << ((15 - j) * 4))))::BIGINT) AS gh
+             |    g -> """ + md5Int60Sql("g", "j") + """) AS gh
              |  FROM toks),
              |win AS (
              |  SELECT doc_id, list_distinct(list_transform(
@@ -1146,7 +1157,7 @@ object SparkEntry {
              |    i -> list_min(gh[i+1 : i+4]))) AS fps
              |  FROM grams)
              |SELECT doc_id, fp FROM (SELECT doc_id, unnest(fps) AS fp FROM win)
-             |WHERE fp IS NOT NULL ORDER BY 1, 2""".stripMargin)),
+             |WHERE fp IS NOT NULL ORDER BY 1, 2""").stripMargin)),
 
     // -- text analysis: PII counts (regexes shared Java/RE2 syntax) ------
     "doc_pii" -> Gated(
@@ -1222,16 +1233,14 @@ object SparkEntry {
       (s, d) => Dedup.sharedSpanPairs(TestData.table(s, d, "documents"),
         minShared = 3, hashFn = Dedup.md5Hash60)
         .orderBy(col("a"), col("b")),
-      Some("""WITH toks AS (
+      Some(("""WITH toks AS (
              |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
              |  FROM documents),
              |grams AS (
              |  SELECT doc_id, list_transform(
              |    list_transform(range(0, greatest(len(t) - 4, 0)),
              |      i -> array_to_string(t[i+1 : i+5], ' ')),
-             |    g -> list_sum(list_transform(range(1, 16),
-             |      j -> (strpos('0123456789abcdef', (md5(g))[j]) - 1)::BIGINT
-             |           * (1::BIGINT << ((15 - j) * 4))))::BIGINT) AS gh
+             |    g -> """ + md5Int60Sql("g", "j") + """) AS gh
              |  FROM toks),
              |win AS (
              |  SELECT doc_id, list_distinct(list_transform(
@@ -1245,7 +1254,7 @@ object SparkEntry {
              |kept AS (SELECT * FROM fp WHERE fp NOT IN (SELECT fp FROM hv))
              |SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS shared_fps
              |FROM kept l JOIN kept r ON l.fp = r.fp AND l.doc_id < r.doc_id
-             |GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY 1, 2""".stripMargin)),
+             |GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY 1, 2""").stripMargin)),
 
     // -- quality: self-trained char-bigram LM perplexity (CCNet shape) ---
     "doc_lm_score" -> Gated(
@@ -1298,14 +1307,10 @@ object SparkEntry {
           .orderBy(col("gumbel_key").desc, col("doc_id"))
       },
       Some(dsirCtes +
-        """SELECT doc_id, weight,
+        s"""SELECT doc_id, weight,
           |  round(weight + (-ln(-ln(frac))), 6) AS gumbel_key
           |FROM (SELECT doc_id, round(w, 6) AS weight,
-          |    list_sum(list_transform(range(1, 16),
-          |      i -> (strpos('0123456789abcdef',
-          |              (md5(doc_id::VARCHAR || 'g1'))[i]) - 1)::BIGINT
-          |           * (1::BIGINT << ((15 - i) * 4))))::BIGINT::DOUBLE
-          |      / 1152921504606846976.0 AS frac
+          |    ${md5FracSql("doc_id::VARCHAR || 'g1'")} AS frac
           |  FROM perdoc)
           |ORDER BY 3 DESC, 1 LIMIT 50""".stripMargin)),
 
@@ -1505,17 +1510,13 @@ object SparkEntry {
           .select(col("doc_id"), col("stratum"))
           .orderBy(col("doc_id"))
       },
-      Some("""WITH t AS (SELECT doc_id,
-             |    len(string_split_regex(trim(text), '\s+')) AS n
+      Some(s"""WITH t AS (SELECT doc_id,
+             |    len(string_split_regex(trim(text), '\\s+')) AS n
              |  FROM documents),
              |s AS (SELECT doc_id,
              |    CASE WHEN n < 40 THEN 'short'
              |         WHEN n < 80 THEN 'medium' ELSE 'long' END AS stratum,
-             |    list_sum(list_transform(range(1, 16),
-             |      i -> (strpos('0123456789abcdef',
-             |              (md5(doc_id::VARCHAR || 'mix1'))[i]) - 1)::BIGINT
-             |           * (1::BIGINT << ((15 - i) * 4))))::BIGINT::DOUBLE
-             |      / 1152921504606846976.0 AS frac
+             |    ${md5FracSql("doc_id::VARCHAR || 'mix1'")} AS frac
              |  FROM t)
              |SELECT doc_id, stratum FROM s
              |WHERE frac < CASE stratum WHEN 'short' THEN 0.25
@@ -1541,17 +1542,13 @@ object SparkEntry {
           .select(col("doc_id"), col("stratum"), col("epoch"))
           .orderBy(col("doc_id"), col("epoch"))
       },
-      Some("""WITH t AS (SELECT doc_id,
-             |    len(string_split_regex(trim(text), '\s+')) AS n
+      Some(s"""WITH t AS (SELECT doc_id,
+             |    len(string_split_regex(trim(text), '\\s+')) AS n
              |  FROM documents),
              |s AS (SELECT doc_id,
              |    CASE WHEN n < 40 THEN 'short'
              |         WHEN n < 80 THEN 'medium' ELSE 'long' END AS stratum,
-             |    list_sum(list_transform(range(1, 16),
-             |      i -> (strpos('0123456789abcdef',
-             |              (md5(doc_id::VARCHAR || 'up1'))[i]) - 1)::BIGINT
-             |           * (1::BIGINT << ((15 - i) * 4))))::BIGINT::DOUBLE
-             |      / 1152921504606846976.0 AS frac
+             |    ${md5FracSql("doc_id::VARCHAR || 'up1'")} AS frac
              |  FROM t),
              |r AS (SELECT doc_id, stratum, frac,
              |    (CASE stratum WHEN 'short' THEN 2.3
@@ -1578,16 +1575,12 @@ object SparkEntry {
           .select(col("doc_id"), col("stratum"))
           .orderBy(col("doc_id"))
       },
-      Some("""WITH c AS (SELECT lang, count(*)::DOUBLE AS c
+      Some(s"""WITH c AS (SELECT lang, count(*)::DOUBLE AS c
              |  FROM documents GROUP BY 1),
              |r AS (SELECT lang,
              |    pow(c / (SELECT min(c) FROM c), -0.5) AS rate FROM c),
              |s AS (SELECT doc_id, lang,
-             |    list_sum(list_transform(range(1, 16),
-             |      i -> (strpos('0123456789abcdef',
-             |              (md5(doc_id::VARCHAR || 'temp1'))[i]) - 1)::BIGINT
-             |           * (1::BIGINT << ((15 - i) * 4))))::BIGINT::DOUBLE
-             |      / 1152921504606846976.0 AS frac
+             |    ${md5FracSql("doc_id::VARCHAR || 'temp1'")} AS frac
              |  FROM documents)
              |SELECT s.doc_id, s.lang AS stratum FROM s JOIN r USING (lang)
              |WHERE s.frac < r.rate ORDER BY 1""".stripMargin)),
@@ -1606,13 +1599,9 @@ object SparkEntry {
             buckets = 16, seed = "pack1")
           .orderBy(col("seq_id"), col("doc_id"))
       },
-      Some("""WITH t AS (SELECT doc_id,
-             |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS n,
-             |    list_sum(list_transform(range(1, 16),
-             |      i -> (strpos('0123456789abcdef',
-             |              (md5(doc_id::VARCHAR || 'pack1'))[i]) - 1)::BIGINT
-             |           * (1::BIGINT << ((15 - i) * 4))))::BIGINT::DOUBLE
-             |      / 1152921504606846976.0 AS frac
+      Some(s"""WITH t AS (SELECT doc_id,
+             |    len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n,
+             |    ${md5FracSql("doc_id::VARCHAR || 'pack1'")} AS frac
              |  FROM documents),
              |o AS (SELECT doc_id, n,
              |    coalesce(sum(n) OVER (ORDER BY frac, doc_id
@@ -1640,15 +1629,11 @@ object SparkEntry {
           .select(col("doc_id"), col("split"))
           .orderBy(col("doc_id"))
       },
-      Some("""SELECT doc_id,
+      Some(s"""SELECT doc_id,
              |  CASE WHEN frac < 0.8 THEN 'train'
              |       WHEN frac < 0.9 THEN 'val' ELSE 'test' END AS split
              |FROM (SELECT doc_id,
-             |    list_sum(list_transform(range(1, 16),
-             |      i -> (strpos('0123456789abcdef',
-             |              (md5(doc_id::VARCHAR || 'sp1'))[i]) - 1)::BIGINT
-             |           * (1::BIGINT << ((15 - i) * 4))))::BIGINT::DOUBLE
-             |      / 1152921504606846976.0 AS frac
+             |    ${md5FracSql("doc_id::VARCHAR || 'sp1'")} AS frac
              |  FROM documents)
              |ORDER BY 1""".stripMargin)),
 
@@ -1915,14 +1900,12 @@ object SparkEntry {
         Multimodal.imageNearDup(media, maxDist = 3)
           .orderBy(col("a"), col("b"))
       },
-      Some("""WITH m AS (SELECT doc_id AS media_id, sha256(text) AS c
+      Some(s"""WITH m AS (SELECT doc_id AS media_id, sha256(text) AS c
              |    FROM documents WHERE doc_id % 3 = 0
              |  UNION ALL SELECT doc_id + 99999, sha256(text)
              |    FROM documents WHERE doc_id % 3 = 0),
              |h AS (SELECT media_id,
-             |    list_sum(list_transform(range(1, 16),
-             |      i -> (strpos('0123456789abcdef', (md5(c))[i]) - 1)::BIGINT
-             |           * (1::BIGINT << ((15 - i) * 4))))::BIGINT AS v
+             |    ${md5Int60Sql("c")} AS v
              |  FROM m)
              |SELECT l.media_id AS a, r.media_id AS b,
              |  bit_count(xor(l.v, r.v))::INT AS hamming
@@ -1947,11 +1930,8 @@ object SparkEntry {
             hashCol = "h", idCol = "vec_id")
           .orderBy(col("a"), col("b"))
       },
-      Some("""WITH h AS (SELECT vec_id,
-             |    xor(list_sum(list_transform(range(1, 16),
-             |      i -> (strpos('0123456789abcdef',
-             |              (md5((vec_id // 8)::VARCHAR))[i]) - 1)::BIGINT
-             |           * (1::BIGINT << ((15 - i) * 4))))::BIGINT,
+      Some(s"""WITH h AS (SELECT vec_id,
+             |    xor(${md5Int60Sql("(vec_id // 8)::VARCHAR")},
              |        1::BIGINT << (vec_id % 8)::INT) AS v
              |  FROM embeddings)
              |SELECT l.vec_id AS a, r.vec_id AS b,
@@ -1968,12 +1948,8 @@ object SparkEntry {
         col("lang"), Map("en" -> 30), defaultN = 20, seed = "tk1")
         .select(col("doc_id"), col("stratum"))
         .orderBy(col("doc_id")),
-      Some("""WITH f AS (SELECT doc_id, lang AS stratum,
-             |    list_sum(list_transform(range(1, 16),
-             |      i -> (strpos('0123456789abcdef',
-             |              (md5(doc_id::VARCHAR || 'tk1'))[i]) - 1)::BIGINT
-             |           * (1::BIGINT << ((15 - i) * 4))))::BIGINT::DOUBLE
-             |      / 1152921504606846976.0 AS frac
+      Some(s"""WITH f AS (SELECT doc_id, lang AS stratum,
+             |    ${md5FracSql("doc_id::VARCHAR || 'tk1'")} AS frac
              |  FROM documents),
              |r AS (SELECT doc_id, stratum, row_number() OVER (
              |    PARTITION BY stratum ORDER BY frac, doc_id) AS rk
@@ -1990,15 +1966,13 @@ object SparkEntry {
       (s, d) => Dedup.simhashNearDup(TestData.table(s, d, "documents"),
         maxDist = 6, hashFn = Dedup.md5Hash60)
         .orderBy(col("a"), col("b")),
-      Some("""WITH toks AS (
+      Some(("""WITH toks AS (
              |  SELECT doc_id,
              |    string_split_regex(trim(lower(text)), '\s+') AS t
              |  FROM documents),
              |hx AS (
              |  SELECT doc_id, list_transform(t, s ->
-             |    list_sum(list_transform(range(1, 16),
-             |      i -> (strpos('0123456789abcdef', (md5(s))[i]) - 1)::BIGINT
-             |           * (1::BIGINT << ((15 - i) * 4))))::BIGINT) AS h
+             |    """ + md5Int60Sql("s") + """) AS h
              |  FROM toks),
              |sh AS (
              |  SELECT doc_id, list_sum(list_transform(range(0, 60), b ->
@@ -2010,7 +1984,7 @@ object SparkEntry {
              |  SELECT x.doc_id AS a, y.doc_id AS b,
              |    bit_count(xor(x.sig, y.sig))::INT AS hamming
              |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id)
-             |WHERE hamming <= 6 ORDER BY 1, 2""".stripMargin)),
+             |WHERE hamming <= 6 ORDER BY 1, 2""").stripMargin)),
 
     // -- similarity: embedding near-dup pairs (exact cosine) -------------
     "embed_neardup" -> Gated(

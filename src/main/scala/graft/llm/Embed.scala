@@ -451,8 +451,9 @@ object Embed {
                    idCol: String = "vec_id"): DataFrame = {
     val short = pqTopKAdc(codes, books, query, k * overscan, idCol)
       .select(col(idCol))
-    val qn = math.sqrt(query.map(x => x * x).sum)
-    val q = array(query.map(x => lit(x / qn)): _*)
+    // raw query: cosine() normalizes both sides itself (same contract
+    // as topK — pre-dividing would only add FP noise vs the oracle)
+    val q = array(query.map(lit): _*)
     corpus.join(broadcast(short), Seq(idCol))
       .select(col(idCol), round(cosine(col(vecCol), q), 6).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)

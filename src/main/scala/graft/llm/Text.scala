@@ -414,7 +414,7 @@ object Text {
     val ellipses = (length(t) -
       length(regexp_replace(t, "\\.\\.\\.", ""))) / 3
     val scored = docs
-      .select(col(idCol), t.as("__t"), tokens(t).as("__w"),
+      .select(col(idCol), tokens(t).as("__w"),
         split(t, "\n").as("__ln"),
         (hashes + ellipses).cast("double").as("__sym"))
       .select(col(idCol),
@@ -475,21 +475,27 @@ object Text {
         .withColumn("__b",
           conv(substring(md5(col("__g")), 1, 15), 16, 10)
             .cast("long") % buckets)
-    val rawB = gramRows(corpus).groupBy(col("__b"))
-      .agg(count(lit(1)).as("__cr"))
-    val tgtB = gramRows(target).groupBy(col("__b"))
-      .agg(count(lit(1)).as("__ct"))
-    // model sizes: one 1-row aggregate each (tiny jobs, driver scalars)
-    val nRaw = rawB.agg(coalesce(sum(col("__cr")), lit(0L))).head.getLong(0)
-    val nTgt = tgtB.agg(coalesce(sum(col("__ct")), lit(0L))).head.getLong(0)
+    // each model collapses to <= `buckets` rows: collect ONCE (one
+    // corpus pass + one target pass), derive the totals and the
+    // log-ratio table driver-side, and broadcast it back — the scoring
+    // pass below is then the only other corpus-wide job
+    val rawCnt = gramRows(corpus).groupBy(col("__b"))
+      .agg(count(lit(1)).as("__c")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val tgtCnt = gramRows(target).groupBy(col("__b"))
+      .agg(count(lit(1)).as("__c")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val nRaw = rawCnt.values.sum
+    val nTgt = tgtCnt.values.sum
     // every bucket a corpus doc references has a raw count (its own
-    // grams are in the raw model), so a left join from raw covers all
-    val ratio = rawB.join(tgtB, Seq("__b"), "left_outer")
-      .select(col("__b"),
-        (log((coalesce(col("__ct"), lit(0L)) + 1).cast("double") /
-            (nTgt + buckets).toDouble) -
-          log((col("__cr") + 1).cast("double") /
-            (nRaw + buckets).toDouble)).as("__lr"))
+    // grams are in the raw model), so the raw keys cover all lookups
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val ratio = rawCnt.toSeq.map { case (b, cr) =>
+      (b, math.log((tgtCnt.getOrElse(b, 0L) + 1).toDouble /
+          (nTgt + buckets)) -
+        math.log((cr + 1).toDouble / (nRaw + buckets)))
+    }.toDF("__b", "__lr")
     val perDoc = gramRows(corpus, col(idCol))
       .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__c"))
       .join(broadcast(ratio), "__b")
