@@ -193,6 +193,64 @@ object SparkEntry {
       |  JOIN ratio USING (bk) GROUP BY 1)
       |""".stripMargin
 
+  /** The hashed-logistic-regression training loop
+    * ([[graft.llm.Text.trainQualityLr]]) unrolled into DuckDB CTEs (the
+    * BPE trick): weights live in integer micro-units so every
+    * distributed sum is an exact BIGINT and each round is a pure
+    * function of the previous round's tables. Round 1 starts from w=0
+    * (margin 0, p exactly 0.5); `floor` in the update because SQL
+    * `round` is half-away-from-zero while Java's is half-up. The final
+    * SELECT is the scoring pass over the last round's weights. */
+  private def qualityLrOracle(rounds: Int, buckets: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH y AS (SELECT doc_id,
+         |    (CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END)::BIGINT AS y
+         |  FROM documents),
+         |nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+         |feats AS (SELECT DISTINCT doc_id,
+         |    (${md5Int60Sql("t")} % $buckets) AS b
+         |  FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+         |      '\\s+')) AS t FROM documents)
+         |  WHERE t <> ''),
+         |g1 AS (SELECT doc_id, (500000 - y)::BIGINT AS g FROM y),
+         |w1 AS (SELECT b,
+         |    (-floor((0.5 * sum(g)) / (SELECT n FROM nn)))::BIGINT AS wm
+         |  FROM feats JOIN g1 USING (doc_id) GROUP BY b),
+         |b1 AS (SELECT (-floor((0.5 * sum(g)) / (SELECT n FROM nn)))::BIGINT
+         |    AS bm FROM g1),
+         |""".stripMargin)
+    for (r <- 2 to rounds) {
+      val pw = s"w${r - 1}"; val pb = s"b${r - 1}"
+      sb.append(
+        s"""s$r AS (SELECT f.doc_id, sum(coalesce($pw.wm, 0))::BIGINT AS s
+           |  FROM feats f LEFT JOIN $pw USING (b) GROUP BY 1),
+           |g$r AS (SELECT y.doc_id,
+           |    (round(1000000.0 / (1.0 + exp(-(((SELECT bm FROM $pb)
+           |      + coalesce(s$r.s, 0))::DOUBLE / 1000000.0))))::BIGINT - y.y)
+           |      AS g
+           |  FROM y LEFT JOIN s$r USING (doc_id)),
+           |w$r AS (SELECT b, ($pw.wm - floor((0.5 * gs.sg) /
+           |      (SELECT n FROM nn)))::BIGINT AS wm
+           |  FROM $pw JOIN (SELECT b, sum(g) AS sg FROM feats
+           |    JOIN g$r USING (doc_id) GROUP BY b) gs USING (b)),
+           |b$r AS (SELECT ((SELECT bm FROM $pb) - floor((0.5 * sum(g)) /
+           |    (SELECT n FROM nn)))::BIGINT AS bm FROM g$r),
+           |""".stripMargin)
+    }
+    sb.append(
+      s"""sf AS (SELECT f.doc_id, sum(coalesce(w$rounds.wm, 0))::BIGINT AS s
+         |  FROM feats f LEFT JOIN w$rounds USING (b) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  round(1.0 / (1.0 + exp(-(((SELECT bm FROM b$rounds)
+         |    + coalesce(sf.s, 0))::DOUBLE / 1000000.0))), 6) AS score,
+         |  round(1.0 / (1.0 + exp(-(((SELECT bm FROM b$rounds)
+         |    + coalesce(sf.s, 0))::DOUBLE / 1000000.0))), 6) >= 0.5 AS pred
+         |FROM documents d LEFT JOIN sf USING (doc_id)
+         |ORDER BY 1""".stripMargin)
+    sb.toString
+  }
+
   /** The BPE training loop unrolled into a DuckDB CTE chain, one block
     * per merge round: pair counts -> best pair (count desc, pair asc)
     * -> greedy non-overlapping application. The greedy "merge every
@@ -1698,6 +1756,84 @@ object SparkEntry {
              |   AND ellipsis_line_frac < 0.3 AND alpha_word_frac > 0.8
              |   AND stop_hits >= 2) AS keep
              |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    // -- cleaning: NFC + control-strip + whitespace-collapse -------------
+    // The corpus is clean ASCII, so the gate plants the damage: a
+    // decomposed accent (e + U+0301 must compose to é), a BEL control
+    // char (must vanish), a tab run and doubled spaces (must collapse).
+    // DuckDB's utf8proc nfc_normalize is the twin of the JDK Normalizer
+    // codegen expression — both implement Unicode canonical composition.
+    "doc_normalize" -> Gated(
+      (s, d) => TestData.table(s, d, "documents")
+        .select(col("doc_id"),
+          Text.normalizeText(concat(col("text"),
+            lit("\nCafé  bad\t\tctrl  end "))).as("text"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, trim(regexp_replace(regexp_replace(
+             |    nfc_normalize(text || chr(10) || 'Cafe' || chr(769) || ' '
+             |      || chr(7) || ' bad' || chr(9) || chr(9) || 'ctrl  end '),
+             |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+             |  '[ \t]+', ' ', 'g')) AS text
+             |FROM documents ORDER BY 1""".stripMargin)),
+
+    // -- cleaning: corpus-wide paragraph dedup (keep first occurrence) ---
+    // Every doc gets the same planted promo paragraph; only the corpus-
+    // first (doc, position) occurrence of any repeated paragraph may
+    // survive, blank lines always survive, and the reassembled text must
+    // preserve stored order — the oracle replays the rule with a window.
+    "doc_paragraph_dedup" -> Gated(
+      (s, d) => Text.dedupParagraphs(
+        TestData.table(s, d, "documents").select(col("doc_id"),
+          concat(col("text"),
+            lit("\nShare this post on social media")).as("text")))
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id,
+             |    text || chr(10) || 'Share this post on social media'
+             |      AS text FROM documents),
+             |p AS (SELECT doc_id, r.i AS i, r.p AS p FROM (
+             |    SELECT doc_id, unnest(list_transform(
+             |        range(1, len(ls) + 1), x -> {'i': x, 'p': ls[x]})) AS r
+             |    FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+             |          FROM t))),
+             |k AS (SELECT doc_id, i, p, trim(lower(p)) AS k FROM p),
+             |win AS (SELECT doc_id, i, p, k,
+             |    row_number() OVER (PARTITION BY k ORDER BY doc_id, i)
+             |      AS rn FROM k)
+             |SELECT doc_id, string_agg(p, chr(10) ORDER BY i) AS text
+             |FROM win WHERE k = '' OR rn = 1
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // -- curation: deterministic global shuffle order --------------------
+    // shuffle_pos must equal the row's rank in the seeded
+    // (hashFrac, doc_id) total order — computed windowlessly via the
+    // pack-style bucketed prefix sum, replayed flat by the oracle.
+    "doc_shuffle" -> Gated(
+      (s, d) => Sample.shuffleOrder(
+          TestData.table(s, d, "documents"), buckets = 16, seed = "shuf1")
+        .select(col("doc_id"), col("shuffle_pos"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+             |  (row_number() OVER (ORDER BY frac, doc_id) - 1)::BIGINT
+             |    AS shuffle_pos
+             |FROM (SELECT doc_id,
+             |    ${md5FracSql("doc_id::VARCHAR || 'shuf1'")} AS frac
+             |  FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // -- curation: model-based quality classifier (hashed logistic
+    // regression, fastText shape). Trained IN the gate on lang='en'
+    // labels — 3 full-batch GD rounds over 64 hashed buckets, integer-
+    // micro weights so every sum is exact — then scores every doc. The
+    // oracle unrolls the whole training loop and must reproduce every
+    // weight, margin, and final probability bit-for-bit.
+    "doc_quality_classifier" -> Gated(
+      (s, d) => {
+        val docs = TestData.table(s, d, "documents")
+        val model = Text.trainQualityLr(docs, col("lang") === "en",
+          buckets = 64, rounds = 3, lr = 0.5)
+        Text.scoreQualityLr(docs, model).orderBy(col("doc_id"))
+      },
+      Some(qualityLrOracle(rounds = 3, buckets = 64))),
 
     // -- tokenizer: distributed BPE training -----------------------------
     // Six merges learned from the corpus word-frequency table (ties

@@ -191,6 +191,40 @@ object Sample {
     * boundary crossing. `nTokens` is any per-row token-count Column
     * (e.g. `Text.tokenCount(col("text"))`); zero/negative-count rows
     * pack nowhere and are dropped. */
+  /** Deterministic global shuffle order: assigns every row its 0-based
+    * position `shuffle_pos` in the seeded total order
+    * `(hashFrac(id), id)` — the same order [[pack]] and [[takeExact]]
+    * use. Training pipelines need the corpus in a reproducible shuffled
+    * order (epoch order is part of the experiment); `rand()`/
+    * `repartition` orders change under retries and cluster size, this
+    * one never does.
+    *
+    * Shape at scale: [[pack]]'s windowless prefix sum with unit counts —
+    * `floor(key·B)` gives order-aligned buckets, pass 1 is one B-row
+    * count aggregate (B values to the driver), pass 2 one within-bucket
+    * row_number window over corpus/B rows. No global window, no
+    * zipWithIndex RDD round-trip. */
+  def shuffleOrder(df: DataFrame, buckets: Int = 256,
+                   idCol: String = "doc_id",
+                   seed: String = ""): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = hashFrac(col(idCol), seed)
+    val t = df.withColumn("__key", key)
+      .withColumn("__b", floor(col("__key") * buckets).cast("int"))
+    val counts = t.groupBy(col("__b")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val bases = counts.scanLeft((Int.MinValue, 0L)) {
+      case ((_, acc), (b, c)) => (b, acc + c)
+    }.tail.zip(counts).map { case ((b, end), (_, c)) => (b, end - c) }.toMap
+    val baseMap = map(bases.toSeq.flatMap { case (b, o) =>
+      Seq(lit(b), lit(o)) }: _*)
+    t.withColumn("shuffle_pos",
+        row_number().over(Window.partitionBy(col("__b"))
+          .orderBy(col("__key"), col(idCol))).cast("long") - 1L +
+          element_at(baseMap, col("__b")))
+      .drop("__key", "__b")
+  }
+
   def pack(df: DataFrame, nTokens: Column, seqLen: Long,
            buckets: Int = 256, idCol: String = "doc_id",
            seed: String = ""): DataFrame = {

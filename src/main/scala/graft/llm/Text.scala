@@ -505,6 +505,176 @@ object Text {
       .select(col(idCol), round(coalesce(col("__w"), lit(0.0)), 6).as("weight"))
   }
 
+  /** Unicode NFC canonical composition as a native codegen'd expression
+    * (Spark has no builtin; see
+    * [[org.apache.spark.sql.graftio.TextNorm]]). DuckDB twin:
+    * `nfc_normalize()`. */
+  def nfc(text: Column): Column =
+    org.apache.spark.sql.graftio.TextNorm.nfcNormalize(text)
+
+  /** ftfy-lite text normalization — the canonical "fix the text before
+    * anything hashes it" pipeline step (every dedup/fingerprint operator
+    * upstream assumes byte-identical text means identical text, which
+    * holds only after canonicalization):
+    *
+    *  1. Unicode NFC (composed accents — 'e' + U+0301 becomes 'é'), so
+    *     visually identical strings hash identically;
+    *  2. strip C0/DEL control characters except `\n` and `\t` (PDF/OCR
+    *     artifacts);
+    *  3. collapse space/tab runs to one space; trim outer spaces.
+    *
+    * Line structure (`\n`) is preserved — paragraph-level operators run
+    * downstream. Pure narrow column expression (NFC is codegen'd, the
+    * rest is regexp_replace); the DuckDB twin is `nfc_normalize` + the
+    * same RE2 patterns. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(nfc(text),
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+      "[ \\t]+", " "))
+
+  /** Corpus-wide paragraph-level deduplication (the Dolma/C4 dedupe
+    * granularity between whole-document exact dedup and line-level
+    * boilerplate stripping): every paragraph keeps only its FIRST
+    * occurrence in the corpus — first = smallest (doc, position) on the
+    * paragraph's normalized form (trim + lowercase) — and later
+    * occurrences are cut from their documents. Paragraphs that normalize
+    * to empty (blank separators) are structural, not content, and are
+    * always kept. Documents whose every paragraph is cut vanish.
+    *
+    * Shape at scale: explode to (doc, index, paragraph), ONE groupBy
+    * shuffle on the paragraph key computing `min(struct(doc, index))`,
+    * a join back on the same key (shuffle reuse — same partitioning),
+    * one groupBy(doc) to reassemble in stored order. No windows, no
+    * all-pairs anything; the state per key is one (doc, index) pair. */
+  def dedupParagraphs(docs: DataFrame, sep: String = "\n",
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val parts = docs
+      .select(col(idCol), posexplode(split(col(textCol), sep)))
+      .withColumnRenamed("pos", "__i").withColumnRenamed("col", "__p")
+      .withColumn("__k", trim(lower(col("__p"))))
+    val first = parts.filter(col("__k") =!= "")
+      .groupBy(col("__k"))
+      .agg(min(struct(col(idCol).as("__d"), col("__i").as("__j"))).as("__w"))
+    val kept = parts.join(first, Seq("__k"), "left")
+      .filter(col("__w").isNull ||
+        (col(idCol) === col("__w.__d") && col("__i") === col("__w.__j")))
+    kept.groupBy(col(idCol))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("__i"), col("__p")))),
+          e => e.getField("__p")),
+        sep).as(textCol))
+  }
+
+  /** Per-document distinct hashed word-feature rows `(id, bucket)` for
+    * the logistic-regression classifier: whitespace tokens of the
+    * lowercased text, md5-60-bit-hashed into `buckets` (the established
+    * oracle hash twin), presence only (fastText-style binary bag of
+    * hashed words). */
+  def hashedWordFeatures(docs: DataFrame, buckets: Int,
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol), explode(tokens(lower(col(textCol)))).as("__t"))
+      .filter(length(col("__t")) > 0)
+      .select(col(idCol),
+        (conv(substring(md5(col("__t")), 1, 15), 16, 10)
+          .cast("long") % buckets).as("__b"))
+      .distinct()
+
+  /** Trained hashed logistic-regression model. Weights live in integer
+    * MICRO units (1e-6) so every distributed sum in training and scoring
+    * is an exact long — bit-identical on any cluster, any partitioning,
+    * and in the DuckDB oracle (double sums are order-of-accumulation
+    * dependent; long sums are not). */
+  final case class LrModel(biasMicro: Long, weightsMicro: Map[Long, Long],
+                           buckets: Int)
+
+  /** Model-based quality filtering — the fastText/GPT-3-style classifier
+    * step of corpus curation (train a cheap linear classifier on hashed
+    * word features to separate a curated target from raw web text, keep
+    * documents the classifier scores high). Full-batch gradient descent
+    * on logistic loss, run IN the engine:
+    *
+    * per round: margin m_i = (bias + Σ_{b∈doc i} w_b)/1e6 (exact long
+    * sum), p_i = round(1e6/(1+exp(−m_i))) micro-units, gradient per
+    * bucket g_b = Σ_i (p_i − y_i) (exact long sum over the feature
+    * rows), update w_b ← w_b − floor(lr·g_b/N) driver-side. `floor`
+    * (not round) because SQL round is half-away-from-zero while Java's
+    * is half-up — floor is identical everywhere.
+    *
+    * Shape at scale: the feature rows are computed once and
+    * localCheckpointed; each round is one broadcast join of the ≤
+    * `buckets`-row weight table + two aggregates (per-doc margin, per-
+    * bucket gradient). Driver state is O(buckets) longs — the k-means
+    * pattern. The oracle unrolls the rounds in CTEs (the BPE trick). */
+  def trainQualityLr(docs: DataFrame, label: Column, buckets: Int = 64,
+                     rounds: Int = 3, lr: Double = 0.5,
+                     textCol: String = "text",
+                     idCol: String = "doc_id"): LrModel = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(rounds >= 1 && buckets >= 1)
+    val labeled = docs
+      .select(col(idCol), (label.cast("boolean").cast("int").cast("long")
+        * lit(1000000L)).as("__y"))
+      .localCheckpoint()
+    val feats = hashedWordFeatures(docs, buckets, textCol, idCol)
+      .localCheckpoint()
+    val n = labeled.count().toDouble
+    var biasM = 0L
+    var w = Map.empty[Long, Long]
+    for (_ <- 1 to rounds) {
+      val wDf = w.toSeq.toDF("__b", "__wm")
+      val margins = feats.join(broadcast(wDf), Seq("__b"), "left")
+        .groupBy(col(idCol))
+        .agg(sum(coalesce(col("__wm"), lit(0L))).as("__s"))
+      val gDoc = labeled.join(margins, Seq(idCol), "left")
+        .select(col(idCol), col("__y"),
+          ((lit(biasM) + coalesce(col("__s"), lit(0L))).cast("double") /
+            lit(1000000.0)).as("__m"))
+        .select(col(idCol),
+          (round(lit(1000000.0) / (lit(1.0) + exp(-col("__m"))), 0)
+            .cast("long") - col("__y")).as("__g"))
+        .localCheckpoint()
+      val biasGradM = gDoc.agg(sum(col("__g"))).as[Long].head()
+      val bucketGradM = feats.join(gDoc, idCol)
+        .groupBy(col("__b")).agg(sum(col("__g")).as("__gb"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      biasM -= math.floor(lr * biasGradM / n).toLong
+      w = (w.keySet ++ bucketGradM.keySet).map { b =>
+        b -> (w.getOrElse(b, 0L) -
+          math.floor(lr * bucketGradM.getOrElse(b, 0L) / n).toLong)
+      }.toMap
+    }
+    LrModel(biasM, w, buckets)
+  }
+
+  /** Score documents with a trained [[LrModel]]: `score` = the logistic
+    * probability (rounded 6), `pred` = score ≥ 0.5. One broadcast join
+    * of the weight table + one per-doc aggregate — linear, no wide
+    * shuffle. */
+  def scoreQualityLr(docs: DataFrame, model: LrModel,
+                     textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wDf = model.weightsMicro.toSeq.toDF("__b", "__wm")
+    val margins =
+      hashedWordFeatures(docs, model.buckets, textCol, idCol)
+        .join(broadcast(wDf), Seq("__b"), "left")
+        .groupBy(col(idCol))
+        .agg(sum(coalesce(col("__wm"), lit(0L))).as("__s"))
+    docs.select(col(idCol)).join(margins, Seq(idCol), "left")
+      .select(col(idCol),
+        ((lit(model.biasMicro) + coalesce(col("__s"), lit(0L)))
+          .cast("double") / lit(1000000.0)).as("__m"))
+      .select(col(idCol),
+        round(lit(1.0) / (lit(1.0) + exp(-col("__m"))), 6).as("score"))
+      .withColumn("pred", col("score") >= 0.5)
+  }
+
   /** One-call document stats frame: the per-document feature row a
     * training-data pipeline materializes before filtering. */
   def docStats(docs: DataFrame, textCol: String = "text"): DataFrame = {

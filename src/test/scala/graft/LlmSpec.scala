@@ -1298,6 +1298,87 @@ class LlmSpec extends SparkFunSuite {
     assert(bad.length == 1 && !bad(0).getBoolean(5))
   }
 
+  test("normalizeText: NFC composition, control strip, whitespace collapse") {
+    val d = docs(Seq(
+      "Café du Monde",          // decomposed accent -> composed
+      "clean ascii text",             // fast path: unchanged
+      "bad\u0007ctrl\u0000chars", // C0 controls vanish
+      "  runs \t of\t\t spaces  ",    // collapse + trim
+      "line one\nline\ttwo"))         // \n preserved, \t collapsed
+    val got = d.select(Text.normalizeText(col("text")))
+      .collect().map(_.getString(0))
+    assert(got(0) == "Café du Monde")
+    assert(got(1) == "clean ascii text")
+    assert(got(2) == "badctrlchars")
+    assert(got(3) == "runs of spaces")
+    assert(got(4) == "line one\nline two")
+    // idempotent: normalizing twice is the identity on the first pass
+    val twice = d.select(
+      Text.normalizeText(Text.normalizeText(col("text"))))
+      .collect().map(_.getString(0))
+    assert(twice.toSeq == got.toSeq)
+  }
+
+  test("dedupParagraphs: corpus-first wins, blanks and order survive") {
+    val d = docs(Seq(
+      "unique a\nshared promo\n\nunique b",
+      "unique c\nshared promo\nunique d",   // loses the promo
+      "Shared Promo\nunique e"))            // normalized match -> loses too
+    val got = Text.dedupParagraphs(d)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(0L) == "unique a\nshared promo\n\nunique b") // first keeps, blank kept
+    assert(got(1L) == "unique c\nunique d")
+    assert(got(2L) == "unique e")
+    // a doc whose every paragraph lost vanishes
+    val d2 = docs(Seq("only para", "only para"))
+    val got2 = Text.dedupParagraphs(d2).collect()
+    assert(got2.length == 1 && got2.head.getLong(0) == 0L)
+  }
+
+  test("shuffleOrder: a permutation, stable across bucket counts") {
+    import graft.llm.Sample
+    val d = docs(Seq.tabulate(500)(i => s"doc $i"))
+    val p16 = Sample.shuffleOrder(d, buckets = 16, seed = "s")
+      .select(col("doc_id"), col("shuffle_pos"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p16.values.toSeq.sorted == (0L until 500L)) // exact permutation
+    val p3 = Sample.shuffleOrder(d.repartition(7), buckets = 3, seed = "s")
+      .select(col("doc_id"), col("shuffle_pos"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p3 == p16)  // bucket count and partitioning are invisible
+    // order is exactly rank in (hashFrac, id)
+    val byFrac = d.select(col("doc_id"),
+        Sample.hashFrac(col("doc_id"), "s").as("f"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, f) => (f, id) }.map(_._1)
+    assert(byFrac.zipWithIndex.forall { case (id, i) => p16(id) == i })
+  }
+
+  test("quality classifier: separates planted classes, deterministic") {
+    val good = Seq.tabulate(40)(i =>
+      s"the quick brown fox jumps over the lazy dog number $i")
+    val bad = Seq.tabulate(40)(i =>
+      s"buy cheap pills casino winner click here now offer $i")
+    val d = docs(good ++ bad)
+    val label = col("doc_id") < 40
+    val model = Text.trainQualityLr(d, label, buckets = 64,
+      rounds = 5, lr = 1.0)
+    val scored = Text.scoreQualityLr(d, model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val goodAvg = (0L until 40L).map(scored).sum / 40
+    val badAvg = (40L until 80L).map(scored).sum / 40
+    assert(goodAvg > 0.6 && badAvg < 0.4) // classes separate
+    // training is partitioning-independent (exact long sums): the model
+    // from a differently-partitioned corpus is identical
+    val model2 = Text.trainQualityLr(d.repartition(13), label,
+      buckets = 64, rounds = 5, lr = 1.0)
+    assert(model2 == model)
+    // pred column thresholds the score
+    val preds = Text.scoreQualityLr(d, model)
+      .collect().map(r => (r.getDouble(1), r.getBoolean(2)))
+    assert(preds.forall { case (s0, p) => p == (s0 >= 0.5) })
+  }
+
   test("high cardinality: correctness independent of series count") {
     import org.apache.spark.sql.functions.{concat, lit}
     val n = 20000
