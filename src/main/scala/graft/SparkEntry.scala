@@ -1835,6 +1835,111 @@ object SparkEntry {
       },
       Some(qualityLrOracle(rounds = 3, buckets = 64))),
 
+    // -- cleaning: lite HTML-to-text extraction --------------------------
+    // Every doc is wrapped in planted markup: script/style with
+    // contents, nested tags, entities (incl. the &amp;-last ordering
+    // trap: '&amp;lt;' must decode to the TEXT '&lt;'). The oracle runs
+    // the identical RE2/replace chain in DuckDB.
+    "doc_strip_html" -> Gated(
+      (s, d) => TestData.table(s, d, "documents")
+        .select(col("doc_id"),
+          Text.stripHtml(concat(
+            lit("<html><head><title>T</title><style>p{color:red}</style>" +
+              "<script type=\"text/javascript\">var x = \"<p>\";</script>" +
+              "</head><body><h1 class=\"big\">Head</h1><p>"),
+            col("text"),
+            lit("</p><br>Tom &amp;amp; Jerry &lt;3 &quot;q&quot;" +
+              " &#39;s&nbsp;end</body></html>"))).as("text"))
+        .orderBy(col("doc_id")),
+      Some("""WITH h AS (SELECT doc_id,
+             |    '<html><head><title>T</title><style>p{color:red}</style>'
+             |    || '<script type="text/javascript">var x = "<p>";</script>'
+             |    || '</head><body><h1 class="big">Head</h1><p>' || text
+             |    || '</p><br>Tom &amp;amp; Jerry &lt;3 &quot;q&quot;'
+             |    || ' &#39;s&nbsp;end</body></html>' AS html
+             |  FROM documents),
+             |x AS (SELECT doc_id,
+             |  replace(replace(replace(replace(replace(replace(
+             |    regexp_replace(
+             |      regexp_replace(
+             |        regexp_replace(
+             |          regexp_replace(html,
+             |            '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+             |          '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+             |        '(?i)<br[ /]*>|</p[ ]*>', chr(10), 'g'),
+             |      '<[^>]+>', ' ', 'g'),
+             |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+             |    '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t
+             |  FROM h)
+             |SELECT doc_id, trim(regexp_replace(t, '[ \t]+', ' ', 'g'))
+             |  AS text
+             |FROM x ORDER BY 1""".stripMargin)),
+
+    // -- dedup: n-gram CONTAINMENT (sub-document duplication) ------------
+    // Planted excerpts: every 17th doc spawns a new doc holding its
+    // first 25 tokens — containment 1.0 against its base even though
+    // Jaccard is far below any threshold. All organic crossing pairs
+    // count too; the oracle scores every pair exactly.
+    "doc_containment" -> Gated(
+      (s, d) => {
+        val docs = TestData.table(s, d, "documents")
+          .select(col("doc_id"), col("text"))
+        val excerpts = docs.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            array_join(slice(Text.tokens(col("text")), 1, 25), " ")
+              .as("text"))
+        Dedup.ngramContainment(docs.union(excerpts),
+            n = 3, threshold = 0.8)
+          .orderBy(col("a"), col("b"))
+      },
+      Some("""WITH all_docs AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000, array_to_string(
+             |      string_split_regex(trim(text), '\s+')[1:25], ' ')
+             |    FROM documents WHERE doc_id % 17 = 0),
+             |toks AS (
+             |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+')
+             |    AS t FROM all_docs),
+             |grams AS (
+             |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+             |    THEN list_transform(range(1, len(t) - 1),
+             |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+             |    ELSE [] END) AS g
+             |  FROM toks)
+             |SELECT a, b, containment FROM (
+             |  SELECT x.doc_id AS a, y.doc_id AS b,
+             |    round(len(list_intersect(x.g, y.g))::DOUBLE /
+             |      least(len(x.g), len(y.g)), 6) AS containment
+             |  FROM grams x JOIN grams y ON x.doc_id < y.doc_id
+             |  WHERE len(x.g) > 0 AND len(y.g) > 0)
+             |WHERE containment >= 0.8 ORDER BY 1, 2""".stripMargin)),
+
+    // -- curation: per-doc novelty (fraction of shingles seen elsewhere) -
+    "doc_novelty" -> Gated(
+      (s, d) => Dedup.noveltyStats(TestData.table(s, d, "documents"))
+        .orderBy(col("doc_id")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+')
+             |    AS t FROM documents),
+             |grams AS (
+             |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+             |    THEN list_transform(range(1, len(t) - 1),
+             |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+             |    ELSE [] END) AS g
+             |  FROM toks),
+             |ex AS (SELECT doc_id, unnest(g) AS g2 FROM grams),
+             |cnt AS (SELECT g2, count(*) AS c FROM ex GROUP BY 1),
+             |per AS (SELECT doc_id, count(*) AS n_shingles,
+             |    round(avg(CASE WHEN c > 1 THEN 1.0 ELSE 0.0 END), 6)
+             |      AS dup_shingle_frac
+             |  FROM ex JOIN cnt USING (g2) GROUP BY 1)
+             |SELECT d.doc_id,
+             |  coalesce(per.n_shingles, 0) AS n_shingles,
+             |  coalesce(per.dup_shingle_frac, 0.0) AS dup_shingle_frac
+             |FROM documents d LEFT JOIN per USING (doc_id)
+             |ORDER BY 1""".stripMargin)),
+
     // -- tokenizer: distributed BPE training -----------------------------
     // Six merges learned from the corpus word-frequency table (ties
     // break to the lexicographically smallest pair); the oracle unrolls

@@ -111,7 +111,48 @@ object Dedup {
     * raise `n` instead. Output: (a, b, jaccard) with a < b. */
   def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
                    textCol: String = "text", idCol: String = "doc_id",
-                   maxBucket: Int = 1000): DataFrame = {
+                   maxBucket: Int = 1000): DataFrame =
+    shinglePairCounts(docs, n, textCol, idCol, maxBucket)
+      .withColumn("jaccard",
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+
+  /** Sub-document duplication: pairs with n-gram CONTAINMENT
+    * `|A ∩ B| / min(|A|, |B|)` >= `threshold`. Jaccard misses a short
+    * document wholly embedded in a long one (the union term swamps the
+    * overlap); containment is the standard asymmetric complement (the
+    * Broder resemblance/containment pair) used to catch quote-and-extend
+    * duplication. Same exact shared-shingle machinery as
+    * [[ngramJaccard]], recall 1 by construction. */
+  def ngramContainment(docs: DataFrame, n: Int = 3,
+                       threshold: Double = 0.8,
+                       textCol: String = "text", idCol: String = "doc_id",
+                       maxBucket: Int = 1000): DataFrame =
+    shinglePairCounts(docs, n, textCol, idCol, maxBucket)
+      .withColumn("containment",
+        round(col("inter") / least(col("na"), col("nb")), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("a"), col("b"), col("containment"))
+
+  /** Shared machinery of the exact pair scorers: for every pair sharing
+    * >= 1 retained shingle, the intersection size and both retained set
+    * sizes — `(a, b, inter, na, nb)` with a < b.
+    *
+    * Candidate pairs are pairs sharing >= 1 shingle (any pair with
+    * overlap > 0 shares one, so recall is exactly 1 — this is not a
+    * sketch). Shape: explode(shingle) -> self-join per shingle bucket ->
+    * one groupBy(pair).count. `maxBucket` caps pathological shingle
+    * frequencies (boilerplate): buckets above the cap are dropped, and
+    * set sizes are computed over the SAME retained universe as the
+    * intersection, so scores are exact over non-boilerplate shingles
+    * (when the cap never triggers — any corpus with < maxBucket docs
+    * sharing a shingle — they are the plain scores). Pairs whose
+    * evidence is entirely heavy-carried drop out; at scale, raise `n`
+    * instead. */
+  private def shinglePairCounts(docs: DataFrame, n: Int,
+                                textCol: String, idCol: String,
+                                maxBucket: Int): DataFrame = {
     // repartition first: a single-file parquet scan would otherwise run
     // the whole shingle stage on one core. Shingles become 64-bit hashes
     // immediately — 8-byte shuffle keys instead of n-word strings; a hash
@@ -141,10 +182,34 @@ object Dedup {
     inter
       .join(sizes.select(col("id").as("a"), col("nsh").as("na")), "a")
       .join(sizes.select(col("id").as("b"), col("nsh").as("nb")), "b")
-      .withColumn("jaccard",
-        round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** Per-document novelty: the fraction of a document's distinct word
+    * n-gram shingles that occur in at least one OTHER document
+    * (`dup_shingle_frac`; RefinedWeb-style "how much of this page is
+    * text seen elsewhere" — high fraction = syndicated/templated
+    * content even when no single pair crosses a near-dup threshold).
+    *
+    * Shape at scale: explode to (doc, shingle-hash) rows, one
+    * groupBy(hash) distinct-doc count, join back on the same key
+    * (shuffle reuse), one groupBy(doc) average. Documents too short to
+    * have a shingle report 0 shingles / 0.0 frac. */
+  def noveltyStats(docs: DataFrame, n: Int = 3,
+                   textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    val ex = docs
+      .select(col(idCol), explode(hashedShingles(col(textCol), n)).as("g"))
+    // shingles are distinct per doc, so count(*) = distinct docs
+    val cnt = ex.groupBy(col("g")).agg(count(lit(1)).as("__docs"))
+    val perDoc = ex.join(cnt, "g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        round(avg((col("__docs") > 1).cast("double")), 6)
+          .as("dup_shingle_frac"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("dup_shingle_frac"), lit(0.0)).as("dup_shingle_frac"))
   }
 
   /** Span-level duplicate detection: pairs of documents sharing at least

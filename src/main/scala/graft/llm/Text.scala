@@ -533,6 +533,34 @@ object Text {
         "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
       "[ \\t]+", " "))
 
+  /** Lite HTML-to-text extraction — the "get training text out of
+    * crawled markup" step (the trafilatura/jusText shape, reduced to
+    * what regexes can do soundly):
+    *
+    *  1. drop `<script>`/`<style>` elements with their contents
+    *     (code/CSS is not prose);
+    *  2. turn `<br>` and closing `</p>` into newlines (block structure
+    *     survives as line structure);
+    *  3. strip every remaining tag;
+    *  4. decode the six ubiquitous entities — `&nbsp; &lt; &gt; &quot;
+    *     &#39;` and `&amp;` LAST (so `&amp;lt;` decodes to the literal
+    *     text `&lt;`, not to `<`);
+    *  5. collapse space/tab runs and trim.
+    *
+    * Pure narrow regexp/replace chain (RE2-compatible patterns — the
+    * DuckDB twin runs the identical expressions); no DOM, documented as
+    * the lite path. Comments and attributes fall with their tags. */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val blocks = regexp_replace(noStyle, "(?i)<br[ /]*>|</p[ ]*>", "\n")
+    val noTags = regexp_replace(blocks, "<[^>]+>", " ")
+    val ent = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    trim(regexp_replace(ent, "[ \\t]+", " "))
+  }
+
   /** Corpus-wide paragraph-level deduplication (the Dolma/C4 dedupe
     * granularity between whole-document exact dedup and line-level
     * boilerplate stripping): every paragraph keeps only its FIRST

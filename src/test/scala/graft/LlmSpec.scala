@@ -1379,6 +1379,43 @@ class LlmSpec extends SparkFunSuite {
     assert(preds.forall { case (s0, p) => p == (s0 >= 0.5) })
   }
 
+  test("stripHtml: scripts die with contents, structure and entities") {
+    val d = docs(Seq(
+      "<html><head><style>p{x:1}</style><script>if(a<b){go(\"</p>\")}" +
+        "</script></head><body><h1>Title</h1><p>one</p><p>two</p>" +
+        "<br/>Tom &amp; Jerry &lt;3 &amp;lt; &nbsp;</body></html>"))
+    val got = d.select(Text.stripHtml(col("text"))).head.getString(0)
+    assert(!got.contains("x:1") && !got.contains("go(")) // contents dropped
+    assert(got.contains("one\n"))                        // </p> -> newline
+    assert(got.contains("Tom & Jerry <3"))               // entities decode
+    assert(got.contains("&lt;"))   // &amp;lt; decodes to TEXT, not '<'
+    assert(!got.contains("<h1>") && got.contains("Title"))
+  }
+
+  test("ngramContainment: catches an embedded excerpt Jaccard misses") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val excerpt = (1 to 10).map(i => s"w$i").mkString(" ")
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val d = docs(Seq(base, excerpt, other))
+    val cont = Dedup.ngramContainment(d, n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cont.toSeq == Seq((0L, 1L, 1.0))) // excerpt fully contained
+    val jac = Dedup.ngramJaccard(d, n = 3, threshold = 0.5).collect()
+    assert(jac.isEmpty)                      // jaccard 8/38 — invisible
+  }
+
+  test("noveltyStats: duplicated shingles raise the fraction") {
+    val a = "alpha beta gamma delta epsilon zeta"
+    val d = docs(Seq(a, a + " extra tail words here", "tiny", // dup block
+      "totally different content with many fresh unique tokens"))
+    val got = Dedup.noveltyStats(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(0L)._2 == 1.0)        // every shingle of doc 0 is in doc 1
+    assert(got(1L)._2 > 0.3 && got(1L)._2 < 1.0) // partial overlap
+    assert(got(2L) == ((0L, 0.0)))   // too short: zero shingles
+    assert(got(3L)._2 == 0.0)        // all novel
+  }
+
   test("high cardinality: correctness independent of series count") {
     import org.apache.spark.sql.functions.{concat, lit}
     val n = 20000
