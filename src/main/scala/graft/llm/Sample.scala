@@ -168,6 +168,61 @@ object Sample {
       .limit(k)
   }
 
+  /** Token-budget selection: walk the corpus in priority order (highest
+    * `priority` first, ties broken by id ascending) and keep rows while
+    * the running `cost` total — INCLUDING the current row — stays within
+    * `budget`. This is the "fill a 1T-token training budget from the
+    * best documents" curation step, as a deterministic, distributed
+    * operator: the kept set is a pure function of (corpus, budget).
+    *
+    * Shape at scale: [[pack]]'s two-pass prefix sum, but ordered by a
+    * VALUE column rather than a uniform hash — so bucket boundaries come
+    * from an approx-quantile sketch of the priority (any boundaries
+    * yield the same result; they only balance the per-bucket windows).
+    * Pass 1 is one B-row cost total per bucket; pass 2 one within-bucket
+    * running-sum window plus the bucket's base offset. No global window,
+    * no driver-side sort. `cost` must be non-negative. */
+  def takeBudget(df: DataFrame, cost: Column, priority: Column,
+                 budget: Long, buckets: Int = 64,
+                 idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 0, "budget must be non-negative")
+    val t0 = df.withColumn("__p", priority.cast("double"))
+      .withColumn("__c", cost.cast("long"))
+    // Bucket boundaries from a cheap quantile sketch. Correctness does
+    // not depend on them (the global order is (__p desc, id asc) either
+    // way); duplicates collapse, and an empty/constant column degrades
+    // to one bucket — still correct, just serial.
+    val bounds = t0.stat
+      .approxQuantile("__p",
+        (1 until buckets).map(_.toDouble / buckets).toArray, 0.01)
+      .distinct.sorted.toSeq
+    val bucket =
+      if (bounds.isEmpty) lit(0)
+      else bounds.map(b => when(col("__p") >= b, 1).otherwise(0))
+        .reduce(_ + _)
+    val t = t0.withColumn("__b", bucket)
+    // Pass 1: per-bucket cost totals; bases accumulate from the TOP
+    // bucket down (highest priority first).
+    val totals = t.groupBy(col("__b")).agg(sum(col("__c")).as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(-_._1)
+    val bases = totals.scanLeft((Int.MinValue, 0L)) {
+      case ((_, acc), (b, n)) => (b, acc + n)
+    }.tail.zip(totals).map { case ((b, end), (_, n)) => (b, end - n) }.toMap
+    val baseMap = map(bases.toSeq.flatMap { case (b, o) =>
+      Seq(lit(b), lit(o)) }: _*)
+    // Pass 2: inclusive running sum within the bucket, highest first.
+    val cum = sum(col("__c")).over(
+      Window.partitionBy(col("__b"))
+        .orderBy(col("__p").desc, col(idCol).asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)) +
+      element_at(baseMap, col("__b"))
+    t.withColumn("__cum", cum)
+      .filter(col("__cum") <= budget)
+      .drop("__p", "__c", "__b", "__cum")
+  }
+
   /** Sequence packing ("concat-and-chunk"): lay every document's tokens
     * end to end in a deterministic shuffled order — (hashFrac(id), id),
     * the same seeded total order as [[takeExact]] — and cut the stream
