@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.ast.QueryJson
 import graft.llm.{Bpe, Dedup, Embed, Multimodal, Sample, Text}
 import graft.model.AkuTime
-import graft.plan.{Meta, Planner}
+import graft.plan.{EventOps, Meta, Planner}
 import graft.serve.OutputFormat
 import graft.sources.TestData
 
@@ -2655,6 +2655,104 @@ object SparkEntry {
              |  ('mem host=m2',      1418197423999999999, 256.0))
              |  t(sname, ts, value)
              |ORDER BY 1, 2""".stripMargin)),
+
+    // -- event-relational operators: as-of / range join / sessionize -----
+    // (EventOps — operators the reference lacks; DuckDB ASOF JOIN and
+    // window replays are the oracles)
+    "ts_asof_join" -> Gated(
+      (s, d) => {
+        val ev = TestData.eventsRaw(s, d)
+        val l = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("value"))
+        val r = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value"))
+        EventOps.asOf(l, r, Seq("user_id"), "ts", "value",
+            toleranceNs = Some(2 * Day))
+          .orderBy(col("user_id"), col("ts"), col("value"))
+      },
+      Some(s"""WITH l AS (SELECT user_id, ts, value FROM events
+              |  WHERE event_type = 'click'),
+              |r0 AS (SELECT user_id, ts, max(value) AS v FROM events
+              |  WHERE event_type = 'purchase' GROUP BY 1, 2),
+              |j AS (
+              |  SELECT l.user_id, epoch_ns(l.ts) AS ts, l.value,
+              |         r0.v AS vr, epoch_ns(r0.ts) AS tsr
+              |  FROM l ASOF LEFT JOIN r0
+              |    ON l.user_id = r0.user_id AND l.ts >= r0.ts)
+              |SELECT user_id, ts, value,
+              |  CASE WHEN ts - tsr <= ${2 * Day} THEN vr END AS value_r,
+              |  CASE WHEN ts - tsr <= ${2 * Day} THEN tsr END AS ts_r
+              |FROM j ORDER BY 1, 2, 3""".stripMargin)),
+
+    "ts_range_join" -> Gated(
+      (s, d) => {
+        val ev = TestData.eventsRaw(s, d)
+        val l = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("value"))
+        val r = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("value"))
+        EventOps.rangeJoin(l, r, Seq("user_id"), "ts",
+            lowerNs = -H6, upperNs = 0L, rightCols = Seq("value"))
+          .orderBy(col("user_id"), col("ts"), col("value"),
+            col("ts_r"), col("value_r"))
+      },
+      Some(s"""WITH l AS (SELECT user_id, ts, value FROM events
+              |  WHERE event_type = 'click'),
+              |r AS (SELECT user_id, ts, value FROM events
+              |  WHERE event_type = 'view')
+              |SELECT l.user_id, epoch_ns(l.ts) AS ts, l.value,
+              |       epoch_ns(r.ts) AS ts_r, r.value AS value_r
+              |FROM l JOIN r ON l.user_id = r.user_id
+              |  AND epoch_ns(r.ts) BETWEEN epoch_ns(l.ts) - $H6
+              |                         AND epoch_ns(l.ts)
+              |ORDER BY 1, 2, 3, 4, 5""".stripMargin)),
+
+    "ts_sessionize" -> Gated(
+      (s, d) => {
+        val ev = TestData.eventsRaw(s, d)
+        val l = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("value"))
+        val sess = EventOps.sessionize(l, Seq("user_id"), "ts", gapNs = H6)
+        EventOps.sessionStats(sess, Seq("user_id"), "ts", "value")
+          .select(col("user_id"), col("session_id"),
+            col("session_start"), col("session_end"), col("n_events"),
+            round(col("value_sum"), 6).as("value_sum"))
+          .orderBy(col("user_id"), col("session_start"))
+      },
+      Some(s"""WITH l AS (SELECT user_id, epoch_ns(ts) AS t, value
+              |  FROM events WHERE event_type = 'click'),
+              |m AS (SELECT user_id, t, value,
+              |    CASE WHEN lag(t) OVER w IS NULL
+              |           OR t - lag(t) OVER w > $H6 THEN 1 ELSE 0 END AS nw
+              |  FROM l WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+              |s AS (SELECT user_id, t, value,
+              |    sum(nw) OVER (PARTITION BY user_id ORDER BY t
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              |  FROM m)
+              |SELECT user_id,
+              |  user_id::VARCHAR || '#' || sid::VARCHAR AS session_id,
+              |  min(t) AS session_start, max(t) AS session_end,
+              |  count(*) AS n_events, round(sum(value), 6) AS value_sum
+              |FROM s GROUP BY 1, 2 ORDER BY 1, 3""".stripMargin)),
+
+    // -- token-budget selection (greedy by priority until cost budget) ---
+    "doc_take_budget" -> Gated(
+      (s, d) => {
+        val docs = TestData.table(s, d, "documents")
+          .select(col("doc_id"), col("n_chars"))
+        Sample.takeBudget(docs, col("n_chars"),
+            pmod(col("doc_id") * 37, lit(101)), budget = 100000L,
+            idCol = "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, n_chars,
+             |    (doc_id * 37) % 101 AS p FROM documents),
+             |c AS (SELECT doc_id, n_chars,
+             |    sum(n_chars) OVER (ORDER BY p DESC, doc_id ASC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM t)
+             |SELECT doc_id, n_chars FROM c WHERE cum <= 100000
+             |ORDER BY 1""".stripMargin)),
 
     // -- flagship analytics aggregate over lineitem (bench headline) -----
     "q1_agg" -> Gated(

@@ -193,10 +193,12 @@ object Sample {
     // not depend on them (the global order is (__p desc, id asc) either
     // way); duplicates collapse, and an empty/constant column degrades
     // to one bucket — still correct, just serial.
-    val bounds = t0.stat
-      .approxQuantile("__p",
-        (1 until buckets).map(_.toDouble / buckets).toArray, 0.01)
-      .distinct.sorted.toSeq
+    val bounds =
+      if (buckets <= 1) Seq.empty[Double] // approxQuantile NPEs on 0 probes
+      else t0.stat
+        .approxQuantile("__p",
+          (1 until buckets).map(_.toDouble / buckets).toArray, 0.01)
+        .distinct.sorted.toSeq
     val bucket =
       if (bounds.isEmpty) lit(0)
       else bounds.map(b => when(col("__p") >= b, 1).otherwise(0))

@@ -7,16 +7,19 @@ import org.apache.spark.sql.functions._
 /** Time-relational operators the reference engine lacks but that users of
   * a time-series store routinely need next to it: as-of join, bounded
   * range join, and gap-based sessionization. The reference's only join is
-  * exact-timestamp alignment (reference: libakumuli/query_processing/
-  * join.cpp:1-109); these close the gap Spark-first.
+  * exact-timestamp alignment (reference: libakumuli/storage_engine/
+  * operators/join.cpp — series merged on identical ts); these close the
+  * gap Spark-first.
   *
   * Scale notes (the whole point of each shape):
   *  - `asOf` is union + keyed window — ONE shuffle on the join key, no
   *    range explosion. A naive `l.ts >= r.ts` theta join is O(n·m) per
-  *    key and unrunnable at 100 TB.
+  *    key and unrunnable at 100 TB. Skew note: a hot key's full history
+  *    lands in one task (window partitionBy) — acceptable for keyed event
+  *    streams; for a single giant key pre-split by time and stitch.
   *  - `rangeJoin` bucketizes time by the window width so each left row
-  *    meets only its own and one neighbouring bucket — an equi-join with
-  *    a residual filter, never a cross product.
+  *    meets only the buckets its window can touch — an equi-join with a
+  *    residual band filter, never a cross product.
   *  - `sessionize` is a single keyed window (lag + running sum).
   */
 object EventOps {
@@ -24,7 +27,10 @@ object EventOps {
   /** As-of join: for every left row, the single most recent right row with
     * `right.ts <= left.ts` on the same key (optionally within
     * `toleranceNs`). Right rows are first collapsed to one value per
-    * (key, ts) via `max` so ties are deterministic.
+    * (key, ts) via `max` so exact-ts duplicates are deterministic; a
+    * null-valued right row (all values at its (key, ts) null) IS carried —
+    * it is the latest observation, so the output pairs its timestamp with
+    * a null value rather than resurrecting an older value.
     *
     * Output: all left columns, plus `<valueCol><suffix>` (the carried
     * right value) and `<tsCol><suffix>` (the right timestamp it came
@@ -37,8 +43,9 @@ object EventOps {
     val vOut  = valueCol + suffix
     val tsOut = tsCol + suffix
     val leftCols = left.columns.toSeq
-    require(!leftCols.contains(vOut) && !leftCols.contains(tsOut),
-      s"suffix '$suffix' collides with a left column")
+    val reserved = Seq(vOut, tsOut, "__side", "__r")
+    require(reserved.forall(c => !leftCols.contains(c)),
+      s"left columns collide with ${reserved.filter(leftCols.contains)}")
 
     val r1 = right.groupBy((on :+ tsCol).map(col): _*)
       .agg(max(col(valueCol)).as(vOut))
@@ -61,48 +68,64 @@ object EventOps {
     val w = Window.partitionBy(on.map(col): _*)
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ONE struct carried per right row — value and timestamp always come
+    // from the same row (two independent last() windows would pair an
+    // older non-null value with a newer null-valued row's timestamp, and
+    // then evaluate tolerance against the wrong timestamp). The when() is
+    // null on left rows, a non-null struct on every right row (even a
+    // null-valued one), so last(ignoreNulls) tracks right rows exactly.
     val carried = lPart.unionByName(rPart)
-      .withColumn("__v",  last(col(vOut), ignoreNulls = true).over(w))
-      .withColumn("__ts", last(col(tsOut), ignoreNulls = true).over(w))
+      .withColumn("__r", last(
+        when(col("__side") === 0,
+          struct(col(tsOut).as("ts"), col(vOut).as("v"))),
+        ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
     val inTol = toleranceNs match {
-      case Some(t) => col(tsCol).cast("long") - col("__ts") <= t
-      case None    => lit(true)
+      case Some(t) => col(tsCol).cast("long") - col("__r.ts") <= t
+      case None    => col("__r").isNotNull
     }
     carried.select(
       (leftCols.map(col) ++ Seq(
-        when(inTol, col("__v")).as(vOut),
-        when(inTol, col("__ts")).as(tsOut))): _*)
+        when(inTol, col("__r.v")).as(vOut),
+        when(inTol, col("__r.ts")).as(tsOut))): _*)
   }
 
   /** Bounded range join: all (left, right) pairs on the same key with
     * `right.ts` in `[left.ts + lowerNs, left.ts + upperNs]`. Both sides'
-    * rows land in `floor(ts / width)` buckets (width = window length), a
-    * left row is exploded into the at-most-two buckets its window can
-    * touch, and the equi-join on (key, bucket) carries a residual
-    * band filter — never an unbounded theta join.
+    * rows land in `ts div width` buckets (width = window length), a left
+    * row is exploded into the at-most-two buckets its window can touch,
+    * and the equi-join on (key, bucket) carries a residual band filter —
+    * never an unbounded theta join. Bucketing uses integer `div` on both
+    * sides (long ns exceed 2^53, double floor() can misbucket edge rows);
+    * only monotonicity + identical rounding on both sides matter, so
+    * truncation-toward-zero is fine.
     *
-    * Output: all left columns, plus every `rightCols` entry suffixed.
+    * Output: all left columns, plus `<tsCol><suffix>` and every
+    * `rightCols` entry suffixed.
     */
   def rangeJoin(left: DataFrame, right: DataFrame, on: Seq[String],
                 tsCol: String, lowerNs: Long, upperNs: Long,
                 rightCols: Seq[String], suffix: String = "_r"): DataFrame = {
     require(on.nonEmpty, "rangeJoin requires at least one key column")
     require(upperNs >= lowerNs, "upperNs must be >= lowerNs")
+    require(!rightCols.contains(tsCol),
+      s"rightCols must not contain '$tsCol' (its suffixed copy is emitted already)")
     val width = math.max(upperNs - lowerNs, 1L)
     val rOut = rightCols.map(_ + suffix)
-    require(rOut.forall(c => !left.columns.contains(c)),
-      s"suffix '$suffix' collides with a left column")
+    val outCols = rOut :+ (tsCol + suffix)
+    val reserved = outCols ++ Seq("__rts", "__lts", "__b")
+    require(reserved.forall(c => !left.columns.contains(c)),
+      s"left columns collide with ${reserved.filter(left.columns.contains)}")
 
     val r1 = right.select(
       (on.map(col) ++ Seq(col(tsCol).cast("long").as("__rts")) ++
         rightCols.zip(rOut).map { case (c, o) => col(c).as(o) }): _*)
-      .withColumn("__b", floor(col("__rts") / width))
+      .withColumn("__b", expr(s"__rts div ${width}L"))
     val l1 = left
       .withColumn("__lts", col(tsCol).cast("long"))
-      .withColumn("__b", explode(sequence(
-        floor((col("__lts") + lowerNs) / width),
-        floor((col("__lts") + upperNs) / width))))
+      .withColumn("__b", explode(expr(
+        s"sequence((__lts + ${lowerNs}L) div ${width}L, " +
+        s"(__lts + ${upperNs}L) div ${width}L)")))
     l1.join(r1, on :+ "__b")
       .filter(col("__rts").between(col("__lts") + lowerNs,
                                    col("__lts") + upperNs))

@@ -13,15 +13,30 @@ import graft.plan.TsStore
   */
 object TestData {
 
-  /** The events table stores `ts` as parquet INT64 TIMESTAMP(NANOS), which
-    * Spark's vectorized reader rejects by default; `nanosAsLong` surfaces it
-    * as a ns LongType — exactly the engine's native timestamp unit (ns u64,
-    * reference: include/akumuli_def.h:36). The adapter then truncates to µs
-    * resolution (`(ts div 1000) * 1000`) because the DuckDB oracle reads the
-    * same parquet at µs precision; the engine itself is ns-clean. */
+  /** Reads `events.parquet` and normalizes `ts` to the engine's native
+    * timestamp unit: ns-since-epoch LongType (reference:
+    * include/akumuli_def.h:36). The driver has shipped two physical
+    * schemas for `ts`, so the adapter branches on what it actually reads:
+    *  - parquet `timestamp[us]` (current testdata; surfaces as
+    *    TIMESTAMP_NTZ or TIMESTAMP) → `unix_micros * 1000`. µs data needs
+    *    no truncation, and the result matches the DuckDB oracle's
+    *    `epoch_ns(ts)` exactly. NTZ wall times are naive-UTC, so the
+    *    session timezone is pinned to UTC to make the NTZ→LTZ cast the
+    *    identity on the stored micros.
+    *  - INT64 TIMESTAMP(NANOS) via `nanosAsLong` (rounds 1–3 testdata) →
+    *    truncate ns to µs resolution (`(ts div 1000) * 1000`), because
+    *    the oracle reads that parquet at µs precision. */
   private def readEvents(spark: SparkSession, sfDir: String) = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val tsNs = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("(ts div 1000) * 1000")
+      case _ => // TimestampType | TimestampNTZType
+        unix_micros(col("ts").cast("timestamp")) * lit(1000L)
+    }
+    raw.withColumn("ts", tsNs.cast("long"))
   }
 
   /** Metric-series store over `events.parquet`. Tags:
@@ -36,7 +51,7 @@ object TestData {
         lit("k"), (get_json_object(col("props"), "$.k").cast("int") % 10)
           .cast("string")
       ).as(TsStore.Tags),
-      expr("(ts div 1000) * 1000").cast("long").as(TsStore.Ts),
+      col("ts").as(TsStore.Ts),
       col("value").as(TsStore.Value)))
   }
 
@@ -48,10 +63,15 @@ object TestData {
     new TsStore(raw.select(
       concat(lit("!"), col("event_type")).as(TsStore.Metric),
       map(lit("user"), col("user_id").cast("string")).as(TsStore.Tags),
-      expr("(ts div 1000) * 1000").cast("long").as(TsStore.Ts),
+      col("ts").as(TsStore.Ts),
       lit(null).cast("double").as(TsStore.Value),
       col("props").as(TsStore.Event)))
   }
+
+  /** The raw events table with `ts` normalized to ns-long — the input
+    * frame for the event-relational operators (EventOps gates). */
+  def eventsRaw(spark: SparkSession, sfDir: String) =
+    readEvents(spark, sfDir)
 
   def table(spark: SparkSession, sfDir: String, name: String) =
     spark.read.parquet(s"$sfDir/$name.parquet")
