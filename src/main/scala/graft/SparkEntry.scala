@@ -1948,7 +1948,9 @@ object SparkEntry {
     "bpe_train" -> Gated(
       (s, d) => {
         val docs = TestData.table(s, d, "documents")
-        val merges = Bpe.train(Bpe.wordVocab(docs), k = 6)
+        // batched trainer: proven merge-identical to the serial one
+        // (BpeBatchSpec), so the serial-replay oracle still applies
+        val (merges, _) = Bpe.trainBatched(Bpe.wordVocab(docs), k = 6)
         Bpe.mergesDf(s, merges)
           .select(col("rank").as("merge_rank"), col("left").as("lft"),
             col("right").as("rgt"), col("count").as("cnt"))
@@ -1964,7 +1966,7 @@ object SparkEntry {
     "bpe_encode" -> Gated(
       (s, d) => {
         val docs = TestData.table(s, d, "documents")
-        val merges = Bpe.train(Bpe.wordVocab(docs), k = 6)
+        val (merges, _) = Bpe.trainBatched(Bpe.wordVocab(docs), k = 6)
         Bpe.encode(docs, merges).orderBy(col("doc_id"))
       },
       Some(bpeEncodeOracle(6))),

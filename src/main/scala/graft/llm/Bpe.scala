@@ -56,13 +56,27 @@ object Bpe {
   /** The initial symbol array: one single-character symbol per char. */
   private[llm] def charSymbols(word: Column): Column = split(word, "")
 
-  /** Train `k` merges over a (word, freq) vocabulary. Each round
-    * counts adjacent symbol pairs weighted by word frequency, picks the
-    * most frequent (ties: lexicographically smallest pair — fully
-    * deterministic), and rewrites the vocab. The vocab is
-    * `localCheckpoint`ed per round: lineage stays O(1) deep instead of
-    * accumulating k nested folds. Returns the ordered merge table —
-    * the trained tokenizer artifact (k rows on the driver). */
+  /** Adjacent-pair counts over a symbol-array vocab, weighted by word
+    * frequency — the per-round aggregate both trainers share. */
+  private def pairCounts(v: DataFrame): DataFrame = v
+    .select(col("freq"), explode(when(size(col("s")) >= 2,
+        transform(sequence(lit(1), size(col("s")) - 1),
+          i => struct(element_at(col("s"), i).as("l"),
+            element_at(col("s"), i + 1).as("r"))))
+      .otherwise(array().cast("array<struct<l:string,r:string>>")))
+      .as("p"))
+    .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+    .agg(sum(col("freq")).as("cnt"))
+
+  /** Train `k` merges over a (word, freq) vocabulary — the serial
+    * reference trainer: one pair-count aggregate + one vocab rewrite
+    * per merge (ties: lexicographically smallest pair — fully
+    * deterministic). The vocab is `localCheckpoint`ed per round:
+    * lineage stays O(1) deep instead of accumulating k nested folds.
+    * Returns the ordered merge table — the trained tokenizer artifact
+    * (k rows on the driver). For production vocab sizes use
+    * [[trainBatched]], which emits the IDENTICAL merge list in far
+    * fewer Spark rounds. */
   def train(vocab: DataFrame, k: Int): Seq[Merge] = {
     var v = vocab
       .select(col("word"), charSymbols(col("word")).as("s"), col("freq"))
@@ -71,15 +85,7 @@ object Bpe {
     var rank = 1
     var done = false
     while (rank <= k && !done) {
-      val best = v
-        .select(col("freq"), explode(when(size(col("s")) >= 2,
-            transform(sequence(lit(1), size(col("s")) - 1),
-              i => struct(element_at(col("s"), i).as("l"),
-                element_at(col("s"), i + 1).as("r"))))
-          .otherwise(array().cast("array<struct<l:string,r:string>>")))
-          .as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("freq")).as("cnt"))
+      val best = pairCounts(v)
         .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
         .limit(1).collect()
       if (best.isEmpty) done = true
@@ -94,6 +100,89 @@ object Bpe {
       }
     }
     out.result()
+  }
+
+  /** Batched trainer: emits the same merge list as [[train]] — proven
+    * by BpeSpec on adversarial vocabs — in rounds of non-interacting
+    * merges, so a 50k-merge production run costs hundreds of Spark
+    * rounds instead of 50k.
+    *
+    * Per round the top-`maxBatch` pairs are collected once and a PREFIX
+    * of them (in the global (cnt desc, l, r) order) is accepted while
+    * provably serial-equivalent:
+    *  - prefix, never skip: a rejected pair's count may only DECREASE
+    *    under earlier merges, but skipping it could reorder ties;
+    *  - pairwise symbol-disjoint (incl. each merged symbol's string — a
+    *    merge product can collide with an existing symbol's spelling):
+    *    disjoint pairs' counts are invariant under each other's merges;
+    *  - strictly above the new-pair ceiling: a merge of (a,b) creates
+    *    pairs (x,a+b) with <= max_x cnt(x,a) occurrences and (a+b,y)
+    *    with <= max_y cnt(b,y); when the spelling `a+b` collides with
+    *    an existing symbol those land ON TOP of the existing (x,"a+b")
+    *    counts, so the ceiling for (a,b) is
+    *    max(maxRight(a) + maxRight(a+b), maxLeft(b) + maxLeft(a+b))
+    *    and any next accepted pair must strictly beat the running max —
+    *    otherwise a freshly created-or-boosted pair could out-rank it
+    *    in the serial order.
+    * The ceilings come from two symbol-level max aggregates restricted
+    * to the <= 3·maxBatch candidate symbols — driver state stays
+    * O(maxBatch), never the full pair table.
+    *
+    * Returns (merges, rounds). */
+  def trainBatched(vocab: DataFrame, k: Int,
+                   maxBatch: Int = 64): (Seq[Merge], Int) = {
+    var v = vocab
+      .select(col("word"), charSymbols(col("word")).as("s"), col("freq"))
+      .localCheckpoint()
+    val out = Seq.newBuilder[Merge]
+    var rank = 1
+    var rounds = 0
+    var done = false
+    while (rank <= k && !done) {
+      val pc = pairCounts(v).localCheckpoint() // reused 3x this round
+      val top = pc
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(math.min(k - rank + 1, maxBatch)).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (top.isEmpty) done = true
+      else {
+        val syms = top.flatMap(t => Seq(t._1, t._2, t._1 + t._2))
+          .toSet.toSeq
+        val maxLeft = pc.filter(col("l").isInCollection(syms))
+          .groupBy(col("l")).agg(max(col("cnt")).as("m")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val maxRight = pc.filter(col("r").isInCollection(syms))
+          .groupBy(col("r")).agg(max(col("cnt")).as("m")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        var used = Set.empty[String]
+        var ceiling = -1L
+        val batch = Seq.newBuilder[Merge]
+        var n = 0
+        var stop = false
+        for ((l, r, cnt) <- top if !stop) {
+          if ((used(l) || used(r)) || (n > 0 && cnt <= ceiling)) stop = true
+          else {
+            batch += Merge(rank + n, l, r, cnt)
+            used ++= Seq(l, r, l + r)
+            ceiling = math.max(ceiling, math.max(
+              maxRight.getOrElse(l, 0L) + maxRight.getOrElse(l + r, 0L),
+              maxLeft.getOrElse(r, 0L) + maxLeft.getOrElse(l + r, 0L)))
+            n += 1
+          }
+        }
+        val accepted = batch.result()
+        val prev = v
+        v = v.withColumn("s", accepted.foldLeft(col("s")) { (s, m) =>
+            mergeOnce(s, m.left, m.right)
+          }).localCheckpoint()
+        prev.unpersist()
+        pc.unpersist()
+        out ++= accepted
+        rank += accepted.size
+        rounds += 1
+      }
+    }
+    (out.result(), rounds)
   }
 
   /** Apply a learned merge list to a symbol array, in rank order —
