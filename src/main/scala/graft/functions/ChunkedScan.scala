@@ -1,0 +1,232 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.plan.{Frame, TsStore}
+
+/** Distributed prefix scan for per-series sequential state machines
+  * (SURVEY §7.4 risk 5, the giant-series escape hatch): a 10B-point
+  * series must not pin one core, but `ewma`/`cusum`/`sax` outputs
+  * depend on ALL earlier samples of the series.
+  *
+  * Shape: two passes over a FROZEN (series, ts) range partitioning.
+  *  1. Each partition summarizes every (series-run, column) it holds
+  *     into a small mergeable summary (an affine map for ewma, a sum
+  *     for cusum, the last `width` samples for sax) — one narrow pass.
+  *  2. The driver composes summaries in partition order per series
+  *     (bounded state: #(partition, series-span) pairs <= nSeries +
+  *     nPartitions, same bounded-collect model as Sample.pack), and
+  *     broadcasts each partition's ENTRY state; pass 2 then runs the
+  *     exact sequential machine inside every partition, seeded from
+  *     the entry state. Equality with the single-task path holds by
+  *     construction — the row-level machine is identical, only its
+  *     start state is precomputed — and is proven in ChunkedScanSpec.
+  *
+  * The partitioning MUST be identical in both passes, so the sorted
+  * frame is localCheckpointed (range boundaries are sampled and would
+  * otherwise drift between executions).
+  */
+object ChunkedScan {
+
+  /** Per-column sequential machine with a mergeable chunk summary.
+    * `AnyRef` state/summary keeps the trait monomorphic so arrays of
+    * heterogeneous kernels ride one broadcast; implementations use
+    * private case classes. */
+  trait ScanKernel extends Serializable {
+    def init: AnyRef
+    /** Exact machine step: (output, next state). */
+    def step(s: AnyRef, x: Double): (Double, AnyRef)
+    /** Output + state for a null-valued row (default: pass the null
+      * through, state untouched — Pipe.stateful's convention). */
+    def onNull(s: AnyRef): (Any, AnyRef) = (null, s)
+    def emptySummary: AnyRef
+    def absorb(u: AnyRef, x: Double): AnyRef
+    /** Advance a state across a whole summarized chunk. */
+    def advance(s: AnyRef, u: AnyRef): AnyRef
+  }
+
+  /** Routing: "on" / "off" / "auto" (auto = Catalyst size estimate at
+    * least `graft.scan.chunkedThresholdBytes`, default 2 GiB — gate- and
+    * bench-sized frames keep the cheaper single-pass path, 100 TB scans
+    * get the chunked one). */
+  def eligible(df: DataFrame): Boolean = {
+    val conf = df.sparkSession.conf
+    conf.get("graft.scan.chunked", "auto") match {
+      case "on"  => true
+      case "off" => false
+      case _ =>
+        val threshold = conf.get("graft.scan.chunkedThresholdBytes",
+          (2L << 30).toString).toLong
+        df.queryExecution.optimizedPlan.stats.sizeInBytes >= threshold
+    }
+  }
+
+  /** Freeze a (series, ts) range partitioning of `df`, summarize each
+    * (partition, series) run with `empty`/`absorbRow`, compose entry
+    * states on the driver with `init`/`advance`, and return the frozen
+    * frame + the broadcast (partition, series) -> entry-state map
+    * (absent key = series starts in that partition = `init`). */
+  def seriesEntry[U, S](df: DataFrame, backward: Boolean,
+      empty: () => U, absorbRow: (U, Row) => U,
+      init: () => S, advance: (S, U) => S):
+      (DataFrame, Broadcast[Map[(Int, String), S]]) = {
+    import TsStore.{Sname, Ts}
+    val tsOrd = if (backward) col(Ts).desc else col(Ts).asc
+    // graft.scan.chunkedPartitions > 0 pins the chunk count (an explicit
+    // numPartitions also opts out of AQE coalescing); 0 = let Spark/AQE
+    // size the range shuffle to the data
+    val nParts = df.sparkSession.conf
+      .get("graft.scan.chunkedPartitions", "0").toInt
+    val ranged =
+      if (nParts > 0) df.repartitionByRange(nParts, col(Sname), tsOrd)
+      else df.repartitionByRange(col(Sname), tsOrd)
+    val sorted = ranged
+      .sortWithinPartitions(col(Sname), tsOrd)
+      .localCheckpoint()
+    val nameIdx = df.schema.fieldIndex(Sname)
+    val summaries = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val out = mutable.ArrayBuffer.empty[(Int, String, U)]
+      var cur: String = null
+      var u: U = null.asInstanceOf[U]
+      var open = false
+      it.foreach { row =>
+        val s = row.getString(nameIdx)
+        if (!open || s != cur) {
+          if (open) out += ((pid, cur, u))
+          cur = s; u = empty(); open = true
+        }
+        u = absorbRow(u, row)
+      }
+      if (open) out += ((pid, cur, u))
+      out.iterator
+    }.collect()
+    val entry = mutable.Map.empty[(Int, String), S]
+    summaries.groupBy(_._2).foreach { case (s, chunks) =>
+      var st = init()
+      chunks.sortBy(_._1).zipWithIndex.foreach { case ((pid, _, u), i) =>
+        if (i > 0) entry((pid, s)) = st
+        st = advance(st, u)
+      }
+    }
+    (sorted, df.sparkSession.sparkContext.broadcast(entry.toMap))
+  }
+
+  /** Chunked equivalent of Pipe.stateful: rewrite every value column in
+    * place through its kernel, preserving the schema. */
+  def transform(frame: Frame, mkKernels: () => Array[ScanKernel]): Frame = {
+    import TsStore.Sname
+    val df = frame.df
+    val schema = df.schema
+    val nameIdx = schema.fieldIndex(Sname)
+    val vIdxs = frame.valueCols.map(schema.fieldIndex).toArray
+    val kernels0 = mkKernels()
+    val (sorted, bc) = seriesEntry[Array[AnyRef], Array[AnyRef]](
+      df, frame.backward,
+      empty = () => kernels0.map(_.emptySummary),
+      absorbRow = (u, row) => {
+        var j = 0
+        while (j < vIdxs.length) {
+          if (!row.isNullAt(vIdxs(j)))
+            u(j) = kernels0(j).absorb(u(j), row.getDouble(vIdxs(j)))
+          j += 1
+        }
+        u
+      },
+      init = () => kernels0.map(_.init),
+      advance = (s, u) =>
+        Array.tabulate(s.length)(j => kernels0(j).advance(s(j), u(j))))
+    val out = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val kernels = mkKernels()
+      var cur: String = null
+      var states: Array[AnyRef] = null
+      it.map { row =>
+        val s = row.getString(nameIdx)
+        if (states == null || s != cur) {
+          cur = s
+          states = bc.value.get((pid, s))
+            .map(_.clone()).getOrElse(kernels.map(_.init))
+        }
+        val arr = Array.tabulate[Any](row.length)(i => row.get(i))
+        var j = 0
+        while (j < vIdxs.length) {
+          val vi = vIdxs(j)
+          if (!row.isNullAt(vi)) {
+            val (o, ns) = kernels(j).step(states(j), row.getDouble(vi))
+            arr(vi) = o; states(j) = ns
+          } else {
+            val (o, ns) = kernels(j).onNull(states(j))
+            arr(vi) = o; states(j) = ns
+          }
+          j += 1
+        }
+        Row.fromSeq(arr.toIndexedSeq)
+      }
+    }
+    // the repartition invalidates any upstream output-order claim
+    frame.copy(df = df.sparkSession.createDataFrame(out, schema),
+      ordered = false)
+  }
+}
+
+/** EWMA with the reference's 11-sample warmup, as a chunked kernel.
+  * Summary: the chunk's first <= 11 values verbatim (they may land in
+  * any warmup phase, so they are replayed exactly) + the affine map of
+  * the remaining rows (y -> tailA*y + tailB; by row 12 of a chunk the
+  * warmup is complete no matter the entry state, so the tail is pure
+  * post-warmup EWMA and composes as an affine function). */
+final class EwmaKernel(decay: Double, delta: Boolean)
+    extends ChunkedScan.ScanKernel {
+  private case class S(warmup: Int, value: Double)
+  private case class U(count: Long, head: Vector[Double],
+                       tailA: Double, tailB: Double)
+  def init: AnyRef = S(0, 0.0)
+  def step(s0: AnyRef, x: Double): (Double, AnyRef) = {
+    val s = s0.asInstanceOf[S]
+    val forecast = if (s.warmup <= 10) x else s.value
+    val next =
+      if (s.warmup < 10) S(s.warmup + 1, s.value + x)
+      else if (s.warmup == 10) {
+        val v = (s.value + x) / 11.0
+        S(11, x * decay + v * (1.0 - decay))
+      } else S(11, x * decay + s.value * (1.0 - decay))
+    (if (delta) x - forecast else forecast, next)
+  }
+  def emptySummary: AnyRef = U(0L, Vector.empty, 1.0, 0.0)
+  def absorb(u0: AnyRef, x: Double): AnyRef = {
+    val u = u0.asInstanceOf[U]
+    if (u.head.size < 11) U(u.count + 1, u.head :+ x, u.tailA, u.tailB)
+    else U(u.count + 1, u.head,
+      (1.0 - decay) * u.tailA, (1.0 - decay) * u.tailB + decay * x)
+  }
+  def advance(s0: AnyRef, u0: AnyRef): AnyRef = {
+    val u = u0.asInstanceOf[U]
+    var st = s0.asInstanceOf[S]
+    u.head.foreach { x => st = step(st, x)._2.asInstanceOf[S] }
+    if (u.count > u.head.size) // tail exists => warmup is complete
+      S(st.warmup, u.tailA * st.value + u.tailB)
+    else st
+  }
+}
+
+/** Running sum as a chunked kernel, replicating the Catalyst window
+  * `when(isNotNull, sum over (unboundedPreceding..current))` semantics
+  * Pipe uses for `accumulate`/`cusum`: null rows output null (the
+  * default onNull) and add nothing. State and summary are both plain
+  * sums; composition is addition. */
+final class CusumKernel extends ChunkedScan.ScanKernel {
+  def init: AnyRef = java.lang.Double.valueOf(0.0)
+  def step(s0: AnyRef, x: Double): (Double, AnyRef) = {
+    val ns = s0.asInstanceOf[java.lang.Double].doubleValue + x
+    (ns, java.lang.Double.valueOf(ns))
+  }
+  def emptySummary: AnyRef = java.lang.Double.valueOf(0.0)
+  def absorb(u0: AnyRef, x: Double): AnyRef =
+    java.lang.Double.valueOf(u0.asInstanceOf[java.lang.Double].doubleValue + x)
+  def advance(s0: AnyRef, u0: AnyRef): AnyRef =
+    java.lang.Double.valueOf(s0.asInstanceOf[java.lang.Double].doubleValue
+      + u0.asInstanceOf[java.lang.Double].doubleValue)
+}

@@ -84,7 +84,11 @@ object Pipe {
 
     // running sum per series (reference: rate.cpp:63-105, tokens
     // "accumulate"/"cusum"); missing tuple cells stay missing and add
-    // nothing (the window sum already skips nulls)
+    // nothing (the window sum already skips nulls). Giant frames route
+    // to the chunked two-pass scan so one series never pins one task.
+    case "accumulate" | "cusum" if ChunkedScan.eligible(frame.df) =>
+      ChunkedScan.transform(frame,
+        () => Array.fill(frame.valueCols.size)(new CusumKernel))
     case "accumulate" | "cusum" =>
       val w = scanWindow(frame).rowsBetween(Window.unboundedPreceding, 0)
       mapValues2(frame)(vc =>
@@ -121,6 +125,13 @@ object Pipe {
 
     // EWMA forecast with 10-sample warmup, faithful to the reference state
     // machine (reference: sliding_window.cpp:15-110, param "decay").
+    // Giant frames route to the chunked two-pass scan (EwmaKernel's
+    // head-replay + affine-tail summaries).
+    case "ewma" | "ewma-error" if ChunkedScan.eligible(frame.df) =>
+      val decay = doubleParam(step, "decay")
+      val delta = step.name == "ewma-error"
+      ChunkedScan.transform(frame,
+        () => Array.fill(frame.valueCols.size)(new EwmaKernel(decay, delta)))
     case "ewma" =>
       val decay = doubleParam(step, "decay")
       stateful(frame)(() => new EwmaState(decay, delta = false))

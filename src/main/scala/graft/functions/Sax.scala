@@ -125,16 +125,25 @@ object Sax {
       schema(tsIdx),
       StructField("sax", StringType)))
     val cuts = cutpoints(alphabet)
-    val sorted = df.repartition(col(Sname))
-      .sortWithinPartitions(col(Sname), tsOrd)
-    val out = sorted.mapPartitions { it =>
+
+    def encodePartition(entry: (Int, String) => (Long, Vector[Double]))(
+        pid: Int, it: Iterator[Row]): Iterator[Row] = {
       var cur: String = null
       var buf: Array[Double] = null
       var fill = 0
       var last: String = null
       it.flatMap { row =>
         val s = row.getString(nameIdx)
-        if (s != cur) { cur = s; buf = new Array[Double](width); fill = 0; last = null }
+        if (s != cur) {
+          cur = s
+          buf = new Array[Double](width)
+          val (cnt, vals) = entry(pid, s)
+          fill = vals.size // = min(cnt, width)
+          vals.copyToArray(buf)
+          // the word of the entry window was already emitted upstream;
+          // numerosity reduction must suppress its repeats here
+          last = if (cnt >= width) saxify(buf.take(width), cuts) else null
+        }
         if (row.isNullAt(vIdx)) Iterator.empty // missing data not supported
         else {
           // circular-buffer push
@@ -152,7 +161,35 @@ object Sax {
           } else Iterator.empty
         }
       }
-    }(Encoders.row(outSchema))
+    }
+
+    val out =
+      if (ChunkedScan.eligible(df)) {
+        // giant series: (series, ts) range partitioning + entry-state
+        // handoff. Summary per (partition, series) run = (#samples,
+        // last <= width values); entering state replays as a pre-filled
+        // window + the word it spells (for cross-chunk numerosity
+        // reduction).
+        val (sorted, bc) = ChunkedScan.seriesEntry[
+            (Long, Vector[Double]), (Long, Vector[Double])](
+          df, frame.backward,
+          empty = () => (0L, Vector.empty),
+          absorbRow = (u, row) =>
+            if (row.isNullAt(vIdx)) u
+            else (u._1 + 1, (u._2 :+ row.getDouble(vIdx)).takeRight(width)),
+          init = () => (0L, Vector.empty),
+          advance = (s, u) =>
+            (s._1 + u._1, (s._2 ++ u._2).takeRight(width)))
+        val rdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+          encodePartition((p, s) =>
+            bc.value.getOrElse((p, s), (0L, Vector.empty)))(pid, it)
+        }
+        df.sparkSession.createDataFrame(rdd, outSchema)
+      } else df.repartition(col(Sname))
+        .sortWithinPartitions(col(Sname), tsOrd)
+        .mapPartitions(it =>
+          encodePartition((_, _) => (0L, Vector.empty))(-1, it)
+        )(Encoders.row(outSchema))
     frame.copy(df = out, valueCols = Seq("sax"))
   }
 }
