@@ -3,7 +3,7 @@ package graft.functions
 import scala.collection.mutable
 
 import org.apache.spark.broadcast.Broadcast
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 import graft.plan.{Frame, TsStore}
@@ -76,18 +76,31 @@ object ChunkedScan {
       (DataFrame, Broadcast[Map[(Int, String), S]]) = {
     import TsStore.{Sname, Ts}
     val tsOrd = if (backward) col(Ts).desc else col(Ts).asc
+    keyedEntry(df, Sname, Seq(tsOrd), empty, absorbRow, init, advance)
+  }
+
+  /** The general form of [[seriesEntry]]: range-partition `df` on a
+    * string key column + in-key order, summarize each (partition, key)
+    * run, compose entry states on the driver. Used by the event-ops
+    * hot-key escape hatch (EventOps.asOf / sessionize) as well as the
+    * per-series pipeline kernels. */
+  def keyedEntry[U, S](df: DataFrame, keyCol: String, order: Seq[Column],
+      empty: () => U, absorbRow: (U, Row) => U,
+      init: () => S, advance: (S, U) => S):
+      (DataFrame, Broadcast[Map[(Int, String), S]]) = {
     // graft.scan.chunkedPartitions > 0 pins the chunk count (an explicit
     // numPartitions also opts out of AQE coalescing); 0 = let Spark/AQE
     // size the range shuffle to the data
     val nParts = df.sparkSession.conf
       .get("graft.scan.chunkedPartitions", "0").toInt
+    val exprs = col(keyCol) +: order
     val ranged =
-      if (nParts > 0) df.repartitionByRange(nParts, col(Sname), tsOrd)
-      else df.repartitionByRange(col(Sname), tsOrd)
+      if (nParts > 0) df.repartitionByRange(nParts, exprs: _*)
+      else df.repartitionByRange(exprs: _*)
     val sorted = ranged
-      .sortWithinPartitions(col(Sname), tsOrd)
+      .sortWithinPartitions(exprs: _*)
       .localCheckpoint()
-    val nameIdx = df.schema.fieldIndex(Sname)
+    val nameIdx = df.schema.fieldIndex(keyCol)
     val summaries = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
       val out = mutable.ArrayBuffer.empty[(Int, String, U)]
       var cur: String = null

@@ -1,8 +1,10 @@
 package graft.plan
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.functions.ChunkedScan
 
 /** Time-relational operators the reference engine lacks but that users of
   * a time-series store routinely need next to it: as-of join, bounded
@@ -12,11 +14,13 @@ import org.apache.spark.sql.functions._
   * gap Spark-first.
   *
   * Scale notes (the whole point of each shape):
-  *  - `asOf` is union + keyed window — ONE shuffle on the join key, no
+  *  - `asOf` is union + keyed carry — ONE shuffle on the join key, no
   *    range explosion. A naive `l.ts >= r.ts` theta join is O(n·m) per
-  *    key and unrunnable at 100 TB. Skew note: a hot key's full history
-  *    lands in one task (window partitionBy) — acceptable for keyed event
-  *    streams; for a single giant key pre-split by time and stitch.
+  *    key and unrunnable at 100 TB. Hot keys: frames past the
+  *    ChunkedScan.eligible threshold route through the chunked two-pass
+  *    carry ((key, ts) RANGE partitioning + entry-state handoff), so one
+  *    giant key's history spreads across tasks instead of pinning one
+  *    window partition.
   *  - `rangeJoin` bucketizes time by the window width so each left row
   *    meets only the buckets its window can touch — an equi-join with a
   *    residual band filter, never a cross product.
@@ -43,7 +47,7 @@ object EventOps {
     val vOut  = valueCol + suffix
     val tsOut = tsCol + suffix
     val leftCols = left.columns.toSeq
-    val reserved = Seq(vOut, tsOut, "__side", "__r")
+    val reserved = Seq(vOut, tsOut, "__side", "__r", "__k")
     require(reserved.forall(c => !leftCols.contains(c)),
       s"left columns collide with ${reserved.filter(leftCols.contains)}")
 
@@ -65,29 +69,88 @@ object EventOps {
         col(tsCol).cast("long").as(tsOut),
         lit(0).as("__side"))): _*)
 
-    val w = Window.partitionBy(on.map(col): _*)
-      .orderBy(col(tsCol).asc, col("__side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // ONE struct carried per right row — value and timestamp always come
-    // from the same row (two independent last() windows would pair an
-    // older non-null value with a newer null-valued row's timestamp, and
-    // then evaluate tolerance against the wrong timestamp). The when() is
-    // null on left rows, a non-null struct on every right row (even a
-    // null-valued one), so last(ignoreNulls) tracks right rows exactly.
-    val carried = lPart.unionByName(rPart)
-      .withColumn("__r", last(
-        when(col("__side") === 0,
-          struct(col(tsOut).as("ts"), col(vOut).as("v"))),
-        ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
+    // ONE (ts, value) unit carried per right row — value and timestamp
+    // always come from the same row (two independent last() windows
+    // would pair an older non-null value with a newer null-valued row's
+    // timestamp, and then evaluate tolerance against the wrong
+    // timestamp). Output of either path: left rows with vOut/tsOut
+    // filled from the latest right row (null if none).
+    val unioned = lPart.unionByName(rPart)
+    val carried =
+      if (ChunkedScan.eligible(unioned))
+        carryChunked(unioned, on, tsCol, vOut, tsOut)
+      else {
+        val w = Window.partitionBy(on.map(col): _*)
+          .orderBy(col(tsCol).asc, col("__side").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        unioned
+          .withColumn("__r", last(
+            when(col("__side") === 0,
+              struct(col(tsOut).as("ts"), col(vOut).as("v"))),
+            ignoreNulls = true).over(w))
+          .filter(col("__side") === 1)
+          .withColumn(vOut, col("__r.v"))
+          .withColumn(tsOut, col("__r.ts"))
+      }
     val inTol = toleranceNs match {
-      case Some(t) => col(tsCol).cast("long") - col("__r.ts") <= t
-      case None    => col("__r").isNotNull
+      case Some(t) => col(tsCol).cast("long") - col(tsOut) <= t
+      case None    => col(tsOut).isNotNull
     }
     carried.select(
       (leftCols.map(col) ++ Seq(
-        when(inTol, col("__r.v")).as(vOut),
-        when(inTol, col("__r.ts")).as(tsOut))): _*)
+        when(inTol, col(vOut)).as(vOut),
+        when(inTol, col(tsOut)).as(tsOut))): _*)
+  }
+
+  /** Serializable carried right-row unit for the chunked asOf path. */
+  private final case class Carry(ts: Long, v: Any)
+
+  /** Hot-key escape hatch for [[asOf]]: range-partition the union frame
+    * on (key, ts, side), summarize each (partition, key) run as its last
+    * right-row (ts, value), compose entries on the driver, and replay
+    * the carry per partition — a giant key spans many tasks. Key columns
+    * are concatenated with a \\u0001 separator for the range key (nulls
+    * read as empty — matching rows still group together; a literal
+    * \\u0001 inside a key value could alias two keys, acceptable for the
+    * event-key domains this serves). */
+  private def carryChunked(unioned: DataFrame, on: Seq[String],
+      tsCol: String, vOut: String, tsOut: String): DataFrame = {
+    val keyed = unioned.withColumn("__k",
+      concat_ws("\u0001", on.map(c => col(c).cast("string")): _*))
+    val schema = keyed.schema
+    val sideIdx = schema.fieldIndex("__side")
+    val vIdx = schema.fieldIndex(vOut)
+    val tIdx = schema.fieldIndex(tsOut)
+    val kIdx = schema.fieldIndex("__k")
+    val (sorted, bc) = ChunkedScan.keyedEntry[Carry, Carry](
+      keyed, "__k", Seq(col(tsCol).asc, col("__side").asc),
+      empty = () => null,
+      absorbRow = (u, row) =>
+        if (row.getInt(sideIdx) == 0) Carry(row.getLong(tIdx), row.get(vIdx))
+        else u,
+      init = () => null,
+      advance = (s, u) => if (u != null) u else s)
+    val rdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cur: String = null
+      var carry: Carry = null
+      var open = false
+      it.flatMap { row =>
+        val k = row.getString(kIdx)
+        if (!open || k != cur) {
+          cur = k; open = true
+          carry = bc.value.getOrElse((pid, k), null)
+        }
+        if (row.getInt(sideIdx) == 0) {
+          carry = Carry(row.getLong(tIdx), row.get(vIdx))
+          Iterator.empty
+        } else {
+          val arr = Array.tabulate[Any](row.length)(i => row.get(i))
+          if (carry != null) { arr(vIdx) = carry.v; arr(tIdx) = carry.ts }
+          Iterator.single(Row.fromSeq(arr.toIndexedSeq))
+        }
+      }
+    }
+    keyed.sparkSession.createDataFrame(rdd, schema).drop("__k")
   }
 
   /** Bounded range join: all (left, right) pairs on the same key with
@@ -136,24 +199,87 @@ object EventOps {
   /** Gap-based sessionization: a new session starts at a row whose gap to
     * the key's previous row exceeds `gapNs`. Adds `session_id`
     * (`<key vals joined with '/'>#<index>`) — one keyed window, one
-    * shuffle. */
+    * shuffle; frames past the ChunkedScan.eligible threshold take the
+    * chunked two-pass scan so a hot key spans many tasks. */
   def sessionize(df: DataFrame, on: Seq[String], tsCol: String,
                  gapNs: Long): DataFrame = {
     require(on.nonEmpty, "sessionize requires at least one key column")
     require(gapNs > 0, "gapNs must be positive")
-    val w = Window.partitionBy(on.map(col): _*).orderBy(col(tsCol).asc)
-    val newSess = when(
-      lag(col(tsCol), 1).over(w).isNull ||
-        col(tsCol).cast("long") - lag(col(tsCol), 1).over(w).cast("long")
-          > gapNs, 1L).otherwise(0L)
-    df.withColumn("__new", newSess)
-      .withColumn("session_id",
-        concat(concat_ws("/", on.map(c => col(c).cast("string")): _*),
-          lit("#"),
-          sum(col("__new")).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            .cast("string")))
-      .drop("__new")
+    if (ChunkedScan.eligible(df)) sessionizeChunked(df, on, tsCol, gapNs)
+    else {
+      val w = Window.partitionBy(on.map(col): _*).orderBy(col(tsCol).asc)
+      val newSess = when(
+        lag(col(tsCol), 1).over(w).isNull ||
+          col(tsCol).cast("long") - lag(col(tsCol), 1).over(w).cast("long")
+            > gapNs, 1L).otherwise(0L)
+      df.withColumn("__new", newSess)
+        .withColumn("session_id",
+          concat(concat_ws("/", on.map(c => col(c).cast("string")): _*),
+            lit("#"),
+            sum(col("__new")).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .cast("string")))
+        .drop("__new")
+    }
+  }
+
+  /** Chunk summary / entry state for the chunked sessionize path. A
+    * chunk's internal session starts are decided locally; whether its
+    * FIRST row opens a session depends on the entry state's last ts and
+    * is resolved in the driver composition. */
+  private final case class SessU(firstTs: Long, lastTs: Long,
+                                 internalNew: Long)
+  private final case class SessS(hasPrev: Boolean, lastTs: Long, idx: Long)
+
+  private def sessionizeChunked(df: DataFrame, on: Seq[String],
+      tsCol: String, gapNs: Long): DataFrame = {
+    val keyed = df
+      .withColumn("__k",
+        concat_ws("\u0001", on.map(c => col(c).cast("string")): _*))
+      .withColumn("__kdisp",
+        concat_ws("/", on.map(c => col(c).cast("string")): _*))
+      .withColumn("__t", col(tsCol).cast("long"))
+      .withColumn("session_id", lit(null).cast("string"))
+    val schema = keyed.schema
+    val kIdx  = schema.fieldIndex("__k")
+    val kdIdx = schema.fieldIndex("__kdisp")
+    val tIdx  = schema.fieldIndex("__t")
+    val sIdx  = schema.fieldIndex("session_id")
+    val (sorted, bc) = ChunkedScan.keyedEntry[SessU, SessS](
+      keyed, "__k", Seq(col("__t").asc),
+      empty = () => null,
+      absorbRow = (u, row) => {
+        val t = row.getLong(tIdx)
+        if (u == null) SessU(t, t, 0L)
+        else SessU(u.firstTs, t,
+          u.internalNew + (if (t - u.lastTs > gapNs) 1L else 0L))
+      },
+      init = () => SessS(hasPrev = false, 0L, 0L),
+      advance = (s, u) => if (u == null) s else {
+        val firstNew =
+          if (!s.hasPrev || u.firstTs - s.lastTs > gapNs) 1L else 0L
+        SessS(hasPrev = true, u.lastTs, s.idx + firstNew + u.internalNew)
+      })
+    val rdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cur: String = null
+      var open = false
+      var st: SessS = null
+      it.map { row =>
+        val k = row.getString(kIdx)
+        if (!open || k != cur) {
+          cur = k; open = true
+          st = bc.value.getOrElse((pid, k), SessS(hasPrev = false, 0L, 0L))
+        }
+        val t = row.getLong(tIdx)
+        val isNew = !st.hasPrev || t - st.lastTs > gapNs
+        st = SessS(hasPrev = true, t, st.idx + (if (isNew) 1L else 0L))
+        val arr = Array.tabulate[Any](row.length)(i => row.get(i))
+        arr(sIdx) = row.getString(kdIdx) + "#" + st.idx
+        Row.fromSeq(arr.toIndexedSeq)
+      }
+    }
+    keyed.sparkSession.createDataFrame(rdd, schema)
+      .drop("__k", "__kdisp", "__t")
   }
 
   /** Per-session stats over a sessionized frame: start/end ns, row count,

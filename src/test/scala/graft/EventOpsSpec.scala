@@ -16,6 +16,17 @@ class EventOpsSpec extends SparkFunSuite {
     rows.toDF("k", "ts", "v")
   }
 
+  /** Run the body under the window path AND the chunked hot-key path
+    * (4 pinned range partitions so entry handoff crosses boundaries). */
+  private def bothPaths(body: => Unit): Unit = {
+    for (chunked <- Seq(false, true)) {
+      spark.conf.set("graft.scan.chunked", if (chunked) "on" else "off")
+      spark.conf.set("graft.scan.chunkedPartitions", "4")
+      try body
+      finally spark.conf.set("graft.scan.chunked", "off")
+    }
+  }
+
   /** Naive as-of: most recent right ts <= left ts per key; value = max of
     * non-null values at that ts, null iff all null (the carried-row
     * contract); tolerance filters on the carried ts. */
@@ -39,59 +50,67 @@ class EventOpsSpec extends SparkFunSuite {
         if (row.isNullAt(4)) None else Some(row.getLong(4))))
 
   test("asOf matches naive oracle: ties, gaps, no-match, multi-key") {
-    val l = Seq(
-      (1, 100L, Some(1.0)), (1, 200L, Some(2.0)), (1, 300L, Some(3.0)),
-      (2, 150L, Some(4.0)), (2, 151L, Some(5.0)),
-      (3, 10L, Some(6.0))) // key with no right rows at all
-    val r = Seq(
-      (1, 100L, Some(10.0)),           // exact-ts tie with left @100
-      (1, 100L, Some(11.0)),           // duplicate right ts -> max wins
-      (1, 250L, Some(12.0)),
-      (2, 151L, Some(13.0)), (2, 149L, Some(14.0)))
-    val got = gotAsOf(EventOps.asOf(lf(l), lf(r), Seq("k"), "ts", "v"))
-    val want = naiveAsOf(l, r, None).map(x =>
-      (x._1, x._2, x._3, x._4, x._5))
-    assert(got == want)
-    // exact-ts right row IS visible to the same-ts left row (<= contract)
-    assert(got.find(x => x._1 == 1 && x._2 == 100L).get._4 == Some(11.0))
+    bothPaths {
+      val l = Seq(
+        (1, 100L, Some(1.0)), (1, 200L, Some(2.0)), (1, 300L, Some(3.0)),
+        (2, 150L, Some(4.0)), (2, 151L, Some(5.0)),
+        (3, 10L, Some(6.0))) // key with no right rows at all
+      val r = Seq(
+        (1, 100L, Some(10.0)),           // exact-ts tie with left @100
+        (1, 100L, Some(11.0)),           // duplicate right ts -> max wins
+        (1, 250L, Some(12.0)),
+        (2, 151L, Some(13.0)), (2, 149L, Some(14.0)))
+      val got = gotAsOf(EventOps.asOf(lf(l), lf(r), Seq("k"), "ts", "v"))
+      val want = naiveAsOf(l, r, None).map(x =>
+        (x._1, x._2, x._3, x._4, x._5))
+      assert(got == want)
+      // exact-ts right row IS visible to the same-ts left row (<= contract)
+      assert(got.find(x => x._1 == 1 && x._2 == 100L).get._4 == Some(11.0))
+  }
   }
 
   test("asOf tolerance boundary is inclusive and tolerance == gap passes") {
-    val l = Seq((1, 1000L, Some(1.0)), (1, 2000L, Some(2.0)))
-    val r = Seq((1, 500L, Some(9.0)))
-    // gap to first left = 500 (== tol: kept), to second = 1500 (> tol: null)
-    val got = gotAsOf(
-      EventOps.asOf(lf(l), lf(r), Seq("k"), "ts", "v",
-        toleranceNs = Some(500L)))
-    assert(got == naiveAsOf(l, r, Some(500L)))
-    assert(got.head._4 == Some(9.0) && got.head._5 == Some(500L))
-    assert(got(1)._4 == None && got(1)._5 == None)
+    bothPaths {
+      val l = Seq((1, 1000L, Some(1.0)), (1, 2000L, Some(2.0)))
+      val r = Seq((1, 500L, Some(9.0)))
+      // gap to first left = 500 (== tol: kept), to second = 1500 (> tol: null)
+      val got = gotAsOf(
+        EventOps.asOf(lf(l), lf(r), Seq("k"), "ts", "v",
+          toleranceNs = Some(500L)))
+      assert(got == naiveAsOf(l, r, Some(500L)))
+      assert(got.head._4 == Some(9.0) && got.head._5 == Some(500L))
+      assert(got(1)._4 == None && got(1)._5 == None)
+  }
   }
 
   test("asOf carries a null-valued right row as one unit (value+ts together)") {
-    // The two-window bug this guards against: older non-null value paired
-    // with the newer null row's timestamp. Contract: the NEWEST right row
-    // wins as a unit — null value AND its own timestamp.
-    val l = Seq((1, 300L, Some(1.0)), (1, 500L, Some(2.0)))
-    val r = Seq((1, 100L, Some(7.0)), (1, 250L, None))
-    val got = gotAsOf(EventOps.asOf(lf(l), lf(r), Seq("k"), "ts", "v"))
-    assert(got == naiveAsOf(l, r, None))
-    // both left rows see the @250 null row, not the @100 value
-    assert(got.forall(x => x._4 == None && x._5 == Some(250L)))
-    // and tolerance is judged against the carried (newer) ts: gap from
-    // 300 to 250 is 50 <= 60, so the null row passes tolerance; the @100
-    // row must NOT sneak through even though 300-100 > 60 anyway
-    val tol = gotAsOf(EventOps.asOf(lf(l), lf(r), Seq("k"), "ts", "v",
-      toleranceNs = Some(60L)))
-    assert(tol == naiveAsOf(l, r, Some(60L)))
-    assert(tol.head._5 == Some(250L) && tol(1)._5 == None)
+    bothPaths {
+      // The two-window bug this guards against: older non-null value paired
+      // with the newer null row's timestamp. Contract: the NEWEST right row
+      // wins as a unit — null value AND its own timestamp.
+      val l = Seq((1, 300L, Some(1.0)), (1, 500L, Some(2.0)))
+      val r = Seq((1, 100L, Some(7.0)), (1, 250L, None))
+      val got = gotAsOf(EventOps.asOf(lf(l), lf(r), Seq("k"), "ts", "v"))
+      assert(got == naiveAsOf(l, r, None))
+      // both left rows see the @250 null row, not the @100 value
+      assert(got.forall(x => x._4 == None && x._5 == Some(250L)))
+      // and tolerance is judged against the carried (newer) ts: gap from
+      // 300 to 250 is 50 <= 60, so the null row passes tolerance; the @100
+      // row must NOT sneak through even though 300-100 > 60 anyway
+      val tol = gotAsOf(EventOps.asOf(lf(l), lf(r), Seq("k"), "ts", "v",
+        toleranceNs = Some(60L)))
+      assert(tol == naiveAsOf(l, r, Some(60L)))
+      assert(tol.head._5 == Some(250L) && tol(1)._5 == None)
+  }
   }
 
   test("asOf hot key: one key holding the whole history stays correct") {
-    val l = (0 until 500).map(i => (1, i * 10L, Some(i.toDouble)))
-    val r = (0 until 100).map(i => (1, i * 47L, Some(i * 2.0)))
-    val got = gotAsOf(EventOps.asOf(lf(l), lf(r), Seq("k"), "ts", "v"))
-    assert(got == naiveAsOf(l, r, None))
+    bothPaths {
+      val l = (0 until 500).map(i => (1, i * 10L, Some(i.toDouble)))
+      val r = (0 until 100).map(i => (1, i * 47L, Some(i * 2.0)))
+      val got = gotAsOf(EventOps.asOf(lf(l), lf(r), Seq("k"), "ts", "v"))
+      assert(got == naiveAsOf(l, r, None))
+  }
   }
 
   private def naiveRange(l: Seq[(Int, Long, Option[Double])],
@@ -132,22 +151,24 @@ class EventOpsSpec extends SparkFunSuite {
   }
 
   test("sessionize: strict gap boundary, ids, and sessionStats") {
-    // gap == gapNs does NOT start a session; gap + 1 does
-    val l = lf(Seq(
-      (1, 0L, Some(1.0)), (1, 100L, Some(2.0)),   // gap 100 == gapNs
-      (1, 201L, Some(3.0)),                        // gap 101 > gapNs: new
-      (2, 50L, Some(4.0))))
-    val sess = EventOps.sessionize(l, Seq("k"), "ts", gapNs = 100L)
-    val ids = sess.orderBy(col("k"), col("ts")).collect().toSeq
-      .map(r => (r.getInt(0), r.getLong(1), r.getString(3)))
-    assert(ids == Seq((1, 0L, "1#1"), (1, 100L, "1#1"), (1, 201L, "1#2"),
-      (2, 50L, "2#1")))
-    val stats = EventOps.sessionStats(sess, Seq("k"), "ts", "v")
-      .orderBy(col("k"), col("session_start")).collect().toSeq
-      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getDouble(5)))
-    assert(stats == Seq((1, "1#1", 0L, 100L, 2L, 3.0),
-      (1, "1#2", 201L, 201L, 1L, 3.0), (2, "2#1", 50L, 50L, 1L, 4.0)))
+    bothPaths {
+      // gap == gapNs does NOT start a session; gap + 1 does
+      val l = lf(Seq(
+        (1, 0L, Some(1.0)), (1, 100L, Some(2.0)),   // gap 100 == gapNs
+        (1, 201L, Some(3.0)),                        // gap 101 > gapNs: new
+        (2, 50L, Some(4.0))))
+      val sess = EventOps.sessionize(l, Seq("k"), "ts", gapNs = 100L)
+      val ids = sess.orderBy(col("k"), col("ts")).collect().toSeq
+        .map(r => (r.getInt(0), r.getLong(1), r.getString(3)))
+      assert(ids == Seq((1, 0L, "1#1"), (1, 100L, "1#1"), (1, 201L, "1#2"),
+        (2, 50L, "2#1")))
+      val stats = EventOps.sessionStats(sess, Seq("k"), "ts", "v")
+        .orderBy(col("k"), col("session_start")).collect().toSeq
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5)))
+      assert(stats == Seq((1, "1#1", 0L, 100L, 2L, 3.0),
+        (1, "1#2", 201L, 201L, 1L, 3.0), (2, "2#1", 50L, 50L, 1L, 4.0)))
+  }
   }
 
   private def naiveBudget(items: Seq[(Long, Long, Long)], budget: Long) = {
