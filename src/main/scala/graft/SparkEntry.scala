@@ -1695,6 +1695,26 @@ object SparkEntry {
              |  FROM documents)
              |ORDER BY 1""".stripMargin)),
 
+    // -- curation: per-domain quota (keep <= cap docs per source) --------
+    // The domain-balancing step crawl pipelines apply so one giant
+    // domain can't dominate; deterministic seeded-hash order means
+    // re-runs keep the same rows.
+    "doc_domain_cap" -> Gated(
+      (s, d) => {
+        val docs = TestData.table(s, d, "documents")
+        Sample.capPerStratum(docs.select(col("doc_id"), col("source")),
+            col("source"), cap = 10)
+          .select(col("doc_id"), col("stratum"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id, stratum FROM (
+             |  SELECT doc_id, source AS stratum,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY ${md5FracSql("doc_id::VARCHAR || 'cap1'")} ASC,
+             |        doc_id ASC) AS rk
+             |  FROM documents)
+             |WHERE rk <= 10 ORDER BY 1""".stripMargin)),
+
     // -- curation: incremental dedup against the seen corpus -------------
     // "Seen" = doc_id % 5 == 0; new docs whose normalized fingerprint
     // already exists there are dropped (cross-snapshot append-only

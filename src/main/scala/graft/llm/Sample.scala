@@ -31,6 +31,29 @@ object Sample {
                 seed: String = ""): DataFrame =
     df.filter(hashFrac(col(idCol), seed) < lit(rate))
 
+  /** Per-stratum cap ("domain balancing"): keep at most `cap` rows per
+    * stratum, chosen by the deterministic seeded-hash order
+    * (hashFrac asc, id asc — the same total order [[takeExact]] uses),
+    * so re-runs keep the SAME rows. This is the per-domain quota every
+    * crawl-curation pipeline applies so one giant domain can't dominate
+    * the corpus. One window shuffle on the stratum key; skew note: a
+    * hot stratum's rows land in one task — cap >> task memory is not a
+    * realistic regime (the cap bounds what survives, and rank
+    * truncation could be staged via per-salt pre-ranking if one domain's
+    * RAW rows overwhelm a task at 100 TB). */
+  def capPerStratum(df: DataFrame, stratum: Column, cap: Int,
+                    idCol: String = "doc_id",
+                    seed: String = "cap1"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(cap > 0, "cap must be positive")
+    val w = Window.partitionBy(col("stratum"))
+      .orderBy(hashFrac(col(idCol), seed).asc, col(idCol).asc)
+    df.withColumn("stratum", stratum)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= cap)
+      .drop("__rk")
+  }
+
   /** Corpus mixing: per-stratum sampling rates in one pass. `stratum` is
     * any string-valued Column (language, quality bucket, source); rows
     * keep iff hashFrac < rates(stratum), `defaultRate` for strata not in

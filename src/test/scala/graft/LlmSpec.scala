@@ -590,6 +590,27 @@ class LlmSpec extends SparkFunSuite {
     assert(other != again) // a different seed selects a different sample
   }
 
+  test("capPerStratum: per-stratum quota, deterministic, seed-sensitive") {
+    import graft.llm.Sample
+    val d = docs((0 until 90).map(i => s"doc number $i content"))
+    val stratum = when(col("doc_id") % 3 === 0, "a")
+      .when(col("doc_id") % 3 === 1, "b").otherwise("c")
+    val a = Sample.capPerStratum(d, stratum, cap = 10).collect()
+    val sizes = a.groupBy(_.getAs[String]("stratum"))
+      .view.mapValues(_.length).toMap
+    assert(sizes == Map("a" -> 10, "b" -> 10, "c" -> 10))
+    // deterministic across runs
+    val again = Sample.capPerStratum(d, stratum, cap = 10)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(again == a.map(_.getLong(0)).sorted.toSeq)
+    // a different seed keeps different rows
+    val other = Sample.capPerStratum(d, stratum, cap = 10, seed = "x")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(other != again)
+    // cap above the stratum size keeps everything
+    assert(Sample.capPerStratum(d, stratum, cap = 1000).count() == 90L)
+  }
+
   test("gopherRules: signals and conjunction on constructed documents") {
     import graft.llm.Text
     val good = (Seq.fill(60)("the quick brown fox jumped over lazy dogs") :+
