@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.ast.QueryJson
 import graft.llm.{Bpe, Dedup, Embed, Multimodal, Sample, Text}
 import graft.model.AkuTime
-import graft.plan.{EventOps, Meta, Planner}
+import graft.plan.{EventOps, Meta, Planner, TsAnalytics, TsStore}
 import graft.serve.OutputFormat
 import graft.sources.TestData
 
@@ -2774,6 +2774,122 @@ object SparkEntry {
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
              |  FROM t)
              |SELECT doc_id, n_chars FROM c WHERE cum <= 100000
+             |ORDER BY 1""".stripMargin)),
+
+    // -- distinct-count: deterministic theta sketch (SURVEY §2.8 delta) --
+    // distinct users per metric; the md5-hash filter drops (1-theta) of
+    // rows before the only shuffle, and the estimate replays exactly in
+    // the oracle (no engine-private HLL layout)
+    "ts_distinct_theta" -> Gated(
+      (s, d) => TsAnalytics.thetaDistinct(
+          TestData.events(s, d).samples,
+          Seq("metric"), element_at(col("tags"), "user"), theta = 0.25)
+        .withColumn("distinct_est", round(col("distinct_est"), 4))
+        .orderBy(col("metric")),
+      Some(s"""WITH t AS (SELECT event_type AS metric,
+              |    user_id::VARCHAR AS item FROM events),
+              |f AS (SELECT metric, item FROM t
+              |  WHERE ${md5FracSql("item")} < 0.25)
+              |SELECT metric, count(DISTINCT item) AS n_kept,
+              |  round(count(DISTINCT item) / 0.25, 4) AS distinct_est
+              |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // -- grouping sets: rollup over (metric, k) (SURVEY §2.8 delta) ------
+    // one Expand + one partial-aggregate pass; gid is the SQL-standard
+    // GROUPING bitmask both engines share
+    "ts_rollup_agg" -> Gated(
+      (s, d) => TsAnalytics.rollupAgg(
+          TestData.events(s, d).samples,
+          Seq("metric" -> col("metric"),
+            "k" -> element_at(col("tags"), "k")),
+          col("value"))
+        .select(col("metric"), col("k"), col("gid").cast("long").as("gid"),
+          col("n"), round(col("value_sum"), 4).as("value_sum"),
+          round(col("value_avg"), 6).as("value_avg"))
+        .orderBy(col("gid"), col("metric").asc_nulls_first,
+          col("k").asc_nulls_first),
+      Some(s"""WITH t AS (SELECT event_type AS metric,
+              |    ($kSql)::VARCHAR AS k, value FROM events)
+              |SELECT metric, k, GROUPING(metric, k)::BIGINT AS gid,
+              |  count(value) AS n, round(sum(value), 4) AS value_sum,
+              |  round(avg(value), 6) AS value_avg
+              |FROM t GROUP BY ROLLUP(metric, k)
+              |ORDER BY 3, 1 ASC NULLS FIRST, 2 ASC NULLS FIRST""".stripMargin)),
+
+    // -- ranking windows: top-3 series per metric (SURVEY §2.8 delta) ----
+    // aggregate first (map-side partial over the fact table), rank the
+    // small per-series frame second — the window never sees raw samples
+    "ts_rank_series" -> Gated(
+      (s, d) => {
+        val ev = TestData.events(s, d).samples
+        val withS = ev.select(col("metric"),
+          TsStore.snameOf(col("metric"),
+            TsStore.tagStr(col("tags"))).as("sname"),
+          col("value"))
+        TsAnalytics.topKPerGroup(withS, "metric", "sname", col("value"), 3)
+          .select(col("metric"), col("sname"),
+            round(col("value_sum"), 4).as("value_sum"),
+            col("rnk").cast("long").as("rnk"))
+          .orderBy(col("metric"), col("rnk"))
+      },
+      Some(s"""WITH t AS (SELECT event_type AS metric,
+              |    ${snameSql("event_type")} AS sname, value FROM events),
+              |a AS (SELECT metric, sname, sum(value) AS vs
+              |  FROM t GROUP BY 1, 2),
+              |r AS (SELECT metric, sname, round(vs, 4) AS value_sum,
+              |  row_number() OVER (PARTITION BY metric
+              |    ORDER BY vs DESC, sname ASC) AS rnk FROM a)
+              |SELECT metric, sname, value_sum, rnk FROM r
+              |WHERE rnk <= 3 ORDER BY 1, 4""".stripMargin)),
+
+    // -- dedup: Bloom-filter membership against a seen corpus ------------
+    // the bitset (not a fingerprint table) rides to tasks with the plan;
+    // kept docs are DEFINITELY new, the oracle replays the md5-derived
+    // bit positions exactly
+    "doc_dedup_bloom" -> Gated(
+      (s, d) => {
+        val docs = TestData.table(s, d, "documents")
+        val seen = docs.filter(col("doc_id") % 5 === 0)
+        Dedup.dedupBloom(docs, seen, mBits = 1 << 16, kHashes = 4)
+          .select(col("doc_id")).orderBy(col("doc_id"))
+      },
+      Some {
+        val key = md5Int60Sql("text")
+        def pos(v: String) = md5Int60Sql(
+          s"($key)::VARCHAR || '#' || j::VARCHAR", v) + " % 65536"
+        s"""WITH rp AS (SELECT DISTINCT ${pos("x")} AS pr
+           |  FROM documents, range(4) t(j) WHERE doc_id % 5 = 0),
+           |cp AS (SELECT doc_id, ${pos("y")} AS p
+           |  FROM documents, range(4) t(j))
+           |SELECT doc_id FROM cp LEFT JOIN rp ON cp.p = rp.pr
+           |GROUP BY doc_id HAVING bool_or(rp.pr IS NULL)
+           |ORDER BY 1""".stripMargin
+      }),
+
+    // -- SQL extension surface: native expressions as plain SQL ----------
+    // The same codegen'd kernels the DataFrame API uses, reachable from
+    // spark.sql via SparkSessionExtensions (graft.sql.GraftExtensions) —
+    // a session started with spark.sql.extensions gets them at build
+    // time; register() installs them on the driver's session here.
+    "sql_vec_functions" -> Gated(
+      (s, d) => {
+        graft.sql.GraftExtensions.register(s)
+        s.sql(
+          s"""SELECT a.vec_id AS id1, b.vec_id AS id2,
+             |  round(vec_cosine(a.embedding, b.embedding), 6) AS cos_ab,
+             |  round(vec_dot(a.embedding, b.embedding), 6) AS dot_ab
+             |FROM parquet.`$d/embeddings.parquet` a
+             |JOIN parquet.`$d/embeddings.parquet` b
+             |  ON b.vec_id = a.vec_id + 100
+             |ORDER BY 1""".stripMargin)
+      },
+      Some("""WITH e AS (SELECT vec_id,
+             |    list_transform(embedding, x -> x::DOUBLE) AS v
+             |  FROM embeddings)
+             |SELECT a.vec_id AS id1, b.vec_id AS id2,
+             |  round(list_cosine_similarity(a.v, b.v), 6) AS cos_ab,
+             |  round(list_dot_product(a.v, b.v), 6) AS dot_ab
+             |FROM e a JOIN e b ON b.vec_id = a.vec_id + 100
              |ORDER BY 1""".stripMargin)),
 
     // -- flagship analytics aggregate over lineitem (bench headline) -----

@@ -51,6 +51,59 @@ object Dedup {
       .drop("__fp")
   }
 
+  /** Bloom-filter incremental dedup: drop every new document whose
+    * content fingerprint is (probably) already in the `seen` corpus,
+    * with the membership side compressed to `mBits` bits instead of a
+    * fingerprint table. This is the 100 TB shape for "dedup this crawl
+    * against everything ever ingested" when even the DISTINCT
+    * fingerprint table is too big to ship to a join: the filter build is
+    * one aggregation bounded by `mBits` rows, the bitset rides to every
+    * task with the plan (no shuffle on the candidate side at all), and
+    * the membership test is pure codegen'd column arithmetic.
+    *
+    * Standard Bloom semantics: a kept document is DEFINITELY new; a
+    * dropped one is in `seen` up to the false-positive rate
+    * `(1 - e^(-k*n/m))^k` (size `mBits` ≈ 10 bits/doc for ~1% FP at
+    * k=4). Deterministic: positions are md5-derived
+    * (`p_j = md5_60(md5_60(text) || '#' || j) mod m`), so an external
+    * oracle replays the exact same filter — unlike Spark's builtin
+    * `bloom_filter_agg`, whose bit layout is engine-private.
+    *
+    * `mBits` is bounded by what comfortably rides the serialized plan
+    * (~2^24); beyond that, shard the filter by a fingerprint prefix and
+    * union the per-shard results. */
+  def dedupBloom(newDocs: DataFrame, seen: DataFrame,
+                 textCol: String = "text", idCol: String = "doc_id",
+                 mBits: Int = 1 << 16, kHashes: Int = 4): DataFrame = {
+    require(mBits >= 64, "mBits too small to be a Bloom filter")
+    require(kHashes >= 1 && kHashes <= 16, "kHashes out of range")
+    def positions(key: Column): Seq[Column] =
+      (0 until kHashes).map { j =>
+        pmod(md5Hash60(concat(key.cast("string"), lit("#" + j))),
+          lit(mBits.toLong))
+      }
+    val setPos = seen
+      .select(explode(array(positions(md5Hash60(col(textCol))): _*)).as("p"))
+      .distinct()
+      .collect().map(_.getLong(0).toInt) // bounded: <= mBits rows
+    // pack to one long per 64 bits: the literal serializes as a primitive
+    // long array (65536 bits = 8 KB in the plan; a boolean-array literal
+    // boxes per element and cost ~3 MB of task binary at the same m)
+    val words = new Array[Long]((mBits + 63) / 64)
+    setPos.foreach(p => words(p >>> 6) |= 1L << (p & 63))
+    val wordsLit = typedlit(words.toSeq)
+    val allSet = positions(md5Hash60(col(textCol)))
+      .map { p =>
+        // bitwiseAND, not `% 2`: a zero shift leaves a negative word
+        // intact and `-1 % 2 == -1` would read a SET bit as clear
+        call_function("shiftrightunsigned",
+          element_at(wordsLit, (p / 64 + 1).cast("int")),
+          (p % 64).cast("int")).bitwiseAND(lit(1L)) === 1
+      }
+      .reduce(_ && _)
+    newDocs.filter(!allSet)
+  }
+
   /** Return the deduplicated corpus: exact duplicates collapse to the
     * smallest doc_id; when `nearDupThreshold` is set, near-duplicate
     * pairs (MinHash-LSH) additionally drop the larger id of each pair —

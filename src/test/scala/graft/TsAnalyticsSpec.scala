@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.Dedup
+import graft.plan.TsAnalytics
+
+/** SURVEY §2.8 scope-delta operators (distinct sketch, rollup, ranking)
+  * and the Bloom membership dedup. */
+class TsAnalyticsSpec extends SparkFunSuite {
+
+  private lazy val sp = spark
+  import sp.implicits._
+
+  test("thetaDistinct: theta=1 is exact; smaller theta estimates") {
+    // 97 coprime with 2: both groups see all 97 distinct items
+    val df = (1 to 1000).map(i => ("m" + (i % 2), "item" + (i % 97)))
+      .toDF("g", "item")
+    val exact = TsAnalytics.thetaDistinct(df, Seq("g"), col("item"), 1.0)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact == Map("m0" -> 97L, "m1" -> 97L))
+
+    val est = TsAnalytics.thetaDistinct(df, Seq("g"), col("item"), 0.3)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // unbiased-ish: each estimate within a loose band of the truth
+    est.values.foreach(e => assert(e > 40 && e < 200, est))
+    // deterministic: same inputs, same estimate
+    val again = TsAnalytics.thetaDistinct(df, Seq("g"), col("item"), 0.3)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(est == again)
+    // seed changes the kept set (different hash family member)
+    val seeded = TsAnalytics.thetaDistinct(df, Seq("g"), col("item"), 0.3,
+      seed = "s1").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = TsAnalytics.thetaDistinct(df, Seq("g"), col("item"), 0.3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(seeded != base)
+  }
+
+  test("rollupAgg: rollup levels, gid bitmask, cube adds the cross level") {
+    val df = Seq(("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 4.0))
+      .toDF("d1", "d2", "v")
+    val r = TsAnalytics.rollupAgg(df,
+      Seq("d1" -> col("d1"), "d2" -> col("d2")), col("v"))
+      .collect()
+      .map(x => (Option(x.getString(0)), Option(x.getString(1)),
+        x.getLong(2) /* gid is long in Spark 4 */, x.getLong(3),
+        x.getDouble(4))).toSet
+    assert(r == Set(
+      (Some("a"), Some("x"), 0L, 1L, 1.0),
+      (Some("a"), Some("y"), 0L, 1L, 2.0),
+      (Some("b"), Some("x"), 0L, 1L, 4.0),
+      (Some("a"), None, 1L, 2L, 3.0),   // d2 rolled up -> low bit set
+      (Some("b"), None, 1L, 1L, 4.0),
+      (None, None, 3L, 3L, 7.0)))       // grand total
+    val c = TsAnalytics.rollupAgg(df,
+      Seq("d1" -> col("d1"), "d2" -> col("d2")), col("v"), cube = true)
+      .collect()
+    // cube adds the (null, d2) level: 2 extra rows here
+    assert(c.length == r.size + 2)
+  }
+
+  test("topKPerGroup: rank order, tie-break on series, k cap") {
+    val df = Seq(
+      ("m", "s1", 1.0), ("m", "s1", 1.0),   // s1 sum 2: ties s3/s4
+      ("m", "s2", 5.0),                     // s2 sum 5
+      ("m", "s3", 2.0), ("m", "s4", 2.0),   // three-way tie at 2.0
+      ("n", "s9", 9.0))
+      .toDF("g", "s", "v")
+    val top = TsAnalytics.topKPerGroup(df, "g", "s", col("v"), 2)
+      .orderBy("g", "rnk").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+    // tie at 2.0 broken by series name: s1 takes rank 2, s3/s4 cut by k
+    assert(top.toSeq == Seq(
+      ("m", "s2", 5.0, 1), ("m", "s1", 2.0, 2), ("n", "s9", 9.0, 1)))
+  }
+
+  test("dedupBloom: no false negatives; FP rate bounded; deterministic") {
+    val seen = (0 until 200).map(i => (i.toLong, s"seen document $i"))
+      .toDF("doc_id", "text")
+    val fresh = (0 until 800).map(i => (1000L + i, s"fresh document $i"))
+      .toDF("doc_id", "text")
+    val cand = seen.unionAll(fresh)
+    val kept = Dedup.dedupBloom(cand, seen, mBits = 1 << 14, kHashes = 4)
+      .select("doc_id").as[Long].collect().toSet
+    // every seen doc is dropped — Bloom has NO false negatives
+    assert(kept.forall(_ >= 1000L))
+    // false positives (fresh docs wrongly dropped) stay near the
+    // (1-e^{-kn/m})^k ~ 0.6% design rate: allow < 3%
+    assert(kept.size >= 776, s"kept only ${kept.size} of 800 fresh docs")
+    val again = Dedup.dedupBloom(cand, seen, mBits = 1 << 14, kHashes = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == again)
+  }
+}
