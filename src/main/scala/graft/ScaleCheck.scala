@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ast.QueryJson
+import graft.llm.{Bpe, Dedup, Embed, Sample}
+import graft.plan.{EventOps, Planner, TsStore}
+import graft.sources.TestData
+
+/** sf1-equivalent validation: replicate the sf0.1 tables `factor`x
+  * (default 10 — roughly TPC-H sf1 volume) with shifted ids, then run
+  * the HEAVY operators end-to-end and report per-op wall seconds and
+  * output rows. Replica documents get a per-replica marker token so
+  * cross-replica pairs exercise the near-dup verification path (the
+  * realistic crawl-dup regime) instead of collapsing into exact-dup
+  * clusters; embeddings replicate identically in the sparse (0.9)
+  * LSH regime, whose candidate count must stay ≪ n²/2.
+  *
+  * Usage: runMain graft.ScaleCheck [sfDir] [factor]
+  * Prints one JSON line: {"metric":"scalecheck","factor":F,
+  *   "queries":{op:sec,...},"rows":{op:n,...},"errors":{...}}
+  */
+object ScaleCheck {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir  = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scalecheck")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.fs.file.impl",
+        "org.apache.hadoop.fs.RawLocalFileSystem")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- scaled inputs -------------------------------------------------
+    val docs0 = TestData.table(spark, sfDir, "documents")
+    val docs = (0 until factor).map { r =>
+      docs0.select(
+        (col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+        (if (r == 0) col("text")
+         else concat(col("text"), lit(s" replica$r"))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionAll _)
+
+    val emb0 = TestData.table(spark, sfDir, "embeddings")
+    val emb = (0 until factor).map { r =>
+      emb0.select((col("vec_id") + lit(r * 10000000L)).as("vec_id"),
+        col("embedding"), col("label"))
+    }.reduce(_ unionAll _)
+
+    val ev0 = TestData.eventsRaw(spark, sfDir)
+    val ev = (0 until factor).map { r =>
+      ev0.select((col("event_id") + lit(r * 100000000L)).as("event_id"),
+        col("ts"), (col("user_id") + lit(r * 1000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionAll _)
+
+    val samples0 = TestData.events(spark, sfDir).samples
+    val store = new TsStore((0 until factor).map { r =>
+      samples0.withColumn("tags", map(
+        lit("user"),
+        (element_at(col("tags"), "user").cast("long") + lit(r * 1000000L))
+          .cast("string"),
+        lit("k"), element_at(col("tags"), "k")))
+    }.reduce(_ unionAll _))
+
+    // ---- timed heavy ops ----------------------------------------------
+    val secs = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val rows = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    def timed(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      try {
+        rows(name) = f
+        secs(name) = (System.nanoTime() - t0) / 1e9
+        Console.err.println(f"[scalecheck] $name%-26s ${secs(name)}%8.2f s  rows=${rows(name)}")
+      } catch { case e: Throwable =>
+        secs(name) = -1.0
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .linesIterator.next().take(160)
+        Console.err.println(s"[scalecheck] $name FAILED: ${errors(name)}")
+      }
+    }
+
+    timed("doc_minhash_lsh") {
+      Dedup.minhashLsh(docs, threshold = 0.5).count()
+    }
+    timed("doc_ngram_jaccard") {
+      Dedup.ngramJaccard(docs, threshold = 0.5).count()
+    }
+    timed("embed_neardup_lsh_sparse") {
+      Embed.nearDupLsh(emb, threshold = 0.9, nPlanes = 16, tables = 8).count()
+    }
+    timed("embed_semdedup") {
+      val init = emb0.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+        .select(Embed.normalized(col("embedding")))
+        .collect().toSeq.map(_.getSeq[Double](0).toSeq)
+      Embed.semDedup(emb, init, threshold = 0.4).count()
+    }
+    timed("bpe_train") {
+      Bpe.trainBatched(Bpe.wordVocab(docs), k = 6)._1.size.toLong
+    }
+    timed("bpe_encode") {
+      val (merges, _) = Bpe.trainBatched(Bpe.wordVocab(docs), k = 6)
+      Bpe.encode(docs, merges).count()
+    }
+    timed("ts_join") {
+      Planner.plan(QueryJson.parse(
+        """{"join":["click","view","purchase"],
+          |"range":{"from":"20240105T000000","to":"20240120T000000"}}"""
+          .stripMargin), store).df.count()
+    }
+    timed("ts_group_aggregate") {
+      Planner.plan(QueryJson.parse(
+        """{"group-aggregate":{"metric":["click","view"],"step":"1h",
+          |"func":["mean","max"]},
+          |"range":{"from":"20240105T000000","to":"20240120T000000"}}"""
+          .stripMargin), store).df.count()
+    }
+    val Day = 86400L * 1000000000L
+    timed("asof_join") {
+      val l = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+      val r = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      EventOps.asOf(l, r, Seq("user_id"), "ts", "value",
+        toleranceNs = Some(2 * Day)).count()
+    }
+    timed("sessionize") {
+      EventOps.sessionize(ev, Seq("user_id"), "ts",
+        gapNs = 6 * 3600L * 1000000000L).count()
+    }
+    timed("take_budget") {
+      Sample.takeBudget(docs.select(col("doc_id"), col("n_chars")),
+        col("n_chars"), pmod(col("doc_id") * 37, lit(101)),
+        budget = 1000000L, idCol = "doc_id").count()
+    }
+    timed("doc_dedup_bloom") {
+      Dedup.dedupBloom(docs, docs.filter(col("doc_id") % 5 === 0),
+        mBits = 1 << 20, kHashes = 4).count()
+    }
+
+    def jval(v: Any): String = v match {
+      case d: Double => f"$d%.3f"
+      case s: String => "\"" + s.replace("\"", "'") + "\""
+      case x         => x.toString
+    }
+    def jmap(m: scala.collection.Map[String, Any]): String =
+      m.map { case (k, v) => s""""$k":${jval(v)}""" }
+        .mkString("{", ",", "}")
+    println(s"""{"metric":"scalecheck","factor":$factor,"sf":"$sfDir",""" +
+      s""""n_failed":${errors.size},"queries":${jmap(secs)},""" +
+      s""""rows":${jmap(rows)},"errors":${jmap(errors)}}""")
+    spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
+  }
+}

@@ -2866,6 +2866,50 @@ object SparkEntry {
            |ORDER BY 1""".stripMargin
       }),
 
+    // -- session windows via Spark's NATIVE session_window ---------------
+    // same gap semantics as ts_sessionize, but one groupBy aggregate
+    // (UpdatingSessions merge, no window-function pass) — the shape that
+    // also runs under Structured Streaming with a watermark
+    "ts_session_window" -> Gated(
+      (s, d) => {
+        val ev = TestData.eventsRaw(s, d)
+          .filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("value"))
+        EventOps.sessionWindowAgg(ev, Seq("user_id"), "ts", "6 hours",
+            col("value"))
+          .withColumn("value_sum", round(col("value_sum"), 6))
+          .orderBy(col("user_id"), col("session_start"))
+      },
+      Some(s"""WITH l AS (SELECT user_id, epoch_ns(ts) AS t, value
+              |  FROM events WHERE event_type = 'click'),
+              |m AS (SELECT user_id, t, value,
+              |    CASE WHEN lag(t) OVER w IS NULL
+              |           OR t - lag(t) OVER w > $H6 THEN 1 ELSE 0 END AS nw
+              |  FROM l WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+              |s AS (SELECT user_id, t, value,
+              |    sum(nw) OVER (PARTITION BY user_id ORDER BY t
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              |  FROM m)
+              |SELECT user_id, min(t) AS session_start,
+              |  max(t) AS session_end, count(*) AS n_events,
+              |  round(sum(value), 6) AS value_sum
+              |FROM s GROUP BY user_id, sid ORDER BY 1, 2""".stripMargin)),
+
+    // -- corpus distribution report: exact per-source length quantiles ---
+    // exact percentile (linear interpolation, the quantile_cont
+    // definition) — replayable externally, unlike approx_percentile's
+    // engine-private sketch
+    "doc_length_quantiles" -> Gated(
+      (s, d) => Text.lengthQuantiles(
+          TestData.table(s, d, "documents"),
+          Seq("source"), col("n_chars"), Seq(0.5, 0.9, 0.99))
+        .orderBy(col("source")),
+      Some("""SELECT source, count(n_chars) AS n,
+             |  round(quantile_cont(n_chars, 0.5), 6) AS p50,
+             |  round(quantile_cont(n_chars, 0.9), 6) AS p90,
+             |  round(quantile_cont(n_chars, 0.99), 6) AS p99
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // -- SQL extension surface: native expressions as plain SQL ----------
     // The same codegen'd kernels the DataFrame API uses, reachable from
     // spark.sql via SparkSessionExtensions (graft.sql.GraftExtensions) —

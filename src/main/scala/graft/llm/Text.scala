@@ -703,6 +703,38 @@ object Text {
       .withColumn("pred", col("score") >= 0.5)
   }
 
+  /** Per-group EXACT quantiles of a numeric column — the corpus length /
+    * token-count distribution report a curation pipeline checks before
+    * and after each filter stage. Uses Catalyst's exact `percentile`
+    * aggregate (linear interpolation at rank p*(n-1), the same
+    * definition as DuckDB's `quantile_cont` / NumPy's default), NOT
+    * `percentile_approx`: the approx sketch's answers are
+    * engine-private, so two runs of a pipeline can't be diffed against
+    * each other or an external oracle. Exact percentile holds one
+    * sorted value buffer per (group, partition) in the aggregate — at
+    * 100 TB keep the group count high (per-source, per-language), or
+    * pre-aggregate to (group, value, count) first; for the
+    * billions-of-distinct-values-per-group regime switch to
+    * approx_percentile and give up replayability.
+    *
+    * Output: group columns, then one `p<NN>` column per requested
+    * quantile (rounded to 6). */
+  def lengthQuantiles(docs: DataFrame, groupCols: Seq[String],
+                      value: Column,
+                      probs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1))
+    val arr = probs.map(p => lit(p))
+    val agged = docs
+      .groupBy(groupCols.map(col): _*)
+      .agg(percentile(value, array(arr: _*)).as("__q"),
+        count(value).as("n"))
+    val qCols = probs.zipWithIndex.map { case (p, i) =>
+      round(col("__q").getItem(i), 6)
+        .as("p" + math.round(p * 100).toInt)
+    }
+    agged.select((groupCols.map(col) ++ Seq(col("n")) ++ qCols): _*)
+  }
+
   /** One-call document stats frame: the per-document feature row a
     * training-data pipeline materializes before filtering. */
   def docStats(docs: DataFrame, textCol: String = "text"): DataFrame = {

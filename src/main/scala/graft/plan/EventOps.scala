@@ -1,6 +1,6 @@
 package graft.plan
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -280,6 +280,39 @@ object EventOps {
     }
     keyed.sparkSession.createDataFrame(rdd, schema)
       .drop("__k", "__kdisp", "__t")
+  }
+
+  /** Gap-based session aggregation via Spark's NATIVE `session_window`
+    * (SURVEY §2.8: the reference has no session windows). Same session
+    * semantics as [[sessionize]] (a row whose gap to the previous row
+    * exceeds the gap duration opens a session; a gap exactly equal
+    * extends it), but expressed as one `groupBy(keys, session_window)`
+    * — Catalyst's UpdatingSessionsExec merges sessions inside the
+    * aggregate, so there is ONE shuffle and no window-function pass,
+    * and the identical code runs under Structured Streaming with a
+    * watermark for the continuous version. Use [[sessionize]] when each
+    * ROW needs its session id; use this when only per-session rollups
+    * are needed (it never materializes per-row ids).
+    *
+    * `tsCol` is ns-long; `gap` is a calendar string ("6 hours").
+    * Resolution caveat: `session_window` takes a TimestampType, so the
+    * gap comparison happens at µs precision (ns `div` 1000) — sub-µs
+    * gap boundaries round down; [[sessionize]] keeps full ns precision.
+    * Output: keys, session_start/session_end (ns of first/last event),
+    * n_events, value_sum. */
+  def sessionWindowAgg(df: DataFrame, on: Seq[String], tsCol: String,
+                       gap: String, valueCol: Column): DataFrame = {
+    require(on.nonEmpty, "sessionWindowAgg requires at least one key column")
+    val withT = df.withColumn("__t",
+      timestamp_micros(expr(s"$tsCol div 1000")))
+    withT
+      .groupBy((on.map(col) :+ session_window(col("__t"), gap)): _*)
+      .agg(
+        min(col(tsCol)).cast("long").as("session_start"),
+        max(col(tsCol)).cast("long").as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(valueCol).as("value_sum"))
+      .drop("session_window")
   }
 
   /** Per-session stats over a sessionized frame: start/end ns, row count,

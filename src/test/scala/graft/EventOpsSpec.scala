@@ -206,4 +206,36 @@ class EventOpsSpec extends SparkFunSuite {
     assert(Sample.takeBudget(df.limit(0), col("cost"), lit(5), 20L)
       .count() == 0L)
   }
+
+  test("sessionWindowAgg: native session_window agrees with sessionize") {
+    val sp = spark; import sp.implicits._
+    val H = 3600L * 1000000000L // 1h in ns
+    // keys with: exact-gap boundary (extends), gap+1 (splits), single
+    // row, interleaved keys
+    // session_window runs at µs resolution (ns div 1000), so the split
+    // offset must be >= 1µs — a +1ns overshoot truncates back onto the
+    // boundary and extends the session instead
+    val rows = Seq(
+      (1, 0L, 1.0), (1, H, 2.0),          // gap == H extends: one session
+      (1, 2 * H + 1000L, 3.0),            // gap H+1µs: new session
+      (2, 0L, 5.0), (2, 3 * H, 6.0),      // far apart: two sessions
+      (3, 7000L, 9.0))                    // singleton
+    val df = rows.toDF("k", "ts", "v")
+    val got = graft.plan.EventOps.sessionWindowAgg(
+        df, Seq("k"), "ts", "1 hour", col("v"))
+      .orderBy(col("k"), col("session_start"))
+      .collect().toSeq
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // oracle: sessionize + sessionStats (already oracle-checked above)
+    val viaSessionize = graft.plan.EventOps.sessionStats(
+        graft.plan.EventOps.sessionize(df, Seq("k"), "ts", gapNs = H),
+        Seq("k"), "ts", "v")
+      .orderBy(col("k"), col("session_start"))
+      .collect().toSeq
+      .map(r => (r.getInt(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5)))
+    assert(got == viaSessionize)
+    assert(got.count(_._1 == 1) == 2) // exact-gap row merged, +1 split
+  }
 }

@@ -74,6 +74,18 @@ class TsAnalyticsSpec extends SparkFunSuite {
       ("m", "s2", 5.0, 1), ("m", "s1", 2.0, 2), ("n", "s9", 9.0, 1)))
   }
 
+  test("lengthQuantiles: exact linear-interpolation quantiles per group") {
+    import graft.llm.Text
+    // group a: 1..5 -> p50 = 3, p90 = 1 + 0.9*4 = 4.6; group b: 10,20
+    val df = (Seq(("a", 1), ("a", 2), ("a", 3), ("a", 4), ("a", 5),
+      ("b", 10), ("b", 20))).toDF("g", "n")
+    val q = Text.lengthQuantiles(df, Seq("g"), col("n"), Seq(0.5, 0.9))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(q.toSeq == Seq(("a", 5L, 3.0, 4.6), ("b", 2L, 15.0, 19.0)))
+  }
+
   test("dedupBloom: no false negatives; FP rate bounded; deterministic") {
     val seen = (0 until 200).map(i => (i.toLong, s"seen document $i"))
       .toDF("doc_id", "text")
