@@ -2910,6 +2910,53 @@ object SparkEntry {
              |  round(quantile_cont(n_chars, 0.99), 6) AS p99
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // -- retrieval: BM25 top-k over the corpus ---------------------------
+    // explode filtered to query terms BEFORE the tf aggregation; df
+    // broadcasts; final top-k is a TakeOrdered
+    "doc_bm25" -> Gated(
+      (s, d) => Text.bm25Search(TestData.table(s, d, "documents"),
+          Seq("spark", "vector", "merge"), k = 10)
+        .orderBy(col("rank")),
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split_regex(
+             |    trim(lower(text)), '\s+')) AS term FROM documents),
+             |lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+             |  WHERE term IN ('spark', 'vector', 'merge') GROUP BY 1, 2),
+             |df AS (SELECT term, count(DISTINCT doc_id) AS df
+             |  FROM tf GROUP BY 1),
+             |s AS (SELECT tf.doc_id,
+             |    ln(1 + ((SELECT count(*) FROM documents) - df.df + 0.5)
+             |      / (df.df + 0.5)) * tf.tf * 2.2
+             |    / (tf.tf + 1.2 * (0.25 + 0.75 * lens.len
+             |      / (SELECT avg(len) FROM lens))) AS s
+             |  FROM tf JOIN df USING (term) JOIN lens USING (doc_id)),
+             |sc AS (SELECT doc_id, round(sum(s), 6) AS score
+             |  FROM s GROUP BY 1)
+             |SELECT doc_id, score, row_number() OVER (
+             |  ORDER BY score DESC, doc_id ASC)::BIGINT AS rank
+             |FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // -- contrastive curation: hard-negative mining ----------------------
+    // broadcast query batch, one narrow corpus pass, per-query top-k of
+    // different-label neighbors
+    "ann_hard_negatives" -> Gated(
+      (s, d) => Embed.hardNegatives(TestData.table(s, d, "embeddings"),
+          Seq(1L, 2L, 3L), k = 5)
+        .orderBy(col("qid"), col("rnk")),
+      Some("""WITH e AS (SELECT vec_id, label,
+             |    list_transform(embedding, x -> x::DOUBLE) AS v
+             |  FROM embeddings),
+             |q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv
+             |  FROM e WHERE vec_id IN (1, 2, 3)),
+             |s AS (SELECT q.qid, e.vec_id AS neg_id, e.label,
+             |    round(list_cosine_similarity(e.v, q.qv), 6) AS score
+             |  FROM e, q WHERE e.label <> q.qlabel),
+             |r AS (SELECT qid, neg_id, label, score, row_number() OVER (
+             |    PARTITION BY qid ORDER BY score DESC, neg_id ASC)::BIGINT
+             |    AS rnk FROM s)
+             |SELECT qid, neg_id, label, score, rnk FROM r
+             |WHERE rnk <= 5 ORDER BY 1, 5""".stripMargin)),
+
     // -- SQL extension surface: native expressions as plain SQL ----------
     // The same codegen'd kernels the DataFrame API uses, reachable from
     // spark.sql via SparkSessionExtensions (graft.sql.GraftExtensions) —

@@ -723,6 +723,37 @@ object Embed {
       .dropDuplicates("a", "b")
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the `k` highest-cosine corpus vectors with a DIFFERENT
+    * label (the "looks similar, labeled differently" pairs that make
+    * the best negatives; Xiong et al. ANCE line). The query set
+    * broadcasts (bounded: batch-size queries), the corpus streams
+    * through ONE narrow map — no corpus shuffle — and the per-query
+    * top-k is a window over only the scored candidates. At billions of
+    * vectors, swap the corpus scan for the IVF layout ([[ivfSearch]]
+    * shape) so each query scores only its probed cells.
+    *
+    * Output: qid, neg_id, label (the negative's), score, rnk. */
+  def hardNegatives(corpus: DataFrame, queryIds: Seq[Long], k: Int = 5,
+                    vecCol: String = "embedding", idCol: String = "vec_id",
+                    labelCol: String = "label"): DataFrame = {
+    require(queryIds.nonEmpty && k > 0)
+    import org.apache.spark.sql.expressions.Window
+    val q = corpus.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"),
+        col(labelCol).as("qlabel"))
+    val scored = corpus
+      .join(broadcast(q), col(labelCol) =!= col("qlabel"))
+      .withColumn("score", round(cosine(col(vecCol), col("qv")), 6))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col(idCol).asc)))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col(idCol).as("neg_id"), col(labelCol).as("label"),
+        col("score"), col("rnk").cast("long").as("rnk"))
+  }
+
   /** Scale path for near-dup: pairs colliding in >= 1 of `tables`
     * hyperplane tables, verified exactly. groupBy(bucket) keeps the join
     * bucket-local — never all-pairs. Vectors join back once per

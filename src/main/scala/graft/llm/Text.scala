@@ -398,6 +398,54 @@ object Text {
       .select(col(idCol), col("term"), col("tfidf"), col("rank"))
   }
 
+  /** BM25 retrieval over the corpus (Robertson-Spärck Jones; the
+    * Lucene-shaped nonnegative idf `ln(1 + (N-df+0.5)/(df+0.5))`) — the
+    * retrieval step of a RAG / data-curation pipeline, and the text
+    * analogue of the reference's inverted series index
+    * (reference: perf_invertedindex.cpp, libakumuli/index/ — terms over
+    * series names instead of documents).
+    *
+    * Scale shape: the explode is filtered to the query's terms BEFORE
+    * the tf aggregation, so the shuffled tf frame holds only documents
+    * containing at least one query term; df (one row per query term)
+    * broadcasts back onto it, and the final top-k is a TakeOrdered, not
+    * a full sort. Document lengths are a corpus statistic computed in
+    * one narrow pass (at 100 TB: materialize alongside the corpus).
+    *
+    * Output: doc_id, score (rounded 6), rank — top `k` docs. */
+  def bm25Search(docs: DataFrame, queryTerms: Seq[String], k: Int = 10,
+                 k1: Double = 1.2, b: Double = 0.75,
+                 textCol: String = "text", idCol: String = "doc_id",
+                 n: Option[Long] = None): DataFrame = {
+    require(queryTerms.nonEmpty, "empty query")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val nDocs = n.getOrElse(docs.count())
+    val toks = docs.select(col(idCol),
+      tokens(lower(col(textCol))).as("__toks"))
+    val lens = toks.select(col(idCol), size(col("__toks")).as("__len"))
+    val avgLen = lens.agg(avg(col("__len"))).head.getDouble(0)
+    val tf = toks
+      .select(col(idCol), explode(col("__toks")).as("term"))
+      .filter(col("term").isin(terms: _*)) // query terms only, pre-shuffle
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count_distinct(col(idCol)).as("df"))
+    val idf = log(lit(1.0) +
+      (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val perTerm = tf
+      .join(broadcast(df.withColumn("__idf", idf)), "term")
+      .join(lens, idCol)
+      .withColumn("__s", col("__idf") * col("tf") * lit(k1 + 1) /
+        (col("tf") + lit(k1) * (lit(1 - b) +
+          lit(b) * col("__len") / lit(avgLen))))
+    perTerm
+      .groupBy(col(idCol)).agg(round(sum(col("__s")), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col(idCol).asc)))
+  }
+
   /** The Gopher document-quality rule bundle (Rae et al. 2021,
     * arXiv:2112.11446 Appendix A, the filter set MassiveText and its
     * descendants apply): per-document signals plus the conjunction

@@ -86,6 +86,51 @@ class TsAnalyticsSpec extends SparkFunSuite {
     assert(q.toSeq == Seq(("a", 5L, 3.0, 4.6), ("b", 2L, 15.0, 19.0)))
   }
 
+  test("bm25Search: known corpus, hand-computed ranking") {
+    import graft.llm.Text
+    // 4 docs, query "cat": df=2, idf = ln(1 + 2.5/2.5) = ln 2.
+    // avg len = (2+3+2+1)/4 = 2;
+    // score = ln2 * tf*2.2/(tf + 1.2*(0.25 + 0.75*len/2))
+    val docs = Seq(
+      (1L, "cat cat"),            // tf 2, len 2
+      (2L, "cat dog dog"),        // tf 1, len 3
+      (3L, "dog dog"),            // no hit
+      (4L, "bird"))
+      .toDF("doc_id", "text")
+    val r = Text.bm25Search(docs, Seq("cat"), k = 10)
+      .orderBy("rank").collect()
+      .map(x => (x.getLong(0), x.getDouble(1), x.getInt(2)))
+    assert(r.map(_._1).toSeq == Seq(1L, 2L)) // only docs containing a term
+    def score(tf: Double, len: Double) =
+      math.log(2.0) * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len / 2.0))
+    assert(math.abs(r(0)._2 - score(2, 2)) < 1e-6)
+    assert(math.abs(r(1)._2 - score(1, 3)) < 1e-6)
+    // multi-term query sums per-term contributions
+    val multi = Text.bm25Search(docs, Seq("cat", "bird"), k = 10)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(multi.keySet == Set(1L, 2L, 4L))
+    assert(multi(4L) > multi(2L)) // rare term outscores common term
+  }
+
+  test("hardNegatives: different-label top-k, deterministic ties") {
+    import graft.llm.Embed
+    // query 1 (label 0): negatives must all be label != 0, ranked by
+    // cosine; vec 10 is identical to the query but labeled 1 -> rank 1
+    val rows = Seq(
+      (1L, Seq(1.0f, 0.0f), 0),
+      (2L, Seq(1.0f, 0.0f), 0),     // same label: never a negative
+      (10L, Seq(1.0f, 0.0f), 1),    // cosine 1, different label
+      (11L, Seq(0.9f, 0.1f), 1),
+      (12L, Seq(0.0f, 1.0f), 2),    // orthogonal
+      (13L, Seq(-1.0f, 0.0f), 1))   // opposite
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val r = Embed.hardNegatives(df, Seq(1L), k = 3)
+      .orderBy("rnk").collect()
+      .map(x => (x.getLong(1), x.getInt(2), x.getLong(4)))
+    assert(r.map(_._1).toSeq == Seq(10L, 11L, 12L))
+    assert(r.forall(_._2 != 0))
+  }
+
   test("dedupBloom: no false negatives; FP rate bounded; deterministic") {
     val seen = (0 until 200).map(i => (i.toLong, s"seen document $i"))
       .toDF("doc_id", "text")
