@@ -2957,6 +2957,56 @@ object SparkEntry {
              |SELECT qid, neg_id, label, score, rnk FROM r
              |WHERE rnk <= 5 ORDER BY 1, 5""".stripMargin)),
 
+    // -- time-bucket quantiles: p50/p95 per metric per day ---------------
+    // exact percentile per (metric, day) — the rollup the reference can
+    // only approximate with min/max
+    "ts_bucket_quantiles" -> Gated(
+      (s, d) => TsAnalytics.bucketQuantiles(
+          TestData.events(s, d).samples,
+          Seq("metric"), "ts", "value", bucketNs = Day, Seq(0.5, 0.95))
+        .orderBy(col("metric"), col("bucket")),
+      Some(s"""SELECT event_type AS metric,
+              |  (epoch_ns(ts) // $Day) * $Day AS bucket,
+              |  count(value) AS n,
+              |  round(quantile_cont(value, 0.5), 6) AS p50,
+              |  round(quantile_cont(value, 0.95), 6) AS p95
+              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // -- gap-fill: linear-interpolation resample to a daily grid ---------
+    // the interpolation the reference explicitly lacks; grid + samples
+    // share ONE window partition per series (no per-point range join)
+    "ts_resample" -> Gated(
+      (s, d) => {
+        val ev = TestData.events(s, d).samples
+          .filter(col("metric") === "click")
+          .select(element_at(col("tags"), "user").as("user"),
+            element_at(col("tags"), "k").as("k"),
+            col("ts"), col("value"))
+        TsAnalytics.resampleLinear(ev, Seq("user", "k"), "ts", "value",
+            stepNs = Day, fromNs = T0, toNs = T1)
+          .orderBy(col("user"), col("k"), col("ts"))
+      },
+      Some(s"""WITH s0 AS (SELECT user_id::VARCHAR AS user,
+              |    ($kSql)::VARCHAR AS k, epoch_ns(ts) AS t, value
+              |  FROM events WHERE event_type = 'click'),
+              |agg AS (SELECT user, k, t, max(value) AS v
+              |  FROM s0 GROUP BY 1, 2, 3),
+              |series AS (SELECT DISTINCT user, k FROM s0),
+              |grid AS (SELECT user, k,
+              |    unnest(range($T0, $T1, $Day)) AS gt FROM series),
+              |p AS (SELECT g.user, g.k, g.gt, pr.t AS pt, pr.v AS pv
+              |  FROM grid g ASOF LEFT JOIN agg pr
+              |    ON g.user = pr.user AND g.k = pr.k AND g.gt >= pr.t),
+              |pn AS (SELECT p.*, nx.t AS nt, nx.v AS nv
+              |  FROM p ASOF LEFT JOIN agg nx
+              |    ON p.user = nx.user AND p.k = nx.k AND p.gt <= nx.t)
+              |SELECT user, k, gt AS ts,
+              |  round(CASE WHEN pt = gt THEN pv
+              |    WHEN pt IS NOT NULL AND nt IS NOT NULL THEN
+              |      pv + (nv - pv) * (gt - pt) / (nt - pt)
+              |    END, 6) AS value
+              |FROM pn ORDER BY 1, 2, 3""".stripMargin)),
+
     // -- SQL extension surface: native expressions as plain SQL ----------
     // The same codegen'd kernels the DataFrame API uses, reachable from
     // spark.sql via SparkSessionExtensions (graft.sql.GraftExtensions) —

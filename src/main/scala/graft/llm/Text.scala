@@ -422,18 +422,24 @@ object Text {
     val nDocs = n.getOrElse(docs.count())
     val toks = docs.select(col(idCol),
       tokens(lower(col(textCol))).as("__toks"))
-    val lens = toks.select(col(idCol), size(col("__toks")).as("__len"))
-    val avgLen = lens.agg(avg(col("__len"))).head.getDouble(0)
+    val avgLen = toks.agg(avg(size(col("__toks")))).head.getDouble(0)
+    // doc length rides the exploded rows (8 bytes/token pre-filter) so
+    // no separate length table has to join back onto tf — one corpus
+    // pass yields both tf and len
+    // localCheckpoint: tf feeds BOTH df and the scoring join — without
+    // it Catalyst re-tokenizes the whole corpus for the df branch
     val tf = toks
-      .select(col(idCol), explode(col("__toks")).as("term"))
+      .select(col(idCol), size(col("__toks")).as("__len"),
+        explode(col("__toks")).as("term"))
       .filter(col("term").isin(terms: _*)) // query terms only, pre-shuffle
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col(idCol), col("__len"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val df = tf.groupBy(col("term")).agg(count_distinct(col(idCol)).as("df"))
     val idf = log(lit(1.0) +
       (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val perTerm = tf
       .join(broadcast(df.withColumn("__idf", idf)), "term")
-      .join(lens, idCol)
       .withColumn("__s", col("__idf") * col("tf") * lit(k1 + 1) /
         (col("tf") + lit(k1) * (lit(1 - b) +
           lit(b) * col("__len") / lit(avgLen))))

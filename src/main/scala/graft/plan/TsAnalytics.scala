@@ -74,6 +74,99 @@ object TsAnalytics {
       avg(col("__v")).as("value_avg"))
   }
 
+  /** Exact per-(group, time-bucket) quantiles — "p50/p95/p99 per metric
+    * per day", the rollup the reference can only approximate with
+    * min/max (SURVEY §2.6 has no percentile aggregate). Buckets are
+    * `ts div bucketNs` (integer division on ns longs — floats lose
+    * integer precision past 2^53). Exact `percentile` (quantile_cont
+    * interpolation) so the report replays externally; the
+    * value-buffer-per-group caveat of
+    * [[graft.llm.Text.lengthQuantiles]] applies.
+    *
+    * Output: group cols, `bucket` (ns of bucket start), `n`, one
+    * `p<NN>` per prob (rounded 6). */
+  def bucketQuantiles(df: DataFrame, groupCols: Seq[String], tsCol: String,
+                      valueCol: String, bucketNs: Long,
+                      probs: Seq[Double] = Seq(0.5, 0.95, 0.99)): DataFrame = {
+    require(bucketNs > 0 && probs.nonEmpty)
+    val bucket = (expr(s"$tsCol div ${bucketNs}L") * lit(bucketNs)).as("bucket")
+    val agged = df
+      .groupBy((groupCols.map(col) :+ bucket): _*)
+      .agg(percentile(col(valueCol),
+        array(probs.map(p => lit(p)): _*)).as("__q"),
+        count(col(valueCol)).as("n"))
+    val qCols = probs.zipWithIndex.map { case (p, i) =>
+      round(col("__q").getItem(i), 6).as("p" + math.round(p * 100).toInt)
+    }
+    agged.select((groupCols.map(col) ++ Seq(col("bucket"), col("n")) ++
+      qCols): _*)
+  }
+
+  /** Linear-interpolation resampling onto a regular grid — the gap-fill
+    * the reference explicitly lacks (its only regularization is bucketed
+    * aggregation; README's "no interpolation" is a long-standing user
+    * ask). For every series (the `on` key) and every grid instant
+    * `from + i*stepNs < to`, emits the linear interpolation between the
+    * nearest samples on each side; a grid point outside a series'
+    * observed span is null (strict interpolation, no extrapolation),
+    * and a grid point landing exactly on a sample returns that sample.
+    *
+    * Shape: the grid is generated per series (series-dimension rows x
+    * points — never a driver loop), unioned with the samples, and BOTH
+    * neighbor carries run in the SAME window partition (one shuffle on
+    * the series key; the backward carry reuses the forward sort in
+    * reverse). A naive per-grid-point range join would be O(samples x
+    * points) per series.
+    *
+    * Output: on cols, `ts` (grid instant), `value` (interpolated,
+    * rounded 6, null in gaps beyond the span). */
+  def resampleLinear(df: DataFrame, on: Seq[String], tsCol: String,
+                     valueCol: String, stepNs: Long, fromNs: Long,
+                     toNs: Long): DataFrame = {
+    require(on.nonEmpty && stepNs > 0 && toNs > fromNs)
+    val w = Window.partitionBy(on.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wRev = Window.partitionBy(on.map(col): _*)
+      .orderBy(col("__t").desc, col("__side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // collapse duplicate-instant samples to max (the asOf convention):
+    // two samples at one (key, ts) would otherwise make the carried
+    // neighbor order- and partition-dependent
+    val samples = df.select(
+      (on.map(col) :+ col(tsCol).cast("long").as("__t") :+
+        col(valueCol).cast("double").as("__v")): _*)
+      .groupBy((on.map(col) :+ col("__t")): _*)
+      .agg(max(col("__v")).as("__v"))
+      .withColumn("__side", lit(0))
+    val grid = df.select(on.map(col): _*).distinct()
+      .withColumn("__t", explode(expr(
+        s"sequence(${fromNs}L, ${toNs - 1}L, ${stepNs}L)")))
+      .withColumn("__v", lit(null).cast("double"))
+      .withColumn("__side", lit(1))
+    // sample sorts BEFORE the grid row at the same instant, so an exact
+    // hit is its own "previous" neighbor and interpolates to itself
+    val carried = samples.unionByName(grid)
+      .withColumn("__prev", last(
+        when(col("__side") === 0, struct(col("__t").as("t"), col("__v").as("v"))),
+        ignoreNulls = true).over(w))
+      .withColumn("__next", last(
+        when(col("__side") === 0, struct(col("__t").as("t"), col("__v").as("v"))),
+        ignoreNulls = true).over(wRev))
+    val pt = col("__prev.t"); val pv = col("__prev.v")
+    val nt = col("__next.t"); val nv = col("__next.v")
+    val value =
+      when(pt === col("__t"), pv) // exact hit (incl. prev==next case)
+        .when(pt.isNotNull && nt.isNotNull,
+          pv + (nv - pv) * (col("__t") - pt).cast("double") /
+            (nt - pt).cast("double"))
+        .otherwise(lit(null).cast("double"))
+    carried
+      .filter(col("__side") === 1)
+      .select((on.map(col) :+ col("__t").as("ts") :+
+        round(value, 6).as("value")): _*)
+  }
+
   /** Ranked top-k per group (SURVEY §2.8: no ranking windows in the
     * reference): aggregate `value` per (group, series), then keep each
     * group's top `k` by the aggregate with an explicit deterministic

@@ -86,6 +86,43 @@ class TsAnalyticsSpec extends SparkFunSuite {
     assert(q.toSeq == Seq(("a", 5L, 3.0, 4.6), ("b", 2L, 15.0, 19.0)))
   }
 
+  test("bucketQuantiles: integer-div buckets, exact interpolated quantiles") {
+    val df = Seq(
+      ("m", 0L, 1.0), ("m", 5L, 3.0),     // bucket 0: values 1, 3
+      ("m", 10L, 10.0),                   // bucket 10
+      ("n", 12L, 7.0))
+      .toDF("g", "ts", "v")
+    val q = TsAnalytics.bucketQuantiles(df, Seq("g"), "ts", "v",
+        bucketNs = 10L, probs = Seq(0.5))
+      .orderBy("g", "bucket").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(q.toSeq == Seq(
+      ("m", 0L, 2L, 2.0), ("m", 10L, 1L, 10.0), ("n", 10L, 1L, 7.0)))
+  }
+
+  test("resampleLinear: exact hits, midpoints, span edges, dup collapse") {
+    val df = Seq(
+      ("a", 10L, 1.0), ("a", 20L, 3.0), ("a", 40L, 7.0),
+      ("a", 40L, 5.0),                    // dup instant: max wins (7.0)
+      ("b", 25L, 100.0))                  // single-sample series
+      .toDF("k", "ts", "v")
+    val r = TsAnalytics.resampleLinear(df, Seq("k"), "ts", "v",
+        stepNs = 10L, fromNs = 0L, toNs = 60L)
+      .orderBy("k", "ts").collect()
+      .map(x => (x.getString(0), x.getLong(1),
+        if (x.isNullAt(2)) None else Some(x.getDouble(2))))
+    assert(r.filter(_._1 == "a").toSeq == Seq(
+      ("a", 0L, None),                    // before first sample
+      ("a", 10L, Some(1.0)),              // exact hit
+      ("a", 20L, Some(3.0)),              // exact hit
+      ("a", 30L, Some(5.0)),              // midpoint of (20,3)-(40,7)
+      ("a", 40L, Some(7.0)),              // exact hit on collapsed max
+      ("a", 50L, None)))                  // past last sample
+    // single sample: only its own instant would interpolate, and 25 is
+    // off-grid -> all grid points null for b
+    assert(r.filter(_._1 == "b").forall(_._3.isEmpty))
+  }
+
   test("bm25Search: known corpus, hand-computed ranking") {
     import graft.llm.Text
     // 4 docs, query "cat": df=2, idf = ln(1 + 2.5/2.5) = ln 2.
