@@ -301,10 +301,15 @@ object EventOps {
     * Output: keys, session_start/session_end (ns of first/last event),
     * n_events, value_sum. */
   def sessionWindowAgg(df: DataFrame, on: Seq[String], tsCol: String,
-                       gap: String, valueCol: Column): DataFrame = {
+                       gap: String, valueCol: Column,
+                       watermark: Option[String] = None): DataFrame = {
     require(on.nonEmpty, "sessionWindowAgg requires at least one key column")
-    val withT = df.withColumn("__t",
+    val withT0 = df.withColumn("__t",
       timestamp_micros(expr(s"$tsCol div 1000")))
+    // streaming: a watermark ("30 seconds") bounds session state and
+    // finalizes sessions for Append output; identical results to batch
+    // for data within the lateness bound
+    val withT = watermark.fold(withT0)(d => withT0.withWatermark("__t", d))
     withT
       .groupBy((on.map(col) :+ session_window(col("__t"), gap)): _*)
       .agg(

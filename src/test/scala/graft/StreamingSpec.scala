@@ -320,4 +320,34 @@ class StreamingSpec extends SparkFunSuite {
       assert(ids == Seq(0L, 1L, 3L))
     } finally q.stop()
   }
+
+  test("streaming session windows finalize on watermark (Append mode)") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val S = 1000000000L // 1s in ns
+    val input = MemoryStream[(Long, Long, Double)] // (user, tsNs, v)
+    val events = input.toDF().toDF("user_id", "ts", "v")
+    val sessions = graft.plan.EventOps.sessionWindowAgg(
+      events, Seq("user_id"), "ts", "10 seconds", col("v"),
+      watermark = Some("0 seconds"))
+    val q = sessions.writeStream.format("memory").queryName("ssess")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // session A: 0s, 5s (one session); later event at 60s advances the
+      // watermark past A's close (15s) so Append emits it finalized
+      input.addData((1L, 0L, 1.0), (1L, 5 * S, 2.0))
+      q.processAllAvailable()
+      input.addData((1L, 60 * S, 4.0))
+      q.processAllAvailable()
+      val got = sp.sql(
+        "SELECT user_id, session_start, session_end, n_events, value_sum" +
+          " FROM ssess").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).toSeq
+      assert(got == Seq((1L, 0L, 5 * S, 2L, 3.0)))
+      // the 60s session is still open (nothing advanced the watermark
+      // past it) — Append correctly withholds it
+    } finally q.stop()
+  }
 }

@@ -123,6 +123,39 @@ class TsAnalyticsSpec extends SparkFunSuite {
     assert(r.filter(_._1 == "b").forall(_._3.isEmpty))
   }
 
+  test("resampleLinear matches a naive driver oracle on random series") {
+    val rnd = new scala.util.Random(42)
+    val data = (0 until 20).flatMap { k =>
+      val n = 1 + rnd.nextInt(14)
+      (0 until n).map(_ =>
+        (s"s$k", rnd.nextInt(100).toLong, rnd.nextInt(1000) / 10.0))
+    }
+    val (step, from, to) = (7L, 0L, 100L)
+    val got = TsAnalytics.resampleLinear(
+        data.toDF("k", "ts", "v"), Seq("k"), "ts", "v", step, from, to)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    val want = data.groupBy(_._1).flatMap { case (k, rows) =>
+      val byTs = rows.groupBy(_._2).map { case (t, vs) =>
+        t -> vs.map(_._3).max }.toSeq.sortBy(_._1)
+      (from until to by step).map { t =>
+        val prev = byTs.filter(_._1 <= t).lastOption
+        val next = byTs.find(_._1 >= t)
+        val v = (prev, next) match {
+          case (Some((pt, pv)), _) if pt == t => Some(pv)
+          case (Some((pt, pv)), Some((nt, nv))) =>
+            Some(pv + (nv - pv) * (t - pt).toDouble / (nt - pt).toDouble)
+          case _ => None
+        }
+        // Spark round() is BigDecimal HALF_UP — mirror it exactly
+        (k, t, v.map(x => BigDecimal(x)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+    }.toSet
+    assert(got == want)
+  }
+
   test("bm25Search: known corpus, hand-computed ranking") {
     import graft.llm.Text
     // 4 docs, query "cat": df=2, idf = ln(1 + 2.5/2.5) = ln 2.
