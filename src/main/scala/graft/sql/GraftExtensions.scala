@@ -23,8 +23,10 @@ import org.apache.spark.sql.types.IntegerType
   *  - `nfc_normalize(s)`    — Unicode NFC canonical composition
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => FuseVecHof)
+  }
 }
 
 object GraftExtensions {
@@ -78,7 +80,12 @@ object GraftExtensions {
       }))
 
   /** Install on an already-built session (idempotent: re-registration
-    * replaces the same entries). */
-  def register(spark: SparkSession): Unit =
+    * replaces the same entries; the optimizer rule is added to
+    * `experimental.extraOptimizations` once). */
+  def register(spark: SparkSession): Unit = {
     FunctionRegistryBridge.register(spark, descriptions)
+    if (!spark.experimental.extraOptimizations.contains(FuseVecHof))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ FuseVecHof
+  }
 }

@@ -58,6 +58,42 @@ class SqlExtensionsSpec extends SparkFunSuite {
     assert(n == "é")
   }
 
+  test("FuseVecHof rewrites the HOF dot product to the native expression") {
+    GraftExtensions.register(spark)
+    // range-backed frame: a literal LocalRelation would be fully
+    // constant-folded before the plan check could see the rewrite.
+    // double arrays: over FLOAT arrays the analyzer keeps x*y in float
+    // (not bit-identical to the fused widen-first loop), so the rule
+    // must and does leave that form alone — asserted below
+    spark.range(1, 3).select(col("id"),
+        array(col("id").cast("double"), lit(2.0)).as("a"),
+        array(lit(3.0), col("id").cast("double")).as("b"),
+        array(col("id").cast("float"), lit(2.0f)).as("af"),
+        array(lit(3.0f), col("id").cast("float")).as("bf"))
+      .createOrReplaceTempView("fuse_vecs")
+    val hof = spark.sql(
+      """SELECT id, aggregate(zip_with(a, b, (x, y) -> x * y), 0D,
+        |  (s, v) -> s + v) AS d FROM fuse_vecs ORDER BY id""".stripMargin)
+    // the optimized plan carries vec_dot, not the interpreted aggregate
+    assert(hof.queryExecution.optimizedPlan.toString.contains("vec_dot"))
+    val native = spark.table("fuse_vecs")
+      .select(col("id"), VecMath.dot(col("a"), col("b")).as("d"))
+      .orderBy("id")
+    assert(hof.collect().toSeq == native.collect().toSeq)
+    assert(hof.collect().map(_.getDouble(1)).toSeq == Seq(5.0, 10.0))
+    // NON-identical shapes are left alone: different zero, and the
+    // float-multiply form
+    for (sql <- Seq(
+        """SELECT aggregate(zip_with(a, b, (x, y) -> x * y), 1D,
+          |  (s, v) -> s + v) AS d FROM fuse_vecs""".stripMargin,
+        """SELECT aggregate(zip_with(af, bf, (x, y) -> x * y), 0D,
+          |  (s, v) -> s + v) AS d FROM fuse_vecs""".stripMargin)) {
+      val other = spark.sql(sql)
+      assert(!other.queryExecution.optimizedPlan.toString.contains("vec_dot"),
+        sql)
+    }
+  }
+
   test("GraftExtensions injects its functions through SparkSessionExtensions") {
     // the exact path `spark.sql.extensions=graft.sql.GraftExtensions`
     // takes at session build: apply the class to a fresh extensions
