@@ -63,13 +63,12 @@ class FunctestsParity5Spec extends SparkFunSuite {
            |"output":{"format":"csv"}}""".stripMargin
       var sawPartial = false
       var last = -1
-      val deadline = System.nanoTime() + 120L * 1000000000L
-      while (last < N - 1 && System.nanoTime() < deadline) {
+      // the functest's require_continuous: ts and value advance by
+      // exactly one delta per row, starting at the stream head
+      def pollOnce(): Unit = {
         val (code, body) = http(api.boundPort, query)
         if (code == 200 && body.nonEmpty) {
           val lines = body.split("\r\n").toIndexedSeq.filter(_.nonEmpty)
-          // the functest's require_continuous: ts and value advance by
-          // exactly one delta per row, starting at the stream head
           lines.zipWithIndex.foreach { case (line, k) =>
             val cols = line.split(",")
             assert(cols(0) == "test tag=Foo")
@@ -81,10 +80,19 @@ class FunctestsParity5Spec extends SparkFunSuite {
           last = lines.size - 1
         } else assert(code == 404 || code == 200, s"$code: ${body.take(100)}")
         // 404 = no sessions published yet (metric unknown): legal snapshot
+      }
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      while (last < N - 1 && System.nanoTime() < deadline) {
+        pollOnce()
         paced.release() // let the writer publish the next chunk
       }
       paced.release(Chunks) // reader done: unblock any remaining chunks
       writer.join()
+      // authoritative final read: every chunk is published once the
+      // writer has joined, so completeness must not depend on whether
+      // the paced loop beat the deadline under container load (the loop
+      // exits with a STALE `last` when the deadline fires mid-stream)
+      if (last < N - 1) pollOnce()
       assert(last == N - 1, s"final poll incomplete: ${last + 1} of $N rows")
       assert(sawPartial, "reader never overlapped the writer — retune sizes")
     } finally { api.stop(); srv.stop() }
