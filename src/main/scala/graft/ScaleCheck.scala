@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ast.QueryJson
-import graft.llm.{Bpe, Dedup, Embed, Sample}
-import graft.plan.{EventOps, Planner, TsStore}
+import graft.llm.{Bpe, Dedup, Embed, Sample, Text}
+import graft.plan.{EventOps, Planner, TsAnalytics, TsStore}
 import graft.sources.TestData
 
 /** sf1-equivalent validation: replicate the sf0.1 tables `factor`x
@@ -144,6 +144,42 @@ object ScaleCheck {
     timed("doc_dedup_bloom") {
       Dedup.dedupBloom(docs, docs.filter(col("doc_id") % 5 === 0),
         mBits = 1 << 20, kHashes = 4).count()
+    }
+    // ---- round-5 additions --------------------------------------------
+    timed("embed_knn_graph_ivf") {
+      // brute kNN graph is O(n²) scans by design; at factor-x volume
+      // only the celled path is run (the brute regime is gate-verified)
+      val cents = Embed.kmeansCentroids(emb, k = 16, iters = 2)
+      Embed.knnGraphCells(emb, k = 5, cents, probes = 2).count()
+    }
+    timed("embed_random_projection") {
+      Embed.randomProjectSigned(emb, outDim = 16).count()
+    }
+    timed("doc_bm25") {
+      Text.bm25Search(docs, Seq("spark", "vector", "merge"), k = 10).count()
+    }
+    timed("doc_char_entropy") {
+      Text.charEntropyReport(docs).count()
+    }
+    timed("doc_ccnet_bucket") {
+      Text.perplexityBuckets(docs, Seq("source"), nBuckets = 3).count()
+    }
+    timed("ts_m4_downsample") {
+      TsAnalytics.m4Downsample(store.samples, Seq("metric"), "ts", "value",
+        Day).count()
+    }
+    timed("ts_seasonal_decompose") {
+      TsAnalytics.seasonalDecompose(store.samples, Seq("metric"), "ts",
+        "value", bucketNs = 6 * 3600L * 1000000000L, period = 5).count()
+    }
+    timed("ts_forecast_holt") {
+      // one series per (metric, user-mod-16): hundreds of thousands of
+      // points per series through the chunk-composed affine fold
+      val keyed = store.samples.withColumn("skey",
+        concat(col("metric"), lit("/"),
+          pmod(element_at(col("tags"), "user").cast("long"), lit(16))))
+      TsAnalytics.holtForecast(keyed, Seq("skey"), "ts", "value",
+        alpha = 0.4, beta = 0.3, horizon = 5, stepNs = Day).count()
     }
 
     def jval(v: Any): String = v match {

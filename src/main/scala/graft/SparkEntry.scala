@@ -3033,6 +3033,328 @@ object SparkEntry {
              |FROM e a JOIN e b ON b.vec_id = a.vec_id + 100
              |ORDER BY 1""".stripMargin)),
 
+    // -- M4 chart downsampling: min/max/first/last per pixel bucket ------
+    // one hash aggregate; first/last ride min/max over (ts, value)
+    // structs, so there is no window pass and ties are deterministic
+    "ts_m4_downsample" -> Gated(
+      (s, d) => TsAnalytics.m4Downsample(
+          TestData.events(s, d).samples, Seq("metric"), "ts", "value", Day)
+        .orderBy(col("metric"), col("bucket")),
+      Some(s"""WITH b AS (SELECT event_type AS metric,
+              |    ($tsSql // $Day) * $Day AS bucket, $tsSql AS t, value
+              |  FROM events WHERE value IS NOT NULL),
+              |f AS (SELECT *,
+              |    row_number() OVER (PARTITION BY metric, bucket
+              |      ORDER BY t, value) AS rf,
+              |    row_number() OVER (PARTITION BY metric, bucket
+              |      ORDER BY t DESC, value DESC) AS rl FROM b)
+              |SELECT metric, bucket, count(*) AS n,
+              |  min(value) AS v_min, max(value) AS v_max,
+              |  max(CASE WHEN rf = 1 THEN t END) AS ts_first,
+              |  max(CASE WHEN rf = 1 THEN value END) AS v_first,
+              |  max(CASE WHEN rl = 1 THEN t END) AS ts_last,
+              |  max(CASE WHEN rl = 1 THEN value END) AS v_last
+              |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // -- classical additive seasonal decomposition -----------------------
+    // 6h buckets, period 5: trend = centered 5-bucket MA (null unless
+    // the RANGE window holds a full period), seasonal = centered
+    // per-phase mean of the detrended series, remainder = the rest
+    "ts_seasonal_decompose" -> Gated(
+      (s, d) => TsAnalytics.seasonalDecompose(
+          TestData.events(s, d).samples, Seq("metric"), "ts", "value",
+          bucketNs = H6, period = 5)
+        .select(col("metric"), col("bucket"),
+          round(col("value"), 6).as("value"),
+          round(col("trend"), 6).as("trend"),
+          round(col("seasonal"), 6).as("seasonal"),
+          round(col("remainder"), 6).as("remainder"))
+        .orderBy(col("metric"), col("bucket")),
+      Some(s"""WITH b AS (SELECT event_type AS metric, $tsSql // $H6 AS bi,
+              |    avg(value) AS v
+              |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+              |t AS (SELECT *, CASE WHEN count(v) OVER w = 5
+              |      THEN avg(v) OVER w END AS trend
+              |  FROM b WINDOW w AS (PARTITION BY metric ORDER BY bi
+              |    RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING)),
+              |dt AS (SELECT *, bi % 5 AS phase, v - trend AS detr FROM t),
+              |pm AS (SELECT metric, phase, avg(detr) AS smean
+              |  FROM dt GROUP BY 1, 2),
+              |pc AS (SELECT metric, phase,
+              |    smean - avg(smean) OVER (PARTITION BY metric) AS seasonal
+              |  FROM pm)
+              |SELECT dt.metric, dt.bi * $H6 AS bucket,
+              |  round(dt.v, 6) AS value, round(dt.trend, 6) AS trend,
+              |  round(pc.seasonal, 6) AS seasonal,
+              |  round(dt.v - dt.trend - pc.seasonal, 6) AS remainder
+              |FROM dt JOIN pc ON dt.metric = pc.metric
+              |  AND dt.phase = pc.phase
+              |ORDER BY 1, 2""".stripMargin)),
+
+    // -- Holt double-exponential forecast --------------------------------
+    // level+trend recursion folded as composed affine maps
+    // (ChunkedScan.keyedFold — a giant series spans many tasks); the
+    // oracle replays the recursion step-by-step in a recursive CTE
+    "ts_forecast_holt" -> Gated(
+      (s, d) => {
+        val ev = TestData.events(s, d).samples
+          .filter(col("metric") === "click" &&
+            element_at(col("tags"), "user") === "21")
+          .select(lit("click").as("sname"), col("ts"), col("value"))
+        TsAnalytics.holtForecast(ev, Seq("sname"), "ts", "value",
+            alpha = 0.4, beta = 0.3, horizon = 5, stepNs = Day)
+          .withColumn("forecast", round(col("forecast"), 6))
+          .orderBy(col("ts"))
+      },
+      Some(s"""WITH RECURSIVE src AS (
+              |  SELECT 'click' AS sname, $tsSql AS t, value
+              |  FROM events WHERE event_type = 'click' AND user_id = 21),
+              |agg AS (SELECT sname, t, max(value) AS v
+              |  FROM src GROUP BY 1, 2),
+              |base AS (SELECT sname, t, v,
+              |    row_number() OVER (PARTITION BY sname ORDER BY t) AS rn,
+              |    count(*) OVER (PARTITION BY sname) AS cnt FROM agg),
+              |r AS (
+              |  SELECT sname, t, rn, cnt, v::DOUBLE AS l, 0.0::DOUBLE AS b
+              |  FROM base WHERE rn = 1
+              |  UNION ALL
+              |  SELECT b2.sname, b2.t, b2.rn, b2.cnt,
+              |    0.4 * b2.v + 0.6 * (r.l + r.b),
+              |    0.3 * (0.4 * b2.v + 0.6 * (r.l + r.b) - r.l) + 0.7 * r.b
+              |  FROM r JOIN base b2
+              |    ON b2.sname = r.sname AND b2.rn = r.rn + 1),
+              |fin AS (SELECT sname, t AS last_ts, l, b
+              |  FROM r WHERE rn = cnt)
+              |SELECT sname, last_ts + i * $Day AS ts,
+              |  round(l + i * b, 6) AS forecast
+              |FROM fin CROSS JOIN (SELECT unnest(range(1, 6)) AS i)
+              |ORDER BY 2""".stripMargin)),
+
+    // -- quality: per-doc character entropy (one codegen'd pass) ---------
+    // low entropy = repeated chars / binary junk; the twin unnests
+    // code points and aggregates the same -Σ p·log2 p (the `+ 0.0`
+    // normalizes DuckDB's -0.0 from all-same-char docs)
+    "doc_char_entropy" -> Gated(
+      (s, d) => Text.charEntropyReport(TestData.table(s, d, "documents"))
+        .orderBy(col("doc_id")),
+      Some("""WITH c AS (SELECT doc_id,
+             |    unnest(string_split(text, '')) AS ch FROM documents),
+             |p AS (SELECT doc_id, ch, count(*)::DOUBLE AS cnt
+             |  FROM c GROUP BY 1, 2),
+             |nn AS (SELECT doc_id, sum(cnt) AS n FROM p GROUP BY 1),
+             |e AS (SELECT p.doc_id,
+             |    -sum((cnt / n) * log2(cnt / n)) AS ent
+             |  FROM p JOIN nn USING (doc_id) GROUP BY 1)
+             |SELECT d.doc_id,
+             |  round(coalesce(e.ent, 0.0) + 0.0, 6) AS entropy_bits
+             |FROM documents d LEFT JOIN e USING (doc_id)
+             |ORDER BY 1""".stripMargin)),
+
+    // -- CCNet-style perplexity bucketing (head/middle/tail) -------------
+    // char-bigram LM perplexity terciles per source; ntile over the
+    // ROUNDED perplexity with a doc-id tie-break replays exactly
+    "doc_ccnet_bucket" -> Gated(
+      (s, d) => Text.perplexityBuckets(
+          TestData.table(s, d, "documents"), Seq("source"), nBuckets = 3)
+        .withColumn("bucket", col("bucket").cast("long"))
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id,
+             |    regexp_replace(lower(text), '[^a-z0-9 ]', '_', 'g') AS s
+             |  FROM documents),
+             |bg AS (SELECT doc_id, unnest(CASE WHEN length(s) >= 2
+             |    THEN list_transform(range(1, length(s)), i -> substr(s, i, 2))
+             |    ELSE [] END) AS b FROM t),
+             |m AS (SELECT b, count(*) AS cbg FROM bg GROUP BY 1),
+             |cx AS (SELECT substr(b, 1, 1) AS c, sum(cbg) AS cctx
+             |  FROM m GROUP BY 1),
+             |a AS (SELECT bg.doc_id, avg(ln((m.cbg + 1)::DOUBLE
+             |    / (cx.cctx + 38))) AS alp
+             |  FROM bg JOIN m USING (b)
+             |  JOIN cx ON cx.c = substr(bg.b, 1, 1)
+             |  GROUP BY 1),
+             |px AS (SELECT d.doc_id, d.source,
+             |    round(exp(-coalesce(a.alp, 0.0)), 6) AS perplexity
+             |  FROM documents d LEFT JOIN a USING (doc_id))
+             |SELECT doc_id, source, perplexity,
+             |  ntile(3) OVER (PARTITION BY source
+             |    ORDER BY perplexity, doc_id)::BIGINT AS bucket
+             |FROM px ORDER BY 1""".stripMargin)),
+
+    // -- signed random projection (JL embedding, md5-parity ±1 matrix) ---
+    // one native dot per output dim against a literal ±1 row; the twin
+    // rebuilds the same parity matrix from md5
+    "embed_random_projection" -> Gated(
+      (s, d) => Embed.randomProjectSigned(
+          TestData.table(s, d, "embeddings"), outDim = 16)
+        .select(col("vec_id"), posexplode(col("proj")))
+        .select(col("vec_id"), col("pos").cast("long").as("j"),
+          round(col("col"), 6).as("y"))
+        .orderBy(col("vec_id"), col("j")),
+      Some(s"""WITH m AS (SELECT d, j,
+              |    CASE WHEN ${md5Int60Sql(
+                     "'rp|' || d::VARCHAR || '|' || j::VARCHAR")} % 2 = 0
+              |      THEN 1.0 ELSE -1.0 END AS r
+              |  FROM range(64) t(d), range(16) s2(j))
+              |SELECT vec_id, j,
+              |  round(sum(embedding[d + 1]::DOUBLE * r), 6) AS y
+              |FROM embeddings, m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // -- exact k-NN graph (brute-force verification regime) --------------
+    "embed_knn_graph" -> Gated(
+      (s, d) => Embed.knnGraph(TestData.table(s, d, "embeddings"), k = 5)
+        .orderBy(col("qid"), col("rnk")),
+      Some("""WITH e AS (SELECT vec_id,
+             |    list_transform(embedding, x -> x::DOUBLE) AS v
+             |  FROM embeddings
+             |  WHERE list_sum(list_transform(embedding,
+             |    x -> x::DOUBLE * x)) > 0),
+             |s AS (SELECT q.vec_id AS qid, n.vec_id AS neighbor_id,
+             |    round(list_cosine_similarity(q.v, n.v), 6) AS score
+             |  FROM e q JOIN e n ON n.vec_id <> q.vec_id),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+             |    ORDER BY score DESC, neighbor_id ASC)::BIGINT AS rnk
+             |  FROM s)
+             |SELECT qid, neighbor_id, score, rnk FROM r
+             |WHERE rnk <= 5 ORDER BY 1, 4""".stripMargin)),
+
+    // -- IVF-celled k-NN graph (the scale path: probe 2 of 4 cells) ------
+    // centroids = one Lloyd step from the vec_id<4 init (the
+    // embed_kmeans machinery), means rounded 6 on BOTH sides so the
+    // whole graph replays; candidates per query = probed cells only
+    "embed_knn_graph_ivf" -> Gated(
+      (s, d) => {
+        val emb = TestData.table(s, d, "embeddings")
+        val init = emb.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+          .select(Embed.normalized(col("embedding")))
+          .collect().toSeq.map(_.getSeq[Double](0).toSeq)
+        val step = Embed.kmeansStep(emb, init)
+          .select(col("cell"), col("dim"), round(col("m"), 6).as("m"))
+          .collect()
+        val byCell = step.groupBy(_.getInt(0))
+        val cents = init.indices.map(c => byCell.get(c).fold(init(c))(
+          rs => rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq))
+        Embed.knnGraphCells(emb, k = 5, cents, probes = 2)
+          .orderBy(col("qid"), col("rnk"))
+      },
+      Some("""WITH e0 AS (SELECT vec_id,
+             |    list_transform(embedding, x -> x::DOUBLE) AS v
+             |  FROM embeddings),
+             |n AS (SELECT vec_id, v, list_transform(v, x ->
+             |    x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS u
+             |  FROM e0),
+             |init AS (SELECT vec_id::INT AS cid, u FROM n WHERE vec_id < 4),
+             |assign0 AS (
+             |  SELECT vec_id, cid FROM (
+             |    SELECT n.vec_id, init.cid,
+             |      row_number() OVER (PARTITION BY n.vec_id
+             |        ORDER BY round(list_cosine_similarity(n.u, init.u), 6)
+             |          DESC, init.cid DESC) AS rn
+             |    FROM n CROSS JOIN init) WHERE rn = 1),
+             |mem AS (SELECT a.cid AS cell, n.u
+             |  FROM assign0 a JOIN n USING (vec_id)),
+             |cm AS (SELECT cell, (i - 1)::INT AS dim, round(avg(u[i]), 6) AS m
+             |  FROM mem CROSS JOIN
+             |    (SELECT unnest(generate_series(1, 64)) AS i)
+             |  GROUP BY 1, 2),
+             |cent AS (SELECT cell, list(m ORDER BY dim) AS cv
+             |  FROM cm GROUP BY cell),
+             |e AS (SELECT vec_id, v FROM e0
+             |  WHERE list_sum(list_transform(v, x -> x * x)) > 0),
+             |sc AS (SELECT e.vec_id, e.v, cent.cell,
+             |    round(list_cosine_similarity(e.v, cent.cv), 6) AS cs
+             |  FROM e CROSS JOIN cent),
+             |av AS (SELECT vec_id, v, cell FROM (SELECT *,
+             |    row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY cs DESC, cell DESC) AS rn FROM sc)
+             |  WHERE rn = 1),
+             |pq AS (SELECT vec_id AS qid, v AS qv, cell FROM (SELECT *,
+             |    row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY cs DESC, cell DESC) AS rn FROM sc)
+             |  WHERE rn <= 2),
+             |s AS (SELECT pq.qid, av.vec_id AS neighbor_id,
+             |    round(list_cosine_similarity(pq.qv, av.v), 6) AS score
+             |  FROM pq JOIN av USING (cell) WHERE av.vec_id <> pq.qid),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+             |    ORDER BY score DESC, neighbor_id ASC)::BIGINT AS rnk
+             |  FROM s)
+             |SELECT qid, neighbor_id, score, rnk FROM r
+             |WHERE rnk <= 5 ORDER BY 1, 4""".stripMargin)),
+
+    // -- seasonal-adjusted anomaly flags ---------------------------------
+    // |remainder| > 2σ of the series' remainders, AFTER removing trend
+    // and the per-phase seasonal component; both operands rounded 6
+    // before the compare so the flag replays bit-stably
+    "ts_anomaly_seasonal" -> Gated(
+      (s, d) => TsAnalytics.seasonalAnomalies(
+          TestData.events(s, d).samples, Seq("metric"), "ts", "value",
+          bucketNs = H6, period = 5, nSigma = 2.0)
+        .select(col("metric"), col("bucket"),
+          round(col("value"), 6).as("value"),
+          round(col("expected"), 6).as("expected"),
+          round(col("remainder"), 6).as("remainder"),
+          col("is_anomaly"))
+        .orderBy(col("metric"), col("bucket")),
+      Some(s"""WITH b AS (SELECT event_type AS metric, $tsSql // $H6 AS bi,
+              |    avg(value) AS v
+              |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+              |t AS (SELECT *, CASE WHEN count(v) OVER w = 5
+              |      THEN avg(v) OVER w END AS trend
+              |  FROM b WINDOW w AS (PARTITION BY metric ORDER BY bi
+              |    RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING)),
+              |dt AS (SELECT *, bi % 5 AS phase, v - trend AS detr FROM t),
+              |pm AS (SELECT metric, phase, avg(detr) AS smean
+              |  FROM dt GROUP BY 1, 2),
+              |pc AS (SELECT metric, phase,
+              |    smean - avg(smean) OVER (PARTITION BY metric) AS seasonal
+              |  FROM pm),
+              |j AS (SELECT dt.metric, dt.bi, dt.v, dt.trend, pc.seasonal,
+              |    dt.v - dt.trend - pc.seasonal AS rem
+              |  FROM dt JOIN pc ON dt.metric = pc.metric
+              |    AND dt.phase = pc.phase),
+              |sd AS (SELECT *,
+              |    stddev_samp(rem) OVER (PARTITION BY metric) AS sdv
+              |  FROM j)
+              |SELECT metric, bi * $H6 AS bucket, round(v, 6) AS value,
+              |  round(trend + seasonal, 6) AS expected,
+              |  round(rem, 6) AS remainder,
+              |  CASE WHEN rem IS NOT NULL
+              |    THEN round(abs(rem), 6) > round(2.0 * sdv, 6)
+              |  END AS is_anomaly
+              |FROM sd ORDER BY 1, 2""".stripMargin)),
+
+    // -- CUSUM change-point detection ------------------------------------
+    // per series: argmax |Σ(x - mean)| and the before/after level shift;
+    // the running sum is order-deterministic on both engines, and the
+    // series mean is pre-rounded, so the statistic is bit-stable
+    "ts_changepoint" -> Gated(
+      (s, d) => TsAnalytics.changePoints(
+          TestData.events(s, d).samples, Seq("metric"), "ts", "value")
+        .orderBy(col("metric")),
+      Some(s"""WITH s0 AS (SELECT event_type AS metric, $tsSql AS t, value
+              |  FROM events WHERE value IS NOT NULL),
+              |agg AS (SELECT metric, t, max(value) AS v
+              |  FROM s0 GROUP BY 1, 2),
+              |w AS (SELECT metric, t, v,
+              |    round(avg(v) OVER (PARTITION BY metric), 6) AS m,
+              |    count(*) OVER (PARTITION BY metric) AS n,
+              |    sum(v) OVER (PARTITION BY metric) AS tot,
+              |    sum(v) OVER (PARTITION BY metric ORDER BY t
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+              |    count(*) OVER (PARTITION BY metric ORDER BY t
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS i
+              |  FROM agg),
+              |sc AS (SELECT *, round(abs(cum - i * m), 6) AS s FROM w),
+              |r AS (SELECT *, row_number() OVER (PARTITION BY metric
+              |    ORDER BY s DESC, t ASC) AS rnk FROM sc)
+              |SELECT metric, t AS cp_ts, n, s AS cusum_max,
+              |  round(cum / i, 6) AS before_mean,
+              |  CASE WHEN n > i
+              |    THEN round((tot - cum) / (n - i), 6) END AS after_mean,
+              |  CASE WHEN n > i
+              |    THEN round((tot - cum) / (n - i) - cum / i, 6)
+              |  END AS delta
+              |FROM r WHERE rnk = 1 ORDER BY 1""".stripMargin)),
+
     // -- flagship analytics aggregate over lineitem (bench headline) -----
     "q1_agg" -> Gated(
       (s, d) => TestData.table(s, d, "lineitem")

@@ -128,6 +128,47 @@ object ChunkedScan {
     (sorted, df.sparkSession.sparkContext.broadcast(entry.toMap))
   }
 
+  /** Single-pass variant of [[keyedEntry]] for folds that only need each
+    * key's FINAL state (e.g. the last (level, trend) of a forecast
+    * recursion): range-partition on (key, order), summarize each
+    * (partition, key) run in one narrow pass, compose per key on the
+    * driver in partition order. Driver state is bounded by
+    * nKeys + nPartitions summaries (the Sample.pack collect model);
+    * there is no second pass, so the partitioning needs no freezing. */
+  def keyedFold[U, S](df: DataFrame, keyCol: String, order: Seq[Column],
+      empty: () => U, absorbRow: (U, Row) => U,
+      init: () => S, advance: (S, U) => S): Map[String, S] = {
+    val nParts = df.sparkSession.conf
+      .get("graft.scan.chunkedPartitions", "0").toInt
+    val exprs = col(keyCol) +: order
+    val ranged =
+      if (nParts > 0) df.repartitionByRange(nParts, exprs: _*)
+      else df.repartitionByRange(exprs: _*)
+    val sorted = ranged.sortWithinPartitions(exprs: _*)
+    val nameIdx = df.schema.fieldIndex(keyCol)
+    val summaries = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val out = mutable.ArrayBuffer.empty[(Int, String, U)]
+      var cur: String = null
+      var u: U = null.asInstanceOf[U]
+      var open = false
+      it.foreach { row =>
+        val s = row.getString(nameIdx)
+        if (!open || s != cur) {
+          if (open) out += ((pid, cur, u))
+          cur = s; u = empty(); open = true
+        }
+        u = absorbRow(u, row)
+      }
+      if (open) out += ((pid, cur, u))
+      out.iterator
+    }.collect()
+    summaries.groupBy(_._2).map { case (key, chunks) =>
+      key -> chunks.sortBy(_._1).foldLeft(init()) {
+        case (s, (_, _, u)) => advance(s, u)
+      }
+    }
+  }
+
   /** Chunked equivalent of Pipe.stateful: rewrite every value column in
     * place through its kernel, preserving the schema. */
   def transform(frame: Frame, mkKernels: () => Array[ScanKernel]): Frame = {

@@ -754,6 +754,122 @@ object Embed {
         col("score"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** Deterministic ±1 projection matrix from md5 parity — the
+    * Achlioptas/signed-random-projection family (JL lemma with ±1
+    * entries; also the SimHash hyperplane construction). Entry (d, j) is
+    * +1 when `md5("<seed>|d|j")`'s 60-bit prefix is even, else -1 —
+    * bit-for-bit replayable anywhere md5 exists (the DuckDB twin
+    * recomputes the same parity), with no libm in the construction at
+    * all (a Gaussian matrix would hit cross-engine ln/cos ulp drift). */
+  def signedProjection(dim: Int, outDim: Int,
+                       seed: String = "rp"): Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until outDim).map { j =>
+      (0 until dim).map { d =>
+        val hex = md.digest(s"$seed|$d|$j"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map(b => f"$b%02x").mkString.substring(0, 15)
+        if (java.lang.Long.parseLong(hex, 16) % 2 == 0L) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** Signed random projection: embed `vecCol` (dim d) into `outDim`
+    * dimensions via [[signedProjection]] — the cheap dimensionality
+    * reduction before clustering / dedup / visualization when the full
+    * dim is overkill. Each output coordinate is ONE fused native dot
+    * product against a literal ±1 row (no matrix shuffle, no UDF; the
+    * matrix is outDim x dim literals baked into the plan — tiny).
+    * Distances are preserved up to the usual JL distortion; scores stay
+    * exactly reproducible because every product is ±(input value).
+    *
+    * Output: id col, `proj` array<double> of length outDim. */
+  def randomProjectSigned(corpus: DataFrame, outDim: Int,
+                          seed: String = "rp", vecCol: String = "embedding",
+                          idCol: String = "vec_id"): DataFrame = {
+    require(outDim > 0, "outDim must be positive")
+    val dim = dimOf(corpus, vecCol)
+    val planes = signedProjection(dim, outDim, seed)
+    corpus.select(col(idCol),
+      array(planes.map(p =>
+        dot(col(vecCol), array(p.map(lit): _*))): _*).as("proj"))
+  }
+
+  /** Exact k-NN graph: every vector's `k` nearest neighbors by cosine —
+    * the substrate for graph-based near-dup clustering, label
+    * propagation, and diversity sampling. This is the brute-force
+    * verification regime (candidates = all pairs, right side broadcast,
+    * per-query top-k via a rank window that Catalyst group-limits);
+    * correct at any n but O(n²) scans — at corpus scale use
+    * [[knnGraphCells]], which probes IVF cells instead. Zero-norm
+    * vectors are excluded on both sides (cosine undefined; a NaN score
+    * would sort above every real neighbor).
+    *
+    * Output: qid, neighbor_id, score (rounded 6), rnk (1..k). */
+  def knnGraph(corpus: DataFrame, k: Int, vecCol: String = "embedding",
+               idCol: String = "vec_id"): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val nonZero = corpus.filter(dot(col(vecCol), col(vecCol)) > 0.0)
+    val nbrs = nonZero.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__nv"))
+    nonZero.select(col(idCol).as("qid"), col(vecCol).as("__qv"))
+      .join(broadcast(nbrs), col("neighbor_id") =!= col("qid"))
+      .withColumn("score", round(cosine(col("__qv"), col("__nv")), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("neighbor_id").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("neighbor_id"), col("score"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
+  /** IVF-celled k-NN graph — the scale path of [[knnGraph]]: assign
+    * every vector to its nearest centroid cell, probe each query's
+    * `probes` nearest cells, score exactly inside the probed cells only.
+    * Candidates per query ≈ probes · n/nCells instead of n, and the
+    * probe is an equi-join on the cell id — at 100 TB the corpus side
+    * reads from the cell-partitioned layout ([[writeIvf]]) with
+    * partition pruning. Recall is the IVF trade: a true neighbor in an
+    * unprobed cell is missed; raise `probes` to taste.
+    *
+    * Assignment and probe order use the 6-decimal-ROUNDED cosine with
+    * the larger-cid tie-break ([[centroidIdRounded]]'s convention), so
+    * the whole graph replays externally given the same centroids.
+    *
+    * Output: qid, neighbor_id, score (rounded 6), rnk (1..k). */
+  def knnGraphCells(corpus: DataFrame, k: Int, centroids: Seq[Seq[Double]],
+                    probes: Int = 2, vecCol: String = "embedding",
+                    idCol: String = "vec_id"): DataFrame = {
+    require(k > 0 && probes > 0 && centroids.nonEmpty)
+    require(probes <= centroids.size, "probes must be <= nCells")
+    import org.apache.spark.sql.expressions.Window
+    val nonZero = corpus.filter(dot(col(vecCol), col(vecCol)) > 0.0)
+    val scoredCells = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(round(cosine(col(vecCol), array(c.map(lit): _*)), 6)
+        .as("score"), lit(i).as("cid"))
+    }: _*)
+    // top-`probes` cells: sort the (score, cid) structs descending —
+    // ties break to the larger cid, matching centroidIdRounded/greatest
+    val probeCells = transform(
+      slice(reverse(array_sort(scoredCells)), 1, probes),
+      s => s.getField("cid"))
+    val assigned = nonZero.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__nv"),
+      centroidIdRounded(col(vecCol), centroids).as("__cell"))
+    nonZero.select(col(idCol).as("qid"), col(vecCol).as("__qv"),
+        explode(probeCells).as("__cell"))
+      .join(assigned, "__cell")
+      .filter(col("neighbor_id") =!= col("qid"))
+      .withColumn("score", round(cosine(col("__qv"), col("__nv")), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("neighbor_id").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("neighbor_id"), col("score"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
   /** Scale path for near-dup: pairs colliding in >= 1 of `tables`
     * hyperplane tables, verified exactly. groupBy(bucket) keeps the join
     * bucket-local — never all-pairs. Vectors join back once per

@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -255,6 +256,42 @@ object Text {
       .select(col(idCol),
         round(coalesce(col("__alp"), lit(0.0)), 6).as("avg_logp"),
         round(exp(-coalesce(col("__alp"), lit(0.0))), 6).as("perplexity"))
+  }
+
+  /** Per-document character-entropy report — the "is this text or
+    * noise" signal (binary junk and char-level repetition score low,
+    * English prose ~4.1 bits). The entropy itself is ONE fused
+    * codegen'd pass per row ([[org.apache.spark.sql.graftio.TextNorm
+    * .CharEntropy]]) — no explode, no shuffle; a split+groupBy
+    * formulation would shuffle one row per CHARACTER of the corpus. */
+  def charEntropyReport(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol),
+      round(org.apache.spark.sql.graftio.TextNorm
+        .charEntropy(col(textCol)), 6).as("entropy_bits"))
+
+  /** CCNet-style perplexity bucketing (Wenzek et al., 2020: split each
+    * language's corpus into head/middle/tail by LM perplexity terciles;
+    * the head trains, the tail gets dropped or re-filtered). LM = the
+    * char-bigram model of [[charBigramLm]]; buckets are `ntile(nBuckets)`
+    * per group over (perplexity asc, doc id) — the explicit tie-break
+    * makes bucket boundaries deterministic and externally replayable
+    * (SQL-standard ntile).
+    *
+    * Shape: the LM scoring is [[charBigramLm]]'s one corpus pass +
+    * broadcast models; the ntile window shuffles one ROW per doc (id,
+    * group, perplexity — no text). Output: id, group cols, perplexity,
+    * `bucket` (1..nBuckets, 1 = lowest perplexity = head). */
+  def perplexityBuckets(docs: DataFrame, groupCols: Seq[String],
+                        nBuckets: Int = 3, textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    require(nBuckets >= 2, "nBuckets must be >= 2")
+    val scored = charBigramLm(docs, textCol, idCol)
+      .join(docs.select((col(idCol) +: groupCols.map(col)): _*), idCol)
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("perplexity").asc, col(idCol).asc)
+    scored.select((Seq(col(idCol)) ++ groupCols.map(col) ++ Seq(
+      col("perplexity"), ntile(nBuckets).over(w).as("bucket"))): _*)
   }
 
   /** Cross-document repeated-line removal — the boilerplate-stripping

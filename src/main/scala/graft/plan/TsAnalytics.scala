@@ -167,6 +167,280 @@ object TsAnalytics {
         round(value, 6).as("value")): _*)
   }
 
+  /** M4 downsampling (Jugel et al., VLDB'14): per (series, time bucket)
+    * keep min, max, first and last — the four samples that bound every
+    * pixel column of a line chart, so a downsampled plot is
+    * pixel-identical to the full-resolution one. The reference's bucketed
+    * `group-aggregate` can emit min/max/first/last as SEPARATE series;
+    * this emits the M4 tuple in one row per bucket.
+    *
+    * ONE hash aggregate (map-side partial), no window pass: first/last
+    * ride min/max over a (ts, value) struct — lexicographic struct
+    * ordering makes duplicate-instant rows deterministic (the smaller /
+    * larger value wins at the shared instant).
+    *
+    * Output: on cols, `bucket` (ns of bucket start), `n`, `v_min`,
+    * `v_max`, `ts_first`, `v_first`, `ts_last`, `v_last`. */
+  def m4Downsample(df: DataFrame, on: Seq[String], tsCol: String,
+                   valueCol: String, bucketNs: Long): DataFrame = {
+    require(on.nonEmpty && bucketNs > 0)
+    val bucket =
+      (expr(s"$tsCol div ${bucketNs}L") * lit(bucketNs)).as("bucket")
+    df.select((on.map(col) :+ bucket :+
+        col(tsCol).cast("long").as("__t") :+
+        col(valueCol).cast("double").as("__v")): _*)
+      .filter(col("__v").isNotNull)
+      .groupBy((on.map(col) :+ col("bucket")): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("__v")).as("v_min"),
+        max(col("__v")).as("v_max"),
+        min(struct(col("__t"), col("__v"))).as("__f"),
+        max(struct(col("__t"), col("__v"))).as("__l"))
+      .select((on.map(col) ++ Seq(col("bucket"), col("n"),
+        col("v_min"), col("v_max"),
+        col("__f.__t").as("ts_first"), col("__f.__v").as("v_first"),
+        col("__l.__t").as("ts_last"), col("__l.__v").as("v_last"))): _*)
+  }
+
+  /** Classical additive seasonal decomposition (the moving-average
+    * method of STL's ancestor): bucket each series to a regular grid,
+    * estimate trend as the centered moving average over one full period,
+    * seasonal as the centered per-phase mean of the detrended series,
+    * remainder as what's left. The reference has nothing seasonal at
+    * all; this is the standard first look at any daily/weekly-periodic
+    * metric.
+    *
+    * `period` must be ODD (exact centered MA; even periods need the
+    * 2×m half-weight variant — not implemented). Trend is null at the
+    * edges and wherever the centered window is not fully populated
+    * (gap-aware: the window is RANGE over the bucket INDEX, so missing
+    * buckets shrink the observed count and null the trend rather than
+    * silently averaging a lopsided window). Phase is `bucket_index mod
+    * period` — gaps shift nothing.
+    *
+    * Shape: one (key, bucket) aggregate over the facts, then one window
+    * + one tiny per-(key, phase) aggregate + a broadcast-sized join back
+    * — everything after the first aggregate runs on bucket-count rows,
+    * not raw samples.
+    *
+    * Output: on cols, `bucket` (ns), `value` (bucket mean), `trend`,
+    * `seasonal`, `remainder`. */
+  def seasonalDecompose(df: DataFrame, on: Seq[String], tsCol: String,
+                        valueCol: String, bucketNs: Long,
+                        period: Int): DataFrame = {
+    require(on.nonEmpty && bucketNs > 0)
+    require(period >= 3 && period % 2 == 1, "period must be odd >= 3")
+    val h = period / 2
+    val buckets = df
+      .select((on.map(col) :+ expr(s"$tsCol div ${bucketNs}L").as("__b") :+
+        col(valueCol).cast("double").as("__v")): _*)
+      .filter(col("__v").isNotNull)
+      .groupBy((on.map(col) :+ col("__b")): _*)
+      .agg(avg(col("__v")).as("value"))
+    val w = Window.partitionBy(on.map(col): _*).orderBy(col("__b").asc)
+      .rangeBetween(-h, h)
+    val trended = buckets
+      .withColumn("trend",
+        when(count(col("value")).over(w) === period,
+          avg(col("value")).over(w)))
+      .withColumn("__phase", pmod(col("__b"), lit(period.toLong)))
+      .withColumn("__detr", col("value") - col("trend"))
+    val wKey = Window.partitionBy(on.map(col): _*)
+    val phaseMeans = trended
+      .groupBy((on.map(col) :+ col("__phase")): _*)
+      .agg(avg(col("__detr")).as("__smean"))
+      .withColumn("seasonal",
+        col("__smean") - avg(col("__smean")).over(wKey))
+      .drop("__smean")
+    trended.join(phaseMeans, on :+ "__phase")
+      .withColumn("remainder",
+        col("value") - col("trend") - col("seasonal"))
+      .select((on.map(col) ++ Seq(
+        (col("__b") * lit(bucketNs)).as("bucket"), col("value"),
+        col("trend"), col("seasonal"), col("remainder"))): _*)
+  }
+
+  /** Holt double-exponential (level + trend) forecast per series — the
+    * classic "where is this metric heading" the reference cannot answer
+    * (its ewma token smooths, nothing extrapolates). Recursion, per
+    * series in ts order: the first sample sets `l = x, b = 0`; then
+    * `l' = α·x + (1-α)(l+b)` and `b' = β(l'-l) + (1-β)·b`. Emits
+    * `horizon` rows per series at `lastTs + i·stepNs` with forecast
+    * `l + i·b`.
+    *
+    * Scale shape: the per-sample update is AFFINE in (l, b), so a chunk
+    * of samples composes into one 2x2 affine map + the chunk's first
+    * value (head-replay for the init case — the EwmaKernel trick); the
+    * fold runs as ChunkedScan.keyedFold, one narrow pass over a (key,
+    * ts) range partitioning with driver state bounded by
+    * nSeries + nPartitions. A giant series spans many tasks. Duplicate
+    * instants collapse to max first (the asOf/resample convention).
+    *
+    * Output: on cols (as strings), `ts` (forecast instant), `forecast`.
+    */
+  def holtForecast(df: DataFrame, on: Seq[String], tsCol: String,
+                   valueCol: String, alpha: Double, beta: Double,
+                   horizon: Int, stepNs: Long): DataFrame = {
+    require(on.nonEmpty && horizon > 0 && stepNs > 0)
+    require(alpha > 0 && alpha <= 1 && beta >= 0 && beta <= 1)
+    val spark = df.sparkSession
+    val keyed = df.select(
+        concat_ws("\u0001", on.map(c => col(c).cast("string")): _*)
+          .as("__k"),
+        col(tsCol).cast("long").as("__t"),
+        col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("__k"), col("__t")).agg(max(col("__v")).as("__v"))
+    val tIdx = 1; val vIdx = 2
+    // per-sample affine map over (l, b); constants hoisted once
+    val m11 = 1.0 - alpha; val m12 = 1.0 - alpha
+    val m21 = -alpha * beta; val m22 = 1.0 - alpha * beta
+    val fin = graft.functions.ChunkedScan.keyedFold[HoltU, HoltS](
+      keyed, "__k", Seq(col("__t").asc),
+      empty = () => HoltU(0L, 0.0, 0L, 1, 0, 0, 1, 0, 0),
+      absorbRow = (u, row) => {
+        val t = row.getLong(tIdx); val x = row.getDouble(vIdx)
+        if (u.count == 0L) HoltU(1L, x, t, 1, 0, 0, 1, 0, 0)
+        else {
+          val d1 = alpha * x; val d2 = alpha * beta * x
+          HoltU(u.count + 1, u.first, t,
+            m11 * u.a11 + m12 * u.a21, m11 * u.a12 + m12 * u.a22,
+            m21 * u.a11 + m22 * u.a21, m21 * u.a12 + m22 * u.a22,
+            m11 * u.c1 + m12 * u.c2 + d1,
+            m21 * u.c1 + m22 * u.c2 + d2)
+        }
+      },
+      init = () => HoltS(0L, 0.0, 0.0, 0L),
+      advance = (s, u) =>
+        if (u.count == 0L) s
+        else {
+          // seed (head-replay of the chunk's first value), then apply
+          // the composed affine of the rest
+          val (l0, b0) =
+            if (s.n == 0L) (u.first, 0.0)
+            else (alpha * u.first + m11 * s.l + m12 * s.b,
+                  alpha * beta * u.first + m21 * s.l + m22 * s.b)
+          HoltS(s.n + u.count,
+            u.a11 * l0 + u.a12 * b0 + u.c1,
+            u.a21 * l0 + u.a22 * b0 + u.c2, u.lastTs)
+        })
+    val rows = fin.toSeq.filter(_._2.n > 0L).sortBy(_._1).flatMap {
+      case (k, s) =>
+        val keys = k.split("\u0001", -1).toSeq
+        (1 to horizon).map { i =>
+          org.apache.spark.sql.Row.fromSeq(
+            // Seq[Any]: a plain Seq(Long, Double) would unify to
+            // Seq[Double] and silently widen the timestamp
+            keys ++ Seq[Any](s.lastTs + i * stepNs, s.l + i * s.b))
+        }
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(
+      on.map(n => StructField(n, StringType)) ++ Seq(
+        StructField("ts", LongType), StructField("forecast", DoubleType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** Seasonal-adjusted anomaly report: run [[seasonalDecompose]], then
+    * flag buckets whose remainder exceeds `nSigma` sample standard
+    * deviations of the series' remainders — "unusual AFTER accounting
+    * for trend and seasonality", which a plain threshold (the
+    * reference's anomaly token family) cannot express: a daily peak is
+    * not an anomaly just for being a peak.
+    *
+    * Both comparison operands are rounded to 6 decimals BEFORE the
+    * comparison so the flag replays bit-stably across engines (an
+    * unrounded fp-noise comparison could flip right at the threshold).
+    * Buckets with a null remainder (window edges, gaps) are emitted
+    * with a null flag.
+    *
+    * Output: on cols, `bucket`, `value`, `expected` (trend + seasonal),
+    * `remainder`, `is_anomaly`. */
+  def seasonalAnomalies(df: DataFrame, on: Seq[String], tsCol: String,
+                        valueCol: String, bucketNs: Long, period: Int,
+                        nSigma: Double = 3.0): DataFrame = {
+    val dec = seasonalDecompose(df, on, tsCol, valueCol, bucketNs, period)
+    val wKey = Window.partitionBy(on.map(col): _*)
+    dec
+      .withColumn("__sd", stddev_samp(col("remainder")).over(wKey))
+      .select((on.map(col) ++ Seq(
+        col("bucket"), col("value"),
+        (col("trend") + col("seasonal")).as("expected"),
+        col("remainder"),
+        when(col("remainder").isNotNull,
+          round(abs(col("remainder")), 6) >
+            round(lit(nSigma) * col("__sd"), 6)).as("is_anomaly"))): _*)
+  }
+
+  /** Offline CUSUM change-point detection (Page's cumulative-sum
+    * statistic): per series, `S_i = Σ_{j<=i} (x_j - mean)`; the change
+    * point is the instant maximizing `|S_i|`, and the level shift is
+    * the before/after mean difference. One keyed window pass (running
+    * sum + running count ride the same sort); the argmax is a rank
+    * window over the already-reduced frame. Tie-break: earliest ts at
+    * the (6-decimal-rounded) max |S|.
+    *
+    * Output per series: on cols, `cp_ts` (change point), `n`,
+    * `cusum_max` (|S| at the cp, rounded 6), `before_mean`,
+    * `after_mean`, `delta` (all rounded 6; after/delta null when the
+    * cp is the last sample). */
+  def changePoints(df: DataFrame, on: Seq[String], tsCol: String,
+                   valueCol: String): DataFrame = {
+    require(on.nonEmpty)
+    val wKey = Window.partitionBy(on.map(col): _*)
+    val wRun = wKey.orderBy(col("__t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = df
+      .select((on.map(col) :+ col(tsCol).cast("long").as("__t") :+
+        col(valueCol).cast("double").as("__v")): _*)
+      .filter(col("__v").isNotNull)
+      // duplicate instants collapse to max (the asOf/resample
+      // convention) so the scan order is total
+      .groupBy((on.map(col) :+ col("__t")): _*)
+      .agg(max(col("__v")).as("__v"))
+      // the mean is rounded to 6 BEFORE entering the statistic: the
+      // running sum is order-deterministic (both engines add in ts
+      // order), so S = cum - i·mean_rounded is then bit-stable — an
+      // unrounded mean's last-ulp noise would be amplified i-fold
+      .withColumn("__mean", round(avg(col("__v")).over(wKey), 6))
+      .withColumn("__n", count(lit(1)).over(wKey))
+      .withColumn("__sum", sum(col("__v")).over(wKey))
+      .withColumn("__cum", sum(col("__v")).over(wRun))
+      .withColumn("__i", count(lit(1)).over(wRun))
+      .withColumn("__s",
+        round(abs(col("__cum") - col("__i") * col("__mean")), 6))
+    scored
+      .withColumn("__rnk", row_number().over(
+        wKey.orderBy(col("__s").desc, col("__t").asc)))
+      .filter(col("__rnk") === 1)
+      .select((on.map(col) ++ Seq(
+        col("__t").as("cp_ts"), col("__n").as("n"),
+        col("__s").as("cusum_max"),
+        round(col("__cum") / col("__i"), 6).as("before_mean"),
+        // explicit null when no samples follow the cp: a bare 0/0
+        // double division is NaN in Spark but NULL in DuckDB
+        when(col("__n") > col("__i"),
+          round((col("__sum") - col("__cum")) /
+            (col("__n") - col("__i")), 6)).as("after_mean"),
+        when(col("__n") > col("__i"),
+          round((col("__sum") - col("__cum")) / (col("__n") - col("__i"))
+            - col("__cum") / col("__i"), 6)).as("delta"))): _*)
+  }
+
+  /** Chunk summary for [[holtForecast]]: the chunk's first value (its
+    * effect depends on whether the series already started — replayed at
+    * compose time), the last ts, and the composed affine map
+    * (l,b) -> A·(l,b) + c of every LATER sample in the chunk. */
+  private final case class HoltU(count: Long, first: Double, lastTs: Long,
+      a11: Double, a12: Double, a21: Double, a22: Double,
+      c1: Double, c2: Double)
+
+  /** Composed Holt state: samples seen, level, trend, last sample ts. */
+  private final case class HoltS(n: Long, l: Double, b: Double,
+      lastTs: Long)
+
   /** Ranked top-k per group (SURVEY §2.8: no ranking windows in the
     * reference): aggregate `value` per (group, series), then keep each
     * group's top `k` by the aggregate with an explicit deterministic

@@ -21,6 +21,7 @@ import org.apache.spark.sql.types.IntegerType
   *  - `minhash_mins(hs, n)` — n-permutation MinHash signature (n literal)
   *  - `simhash_vote(hs)`    — 64-bit SimHash majority vote
   *  - `nfc_normalize(s)`    — Unicode NFC canonical composition
+  *  - `char_entropy(s)`     — Shannon entropy of the code-point distribution
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -77,6 +78,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         arity("nfc_normalize", 1)(args)
         TextNorm.NfcNormalize(args(0))
+      }),
+    (FunctionIdentifier("char_entropy"),
+      info("char_entropy",
+        "char_entropy(s) - Shannon entropy (bits) of the code-point distribution"),
+      (args: Seq[Expression]) => {
+        arity("char_entropy", 1)(args)
+        TextNorm.CharEntropy(args(0))
       }))
 
   /** Install on an already-built session (idempotent: re-registration

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Embed, Text}
+
+/** Round-5 curation additions: character entropy, perplexity bucketing,
+  * signed random projection, and the k-NN graph (brute + IVF-celled). */
+class CurationSpec extends SparkFunSuite {
+
+  private lazy val sp = spark
+  import sp.implicits._
+
+  test("charEntropy: hand-computed values, code points, empty/null") {
+    val df = Seq(
+      (1L, "aaaa"),         // one symbol -> 0 bits
+      (2L, "abab"),         // two equiprobable -> 1 bit
+      (3L, "abcd"),         // four equiprobable -> 2 bits
+      (4L, ""),             // empty -> 0
+      (5L, "aéaé"), // 2-byte code points count once each
+      (6L, "😀😀ab")) // surrogate pair = ONE symbol
+      .toDF("doc_id", "text")
+    val r = Text.charEntropyReport(df).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) == 0.0 && r(4L) == 0.0)
+    assert(math.abs(r(2L) - 1.0) < 1e-9)
+    assert(math.abs(r(3L) - 2.0) < 1e-9)
+    assert(math.abs(r(5L) - 1.0) < 1e-9)
+    // emoji emoji a b = {2,1,1}/4 -> 1.5 bits (code-point counting; a
+    // UTF-16-unit count would see 6 symbols and get this wrong)
+    assert(math.abs(r(6L) - 1.5) < 1e-9)
+    // null text -> null entropy (not 0)
+    val withNull = Seq((9L, null: String)).toDF("doc_id", "text")
+    assert(Text.charEntropyReport(withNull).collect().head.isNullAt(1))
+  }
+
+  test("perplexityBuckets: per-group terciles, deterministic tie-break") {
+    // 9 docs in one group: clean text scores low perplexity under the
+    // corpus-trained bigram LM, junk scores high
+    val docs = (0 until 6).map(i => (i.toLong, "g", "the quick brown fox " * 3)) ++
+      Seq((6L, "g", "zq xv jk wp"), (7L, "g", "qqq zzz xxx"),
+        (8L, "g", "aaaa bbbb cccc"))
+    val df = docs.toDF("doc_id", "source", "text")
+    val r = Text.perplexityBuckets(df, Seq("source"), nBuckets = 3)
+      .collect().map(x => (x.getLong(0), x.getInt(3))).toMap
+    assert(r.values.toSeq.sorted == Seq(1, 1, 1, 2, 2, 2, 3, 3, 3))
+    // the 6 identical clean docs tie on perplexity; ntile's doc-id
+    // tie-break puts the LOWEST ids in bucket 1 deterministically
+    val again = Text.perplexityBuckets(df, Seq("source"), nBuckets = 3)
+      .collect().map(x => (x.getLong(0), x.getInt(3))).toMap
+    assert(r == again)
+    // junk docs land in the tail bucket
+    assert(r(6L) == 3 || r(7L) == 3)
+  }
+
+  test("randomProjectSigned: matches a driver-side ±1 matrix multiply") {
+    val rnd = new scala.util.Random(3)
+    val vecs = (0 until 20).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val planes = Embed.signedProjection(16, 4)
+    assert(planes.flatten.forall(x => x == 1.0 || x == -1.0))
+    // the parity matrix is balanced-ish (md5 uniformity), not constant
+    val plus = planes.flatten.count(_ == 1.0)
+    assert(plus > 16 && plus < 48, s"suspicious sign balance: $plus/64")
+    val got = Embed.randomProjectSigned(df, outDim = 4, vecCol = "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    vecs.foreach { case (id, v) =>
+      val want = planes.map(p =>
+        p.zip(v).map { case (r, x) => r * x.toDouble }.sum)
+      got(id).zip(want).foreach { case (g, w) =>
+        assert(math.abs(g - w) < 1e-9, s"vec $id") }
+    }
+    // deterministic across invocations (no RNG state anywhere)
+    assert(Embed.signedProjection(16, 4) == planes)
+  }
+
+  test("knnGraph: exact top-k, self excluded, zero vectors dropped") {
+    val rows = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f)),
+      (4L, Seq(-1.0f, 0.0f)),
+      (5L, Seq(0.0f, 0.0f))) // zero norm: excluded entirely
+    val df = rows.toDF("vec_id", "embedding")
+    val r = Embed.knnGraph(df, k = 2).collect()
+      .map(x => ((x.getLong(0), x.getLong(3)), x.getLong(1))).toMap
+    assert(!r.keys.exists(_._1 == 5L) && !r.values.exists(_ == 5L))
+    assert(r((1L, 1L)) == 2L)         // nearest to (1,0) is (0.9,0.1)
+    assert(r((1L, 2L)) == 3L)         // then the orthogonal one
+    assert(r((4L, 1L)) == 3L)         // (-1,0): orthogonal beats opposite
+    // every query gets exactly k neighbors
+    assert(r.keys.groupBy(_._1).forall(_._2.size == 2))
+  }
+
+  test("knnGraphCells: equals brute force when every cell is probed") {
+    val rnd = new scala.util.Random(11)
+    // two well-separated clusters around (1,0,...) and (0,1,...)
+    val vecs = (0 until 30).map { i =>
+      val base = Array.fill(8)(rnd.nextFloat() * 0.1f)
+      base(i % 2) = 1.0f
+      (i.toLong, base.toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val cents = Seq(
+      Seq(1.0, 0, 0, 0, 0, 0, 0, 0),
+      Seq(0.0, 1, 0, 0, 0, 0, 0, 0))
+    val brute = Embed.knnGraph(df, k = 3).collect()
+      .map(x => (x.getLong(0), x.getLong(3)) -> x.getLong(1)).toMap
+    val celled = Embed.knnGraphCells(df, k = 3, cents, probes = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(3)) -> x.getLong(1)).toMap
+    assert(celled == brute) // probes = nCells -> no recall loss
+    // probes=1 restricts candidates to the query's own cell
+    val own = Embed.knnGraphCells(df, k = 3, cents, probes = 1)
+      .collect().map(x => (x.getLong(0) % 2, x.getLong(1) % 2))
+    assert(own.forall { case (q, n) => q == n },
+      "a 1-probe neighbor escaped the query's cluster cell")
+  }
+}

@@ -201,6 +201,144 @@ class TsAnalyticsSpec extends SparkFunSuite {
     assert(r.forall(_._2 != 0))
   }
 
+  test("m4Downsample: min/max/first/last per bucket, deterministic ties") {
+    val df = Seq(
+      ("m", 1L, 5.0), ("m", 3L, 1.0), ("m", 9L, 8.0),  // bucket 0
+      ("m", 9L, 2.0),             // dup last instant: larger value = last
+      ("m", 1L, 7.0),             // dup first instant: smaller value = first
+      ("m", 10L, 4.0),            // bucket 10, single sample
+      ("n", 15L, 6.0))
+      .toDF("g", "ts", "v")
+    val r = TsAnalytics.m4Downsample(df, Seq("g"), "ts", "v", 10L)
+      .orderBy("g", "bucket").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getDouble(3), x.getDouble(4), x.getLong(5), x.getDouble(6),
+        x.getLong(7), x.getDouble(8)))
+    assert(r.toSeq == Seq(
+      ("m", 0L, 5L, 1.0, 8.0, 1L, 5.0, 9L, 8.0),
+      ("m", 10L, 1L, 4.0, 4.0, 10L, 4.0, 10L, 4.0),
+      ("n", 10L, 1L, 6.0, 6.0, 15L, 6.0, 15L, 6.0)))
+  }
+
+  test("seasonalDecompose: trend/seasonal/remainder reconstruct the series") {
+    // clean construction: value = 10 + phase effect [0, 3, -3] over
+    // period 3, 12 consecutive buckets -> interior trend == 10 exactly,
+    // seasonal == the centered phase effect, remainder == 0
+    val effect = Seq(0.0, 3.0, -3.0)
+    val df = (0 until 12).map(i => ("m", i * 10L, 10.0 + effect(i % 3)))
+      .toDF("g", "ts", "v")
+    val r = TsAnalytics.seasonalDecompose(df, Seq("g"), "ts", "v",
+        bucketNs = 10L, period = 3)
+      .orderBy("bucket").collect()
+      .map(x => (x.getLong(1), x.getDouble(2),
+        if (x.isNullAt(3)) None else Some(x.getDouble(3)),
+        x.getDouble(4),
+        if (x.isNullAt(5)) None else Some(x.getDouble(5))))
+    assert(r.length == 12)
+    // edges (first and last bucket) have no full centered window
+    assert(r.head._3.isEmpty && r.last._3.isEmpty)
+    r.slice(1, 11).foreach { case (b, v, trend, seasonal, rem) =>
+      assert(math.abs(trend.get - 10.0) < 1e-9, s"trend at $b")
+      val want = effect(((b / 10) % 3).toInt)
+      assert(math.abs(seasonal - want) < 1e-9, s"seasonal at $b")
+      assert(math.abs(rem.get) < 1e-9, s"remainder at $b")
+    }
+    // a gap nulls the trend wherever the window loses a bucket
+    val gappy = df.filter(col("ts") =!= 50L)
+    val g = TsAnalytics.seasonalDecompose(gappy, Seq("g"), "ts", "v",
+        bucketNs = 10L, period = 3)
+      .collect().map(x => x.getLong(1) ->
+        (if (x.isNullAt(3)) None else Some(x.getDouble(3)))).toMap
+    assert(g(40L).isEmpty && g(60L).isEmpty, "neighbors of the gap")
+    assert(g(70L).nonEmpty)
+  }
+
+  test("holtForecast matches the sequential recursion; chunking invariant") {
+    val rnd = new scala.util.Random(7)
+    val data = (0 until 3).flatMap { k =>
+      (0 until 40).map(i => (s"s$k", i * 10L, rnd.nextInt(1000) / 10.0))
+    } ++ Seq(("solo", 5L, 42.0)) // single-sample series: flat forecast
+    val df = data.toDF("k", "ts", "v")
+    val (alpha, beta) = (0.4, 0.3)
+    def naive(rows: Seq[(Long, Double)]): (Double, Double, Long) = {
+      val sorted = rows.groupBy(_._1).map { case (t, vs) =>
+        t -> vs.map(_._2).max }.toSeq.sortBy(_._1)
+      var l = 0.0; var b = 0.0; var first = true
+      sorted.foreach { case (_, x) =>
+        if (first) { l = x; b = 0.0; first = false }
+        else {
+          val l2 = alpha * x + (1 - alpha) * (l + b)
+          b = beta * (l2 - l) + (1 - beta) * b; l = l2
+        }
+      }
+      (l, b, sorted.last._1)
+    }
+    val want = data.groupBy(_._1).flatMap { case (k, rows) =>
+      val (l, b, lastTs) = naive(rows.map(r => (r._2, r._3)))
+      (1 to 4).map(i => (k, lastTs + i * 10L, l + i * b))
+    }.toSet
+    for (parts <- Seq("0", "3")) { // AQE-sized vs forced 3-chunk split
+      sp.conf.set("graft.scan.chunkedPartitions", parts)
+      try {
+        val got = TsAnalytics.holtForecast(df, Seq("k"), "ts", "v",
+            alpha, beta, horizon = 4, stepNs = 10L)
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        assert(got.length == want.size)
+        got.foreach { case (k, t, f) =>
+          val w = want.find(x => x._1 == k && x._2 == t).get._3
+          assert(math.abs(f - w) < 1e-9, s"($k, $t): $f vs $w [parts=$parts]")
+        }
+      } finally sp.conf.unset("graft.scan.chunkedPartitions")
+    }
+    // flat forecast for the single-sample series
+    val solo = TsAnalytics.holtForecast(df.filter(col("k") === "solo"),
+      Seq("k"), "ts", "v", alpha, beta, 3, 10L).collect()
+    assert(solo.forall(_.getDouble(2) == 42.0))
+  }
+
+  test("seasonalAnomalies: flags only the injected outlier") {
+    // same clean periodic construction as the decompose spec, but one
+    // bucket is knocked +50 off its pattern — after removing trend and
+    // seasonality it is the ONLY large remainder
+    val effect = Seq(0.0, 3.0, -3.0)
+    val base = (0 until 30).map(i => ("m", i * 10L, 10.0 + effect(i % 3)))
+    val data = base.updated(15, ("m", 150L, base(15)._3 + 50.0))
+    val r = TsAnalytics.seasonalAnomalies(data.toDF("g", "ts", "v"),
+        Seq("g"), "ts", "v", bucketNs = 10L, period = 3, nSigma = 2.0)
+      .collect().map(x => x.getLong(1) ->
+        (if (x.isNullAt(5)) None else Some(x.getBoolean(5)))).toMap
+    assert(r(150L).contains(true), "injected outlier not flagged")
+    // edges have null trend -> null flag; everything else is calm...
+    assert(r(0L).isEmpty && r(290L).isEmpty)
+    // ...except the outlier's neighbors, whose trend window absorbs
+    // part of the spike (their remainders swing with it) — just require
+    // that far-from-the-spike buckets stay unflagged
+    val calm = r.collect {
+      case (b, Some(f)) if math.abs(b - 150L) > 30 => f }
+    assert(calm.nonEmpty && calm.forall(_ == false))
+  }
+
+  test("changePoints: finds the level shift, computes before/after means") {
+    // series: 10 samples at 1.0, then 10 at 5.0 -> cusum |S| peaks at
+    // the last low sample (ts 90); delta = 4
+    val shift = (0 until 20).map(i =>
+      ("m", i * 10L, if (i < 10) 1.0 else 5.0))
+    val single = Seq(("solo", 0L, 7.0))
+    val r = TsAnalytics.changePoints(
+        (shift ++ single).toDF("g", "ts", "v"), Seq("g"), "ts", "v")
+      .collect().map(x => x.getString(0) -> x).toMap
+    val m = r("m")
+    assert(m.getLong(1) == 90L, s"cp_ts ${m.getLong(1)}")
+    assert(m.getLong(2) == 20L)
+    assert(math.abs(m.getDouble(4) - 1.0) < 1e-9)  // before_mean
+    assert(math.abs(m.getDouble(5) - 5.0) < 1e-9)  // after_mean
+    assert(math.abs(m.getDouble(6) - 4.0) < 1e-9)  // delta
+    // single-sample series: cp is the only sample, after side is null
+    val s = r("solo")
+    assert(s.getLong(1) == 0L && s.isNullAt(5) && s.isNullAt(6))
+  }
+
   test("dedupBloom: no false negatives; FP rate bounded; deterministic") {
     val seen = (0 until 200).map(i => (i.toLong, s"seen document $i"))
       .toDF("doc_id", "text")
