@@ -232,12 +232,18 @@ object TsAnalytics {
     require(on.nonEmpty && bucketNs > 0)
     require(period >= 3 && period % 2 == 1, "period must be odd >= 3")
     val h = period / 2
+    // localCheckpoint: the bucket frame feeds BOTH the trend window and
+    // the per-phase means; without it Catalyst re-executes the whole
+    // fact-table scan + aggregate for the second branch (PlanAudit
+    // showed the parquet read twice). Post-aggregate it is tiny
+    // (nSeries x nBuckets rows), so materializing is free.
     val buckets = df
       .select((on.map(col) :+ expr(s"$tsCol div ${bucketNs}L").as("__b") :+
         col(valueCol).cast("double").as("__v")): _*)
       .filter(col("__v").isNotNull)
       .groupBy((on.map(col) :+ col("__b")): _*)
       .agg(avg(col("__v")).as("value"))
+      .localCheckpoint()
     val w = Window.partitionBy(on.map(col): _*).orderBy(col("__b").asc)
       .rangeBetween(-h, h)
     val trended = buckets
