@@ -303,6 +303,41 @@ object SparkEntry {
     (head +: rounds).mkString(",\n")
   }
 
+  /** Unrolled power-iteration twin of [[graft.llm.Embed.powerComponent]]:
+    * iteration k computes s_i = Σ v[i]·(v·v_{k-1}) per dimension, then
+    * normalizes and rounds to 6 — the same rounded state the Spark side
+    * re-broadcasts, so the chain is externally replayable. */
+  private def pcaPowerOracle(iters: Int, dim: Int): String = {
+    val init = 1.0 / math.sqrt(dim.toDouble)
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS MATERIALIZED (
+      |  SELECT list_transform(embedding, x -> x::DOUBLE) AS v
+      |  FROM embeddings
+      |  WHERE list_sum(list_transform(embedding, x -> x::DOUBLE * x)) > 0),
+      |g AS (SELECT unnest(generate_series(1, $dim)) AS i),
+      |v0 AS (SELECT list_transform(range($dim), x -> $init) AS vl)""".stripMargin
+    // MATERIALIZED: each CTE is referenced 2-3x; DuckDB would otherwise
+    // INLINE them, re-evaluating every earlier iteration per reference —
+    // an exponential replay of the whole chain
+    for (k <- 1 to iters) {
+      sb ++= s""",
+      |it$k AS MATERIALIZED (SELECT g.i,
+      |    sum(e.v[g.i] * list_dot_product(e.v, p.vl)) AS s
+      |  FROM e, g, v${k - 1} p GROUP BY 1)""".stripMargin
+      if (k < iters) sb ++= s""",
+      |v$k AS MATERIALIZED (SELECT list(round(s / sqrt(
+      |    (SELECT sum(s * s) FROM it$k)), 6) ORDER BY i) AS vl
+      |  FROM it$k)""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT (i - 1)::BIGINT AS dim,
+      |  round(s / sqrt((SELECT sum(s * s) FROM it$iters)), 6) AS w,
+      |  round(sqrt((SELECT sum(s * s) FROM it$iters))
+      |    / (SELECT count(*) FROM e), 6) AS eigenvalue
+      |FROM it$iters ORDER BY 1""".stripMargin
+    sb.toString
+  }
+
   private def bpeTrainOracle(k: Int): String =
     bpeCtes(k) + "\n" + (1 to k).map { n =>
       s"SELECT $n AS merge_rank, l AS lft, r AS rgt, cnt FROM b$n"
@@ -3098,17 +3133,15 @@ object SparkEntry {
     "ts_forecast_holt" -> Gated(
       (s, d) => {
         val ev = TestData.events(s, d).samples
-          .filter(col("metric") === "click" &&
-            element_at(col("tags"), "user") === "21")
-          .select(lit("click").as("sname"), col("ts"), col("value"))
+          .select(col("metric").as("sname"), col("ts"), col("value"))
         TsAnalytics.holtForecast(ev, Seq("sname"), "ts", "value",
             alpha = 0.4, beta = 0.3, horizon = 5, stepNs = Day)
           .withColumn("forecast", round(col("forecast"), 6))
-          .orderBy(col("ts"))
+          .orderBy(col("sname"), col("ts"))
       },
       Some(s"""WITH RECURSIVE src AS (
-              |  SELECT 'click' AS sname, $tsSql AS t, value
-              |  FROM events WHERE event_type = 'click' AND user_id = 21),
+              |  SELECT event_type AS sname, $tsSql AS t, value
+              |  FROM events),
               |agg AS (SELECT sname, t, max(value) AS v
               |  FROM src GROUP BY 1, 2),
               |base AS (SELECT sname, t, v,
@@ -3128,7 +3161,7 @@ object SparkEntry {
               |SELECT sname, last_ts + i * $Day AS ts,
               |  round(l + i * b, 6) AS forecast
               |FROM fin CROSS JOIN (SELECT unnest(range(1, 6)) AS i)
-              |ORDER BY 2""".stripMargin)),
+              |ORDER BY 1, 2""".stripMargin)),
 
     // -- quality: per-doc character entropy (one codegen'd pass) ---------
     // low entropy = repeated chars / binary junk; the twin unnests
@@ -3354,6 +3387,51 @@ object SparkEntry {
               |    THEN round((tot - cum) / (n - i) - cum / i, 6)
               |  END AS delta
               |FROM r WHERE rnk = 1 ORDER BY 1""".stripMargin)),
+
+    // -- dominant embedding direction via distributed power iteration ----
+    // per-iteration rounded state makes the whole chain replayable; the
+    // per-dim sums map-side combine to `dim` rows per task
+    "embed_pca_power" -> Gated(
+      (s, d) => Embed.powerComponent(
+          TestData.table(s, d, "embeddings"), iters = 8)
+        .select(col("dim").cast("long").as("dim"), col("w"),
+          col("eigenvalue"))
+        .orderBy(col("dim")),
+      Some(pcaPowerOracle(iters = 8, dim = 64))),
+
+    // -- interval overlap join: coinciding activity windows --------------
+    // click vs view day-long windows per user; bucketized equi-join
+    // counts each pair once at the canonical bucket — the oracle is the
+    // plain theta join
+    "ts_interval_join" -> Gated(
+      (s, d) => {
+        val ev = TestData.eventsRaw(s, d)
+        val l = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("lid"),
+            col("ts").as("ivl_start"), (col("ts") + lit(Day)).as("ivl_end"))
+        val r = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("rid"),
+            col("ts").as("ivl_start"), (col("ts") + lit(Day)).as("ivl_end"))
+        EventOps.intervalJoin(l, r, Seq("user_id"), "ivl_start", "ivl_end",
+            bucketNs = Day, rightCols = Seq("rid"))
+          .orderBy(col("user_id"), col("lid"), col("rid_r"))
+      },
+      Some(s"""WITH e AS (SELECT event_id, user_id, event_type,
+              |    $tsSql AS t FROM events),
+              |l AS (SELECT user_id, event_id AS lid, t AS ivl_start,
+              |    t + $Day AS ivl_end FROM e
+              |  WHERE event_type = 'click'),
+              |r AS (SELECT user_id, event_id AS rid_r, t AS ivl_start_r,
+              |    t + $Day AS ivl_end_r FROM e
+              |  WHERE event_type = 'view')
+              |SELECT l.user_id, lid, ivl_start, ivl_end, rid_r,
+              |  ivl_start_r, ivl_end_r,
+              |  least(ivl_end, ivl_end_r)
+              |    - greatest(ivl_start, ivl_start_r) AS overlap_ns
+              |FROM l JOIN r ON l.user_id = r.user_id
+              |  AND greatest(ivl_start, ivl_start_r)
+              |    <= least(ivl_end, ivl_end_r)
+              |ORDER BY 1, 2, 5""".stripMargin)),
 
     // -- flagship analytics aggregate over lineitem (bench headline) -----
     "q1_agg" -> Gated(

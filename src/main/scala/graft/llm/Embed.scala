@@ -870,6 +870,58 @@ object Embed {
         col("rnk").cast("long").as("rnk"))
   }
 
+  /** Top right-singular direction of the (uncentered) embedding matrix
+    * by deterministic power iteration — the dominant-direction probe
+    * used for embedding diagnostics (anisotropy / "rogue dimension"
+    * checks) and as the first step of PCA whitening. Uncentered by
+    * design: it is the top singular vector of X, not of X - mean
+    * (document embeddings are near-centered; centering would add a
+    * second distributed moment pass for little signal).
+    *
+    * Each iteration is ONE distributed pass computing
+    * `s = Σ_rows x·(x·v)`: the dot `x·v` is the fused native kernel
+    * against the current literal v, the per-dimension sums posexplode
+    * into (dim, x_i·dot) rows that map-side combine to `dim` rows per
+    * task (the kmeansStep shuffle shape — never n·d rows on the wire).
+    * v is then normalized and ROUNDED to 6 decimals on the driver, so
+    * every iteration's input is externally replayable: the DuckDB twin
+    * unrolls the same iterations and reaches bit-equal rounded state
+    * (power iteration is contractive, so the sub-round fp noise of
+    * summation order cannot accumulate).
+    *
+    * Output: one row per dimension — `dim`, `w` (component entry,
+    * rounded 6), `eigenvalue` (Rayleigh estimate |s|/n, rounded 6,
+    * identical on every row). */
+  def powerComponent(corpus: DataFrame, iters: Int = 8,
+                     vecCol: String = "embedding"): DataFrame = {
+    require(iters >= 1)
+    val spark = corpus.sparkSession
+    val dim = dimOf(corpus, vecCol)
+    val nonZero = corpus.filter(dot(col(vecCol), col(vecCol)) > 0.0)
+    val n = nonZero.count()
+    require(n > 0, "no non-zero vectors")
+    var v: Seq[Double] = Seq.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    var sNorm = 0.0
+    for (_ <- 0 until iters) {
+      val vLit = array(v.map(lit): _*)
+      val sums = nonZero
+        .select(posexplode(col(vecCol)).as(Seq("dim", "__xi")),
+          dot(col(vecCol), vLit).as("__dv"))
+        .groupBy(col("dim"))
+        .agg(sum(col("__xi").cast("double") * col("__dv")).as("s"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val s = (0 until dim).map(i => sums.getOrElse(i, 0.0))
+      sNorm = math.sqrt(s.map(x => x * x).sum)
+      v = s.map(x => BigDecimal(x / sNorm)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    import spark.implicits._
+    val eig = BigDecimal(sNorm / n)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    v.zipWithIndex.map { case (w, i) => (i, w, eig) }
+      .toDF("dim", "w", "eigenvalue")
+  }
+
   /** Scale path for near-dup: pairs colliding in >= 1 of `tables`
     * hyperplane tables, verified exactly. groupBy(bucket) keeps the join
     * bucket-local — never all-pairs. Vectors join back once per

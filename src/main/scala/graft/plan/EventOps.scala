@@ -196,6 +196,63 @@ object EventOps {
         Seq(col("__rts").as(tsCol + suffix)) ++ rOut.map(col)): _*)
   }
 
+  /** Interval overlap join: all (left, right) pairs on the same key
+    * whose CLOSED intervals `[startCol, endCol]` overlap
+    * (`max(starts) <= min(ends)`) — the "which sessions / outages /
+    * deployments coincided" primitive ([[rangeJoin]] is its point-in-
+    * band special case). Both sides explode into `bucketNs`-wide time
+    * buckets covering their interval, the join is an equi-join on
+    * (key, bucket), and each overlapping pair is kept exactly ONCE — at
+    * the canonical bucket containing `max(starts)` — so no
+    * dropDuplicates pass is needed. Bucketing is integer `div` (see
+    * rangeJoin).
+    *
+    * Scale: explosion factor = interval length / bucketNs; pick
+    * `bucketNs` near the typical interval length so each row lands in
+    * O(1) buckets. A pathologically long interval costs its own
+    * length/bucketNs copies — cap interval lengths upstream if the
+    * domain allows it.
+    *
+    * Output: all left columns, then `rightCols` suffixed, then the
+    * right interval bounds `<startCol><suffix>`/`<endCol><suffix>` and
+    * `overlap_ns` (inclusive overlap length in ns, >= 0; 0 = touching
+    * at one instant). */
+  def intervalJoin(left: DataFrame, right: DataFrame, on: Seq[String],
+                   startCol: String, endCol: String, bucketNs: Long,
+                   rightCols: Seq[String], suffix: String = "_r"): DataFrame = {
+    require(on.nonEmpty, "intervalJoin requires at least one key column")
+    require(bucketNs > 0, "bucketNs must be positive")
+    require(!rightCols.contains(startCol) && !rightCols.contains(endCol),
+      "rightCols must not repeat the interval bounds (emitted already)")
+    val rOut = rightCols.map(_ + suffix)
+    val sOut = startCol + suffix; val eOut = endCol + suffix
+    val reserved = rOut ++ Seq(sOut, eOut, "overlap_ns", "__b", "__ls", "__le")
+    require(reserved.forall(c => !left.columns.contains(c)),
+      s"left columns collide with ${reserved.filter(left.columns.contains)}")
+    def buckets(sName: String, eName: String) =
+      explode(sequence(expr(s"$sName div ${bucketNs}L"),
+        expr(s"$eName div ${bucketNs}L")))
+    val l1 = left
+      .withColumn("__ls", col(startCol).cast("long"))
+      .withColumn("__le", col(endCol).cast("long"))
+      .withColumn("__b", buckets("__ls", "__le"))
+    val r1 = right.select(
+      (on.map(col) ++ Seq(col(startCol).cast("long").as(sOut),
+        col(endCol).cast("long").as(eOut)) ++
+        rightCols.zip(rOut).map { case (c, o) => col(c).as(o) }): _*)
+      .withColumn("__b", buckets(sOut, eOut))
+    l1.join(r1, on :+ "__b")
+      .filter(greatest(col("__ls"), col(sOut)) <=
+        least(col("__le"), col(eOut)))
+      // canonical bucket: count the pair only where max(starts) lands
+      .filter(col("__b") ===
+        expr(s"greatest(__ls, $sOut) div ${bucketNs}L"))
+      .withColumn("overlap_ns",
+        least(col("__le"), col(eOut)) - greatest(col("__ls"), col(sOut)))
+      .select((left.columns.toSeq.map(col) ++ rOut.map(col) ++
+        Seq(col(sOut), col(eOut), col("overlap_ns"))): _*)
+  }
+
   /** Gap-based sessionization: a new session starts at a row whose gap to
     * the key's previous row exceeds `gapNs`. Adds `session_id`
     * (`<key vals joined with '/'>#<index>`) — one keyed window, one

@@ -182,6 +182,68 @@ object StreamIngest {
     }
   }
 
+  /** Streaming MinHash-LSH near-dup candidates: the streaming twin of
+    * [[graft.llm.Dedup.minhashLsh]]'s banding stage. Each arriving doc's
+    * signature splits into `bands` band hashes; one stateful operator
+    * keyed by (band, bandhash) remembers the FIRST doc that ever owned
+    * the bucket and emits a candidate `(owner, dup, band)` row for every
+    * LATER doc that lands in it. Exact duplicates share every bucket, so
+    * their recall is deterministic; near-dups collide with the usual
+    * banding probability. Verification (exact Jaccard over the pair) is
+    * downstream work — batch over the candidate sink, or foreachBatch —
+    * exactly as the batch path verifies after banding.
+    *
+    * State: ONE long per non-empty bucket (the owner id) — bounded by
+    * distinct buckets seen, and by `idleTimeout` under churn (a bucket
+    * idle that long forgets its owner, the streamingEwma trade). Within
+    * a micro-batch, ties order by doc id, so replays are deterministic.
+    *
+    * Output: (owner_id, dup_id, band) — one row per (later doc, band
+    * collision); downstream dedups pairs across bands. */
+  def streamingNearDupCandidates(docs: DataFrame, n: Int = 3,
+      bands: Int = 8, rowsPerBand: Int = 4,
+      idleTimeout: Option[String] = None,
+      textCol: String = "text",
+      idCol: String = "doc_id"): Dataset[(Long, Long, Int)] = {
+    import docs.sparkSession.implicits._
+    import graft.llm.Dedup
+    val numHashes = bands * rowsPerBand
+    val sh = docs
+      .select(col(idCol).cast("long").as("id"),
+        Dedup.hashedShingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"),
+        Dedup.minhashFromHashes(col("sh"), numHashes).as("sig"))
+    val bandArr = array((0 until bands).map(b =>
+      xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)
+    val banded = sh.select(col("id"), posexplode(bandArr))
+      .select(concat_ws(":", col("pos"), col("col")).as("bucket"),
+        col("pos").cast("int").as("band"), col("id"))
+      .as[(String, Int, Long)]
+    val timeoutConf = if (idleTimeout.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    banded.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
+        (_: String, rows: Iterator[(String, Int, Long)],
+         state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val incoming = rows.toArray.sortBy(r => (r._3, r._2))
+            var owner = state.getOption.getOrElse(Long.MinValue)
+            val out = Vector.newBuilder[(Long, Long, Int)]
+            incoming.foreach { case (_, band, id) =>
+              if (owner == Long.MinValue) owner = id
+              else if (id != owner) out += ((owner, id, band))
+            }
+            state.update(owner)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Streaming exact dedup of a document feed: content-fingerprint
     * `dropDuplicatesWithinWatermark` — a doc whose normalized text was
     * already seen within the watermark horizon is dropped; state expires

@@ -75,6 +75,30 @@ class CurationSpec extends SparkFunSuite {
     assert(Embed.signedProjection(16, 4) == planes)
   }
 
+  test("powerComponent: converges to the dominant axis; bounded state") {
+    // balanced ±1 second coordinate -> X^T X = diag(36, 4): top
+    // right-singular direction is exactly (1, 0) with eigenvalue
+    // estimate |X^T X v| / n = 36 / 4 = 9
+    val df = Seq(
+      (1L, Seq(3.0f, 1.0f)),
+      (2L, Seq(3.0f, -1.0f)),
+      (3L, Seq(3.0f, 1.0f)),
+      (4L, Seq(3.0f, -1.0f)),
+      (5L, Seq(0.0f, 0.0f))) // zero vector: excluded
+      .toDF("vec_id", "embedding")
+    val r = Embed.powerComponent(df, iters = 8).orderBy("dim").collect()
+      .map(x => (x.getInt(0), x.getDouble(1), x.getDouble(2)))
+    assert(r.length == 2)
+    assert(math.abs(r(0)._2 - 1.0) < 1e-3, s"w0 ${r(0)._2}")
+    assert(math.abs(r(1)._2) < 1e-3, s"w1 ${r(1)._2}")
+    assert(math.abs(r(0)._3 - 9.0) < 0.2, s"eigenvalue ${r(0)._3}")
+    // deterministic: rounded per-iteration state leaves nothing to
+    // summation-order luck
+    val again = Embed.powerComponent(df, iters = 8).orderBy("dim")
+      .collect().map(x => (x.getInt(0), x.getDouble(1), x.getDouble(2)))
+    assert(r.toSeq == again.toSeq)
+  }
+
   test("knnGraph: exact top-k, self excluded, zero vectors dropped") {
     val rows = Seq(
       (1L, Seq(1.0f, 0.0f)),

@@ -238,4 +238,34 @@ class EventOpsSpec extends SparkFunSuite {
     assert(got == viaSessionize)
     assert(got.count(_._1 == 1) == 2) // exact-gap row merged, +1 split
   }
+
+  test("intervalJoin: matches the naive theta join; one row per pair") {
+    val sp = spark; import sp.implicits._
+    // intervals chosen to hit: touching-at-instant (closed: overlap 0),
+    // containment, a long interval spanning many buckets (must still
+    // emit ONE row per pair), disjoint, and cross-key isolation
+    val left = Seq(
+      (1, 10L, 0L, 10L), (1, 11L, 20L, 25L), (1, 12L, 0L, 100L),
+      (2, 20L, 0L, 10L))
+      .toDF("k", "lid", "ivl_start", "ivl_end")
+    val right = Seq(
+      (1, 90L, 10L, 15L),   // touches lid 10 at instant 10
+      (1, 91L, 21L, 22L),   // inside lid 11 and lid 12
+      (1, 92L, 200L, 300L), // disjoint from everything
+      (2, 93L, 5L, 6L))     // key 2 only
+      .toDF("k", "rid", "ivl_start", "ivl_end")
+    for (w <- Seq(3L, 7L, 1000L)) { // bucket width must not matter
+      val got = EventOps.intervalJoin(left, right, Seq("k"),
+          "ivl_start", "ivl_end", bucketNs = w, rightCols = Seq("rid"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(4), r.getLong(7)))
+        .toSeq.sorted
+      assert(got == Seq(
+        (1, 10L, 90L, 0L),   // touching: overlap 0
+        (1, 11L, 91L, 1L),
+        (1, 12L, 90L, 5L),
+        (1, 12L, 91L, 1L),
+        (2, 20L, 93L, 1L)), s"width=$w")
+    }
+  }
 }

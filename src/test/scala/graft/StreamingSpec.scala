@@ -350,4 +350,41 @@ class StreamingSpec extends SparkFunSuite {
       // past it) — Append correctly withholds it
     } finally q.stop()
   }
+
+  test("streaming near-dup candidates: cross-batch owners, exact recall") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val cands = StreamIngest.streamingNearDupCandidates(docs,
+      n = 2, bands = 4, rowsPerBand = 4)
+    val q = cands.toDF("owner", "dup", "band").writeStream
+      .format("memory").queryName("snd")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      val textA = "the quick brown fox jumps over the lazy dog again"
+      val textC = "completely different content with no shared word grams"
+      input.addData((1L, textA), (5L, textC))
+      q.processAllAvailable()
+      // batch 1: both docs claim their buckets, nothing collides
+      assert(sp.sql("SELECT * FROM snd").count() == 0)
+      // batch 2: an exact duplicate of A arrives -> shares EVERY band
+      // bucket with owner 1 (deterministic recall for exact dups)
+      input.addData((9L, textA))
+      q.processAllAvailable()
+      val hits = sp.sql("SELECT owner, dup, band FROM snd").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      assert(hits.length == 4, s"expected 4 band hits, got ${hits.toSeq}")
+      assert(hits.forall { case (o, d, _) => o == 1L && d == 9L })
+      assert(hits.map(_._3).sorted.toSeq == Seq(0, 1, 2, 3))
+      // batch 3: another copy -> still owned by doc 1, not doc 9
+      input.addData((12L, textA))
+      q.processAllAvailable()
+      val later = sp.sql("SELECT owner, dup FROM snd WHERE dup = 12")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(later.length == 4 && later.forall(_._1 == 1L))
+    } finally q.stop()
+  }
 }
