@@ -3433,6 +3433,48 @@ object SparkEntry {
               |    <= least(ivl_end, ivl_end_r)
               |ORDER BY 1, 2, 5""".stripMargin)),
 
+    // -- multimodal: energy VAD over audio rows --------------------------
+    // digest fakes read bytes as centered 8-bit samples (the mm_*
+    // convention: real WAVs take the javax.sound path, covered in
+    // LlmSpec); 64-byte payloads / frame 16 -> 4 frames, voiced =
+    // frame rms > 0.5 x global rms, gaps-and-islands longest run
+    "mm_vad" -> Gated(
+      (s, d) => Multimodal.vadAudio(
+          Multimodal.fromDocuments(TestData.table(s, d, "documents")),
+          frame = 16, thresholdFrac = 0.5)
+        .select(col("media_id"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("n_voiced").cast("long").as("n_voiced"),
+          round(col("voiced_ratio"), 6).as("voiced_ratio"),
+          col("max_run").cast("long").as("max_run"), col("vad_ok"))
+        .orderBy(col("media_id")),
+      Some("""WITH h AS (SELECT doc_id AS media_id, sha256(text) AS hx
+             |  FROM documents WHERE doc_id % 3 = 1),
+             |s AS (SELECT media_id, j,
+             |    (ord(substr(hx, j, 1)) - 128) / 128.0 AS v,
+             |    (j - 1) // 16 AS f
+             |  FROM h, generate_series(1, 64) t(j)),
+             |fr AS (SELECT media_id, f, sqrt(avg(v * v)) AS frms
+             |  FROM s GROUP BY 1, 2),
+             |g AS (SELECT media_id, sqrt(avg(v * v)) AS grms
+             |  FROM s GROUP BY 1),
+             |vo AS (SELECT fr.media_id, f, (frms > 0.5 * grms) AS voiced
+             |  FROM fr JOIN g USING (media_id)),
+             |runs AS (SELECT media_id, voiced,
+             |    f - row_number() OVER (PARTITION BY media_id, voiced
+             |      ORDER BY f) AS grp FROM vo),
+             |mr AS (SELECT media_id, max(cnt) AS max_run FROM (
+             |    SELECT media_id, count(*) AS cnt FROM runs
+             |    WHERE voiced GROUP BY media_id, grp) GROUP BY 1),
+             |agg AS (SELECT media_id, count(*) AS n_frames,
+             |    sum(CASE WHEN voiced THEN 1 ELSE 0 END) AS n_voiced
+             |  FROM vo GROUP BY 1)
+             |SELECT a.media_id, a.n_frames, a.n_voiced,
+             |  round(a.n_voiced::DOUBLE / a.n_frames, 6) AS voiced_ratio,
+             |  coalesce(mr.max_run, 0) AS max_run, TRUE AS vad_ok
+             |FROM agg a LEFT JOIN mr USING (media_id)
+             |ORDER BY 1""".stripMargin)),
+
     // -- flagship analytics aggregate over lineitem (bench headline) -----
     "q1_agg" -> Gated(
       (s, d) => TestData.table(s, d, "lineitem")

@@ -452,6 +452,81 @@ object Multimodal {
     }(Encoders.row(resampledSchema))
   }
 
+  val vadSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_frames", IntegerType),
+    StructField("n_voiced", IntegerType),
+    StructField("voiced_ratio", DoubleType),
+    StructField("max_run", IntegerType),
+    StructField("vad_ok", BooleanType)))
+
+  /** Energy VAD over one payload: real WAVs decode via javax.sound (the
+    * [[decodeAudio]] path), digest fakes read each byte as a centered
+    * 8-bit sample — the same real-codec-or-deterministic-fake split as
+    * every other kernel here. Only FULL frames count (the tail partial
+    * frame is dropped from frames AND from the global rms, one
+    * universe); a frame is voiced when its rms exceeds
+    * `thr x global rms`. Returns (n_frames, n_voiced, ratio, max_run). */
+  private[llm] def vadKernel(content: Array[Byte], frame: Int,
+                             thr: Double): Option[(Int, Int, Double, Int)] = {
+    val samples: Option[Array[Float]] =
+      if (content == null || content.isEmpty) None
+      else if (looksLikeWav(content)) decodeAudio(content).map(_.samples)
+      else Some(content.map(b => (((b & 0xff) - 128) / 128.0f)))
+    samples.flatMap { s =>
+      val nf = s.length / frame
+      if (nf == 0) None
+      else {
+        val n = nf * frame
+        var g = 0.0
+        var i = 0
+        while (i < n) { g += s(i).toDouble * s(i); i += 1 }
+        val grms = math.sqrt(g / n)
+        var voiced = 0; var run = 0; var maxRun = 0
+        var f = 0
+        while (f < nf) {
+          var e = 0.0
+          var j = f * frame
+          while (j < (f + 1) * frame) { e += s(j).toDouble * s(j); j += 1 }
+          if (math.sqrt(e / frame) > thr * grms) {
+            voiced += 1; run += 1; if (run > maxRun) maxRun = run
+          } else run = 0
+          f += 1
+        }
+        Some((nf, voiced, voiced.toDouble / nf, maxRun))
+      }
+    }
+  }
+
+  /** Voice-activity report over the audio rows — the speech-data
+    * curation signal ("how much of this clip is actually speech / how
+    * long is the longest utterance"); clips with near-zero voiced
+    * ratio are silence or hum and get dropped before transcription
+    * cost. Pure per-partition map over audio rows, frame energies only
+    * (no payload ever leaves the task).
+    *
+    * Output: media_id, n_frames, n_voiced, voiced_ratio, max_run
+    * (longest consecutive voiced frames), vad_ok (false = decode
+    * failure or shorter than one frame). */
+  def vadAudio(media: DataFrame, frame: Int = 400,
+               thresholdFrac: Double = 0.5): DataFrame = {
+    require(frame > 0 && thresholdFrac >= 0)
+    val audio = media.filter(col("modality") === "audio")
+    val schema = audio.schema
+    val idIdx = schema.fieldIndex("media_id")
+    val cIdx = schema.fieldIndex("content")
+    audio.mapPartitions { it =>
+      it.map { row =>
+        vadKernel(row.getAs[Array[Byte]](cIdx), frame, thresholdFrac) match {
+          case Some((nf, nv, ratio, mr)) =>
+            Row(row.getLong(idIdx), nf, nv, ratio, mr, true)
+          case None =>
+            Row(row.getLong(idIdx), null, null, null, null, false)
+        }
+      }
+    }(Encoders.row(vadSchema))
+  }
+
   val probedSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("duration_ms", LongType),

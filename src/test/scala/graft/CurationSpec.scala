@@ -117,6 +117,58 @@ class CurationSpec extends SparkFunSuite {
     assert(r.keys.groupBy(_._1).forall(_._2.size == 2))
   }
 
+  test("vadAudio: real WAV silence/tone segmentation; fake and bad paths") {
+    import org.apache.spark.sql.Row
+    import graft.llm.Multimodal
+    import javax.sound.sampled._
+    // 8000 Hz mono WAV: 0.5s silence, 1s tone, 0.5s silence, 0.5s tone
+    val rate = 8000
+    val seg = Seq((0.0, 4000), (0.5, 8000), (0.0, 4000), (0.5, 4000))
+    val pcm = new java.io.ByteArrayOutputStream()
+    seg.foreach { case (amp, n) =>
+      (0 until n).foreach { i =>
+        val s = math.round(math.sin(2 * math.Pi * 440 * i / rate)
+          * amp * 32767).toInt
+        pcm.write(s & 0xff); pcm.write((s >> 8) & 0xff)
+      }
+    }
+    val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm.toByteArray), fmt,
+      (pcm.size() / 2).toLong), AudioFileFormat.Type.WAVE, bos)
+    val corrupt = "RIFF0000WAVE".getBytes("UTF-8") ++
+      Array.fill[Byte](8)(0x7f)
+    val rows = Seq(
+      Row(1L, "audio", bos.toByteArray, "audio/wav", null, null, 0L, "w"),
+      Row(2L, "audio", corrupt, "audio/wav", null, null, 0L, "bad"),
+      Row(3L, "audio", Array.fill[Byte](40)(100), "fake", null, null, 0L, "f"))
+    val media = sp.createDataFrame(
+      sp.sparkContext.parallelize(rows, 2), Multimodal.mediaSchema)
+    // frame = 400 samples (50ms): 20000 samples = 50 frames, 30 toned
+    val r = Multimodal.vadAudio(media, frame = 400, thresholdFrac = 0.5)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    val w = r(1L)
+    assert(w.getBoolean(5))
+    assert(w.getInt(1) == 50)
+    // tone frames voiced, silence frames not: 20 + 10 voiced, longest
+    // run = the 1s tone block = 20 frames
+    assert(w.getInt(2) == 30, s"n_voiced ${w.getInt(2)}")
+    assert(w.getInt(4) == 20, s"max_run ${w.getInt(4)}")
+    assert(math.abs(w.getDouble(3) - 0.6) < 1e-9)
+    // corrupt WAV: decode failure, not a fake fallback
+    assert(!r(2L).getBoolean(5) && r(2L).isNullAt(1))
+    // 40 fake bytes < one 400-sample frame: too short -> vad_ok=false
+    assert(!r(3L).getBoolean(5))
+    // rerun with frame=8: 5 full frames of CONSTANT bytes -> every frame
+    // rms equals the global rms (> 0.5x threshold) -> all voiced
+    val f8 = Multimodal.vadAudio(media, frame = 8, thresholdFrac = 0.5)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    val f = f8(3L)
+    assert(f.getBoolean(5) && f.getInt(1) == 5 && f.getInt(2) == 5 &&
+      f.getInt(4) == 5)
+  }
+
   test("knnGraphCells: equals brute force when every cell is probed") {
     val rnd = new scala.util.Random(11)
     // two well-separated clusters around (1,0,...) and (0,1,...)
