@@ -3475,6 +3475,72 @@ object SparkEntry {
              |FROM agg a LEFT JOIN mr USING (media_id)
              |ORDER BY 1""".stripMargin)),
 
+    // -- autocorrelation: the period detector for seasonalDecompose ------
+    // bucket means, then corr(v_t, v_{t+k}) per (series, lag) over the
+    // tiny bucket frame; zero-variance lags are null on both sides
+    "ts_acf" -> Gated(
+      (s, d) => TsAnalytics.autocorrelation(
+          TestData.events(s, d).samples, Seq("metric"), "ts", "value",
+          bucketNs = H6, maxLag = 8)
+        .orderBy(col("metric"), col("lag")),
+      Some(s"""WITH b AS (SELECT event_type AS metric,
+              |    $tsSql // $H6 AS bi, avg(value) AS v
+              |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
+              |SELECT l.metric, k.lag, count(*) AS n,
+              |  round(corr(l.v, r.v), 6) AS acf
+              |FROM b l CROSS JOIN (SELECT unnest(range(1, 9)) AS lag) k
+              |JOIN b r ON r.metric = l.metric AND r.bi = l.bi + k.lag
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // -- hash-sampled quantiles: bounded-memory percentiles at scale -----
+    // md5-fraction row sample (dropped before any shuffle) + exact
+    // interpolated percentile over the sample — deterministic and
+    // replayable, unlike approx_percentile's engine-private sketch
+    "ts_quantile_sampled" -> Gated(
+      (s, d) => TsAnalytics.sampledQuantiles(
+          TestData.eventsRaw(s, d)
+            .withColumn("metric", col("event_type")),
+          Seq("metric"), "event_id", "value", theta = 0.25,
+          probs = Seq(0.5, 0.95))
+        .orderBy(col("metric")),
+      Some(s"""SELECT event_type AS metric, count(value) AS n_sampled,
+              |  round(quantile_cont(value, 0.5), 6) AS p50,
+              |  round(quantile_cont(value, 0.95), 6) AS p95
+              |FROM events
+              |WHERE ${md5FracSql("event_id::VARCHAR")} < 0.25
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // -- mutual-kNN clustering: cluster count falls out of the data ------
+    // reciprocated top-3 edges (hub suppression) -> connected
+    // components; the twin replays the graph, the mutual filter, and a
+    // recursive transitive closure
+    "embed_knn_clusters" -> Gated(
+      (s, d) => Embed.knnClusters(
+          Embed.knnGraph(TestData.table(s, d, "embeddings"), k = 3))
+        .orderBy(col("vec_id")),
+      Some("""WITH RECURSIVE e AS (SELECT vec_id,
+             |    list_transform(embedding, x -> x::DOUBLE) AS v
+             |  FROM embeddings
+             |  WHERE list_sum(list_transform(embedding,
+             |    x -> x::DOUBLE * x)) > 0),
+             |s AS (SELECT q.vec_id AS qid, n.vec_id AS neighbor_id,
+             |    round(list_cosine_similarity(q.v, n.v), 6) AS score
+             |  FROM e q JOIN e n ON n.vec_id <> q.vec_id),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+             |    ORDER BY score DESC, neighbor_id ASC) AS rnk FROM s),
+             |kn AS (SELECT qid, neighbor_id FROM r WHERE rnk <= 3),
+             |mu AS (SELECT l.qid AS a, l.neighbor_id AS b
+             |  FROM kn l JOIN kn m ON l.qid = m.neighbor_id
+             |    AND l.neighbor_id = m.qid
+             |  WHERE l.qid < l.neighbor_id),
+             |edges AS (SELECT a AS u, b AS v FROM mu
+             |  UNION SELECT b, a FROM mu),
+             |reach(u, v) AS (SELECT u, v FROM edges
+             |  UNION SELECT rr.u, e2.v FROM reach rr
+             |    JOIN edges e2 ON rr.v = e2.u)
+             |SELECT u AS vec_id, least(u, min(v)) AS cluster
+             |FROM reach GROUP BY u ORDER BY 1""".stripMargin)),
+
     // -- flagship analytics aggregate over lineitem (bench headline) -----
     "q1_agg" -> Gated(
       (s, d) => TestData.table(s, d, "lineitem")

@@ -870,6 +870,30 @@ object Embed {
         col("rnk").cast("long").as("rnk"))
   }
 
+  /** Mutual-kNN clustering over a neighbor graph (the output of
+    * [[knnGraph]] or [[knnGraphCells]]): keep only RECIPROCATED edges
+    * (i in j's top-k AND j in i's top-k — the standard trick that stops
+    * hub vectors from chaining unrelated clusters together), then take
+    * connected components. No k-for-k-means to pick: cluster count
+    * falls out of the data.
+    *
+    * Shape: the mutual filter is one self-join of the (qid, neighbor)
+    * edge list on the reversed pair — k·n rows a side, never vectors;
+    * components are [[Dedup.connectedComponents]]' pointer-jumping
+    * rounds. Output: `vec_id`, `cluster` (smallest reachable id);
+    * vectors with no mutual edge are absent (singletons). */
+  def knnClusters(graph: DataFrame): DataFrame = {
+    val e = graph.select(col("qid"), col("neighbor_id"))
+    val mutual = e.alias("l")
+      .join(e.alias("r"),
+        col("l.qid") === col("r.neighbor_id") &&
+          col("l.neighbor_id") === col("r.qid"))
+      .filter(col("l.qid") < col("l.neighbor_id"))
+      .select(col("l.qid").as("a"), col("l.neighbor_id").as("b"))
+    graft.llm.Dedup.connectedComponents(mutual)
+      .select(col("node").as("vec_id"), col("component").as("cluster"))
+  }
+
   /** Top right-singular direction of the (uncentered) embedding matrix
     * by deterministic power iteration — the dominant-direction probe
     * used for embedding diagnostics (anisotropy / "rogue dimension"

@@ -349,6 +349,81 @@ object TsAnalytics {
       spark.sparkContext.parallelize(rows, 1), schema)
   }
 
+  /** Per-series autocorrelation function over bucketed values — the
+    * period detector that tells you WHAT `period` to hand to
+    * [[seasonalDecompose]] (a daily-periodic metric spikes at the
+    * 24h-bucket lag). Values are bucket means; for each lag `k` in
+    * `1..maxLag`, Pearson correlation of (v_t, v_{t+k}) over bucket
+    * pairs exactly k buckets apart (gaps simply contribute no pair).
+    *
+    * Shape: ONE fact-table aggregate down to the bucket frame, then an
+    * exploded self-join on (key, bucket+lag) over that tiny frame —
+    * maxLag x nBuckets rows, nowhere near the raw samples. Zero
+    * variance at a lag yields a null acf (Spark's NaN is normalized so
+    * the result replays in engines that return NULL).
+    *
+    * Output: on cols, `lag`, `n` (pairs), `acf` (rounded 6). */
+  def autocorrelation(df: DataFrame, on: Seq[String], tsCol: String,
+                      valueCol: String, bucketNs: Long,
+                      maxLag: Int): DataFrame = {
+    require(on.nonEmpty && bucketNs > 0 && maxLag >= 1)
+    val buckets = df
+      .select((on.map(col) :+ expr(s"$tsCol div ${bucketNs}L").as("__b") :+
+        col(valueCol).cast("double").as("__v")): _*)
+      .filter(col("__v").isNotNull)
+      .groupBy((on.map(col) :+ col("__b")): _*)
+      .agg(avg(col("__v")).as("__v"))
+      .localCheckpoint() // feeds both join sides: one fact-table scan
+    val lagged = buckets
+      .withColumn("lag", explode(expr(s"sequence(1L, ${maxLag}L)")))
+      .alias("l")
+    val shifted = buckets.select(
+      (on.map(col) :+ col("__b").as("__b2") :+ col("__v").as("__v2")): _*)
+      .alias("r")
+    // Pearson from moments with an explicit zero-variance guard:
+    // ANSI-mode `corr` THROWS on a constant series instead of returning
+    // null, and engines that return NULL (DuckDB) must agree
+    val sl = stddev_samp(col("l.__v")); val sr = stddev_samp(col("__v2"))
+    val cv = covar_samp(col("l.__v"), col("__v2"))
+    lagged
+      .join(shifted, on.map(k => col(s"l.$k") === col(s"r.$k"))
+        .reduce(_ && _) && col("__b2") === col("l.__b") + col("lag"))
+      .groupBy((on.map(k => col(s"l.$k")) :+ col("lag")): _*)
+      .agg(count(lit(1)).as("n"),
+        when(sl > 0 && sr > 0, round(cv / (sl * sr), 6)).as("acf"))
+  }
+
+  /** Hash-sampled quantiles: the bounded-memory path for exact-style
+    * percentile reporting at 100 TB. [[bucketQuantiles]] buffers every
+    * group value; here rows whose md5-60-bit fraction of `idCol` is
+    * below `theta` survive (the [[thetaDistinct]] filter — dropped
+    * BEFORE any shuffle), and the exact interpolated percentile runs
+    * over the sample, so per-group memory is theta·|group| with a
+    * deterministic, externally replayable sample — unlike
+    * approx_percentile's engine-private sketch, the oracle recomputes
+    * the identical result.
+    *
+    * Output: group cols, `n_sampled`, one `p<NN>` per prob. */
+  def sampledQuantiles(df: DataFrame, groupCols: Seq[String],
+                       idCol: String, valueCol: String, theta: Double,
+                       probs: Seq[Double] = Seq(0.5, 0.95, 0.99),
+                       seed: String = ""): DataFrame = {
+    require(theta > 0.0 && theta <= 1.0 && probs.nonEmpty)
+    val frac = conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(seed))), 1, 15), 16, 10).cast("long").cast("double") /
+      lit(Hash60Universe)
+    val agged = df
+      .filter(frac < lit(theta))
+      .groupBy(groupCols.map(col): _*)
+      .agg(percentile(col(valueCol),
+        array(probs.map(p => lit(p)): _*)).as("__q"),
+        count(col(valueCol)).as("n_sampled"))
+    val qCols = probs.zipWithIndex.map { case (p, i) =>
+      round(col("__q").getItem(i), 6).as("p" + math.round(p * 100).toInt)
+    }
+    agged.select((groupCols.map(col) ++ (col("n_sampled") +: qCols)): _*)
+  }
+
   /** Seasonal-adjusted anomaly report: run [[seasonalDecompose]], then
     * flag buckets whose remainder exceeds `nSigma` sample standard
     * deviations of the series' remainders — "unusual AFTER accounting

@@ -169,6 +169,25 @@ class CurationSpec extends SparkFunSuite {
       f.getInt(4) == 5)
   }
 
+  test("knnClusters: mutual edges only; hub cannot chain clusters") {
+    // two tight clusters + a "hub" vector equidistant from both: the
+    // hub lists members of both clusters in its top-k, but no member
+    // reciprocates past its own cluster, so components stay separate
+    val rows = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)), (2L, Seq(0.99f, 0.01f, 0.0f)),
+      (3L, Seq(0.98f, 0.02f, 0.0f)),
+      (10L, Seq(0.0f, 1.0f, 0.0f)), (11L, Seq(0.01f, 0.99f, 0.0f)),
+      (12L, Seq(0.02f, 0.98f, 0.0f)),
+      (99L, Seq(0.7f, 0.7f, 0.1f))) // hub between the clusters
+    val g = Embed.knnGraph(rows.toDF("vec_id", "embedding"), k = 2)
+    val c = Embed.knnClusters(g).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c(1L) == 1L && c(2L) == 1L && c(3L) == 1L)
+    assert(c(10L) == 10L && c(11L) == 10L && c(12L) == 10L)
+    // the hub reciprocates with nobody's top-2 -> absent (singleton)
+    assert(!c.contains(99L))
+  }
+
   test("knnGraphCells: equals brute force when every cell is probed") {
     val rnd = new scala.util.Random(11)
     // two well-separated clusters around (1,0,...) and (0,1,...)

@@ -339,6 +339,43 @@ class TsAnalyticsSpec extends SparkFunSuite {
     assert(s.getLong(1) == 0L && s.isNullAt(5) && s.isNullAt(6))
   }
 
+  test("autocorrelation: detects the period; gaps drop pairs; flat is null") {
+    // period-3 sawtooth over 30 buckets: acf(3) = acf(6) = 1 exactly,
+    // acf at non-multiples is negative (pattern anti-aligns)
+    val saw = (0 until 30).map(i => ("m", i * 10L, (i % 3).toDouble))
+    val flat = (0 until 10).map(i => ("f", i * 10L, 5.0))
+    val df = (saw ++ flat).toDF("g", "ts", "v")
+    val r = TsAnalytics.autocorrelation(df, Seq("g"), "ts", "v",
+        bucketNs = 10L, maxLag = 6)
+      .collect().map(x => (x.getString(0), x.getLong(1)) ->
+        (x.getLong(2), if (x.isNullAt(3)) None else Some(x.getDouble(3))))
+      .toMap
+    assert(r(("m", 3L))._2.contains(1.0))
+    assert(r(("m", 6L))._2.contains(1.0))
+    assert(r(("m", 1L))._2.exists(_ < 0))
+    // pair counts shrink with lag: 27 pairs at lag 3, 24 at lag 6
+    assert(r(("m", 3L))._1 == 27L && r(("m", 6L))._1 == 24L)
+    // constant series: zero variance -> null acf at every lag
+    (1L to 6L).foreach(k => assert(r(("f", k))._2.isEmpty, s"flat lag $k"))
+  }
+
+  test("sampledQuantiles: theta=1 equals exact; sample is deterministic") {
+    val df = (1 to 1000).map(i => ("g", i.toLong, i.toDouble))
+      .toDF("g", "id", "v")
+    val exact = TsAnalytics.sampledQuantiles(df, Seq("g"), "id", "v",
+        theta = 1.0, probs = Seq(0.5)).collect().head
+    assert(exact.getLong(1) == 1000L && exact.getDouble(2) == 500.5)
+    val s1 = TsAnalytics.sampledQuantiles(df, Seq("g"), "id", "v",
+        theta = 0.3, probs = Seq(0.5)).collect().head
+    val s2 = TsAnalytics.sampledQuantiles(df, Seq("g"), "id", "v",
+        theta = 0.3, probs = Seq(0.5)).collect().head
+    assert(s1.getLong(1) == s2.getLong(1) &&
+      s1.getDouble(2) == s2.getDouble(2))
+    // ~30% of rows survive and the median estimate is in the ballpark
+    assert(s1.getLong(1) > 200 && s1.getLong(1) < 400, s1.getLong(1))
+    assert(math.abs(s1.getDouble(2) - 500.0) < 150.0)
+  }
+
   test("dedupBloom: no false negatives; FP rate bounded; deterministic") {
     val seen = (0 until 200).map(i => (i.toLong, s"seen document $i"))
       .toDF("doc_id", "text")
