@@ -3541,6 +3541,70 @@ object SparkEntry {
              |SELECT u AS vec_id, least(u, min(v)) AS cluster
              |FROM reach GROUP BY u ORDER BY 1""".stripMargin)),
 
+    // -- cross-correlation: lead/lag between two metrics -----------------
+    "ts_ccf" -> Gated(
+      (s, d) => {
+        val ev = TestData.events(s, d).samples
+        TsAnalytics.crossCorrelation(
+            ev.filter(col("metric") === "click"),
+            ev.filter(col("metric") === "purchase"),
+            "ts", "value", bucketNs = H6, maxLag = 6)
+          .orderBy(col("lag"))
+      },
+      Some(s"""WITH a AS (SELECT $tsSql // $H6 AS bi, avg(value) AS v
+              |  FROM events WHERE event_type = 'click'
+              |    AND value IS NOT NULL GROUP BY 1),
+              |b AS (SELECT $tsSql // $H6 AS bi, avg(value) AS v
+              |  FROM events WHERE event_type = 'purchase'
+              |    AND value IS NOT NULL GROUP BY 1)
+              |SELECT k.lag, count(*) AS n, round(corr(a.v, b.v), 6) AS ccf
+              |FROM a CROSS JOIN (SELECT unnest(range(-6, 7)) AS lag) k
+              |JOIN b ON b.bi = a.bi + k.lag
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // -- cohort retention: do week-1 users come back in week 3? ----------
+    "ts_cohort_retention" -> Gated(
+      (s, d) => EventOps.cohortRetention(
+          TestData.eventsRaw(s, d), "user_id", "ts", bucketNs = 7 * Day)
+        .orderBy(col("cohort"), col("age")),
+      Some(s"""WITH act AS (SELECT DISTINCT user_id AS u,
+              |    $tsSql // ${7 * Day} AS b FROM events),
+              |f AS (SELECT u, min(b) AS c FROM act GROUP BY 1),
+              |cs AS (SELECT c, count(*) AS n_cohort FROM f GROUP BY 1),
+              |aa AS (SELECT f.c, act.b - f.c AS age, count(*) AS n_active
+              |  FROM act JOIN f USING (u) GROUP BY 1, 2)
+              |SELECT aa.c * ${7 * Day} AS cohort, aa.age, aa.n_active,
+              |  cs.n_cohort,
+              |  round(aa.n_active::DOUBLE / cs.n_cohort, 6) AS retention
+              |FROM aa JOIN cs USING (c) ORDER BY 1, 2""".stripMargin)),
+
+    // -- funnel: ordered step completion within a window -----------------
+    // greedy earliest-qualifying-event funnel, every step strictly after
+    // the previous and the chain within 14 days of step 1
+    "ts_funnel" -> Gated(
+      (s, d) => EventOps.funnel(TestData.eventsRaw(s, d), "user_id",
+          "ts", "event_type", Seq("signup", "click", "purchase"),
+          windowNs = 14 * Day)
+        .orderBy(col("step_idx")),
+      Some(s"""WITH e AS (SELECT user_id AS u, $tsSql AS t,
+              |    event_type AS k FROM events),
+              |s1 AS (SELECT u, min(t) AS t1 FROM e
+              |  WHERE k = 'signup' GROUP BY 1),
+              |s2 AS (SELECT e.u, s1.t1, min(e.t) AS t2
+              |  FROM e JOIN s1 ON e.u = s1.u
+              |  WHERE e.k = 'click' AND e.t > s1.t1
+              |    AND e.t <= s1.t1 + ${14 * Day} GROUP BY 1, 2),
+              |s3 AS (SELECT e.u, s2.t1, min(e.t) AS t3
+              |  FROM e JOIN s2 ON e.u = s2.u
+              |  WHERE e.k = 'purchase' AND e.t > s2.t2
+              |    AND e.t <= s2.t1 + ${14 * Day} GROUP BY 1, 2)
+              |SELECT * FROM (VALUES
+              |  (1::BIGINT, 'signup', (SELECT count(*) FROM s1)),
+              |  (2::BIGINT, 'click', (SELECT count(*) FROM s2)),
+              |  (3::BIGINT, 'purchase', (SELECT count(*) FROM s3)))
+              |  t(step_idx, step, n_users)
+              |ORDER BY 1""".stripMargin)),
+
     // -- flagship analytics aggregate over lineitem (bench headline) -----
     "q1_agg" -> Gated(
       (s, d) => TestData.table(s, d, "lineitem")

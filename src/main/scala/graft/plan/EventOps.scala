@@ -377,6 +377,83 @@ object EventOps {
       .drop("session_window")
   }
 
+  /** Cohort retention: group users by their first-seen time bucket (the
+    * cohort), then for each cohort and age (buckets since first seen)
+    * report how many of the cohort's users were active — the standard
+    * "do week-1 users come back in week 3" table, unreachable with the
+    * reference's per-series aggregates.
+    *
+    * Shape: distinct (user, bucket) activity + a per-user min-bucket
+    * aggregate, joined back on the user — both frames are user-scale,
+    * not event-scale, after the first map-side-combined distinct.
+    * Retention is n_active / cohort size, rounded 6.
+    *
+    * Output: `cohort` (ns of cohort bucket), `age` (buckets since),
+    * `n_active`, `n_cohort`, `retention`. Age 0 always has
+    * retention 1. */
+  def cohortRetention(df: DataFrame, userCol: String, tsCol: String,
+                      bucketNs: Long): DataFrame = {
+    require(bucketNs > 0)
+    val active = df
+      .select(col(userCol).as("__u"),
+        expr(s"$tsCol div ${bucketNs}L").as("__b"))
+      .distinct()
+    val first = active.groupBy(col("__u"))
+      .agg(min(col("__b")).as("__c"))
+    val counts = first.groupBy(col("__c"))
+      .agg(count(lit(1)).as("n_cohort"))
+    active.join(first, "__u")
+      .groupBy(col("__c"), (col("__b") - col("__c")).as("age"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(counts, "__c")
+      .select((col("__c") * lit(bucketNs)).as("cohort"), col("age"),
+        col("n_active"), col("n_cohort"),
+        round(col("n_active").cast("double") / col("n_cohort"), 6)
+          .as("retention"))
+  }
+
+  /** Funnel analysis: how many users complete each prefix of an ordered
+    * step sequence (e.g. signup -> click -> purchase), each step
+    * STRICTLY after the previous one and the whole chain within
+    * `windowNs` of step 1. Step time = the EARLIEST qualifying event
+    * (min ts after the previous step's time — the standard greedy
+    * funnel, which maximizes completion).
+    *
+    * Shape: one narrow pass per step — filter to the step's events,
+    * aggregate min ts per user (map-side partial), join to the
+    * previous step's user frame; every frame after the first aggregate
+    * is user-scale. steps.size joins of user-scale frames, no window
+    * functions, no event-scale shuffle beyond the per-step aggregate.
+    *
+    * Output: `step_idx` (1-based), `step`, `n_users`. */
+  def funnel(df: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String],
+             windowNs: Long): DataFrame = {
+    require(steps.nonEmpty && windowNs > 0)
+    val spark = df.sparkSession
+    val ev = df.select(col(userCol).as("__u"),
+      col(tsCol).cast("long").as("__t"), col(typeCol).as("__k"))
+    var cur = ev.filter(col("__k") === steps.head)
+      .groupBy(col("__u")).agg(min(col("__t")).as("__t1"))
+      .withColumn("__tprev", col("__t1"))
+    val counts = Vector.newBuilder[(Int, String, Long)]
+    counts += ((1, steps.head, cur.count()))
+    steps.zipWithIndex.drop(1).foreach { case (step, i) =>
+      val nxt = ev.filter(col("__k") === step)
+        .join(cur.select(col("__u"), col("__t1"), col("__tprev")), "__u")
+        .filter(col("__t") > col("__tprev") &&
+          col("__t") <= col("__t1") + lit(windowNs))
+        .groupBy(col("__u"), col("__t1"))
+        .agg(min(col("__t")).as("__tprev"))
+      cur = nxt.localCheckpoint() // each level feeds count + next join
+      counts += ((i + 1, step, cur.count()))
+    }
+    import spark.implicits._
+    counts.result()
+      .toDF("step_idx", "step", "n_users")
+      .withColumn("step_idx", col("step_idx").cast("long"))
+  }
+
   /** Per-session stats over a sessionized frame: start/end ns, row count,
     * value sum — the usual downstream of `sessionize`. */
   def sessionStats(sessioned: DataFrame, on: Seq[String], tsCol: String,

@@ -393,6 +393,38 @@ object TsAnalytics {
         when(sl > 0 && sr > 0, round(cv / (sl * sr), 6)).as("acf"))
   }
 
+  /** Cross-correlation between two series — the lead/lag detector
+    * ("does click lead purchase, and by how many buckets?"). Both
+    * series bucket to means, then for each lag in `-maxLag..maxLag`
+    * Pearson of (a_t, b_{t+lag}) over aligned pairs: a PEAK at a
+    * positive lag means `a` leads `b` by that many buckets. Same
+    * moments-with-guard formulation as [[autocorrelation]].
+    *
+    * Output: `lag`, `n` (pairs), `ccf` (rounded 6, null at
+    * zero-variance lags). */
+  def crossCorrelation(dfA: DataFrame, dfB: DataFrame, tsCol: String,
+                       valueCol: String, bucketNs: Long,
+                       maxLag: Int): DataFrame = {
+    require(bucketNs > 0 && maxLag >= 1)
+    def buckets(df: DataFrame) = df
+      .select(expr(s"$tsCol div ${bucketNs}L").as("__b"),
+        col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("__b")).agg(avg(col("__v")).as("__v"))
+    val a = buckets(dfA)
+      .withColumn("lag",
+        explode(expr(s"sequence(${-maxLag}L, ${maxLag}L)")))
+      .alias("l")
+    val b = buckets(dfB)
+      .select(col("__b").as("__b2"), col("__v").as("__v2")).alias("r")
+    val sl = stddev_samp(col("l.__v")); val sr = stddev_samp(col("__v2"))
+    val cv = covar_samp(col("l.__v"), col("__v2"))
+    a.join(b, col("__b2") === col("l.__b") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"),
+        when(sl > 0 && sr > 0, round(cv / (sl * sr), 6)).as("ccf"))
+  }
+
   /** Hash-sampled quantiles: the bounded-memory path for exact-style
     * percentile reporting at 100 TB. [[bucketQuantiles]] buffers every
     * group value; here rows whose md5-60-bit fraction of `idCol` is

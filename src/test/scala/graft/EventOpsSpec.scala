@@ -239,6 +239,49 @@ class EventOpsSpec extends SparkFunSuite {
     assert(got.count(_._1 == 1) == 2) // exact-gap row merged, +1 split
   }
 
+  test("cohortRetention: first-seen buckets, ages, ratios") {
+    val sp = spark; import sp.implicits._
+    // bucket width 10: users 1,2 first seen in bucket 0 (cohort 0);
+    // user 3 first seen in bucket 1. user 1 active at ages 0,1,2;
+    // user 2 only age 0; user 3 ages 0,1
+    val df = Seq(
+      (1, 0L), (1, 12L), (1, 25L),
+      (2, 5L), (2, 7L),         // same bucket twice: one activity
+      (3, 11L), (3, 22L))
+      .toDF("u", "ts")
+    val r = graft.plan.EventOps.cohortRetention(df, "u", "ts", 10L)
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1)) ->
+        (x.getLong(2), x.getLong(3), x.getDouble(4))).toMap
+    assert(r((0L, 0L)) == ((2L, 2L, 1.0)))
+    assert(r((0L, 1L)) == ((1L, 2L, 0.5)))
+    assert(r((0L, 2L)) == ((1L, 2L, 0.5)))
+    assert(r((10L, 0L)) == ((1L, 1L, 1.0)))
+    assert(r((10L, 1L)) == ((1L, 1L, 1.0)))
+    assert(r.size == 5)
+  }
+
+  test("funnel: strict ordering, window cutoff, greedy step times") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      // u1 completes all three in order within the window
+      (1, 0L, "a"), (1, 5L, "b"), (1, 9L, "c"),
+      // u2: b BEFORE a -> never reaches step 2
+      (2, 10L, "b"), (2, 20L, "a"),
+      // u3: b inside window, c outside (window 100 from t1)
+      (3, 0L, "a"), (3, 50L, "b"), (3, 150L, "c"),
+      // u4: greedy trap — the EARLIEST qualifying b (t=2) precedes c
+      // at t=3, so u4 completes even though a later b (t=90) would not
+      (4, 0L, "a"), (4, 2L, "b"), (4, 90L, "b"), (4, 3L, "c"))
+      .toDF("u", "ts", "k")
+    val r = graft.plan.EventOps.funnel(df, "u", "ts", "k",
+        Seq("a", "b", "c"), windowNs = 100L)
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(r(1L) == 4L) // u1..u4 all have an 'a'
+    assert(r(2L) == 3L) // u2 drops (b precedes a)
+    assert(r(3L) == 2L, s"step 3: ${r(3L)}") // u1 and u4
+  }
+
   test("intervalJoin: matches the naive theta join; one row per pair") {
     val sp = spark; import sp.implicits._
     // intervals chosen to hit: touching-at-instant (closed: overlap 0),

@@ -359,6 +359,24 @@ class TsAnalyticsSpec extends SparkFunSuite {
     (1L to 6L).foreach(k => assert(r(("f", k))._2.isEmpty, s"flat lag $k"))
   }
 
+  test("crossCorrelation: a shifted copy peaks at its shift") {
+    // b is a 3-bucket-delayed copy of a -> ccf peaks (exactly 1) at
+    // lag +3 and is weaker elsewhere; negative lags probe the reverse
+    val rnd = new scala.util.Random(5)
+    val base = (0 until 40).map(_ => rnd.nextInt(1000) / 10.0)
+    val a = base.zipWithIndex.map { case (v, i) => (i * 10L, v) }
+    val b = base.zipWithIndex.map { case (v, i) => ((i + 3) * 10L, v) }
+    val r = TsAnalytics.crossCorrelation(
+        a.toDF("ts", "v"), b.toDF("ts", "v"), "ts", "v",
+        bucketNs = 10L, maxLag = 5)
+      .collect().map(x => x.getLong(0) ->
+        (if (x.isNullAt(2)) None else Some(x.getDouble(2)))).toMap
+    assert(r.size == 11)
+    assert(r(3L).exists(v => math.abs(v - 1.0) < 1e-9), s"lag3 ${r(3L)}")
+    assert(r(0L).exists(v => v < 0.9))
+    assert(r(-3L).exists(v => v < 0.9))
+  }
+
   test("sampledQuantiles: theta=1 equals exact; sample is deterministic") {
     val df = (1 to 1000).map(i => ("g", i.toLong, i.toDouble))
       .toDF("g", "id", "v")
