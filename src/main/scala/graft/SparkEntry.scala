@@ -3605,6 +3605,100 @@ object SparkEntry {
               |  t(step_idx, step, n_users)
               |ORDER BY 1""".stripMargin)),
 
+    // -- TPC-H Q3 shape: top unshipped-revenue orders ---------------------
+    // the fact side carries its pushed-down date filter into the scan;
+    // the filtered BUILDING customer dimension broadcasts (at any scale
+    // the post-filter dimension is the small side; AQE would pick the
+    // same under size misestimates). TakeOrdered caps the result.
+    "q3_shipping" -> Gated(
+      (s, d) => {
+        val cust = TestData.table(s, d, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"))
+        // cast the literal to the COLUMN's timestamp flavor: the driver
+        // parquet has shipped both NTZ and LTZ timestamps across rounds,
+        // and an LTZ-literal-vs-NTZ-column compare fails analysis
+        val ord0 = TestData.table(s, d, "orders")
+        val ord = ord0
+          .filter(col("o_orderdate") <
+            lit("1997-01-01").cast(ord0.schema("o_orderdate").dataType))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        val li0 = TestData.table(s, d, "lineitem")
+        val li = li0
+          .filter(col("l_shipdate") >
+            lit("1997-01-01").cast(li0.schema("l_shipdate").dataType))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+            4).as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderdate").asc,
+            col("l_orderkey").asc)
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, o_orderdate,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1997-01-01'
+             |  AND l_shipdate > TIMESTAMP '1997-01-01'
+             |GROUP BY 1, 2
+             |ORDER BY revenue DESC, o_orderdate, l_orderkey
+             |LIMIT 10""".stripMargin)),
+
+    // -- TPC-H Q5 shape: local-supplier revenue per ASIA nation ----------
+    // region -> nation -> (customer, supplier) all broadcast (true
+    // dimensions); the customer-nation = supplier-nation equi-pair
+    // rides the join keys, ONE shuffle pair on the fact tables
+    "q5_region_volume" -> Gated(
+      (s, d) => {
+        val region = TestData.table(s, d, "region")
+          .filter(col("r_name") === "ASIA")
+        val nation = TestData.table(s, d, "nation")
+          .join(broadcast(region),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))
+        val cust = TestData.table(s, d, "customer")
+          .join(broadcast(nation),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_nationkey"))
+        val supp = TestData.table(s, d, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))
+        val ord0 = TestData.table(s, d, "orders")
+        val odt = ord0.schema("o_orderdate").dataType
+        val ord = ord0
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast(odt) &&
+            col("o_orderdate") < lit("1997-01-01").cast(odt))
+          .select(col("o_orderkey"), col("o_custkey"))
+        TestData.table(s, d, "lineitem")
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(TestData.table(s, d, "nation")
+              .select(col("n_nationkey"), col("n_name"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+            4).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name").asc)
+      },
+      Some("""SELECT n_name,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |  AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1997-01-01'
+             |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin)),
+
     // -- flagship analytics aggregate over lineitem (bench headline) -----
     "q1_agg" -> Gated(
       (s, d) => TestData.table(s, d, "lineitem")
