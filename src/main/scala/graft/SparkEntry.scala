@@ -3605,6 +3605,54 @@ object SparkEntry {
               |  t(step_idx, step, n_users)
               |ORDER BY 1""".stripMargin)),
 
+    // -- end-to-end dedup pipeline: candidates -> clusters -> keep best --
+    // the full production shape: MinHash-LSH pairs, connected
+    // components, then ONE survivor per cluster (longest text, ties to
+    // the smallest id) plus all unclustered docs
+    "doc_dedup_pipeline" -> Gated(
+      (s, d) => {
+        val docs = TestData.table(s, d, "documents")
+        val clusters = Dedup.connectedComponents(
+          Dedup.minhashLsh(docs, n = 3, bands = 64, rowsPerBand = 2,
+            threshold = 0.5))
+        Dedup.dedupKeepBest(docs, clusters, col("n_chars").cast("double"))
+          .select(col("doc_id")).orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE toks AS (
+             |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+             |  FROM documents),
+             |grams AS (
+             |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+             |    THEN list_transform(range(1, len(t) - 1),
+             |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+             |    ELSE [] END) AS g
+             |  FROM toks),
+             |pairs AS (
+             |  SELECT a, b FROM (
+             |    SELECT x.doc_id AS a, y.doc_id AS b,
+             |      len(list_intersect(x.g, y.g))::DOUBLE /
+             |        (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g))) AS j
+             |    FROM grams x JOIN grams y ON x.doc_id < y.doc_id)
+             |  WHERE j >= 0.5),
+             |edges AS (
+             |  SELECT a AS u, b AS v FROM pairs
+             |  UNION SELECT b, a FROM pairs),
+             |reach(u, v) AS (
+             |  SELECT u, v FROM edges
+             |  UNION
+             |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+             |, comp AS (SELECT u AS node, least(u, min(v)) AS component
+             |  FROM reach GROUP BY u),
+             |best AS (SELECT node FROM (
+             |    SELECT c.node, row_number() OVER (PARTITION BY c.component
+             |      ORDER BY d.n_chars DESC, c.node ASC) AS rn
+             |    FROM comp c JOIN documents d ON d.doc_id = c.node)
+             |  WHERE rn = 1)
+             |SELECT doc_id FROM documents
+             |WHERE doc_id NOT IN (SELECT node FROM comp)
+             |   OR doc_id IN (SELECT node FROM best)
+             |ORDER BY 1""".stripMargin)),
+
     // -- TPC-H Q3 shape: top unshipped-revenue orders ---------------------
     // the fact side carries its pushed-down date filter into the scan;
     // the filtered BUILDING customer dimension broadcasts (at any scale

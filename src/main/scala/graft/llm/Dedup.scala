@@ -558,4 +558,35 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
       .select(col("a"), col("b"), col("hamming"))
   }
+
+  /** The final step of a near-dup pipeline: given the corpus, the
+    * cluster assignment ([[connectedComponents]] output — `node`,
+    * `component`), and a quality expression, keep exactly ONE doc per
+    * near-dup cluster (highest quality, ties to the smallest id) plus
+    * every unclustered doc. This is "dedup by cluster, keep the best
+    * copy" — dropping by pairwise edges alone either over-deletes (both
+    * ends) or keeps transitive dup families.
+    *
+    * Shape: the cluster frame is pair-graph-sized (only docs with an
+    * edge), so the rank window runs on the small frame; the corpus is
+    * touched by one anti + one semi membership join on the id — AQE
+    * broadcasts them when the clustered-id set is small enough and
+    * falls back to a shuffle join when a dup-heavy corpus makes it
+    * large. Output: the kept rows of `docs`, unchanged. */
+  def dedupKeepBest(docs: DataFrame, clusters: DataFrame, quality: Column,
+                    idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = docs.select(col(idCol).as("__id"), quality.as("__q"))
+    val best = clusters
+      .join(q, col("node") === col("__id"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("component"))
+          .orderBy(col("__q").desc, col("node").asc)))
+      .filter(col("__rn") === 1)
+      .select(col("node"))
+    val members = clusters.select(col("node"))
+    docs.join(members, col(idCol) === col("node"), "left_anti")
+      .unionByName(
+        docs.join(best, col(idCol) === col("node"), "left_semi"))
+  }
 }

@@ -134,6 +134,35 @@ object StreamIngest {
       .drop("bucket_event")
   }
 
+  /** Continuous M4 chart downsampling — the streaming twin of
+    * [[graft.plan.TsAnalytics.m4Downsample]], same bucketing/watermark
+    * scheme as [[continuousGroupAggregate]] (ns-exact buckets, expiry
+    * driven by the µs bucket-end column). A live dashboard reads the
+    * sink instead of re-downsampling the full history per refresh;
+    * first/last ride min/max over (ts, value) structs exactly like the
+    * batch operator, so batch and streaming tiles are interchangeable. */
+  def continuousM4(samples: DataFrame, stepNs: Long,
+                   latenessSec: Int = 60, anchorNs: Long = 0L): DataFrame =
+    samples
+      .withColumn("bucket_ts",
+        (col("ts") - pmod(col("ts") - lit(anchorNs), lit(stepNs))).cast("long"))
+      .withColumn("bucket_event",
+        timestamp_micros(((col("bucket_ts") + lit(stepNs)) / 1000L).cast("long")))
+      .withColumn("sname",
+        TsStore.snameOf(col("metric"), TsStore.tagStr(col("tags"))))
+      .filter(col("value").isNotNull)
+      .withWatermark("bucket_event", s"$latenessSec seconds")
+      .groupBy(col("sname"), col("bucket_ts"), col("bucket_event"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("value")).as("v_min"), max(col("value")).as("v_max"),
+        min(struct(col("ts"), col("value"))).as("__f"),
+        max(struct(col("ts"), col("value"))).as("__l"))
+      .select(col("sname"), col("bucket_ts"), col("n"),
+        col("v_min"), col("v_max"),
+        col("__f.ts").as("ts_first"), col("__f.value").as("v_first"),
+        col("__l.ts").as("ts_last"), col("__l.value").as("v_last"))
+
   /** Streaming EWMA per series via flatMapGroupsWithState — the stateful
     * pipeline nodes (ewma/sma) in their streaming form (SURVEY §2.5:
     * `KeyValueGroupedDataset` custom state). Emits one forecast PER

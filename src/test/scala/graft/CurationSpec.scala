@@ -169,6 +169,22 @@ class CurationSpec extends SparkFunSuite {
       f.getInt(4) == 5)
   }
 
+  test("dedupKeepBest: one survivor per cluster, singletons untouched") {
+    import graft.llm.Dedup
+    val docs = Seq(
+      (1L, "short", 5.0), (2L, "longer copy", 11.0), (3L, "other", 9.0),
+      (4L, "tie a", 7.0), (5L, "tie b", 7.0),   // equal quality: min id
+      (9L, "unique", 3.0))
+      .toDF("doc_id", "text", "q")
+    val clusters = Seq((1L, 1L), (2L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("node", "component")
+    val kept = Dedup.dedupKeepBest(docs, clusters, col("q"))
+      .select("doc_id").as[Long].collect().toSet
+    // cluster {1,2}: 2 wins on quality; cluster {4,5}: tie -> 4;
+    // 3 and 9 were never clustered -> kept
+    assert(kept == Set(2L, 4L, 3L, 9L))
+  }
+
   test("knnClusters: mutual edges only; hub cannot chain clusters") {
     // two tight clusters + a "hub" vector equidistant from both: the
     // hub lists members of both clusters in its top-k, but no member

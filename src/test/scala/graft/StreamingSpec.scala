@@ -351,6 +351,42 @@ class StreamingSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("continuous M4 matches the batch downsample tile-for-tile") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val input = MemoryStream[(String, Long, Double)]
+    val samples = input.toDF().toDF("metric", "ts", "value")
+      .withColumn("tags", map(lit("h"), lit("a")))
+    val step = 10L * 1000000000L
+    val q = StreamIngest.continuousM4(samples, stepNs = step)
+      .writeStream.format("memory").queryName("cm4")
+      .outputMode(OutputMode.Update).start()
+    try {
+      val t0 = 1700000000L * 1000000000L
+      val data = Seq(
+        ("m", t0 + 1L, 5.0), ("m", t0 + 3L, 1.0), ("m", t0 + 9L, 8.0),
+        ("m", t0 + 9L, 2.0), // dup instant: larger value = last
+        ("m", t0 + step + 4L, 4.0))
+      input.addData(data: _*)
+      q.processAllAvailable()
+      val got = sp.sql(
+        """SELECT bucket_ts, n, v_min, v_max, ts_first, v_first,
+          |  ts_last, v_last FROM cm4 ORDER BY bucket_ts""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getLong(4), r.getDouble(5), r.getLong(6),
+          r.getDouble(7)))
+      val want = graft.plan.TsAnalytics.m4Downsample(
+          data.toDF("metric", "ts", "value"), Seq("metric"), "ts",
+          "value", step)
+        .orderBy("bucket")
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getDouble(4), r.getLong(5), r.getDouble(6), r.getLong(7),
+          r.getDouble(8)))
+      assert(got.toSeq == want.toSeq)
+    } finally q.stop()
+  }
+
   test("streaming near-dup candidates: cross-batch owners, exact recall") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
