@@ -3653,6 +3653,86 @@ object SparkEntry {
              |   OR doc_id IN (SELECT node FROM best)
              |ORDER BY 1""".stripMargin)),
 
+    // -- score calibration: per-source percent rank + z-score ------------
+    "doc_quality_rank" -> Gated(
+      (s, d) => Sample.normalizeScores(TestData.table(s, d, "documents"),
+          Seq("source"), col("n_chars").cast("double"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, source, n_chars::DOUBLE AS score,
+             |  round(percent_rank() OVER (PARTITION BY source
+             |    ORDER BY n_chars::DOUBLE, doc_id), 6) AS prank,
+             |  CASE WHEN stddev_samp(n_chars::DOUBLE)
+             |      OVER (PARTITION BY source) > 0
+             |    THEN round((n_chars::DOUBLE - avg(n_chars::DOUBLE)
+             |        OVER (PARTITION BY source))
+             |      / stddev_samp(n_chars::DOUBLE)
+             |        OVER (PARTITION BY source), 6)
+             |  END AS z
+             |FROM documents ORDER BY 1""".stripMargin)),
+
+    // -- cross-corpus near-dup: did corpus A duplicate corpus B? ---------
+    // sources split into two halves; one banding pass over the tagged
+    // union, same-side candidates dropped before verification
+    "doc_crossdup" -> Gated(
+      (s, d) => {
+        val docs = TestData.table(s, d, "documents")
+        val srcNum = regexp_extract(col("source"), "([0-9]+)", 1)
+          .cast("int")
+        Dedup.crossDupPairs(
+            docs.filter(srcNum < 10), docs.filter(srcNum >= 10))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, source,
+             |    string_split_regex(trim(lower(text)), '\s+') AS t
+             |  FROM documents),
+             |grams AS (SELECT doc_id,
+             |    CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) < 10
+             |      AS isa,
+             |    list_distinct(CASE WHEN len(t) >= 3
+             |      THEN list_transform(range(1, len(t) - 1),
+             |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+             |      ELSE [] END) AS g
+             |  FROM toks),
+             |p AS (SELECT
+             |    CASE WHEN x.isa THEN x.doc_id ELSE y.doc_id END AS id_a,
+             |    CASE WHEN x.isa THEN y.doc_id ELSE x.doc_id END AS id_b,
+             |    len(list_intersect(x.g, y.g))::DOUBLE /
+             |      (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g)))
+             |      AS j
+             |  FROM grams x JOIN grams y
+             |    ON x.doc_id < y.doc_id AND x.isa <> y.isa)
+             |SELECT id_a, id_b, round(j, 6) AS jaccard FROM p
+             |WHERE j >= 0.5 ORDER BY 1, 2""".stripMargin)),
+
+    // -- TPC-H Q18 shape: customers with outsized orders -----------------
+    // the HAVING-filtered aggregate is tiny by construction (threshold
+    // picks outliers), so it broadcasts into orders, and the enriched
+    // result broadcasts into customer — the fact table is scanned once
+    "q18_large_orders" -> Gated(
+      (s, d) => {
+        val big = TestData.table(s, d, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(round(sum(col("l_quantity")), 4).as("tot_qty"))
+          .filter(col("tot_qty") > 250.0)
+        val withOrd = TestData.table(s, d, "orders")
+          .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+        TestData.table(s, d, "customer")
+          .join(broadcast(withOrd), col("c_custkey") === col("o_custkey"))
+          .select(col("c_name"), col("o_orderkey"), col("o_orderdate"),
+            col("tot_qty"))
+          .orderBy(col("tot_qty").desc, col("o_orderkey").asc)
+          .limit(20)
+      },
+      Some("""WITH big AS (SELECT l_orderkey,
+             |    round(sum(l_quantity), 4) AS tot_qty
+             |  FROM lineitem GROUP BY 1
+             |  HAVING round(sum(l_quantity), 4) > 250)
+             |SELECT c_name, o_orderkey, o_orderdate, tot_qty
+             |FROM big
+             |JOIN orders ON o_orderkey = l_orderkey
+             |JOIN customer ON c_custkey = o_custkey
+             |ORDER BY tot_qty DESC, o_orderkey LIMIT 20""".stripMargin)),
+
     // -- TPC-H Q3 shape: top unshipped-revenue orders ---------------------
     // the fact side carries its pushed-down date filter into the scan;
     // the filtered BUILDING customer dimension broadcasts (at any scale

@@ -559,6 +559,37 @@ object Dedup {
       .select(col("a"), col("b"), col("hamming"))
   }
 
+  /** Cross-corpus near-duplicate pairs: docs in `corpusA` whose word
+    * n-gram Jaccard with a doc in `corpusB` crosses the threshold —
+    * the "did our crawl duplicate the licensed set" question, distinct
+    * from in-corpus dedup ([[minhashLsh]]) and from containment-style
+    * decontamination ([[decontaminate]]: any shared shingle window).
+    * Ids must be globally unique across the two inputs.
+    *
+    * Shape: ONE banding pass over the tagged union (same cost as
+    * in-corpus LSH on |A|+|B|), then same-side candidate pairs drop
+    * before verification. Output: `id_a` (always the A-side doc),
+    * `id_b`, `jaccard`. */
+  def crossDupPairs(corpusA: DataFrame, corpusB: DataFrame,
+                    n: Int = 3, bands: Int = 64, rowsPerBand: Int = 2,
+                    threshold: Double = 0.5, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    def side(df: DataFrame, s: Int) =
+      df.select(col(idCol), col(textCol)).withColumn("__side", lit(s))
+    val tagged = side(corpusA, 0).unionByName(side(corpusB, 1))
+    val pairs = minhashLsh(tagged, n, bands, rowsPerBand, threshold,
+      textCol, idCol)
+    val sides = tagged.select(col(idCol).as("__sid"), col("__side"))
+    pairs
+      .join(sides.select(col("__sid").as("a"), col("__side").as("__sa")), "a")
+      .join(sides.select(col("__sid").as("b"), col("__side").as("__sb")), "b")
+      .filter(col("__sa") =!= col("__sb"))
+      .select(
+        when(col("__sa") === 0, col("a")).otherwise(col("b")).as("id_a"),
+        when(col("__sa") === 0, col("b")).otherwise(col("a")).as("id_b"),
+        col("jaccard"))
+  }
+
   /** The final step of a near-dup pipeline: given the corpus, the
     * cluster assignment ([[connectedComponents]] output — `node`,
     * `component`), and a quality expression, keep exactly ONE doc per

@@ -183,6 +183,34 @@ object Sample {
     * draw is reproducible on any cluster and the oracle replays it.
     * One narrow projection + one global top-k (rank via max-k sort,
     * no full sort materialized at the driver). */
+  /** Per-group score calibration: percent rank and z-score of a score
+    * within each group — the normalization step before thresholding a
+    * quality score ACROSS heterogeneous sources (a raw LM score cut
+    * keeps whatever source happens to score high; calibrated ranks cut
+    * each source at its own distribution). Deterministic: percent_rank
+    * orders by (score, id); a zero-variance group gets null z (not
+    * NaN/throw — the ANSI + cross-engine convention used throughout).
+    *
+    * One window pass over (group) — rows carry only (id, group, score).
+    * Output: id, group cols, score, `prank` (0..1), `z` (both
+    * rounded 6). */
+  def normalizeScores(df: DataFrame, groupCols: Seq[String],
+                      score: Column, idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(
+      (col(idCol) +: groupCols.map(col) :+ score.as("__s")): _*)
+    val wOrd = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__s").asc, col(idCol).asc)
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    val sd = stddev_samp(col("__s")).over(wAll)
+    val mu = avg(col("__s")).over(wAll)
+    base
+      .withColumn("prank", round(percent_rank().over(wOrd), 6))
+      .withColumn("z",
+        when(sd > 0, round((col("__s") - mu) / sd, 6)))
+      .withColumnRenamed("__s", "score")
+  }
+
   def gumbelTopK(df: DataFrame, weight: Column, k: Int,
                  idCol: String = "doc_id", seed: String = ""): DataFrame = {
     val key = weight + (-log(-log(hashFrac(col(idCol), seed))))

@@ -169,6 +169,38 @@ class CurationSpec extends SparkFunSuite {
       f.getInt(4) == 5)
   }
 
+  test("normalizeScores: per-group percent rank and z; flat group null z") {
+    import graft.llm.Sample
+    val df = Seq(
+      (1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 30.0),
+      (4L, "b", 7.0), (5L, "b", 7.0)) // constant group
+      .toDF("doc_id", "source", "s")
+    val r = Sample.normalizeScores(df, Seq("source"), col("s"))
+      .collect().map(x => x.getLong(0) ->
+        (x.getDouble(3), if (x.isNullAt(4)) None else Some(x.getDouble(4))))
+      .toMap
+    assert(r(1L)._1 == 0.0 && r(2L)._1 == 0.5 && r(3L)._1 == 1.0)
+    assert(math.abs(r(2L)._2.get) < 1e-9)        // the mean has z 0
+    assert(math.abs(r(3L)._2.get - 1.0) < 1e-9)  // +1 sd
+    // constant group: percent_rank still ranks (id tie-break), z null
+    assert(r(4L)._1 == 0.0 && r(5L)._1 == 1.0)
+    assert(r(4L)._2.isEmpty && r(5L)._2.isEmpty)
+  }
+
+  test("crossDupPairs: only cross-side pairs, A-side always first") {
+    import graft.llm.Dedup
+    val base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    val a = Seq((1L, base), (2L, "totally different words here now ok " * 4))
+      .toDF("doc_id", "text")
+    val b2 = Seq((10L, base), (11L, base + "extra trailing tokens"))
+      .toDF("doc_id", "text")
+    val r = Dedup.crossDupPairs(a, b2, threshold = 0.5)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(r.contains((1L, 10L)))
+    assert(r.forall { case (ia, ib) => ia < 10L && ib >= 10L })
+    assert(!r.exists(_._1 == 2L))
+  }
+
   test("dedupKeepBest: one survivor per cluster, singletons untouched") {
     import graft.llm.Dedup
     val docs = Seq(
