@@ -3653,6 +3653,105 @@ object SparkEntry {
              |   OR doc_id IN (SELECT node FROM best)
              |ORDER BY 1""".stripMargin)),
 
+    // -- vocabulary growth: is the crawl still finding fresh content? ----
+    // count-only output, so the oracle can use string shingles where
+    // the engine uses xxhash64 shingles (distinct counts agree barring
+    // ~2^-64 collisions)
+    "doc_vocab_growth" -> Gated(
+      (s, d) => Text.vocabGrowth(TestData.table(s, d, "documents"),
+          n = 3, batch = 50L)
+        .orderBy(col("batch")),
+      Some("""WITH toks AS (SELECT doc_id,
+             |    string_split_regex(trim(lower(text)), '\s+') AS t
+             |  FROM documents),
+             |grams AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+             |    THEN list_transform(range(1, len(t) - 1),
+             |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+             |    ELSE [] END) AS g FROM toks),
+             |ex AS (SELECT DISTINCT doc_id // 50 AS bk, unnest(g) AS gr
+             |  FROM grams),
+             |fs AS (SELECT gr, min(bk) AS fb FROM ex GROUP BY 1)
+             |SELECT bk * 50 AS batch, count(*) AS n_shingles,
+             |  sum(CASE WHEN fb = bk THEN 1 ELSE 0 END) AS n_new,
+             |  round(sum(CASE WHEN fb = bk THEN 1 ELSE 0 END)::DOUBLE
+             |    / count(*), 6) AS new_frac
+             |FROM ex JOIN fs USING (gr) GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // -- cluster quality: member-to-centroid cosine stats per cell -------
+    "embed_cluster_stats" -> Gated(
+      (s, d) => {
+        val emb = TestData.table(s, d, "embeddings")
+        val init = emb.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+          .select(Embed.normalized(col("embedding")))
+          .collect().toSeq.map(_.getSeq[Double](0).toSeq)
+        val step = Embed.kmeansStep(emb, init)
+          .select(col("cell"), col("dim"), round(col("m"), 6).as("m"))
+          .collect()
+        val byCell = step.groupBy(_.getInt(0))
+        val cents = init.indices.map(c => byCell.get(c).fold(init(c))(
+          rs => rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq))
+        Embed.clusterStats(emb, cents).orderBy(col("cell"))
+      },
+      Some("""WITH e0 AS (SELECT vec_id,
+             |    list_transform(embedding, x -> x::DOUBLE) AS v
+             |  FROM embeddings),
+             |n AS (SELECT vec_id, v, list_transform(v, x ->
+             |    x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS u
+             |  FROM e0),
+             |init AS (SELECT vec_id::INT AS cid, u FROM n WHERE vec_id < 4),
+             |assign0 AS (
+             |  SELECT vec_id, cid FROM (
+             |    SELECT n.vec_id, init.cid,
+             |      row_number() OVER (PARTITION BY n.vec_id
+             |        ORDER BY round(list_cosine_similarity(n.u, init.u), 6)
+             |          DESC, init.cid DESC) AS rn
+             |    FROM n CROSS JOIN init) WHERE rn = 1),
+             |mem AS (SELECT a.cid AS cell, n.u
+             |  FROM assign0 a JOIN n USING (vec_id)),
+             |cm AS (SELECT cell, (i - 1)::INT AS dim, round(avg(u[i]), 6) AS m
+             |  FROM mem CROSS JOIN
+             |    (SELECT unnest(generate_series(1, 64)) AS i)
+             |  GROUP BY 1, 2),
+             |cent AS (SELECT cell, list(m ORDER BY dim) AS cv
+             |  FROM cm GROUP BY cell),
+             |e AS (SELECT vec_id, v FROM e0
+             |  WHERE list_sum(list_transform(v, x -> x * x)) > 0),
+             |sc AS (SELECT e.vec_id, cent.cell,
+             |    round(list_cosine_similarity(e.v, cent.cv), 6) AS cs
+             |  FROM e CROSS JOIN cent),
+             |av AS (SELECT vec_id, cell, cs FROM (SELECT *,
+             |    row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY cs DESC, cell DESC) AS rn FROM sc)
+             |  WHERE rn = 1)
+             |SELECT cell, count(*) AS n, round(avg(cs), 6) AS mean_cos,
+             |  min(cs) AS min_cos, max(cs) AS max_cos
+             |FROM av GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // -- moving-average crossover alerts (golden cross) ------------------
+    "ts_sma_cross" -> Gated(
+      (s, d) => TsAnalytics.smaCross(
+          TestData.events(s, d).samples, Seq("metric"), "ts", "value",
+          bucketNs = H6, fastN = 4, slowN = 12)
+        .orderBy(col("metric"), col("bucket")),
+      Some(s"""WITH b AS (SELECT event_type AS metric,
+              |    $tsSql // $H6 AS bi, avg(value) AS v
+              |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+              |m AS (SELECT *,
+              |    round(avg(v) OVER (PARTITION BY metric ORDER BY bi
+              |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS fast,
+              |    round(avg(v) OVER (PARTITION BY metric ORDER BY bi
+              |      ROWS BETWEEN 11 PRECEDING AND CURRENT ROW), 6) AS slow
+              |  FROM b),
+              |l AS (SELECT *, lag(fast) OVER w AS pf, lag(slow) OVER w AS ps
+              |  FROM m WINDOW w AS (PARTITION BY metric ORDER BY bi))
+              |SELECT metric, bi * $H6 AS bucket,
+              |  CASE WHEN fast > slow THEN 'up' ELSE 'down' END AS direction,
+              |  fast, slow
+              |FROM l WHERE pf IS NOT NULL
+              |  AND ((fast > slow AND pf <= ps)
+              |    OR (fast < slow AND pf >= ps))
+              |ORDER BY 1, 2""".stripMargin)),
+
     // -- score calibration: per-source percent rank + z-score ------------
     "doc_quality_rank" -> Gated(
       (s, d) => Sample.normalizeScores(TestData.table(s, d, "documents"),

@@ -870,6 +870,36 @@ object Embed {
         col("rnk").cast("long").as("rnk"))
   }
 
+  /** Per-cell clustering quality report: for each centroid cell, the
+    * member count and the distribution (mean/min/max) of member-to-
+    * centroid cosine — the cheap "are my clusters tight or mush" check
+    * (silhouette needs all-pairs; this is one narrow pass). Assignment
+    * uses the same rounded-cosine argmax as every IVF path here, and
+    * the member score IS the winning rounded cosine, so the report
+    * replays externally given the same centroids.
+    *
+    * Output: `cell`, `n`, `mean_cos`, `min_cos`, `max_cos` (rounded 6). */
+  def clusterStats(corpus: DataFrame, centroids: Seq[Seq[Double]],
+                   vecCol: String = "embedding"): DataFrame = {
+    require(centroids.nonEmpty)
+    val nonZero = corpus.filter(dot(col(vecCol), col(vecCol)) > 0.0)
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(round(cosine(col(vecCol), array(c.map(lit): _*)), 6)
+        .as("score"), lit(i).as("cid"))
+    }
+    val win =
+      if (centroids.size == 1) scored.head
+      else greatest(scored: _*)
+    nonZero
+      .select(win.getField("cid").as("cell"),
+        win.getField("score").as("__s"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("__s")), 6).as("mean_cos"),
+        min(col("__s")).as("min_cos"),
+        max(col("__s")).as("max_cos"))
+  }
+
   /** Mutual-kNN clustering over a neighbor graph (the output of
     * [[knnGraph]] or [[knnGraphCells]]): keep only RECIPROCATED edges
     * (i in j's top-k AND j in i's top-k — the standard trick that stops

@@ -294,6 +294,40 @@ object Text {
       col("perplexity"), ntile(nBuckets).over(w).as("bucket"))): _*)
   }
 
+  /** Vocabulary-growth curve: per ingestion batch (`idCol div batch`),
+    * how many distinct word-n-gram shingles appear, and what fraction
+    * of them is NEW (first seen in that batch) — the "is the crawl
+    * still finding fresh content" freshness signal; a collapsing
+    * new-fraction means the corpus is saturating (or the crawler is
+    * looping). Batches come from the id order (the ingestion proxy in
+    * this corpus; pass a date-derived id when real timestamps exist).
+    *
+    * Shape: explode to distinct (batch, shingle-hash) rows, one
+    * groupBy(hash) min-batch, join back on the same key (shuffle
+    * reuse), one groupBy(batch) — the noveltyStats shape over batches
+    * instead of docs.
+    *
+    * Output: `batch` (first id of the batch), `n_shingles` (distinct in
+    * batch), `n_new`, `new_frac` (rounded 6). */
+  def vocabGrowth(docs: DataFrame, n: Int = 3, batch: Long = 100L,
+                  textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    require(batch > 0)
+    val ex = docs
+      .select(expr(s"$idCol div ${batch}L").as("__bk"),
+        explode(Dedup.hashedShingles(col(textCol), n)).as("__g"))
+      .distinct()
+    val first = ex.groupBy(col("__g")).agg(min(col("__bk")).as("__fb"))
+    ex.join(first, "__g")
+      .groupBy(col("__bk"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum((col("__fb") === col("__bk")).cast("long")).as("n_new"))
+      .select((col("__bk") * lit(batch)).as("batch"), col("n_shingles"),
+        col("n_new"),
+        round(col("n_new").cast("double") / col("n_shingles"), 6)
+          .as("new_frac"))
+  }
+
   /** Cross-document repeated-line removal — the boilerplate-stripping
     * step of web-corpus cleaning (C4/CCNet/Gopher drop lines occurring
     * in many documents: navigation, cookie banners, footers). A line

@@ -456,6 +456,46 @@ object TsAnalytics {
     agged.select((groupCols.map(col) ++ (col("n_sampled") +: qCols)): _*)
   }
 
+  /** Moving-average crossover events (the "golden cross" alert): per
+    * series, bucket to means, compute a fast and a slow trailing MA
+    * (ROWS windows over existing buckets — a data gap simply makes the
+    * window span more wall time, documented), and emit a row at every
+    * bucket where the fast MA crosses the slow one. Both MAs are
+    * rounded to 6 BEFORE the crossing comparison, so the event set
+    * replays bit-stably across engines.
+    *
+    * One keyed window pass over the bucket frame. Output: on cols,
+    * `bucket` (ns), `direction` ('up' = fast crossed above), `fast`,
+    * `slow`. Warmup rows (fewer than the slow width of history) carry
+    * partial-window averages, the usual charting convention. */
+  def smaCross(df: DataFrame, on: Seq[String], tsCol: String,
+               valueCol: String, bucketNs: Long, fastN: Int,
+               slowN: Int): DataFrame = {
+    require(on.nonEmpty && bucketNs > 0 && fastN >= 1 && slowN > fastN)
+    val buckets = df
+      .select((on.map(col) :+ expr(s"$tsCol div ${bucketNs}L").as("__b") :+
+        col(valueCol).cast("double").as("__v")): _*)
+      .filter(col("__v").isNotNull)
+      .groupBy((on.map(col) :+ col("__b")): _*)
+      .agg(avg(col("__v")).as("__v"))
+    val w = Window.partitionBy(on.map(col): _*).orderBy(col("__b").asc)
+    val fast = round(avg(col("__v")).over(w.rowsBetween(-(fastN - 1), 0)), 6)
+    val slow = round(avg(col("__v")).over(w.rowsBetween(-(slowN - 1), 0)), 6)
+    val withMa = buckets
+      .withColumn("fast", fast).withColumn("slow", slow)
+      .withColumn("__pf", lag(col("fast"), 1).over(w))
+      .withColumn("__ps", lag(col("slow"), 1).over(w))
+    withMa
+      .filter(col("__pf").isNotNull &&
+        ((col("fast") > col("slow") && col("__pf") <= col("__ps")) ||
+         (col("fast") < col("slow") && col("__pf") >= col("__ps"))))
+      .select((on.map(col) ++ Seq(
+        (col("__b") * lit(bucketNs)).as("bucket"),
+        when(col("fast") > col("slow"), lit("up")).otherwise(lit("down"))
+          .as("direction"),
+        col("fast"), col("slow"))): _*)
+  }
+
   /** Seasonal-adjusted anomaly report: run [[seasonalDecompose]], then
     * flag buckets whose remainder exceeds `nSigma` sample standard
     * deviations of the series' remainders — "unusual AFTER accounting

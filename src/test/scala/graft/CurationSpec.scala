@@ -169,6 +169,39 @@ class CurationSpec extends SparkFunSuite {
       f.getInt(4) == 5)
   }
 
+  test("vocabGrowth: first batch is all-new, repeats are not new") {
+    import graft.llm.Text
+    // batch 0 (ids 0,1): two docs, disjoint vocab; batch 1 (ids 2,3):
+    // doc 2 repeats doc 0's text, doc 3 brings one new shingle
+    val df = Seq(
+      (0L, "a b c d"),           // shingles: "a b c", "b c d"
+      (1L, "x y z w"),           // "x y z", "y z w"
+      (2L, "a b c d"),           // all seen
+      (3L, "q r s"))             // "q r s" (new)
+      .toDF("doc_id", "text")
+    val r = Text.vocabGrowth(df, n = 3, batch = 2L)
+      .orderBy("batch").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    assert(r.toSeq == Seq((0L, 4L, 4L, 1.0), (2L, 3L, 1L, 0.333333)))
+  }
+
+  test("clusterStats: per-cell member counts and cosine spread") {
+    val rows = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.8f, 0.6f)),  // cell 0 members
+      (3L, Seq(0.0f, 1.0f)),                          // cell 1
+      (4L, Seq(0.0f, 0.0f)))                          // zero: excluded
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val r = Embed.clusterStats(rows.toDF("vec_id", "embedding"), cents)
+      .orderBy("cell").collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getDouble(2),
+        x.getDouble(3), x.getDouble(4)))
+    assert(r.length == 2)
+    assert(r(0)._1 == 0 && r(0)._2 == 2L)
+    assert(r(0)._4 == 0.8 && r(0)._5 == 1.0)   // min/max member cosine
+    assert(math.abs(r(0)._3 - 0.9) < 1e-9)     // mean of {1.0, 0.8}
+    assert(r(1) == ((1, 1L, 1.0, 1.0, 1.0)))
+  }
+
   test("normalizeScores: per-group percent rank and z; flat group null z") {
     import graft.llm.Sample
     val df = Seq(

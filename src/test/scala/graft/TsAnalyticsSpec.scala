@@ -359,6 +359,20 @@ class TsAnalyticsSpec extends SparkFunSuite {
     (1L to 6L).foreach(k => assert(r(("f", k))._2.isEmpty, s"flat lag $k"))
   }
 
+  test("smaCross: emits exactly the crossing buckets with direction") {
+    // series: 10 low, ramp high (fast MA rises through slow), then back
+    val vals = Seq.fill(10)(1.0) ++ Seq.fill(10)(10.0) ++ Seq.fill(10)(1.0)
+    val df = vals.zipWithIndex.map { case (v, i) => ("m", i * 10L, v) }
+      .toDF("g", "ts", "v")
+    val r = TsAnalytics.smaCross(df, Seq("g"), "ts", "v",
+        bucketNs = 10L, fastN = 2, slowN = 4)
+      .orderBy("bucket").collect()
+      .map(x => (x.getLong(1), x.getString(2)))
+    // one up-cross when the ramp starts, one down-cross when it ends
+    assert(r.map(_._2).toSeq == Seq("up", "down"), r.toSeq.toString)
+    assert(r(0)._1 == 100L && r(1)._1 == 200L, r.toSeq.toString)
+  }
+
   test("crossCorrelation: a shifted copy peaks at its shift") {
     // b is a 3-bucket-delayed copy of a -> ccf peaks (exactly 1) at
     // lag +3 and is weaker elsewhere; negative lags probe the reverse
