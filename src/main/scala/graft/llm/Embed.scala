@@ -849,15 +849,22 @@ object Embed {
       struct(round(cosine(col(vecCol), array(c.map(lit): _*)), 6)
         .as("score"), lit(i).as("cid"))
     }: _*)
-    // top-`probes` cells: sort the (score, cid) structs descending —
-    // ties break to the larger cid, matching centroidIdRounded/greatest
+    // ONE corpus pass computes the nCells assignment cosines; both join
+    // sides project off the checkpointed frame (the naive formulation
+    // scanned the corpus twice, re-evaluating every cosine per side).
+    // array_max over (score, cid) structs = the centroidIdRounded
+    // argmax (ties to the larger cid); descending sort + slice = the
+    // top-`probes` cells under the same tie-break.
+    val base = nonZero.select(col(idCol).as("__id"),
+        col(vecCol).as("__vec"), scoredCells.as("__sc"))
+      .localCheckpoint()
     val probeCells = transform(
-      slice(reverse(array_sort(scoredCells)), 1, probes),
+      slice(reverse(array_sort(col("__sc"))), 1, probes),
       s => s.getField("cid"))
-    val assigned = nonZero.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("__nv"),
-      centroidIdRounded(col(vecCol), centroids).as("__cell"))
-    nonZero.select(col(idCol).as("qid"), col(vecCol).as("__qv"),
+    val assigned = base.select(col("__id").as("neighbor_id"),
+      col("__vec").as("__nv"),
+      array_max(col("__sc")).getField("cid").as("__cell"))
+    base.select(col("__id").as("qid"), col("__vec").as("__qv"),
         explode(probeCells).as("__cell"))
       .join(assigned, "__cell")
       .filter(col("neighbor_id") =!= col("qid"))
