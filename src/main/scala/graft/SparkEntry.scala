@@ -3653,6 +3653,116 @@ object SparkEntry {
              |   OR doc_id IN (SELECT node FROM best)
              |ORDER BY 1""".stripMargin)),
 
+    // -- ANN recall report: the probe-count tuning measurement -----------
+    // celled top-5 (2 of 4 probes) vs brute truth for 20 queries, one
+    // recall number out; both graphs replay in SQL
+    "ann_recall_report" -> Gated(
+      (s, d) => {
+        val emb = TestData.table(s, d, "embeddings")
+        val init = emb.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+          .select(Embed.normalized(col("embedding")))
+          .collect().toSeq.map(_.getSeq[Double](0).toSeq)
+        val step = Embed.kmeansStep(emb, init)
+          .select(col("cell"), col("dim"), round(col("m"), 6).as("m"))
+          .collect()
+        val byCell = step.groupBy(_.getInt(0))
+        val cents = init.indices.map(c => byCell.get(c).fold(init(c))(
+          rs => rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq))
+        Embed.annRecall(emb, k = 5, cents, probes = 2,
+          queryIds = (0L until 20L).toSeq)
+      },
+      Some("""WITH e0 AS (SELECT vec_id,
+             |    list_transform(embedding, x -> x::DOUBLE) AS v
+             |  FROM embeddings),
+             |n AS (SELECT vec_id, v, list_transform(v, x ->
+             |    x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS u
+             |  FROM e0),
+             |init AS (SELECT vec_id::INT AS cid, u FROM n WHERE vec_id < 4),
+             |assign0 AS (
+             |  SELECT vec_id, cid FROM (
+             |    SELECT n.vec_id, init.cid,
+             |      row_number() OVER (PARTITION BY n.vec_id
+             |        ORDER BY round(list_cosine_similarity(n.u, init.u), 6)
+             |          DESC, init.cid DESC) AS rn
+             |    FROM n CROSS JOIN init) WHERE rn = 1),
+             |mem AS (SELECT a.cid AS cell, n.u
+             |  FROM assign0 a JOIN n USING (vec_id)),
+             |cm AS (SELECT cell, (i - 1)::INT AS dim, round(avg(u[i]), 6) AS m
+             |  FROM mem CROSS JOIN
+             |    (SELECT unnest(generate_series(1, 64)) AS i)
+             |  GROUP BY 1, 2),
+             |cent AS (SELECT cell, list(m ORDER BY dim) AS cv
+             |  FROM cm GROUP BY cell),
+             |e AS (SELECT vec_id, v FROM e0
+             |  WHERE list_sum(list_transform(v, x -> x * x)) > 0),
+             |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20),
+             |bs AS (SELECT q.qid, e.vec_id AS nid,
+             |    round(list_cosine_similarity(q.qv, e.v), 6) AS s
+             |  FROM e, q WHERE e.vec_id <> q.qid),
+             |bt AS (SELECT qid, nid FROM (SELECT *,
+             |    row_number() OVER (PARTITION BY qid
+             |      ORDER BY s DESC, nid ASC) AS rn FROM bs) WHERE rn <= 5),
+             |sc AS (SELECT e.vec_id, e.v, cent.cell,
+             |    round(list_cosine_similarity(e.v, cent.cv), 6) AS cs
+             |  FROM e CROSS JOIN cent),
+             |av AS (SELECT vec_id AS nid, v, cell FROM (SELECT *,
+             |    row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY cs DESC, cell DESC) AS rn FROM sc)
+             |  WHERE rn = 1),
+             |qp AS (SELECT vec_id AS qid, v AS qv, cell FROM (SELECT *,
+             |    row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY cs DESC, cell DESC) AS rn FROM sc)
+             |  WHERE rn <= 2 AND vec_id < 20),
+             |cs2 AS (SELECT qp.qid, av.nid,
+             |    round(list_cosine_similarity(qp.qv, av.v), 6) AS s
+             |  FROM qp JOIN av USING (cell) WHERE av.nid <> qp.qid),
+             |ct AS (SELECT qid, nid FROM (SELECT *,
+             |    row_number() OVER (PARTITION BY qid
+             |      ORDER BY s DESC, nid ASC) AS rn FROM cs2) WHERE rn <= 5),
+             |h AS (SELECT count(*) AS n_hits FROM bt
+             |  JOIN ct USING (qid, nid)),
+             |t AS (SELECT count(*) AS n_truth FROM bt),
+             |nq AS (SELECT count(*) AS n_queries FROM q)
+             |SELECT nq.n_queries, 5::BIGINT AS k, t.n_truth, h.n_hits,
+             |  round(h.n_hits::DOUBLE / t.n_truth, 6) AS recall
+             |FROM nq, t, h""".stripMargin)),
+
+    // -- gap report: feed downtime longer than 2 days per series ---------
+    "ts_gaps" -> Gated(
+      (s, d) => TsAnalytics.gapReport(
+          TestData.events(s, d).samples
+            .select(col("metric"), element_at(col("tags"), "user")
+              .as("user"), col("ts"))
+            .filter(col("user").cast("int") < 30),
+          Seq("metric", "user"), "ts", minGapNs = 2 * Day)
+        .orderBy(col("metric"), col("user"), col("gap_start")),
+      Some(s"""WITH s0 AS (SELECT DISTINCT event_type AS metric,
+              |    user_id::VARCHAR AS user, $tsSql AS t
+              |  FROM events WHERE user_id < 30),
+              |l AS (SELECT metric, user, t,
+              |    lag(t) OVER (PARTITION BY metric, user ORDER BY t) AS p
+              |  FROM s0)
+              |SELECT metric, user, p AS gap_start, t AS gap_end,
+              |  t - p AS gap_ns
+              |FROM l WHERE p IS NOT NULL AND t - p > ${2 * Day}
+              |ORDER BY 1, 2, 3""".stripMargin)),
+
+    // -- fixed-bin value histogram per metric ----------------------------
+    "ts_value_histogram" -> Gated(
+      (s, d) => TsAnalytics.valueHistogram(
+          TestData.events(s, d).samples, Seq("metric"), "value",
+          lo = 0.0, hi = 1000.0, bins = 20)
+        .orderBy(col("metric"), col("bin")),
+      Some("""WITH b AS (SELECT event_type AS metric,
+             |    least(greatest(floor((value - 0.0) / 50.0), 0), 19)::BIGINT
+             |      AS bin
+             |  FROM events WHERE value IS NOT NULL)
+             |SELECT metric, bin,
+             |  round(0.0 + bin * 50.0, 6) AS bin_lo,
+             |  round(0.0 + (bin + 1) * 50.0, 6) AS bin_hi,
+             |  count(*) AS n
+             |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // -- vocabulary growth: is the crawl still finding fresh content? ----
     // count-only output, so the oracle can use string shingles where
     // the engine uses xxhash64 shingles (distinct counts agree barring

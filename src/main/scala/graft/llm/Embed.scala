@@ -877,6 +877,59 @@ object Embed {
         col("rnk").cast("long").as("rnk"))
   }
 
+  /** ANN recall measurement — "measure, don't guess" for the IVF
+    * probe-count trade: for a batch of query ids, compare the celled
+    * top-k ([[knnGraphCells]] semantics) against the brute-force truth
+    * and report recall@k. This is the tuning loop a production ANN
+    * deployment runs before picking `probes`; both sides share the
+    * rounded-cosine conventions, so the number replays externally.
+    *
+    * Cost: brute truth = one corpus pass against the broadcast query
+    * batch; celled answer = probed cells only. Driver state: four
+    * bounded counts. Output (one row): `n_queries`, `k`, `n_truth`
+    * (truth pairs, <= k·queries), `n_hits`, `recall` (rounded 6). */
+  def annRecall(corpus: DataFrame, k: Int, centroids: Seq[Seq[Double]],
+                probes: Int, queryIds: Seq[Long],
+                vecCol: String = "embedding",
+                idCol: String = "vec_id"): DataFrame = {
+    require(k > 0 && probes > 0 && queryIds.nonEmpty)
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    val nonZero = corpus.filter(dot(col(vecCol), col(vecCol)) > 0.0)
+    val q = nonZero.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("qid"), col(vecCol).as("__qv"))
+    def topK(scored: DataFrame) = scored
+      .withColumn("__rnk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("__s").desc, col("nid").asc)))
+      .filter(col("__rnk") <= k).select(col("qid"), col("nid"))
+    val brute = topK(nonZero
+      .select(col(idCol).as("nid"), col(vecCol).as("__nv"))
+      .join(broadcast(q), col("nid") =!= col("qid"))
+      .withColumn("__s", round(cosine(col("__qv"), col("__nv")), 6)))
+    val scoredCells = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(round(cosine(col("__qv"), array(c.map(lit): _*)), 6)
+        .as("score"), lit(i).as("cid"))
+    }: _*)
+    val qCells = q.withColumn("__cell", explode(transform(
+      slice(reverse(array_sort(scoredCells)), 1, probes),
+      s => s.getField("cid"))))
+    val assigned = nonZero.select(col(idCol).as("nid"),
+      col(vecCol).as("__nv"),
+      centroidIdRounded(col(vecCol), centroids).as("__cell"))
+    val celled = topK(qCells.join(assigned, "__cell")
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("__s", round(cosine(col("__qv"), col("__nv")), 6)))
+    val nTruth = brute.count()
+    val nHits = brute.join(celled, Seq("qid", "nid"), "left_semi").count()
+    val nQ = q.count()
+    import spark.implicits._
+    Seq((nQ, k.toLong, nTruth, nHits,
+      BigDecimal(nHits.toDouble / nTruth)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("n_queries", "k", "n_truth", "n_hits", "recall")
+  }
+
   /** Per-cell clustering quality report: for each centroid cell, the
     * member count and the distribution (mean/min/max) of member-to-
     * centroid cosine — the cheap "are my clusters tight or mush" check

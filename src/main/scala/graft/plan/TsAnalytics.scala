@@ -456,6 +456,50 @@ object TsAnalytics {
     agged.select((groupCols.map(col) ++ (col("n_sampled") +: qCols)): _*)
   }
 
+  /** Gap report: per series, every silence longer than `minGapNs` —
+    * the "when was this feed down" table (the inverse of sessionize:
+    * the session BOUNDARIES are the product). One keyed window pass;
+    * duplicate instants collapse first so gaps are well-defined.
+    *
+    * Output: on cols, `gap_start` (last ts before the gap), `gap_end`
+    * (first ts after), `gap_ns`. */
+  def gapReport(df: DataFrame, on: Seq[String], tsCol: String,
+                minGapNs: Long): DataFrame = {
+    require(on.nonEmpty && minGapNs > 0)
+    val w = Window.partitionBy(on.map(col): _*).orderBy(col("__t").asc)
+    df.select((on.map(col) :+ col(tsCol).cast("long").as("__t")): _*)
+      .distinct()
+      .withColumn("__prev", lag(col("__t"), 1).over(w))
+      .filter(col("__prev").isNotNull &&
+        col("__t") - col("__prev") > minGapNs)
+      .select((on.map(col) ++ Seq(col("__prev").as("gap_start"),
+        col("__t").as("gap_end"),
+        (col("__t") - col("__prev")).as("gap_ns"))): _*)
+  }
+
+  /** Fixed-bin value histogram per series: `bins` equal-width bins over
+    * `[lo, hi)`, out-of-range values clamped into the edge bins (so
+    * every sample is counted and the tails are visible). Integer bin
+    * arithmetic end-to-end — ONE hash aggregate, bins x series result
+    * rows.
+    *
+    * Output: on cols, `bin` (0-based), `bin_lo`, `bin_hi`, `n`. */
+  def valueHistogram(df: DataFrame, on: Seq[String], valueCol: String,
+                     lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(on.nonEmpty && bins >= 1 && hi > lo)
+    val w = (hi - lo) / bins
+    val raw = floor((col(valueCol).cast("double") - lit(lo)) / lit(w))
+      .cast("long")
+    val bin = least(greatest(raw, lit(0L)), lit(bins - 1L))
+    df.filter(col(valueCol).isNotNull)
+      .groupBy((on.map(col) :+ bin.as("bin")): _*)
+      .agg(count(lit(1)).as("n"))
+      .select((on.map(col) ++ Seq(col("bin"),
+        round(lit(lo) + col("bin") * lit(w), 6).as("bin_lo"),
+        round(lit(lo) + (col("bin") + 1) * lit(w), 6).as("bin_hi"),
+        col("n"))): _*)
+  }
+
   /** Moving-average crossover events (the "golden cross" alert): per
     * series, bucket to means, compute a fast and a slow trailing MA
     * (ROWS windows over existing buckets — a data gap simply makes the

@@ -169,6 +169,25 @@ class CurationSpec extends SparkFunSuite {
       f.getInt(4) == 5)
   }
 
+  test("annRecall: probing every cell gives recall 1; fewer probes less") {
+    val rnd = new scala.util.Random(13)
+    val vecs = (0 until 40).map { i =>
+      val base = Array.fill(8)(rnd.nextFloat() * 0.2f)
+      base(i % 4) = 1.0f // four clusters on four axes
+      (i.toLong, base.toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val cents = (0 until 4).map(a =>
+      Seq.tabulate(8)(j => if (j == a) 1.0 else 0.0))
+    val full = Embed.annRecall(df, k = 3, cents, probes = 4,
+      queryIds = (0L until 10L).toSeq).collect().head
+    assert(full.getDouble(4) == 1.0, s"full-probe recall ${full.getDouble(4)}")
+    assert(full.getLong(0) == 10L && full.getLong(2) == 30L)
+    val one = Embed.annRecall(df, k = 3, cents, probes = 1,
+      queryIds = (0L until 10L).toSeq).collect().head
+    assert(one.getDouble(4) <= 1.0 && one.getDouble(4) > 0.3)
+  }
+
   test("vocabGrowth: first batch is all-new, repeats are not new") {
     import graft.llm.Text
     // batch 0 (ids 0,1): two docs, disjoint vocab; batch 1 (ids 2,3):

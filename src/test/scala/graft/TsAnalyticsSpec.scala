@@ -359,6 +359,34 @@ class TsAnalyticsSpec extends SparkFunSuite {
     (1L to 6L).foreach(k => assert(r(("f", k))._2.isEmpty, s"flat lag $k"))
   }
 
+  test("gapReport: only over-threshold gaps; dup instants collapse") {
+    val df = Seq(
+      ("m", 0L), ("m", 5L), ("m", 5L), ("m", 50L), ("m", 52L), ("m", 99L),
+      ("n", 0L), ("n", 100L))
+      .toDF("g", "ts")
+    val r = TsAnalytics.gapReport(df, Seq("g"), "ts", minGapNs = 20L)
+      .orderBy("g", "gap_start").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq(
+      ("m", 5L, 50L, 45L), ("m", 52L, 99L, 47L), ("n", 0L, 100L, 100L)))
+  }
+
+  test("valueHistogram: bin edges, clamping, full counts") {
+    val df = Seq(("m", -5.0), ("m", 0.0), ("m", 9.9), ("m", 10.0),
+      ("m", 25.0), ("m", 999.0))
+      .toDF("g", "v")
+    val r = TsAnalytics.valueHistogram(df, Seq("g"), "v",
+        lo = 0.0, hi = 30.0, bins = 3)
+      .orderBy("bin").collect()
+      .map(x => (x.getLong(1), x.getDouble(2), x.getDouble(3), x.getLong(4)))
+    // bin 0: [-5 clamped, 0, 9.9]; bin 1: [10, 25... wait 25 is bin 2]
+    assert(r.toSeq == Seq(
+      (0L, 0.0, 10.0, 3L),    // -5 (clamped), 0.0, 9.9
+      (1L, 10.0, 20.0, 1L),   // 10.0
+      (2L, 20.0, 30.0, 2L)))  // 25.0, 999 (clamped)
+    assert(r.map(_._4).sum == 6L) // every sample counted
+  }
+
   test("smaCross: emits exactly the crossing buckets with direction") {
     // series: 10 low, ramp high (fast MA rises through slow), then back
     val vals = Seq.fill(10)(1.0) ++ Seq.fill(10)(10.0) ++ Seq.fill(10)(1.0)
