@@ -3653,6 +3653,41 @@ object SparkEntry {
              |   OR doc_id IN (SELECT node FROM best)
              |ORDER BY 1""".stripMargin)),
 
+    // -- counter-reset-aware rate (the Prometheus rate() convention) -----
+    "ts_rate_resets" -> Gated(
+      (s, d) => TsAnalytics.counterRate(
+          TestData.events(s, d).samples
+            .filter(col("metric") === "click")
+            .select(col("metric"),
+              element_at(col("tags"), "user").as("user"),
+              col("ts"), col("value")),
+          Seq("metric", "user"), "ts", "value")
+        .orderBy(col("user"), col("ts")),
+      Some(s"""WITH s0 AS (SELECT 'click' AS metric,
+              |    user_id::VARCHAR AS user, $tsSql AS t, max(value) AS v
+              |  FROM events WHERE event_type = 'click'
+              |    AND value IS NOT NULL GROUP BY 1, 2, 3),
+              |l AS (SELECT *, lag(t) OVER w AS pt, lag(v) OVER w AS pv
+              |  FROM s0 WINDOW w AS (PARTITION BY metric, user ORDER BY t))
+              |SELECT metric, user, t AS ts,
+              |  round((CASE WHEN v >= pv THEN v - pv ELSE v END)
+              |    / ((t - pt) / 1e9), 6) AS rate
+              |FROM l WHERE pt IS NOT NULL ORDER BY 2, 3""".stripMargin)),
+
+    // -- time-of-day baseline profile ------------------------------------
+    "ts_hourly_profile" -> Gated(
+      (s, d) => TsAnalytics.phaseProfile(
+          TestData.events(s, d).samples, Seq("metric"), "ts", "value",
+          bucketNs = 3600L * 1000000000L, period = 24)
+        .orderBy(col("metric"), col("phase")),
+      Some(s"""SELECT event_type AS metric,
+              |  ($tsSql // 3600000000000) % 24 AS phase,
+              |  count(*) AS n, round(avg(value), 6) AS v_mean,
+              |  round(min(value), 6) AS v_min,
+              |  round(max(value), 6) AS v_max
+              |FROM events WHERE value IS NOT NULL
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // -- ANN recall report: the probe-count tuning measurement -----------
     // celled top-5 (2 of 4 probes) vs brute truth for 20 queries, one
     // recall number out; both graphs replay in SQL

@@ -456,6 +456,56 @@ object TsAnalytics {
     agged.select((groupCols.map(col) ++ (col("n_sampled") +: qCols)): _*)
   }
 
+  /** Counter-reset-aware rate (the Prometheus `rate()` convention the
+    * reference's `rate` token lacks): per consecutive sample pair, the
+    * per-second increase — and when the counter DROPS (process restart
+    * reset it to ~0), the new value itself is taken as the increase
+    * rather than emitting a huge negative rate. One keyed window pass;
+    * duplicate instants collapse to max first, so dt > 0 always.
+    *
+    * Output: on cols, `ts` (the later sample), `rate` (rounded 6);
+    * each series' first sample has no rate and is absent. */
+  def counterRate(df: DataFrame, on: Seq[String], tsCol: String,
+                  valueCol: String): DataFrame = {
+    require(on.nonEmpty)
+    val w = Window.partitionBy(on.map(col): _*).orderBy(col("__t").asc)
+    df.select((on.map(col) :+ col(tsCol).cast("long").as("__t") :+
+        col(valueCol).cast("double").as("__v")): _*)
+      .filter(col("__v").isNotNull)
+      .groupBy((on.map(col) :+ col("__t")): _*)
+      .agg(max(col("__v")).as("__v"))
+      .withColumn("__pt", lag(col("__t"), 1).over(w))
+      .withColumn("__pv", lag(col("__v"), 1).over(w))
+      .filter(col("__pt").isNotNull)
+      .select((on.map(col) ++ Seq(col("__t").as("ts"),
+        round(
+          when(col("__v") >= col("__pv"), col("__v") - col("__pv"))
+            .otherwise(col("__v")) /
+          ((col("__t") - col("__pt")).cast("double") / lit(1e9)), 6)
+          .as("rate"))): _*)
+  }
+
+  /** Time-of-period profile: mean/min/max of the value by phase bucket
+    * (e.g. hour-of-day with `bucketNs` = 1h and `period` = 24) — the
+    * "what does a normal Tuesday 3pm look like" baseline that seeds
+    * alert thresholds. ONE hash aggregate; period x series result rows.
+    *
+    * Output: on cols, `phase` (0..period-1), `n`, `v_mean`, `v_min`,
+    * `v_max` (rounded 6). */
+  def phaseProfile(df: DataFrame, on: Seq[String], tsCol: String,
+                   valueCol: String, bucketNs: Long,
+                   period: Int): DataFrame = {
+    require(on.nonEmpty && bucketNs > 0 && period >= 2)
+    df.filter(col(valueCol).isNotNull)
+      .groupBy((on.map(col) :+
+        pmod(expr(s"$tsCol div ${bucketNs}L"), lit(period.toLong))
+          .as("phase")): _*)
+      .agg(count(lit(1)).as("n"),
+        round(avg(col(valueCol)), 6).as("v_mean"),
+        round(min(col(valueCol)), 6).as("v_min"),
+        round(max(col(valueCol)), 6).as("v_max"))
+  }
+
   /** Gap report: per series, every silence longer than `minGapNs` —
     * the "when was this feed down" table (the inverse of sessionize:
     * the session BOUNDARIES are the product). One keyed window pass;

@@ -359,6 +359,37 @@ class TsAnalyticsSpec extends SparkFunSuite {
     (1L to 6L).foreach(k => assert(r(("f", k))._2.isEmpty, s"flat lag $k"))
   }
 
+  test("counterRate: monotonic deltas, reset handling, dup collapse") {
+    val df = Seq(
+      ("m", 0L, 10.0),
+      ("m", 1000000000L, 30.0),   // +20 over 1s -> 20/s
+      ("m", 3000000000L, 5.0),    // DROP: reset -> rate = 5 / 2s = 2.5
+      ("m", 4000000000L, 5.0),    // flat -> 0
+      ("m", 4000000000L, 4.0))    // dup instant: max wins (5.0 stands)
+      .toDF("g", "ts", "v")
+    val r = TsAnalytics.counterRate(df, Seq("g"), "ts", "v")
+      .orderBy("ts").collect()
+      .map(x => (x.getLong(1), x.getDouble(2)))
+    assert(r.toSeq == Seq(
+      (1000000000L, 20.0), (3000000000L, 2.5), (4000000000L, 0.0)))
+  }
+
+  test("phaseProfile: hour-of-day style phase buckets") {
+    val H = 10L
+    val df = Seq(
+      ("m", 0L, 1.0), ("m", 24 * H, 3.0),   // phase 0 twice (periods apart)
+      ("m", 1 * H, 5.0),                    // phase 1
+      ("m", 25 * H, 7.0))                   // phase 1, next period
+      .toDF("g", "ts", "v")
+    val r = TsAnalytics.phaseProfile(df, Seq("g"), "ts", "v",
+        bucketNs = H, period = 24)
+      .orderBy("phase").collect()
+      .map(x => (x.getLong(1), x.getLong(2), x.getDouble(3),
+        x.getDouble(4), x.getDouble(5)))
+    assert(r.toSeq == Seq(
+      (0L, 2L, 2.0, 1.0, 3.0), (1L, 2L, 6.0, 5.0, 7.0)))
+  }
+
   test("gapReport: only over-threshold gaps; dup instants collapse") {
     val df = Seq(
       ("m", 0L), ("m", 5L), ("m", 5L), ("m", 50L), ("m", 52L), ("m", 99L),
