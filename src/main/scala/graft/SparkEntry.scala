@@ -3653,6 +3653,75 @@ object SparkEntry {
              |   OR doc_id IN (SELECT node FROM best)
              |ORDER BY 1""".stripMargin)),
 
+    // -- phase-aware anomalies: hour-of-day sensitive thresholds ---------
+    "ts_anomaly_phase" -> Gated(
+      (s, d) => TsAnalytics.phaseAnomalies(
+          TestData.events(s, d).samples, Seq("metric"), "ts", "value",
+          bucketNs = 3600L * 1000000000L, period = 24, nSigma = 3.0)
+        .orderBy(col("metric"), col("ts")),
+      Some(s"""WITH b AS (SELECT event_type AS metric, $tsSql AS ts,
+              |    value, ($tsSql // 3600000000000) % 24 AS phase
+              |  FROM events WHERE value IS NOT NULL),
+              |p AS (SELECT metric, phase, avg(value) AS mu,
+              |    stddev_samp(value) AS sd
+              |  FROM b GROUP BY 1, 2)
+              |SELECT b.metric, b.ts, b.value, b.phase,
+              |  round(p.mu, 6) AS expected, round(p.sd, 6) AS sd
+              |FROM b JOIN p ON b.metric = p.metric AND b.phase = p.phase
+              |WHERE p.sd IS NOT NULL AND p.sd > 0
+              |  AND round(abs(b.value - p.mu), 6) > round(3.0 * p.sd, 6)
+              |ORDER BY 1, 2""".stripMargin)),
+
+    // -- embedding outliers: far from every cluster ----------------------
+    "embed_outliers" -> Gated(
+      (s, d) => {
+        val emb = TestData.table(s, d, "embeddings")
+        val init = emb.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+          .select(Embed.normalized(col("embedding")))
+          .collect().toSeq.map(_.getSeq[Double](0).toSeq)
+        val step = Embed.kmeansStep(emb, init)
+          .select(col("cell"), col("dim"), round(col("m"), 6).as("m"))
+          .collect()
+        val byCell = step.groupBy(_.getInt(0))
+        val cents = init.indices.map(c => byCell.get(c).fold(init(c))(
+          rs => rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq))
+        Embed.embedOutliers(emb, cents, threshold = 0.05)
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH e0 AS (SELECT vec_id,
+             |    list_transform(embedding, x -> x::DOUBLE) AS v
+             |  FROM embeddings),
+             |n AS (SELECT vec_id, v, list_transform(v, x ->
+             |    x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS u
+             |  FROM e0),
+             |init AS (SELECT vec_id::INT AS cid, u FROM n WHERE vec_id < 4),
+             |assign0 AS (
+             |  SELECT vec_id, cid FROM (
+             |    SELECT n.vec_id, init.cid,
+             |      row_number() OVER (PARTITION BY n.vec_id
+             |        ORDER BY round(list_cosine_similarity(n.u, init.u), 6)
+             |          DESC, init.cid DESC) AS rn
+             |    FROM n CROSS JOIN init) WHERE rn = 1),
+             |mem AS (SELECT a.cid AS cell, n.u
+             |  FROM assign0 a JOIN n USING (vec_id)),
+             |cm AS (SELECT cell, (i - 1)::INT AS dim, round(avg(u[i]), 6) AS m
+             |  FROM mem CROSS JOIN
+             |    (SELECT unnest(generate_series(1, 64)) AS i)
+             |  GROUP BY 1, 2),
+             |cent AS (SELECT cell, list(m ORDER BY dim) AS cv
+             |  FROM cm GROUP BY cell),
+             |e AS (SELECT vec_id, v FROM e0
+             |  WHERE list_sum(list_transform(v, x -> x * x)) > 0),
+             |sc AS (SELECT e.vec_id, cent.cell,
+             |    round(list_cosine_similarity(e.v, cent.cv), 6) AS cs
+             |  FROM e CROSS JOIN cent),
+             |av AS (SELECT vec_id, cell AS best_cell, cs AS best_cos
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY cs DESC, cell DESC) AS rn FROM sc)
+             |  WHERE rn = 1)
+             |SELECT vec_id, best_cell, best_cos FROM av
+             |WHERE best_cos < 0.05 ORDER BY 1""".stripMargin)),
+
     // -- counter-reset-aware rate (the Prometheus rate() convention) -----
     "ts_rate_resets" -> Gated(
       (s, d) => TsAnalytics.counterRate(

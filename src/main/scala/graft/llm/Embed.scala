@@ -877,6 +877,30 @@ object Embed {
         col("rnk").cast("long").as("rnk"))
   }
 
+  /** Embedding outlier report: vectors whose BEST centroid cosine is
+    * below `threshold` — far from every cluster, the "what doesn't fit
+    * the corpus" probe (mislabeled data, encoder glitches, novel
+    * content worth a look before it trains). One narrow pass computing
+    * the same rounded assignment scores as [[clusterStats]].
+    *
+    * Output: id col, `best_cell`, `best_cos` (rounded 6), ascending =
+    * most alien first after the caller's orderBy. */
+  def embedOutliers(corpus: DataFrame, centroids: Seq[Seq[Double]],
+                    threshold: Double, vecCol: String = "embedding",
+                    idCol: String = "vec_id"): DataFrame = {
+    require(centroids.nonEmpty)
+    val nonZero = corpus.filter(dot(col(vecCol), col(vecCol)) > 0.0)
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(round(cosine(col(vecCol), array(c.map(lit): _*)), 6)
+        .as("score"), lit(i).as("cid"))
+    }
+    val win = if (centroids.size == 1) scored.head else greatest(scored: _*)
+    nonZero
+      .select(col(idCol), win.getField("cid").as("best_cell"),
+        win.getField("score").as("best_cos"))
+      .filter(col("best_cos") < threshold)
+  }
+
   /** ANN recall measurement — "measure, don't guess" for the IVF
     * probe-count trade: for a batch of query ids, compare the celled
     * top-k ([[knnGraphCells]] semantics) against the brute-force truth

@@ -506,6 +506,40 @@ object TsAnalytics {
         round(max(col(valueCol)), 6).as("v_max"))
   }
 
+  /** Phase-aware anomaly report: flag samples deviating more than
+    * `nSigma` standard deviations from THEIR PHASE's distribution
+    * (hour-of-day aware — a value normal at the daily peak is an
+    * anomaly at 4am, which a global threshold cannot see; the
+    * [[seasonalAnomalies]] sibling needs a trend window, this one only
+    * the phase marginals). Profile = per-(series, phase) mean/stddev
+    * over raw samples; the profile frame is period x series rows and
+    * broadcasts back onto the samples. Rounded-before-compare flag, as
+    * everywhere.
+    *
+    * Output: the ANOMALOUS samples only — on cols, `ts`, `value`,
+    * `phase`, `expected` (phase mean), `sd` (both rounded 6). */
+  def phaseAnomalies(df: DataFrame, on: Seq[String], tsCol: String,
+                     valueCol: String, bucketNs: Long, period: Int,
+                     nSigma: Double = 3.0): DataFrame = {
+    require(on.nonEmpty && bucketNs > 0 && period >= 2)
+    val phase = pmod(expr(s"$tsCol div ${bucketNs}L"),
+      lit(period.toLong)).as("phase")
+    val base = df.filter(col(valueCol).isNotNull)
+      .select((on.map(col) :+ col(tsCol).cast("long").as("ts") :+
+        col(valueCol).cast("double").as("value") :+ phase): _*)
+    val profile = base
+      .groupBy((on.map(col) :+ col("phase")): _*)
+      .agg(avg(col("value")).as("__mu"),
+        stddev_samp(col("value")).as("__sd"))
+    base.join(broadcast(profile), on :+ "phase")
+      .filter(col("__sd").isNotNull && col("__sd") > 0 &&
+        round(abs(col("value") - col("__mu")), 6) >
+          round(lit(nSigma) * col("__sd"), 6))
+      .select((on.map(col) ++ Seq(col("ts"), col("value"), col("phase"),
+        round(col("__mu"), 6).as("expected"),
+        round(col("__sd"), 6).as("sd"))): _*)
+  }
+
   /** Gap report: per series, every silence longer than `minGapNs` —
     * the "when was this feed down" table (the inverse of sessionize:
     * the session BOUNDARIES are the product). One keyed window pass;

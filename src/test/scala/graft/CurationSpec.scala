@@ -204,6 +204,20 @@ class CurationSpec extends SparkFunSuite {
     assert(r.toSeq == Seq((0L, 4L, 4L, 1.0), (2L, 3L, 1L, 0.333333)))
   }
 
+  test("embedOutliers: only vectors far from every centroid") {
+    val rows = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),   // on centroid 0
+      (2L, Seq(0.0f, 1.0f, 0.0f)),   // on centroid 1
+      (3L, Seq(0.0f, 0.0f, 1.0f)),   // orthogonal to both -> outlier
+      (4L, Seq(0.7f, 0.7f, 0.0f)))   // between, but cos ~0.7 to each
+    val cents = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0))
+    val r = Embed.embedOutliers(rows.toDF("vec_id", "embedding"), cents,
+        threshold = 0.5)
+      .collect().map(x => (x.getLong(0), x.getDouble(2)))
+    assert(r.map(_._1).toSeq == Seq(3L))
+    assert(r.head._2 == 0.0)
+  }
+
   test("clusterStats: per-cell member counts and cosine spread") {
     val rows = Seq(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.8f, 0.6f)),  // cell 0 members

