@@ -3653,6 +3653,71 @@ object SparkEntry {
              |   OR doc_id IN (SELECT node FROM best)
              |ORDER BY 1""".stripMargin)),
 
+    // -- phase percentile bands: the dashboard envelope ------------------
+    "ts_phase_bands" -> Gated(
+      (s, d) => TsAnalytics.phaseBands(
+          TestData.events(s, d).samples, Seq("metric"), "ts", "value",
+          bucketNs = 3600L * 1000000000L, period = 24,
+          probs = Seq(0.1, 0.5, 0.9))
+        .orderBy(col("metric"), col("phase")),
+      Some(s"""SELECT event_type AS metric,
+              |  ($tsSql // 3600000000000) % 24 AS phase,
+              |  count(*) AS n,
+              |  round(quantile_cont(value, 0.1), 6) AS p10,
+              |  round(quantile_cont(value, 0.5), 6) AS p50,
+              |  round(quantile_cont(value, 0.9), 6) AS p90
+              |FROM events WHERE value IS NOT NULL
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // -- duplicate-rate matrix: which sources copy which -----------------
+    "doc_dup_matrix" -> Gated(
+      (s, d) => Dedup.dupMatrix(TestData.table(s, d, "documents"),
+          "source", n = 3, bands = 64, rowsPerBand = 2, threshold = 0.5)
+        .orderBy(col("src_a"), col("src_b")),
+      Some("""WITH toks AS (SELECT doc_id, source,
+             |    string_split_regex(trim(lower(text)), '\s+') AS t
+             |  FROM documents),
+             |grams AS (SELECT doc_id, source,
+             |    list_distinct(CASE WHEN len(t) >= 3
+             |      THEN list_transform(range(1, len(t) - 1),
+             |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+             |      ELSE [] END) AS g FROM toks),
+             |p AS (SELECT least(x.source, y.source) AS src_a,
+             |    greatest(x.source, y.source) AS src_b,
+             |    len(list_intersect(x.g, y.g))::DOUBLE /
+             |      (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g)))
+             |      AS j
+             |  FROM grams x JOIN grams y ON x.doc_id < y.doc_id)
+             |SELECT src_a, src_b, count(*) AS n_pairs,
+             |  round(avg(round(j, 6)), 6) AS mean_jaccard
+             |FROM p WHERE j >= 0.5 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // -- top movers: what jumped in the latest bucket --------------------
+    "ts_top_movers" -> Gated(
+      (s, d) => TsAnalytics.topMovers(
+          TestData.events(s, d).samples
+            .withColumn("user", element_at(col("tags"), "user")),
+          Seq("metric"), "user", "ts", "value", bucketNs = Day, k = 3)
+        .orderBy(col("metric"), col("rnk")),
+      Some(s"""WITH b AS (SELECT event_type AS metric,
+              |    user_id::VARCHAR AS series, $tsSql // $Day AS bi,
+              |    avg(value) AS v
+              |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3),
+              |l AS (SELECT *, lag(v) OVER w AS pv,
+              |    row_number() OVER (PARTITION BY metric, series
+              |      ORDER BY bi DESC) AS rn
+              |  FROM b WINDOW w AS (PARTITION BY metric, series
+              |    ORDER BY bi)),
+              |d AS (SELECT metric, series, bi, v, pv,
+              |    round(v - pv, 6) AS delta
+              |  FROM l WHERE rn = 1 AND pv IS NOT NULL),
+              |r AS (SELECT *, row_number() OVER (PARTITION BY metric
+              |    ORDER BY abs(delta) DESC, series ASC)::BIGINT AS rnk
+              |  FROM d)
+              |SELECT metric, series, bi * $Day AS bucket,
+              |  round(v, 6) AS value, round(pv, 6) AS prev, delta, rnk
+              |FROM r WHERE rnk <= 3 ORDER BY 1, 7""".stripMargin)),
+
     // -- phase-aware anomalies: hour-of-day sensitive thresholds ---------
     "ts_anomaly_phase" -> Gated(
       (s, d) => TsAnalytics.phaseAnomalies(

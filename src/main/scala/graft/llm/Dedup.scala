@@ -590,6 +590,32 @@ object Dedup {
         col("jaccard"))
   }
 
+  /** Duplicate-rate matrix: near-dup pair counts and mean similarity
+    * per (stratum, stratum) cell — "which sources copy which" at a
+    * glance (a hot diagonal cell = an internally-duplicated source, a
+    * hot off-diagonal = syndication between two). One [[minhashLsh]]
+    * pass; strata join back onto the (few) verified pairs and the cell
+    * key is order-normalized so each unordered source pair is one row.
+    *
+    * Output: `src_a` <= `src_b` (lexicographic), `n_pairs`,
+    * `mean_jaccard` (rounded 6). */
+  def dupMatrix(docs: DataFrame, stratumCol: String, n: Int = 3,
+                bands: Int = 64, rowsPerBand: Int = 2,
+                threshold: Double = 0.5, textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame = {
+    val pairs = minhashLsh(docs, n, bands, rowsPerBand, threshold,
+      textCol, idCol)
+    val s = docs.select(col(idCol).as("__sid"),
+      col(stratumCol).cast("string").as("__str"))
+    pairs
+      .join(s.select(col("__sid").as("a"), col("__str").as("__sa")), "a")
+      .join(s.select(col("__sid").as("b"), col("__str").as("__sb")), "b")
+      .groupBy(least(col("__sa"), col("__sb")).as("src_a"),
+        greatest(col("__sa"), col("__sb")).as("src_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("jaccard")), 6).as("mean_jaccard"))
+  }
+
   /** The final step of a near-dup pipeline: given the corpus, the
     * cluster assignment ([[connectedComponents]] output — `node`,
     * `component`), and a quality expression, keep exactly ONE doc per

@@ -506,6 +506,71 @@ object TsAnalytics {
         round(max(col(valueCol)), 6).as("v_max"))
   }
 
+  /** Phase percentile bands: exact interpolated percentiles of the
+    * value by phase bucket — the p10/p50/p90 envelope a dashboard
+    * shades behind the live line ("where does 3pm usually sit"), and
+    * the robust sibling of [[phaseProfile]]'s mean/sd (heavy-tailed
+    * metrics want quantile envelopes, not sigma bands). ONE hash
+    * aggregate; the per-(series, phase) value buffer is the usual
+    * exact-percentile caveat — use [[sampledQuantiles]]'s hash filter
+    * upstream when a phase's population is unbounded.
+    *
+    * Output: on cols, `phase`, `n`, one `p<NN>` per prob (rounded 6). */
+  def phaseBands(df: DataFrame, on: Seq[String], tsCol: String,
+                 valueCol: String, bucketNs: Long, period: Int,
+                 probs: Seq[Double] = Seq(0.1, 0.5, 0.9)): DataFrame = {
+    require(on.nonEmpty && bucketNs > 0 && period >= 2 && probs.nonEmpty)
+    val phase = pmod(expr(s"$tsCol div ${bucketNs}L"),
+      lit(period.toLong)).as("phase")
+    val agged = df.filter(col(valueCol).isNotNull)
+      .groupBy((on.map(col) :+ phase): _*)
+      .agg(percentile(col(valueCol),
+        array(probs.map(p => lit(p)): _*)).as("__q"),
+        count(lit(1)).as("n"))
+    val qCols = probs.zipWithIndex.map { case (p, i) =>
+      round(col("__q").getItem(i), 6).as("p" + math.round(p * 100).toInt)
+    }
+    agged.select((on.map(col) ++ Seq(col("phase"), col("n")) ++ qCols): _*)
+  }
+
+  /** Top movers: per group, the `k` series with the largest absolute
+    * bucket-over-bucket change in their LATEST bucket — "what jumped
+    * today" ranked. Bucket means per (group, series, bucket), the
+    * delta at each series' last bucket vs the previous one, rank by
+    * |delta| (rounded, ties to the series name). Two window passes
+    * over the bucket frame, never raw samples.
+    *
+    * Output: group cols, `series`, `bucket` (ns of the latest bucket),
+    * `value`, `prev`, `delta` (rounded 6), `rnk`. */
+  def topMovers(df: DataFrame, groupCols: Seq[String], seriesCol: String,
+                tsCol: String, valueCol: String, bucketNs: Long,
+                k: Int): DataFrame = {
+    require(bucketNs > 0 && k >= 1)
+    val keys = groupCols :+ seriesCol
+    val buckets = df.filter(col(valueCol).isNotNull)
+      .groupBy((keys.map(col) :+
+        expr(s"$tsCol div ${bucketNs}L").as("__b")): _*)
+      .agg(avg(col(valueCol)).as("__v"))
+    val wSeries = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__b").asc)
+    val latest = buckets
+      .withColumn("__pv", lag(col("__v"), 1).over(wSeries))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(keys.map(col): _*).orderBy(col("__b").desc)))
+      .filter(col("__rn") === 1 && col("__pv").isNotNull)
+      .withColumn("delta", round(col("__v") - col("__pv"), 6))
+    latest
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(groupCols.map(col): _*)
+          .orderBy(abs(col("delta")).desc, col(seriesCol).asc)))
+      .filter(col("rnk") <= k)
+      .select((groupCols.map(col) ++ Seq(col(seriesCol).as("series"),
+        (col("__b") * lit(bucketNs)).as("bucket"),
+        round(col("__v"), 6).as("value"),
+        round(col("__pv"), 6).as("prev"), col("delta"),
+        col("rnk").cast("long").as("rnk"))): _*)
+  }
+
   /** Phase-aware anomaly report: flag samples deviating more than
     * `nSigma` standard deviations from THEIR PHASE's distribution
     * (hour-of-day aware — a value normal at the daily peak is an

@@ -267,6 +267,22 @@ class CurationSpec extends SparkFunSuite {
     assert(!r.exists(_._1 == 2L))
   }
 
+  test("dupMatrix: normalized source-pair cells with counts") {
+    import graft.llm.Dedup
+    val base = "one two three four five six seven eight nine ten " * 3
+    val docs = Seq(
+      (1L, "sA", base), (2L, "sB", base),           // cross A-B pair
+      (3L, "sB", base + "tail"), (4L, "sC", "a b c d e f g h i j " * 3))
+      .toDF("doc_id", "source", "text")
+    val r = Dedup.dupMatrix(docs, "source", threshold = 0.5)
+      .orderBy("src_a", "src_b").collect()
+      .map(x => ((x.getString(0), x.getString(1)), x.getLong(2))).toMap
+    // pairs: (1,2) A-B, (1,3) A-B, (2,3) B-B; doc 4 shares nothing
+    assert(r(("sA", "sB")) == 2L)
+    assert(r(("sB", "sB")) == 1L)
+    assert(!r.keys.exists(k => k._1 == "sC" || k._2 == "sC"))
+  }
+
   test("dedupKeepBest: one survivor per cluster, singletons untouched") {
     import graft.llm.Dedup
     val docs = Seq(

@@ -359,6 +359,34 @@ class TsAnalyticsSpec extends SparkFunSuite {
     (1L to 6L).foreach(k => assert(r(("f", k))._2.isEmpty, s"flat lag $k"))
   }
 
+  test("phaseBands: exact per-phase quantiles") {
+    val H = 10L
+    // phase 0 sees 1..5 across periods -> p50 = 3, p90 = 4.6
+    val df = (0 until 5).map(i => ("m", i * 2 * H, (i + 1).toDouble))
+      .toDF("g", "ts", "v")
+    val r = TsAnalytics.phaseBands(df, Seq("g"), "ts", "v",
+        bucketNs = H, period = 2, probs = Seq(0.5, 0.9))
+      .collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(1) == 0L && r.head.getLong(2) == 5L)
+    assert(r.head.getDouble(3) == 3.0 && r.head.getDouble(4) == 4.6)
+  }
+
+  test("topMovers: latest-bucket deltas ranked, k cap, tie-break") {
+    val D = 10L
+    val df = Seq(
+      ("m", "s1", 0L, 1.0), ("m", "s1", D, 9.0),    // delta +8
+      ("m", "s2", 0L, 5.0), ("m", "s2", D, 4.0),    // delta -1
+      ("m", "s3", 0L, 2.0), ("m", "s3", D, 10.0),   // delta +8 (tie, s1<s3)
+      ("m", "s4", 0L, 7.0))                          // single bucket: absent
+      .toDF("g", "s", "ts", "v")
+    val r = TsAnalytics.topMovers(df, Seq("g"), "s", "ts", "v",
+        bucketNs = D, k = 2)
+      .orderBy("rnk").collect()
+      .map(x => (x.getString(1), x.getDouble(5), x.getLong(6)))
+    assert(r.toSeq == Seq(("s1", 8.0, 1L), ("s3", 8.0, 2L)))
+  }
+
   test("phaseAnomalies: flags only the phase-abnormal sample") {
     // phase 0 values cluster near 10, phase 1 near 100; a 100 at
     // phase 0 is anomalous even though it is normal globally
