@@ -3141,7 +3141,7 @@ object SparkEntry {
       },
       Some(s"""WITH RECURSIVE src AS (
               |  SELECT event_type AS sname, $tsSql AS t, value
-              |  FROM events),
+              |  FROM events WHERE value IS NOT NULL),
               |agg AS (SELECT sname, t, max(value) AS v
               |  FROM src GROUP BY 1, 2),
               |base AS (SELECT sname, t, v,
@@ -3458,7 +3458,8 @@ object SparkEntry {
              |  FROM s GROUP BY 1, 2),
              |g AS (SELECT media_id, sqrt(avg(v * v)) AS grms
              |  FROM s GROUP BY 1),
-             |vo AS (SELECT fr.media_id, f, (frms > 0.5 * grms) AS voiced
+             |vo AS (SELECT fr.media_id, f,
+             |    (round(frms, 9) > round(0.5 * grms, 9)) AS voiced
              |  FROM fr JOIN g USING (media_id)),
              |runs AS (SELECT media_id, voiced,
              |    f - row_number() OVER (PARTITION BY media_id, voiced
@@ -3935,16 +3936,20 @@ object SparkEntry {
     // -- vocabulary growth: is the crawl still finding fresh content? ----
     // count-only output, so the oracle can use string shingles where
     // the engine uses xxhash64 shingles (distinct counts agree barring
-    // ~2^-64 collisions)
+    // ~2^-64 collisions). The split class spells out Java's \s
+    // ([ \t\n\x0B\f\r]) rather than RE2's '\s' (which excludes \x0B),
+    // and the index list uses inclusive generate_series — both so the
+    // oracle is stable across DuckDB builds and corpus contents.
     "doc_vocab_growth" -> Gated(
       (s, d) => Text.vocabGrowth(TestData.table(s, d, "documents"),
           n = 3, batch = 50L)
         .orderBy(col("batch")),
       Some("""WITH toks AS (SELECT doc_id,
-             |    string_split_regex(trim(lower(text)), '\s+') AS t
+             |    string_split_regex(trim(lower(text)),
+             |      '[ \t\n\x0b\f\r]+') AS t
              |  FROM documents),
              |grams AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
-             |    THEN list_transform(range(1, len(t) - 1),
+             |    THEN list_transform(generate_series(1, len(t) - 2),
              |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
              |    ELSE [] END) AS g FROM toks),
              |ex AS (SELECT DISTINCT doc_id // 50 AS bk, unnest(g) AS gr

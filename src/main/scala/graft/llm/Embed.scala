@@ -948,9 +948,12 @@ object Embed {
     val nHits = brute.join(celled, Seq("qid", "nid"), "left_semi").count()
     val nQ = q.count()
     import spark.implicits._
-    Seq((nQ, k.toLong, nTruth, nHits,
-      BigDecimal(nHits.toDouble / nTruth)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    // no truth pairs (no query id matched a non-zero vector): recall is
+    // vacuously perfect — 0/0 would otherwise throw on BigDecimal(NaN)
+    val recall = if (nTruth == 0) 1.0
+      else BigDecimal(nHits.toDouble / nTruth)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((nQ, k.toLong, nTruth, nHits, recall))
       .toDF("n_queries", "k", "n_truth", "n_hits", "recall")
   }
 

@@ -466,7 +466,15 @@ object Multimodal {
     * every other kernel here. Only FULL frames count (the tail partial
     * frame is dropped from frames AND from the global rms, one
     * universe); a frame is voiced when its rms exceeds
-    * `thr x global rms`. Returns (n_frames, n_voiced, ratio, max_run). */
+    * `thr x global rms`. Both comparison operands are pre-rounded to 9
+    * decimals so the predicate is stable across engines: the oracle's
+    * avg() accumulation order differs from this sequential loop, and a
+    * borderline frame (|frms - thr*grms| within a few ulps) must not
+    * flip between DuckDB builds. Returns (n_frames, n_voiced, ratio,
+    * max_run). */
+  private def rnd9(x: Double): Double =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   private[llm] def vadKernel(content: Array[Byte], frame: Int,
                              thr: Double): Option[(Int, Int, Double, Int)] = {
     val samples: Option[Array[Float]] =
@@ -482,13 +490,14 @@ object Multimodal {
         var i = 0
         while (i < n) { g += s(i).toDouble * s(i); i += 1 }
         val grms = math.sqrt(g / n)
+        val gate = rnd9(thr * grms)
         var voiced = 0; var run = 0; var maxRun = 0
         var f = 0
         while (f < nf) {
           var e = 0.0
           var j = f * frame
           while (j < (f + 1) * frame) { e += s(j).toDouble * s(j); j += 1 }
-          if (math.sqrt(e / frame) > thr * grms) {
+          if (rnd9(math.sqrt(e / frame)) > gate) {
             voiced += 1; run += 1; if (run > maxRun) maxRun = run
           } else run = 0
           f += 1

@@ -175,6 +175,88 @@ object Sample {
     df.withColumn("split", label)
   }
 
+  /** Per-group score calibration: percent rank and z-score of a score
+    * within each group — the normalization step before thresholding a
+    * quality score ACROSS heterogeneous sources (a raw LM score cut
+    * keeps whatever source happens to score high; calibrated ranks cut
+    * each source at its own distribution). Deterministic: the rank
+    * orders by (score, id) — unique keys, so rank == row_number and
+    * this reproduces `percent_rank()` exactly; a zero-variance group
+    * gets null z (not NaN/throw — the ANSI + cross-engine convention
+    * used throughout).
+    *
+    * Shape at scale: a single `Window.partitionBy(group)` would put a
+    * dominant source (a web crawl is routinely >80% of docs) on ONE
+    * task. Instead, [[takeBudget]]'s bucketed two-pass rank: score
+    * buckets from a global quantile sketch (boundaries only balance
+    * work — any score-monotone split is correct, since equal scores
+    * always share a bucket and (bucket, score, id) order equals
+    * (score, id) order), per-(group, bucket) counts rolled into
+    * per-group prefix offsets by a window over the TINY counts frame
+    * (`buckets` rows per group), then a within-(group, bucket)
+    * row_number plus the bucket's offset. Rows carry only (id, group,
+    * score); group moments come from one hash aggregate; both small
+    * frames join back AQE-sized (no forced broadcast — group
+    * cardinality is unbounded). No driver-side state beyond the
+    * `buckets-1` boundary doubles.
+    *
+    * Output: id, group cols, score, `prank` (0..1), `z` (both
+    * rounded 6). */
+  def normalizeScores(df: DataFrame, groupCols: Seq[String],
+                      score: Column, idCol: String = "doc_id",
+                      buckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 1, "buckets must be >= 1")
+    val gc = groupCols.map(col)
+    val base = df.select((col(idCol) +: gc :+ score.as("__s")): _*)
+    val stats = base.groupBy(gc: _*)
+      .agg(count(lit(1)).as("__n"), avg(col("__s")).as("__mu"),
+        stddev_samp(col("__s")).as("__sd"))
+    val bounds =
+      if (buckets <= 1) Seq.empty[Double]
+      else base.stat
+        .approxQuantile("__s",
+          (1 until buckets).map(_.toDouble / buckets).toArray, 0.01)
+        .distinct.sorted.toSeq
+    val bucket =
+      if (bounds.isEmpty) lit(0)
+      else bounds.map(b => when(col("__s") >= b, 1).otherwise(0))
+        .reduce(_ + _)
+    val t = base.withColumn("__b", bucket)
+      .repartition((gc :+ col("__b")): _*)
+    // offsets: rows BEFORE this bucket within the group — a window over
+    // the counts frame only (<= `buckets` rows per group)
+    val off = t.groupBy((gc :+ col("__b")): _*)
+      .agg(count(lit(1)).as("__bn"))
+      .withColumn("__off", coalesce(
+        sum(col("__bn")).over(Window.partitionBy(gc: _*)
+          .orderBy(col("__b").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select((gc :+ col("__b") :+ col("__off")): _*)
+    val wB = Window.partitionBy((gc :+ col("__b")): _*)
+      .orderBy(col("__s").asc, col(idCol).asc)
+    // null-safe join keys: a null group value is a group of its own
+    // (exactly as Window.partitionBy treats it), so <=> not =
+    def nsJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               keep: Seq[String]): DataFrame = {
+      val l = left.as("l"); val r = right.as("r")
+      val cond = keys.map(k => col("l." + k) <=> col("r." + k))
+        .reduce(_ && _)
+      l.join(r, cond)
+        .select((left.columns.map(c => col("l." + c)) ++
+          keep.map(c => col("r." + c))).toIndexedSeq: _*)
+    }
+    val ranked = nsJoin(t, off, groupCols :+ "__b", Seq("__off"))
+      .withColumn("__rank", col("__off") + row_number().over(wB))
+    nsJoin(ranked, stats, groupCols, Seq("__n", "__mu", "__sd"))
+      .select((col(idCol) +: gc :+ col("__s").as("score") :+
+        round(when(col("__n") > 1,
+            (col("__rank") - 1).cast("double") / (col("__n") - 1))
+          .otherwise(0.0), 6).as("prank") :+
+        when(col("__sd") > 0,
+          round((col("__s") - col("__mu")) / col("__sd"), 6)).as("z")): _*)
+  }
+
   /** Gumbel top-k importance resampling — the selection step of DSIR
     * ([[Text.dsirWeights]]) and of any weighted-sampling-without-
     * replacement curation: sampling k rows with probability ∝ exp(w) is
@@ -183,34 +265,6 @@ object Sample {
     * draw is reproducible on any cluster and the oracle replays it.
     * One narrow projection + one global top-k (rank via max-k sort,
     * no full sort materialized at the driver). */
-  /** Per-group score calibration: percent rank and z-score of a score
-    * within each group — the normalization step before thresholding a
-    * quality score ACROSS heterogeneous sources (a raw LM score cut
-    * keeps whatever source happens to score high; calibrated ranks cut
-    * each source at its own distribution). Deterministic: percent_rank
-    * orders by (score, id); a zero-variance group gets null z (not
-    * NaN/throw — the ANSI + cross-engine convention used throughout).
-    *
-    * One window pass over (group) — rows carry only (id, group, score).
-    * Output: id, group cols, score, `prank` (0..1), `z` (both
-    * rounded 6). */
-  def normalizeScores(df: DataFrame, groupCols: Seq[String],
-                      score: Column, idCol: String = "doc_id"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val base = df.select(
-      (col(idCol) +: groupCols.map(col) :+ score.as("__s")): _*)
-    val wOrd = Window.partitionBy(groupCols.map(col): _*)
-      .orderBy(col("__s").asc, col(idCol).asc)
-    val wAll = Window.partitionBy(groupCols.map(col): _*)
-    val sd = stddev_samp(col("__s")).over(wAll)
-    val mu = avg(col("__s")).over(wAll)
-    base
-      .withColumn("prank", round(percent_rank().over(wOrd), 6))
-      .withColumn("z",
-        when(sd > 0, round((col("__s") - mu) / sd, 6)))
-      .withColumnRenamed("__s", "score")
-  }
-
   def gumbelTopK(df: DataFrame, weight: Column, k: Int,
                  idCol: String = "doc_id", seed: String = ""): DataFrame = {
     val key = weight + (-log(-log(hashFrac(col(idCol), seed))))

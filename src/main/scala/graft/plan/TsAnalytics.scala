@@ -460,8 +460,14 @@ object TsAnalytics {
     * reference's `rate` token lacks): per consecutive sample pair, the
     * per-second increase — and when the counter DROPS (process restart
     * reset it to ~0), the new value itself is taken as the increase
-    * rather than emitting a huge negative rate. One keyed window pass;
-    * duplicate instants collapse to max first, so dt > 0 always.
+    * rather than emitting a huge negative rate. ONE exchange total:
+    * an explicit repartition on the series key, then everything —
+    * duplicate-instant collapse (row_number over (key, ts), whose
+    * ClusteredDistribution a hash(key) partitioning already satisfies)
+    * and the lag window — runs partition-local over one shared
+    * (key, ts) sort; the previous hash-agg + re-shuffle shape spent
+    * three wide exchanges on the same result. Duplicate instants keep
+    * the max value, so dt > 0 always.
     *
     * Output: on cols, `ts` (the later sample), `rate` (rounded 6);
     * each series' first sample has no rate and is absent. */
@@ -469,11 +475,14 @@ object TsAnalytics {
                   valueCol: String): DataFrame = {
     require(on.nonEmpty)
     val w = Window.partitionBy(on.map(col): _*).orderBy(col("__t").asc)
+    val wDup = Window.partitionBy((on.map(col) :+ col("__t")): _*)
+      .orderBy(col("__v").desc)
     df.select((on.map(col) :+ col(tsCol).cast("long").as("__t") :+
         col(valueCol).cast("double").as("__v")): _*)
       .filter(col("__v").isNotNull)
-      .groupBy((on.map(col) :+ col("__t")): _*)
-      .agg(max(col("__v")).as("__v"))
+      .repartition(on.map(col): _*)
+      .withColumn("__rn", row_number().over(wDup))
+      .filter(col("__rn") === 1)
       .withColumn("__pt", lag(col("__t"), 1).over(w))
       .withColumn("__pv", lag(col("__v"), 1).over(w))
       .filter(col("__pt").isNotNull)
@@ -577,9 +586,9 @@ object TsAnalytics {
     * anomaly at 4am, which a global threshold cannot see; the
     * [[seasonalAnomalies]] sibling needs a trend window, this one only
     * the phase marginals). Profile = per-(series, phase) mean/stddev
-    * over raw samples; the profile frame is period x series rows and
-    * broadcasts back onto the samples. Rounded-before-compare flag, as
-    * everywhere.
+    * over raw samples — period x series rows, joined back AQE-sized
+    * (broadcast when small; series cardinality is unbounded, so the
+    * hint is not forced). Rounded-before-compare flag, as everywhere.
     *
     * Output: the ANOMALOUS samples only — on cols, `ts`, `value`,
     * `phase`, `expected` (phase mean), `sd` (both rounded 6). */
@@ -596,7 +605,9 @@ object TsAnalytics {
       .groupBy((on.map(col) :+ col("phase")): _*)
       .agg(avg(col("value")).as("__mu"),
         stddev_samp(col("value")).as("__sd"))
-    base.join(broadcast(profile), on :+ "phase")
+    // no forced broadcast: the profile is period x |series| rows, and
+    // series cardinality is unbounded — let AQE size the join
+    base.join(profile, on :+ "phase")
       .filter(col("__sd").isNotNull && col("__sd") > 0 &&
         round(abs(col("value") - col("__mu")), 6) >
           round(lit(nSigma) * col("__sd"), 6))

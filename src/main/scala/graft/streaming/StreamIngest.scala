@@ -119,7 +119,7 @@ object StreamIngest {
       .withColumn("bucket_ts",
         (col("ts") - pmod(col("ts") - lit(anchorNs), lit(stepNs))).cast("long"))
       .withColumn("bucket_event",
-        timestamp_micros(((col("bucket_ts") + lit(stepNs)) / 1000L).cast("long")))
+        timestamp_micros(expr(s"(bucket_ts + ${stepNs}L) div 1000")))
       .withColumn("sname",
         TsStore.snameOf(col("metric"), TsStore.tagStr(col("tags"))))
       .withWatermark("bucket_event", s"$latenessSec seconds")
@@ -147,7 +147,7 @@ object StreamIngest {
       .withColumn("bucket_ts",
         (col("ts") - pmod(col("ts") - lit(anchorNs), lit(stepNs))).cast("long"))
       .withColumn("bucket_event",
-        timestamp_micros(((col("bucket_ts") + lit(stepNs)) / 1000L).cast("long")))
+        timestamp_micros(expr(s"(bucket_ts + ${stepNs}L) div 1000")))
       .withColumn("sname",
         TsStore.snameOf(col("metric"), TsStore.tagStr(col("tags"))))
       .filter(col("value").isNotNull)
