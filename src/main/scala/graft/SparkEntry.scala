@@ -2636,6 +2636,33 @@ object SparkEntry {
               |  AND user_id IN (8, 9)
               |ORDER BY 2, 1, 3""".stripMargin)),
 
+    // -- retention: oldest whole days evicted, reads = recent suffix -----
+    // the reference's volume-rotation semantics (test_volume_overflow /
+    // test_database_overflow: full volumes recycle, oldest data vanishes,
+    // reads return the contiguous recent suffix) as explicit layout
+    // eviction; cutoff on a day boundary makes suffix == ts >= cutoff
+    "ts_retention" -> Gated(
+      (s, d) => {
+        val tmp = s"/tmp/graft_layout_ret_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+        graft.io.Ingest.writeLayout(
+          TestData.events(s, d).samples
+            .filter(col("metric") === "click")
+            .withColumn("event", lit(null).cast("string")),
+          tmp, flattenTags = Seq("user"))
+        graft.io.Ingest.enforceRetentionBefore(
+          s, tmp, AkuTime.parseTs("20240110T000000"))
+        graft.io.Ingest.readLayout(s, tmp).samples
+          .groupBy(expr(s"ts div ${Day}L").as("day"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value")), 6).as("sum_v"))
+          .orderBy(col("day"))
+      },
+      Some(s"""SELECT $tsSql // $Day AS day, count(*) AS n,
+              |  round(sum(value), 6) AS sum_v
+              |FROM events WHERE event_type = 'click'
+              |  AND $tsSql >= ${AkuTime.parseTs("20240110T000000")}
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // -- meta:names served from the MAINTAINED series dimension ----------
     // writeLayout + writeSeriesFromLayout, then readLayout attaches the
     // dimension: the metadata query is O(series), never a fact scan

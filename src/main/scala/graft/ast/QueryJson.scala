@@ -25,7 +25,21 @@ object QueryJson {
     "sample") // legacy alias for "apply" (functests/test_sax.py drives
               // sax through it; the modern reference parser dropped it)
 
-  def parse(json: String): Query = fromJValue(JsonMethods.parse(json))
+  /** Any malformed byte sequence — truncated JSON, empty input, 10k
+    * nested braces — surfaces as the normalized QueryParseException
+    * (reference: query_parsing error_repr), never a raw Jackson
+    * exception; the HTTP error-line contract needs one failure type
+    * (fuzz-verified, PropertySpec). */
+  def parse(json: String): Query = {
+    val root =
+      try JsonMethods.parse(json)
+      catch { case e: Exception =>
+        throw QueryParseException(
+          s"invalid JSON: ${Option(e.getMessage).getOrElse("unparseable")
+            .takeWhile(_ != '\n')}")
+      }
+    fromJValue(root)
+  }
 
   def fromJValue(root: JValue): Query = {
     val obj = root match {

@@ -367,6 +367,26 @@ object Ingest {
     writePrepared(flat, outPath, width, saltBuckets, codec)
   }
 
+  /** Every `metric=…` / `day=…` partition directory of the layout:
+    * (day id, path, bytes), via the Hadoop FS API so HDFS/S3 layouts
+    * work unchanged. Listing cost is O(partition directories) — pure
+    * namenode/metadata calls, no data read. */
+  private def listDayDirs(spark: SparkSession, path: String)
+      : (org.apache.hadoop.fs.FileSystem,
+         Seq[(Long, org.apache.hadoop.fs.Path, Long)]) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val dirs = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("metric="))
+      .flatMap(m => fs.listStatus(m.getPath).toSeq)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
+      .map { s =>
+        val day = s.getPath.getName.stripPrefix("day=").toLong
+        (day, s.getPath, fs.getContentSummary(s.getPath).getLength)
+      }
+    (fs, dirs)
+  }
+
   /** Retention enforcement — the Spark analogue of the reference's
     * fixed-volume rotation (test_database_overflow.py: when volumes
     * fill, the OLDEST data disappears and reads return a contiguous
@@ -378,16 +398,7 @@ object Ingest {
     * unchanged. Returns the dropped day ids (oldest first). */
   def enforceRetention(spark: SparkSession, path: String,
                        maxBytes: Long): Seq[Long] = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val dayDirs = fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("metric="))
-      .flatMap(m => fs.listStatus(m.getPath).toSeq)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
-      .map { s =>
-        val day = s.getPath.getName.stripPrefix("day=").toLong
-        (day, s.getPath, fs.getContentSummary(s.getPath).getLength)
-      }
+    val (fs, dayDirs) = listDayDirs(spark, path)
     val byDay = dayDirs.groupBy(_._1).toSeq.sortBy(_._1) // oldest first
     var excess = dayDirs.map(_._3).sum - maxBytes
     val dropped = scala.collection.mutable.ArrayBuffer[Long]()
@@ -403,6 +414,27 @@ object Ingest {
       }
     }
     dropped.toSeq
+  }
+
+  /** Time-based retention — "keep the last N days": drops every bucket
+    * partition whose ENTIRE time range lies before `cutoffNs`. The
+    * bucket containing the cutoff survives whole (same never-a-torn-day
+    * rule as [[enforceRetention]]); with a cutoff on a bucket boundary
+    * the surviving data is exactly `ts >= cutoffNs`. The bucket width
+    * comes from the layout's own persisted sidecar, so non-default
+    * widths evict on their own boundaries. Complements the size-based
+    * variant the way the reference pairs volume count with volume size
+    * (test_volume_overflow.py drives the same oldest-first reclaim).
+    * Returns the dropped bucket ids (oldest first). */
+  def enforceRetentionBefore(spark: SparkSession, path: String,
+                             cutoffNs: Long): Seq[Long] = {
+    val width = readBucketNs(spark, path).getOrElse(DayNs)
+    // floorDiv: a pre-epoch cutoff must round DOWN to its bucket
+    val cutoffDay = Math.floorDiv(cutoffNs, width)
+    val (fs, dayDirs) = listDayDirs(spark, path)
+    val doomed = dayDirs.filter(_._1 < cutoffDay).sortBy(_._1)
+    doomed.foreach { case (_, p, _) => fs.delete(p, true) }
+    doomed.map(_._1).distinct
   }
 
   /** The series dimension table `(metric, tags, tagstr)`, persisted

@@ -189,7 +189,26 @@ object RunLog {
   def readRuns(spark: SparkSession, path: String,
                flattenTags: Seq[String] = Nil,
                minPartitions: Int = 0): DataFrame =
-    readRunFiles(spark, listRuns(spark, path), flattenTags, minPartitions)
+    readRunFiles(spark, listServableRuns(spark, path), flattenTags,
+      minPartitions)
+
+  /** Every run a READER should see: the published spool plus any runs
+    * staged under `.folding/` by an in-flight (or crashed) fold — those
+    * stay visible until the fold retires them, so serving never has a
+    * gap while a fold's Spark job runs. The fold itself snapshots
+    * [[listRuns]] (top level only): staged files belong to their own
+    * fold, never to a new one. */
+  def listServableRuns(spark: SparkSession, path: String): Seq[String] = {
+    val base = new org.apache.hadoop.fs.Path(s"$path/.folding")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged =
+      if (!fs.exists(base)) Seq.empty
+      else fs.listStatus(base).toSeq.filter(_.isDirectory)
+        .flatMap(d => fs.listStatus(d.getPath).toSeq)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".grun"))
+        .map(_.getPath.toString)
+    (listRuns(spark, path) ++ staged).sorted
+  }
 
   /** Snapshot of the published run files under `path`, sorted. The
     * snapshot is the unit of the fold protocol: [[foldRuns]] compacts
@@ -329,22 +348,40 @@ object RunLog {
   }
 
   /** Incremental compaction with retirement — the recurring maintenance
-    * cycle of the WAL-then-tree shape. Snapshots the published runs,
-    * APPENDS exactly that snapshot into the existing layout (bucket
-    * width must match the layout's persisted sidecar), then deletes
-    * exactly those files; runs published while the fold was writing are
-    * untouched and served live until the next cycle. After a fold,
-    * [[liveStore]] over the same (layout, runs) pair serves every
-    * sample exactly once. A query that is EXECUTING across the
-    * append-to-delete window can see folded samples twice — run folds
-    * on a maintenance cadence (the reference has the same transient
-    * window when the input log recycles into the tree). Returns the
-    * retired files. */
+    * cycle of the WAL-then-tree shape, CRASH-SAFE at every step
+    * (reference: test_kill.py / test_wal_recovery.py — a SIGKILL at any
+    * point must cost zero samples and create zero permanent duplicates).
+    *
+    * Protocol (each step leaves a durable breadcrumb the next call can
+    * resume from — see [[recoverFolds]]):
+    *   1. atomically MOVE the snapshot into `runs/.folding/<foldId>/`
+    *      (staged runs stay servable — [[listServableRuns]] — so readers
+    *      never see a gap mid-fold);
+    *   2. write the fold's parquet to `layout/.foldout/<foldId>` in
+    *      OVERWRITE mode (re-runnable after any crash);
+    *   3. record every landing target in `_folds/<foldId>.inflight`
+    *      BEFORE moving anything (a retry rolls the partial landing back
+    *      by exactly this list, then regenerates);
+    *   4. land each file by rename under its `fold-<foldId>-` name;
+    *   5. create the `_folds/<foldId>` done-marker (the commit point);
+    *   6. retire: delete foldout, staging, marker.
+    * A crash before 5 ⇒ recovery rolls back and redoes (the layout never
+    * double-counts); after 5 ⇒ recovery just retires. The only reader-
+    * visible anomaly is the historical transient one: a query executing
+    * across steps 4-6 can see folded samples twice (the reference has
+    * the same window when the input log recycles into the tree).
+    *
+    * Runs published while the fold is writing are untouched and served
+    * live until the next cycle. Returns the retired files. */
   def foldRuns(spark: SparkSession, runsPath: String, layoutPath: String,
                flattenTags: Seq[String] = Nil,
                bucketNs: Long = Ingest.DayNs,
                saltBuckets: Int = 32,
                codec: String = Ingest.DefaultCodec): Seq[String] = {
+    // finish any interrupted fold FIRST: its staged runs land before the
+    // new snapshot, preserving fold ordering
+    recoverFolds(spark, runsPath, layoutPath, flattenTags, bucketNs,
+      saltBuckets, codec)
     val snapshot = listRuns(spark, runsPath)
     if (snapshot.nonEmpty) {
       val fs = new org.apache.hadoop.fs.Path(runsPath)
@@ -363,19 +400,127 @@ object RunLog {
           s"layout $layoutPath has flattened tags [${layoutTags.mkString(",")}]"
           + s", fold called with [${flattenTags.mkString(",")}]")
       }
-      Ingest.writePrepared(readRunFiles(spark, snapshot, flattenTags),
-        layoutPath, bucketNs, saltBuckets, codec, append = true)
+      // bucket-width agreement, checked BEFORE anything is staged or
+      // written (the fold output is now generated out-of-place, so the
+      // append-mode check inside writePrepared no longer guards this)
+      Ingest.readBucketNs(spark, layoutPath) match {
+        case Some(w) => require(w == bucketNs,
+          s"layout $layoutPath has bucketNs $w, fold requested $bucketNs")
+        case None => if (layoutHasData) require(bucketNs == Ingest.DayNs,
+          s"layout $layoutPath predates the bucket sidecar (implicit " +
+          s"DayNs); fold requested $bucketNs")
+      }
+      // sortable id: recovery processes crashed folds oldest-first
+      val foldId = f"${System.currentTimeMillis()}%013d-" +
+        java.lang.Long.toHexString(System.nanoTime())
+      val staging =
+        new org.apache.hadoop.fs.Path(s"$runsPath/.folding/$foldId")
+      fs.mkdirs(staging)
       snapshot.foreach { f =>
         val p = new org.apache.hadoop.fs.Path(f)
-        // a silently-failed delete would re-fold this file next cycle —
-        // a PERMANENT duplicate, not the documented transient window
-        if (!fs.delete(p, false) && fs.exists(p))
-          throw new java.io.IOException(
-            s"failed to retire folded run file $f — delete it before the " +
-            "next fold or its samples will be appended again")
+        if (!fs.rename(p,
+            new org.apache.hadoop.fs.Path(staging, p.getName)) &&
+            fs.exists(p))
+          throw new java.io.IOException(s"failed to stage run file $f")
       }
+      runFold(spark, staging, layoutPath, flattenTags, bucketNs,
+        saltBuckets, codec)
     }
     snapshot
+  }
+
+  /** Resume every fold a crashed process left under `runs/.folding/`,
+    * oldest first: committed folds (done-marker present) are retired,
+    * uncommitted ones are rolled back by their inflight manifest and
+    * redone. [[foldRuns]] calls this automatically; call it directly on
+    * service start to drain crash debris before the first query. Must be
+    * invoked with the same layout parameters as the original folds.
+    * Returns the recovered fold ids. */
+  def recoverFolds(spark: SparkSession, runsPath: String,
+                   layoutPath: String,
+                   flattenTags: Seq[String] = Nil,
+                   bucketNs: Long = Ingest.DayNs,
+                   saltBuckets: Int = 32,
+                   codec: String = Ingest.DefaultCodec): Seq[String] = {
+    val base = new org.apache.hadoop.fs.Path(s"$runsPath/.folding")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).toSeq.filter(_.isDirectory)
+      .sortBy(_.getPath.getName).map { d =>
+        runFold(spark, d.getPath, layoutPath, flattenTags, bucketNs,
+          saltBuckets, codec)
+        d.getPath.getName
+      }
+  }
+
+  /** Steps 2-6 of the fold protocol over one staged snapshot; safe to
+    * re-run after a crash at ANY point (see [[foldRuns]]). */
+  private def runFold(spark: SparkSession,
+                      staging: org.apache.hadoop.fs.Path,
+                      layoutPath: String, flattenTags: Seq[String],
+                      bucketNs: Long, saltBuckets: Int,
+                      codec: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val foldId = staging.getName
+    val marker = new Path(s"$layoutPath/_folds/$foldId")
+    val manifest = new Path(s"$layoutPath/_folds/$foldId.inflight")
+    val outDir = new Path(s"$layoutPath/.foldout/$foldId")
+    val staged = fs.listStatus(staging).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".grun"))
+      .map(_.getPath.toString).sorted
+    if (!fs.exists(marker) && staged.nonEmpty) {
+      // roll back a previous attempt's partial landing — exactly the
+      // files its manifest promised, no layout-wide scan
+      if (fs.exists(manifest)) {
+        val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+          fs.open(manifest), java.nio.charset.StandardCharsets.UTF_8))
+        try Iterator.continually(in.readLine()).takeWhile(_ != null)
+          .filter(_.nonEmpty)
+          .foreach(t => fs.delete(new Path(t), false))
+        finally in.close()
+        fs.delete(manifest, false)
+      }
+      // regenerate the fold output (overwrite mode — re-runnable)
+      Ingest.writePrepared(readRunFiles(spark, staged, flattenTags),
+        outDir.toString, bucketNs, saltBuckets, codec)
+      // plan the landing and persist it BEFORE moving anything
+      val moves = fs.listStatus(outDir).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("metric="))
+        .flatMap(m => fs.listStatus(m.getPath).toSeq)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
+        .flatMap { d =>
+          fs.listStatus(d.getPath).toSeq
+            .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+              !f.getPath.getName.startsWith("."))
+            .map { f =>
+              (f.getPath, new Path(s"$layoutPath/" +
+                s"${d.getPath.getParent.getName}/${d.getPath.getName}/" +
+                s"fold-$foldId-${f.getPath.getName}"))
+            }
+        }
+      val mo = fs.create(manifest, true)
+      try mo.write(moves.map(_._2.toString).mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally mo.close()
+      // land: per-file renames under deterministic fold-scoped names
+      moves.foreach { case (src, dst) =>
+        fs.mkdirs(dst.getParent)
+        if (!fs.rename(src, dst) && !fs.exists(dst))
+          throw new java.io.IOException(
+            s"failed to land fold file $src -> $dst")
+      }
+      // first fold into a fresh layout: stamp the width sidecar
+      if (Ingest.readBucketNs(spark, layoutPath).isEmpty)
+        Ingest.writeBucketNs(spark, layoutPath, bucketNs)
+      fs.create(marker, true).close() // the commit point
+      fs.delete(manifest, false)
+    }
+    // retire — after this the staged runs stop being served and the
+    // transient double-visibility window closes
+    fs.delete(outDir, true)
+    fs.delete(staging, true)
+    fs.delete(marker, false) // fold ids are never reused; stale-safe
   }
 
   /** The complete live view: compacted layout UNION not-yet-compacted

@@ -16,10 +16,18 @@ object AkuTime {
   // Unit table mirrors reference datetime.cpp:174 (n, us, ms, s, m, min, h, d).
   private val DurRe = """^(\d+)\s*(n|us|ms|s|m|min|h|d)?$""".r
 
-  /** Parse a query timestamp: basic-format ISO8601, or raw ns digits. */
+  /** Parse a query timestamp: basic-format ISO8601, or raw ns digits.
+    * EVERY failure — bad shape, invalid month/day (DateTimeException
+    * inside LocalDate), digit strings past Long range — surfaces as the
+    * same IllegalArgumentException, so callers (and the HTTP error-line
+    * layer) see one normalized parser contract for any byte sequence,
+    * like the reference's fuzz-hardened datetime.cpp parse. */
   def parseTs(s: String): Long = s.trim match {
     case IsoRe(y, mo, d, h, mi, se, frac) =>
-      val date = LocalDate.of(y.toInt, mo.toInt, d.toInt)
+      val date =
+        try LocalDate.of(y.toInt, mo.toInt, d.toInt)
+        catch { case _: RuntimeException =>
+          throw new IllegalArgumentException(s"bad timestamp: '$s'") }
       // time-of-day fields validate like the date ones: '990000' is a
       // bad timestamp, not 99 hours silently added (= 4 days of shift)
       if (h != null && (h.toInt > 23 || mi.toInt > 59 || se.toInt > 59))
@@ -28,11 +36,15 @@ object AkuTime {
         (if (h == null) 0L else h.toLong * 3600 + mi.toLong * 60 + se.toLong)
       val ns = if (frac == null) 0L else frac.padTo(9, '0').toLong
       secs * NsPerSec + ns
-    case t if t.nonEmpty && t.forall(_.isDigit) => t.toLong
+    case t if t.nonEmpty && t.forall(_.isDigit) =>
+      try t.toLong catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(s"bad timestamp: '$t'") }
     case other => throw new IllegalArgumentException(s"bad timestamp: '$other'")
   }
 
-  /** `10s`, `1m`, `100ms` ... -> nanoseconds. */
+  /** `10s`, `1m`, `100ms` ... -> nanoseconds. Overflow (count past Long
+    * range, or count x unit wrapping 2^63) is a bad duration, not a
+    * silently negative interval. */
   def parseDuration(s: String): Long = s.trim match {
     case DurRe(num, unit) =>
       val k = unit match {
@@ -44,7 +56,9 @@ object AkuTime {
         case "h"         => 3600L * NsPerSec
         case "d"         => 86400L * NsPerSec
       }
-      k * num.toLong
+      try Math.multiplyExact(k, num.toLong)
+      catch { case _: RuntimeException =>
+        throw new IllegalArgumentException(s"bad duration: '$s'") }
     case other => throw new IllegalArgumentException(s"bad duration: '$other'")
   }
 

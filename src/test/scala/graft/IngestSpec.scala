@@ -220,6 +220,32 @@ class IngestSpec extends SparkFunSuite {
     assert(Ingest.enforceRetention(spark, layout, Long.MaxValue).isEmpty)
   }
 
+  test("time retention drops whole buckets before the cutoff only") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-retention-t").toFile
+    val layout = new java.io.File(dir, "layout").getAbsolutePath
+    val day = Ingest.DayNs
+    val samples = spark.range(300).select(
+      lit("temp").as("metric"),
+      map(lit("host"), lit("h0")).as("tags"),
+      (col("id") / 100).cast("long") * day + (col("id") % 100) * 1000000000L,
+      col("id").cast("double").as("value"),
+      lit(null).cast("string").as("event"))
+      .toDF("metric", "tags", "ts", "value", "event")
+    Ingest.writeLayout(samples, layout)
+    // cutoff INSIDE day 1: day 0 goes, day 1 survives whole (no torn day)
+    assert(Ingest.enforceRetentionBefore(spark, layout, day + 50L) == Seq(0L))
+    val got = Ingest.readLayout(spark, layout)
+      .samples.select("value").collect().map(_.getDouble(0)).sorted
+    assert(got.toSeq == (100 until 300).map(_.toDouble))
+    // boundary cutoff: exact suffix semantics; idempotent re-run
+    assert(Ingest.enforceRetentionBefore(spark, layout, 2 * day) == Seq(1L))
+    assert(Ingest.enforceRetentionBefore(spark, layout, 2 * day).isEmpty)
+    val left = Ingest.readLayout(spark, layout)
+      .samples.select("value").collect().map(_.getDouble(0)).sorted
+    assert(left.toSeq == (200 until 300).map(_.toDouble))
+  }
+
   test("non-default bucketNs round-trips: pruning uses the layout's width") {
     import org.apache.spark.sql.functions._
     val sp = spark
