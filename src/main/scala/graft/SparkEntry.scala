@@ -43,6 +43,14 @@ object SparkEntry {
   private def run(json: String)(spark: SparkSession, sfDir: String): DataFrame =
     Planner.plan(QueryJson.parse(json), TestData.events(spark, sfDir)).df
 
+  // metadata queries plan against the store WITH its persisted series
+  // dimension (the deployment shape — O(series), no fact scan); the
+  // ad-hoc fallback store would make the bench time a scan no real
+  // deployment pays
+  private def runDim(json: String)(spark: SparkSession, sfDir: String): DataFrame =
+    Planner.plan(QueryJson.parse(json),
+      TestData.eventsWithDim(spark, sfDir)).df
+
   private def runFrame(json: String)(spark: SparkSession, sfDir: String) =
     Planner.plan(QueryJson.parse(json), TestData.events(spark, sfDir))
 
@@ -616,19 +624,19 @@ object SparkEntry {
 
     // -- Q7 meta:names: series listing -----------------------------------
     "ts_meta_names" -> Gated(
-      (s, d) => run("""{"select":"meta:names"}""")(s, d).orderBy(col("sname")),
+      (s, d) => runDim("""{"select":"meta:names"}""")(s, d).orderBy(col("sname")),
       Some(s"""SELECT DISTINCT ${snameSql("event_type")} AS sname
               |FROM events ORDER BY 1""".stripMargin)),
 
     // -- Q7 meta:names with where + metric pattern forms -----------------
     "ts_meta_names_where" -> Gated(
-      (s, d) => run("""{"select":"meta:names","where":{"user":["7","8"]}}""")(s, d)
+      (s, d) => runDim("""{"select":"meta:names","where":{"user":["7","8"]}}""")(s, d)
         .orderBy(col("sname")),
       Some(s"""SELECT DISTINCT ${snameSql("event_type")} AS sname
               |FROM events WHERE user_id IN (7, 8) ORDER BY 1""".stripMargin)),
 
     "ts_meta_names_metric" -> Gated(
-      (s, d) => run("""{"select":"meta:names:purchase"}""")(s, d)
+      (s, d) => runDim("""{"select":"meta:names:purchase"}""")(s, d)
         .orderBy(col("sname")),
       Some(s"""SELECT DISTINCT ${snameSql("event_type")} AS sname
               |FROM events WHERE event_type = 'purchase' ORDER BY 1""".stripMargin)),
@@ -1135,13 +1143,13 @@ object SparkEntry {
 
     // -- /api/suggest: metric-names / tag-names / tag-values -------------
     "suggest_metric_names" -> Gated(
-      (s, d) => Meta.suggest(TestData.events(s, d),
+      (s, d) => Meta.suggest(TestData.eventsWithDim(s, d),
         """{"select":"metric-names","starts-with":"p"}"""),
       Some("""SELECT DISTINCT event_type AS name FROM events
              |WHERE event_type LIKE 'p%' ORDER BY 1""".stripMargin)),
 
     "suggest_tag_names" -> Gated(
-      (s, d) => Meta.suggest(TestData.events(s, d),
+      (s, d) => Meta.suggest(TestData.eventsWithDim(s, d),
         """{"select":"tag-names","metric":"click"}"""),
       Some("""SELECT 'k' AS name WHERE EXISTS (SELECT 1 FROM events WHERE event_type='click')
              |UNION ALL
@@ -1149,7 +1157,7 @@ object SparkEntry {
              |ORDER BY 1""".stripMargin)),
 
     "suggest_tag_values" -> Gated(
-      (s, d) => Meta.suggest(TestData.events(s, d),
+      (s, d) => Meta.suggest(TestData.eventsWithDim(s, d),
         """{"select":"tag-values","metric":"click","tag":"user","starts-with":"10"}"""),
       Some("""SELECT DISTINCT user_id::VARCHAR AS name FROM events
              |WHERE event_type = 'click' AND user_id::VARCHAR LIKE '10%'
@@ -1157,7 +1165,7 @@ object SparkEntry {
 
     // -- /api/search: series by metric + where ---------------------------
     "search_series" -> Gated(
-      (s, d) => Meta.searchJson(TestData.events(s, d),
+      (s, d) => Meta.searchJson(TestData.eventsWithDim(s, d),
         """{"select":"view","where":{"user":["1","2","3","4","5"]}}"""),
       Some(s"""SELECT DISTINCT ${snameSql("'view'")} AS sname FROM events
               |WHERE event_type = 'view' AND user_id IN (1,2,3,4,5)
@@ -1167,7 +1175,7 @@ object SparkEntry {
     // reference PlainSeriesMatcher::regex_match (seriesparser.h:149-201):
     // the pattern runs over the flat series-name table
     "search_series_regex" -> Gated(
-      (s, d) => Meta.searchJson(TestData.events(s, d),
+      (s, d) => Meta.searchJson(TestData.eventsWithDim(s, d),
         """{"regex":"^view k=[0-3] user=1[0-9]$"}"""),
       Some(s"""SELECT DISTINCT sname FROM
               |  (SELECT ${snameSql("event_type")} AS sname FROM events)

@@ -55,6 +55,27 @@ object TestData {
       col("value").as(TsStore.Value)))
   }
 
+  /** [[events]] with a PERSISTED series dimension attached — the
+    * deployment shape: Ingest.writeSeries maintains the dimension next
+    * to the facts, and every metadata/suggest/search query plans
+    * O(series), never a fact scan. Derived once per (corpus fingerprint)
+    * into /tmp and reused, so benches measure the real dimension plan;
+    * the fingerprint (events.parquet length + mtime) invalidates the
+    * cache whenever the driver regenerates testdata. */
+  def eventsWithDim(spark: SparkSession, sfDir: String): TsStore = {
+    val st = events(spark, sfDir)
+    val hc = spark.sessionState.newHadoopConf()
+    val ev = new org.apache.hadoop.fs.Path(s"$sfDir/events.parquet")
+    val stat = ev.getFileSystem(hc).getFileStatus(ev)
+    val dimPath = s"/tmp/graft_series_dim_" +
+      s"${sfDir.replaceAll("[^0-9a-zA-Z]", "_")}_" +
+      s"${stat.getLen}_${stat.getModificationTime}"
+    val dp = new org.apache.hadoop.fs.Path(s"$dimPath/_SUCCESS")
+    if (!dp.getFileSystem(hc).exists(dp))
+      graft.io.Ingest.writeSeries(st.samples, dimPath)
+    st.withSeriesDim(spark.read.parquet(dimPath))
+  }
+
   /** Event-series store (string payloads): `!event_type` series whose body
     * is the raw `props` JSON — the analogue of the reference's `!`-prefixed
     * event series (reference: queryparser.cpp:308-336). */
