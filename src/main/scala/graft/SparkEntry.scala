@@ -3077,6 +3077,219 @@ object SparkEntry {
               |    END, 6) AS value
               |FROM pn ORDER BY 1, 2, 3""".stripMargin)),
 
+    // -- LOCF gap-fill with staleness bound (the resample sibling) -------
+    // same grid+carry shape as ts_resample but forward-only, and a sample
+    // older than 2 days reads as missing, not frozen
+    "ts_fill_forward" -> Gated(
+      (s, d) => {
+        val ev = TestData.events(s, d).samples
+          .filter(col("metric") === "click")
+          .select(element_at(col("tags"), "user").as("user"),
+            element_at(col("tags"), "k").as("k"),
+            col("ts"), col("value"))
+        TsAnalytics.fillForward(ev, Seq("user", "k"), "ts", "value",
+            stepNs = Day, fromNs = T0, toNs = T1, maxAgeNs = 2 * Day)
+          .orderBy(col("user"), col("k"), col("ts"))
+      },
+      Some(s"""WITH s0 AS (SELECT user_id::VARCHAR AS user,
+              |    ($kSql)::VARCHAR AS k, epoch_ns(ts) AS t, value
+              |  FROM events WHERE event_type = 'click'
+              |    AND value IS NOT NULL),
+              |agg AS (SELECT user, k, t, max(value) AS v
+              |  FROM s0 GROUP BY 1, 2, 3),
+              |series AS (SELECT DISTINCT user, k FROM s0),
+              |grid AS (SELECT user, k,
+              |    unnest(range($T0, $T1, $Day)) AS gt FROM series),
+              |p AS (SELECT g.user, g.k, g.gt, pr.t AS pt, pr.v AS pv
+              |  FROM grid g ASOF LEFT JOIN agg pr
+              |    ON g.user = pr.user AND g.k = pr.k AND g.gt >= pr.t)
+              |SELECT user, k, gt AS ts,
+              |  round(CASE WHEN pt IS NOT NULL AND gt - pt <= ${2 * Day}
+              |    THEN pv END, 6) AS value,
+              |  CASE WHEN pt IS NOT NULL AND gt - pt <= ${2 * Day}
+              |    THEN gt - pt END AS age_ns
+              |FROM p ORDER BY 1, 2, 3""".stripMargin)),
+
+    // -- Bollinger-band breakout alerts (time-RANGE window) --------------
+    // band edges from pre-rounded mean/sd, sample rounded before the
+    // comparison — the smaCross discipline, so the alert set replays
+    "ts_bollinger" -> Gated(
+      (s, d) => {
+        val ev = TestData.events(s, d).samples
+          .select(col("metric"),
+            element_at(col("tags"), "user").as("user"),
+            col("ts"), col("value"))
+        TsAnalytics.bollingerBreakouts(ev, Seq("metric", "user"),
+            "ts", "value", windowNs = 14 * Day, nSigma = 1.5, minN = 5)
+          .orderBy(col("metric"), col("user"), col("ts"), col("value"))
+      },
+      Some(s"""WITH t AS (SELECT event_type AS metric,
+              |    user_id::VARCHAR AS user, $tsSql AS t, value
+              |  FROM events WHERE value IS NOT NULL),
+              |b AS (SELECT metric, user, t, value,
+              |    round(avg(value) OVER w, 6) AS mid,
+              |    round(stddev_pop(value) OVER w, 6) AS sd,
+              |    count(*) OVER w AS n
+              |  FROM t WINDOW w AS (PARTITION BY metric, user ORDER BY t
+              |    RANGE BETWEEN ${14 * Day - 1} PRECEDING AND CURRENT ROW)),
+              |c AS (SELECT *, mid + 1.5 * sd AS upper,
+              |    mid - 1.5 * sd AS lower, round(value, 6) AS v6
+              |  FROM b)
+              |SELECT metric, user, t AS ts, v6 AS value, mid, upper,
+              |  lower, CASE WHEN v6 > upper THEN 'up' ELSE 'down' END
+              |    AS direction
+              |FROM c WHERE n >= 5 AND (v6 > upper OR v6 < lower)
+              |ORDER BY 1, 2, 3, 4""".stripMargin)),
+
+    // -- robust outliers: median absolute deviation per series -----------
+    "ts_outlier_mad" -> Gated(
+      (s, d) => {
+        val ev = TestData.events(s, d).samples
+        val withS = ev.select(col("metric"),
+          TsStore.snameOf(col("metric"),
+            TsStore.tagStr(col("tags"))).as("sname"),
+          col("ts"), col("value"))
+        TsAnalytics.madOutliers(withS, Seq("metric", "sname"),
+            "ts", "value", k = 3.0)
+          .orderBy(col("metric"), col("sname"), col("ts"), col("value"))
+      },
+      Some(s"""WITH t AS (SELECT event_type AS metric,
+              |    ${snameSql("event_type")} AS sname, $tsSql AS t, value
+              |  FROM events WHERE value IS NOT NULL),
+              |m AS (SELECT metric, sname,
+              |    round(quantile_cont(value, 0.5), 6) AS med
+              |  FROM t GROUP BY 1, 2),
+              |d AS (SELECT t.*, m.med, abs(t.value - m.med) AS dev
+              |  FROM t JOIN m USING (metric, sname)),
+              |md AS (SELECT metric, sname,
+              |    round(quantile_cont(dev, 0.5), 6) AS mad
+              |  FROM d GROUP BY 1, 2)
+              |SELECT d.metric, d.sname, d.t AS ts, d.value, d.med, md.mad
+              |FROM d JOIN md USING (metric, sname)
+              |WHERE round(dev, 6) > round(3 * 1.4826 * mad, 6)
+              |ORDER BY 1, 2, 3, 4""".stripMargin)),
+
+    // -- SAX motif mining: recurring symbolic windows per metric ---------
+    // width-4 windows over alphabet 3; cut literals interpolated from the
+    // engine's OWN cutpoints (Double.toString round-trips, so DuckDB
+    // parses the identical doubles)
+    "ts_sax_motifs" -> Gated(
+      (s, d) => {
+        val ev = TestData.events(s, d).samples
+          .select(col("metric"), col("ts"), col("value"))
+        TsAnalytics.saxMotifs(ev, Seq("metric"), "ts", "value",
+            width = 4, alphabet = 3, minCount = 2)
+          .orderBy(col("metric"), col("word"))
+      },
+      Some {
+        val cuts = graft.functions.Sax.cutpoints(3)
+        s"""WITH agg AS (SELECT event_type AS metric, $tsSql AS t,
+           |    max(value) AS v
+           |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+           |rn AS (SELECT metric, t, v, row_number()
+           |    OVER (PARTITION BY metric ORDER BY t) - 1 AS rn
+           |  FROM agg),
+           |wins AS (SELECT metric, t, v, rn // 4 AS win, rn % 4 AS pos
+           |  FROM rn),
+           |stats AS MATERIALIZED (SELECT metric, win, count(*) AS n,
+           |    round(avg(v), 6) AS mean, round(stddev_samp(v), 6) AS sd,
+           |    min(t) AS wts
+           |  FROM wins GROUP BY 1, 2 HAVING count(*) = 4),
+           |z AS (SELECT w.metric, w.win, w.pos, s.wts,
+           |    round(CASE WHEN s.sd IS NULL OR s.sd <= 0 THEN w.v - s.mean
+           |      ELSE (w.v - s.mean) / s.sd END, 6) AS z
+           |  FROM wins w JOIN stats s USING (metric, win)),
+           |let AS (SELECT metric, win, pos, wts,
+           |    CASE WHEN z < ${cuts(0)} THEN 'a'
+           |         WHEN z < ${cuts(1)} THEN 'b' ELSE 'c' END AS l
+           |  FROM z),
+           |words AS (SELECT metric, win, min(wts) AS wts,
+           |    string_agg(l, '' ORDER BY pos) AS word
+           |  FROM let GROUP BY 1, 2)
+           |SELECT metric, word, count(*) AS n, min(wts) AS first_ts,
+           |  max(wts) AS last_ts
+           |FROM words GROUP BY 1, 2 HAVING count(*) >= 2
+           |ORDER BY 1, 2""".stripMargin
+      }),
+
+    // -- time x value heatmap: the 2-D histogram behind heat panels ------
+    // bin edges from per-metric observed min/max; identical IEEE bin
+    // expression on both engines, cell count bounded by
+    // metrics x days x bins
+    "ts_heatmap" -> Gated(
+      (s, d) => {
+        val ev = TestData.events(s, d).samples
+          .select(col("metric"), col("ts"), col("value"))
+        TsAnalytics.timeValueHeatmap(ev, Seq("metric"), "ts", "value",
+            bucketNs = Day, nBins = 10)
+          .orderBy(col("metric"), col("bucket"), col("bin"))
+      },
+      Some(s"""WITH t AS (SELECT event_type AS metric, $tsSql AS t, value
+              |  FROM events WHERE value IS NOT NULL),
+              |r AS MATERIALIZED (SELECT metric, min(value) AS lo,
+              |    max(value) AS hi FROM t GROUP BY 1)
+              |SELECT t.metric, (t.t // $Day) * $Day AS bucket,
+              |  CASE WHEN r.hi > r.lo THEN least(9,
+              |    floor((t.value - r.lo) * 10 / (r.hi - r.lo))::INT)
+              |    ELSE 0 END AS bin,
+              |  round(r.lo + (r.hi - r.lo) / 10 *
+              |    (CASE WHEN r.hi > r.lo THEN least(9,
+              |      floor((t.value - r.lo) * 10 / (r.hi - r.lo))::INT)
+              |      ELSE 0 END), 6) AS bin_lo,
+              |  round(r.lo + (r.hi - r.lo) / 10 *
+              |    (CASE WHEN r.hi > r.lo THEN least(9,
+              |      floor((t.value - r.lo) * 10 / (r.hi - r.lo))::INT)
+              |      ELSE 0 END + 1), 6) AS bin_hi,
+              |  count(*) AS n
+              |FROM t JOIN r USING (metric)
+              |GROUP BY 1, 2, 3, 4, 5 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // -- embedding drift: per-cell centroid movement between halves ------
+    // same pinned vec_id<4 init as embed_kmeans; even/odd vec_id slices
+    // stand in for old-crawl/new-crawl
+    "embed_centroid_drift" -> Gated(
+      (s, d) => {
+        val emb = TestData.table(s, d, "embeddings")
+        val init = emb.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+          .select(Embed.normalized(col("embedding")))
+          .collect().toSeq.map(_.getSeq[Double](0).toSeq)
+        Embed.centroidDrift(emb.filter(col("vec_id") % 2 === 0),
+            emb.filter(col("vec_id") % 2 === 1), init)
+          .orderBy(col("cell"))
+      },
+      Some("""WITH e AS (SELECT vec_id,
+             |    list_transform(embedding, x -> x::DOUBLE) AS v
+             |  FROM embeddings),
+             |n AS MATERIALIZED (SELECT vec_id,
+             |    list_transform(v, x ->
+             |      x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS u
+             |  FROM e),
+             |init AS MATERIALIZED (SELECT vec_id::INT AS cid, u FROM n
+             |  WHERE vec_id < 4),
+             |assign AS MATERIALIZED (
+             |  SELECT vec_id, cid FROM (
+             |    SELECT n.vec_id, init.cid,
+             |      row_number() OVER (PARTITION BY n.vec_id
+             |        ORDER BY round(list_cosine_similarity(n.u, init.u), 6)
+             |          DESC, init.cid DESC) AS rn
+             |    FROM n CROSS JOIN init) WHERE rn = 1),
+             |ca AS MATERIALIZED (SELECT a.cid AS cell, (i - 1)::INT AS dim,
+             |    round(avg(u[i]), 6) AS ma
+             |  FROM assign a JOIN n USING (vec_id)
+             |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+             |  WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+             |cb AS MATERIALIZED (SELECT a.cid AS cell, (i - 1)::INT AS dim,
+             |    round(avg(u[i]), 6) AS mb
+             |  FROM assign a JOIN n USING (vec_id)
+             |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+             |  WHERE vec_id % 2 = 1 GROUP BY 1, 2)
+             |SELECT cell, count(*) AS n_dims,
+             |  round(sum(ma * mb) / sqrt(sum(ma * ma) * sum(mb * mb)), 6)
+             |    AS cos_drift,
+             |  round(sqrt(sum((ma - mb) * (ma - mb))), 6) AS l2_drift
+             |FROM ca JOIN cb USING (cell, dim)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // -- SQL extension surface: native expressions as plain SQL ----------
     // The same codegen'd kernels the DataFrame API uses, reachable from
     // spark.sql via SparkSessionExtensions (graft.sql.GraftExtensions) —

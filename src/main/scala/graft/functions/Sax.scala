@@ -27,6 +27,12 @@ object Sax {
   private val ZnormThreshold = 1e-10
   private val Alphabet = "abcdefghijklmnopqrstu"
 
+  /** The letter for cutpoint-scan index `j` (0-based; index == number of
+    * cutpoints at or below the z-score) — the same a..u alphabet
+    * [[saxify]] uses, exposed for the declarative motif encoder
+    * ([[graft.plan.TsAnalytics.saxMotifs]]). */
+  def letter(j: Int): String = Alphabet(j).toString
+
   /** Gaussian equiprobable cutpoints per alphabet size (public normal-
     * distribution quantiles; reference table saxencoder.cpp:60-131). */
   def cutpoints(n: Int): Array[Double] = {

@@ -237,6 +237,43 @@ object Embed {
     cents
   }
 
+  /** Embedding-distribution drift between two corpus slices (old crawl
+    * vs new crawl, train vs eval): run ONE [[kmeansStep]] over each
+    * slice from the SAME pinned centroids, then compare the per-cell
+    * mean vectors — cosine near 1 means the cell's population held
+    * still; a low cosine or large L2 shift flags a cell whose content
+    * moved (topic drift, a new spam cluster, a collection change).
+    * Monitoring drift per cell instead of one global mean catches
+    * drift that opposite-direction cells would cancel out.
+    *
+    * Both mean components are rounded to 6 before the distance math so
+    * the per-cell cosine replays across engines; cells empty in either
+    * slice drop (inner join — a cell must exist on both sides to have a
+    * drift). The join input is k·dim rows per side regardless of corpus
+    * size, so everything after the two Lloyd passes is model-scale.
+    *
+    * Output: `cell`, `n_dims`, `cos_drift`, `l2_drift` (rounded 6). */
+  def centroidDrift(a: DataFrame, b: DataFrame,
+                    centroids: Seq[Seq[Double]],
+                    vecCol: String = "embedding"): DataFrame = {
+    val ca = kmeansStep(a, centroids, vecCol)
+      .select(col("cell"), col("dim"), round(col("m"), 6).as("__ma"))
+    val cb = kmeansStep(b, centroids, vecCol)
+      .select(col("cell"), col("dim"), round(col("m"), 6).as("__mb"))
+    ca.join(cb, Seq("cell", "dim"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_dims"),
+        sum(col("__ma") * col("__mb")).as("__dot"),
+        sum(col("__ma") * col("__ma")).as("__na"),
+        sum(col("__mb") * col("__mb")).as("__nb"),
+        sum((col("__ma") - col("__mb")) * (col("__ma") - col("__mb")))
+          .as("__d2"))
+      .select(col("cell"), col("n_dims"),
+        round(col("__dot") / sqrt(col("__na") * col("__nb")), 6)
+          .as("cos_drift"),
+        round(sqrt(col("__d2")), 6).as("l2_drift"))
+  }
+
   /** Persist the corpus partitioned by IVF cell — probes then touch only
     * matching partition directories (same pruning story as the TS layout;
     * Debug-audited: cell predicate lands in PartitionFilters).

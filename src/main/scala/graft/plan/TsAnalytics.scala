@@ -809,6 +809,250 @@ object TsAnalytics {
     * on row_number is the TopK-per-group pattern Catalyst turns into a
     * running WindowExec with an early filter (rank pushdown in 3.5+).
     */
+  /** Fill-forward (LOCF) resampling onto a regular grid with a staleness
+    * bound — the other half of the gap-fill pair next to
+    * [[resampleLinear]] (strict interpolation): dashboards and feature
+    * pipelines that must not invent values between distant samples carry
+    * the last observation forward, but only while it is younger than
+    * `maxAgeNs` (a counter that went silent an hour ago should read as
+    * missing, not frozen). A grid instant with no sample at or before it,
+    * or whose nearest sample is older than the bound, is null.
+    *
+    * Same single-shuffle shape as [[resampleLinear]]: per-series grid
+    * union samples, ONE forward carry window on the series key (no
+    * backward pass — LOCF never looks ahead). Duplicate-instant samples
+    * collapse to max first (the asOf convention) so the carried value is
+    * partition-order independent.
+    *
+    * Output: on cols, `ts` (grid instant), `value` (rounded 6, null when
+    * stale/unseen), `age_ns` (instant minus carried sample ts, null with
+    * the value). */
+  def fillForward(df: DataFrame, on: Seq[String], tsCol: String,
+                  valueCol: String, stepNs: Long, fromNs: Long,
+                  toNs: Long, maxAgeNs: Long): DataFrame = {
+    require(on.nonEmpty && stepNs > 0 && toNs > fromNs && maxAgeNs > 0)
+    val w = Window.partitionBy(on.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val samples = df.select(
+      (on.map(col) :+ col(tsCol).cast("long").as("__t") :+
+        col(valueCol).cast("double").as("__v")): _*)
+      .filter(col("__v").isNotNull)
+      .groupBy((on.map(col) :+ col("__t")): _*)
+      .agg(max(col("__v")).as("__v"))
+      .withColumn("__side", lit(0))
+    val grid = df.select(on.map(col): _*).distinct()
+      .withColumn("__t", explode(expr(
+        s"sequence(${fromNs}L, ${toNs - 1}L, ${stepNs}L)")))
+      .withColumn("__v", lit(null).cast("double"))
+      .withColumn("__side", lit(1))
+    val carried = samples.unionByName(grid)
+      .withColumn("__prev", last(
+        when(col("__side") === 0,
+          struct(col("__t").as("t"), col("__v").as("v"))),
+        ignoreNulls = true).over(w))
+    val pt = col("__prev.t"); val pv = col("__prev.v")
+    val fresh = pt.isNotNull && (col("__t") - pt) <= maxAgeNs
+    carried
+      .filter(col("__side") === 1)
+      .select((on.map(col) :+ col("__t").as("ts") :+
+        round(when(fresh, pv), 6).as("value") :+
+        when(fresh, col("__t") - pt).as("age_ns")): _*)
+  }
+
+  /** Bollinger-band breakout alerts: per series, a trailing time-RANGE
+    * window of `windowNs` yields mean and population stddev; a sample
+    * landing outside mean ± nSigma·sd is an alert row. Band edges are
+    * computed from PRE-ROUNDED mean/sd with NO further rounding — one
+    * IEEE multiply+add on doubles that are already bit-identical across
+    * engines stays bit-identical, whereas re-rounding mid ± n·sd at the
+    * same precision manufactures exact half-way points (sd's 6th decimal
+    * odd → a trailing ...5) that HALF_UP and scaled-round engines break
+    * differently. The sample is rounded before the comparison (the
+    * [[smaCross]] discipline), so the alert SET replays bit-stably. Windows with fewer than `minN`
+    * samples never alert (a band estimated from 2 points is noise).
+    *
+    * ONE keyed window pass (time-RANGE frames, so data gaps widen wall
+    * coverage instead of shrinking the sample like ROWS frames would).
+    * Giant-series skew: the window partitions by the full series key —
+    * same per-series scale bound as every window operator here.
+    *
+    * Output: on cols, `ts`, `value`, `mid`, `upper`, `lower` (rounded 6),
+    * `direction` ('up' above the band, 'down' below). */
+  def bollingerBreakouts(df: DataFrame, on: Seq[String], tsCol: String,
+                         valueCol: String, windowNs: Long,
+                         nSigma: Double = 2.0, minN: Int = 8): DataFrame = {
+    require(on.nonEmpty && windowNs > 0 && nSigma > 0 && minN >= 2)
+    val w = Window.partitionBy(on.map(col): _*).orderBy(col("__t").asc)
+      .rangeBetween(-(windowNs - 1), 0)
+    val base = df.select(
+      (on.map(col) :+ col(tsCol).cast("long").as("__t") :+
+        col(valueCol).cast("double").as("__v")): _*)
+      .filter(col("__v").isNotNull)
+    val banded = base
+      .withColumn("mid", round(avg(col("__v")).over(w), 6))
+      .withColumn("__sd", round(stddev_pop(col("__v")).over(w), 6))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("upper", col("mid") + col("__sd") * nSigma)
+      .withColumn("lower", col("mid") - col("__sd") * nSigma)
+    val v6 = round(col("__v"), 6)
+    banded
+      .filter(col("__n") >= minN &&
+        (v6 > col("upper") || v6 < col("lower")))
+      .select((on.map(col) ++ Seq(col("__t").as("ts"), v6.as("value"),
+        col("mid"), col("upper"), col("lower"),
+        when(v6 > col("upper"), lit("up")).otherwise(lit("down"))
+          .as("direction"))): _*)
+  }
+
+  /** Robust outlier report via median absolute deviation: per series,
+    * median and MAD (both exact interpolated percentiles), flagging
+    * samples with |x − med| > k·1.4826·MAD — the robust sibling of the
+    * sigma-based anomaly detectors (one contaminated window can't drag
+    * the threshold the way it drags a mean/sd). Both comparison operands
+    * are pre-rounded so the flag set replays across engines.
+    *
+    * Two grouped aggregates (series-scale frames) joined back to the
+    * fact rows — AQE picks broadcast when the series dimension is small.
+    * The per-series exact-percentile buffer is the usual caveat; hash-
+    * sample upstream ([[sampledQuantiles]]) for unbounded series.
+    *
+    * Output: on cols, `ts`, `value`, `med`, `mad` (rounded 6) — outlier
+    * rows only. */
+  def madOutliers(df: DataFrame, on: Seq[String], tsCol: String,
+                  valueCol: String, k: Double = 3.0): DataFrame = {
+    require(on.nonEmpty && k > 0)
+    val base = df.select(
+      (on.map(col) :+ col(tsCol).cast("long").as("__t") :+
+        col(valueCol).cast("double").as("__v")): _*)
+      .filter(col("__v").isNotNull)
+    val med = base.groupBy(on.map(col): _*)
+      .agg(round(percentile(col("__v"), lit(0.5)), 6).as("med"))
+    val withMed = base.join(med, on)
+      .withColumn("__dev", abs(col("__v") - col("med")))
+    val mad = withMed.groupBy(on.map(col): _*)
+      .agg(round(percentile(col("__dev"), lit(0.5)), 6).as("mad"))
+    withMed.join(mad, on)
+      .filter(round(col("__dev"), 6) >
+        round(lit(k * 1.4826) * col("mad"), 6))
+      .select((on.map(col) ++ Seq(col("__t").as("ts"),
+        col("__v").as("value"), col("med"), col("mad"))): _*)
+  }
+
+  /** SAX motif discovery: recurring symbolic patterns per series. Each
+    * series is cut into NON-overlapping `width`-sample windows (ordered
+    * by ts, duplicate instants collapsed to max first), each full window
+    * is z-normalized and letterized against the [[graft.functions.Sax]]
+    * normal-quantile cutpoints, and words recurring `minCount`+ times in
+    * a series are motifs (reference: saxencoder.cpp provides the
+    * encoding; the reference never mines the words it emits — motif
+    * counting is the actual use of SAX from Lin/Keogh's original paper).
+    *
+    * Cross-engine determinism: window mean and SAMPLE stddev are rounded
+    * to 6 before z; z is rounded to 6 before the cutpoint comparison; a
+    * stddev rounding to 0 falls back to mean-centering only (the
+    * [[graft.functions.Sax.saxify]] ZnormThreshold rule, surfaced at the
+    * rounded precision). Letters are compared against full-precision cut
+    * literals, so both engines see the exact same doubles end-to-end.
+    *
+    * Shape: ONE window pass for the row numbering (per-series key), one
+    * hash aggregate per window (word assembly via sorted-struct
+    * collect — partition-order independent), one hash aggregate per
+    * (series, word). Everything after the first aggregate is
+    * window-scale, not sample-scale.
+    *
+    * Output: on cols, `word`, `n` (occurrences), `first_ts`/`last_ts`
+    * (start instants of the first/last matching window). */
+  def saxMotifs(df: DataFrame, on: Seq[String], tsCol: String,
+                valueCol: String, width: Int, alphabet: Int,
+                minCount: Int = 2): DataFrame = {
+    require(on.nonEmpty && width >= 2 && alphabet >= 2 && alphabet <= 20 &&
+      minCount >= 1)
+    val cuts = graft.functions.Sax.cutpoints(alphabet)
+    val wOrd = Window.partitionBy(on.map(col): _*).orderBy(col("__t").asc)
+    val samples = df.select(
+      (on.map(col) :+ col(tsCol).cast("long").as("__t") :+
+        col(valueCol).cast("double").as("__v")): _*)
+      .filter(col("__v").isNotNull)
+      .groupBy((on.map(col) :+ col("__t")): _*)
+      .agg(max(col("__v")).as("__v"))
+      .withColumn("__rn", row_number().over(wOrd) - 1)
+      .withColumn("__win", expr("__rn div " + width))
+      .withColumn("__pos", col("__rn") % width)
+    val winKey = on.map(col) :+ col("__win")
+    val stats = samples.groupBy(winKey: _*)
+      .agg(count(lit(1)).as("__n"), round(avg(col("__v")), 6).as("__mean"),
+        round(stddev_samp(col("__v")), 6).as("__sd"),
+        min(col("__t")).as("__wts"))
+      .filter(col("__n") === width)
+    val z = round(
+      when(col("__sd") <= 0.0 || col("__sd").isNull,
+        col("__v") - col("__mean"))
+        .otherwise((col("__v") - col("__mean")) / col("__sd")), 6)
+    // letter index = count of cutpoints <= z (z >= cuts(j) scan)
+    val letter = cuts.zipWithIndex.foldRight(
+      lit(graft.functions.Sax.letter(cuts.length)): Column) {
+      case ((c, j), rest) =>
+        when(z < lit(c), lit(graft.functions.Sax.letter(j))).otherwise(rest)
+    }
+    val words = samples
+      .join(stats, on :+ "__win")
+      .withColumn("__l", letter)
+      .groupBy(winKey: _*)
+      .agg(min(col("__wts")).as("__wts"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__l")))),
+          s => s.getField("__l")), "").as("word"))
+    words.groupBy((on.map(col) :+ col("word")): _*)
+      .agg(count(lit(1)).as("n"), min(col("__wts")).as("first_ts"),
+        max(col("__wts")).as("last_ts"))
+      .filter(col("n") >= minCount)
+  }
+
+  /** Time × value heatmap: the 2-D histogram behind every latency/value
+    * heat panel — per group, count samples in each (time bucket, value
+    * bin) cell. Value bins split the group's OBSERVED [min, max] range
+    * into `nBins` equal bins (top edge closed). Bin arithmetic is the
+    * same IEEE expression on both engines over identical min/max doubles
+    * — `floor((v - min) * nBins / (max - min))` — so cell assignment
+    * replays bit-stably; a constant-valued group collapses to bin 0.
+    *
+    * Shape: one tiny per-group min/max aggregate broadcast back onto the
+    * fact rows (AQE picks the broadcast — group count is series-scale),
+    * then ONE hash aggregate to cells. Cell count is bounded by
+    * groups × buckets × nBins regardless of input rows — heatmaps of a
+    * 100 TB range come back executor-sized.
+    *
+    * Output: on cols, `bucket` (ns start), `bin` (0-based), `bin_lo`/
+    * `bin_hi` (bin value edges, rounded 6), `n`. */
+  def timeValueHeatmap(df: DataFrame, on: Seq[String], tsCol: String,
+                       valueCol: String, bucketNs: Long,
+                       nBins: Int): DataFrame = {
+    require(on.nonEmpty && bucketNs > 0 && nBins >= 1)
+    val base = df.select(
+      (on.map(col) :+ col(tsCol).cast("long").as("__t") :+
+        col(valueCol).cast("double").as("__v")): _*)
+      .filter(col("__v").isNotNull)
+    val ranges = base.groupBy(on.map(col): _*)
+      .agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
+    val span = col("__hi") - col("__lo")
+    val bin = when(span > 0.0,
+      least(lit(nBins - 1), floor((col("__v") - col("__lo")) * nBins / span)
+        .cast("int"))).otherwise(lit(0))
+    val width = span / nBins
+    base.join(ranges, on)
+      .withColumn("bin", bin)
+      .groupBy((on.map(col) :+
+        (expr(s"__t div ${bucketNs}L") * bucketNs).as("bucket") :+
+        col("bin")): _*)
+      .agg(count(lit(1)).as("n"), round(first(col("__lo")) +
+          first(width) * col("bin"), 6).as("bin_lo"),
+        round(first(col("__lo")) + first(width) * (col("bin") + 1), 6)
+          .as("bin_hi"))
+      .select((on.map(col) ++ Seq(col("bucket"), col("bin"), col("bin_lo"),
+        col("bin_hi"), col("n"))): _*)
+  }
+
   def topKPerGroup(df: DataFrame, groupCol: String, seriesCol: String,
                    value: Column, k: Int): DataFrame = {
     require(k > 0, "k must be positive")

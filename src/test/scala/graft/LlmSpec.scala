@@ -1454,4 +1454,26 @@ class LlmSpec extends SparkFunSuite {
       """{"aggregate":{"m":"count"}}"""), st).df
     assert(agg.count() == n)
   }
+
+  test("centroidDrift: identical slices no drift; a moved cell flags") {
+    val cents = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 0.0, 1.0, 0.0))
+    val a = vecs(Seq(
+      Seq(1.0, 0.1, 0.0, 0.0), Seq(1.0, -0.1, 0.0, 0.0),  // cell 0
+      Seq(0.0, 0.0, 1.0, 0.1)))                           // cell 1
+    // same cell-0 population; cell-1 members rotated toward dim 3
+    val b = vecs(Seq(
+      Seq(1.0, 0.1, 0.0, 0.0), Seq(1.0, -0.1, 0.0, 0.0),
+      Seq(0.0, 0.0, 1.0, 0.8)))
+    val r = Embed.centroidDrift(a, b, cents)
+      .orderBy("cell").collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getDouble(2), x.getDouble(3)))
+    assert(r.length == 2)
+    val (c0, c1) = (r(0), r(1))
+    assert(c0._1 == 0 && c0._2 == 4L && c0._3 == 1.0 && c0._4 == 0.0)
+    assert(c1._1 == 1 && c1._3 < 0.99 && c1._4 > 0.1)
+    // a slice missing a cell entirely: that cell has no drift row
+    val aOnly = Embed.centroidDrift(a,
+      vecs(Seq(Seq(1.0, 0.05, 0.0, 0.0))), cents).collect()
+    assert(aOnly.map(_.getInt(0)).toSeq == Seq(0))
+  }
 }

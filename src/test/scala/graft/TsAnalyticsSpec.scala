@@ -531,4 +531,108 @@ class TsAnalyticsSpec extends SparkFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == again)
   }
+
+  test("fillForward: carry, staleness bound, dup collapse, age") {
+    val df = Seq(
+      ("a", 10L, 1.0), ("a", 10L, 2.0),   // dup instant: max wins (2.0)
+      ("a", 25L, 5.0),
+      ("b", 55L, 9.0))                    // late starter
+      .toDF("k", "ts", "v")
+    val r = TsAnalytics.fillForward(df, Seq("k"), "ts", "v",
+        stepNs = 10L, fromNs = 0L, toNs = 70L, maxAgeNs = 20L)
+      .orderBy("k", "ts").collect()
+      .map(x => (x.getString(0), x.getLong(1),
+        if (x.isNullAt(2)) None else Some(x.getDouble(2)),
+        if (x.isNullAt(3)) None else Some(x.getLong(3))))
+    assert(r.filter(_._1 == "a").toSeq == Seq(
+      ("a", 0L, None, None),              // nothing to carry yet
+      ("a", 10L, Some(2.0), Some(0L)),    // exact hit on collapsed max
+      ("a", 20L, Some(2.0), Some(10L)),   // carried, age 10 <= 20
+      ("a", 30L, Some(5.0), Some(5L)),    // newer sample takes over
+      ("a", 40L, Some(5.0), Some(15L)),   // still fresh
+      ("a", 50L, None, None),             // age 25 > maxAge: stale
+      ("a", 60L, None, None)))
+    assert(r.filter(_._1 == "b").toSeq == Seq(
+      ("b", 0L, None, None), ("b", 10L, None, None),
+      ("b", 20L, None, None), ("b", 30L, None, None),
+      ("b", 40L, None, None), ("b", 50L, None, None),
+      ("b", 60L, Some(9.0), Some(5L))))
+  }
+
+  test("bollingerBreakouts: band math, minN gate, direction") {
+    // series g: 10 flat samples at 10.0 then a spike to 20.0 — the spike
+    // is the only row outside mean ± 2sd once the window holds >= 4 rows
+    val flat = (1L to 10L).map(t => ("g", t, 10.0))
+    val df = (flat :+ (("g", 11L, 20.0)) :+ (("h", 5L, 1.0)))
+      .toDF("k", "ts", "v")
+    val r = TsAnalytics.bollingerBreakouts(df, Seq("k"), "ts", "v",
+        windowNs = 100L, nSigma = 2.0, minN = 4)
+      .collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getDouble(2),
+        x.getDouble(3), x.getString(6)))
+    // exactly the spike alerts, upward; h never reaches minN
+    assert(r.toSeq == Seq(("g", 11L, 20.0, 10.909091, "up")))
+    // downward spike flips direction
+    val down = (flat :+ (("g", 11L, 0.0))).toDF("k", "ts", "v")
+    val d = TsAnalytics.bollingerBreakouts(down, Seq("k"), "ts", "v",
+        windowNs = 100L, nSigma = 2.0, minN = 4)
+      .collect().map(x => (x.getLong(1), x.getString(6)))
+    assert(d.toSeq == Seq((11L, "down")))
+  }
+
+  test("madOutliers: robust to the contamination that drags mean/sd") {
+    // 9 inliers at ~10, one gross outlier at 1000: med=10, MAD small,
+    // the outlier flags; the same outlier would inflate a sigma rule's
+    // own threshold (sd ~ 297) and barely flag at 3 sigma
+    val df = ((1 to 9).map(i => ("s", i.toLong, 10.0 + (i % 3) * 0.1)) :+
+      (("s", 10L, 1000.0))).toDF("k", "ts", "v")
+    val r = TsAnalytics.madOutliers(df, Seq("k"), "ts", "v", k = 3.0)
+      .collect().map(x => (x.getLong(1), x.getDouble(2)))
+    assert(r.toSeq == Seq((10L, 1000.0)))
+    // constant series: MAD 0, nothing flags (no division anywhere)
+    val const = (1 to 5).map(i => ("c", i.toLong, 7.0)).toDF("k", "ts", "v")
+    assert(TsAnalytics.madOutliers(const, Seq("k"), "ts", "v").count() == 0)
+  }
+
+  test("saxMotifs: repeated shape found; partial window dropped") {
+    // two identical up-down-up-down windows + one different + 2 leftover
+    // samples (partial window, never encoded)
+    val shape = Seq(1.0, 9.0, 1.0, 9.0)
+    val vals = shape ++ shape ++ Seq(5.0, 5.0, 5.0, 9.0) ++ Seq(1.0, 2.0)
+    val df = vals.zipWithIndex.map { case (v, i) => ("s", i.toLong, v) }
+      .toDF("k", "ts", "v")
+    val r = TsAnalytics.saxMotifs(df, Seq("k"), "ts", "v",
+        width = 4, alphabet = 3, minCount = 2)
+      .collect().map(x => (x.getString(1), x.getLong(2), x.getLong(3),
+        x.getLong(4)))
+    // the repeated window z-norms to low/high/low/high = a/c/a/c;
+    // the flat-then-spike window appears once and is cut by minCount
+    assert(r.toSeq == Seq(("acac", 2L, 0L, 4L)))
+    // duplicate instants collapse to max BEFORE windowing: doubling a
+    // sample row must not shift window boundaries
+    val dup = (("s", 0L, 0.5) +: vals.zipWithIndex.map {
+      case (v, i) => ("s", i.toLong, v) }).toDF("k", "ts", "v")
+    val r2 = TsAnalytics.saxMotifs(dup, Seq("k"), "ts", "v", 4, 3, 2)
+      .collect().map(_.getString(1))
+    assert(r2.toSeq == Seq("acac"))
+  }
+
+  test("timeValueHeatmap: bin edges, top edge closed, constant group") {
+    val df = Seq(
+      ("m", 0L, 0.0), ("m", 1L, 4.9), ("m", 2L, 5.0), ("m", 3L, 10.0),
+      ("m", 12L, 2.0),                   // second time bucket
+      ("c", 0L, 7.0), ("c", 1L, 7.0))    // constant group: all bin 0
+      .toDF("k", "ts", "v")
+    val r = TsAnalytics.timeValueHeatmap(df, Seq("k"), "ts", "v",
+        bucketNs = 10L, nBins = 2)
+      .orderBy("k", "bucket", "bin").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getInt(2),
+        x.getDouble(3), x.getDouble(4), x.getLong(5)))
+    assert(r.toSeq == Seq(
+      ("c", 0L, 0, 7.0, 7.0, 2L),        // zero span: single bin
+      ("m", 0L, 0, 0.0, 5.0, 2L),        // 0.0, 4.9
+      ("m", 0L, 1, 5.0, 10.0, 2L),       // 5.0 lands in upper bin; 10.0
+                                         // (the max) clamps into bin 1
+      ("m", 10L, 0, 0.0, 5.0, 1L)))
+  }
 }
