@@ -3290,6 +3290,121 @@ object SparkEntry {
              |FROM ca JOIN cb USING (cell, dim)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // -- histogram-interpolated quantiles: the bounded-state percentile --
+    // Prometheus histogram_quantile semantics over the heatmap cells;
+    // nBins counts per cell regardless of sample count — the percentile
+    // shape that survives a 100 TB group (exact percentiles buffer values)
+    "ts_histogram_quantile" -> Gated(
+      (s, d) => {
+        val ev = TestData.events(s, d).samples
+          .select(col("metric"), col("ts"), col("value"))
+        TsAnalytics.histogramQuantile(ev, Seq("metric"), "ts", "value",
+            bucketNs = Day, nBins = 20, probs = Seq(0.5, 0.95, 0.99))
+          .orderBy(col("metric"), col("bucket"), col("prob"))
+      },
+      Some(s"""WITH t AS (SELECT event_type AS metric, $tsSql AS t, value
+              |  FROM events WHERE value IS NOT NULL),
+              |r AS MATERIALIZED (SELECT metric, min(value) AS lo,
+              |    max(value) AS hi FROM t GROUP BY 1),
+              |cells AS (SELECT t.metric, (t.t // $Day) * $Day AS bucket,
+              |    CASE WHEN r.hi > r.lo THEN least(19,
+              |      floor((t.value - r.lo) * 20 / (r.hi - r.lo))::INT)
+              |      ELSE 0 END AS bin,
+              |    count(*) AS nb, any_value(r.lo) AS lo,
+              |    any_value(r.hi) AS hi
+              |  FROM t JOIN r USING (metric) GROUP BY 1, 2, 3),
+              |cum AS (SELECT *,
+              |    sum(nb) OVER (PARTITION BY metric, bucket
+              |      ORDER BY bin) AS cum,
+              |    sum(nb) OVER (PARTITION BY metric, bucket) AS N
+              |  FROM cells),
+              |p AS (SELECT * FROM cum
+              |  CROSS JOIN (SELECT unnest([0.5, 0.95, 0.99]) AS prob))
+              |SELECT metric, bucket, prob, N AS n,
+              |  lo + (hi - lo) / 20 * bin +
+              |    (prob * N - (cum - nb)) / nb * ((hi - lo) / 20) AS est
+              |FROM p WHERE prob * N > cum - nb AND prob * N <= cum
+              |ORDER BY 1, 2, 3""".stripMargin)),
+
+    // -- largest-triangle chart downsampling (bucket-average anchors) ----
+    // ~40 visually-representative points per series; endpoint buckets
+    // keep the chart endpoints
+    "ts_downsample_lttb" -> Gated(
+      (s, d) => {
+        val ev = TestData.events(s, d).samples
+          .filter(col("metric") === "click")
+          .select(element_at(col("tags"), "user").as("user"),
+            col("ts"), col("value"))
+        TsAnalytics.downsampleLttb(ev, Seq("user"), "ts", "value",
+            buckets = 40)
+          .orderBy(col("user"), col("bucket"))
+      },
+      Some(s"""WITH s0 AS (SELECT user_id::VARCHAR AS user, $tsSql AS t,
+              |    value FROM events
+              |  WHERE event_type = 'click' AND value IS NOT NULL),
+              |agg AS (SELECT user, t, max(value) AS v
+              |  FROM s0 GROUP BY 1, 2),
+              |sp AS MATERIALIZED (SELECT user, min(t) AS t0, max(t) AS t1
+              |  FROM agg GROUP BY 1),
+              |wb AS MATERIALIZED (SELECT a.user, a.t, a.v,
+              |    CASE WHEN s.t1 = s.t0 THEN 0
+              |      ELSE least(39, ((a.t - s.t0) * 40) // (s.t1 - s.t0 + 1))
+              |      END AS bucket,
+              |    (a.t - s.t0) // 1000 AS dt
+              |  FROM agg a JOIN sp s USING (user)),
+              |av AS (SELECT user, bucket, sum(dt) AS st, count(*) AS cn,
+              |    round(avg(v), 6) AS avv
+              |  FROM wb GROUP BY 1, 2),
+              |an AS MATERIALIZED (SELECT user, bucket,
+              |    st::DOUBLE / cn AS at, avv,
+              |    lag(st::DOUBLE / cn) OVER w AS pt,
+              |    lag(avv) OVER w AS pv,
+              |    lead(st::DOUBLE / cn) OVER w AS nt,
+              |    lead(avv) OVER w AS nv
+              |  FROM av WINDOW w AS (PARTITION BY user ORDER BY bucket)),
+              |sc AS (SELECT w.user, w.bucket, w.t, w.v,
+              |    CASE WHEN a.pt IS NULL OR a.nt IS NULL THEN 0.0
+              |      ELSE round(abs((a.pt - a.nt) * (w.v - a.nv) -
+              |        (a.pv - a.nv) * (w.dt::DOUBLE - a.nt)), 6) END AS area,
+              |    CASE WHEN a.nt IS NULL AND a.pt IS NOT NULL THEN w.t
+              |      ELSE -w.t END AS o
+              |  FROM wb w JOIN an a USING (user, bucket)),
+              |pick AS (SELECT user, bucket, t, v, row_number() OVER (
+              |    PARTITION BY user, bucket
+              |    ORDER BY area DESC, o DESC, t DESC, v DESC) AS rn
+              |  FROM sc)
+              |SELECT user, bucket, t AS ts, v AS value
+              |FROM pick WHERE rn = 1 ORDER BY 1, 2""".stripMargin)),
+
+    // -- kNN label propagation: weak supervision from a labeled seed -----
+    // every 5th vector is the "unlabeled" query set; majority label of
+    // its 5 nearest labeled neighbors, integer-only tie-break
+    "embed_knn_classify" -> Gated(
+      (s, d) => {
+        val emb = TestData.table(s, d, "embeddings")
+        Embed.knnClassify(emb.filter(col("vec_id") % 5 =!= 0),
+            emb.filter(col("vec_id") % 5 === 0), k = 5)
+          .orderBy(col("qid"))
+      },
+      Some("""WITH e AS (SELECT vec_id, label,
+             |    list_transform(embedding, x -> x::DOUBLE) AS v
+             |  FROM embeddings),
+             |q AS (SELECT vec_id AS qid, v AS qv FROM e
+             |  WHERE vec_id % 5 = 0),
+             |lab AS (SELECT vec_id AS nid, label, v AS nv FROM e
+             |  WHERE vec_id % 5 <> 0),
+             |scored AS (SELECT q.qid, lab.nid, lab.label,
+             |    round(list_cosine_similarity(q.qv, lab.nv), 6) AS s
+             |  FROM q CROSS JOIN lab),
+             |top AS (SELECT *, row_number() OVER (PARTITION BY qid
+             |    ORDER BY s DESC, nid ASC) AS rnk FROM scored),
+             |votes AS (SELECT qid, label AS pred_label, count(*) AS n_votes
+             |  FROM top WHERE rnk <= 5 GROUP BY 1, 2)
+             |SELECT qid, pred_label, n_votes FROM (SELECT *,
+             |    row_number() OVER (PARTITION BY qid
+             |      ORDER BY n_votes DESC, pred_label ASC) AS vr
+             |  FROM votes) WHERE vr = 1 ORDER BY qid""".stripMargin)),
+
     // -- SQL extension surface: native expressions as plain SQL ----------
     // The same codegen'd kernels the DataFrame API uses, reachable from
     // spark.sql via SparkSessionExtensions (graft.sql.GraftExtensions) —
@@ -3409,6 +3524,50 @@ object SparkEntry {
               |SELECT sname, last_ts + i * $Day AS ts,
               |  round(l + i * b, 6) AS forecast
               |FROM fin CROSS JOIN (SELECT unnest(range(1, 6)) AS i)
+              |ORDER BY 1, 2""".stripMargin)),
+
+    // -- Holt-Winters triple exponential (additive, period 7 samples) ----
+    // the seasonal upgrade of ts_forecast_holt: chunks compose as
+    // (period+2)-dim affine maps in keyedFold; the oracle replays the
+    // recurrence sequentially with a DuckDB list as the seasonal ring
+    "ts_forecast_hw" -> Gated(
+      (s, d) => {
+        val ev = TestData.events(s, d).samples
+          .select(col("metric").as("sname"), col("ts"), col("value"))
+        TsAnalytics.holtWintersForecast(ev, Seq("sname"), "ts", "value",
+            alpha = 0.3, beta = 0.1, gamma = 0.2, period = 7,
+            horizon = 7, stepNs = Day)
+          .orderBy(col("sname"), col("ts"))
+      },
+      Some(s"""WITH RECURSIVE src AS (
+              |  SELECT event_type AS sname, $tsSql AS t, value
+              |  FROM events WHERE value IS NOT NULL),
+              |agg AS (SELECT sname, t, max(value) AS v
+              |  FROM src GROUP BY 1, 2),
+              |base AS MATERIALIZED (SELECT sname, t, v,
+              |    row_number() OVER (PARTITION BY sname ORDER BY t) AS rn,
+              |    count(*) OVER (PARTITION BY sname) AS cnt FROM agg),
+              |sd AS (SELECT sname, avg(v) AS l0, list(v ORDER BY rn) AS vs
+              |  FROM base WHERE rn <= 7 GROUP BY 1 HAVING count(*) = 7),
+              |anchor AS (SELECT b.sname, b.rn, b.cnt, b.t,
+              |    sd.l0 AS l, 0.0::DOUBLE AS tr,
+              |    list_transform(sd.vs, x -> x - sd.l0) AS s
+              |  FROM base b JOIN sd USING (sname) WHERE b.rn = 7),
+              |r AS (
+              |  SELECT sname, rn, cnt, t, l, tr, s FROM anchor
+              |  UNION ALL
+              |  SELECT n.sname, n.rn, n.cnt, n.t,
+              |    0.3 * (n.v - r.s[1]) + 0.7 * (r.l + r.tr),
+              |    0.1 * ((0.3 * (n.v - r.s[1]) + 0.7 * (r.l + r.tr)) - r.l)
+              |      + 0.9 * r.tr,
+              |    r.s[2:] || [0.2 * (n.v -
+              |      (0.3 * (n.v - r.s[1]) + 0.7 * (r.l + r.tr)))
+              |      + 0.8 * r.s[1]]
+              |  FROM r JOIN base n ON n.sname = r.sname AND n.rn = r.rn + 1),
+              |fin AS (SELECT * FROM r WHERE rn = cnt)
+              |SELECT sname, t + i * $Day AS ts,
+              |  round(l + i * tr + s[((i - 1) % 7) + 1], 6) AS forecast
+              |FROM fin CROSS JOIN (SELECT unnest(range(1, 8)) AS i)
               |ORDER BY 1, 2""".stripMargin)),
 
     // -- quality: per-doc character entropy (one codegen'd pass) ---------

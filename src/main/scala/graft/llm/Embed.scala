@@ -914,6 +914,49 @@ object Embed {
         col("rnk").cast("long").as("rnk"))
   }
 
+  /** k-NN label propagation (classification by vote): predict a label
+    * for every query vector from the majority label of its `k` nearest
+    * LABELED neighbors — the weak-supervision step that turns a small
+    * hand-labeled seed set into labels for a whole corpus (quality
+    * tiers, topic tags, safety flags) before training on it.
+    *
+    * Brute verification regime like [[knnGraph]]: labeled side
+    * broadcast, per-query rank window group-limited to k, then a tiny
+    * per-(query, label) vote count. The vote tie-break is fully
+    * deterministic and engine-portable: more votes first, then the
+    * SMALLER label (no float in the decision — a summed-score
+    * tie-break would hang the argmax on accumulation order). At corpus
+    * scale, feed the celled candidates from [[knnGraphCells]] into the
+    * same vote instead of the all-pairs join.
+    *
+    * Output: qid, `pred_label`, `n_votes` (votes for the winner out of
+    * the k neighbors). */
+  def knnClassify(labeled: DataFrame, queries: DataFrame, k: Int,
+                  vecCol: String = "embedding", idCol: String = "vec_id",
+                  labelCol: String = "label"): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val lab = labeled.filter(dot(col(vecCol), col(vecCol)) > 0.0)
+      .select(col(idCol).as("__nid"), col(vecCol).as("__nv"),
+        col(labelCol).as("__nl"))
+    val votes = queries.filter(dot(col(vecCol), col(vecCol)) > 0.0)
+      .select(col(idCol).as("qid"), col(vecCol).as("__qv"))
+      .join(broadcast(lab), col("__nid") =!= col("qid"))
+      .withColumn("__score", round(cosine(col("__qv"), col("__nv")), 6))
+      .withColumn("__rnk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("__score").desc, col("__nid").asc)))
+      .filter(col("__rnk") <= k)
+      .groupBy(col("qid"), col("__nl").as("pred_label"))
+      .agg(count(lit(1)).as("n_votes"))
+    votes
+      .withColumn("__vr", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("n_votes").desc, col("pred_label").asc)))
+      .filter(col("__vr") === 1)
+      .select(col("qid"), col("pred_label"), col("n_votes"))
+  }
+
   /** Embedding outlier report: vectors whose BEST centroid cosine is
     * below `threshold` — far from every cluster, the "what doesn't fit
     * the corpus" probe (mislabeled data, encoder glitches, novel

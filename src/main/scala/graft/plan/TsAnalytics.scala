@@ -798,6 +798,176 @@ object TsAnalytics {
   private final case class HoltS(n: Long, l: Double, b: Double,
       lastTs: Long)
 
+  /** Chunk summary for [[holtWintersForecast]]: up to `period` raw head
+    * values (their effect depends on whether the series is still
+    * seeding — replayed at compose time), the last ts, and the composed
+    * affine map z -> M·z + c of every later sample, over the
+    * (period+2)-dim state z = (l, b, s_0..s_{period-1}). `m`/`c` are
+    * null while the chunk holds <= period rows (no affine part). */
+  private final case class HwU(count: Long, firstVals: Vector[Double],
+      lastTs: Long, m: Array[Array[Double]], c: Array[Double])
+
+  /** Composed Holt-Winters state: samples seen, values still pending
+    * the seed, the state vector once seeded (null before). */
+  private final case class HwS(n: Long, pending: Vector[Double],
+      z: Array[Double], lastTs: Long)
+
+  /** Holt-Winters triple exponential forecasting (additive seasonality,
+    * period `period` SAMPLES — seasonality by sample index, the regular-
+    * sampling convention every `apply`-pipeline row operator here uses).
+    * Level/trend/seasonal update per sample:
+    * {{{
+    * l' = α(y − s₀) + (1−α)(l + b)
+    * b' = β(l' − l) + (1−β)b
+    * s' = rotate(s, γ(y − l') + (1−γ)s₀)
+    * }}}
+    * seeded from the first `period` samples (l₀ = their mean, b₀ = 0,
+    * sᵢ = yᵢ − l₀); series shorter than `period` emit nothing. The
+    * forecast at step h is `l + h·b + s[(h−1) mod period]` (rounded 6).
+    *
+    * Scale shape — the [[holtForecast]] argument, one dimension up: the
+    * per-sample update is affine in the (period+2)-dim state
+    * (l, b, s₀..s_{m−1}), so a chunk of any length composes into ONE
+    * (period+2)² affine map, built incrementally in O(period²) per row
+    * (three dense row updates + a rotation of row references).
+    * [[graft.functions.ChunkedScan.keyedFold]] then runs ONE narrow
+    * sorted pass; driver state is bounded by nSeries·(period+2)² — a
+    * giant series spans many tasks without any per-series shuffle.
+    *
+    * Output: on cols (as strings), `ts`, `forecast`. */
+  def holtWintersForecast(df: DataFrame, on: Seq[String], tsCol: String,
+                          valueCol: String, alpha: Double, beta: Double,
+                          gamma: Double, period: Int, horizon: Int,
+                          stepNs: Long): DataFrame = {
+    require(on.nonEmpty && horizon > 0 && stepNs > 0 && period >= 2)
+    require(alpha > 0 && alpha <= 1 && beta >= 0 && beta <= 1 &&
+      gamma >= 0 && gamma <= 1)
+    val spark = df.sparkSession
+    val dim = period + 2
+    val keyed = df.select(
+        concat_ws("", on.map(c => col(c).cast("string")): _*)
+          .as("__k"),
+        col(tsCol).cast("long").as("__t"),
+        col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("__k"), col("__t")).agg(max(col("__v")).as("__v"))
+    val tIdx = 1; val vIdx = 2
+
+    def identity(): (Array[Array[Double]], Array[Double]) = {
+      val m = Array.tabulate(dim)(i =>
+        Array.tabulate(dim)(j => if (i == j) 1.0 else 0.0))
+      (m, new Array[Double](dim))
+    }
+    // compose one sample's affine map onto (m, c) IN PLACE: three dense
+    // output rows from the old (l, b, s0) rows, the seasonal rotation is
+    // a row-reference shift (no copying)
+    def compose(m: Array[Array[Double]], c: Array[Double],
+                y: Double): Unit = {
+      val ml = m(0); val mb = m(1); val ms0 = m(2)
+      val rl = new Array[Double](dim)
+      val rb = new Array[Double](dim)
+      val rs = new Array[Double](dim)
+      var j = 0
+      while (j < dim) {
+        val lj = ml(j); val bj = mb(j); val sj = ms0(j)
+        rl(j) = (1 - alpha) * (lj + bj) - alpha * sj
+        rb(j) = -beta * alpha * lj + (beta * (1 - alpha) + (1 - beta)) * bj -
+          beta * alpha * sj
+        rs(j) = -gamma * (1 - alpha) * (lj + bj) +
+          (gamma * alpha + 1 - gamma) * sj
+        j += 1
+      }
+      val cl = c(0); val cb = c(1); val cs0 = c(2)
+      val ncl = (1 - alpha) * (cl + cb) - alpha * cs0 + alpha * y
+      val ncb = -beta * alpha * cl + (beta * (1 - alpha) + (1 - beta)) * cb -
+        beta * alpha * cs0 + beta * alpha * y
+      val ncs = -gamma * (1 - alpha) * (cl + cb) +
+        (gamma * alpha + 1 - gamma) * cs0 + gamma * (1 - alpha) * y
+      var i = 2
+      while (i < dim - 1) { m(i) = m(i + 1); c(i) = c(i + 1); i += 1 }
+      m(0) = rl; m(1) = rb; m(dim - 1) = rs
+      c(0) = ncl; c(1) = ncb; c(dim - 1) = ncs
+    }
+    // one sequential recurrence step on a state vector (head replay)
+    def step(z: Array[Double], y: Double): Unit = {
+      val l = z(0); val b = z(1); val s0 = z(2)
+      val lp = alpha * (y - s0) + (1 - alpha) * (l + b)
+      val bp = beta * (lp - l) + (1 - beta) * b
+      val sn = gamma * (y - lp) + (1 - gamma) * s0
+      var i = 2
+      while (i < dim - 1) { z(i) = z(i + 1); i += 1 }
+      z(0) = lp; z(1) = bp; z(dim - 1) = sn
+    }
+    def seed(vals: Vector[Double]): Array[Double] = {
+      val l0 = vals.take(period).sum / period
+      val z = new Array[Double](dim)
+      z(0) = l0; z(1) = 0.0
+      var i = 0
+      while (i < period) { z(2 + i) = vals(i) - l0; i += 1 }
+      z
+    }
+    def applyAffine(m: Array[Array[Double]], c: Array[Double],
+                    z: Array[Double]): Array[Double] = {
+      val out = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        val row = m(i); var acc = c(i); var j = 0
+        while (j < dim) { acc += row(j) * z(j); j += 1 }
+        out(i) = acc; i += 1
+      }
+      out
+    }
+
+    val fin = graft.functions.ChunkedScan.keyedFold[HwU, HwS](
+      keyed, "__k", Seq(col("__t").asc),
+      empty = () => HwU(0L, Vector.empty, 0L, null, null),
+      absorbRow = (u, row) => {
+        val t = row.getLong(tIdx); val y = row.getDouble(vIdx)
+        if (u.firstVals.size < period)
+          HwU(u.count + 1, u.firstVals :+ y, t, u.m, u.c)
+        else {
+          val (m, c) =
+            if (u.m == null) identity() else (u.m, u.c)
+          compose(m, c, y)
+          HwU(u.count + 1, u.firstVals, t, m, c)
+        }
+      },
+      init = () => HwS(0L, Vector.empty, null, 0L),
+      advance = (s, u) =>
+        if (u.count == 0L) s
+        else {
+          var z = s.z
+          var pend = s.pending
+          if (z == null) {
+            pend = pend ++ u.firstVals
+            if (pend.size >= period) {
+              z = seed(pend)
+              pend.drop(period).foreach(y => step(z, y))
+              pend = Vector.empty
+            }
+          } else u.firstVals.foreach(y => step(z, y))
+          if (z != null && u.m != null) z = applyAffine(u.m, u.c, z)
+          HwS(s.n + u.count, pend, z, u.lastTs)
+        })
+    val rows = fin.toSeq.filter(_._2.z != null).sortBy(_._1).flatMap {
+      case (k, s) =>
+        val keys = k.split("", -1).toSeq
+        (1 to horizon).map { h =>
+          val f = s.z(0) + h * s.z(1) + s.z(2 + ((h - 1) % period))
+          org.apache.spark.sql.Row.fromSeq(
+            keys ++ Seq[Any](s.lastTs + h * stepNs,
+              BigDecimal(f).setScale(6,
+                BigDecimal.RoundingMode.HALF_UP).toDouble))
+        }
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(
+      on.map(n => StructField(n, StringType)) ++ Seq(
+        StructField("ts", LongType), StructField("forecast", DoubleType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
   /** Ranked top-k per group (SURVEY §2.8: no ranking windows in the
     * reference): aggregate `value` per (group, series), then keep each
     * group's top `k` by the aggregate with an explicit deterministic
@@ -1051,6 +1221,149 @@ object TsAnalytics {
           .as("bin_hi"))
       .select((on.map(col) ++ Seq(col("bucket"), col("bin"), col("bin_lo"),
         col("bin_hi"), col("n"))): _*)
+  }
+
+  /** Histogram-interpolated quantiles per (group, time bucket) — the
+    * BOUNDED-STATE percentile path (Prometheus `histogram_quantile`
+    * semantics): bin the group's observed [min, max] into `nBins` equal
+    * bins, count per (group, bucket, bin) — the [[timeValueHeatmap]]
+    * cells — then estimate each quantile by linear interpolation INSIDE
+    * the bin where the target rank falls. Exact percentiles
+    * ([[bucketQuantiles]]) buffer every value per group; this carries
+    * `nBins` counts per cell no matter how many samples the cell saw —
+    * the only percentile shape that survives a 100 TB group. Accuracy
+    * is bin-width bounded (observed-range bins, so no empty tails).
+    *
+    * Rank selection is integer-exact (counts and cumulative counts are
+    * longs; the target rank `p·N` only meets them in comparisons), and
+    * the interpolation arithmetic is the same IEEE expression order both
+    * engines — the [[timeValueHeatmap]] determinism argument. The
+    * estimate is deliberately NOT re-rounded: low-decimal input data
+    * puts it on a sub-µ decimal grid where engines' round() halfway
+    * conventions diverge (the [[bollingerBreakouts]] lesson); the raw
+    * double is bit-identical across engines, a re-round is not.
+    *
+    * Output: on cols, `bucket`, `prob`, `n` (cell sample count), `est`
+    * (rounded 6) — one row per (group, bucket, prob). */
+  def histogramQuantile(df: DataFrame, on: Seq[String], tsCol: String,
+                        valueCol: String, bucketNs: Long, nBins: Int,
+                        probs: Seq[Double]): DataFrame = {
+    require(on.nonEmpty && bucketNs > 0 && nBins >= 1 && probs.nonEmpty &&
+      probs.forall(p => p > 0.0 && p < 1.0))
+    val base = df.select(
+      (on.map(col) :+ col(tsCol).cast("long").as("__t") :+
+        col(valueCol).cast("double").as("__v")): _*)
+      .filter(col("__v").isNotNull)
+    val ranges = base.groupBy(on.map(col): _*)
+      .agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
+    val span = col("__hi") - col("__lo")
+    val bin = when(span > 0.0,
+      least(lit(nBins - 1), floor((col("__v") - col("__lo")) * nBins / span)
+        .cast("int"))).otherwise(lit(0))
+    val cells = base.join(ranges, on)
+      .groupBy((on.map(col) :+
+        (expr(s"__t div ${bucketNs}L") * bucketNs).as("bucket") :+
+        bin.as("__bin")): _*)
+      .agg(count(lit(1)).as("__nb"), first(col("__lo")).as("__lo"),
+        first(col("__hi")).as("__hi"))
+    val wCum = Window.partitionBy((on.map(col) :+ col("bucket")): _*)
+      .orderBy(col("__bin").asc)
+    val wAll = Window.partitionBy((on.map(col) :+ col("bucket")): _*)
+    val cum = cells
+      .withColumn("__cum", sum(col("__nb")).over(wCum))
+      .withColumn("__N", sum(col("__nb")).over(wAll))
+    val binW = (col("__hi") - col("__lo")) / nBins
+    val rank = col("prob") * col("__N")
+    val prev = col("__cum") - col("__nb")
+    cum
+      .withColumn("prob", explode(array(probs.map(lit): _*)))
+      // non-empty bins only exist as cells, so exactly one bin satisfies
+      // prev < rank <= cum per (group, bucket, prob)
+      .filter(rank > prev && rank <= col("__cum"))
+      .select((on.map(col) ++ Seq(col("bucket"), col("prob"),
+        col("__N").as("n"),
+        (col("__lo") + binW * col("__bin") +
+          (rank - prev) / col("__nb") * binW).as("est"))): _*)
+  }
+
+  /** Largest-Triangle downsampling to ~`buckets` points per series —
+    * the chart downsampler that keeps visual shape (peaks, dips)
+    * where [[m4Downsample]] keeps extremes. This is the
+    * BUCKET-AVERAGE-ANCHOR variant of Steinarsson's LTTB: each
+    * bucket keeps the point with the largest triangle area against the
+    * PREVIOUS bucket's average and the NEXT bucket's average. Canonical
+    * LTTB anchors on the previously *selected* point, which makes every
+    * bucket's choice depend on the one before — a sequential chain that
+    * cannot fan out; anchoring on bucket averages (Steinarsson's own
+    * "LTOB/LTTB with fixed reference" simplification, §4.2 of the
+    * thesis) keeps ~the same visual fidelity and makes each bucket's
+    * argmax a pure per-row score: ONE bucket-frame window pass for the
+    * neighbor averages + ONE hash-aggregate argmax over the facts.
+    * First/last buckets keep their first/last sample (chart endpoints).
+    *
+    * Determinism: the area score is rounded to 6 before the argmax and
+    * ties break on earlier ts, so the kept set replays across engines;
+    * time enters the area as µs-since-series-start (exact long sums
+    * for the anchor means, cast to double only inside the product).
+    *
+    * Output: on cols, `bucket` (0-based), `ts`, `value` of the kept
+    * sample. */
+  def downsampleLttb(df: DataFrame, on: Seq[String], tsCol: String,
+                     valueCol: String, buckets: Int): DataFrame = {
+    require(on.nonEmpty && buckets >= 3)
+    val base = df.select(
+      (on.map(col) :+ col(tsCol).cast("long").as("__t") :+
+        col(valueCol).cast("double").as("__v")): _*)
+      .filter(col("__v").isNotNull)
+      .groupBy((on.map(col) :+ col("__t")): _*)
+      .agg(max(col("__v")).as("__v"))
+    // per-series time span -> equal-width time buckets (0..buckets-1,
+    // last instant clamps); integer-long bucket arithmetic
+    val spans = base.groupBy(on.map(col): _*)
+      .agg(min(col("__t")).as("__t0"), max(col("__t")).as("__t1"))
+    val withB = base.join(spans, on)
+      .withColumn("__bucket", when(col("__t1") === col("__t0"), lit(0L))
+        .otherwise(least(lit(buckets - 1).cast("long"),
+          expr(s"((__t - __t0) * ${buckets}L) div (__t1 - __t0 + 1L)"))))
+      // anchor times in µs-since-series-start: long SUMS are exact and
+      // order-independent, so the anchor mean (exact-sum / count, one
+      // double division) replays across engines — a double avg() over
+      // ns longs would carry accumulation-order noise ~the ulp of a
+      // 1e19 sum, far above any output rounding
+      .withColumn("__dt", expr("(__t - __t0) div 1000L"))
+    val avgs = withB.groupBy((on.map(col) :+ col("__bucket")): _*)
+      .agg(sum(col("__dt")).as("__st"), count(lit(1)).as("__cn"),
+        round(avg(col("__v")), 6).as("__av"))
+      .withColumn("__at", col("__st").cast("double") / col("__cn"))
+    val wB = Window.partitionBy(on.map(col): _*).orderBy(col("__bucket"))
+    val anchors = avgs
+      .withColumn("__pt", lag(col("__at"), 1).over(wB))
+      .withColumn("__pv", lag(col("__av"), 1).over(wB))
+      .withColumn("__nt", lead(col("__at"), 1).over(wB))
+      .withColumn("__nv", lead(col("__av"), 1).over(wB))
+      .select((on.map(col) ++ Seq(col("__bucket"), col("__pt"),
+        col("__pv"), col("__nt"), col("__nv"))): _*)
+    val joined = withB.join(anchors, on :+ "__bucket")
+    val xt = col("__dt").cast("double")
+    // area x2 = |(prev - next) x (sample - next)| in (µs, value) space
+    val area = round(abs(
+      (col("__pt") - col("__nt")) * (col("__v") - col("__nv")) -
+        (col("__pv") - col("__nv")) * (xt - col("__nt"))), 6)
+    // endpoint buckets: no prev anchor -> keep the FIRST sample, no
+    // next anchor -> keep the LAST (chart endpoints, canonical LTTB);
+    // interior buckets: max area, earlier ts on ties. One struct-max
+    // encodes all three: (constant, ±ts) ranks endpoints by time only.
+    val ord = when(col("__nt").isNull && col("__pt").isNotNull,
+      col("__t")).otherwise(-col("__t"))
+    val pick = struct(
+      when(col("__pt").isNull || col("__nt").isNull, lit(0.0))
+        .otherwise(area).as("a"),
+      ord.as("o"), col("__t").as("t"), col("__v").as("v"))
+    joined
+      .groupBy((on.map(col) :+ col("__bucket").as("bucket")): _*)
+      .agg(max(pick).as("__p"))
+      .select((on.map(col) ++ Seq(col("bucket"),
+        col("__p.t").as("ts"), col("__p.v").as("value"))): _*)
   }
 
   def topKPerGroup(df: DataFrame, groupCol: String, seriesCol: String,

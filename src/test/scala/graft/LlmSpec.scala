@@ -1455,6 +1455,30 @@ class LlmSpec extends SparkFunSuite {
     assert(agg.count() == n)
   }
 
+  test("knnClassify: majority vote, deterministic tie-break") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    def mk(vs: Seq[(Long, Seq[Double], Int)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(vs.map { case (i, v, l) =>
+        Row(i, v.map(_.toFloat), l) }, 2), schema)
+    // labeled: 2 of class 7 near +x, 2 of class 3 near +y
+    val lab = mk(Seq(
+      (1L, Seq(1.0, 0.05), 7), (2L, Seq(1.0, -0.05), 7),
+      (3L, Seq(0.05, 1.0), 3), (4L, Seq(-0.05, 1.0), 3)))
+    // query at +x -> both class-7 neighbors rank 1-2 -> majority 7
+    val q = mk(Seq((100L, Seq(1.0, 0.0), 0)))
+    val r = Embed.knnClassify(lab, q, k = 3).collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getLong(2)))
+    assert(r.toSeq == Seq((100L, 7, 2L)))
+    // k=4: 2 votes each -> tie broken to the SMALLER label (3)
+    val r4 = Embed.knnClassify(lab, q, k = 4).collect()
+      .map(x => (x.getInt(1), x.getLong(2)))
+    assert(r4.toSeq == Seq((3, 2L)))
+  }
+
   test("centroidDrift: identical slices no drift; a moved cell flags") {
     val cents = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 0.0, 1.0, 0.0))
     val a = vecs(Seq(

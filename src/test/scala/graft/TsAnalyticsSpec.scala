@@ -297,6 +297,55 @@ class TsAnalyticsSpec extends SparkFunSuite {
     assert(solo.forall(_.getDouble(2) == 42.0))
   }
 
+  test("holtWintersForecast matches sequential recursion; chunk invariant") {
+    val rnd = new scala.util.Random(11)
+    // seasonal signal (period 4) + trend + noise, 2 series; plus one
+    // series SHORTER than the period (must emit nothing)
+    val data = (0 until 2).flatMap { k =>
+      (0 until 30).map(i => (s"s$k", i * 10L,
+        50.0 + 0.5 * i + Seq(5.0, -2.0, -5.0, 2.0)(i % 4) +
+          rnd.nextInt(100) / 100.0))
+    } ++ Seq(("tiny", 0L, 1.0), ("tiny", 10L, 2.0))
+    val df = data.toDF("k", "ts", "v")
+    val (a, b, g, m) = (0.3, 0.1, 0.2, 4)
+    def naive(rows: Seq[(Long, Double)]): (Array[Double], Long) = {
+      val sorted = rows.sortBy(_._1)
+      val l0 = sorted.take(m).map(_._2).sum / m
+      val z = Array.fill(m + 2)(0.0)
+      z(0) = l0
+      (0 until m).foreach(i => z(2 + i) = sorted(i)._2 - l0)
+      sorted.drop(m).foreach { case (_, y) =>
+        val (l, tr, s0) = (z(0), z(1), z(2))
+        val lp = a * (y - s0) + (1 - a) * (l + tr)
+        val bp = b * (lp - l) + (1 - b) * tr
+        val sn = g * (y - lp) + (1 - g) * s0
+        (2 until m + 1).foreach(i => z(i) = z(i + 1))
+        z(0) = lp; z(1) = bp; z(m + 1) = sn
+      }
+      (z, sorted.last._1)
+    }
+    val want = data.groupBy(_._1).filter(_._2.size >= m).flatMap {
+      case (k, rows) =>
+        val (z, lastTs) = naive(rows.map(r => (r._2, r._3)))
+        (1 to 6).map(h =>
+          (k, lastTs + h * 10L, z(0) + h * z(1) + z(2 + ((h - 1) % m))))
+    }.toSet
+    for (parts <- Seq("0", "4")) { // AQE-sized vs forced 4-chunk split
+      sp.conf.set("graft.scan.chunkedPartitions", parts)
+      try {
+        val got = TsAnalytics.holtWintersForecast(df, Seq("k"), "ts", "v",
+            a, b, g, period = m, horizon = 6, stepNs = 10L)
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        assert(got.length == want.size) // 'tiny' emitted nothing
+        got.foreach { case (k, t, f) =>
+          val w = want.find(x => x._1 == k && x._2 == t).get._3
+          assert(math.abs(f - w) < 1e-6, s"($k, $t): $f vs $w [parts=$parts]")
+        }
+      } finally sp.conf.unset("graft.scan.chunkedPartitions")
+    }
+  }
+
   test("seasonalAnomalies: flags only the injected outlier") {
     // same clean periodic construction as the decompose spec, but one
     // bucket is knocked +50 off its pattern — after removing trend and
@@ -615,6 +664,60 @@ class TsAnalyticsSpec extends SparkFunSuite {
     val r2 = TsAnalytics.saxMotifs(dup, Seq("k"), "ts", "v", 4, 3, 2)
       .collect().map(_.getString(1))
     assert(r2.toSeq == Seq("acac"))
+  }
+
+  test("histogramQuantile: interpolation inside the right bin") {
+    // group m, one time bucket: values 0..9 (10 samples), range [0,9],
+    // 3 bins of width 3: bin0={0,1,2}, bin1={3,4,5}, bin2={6,7,8,9}
+    // (9 clamps). p50: rank=5 -> bin1 (cum 3..6), est=3+(5-3)/3*3=5
+    // p90: rank=9 -> bin2 (cum 6..10), est=6+(9-6)/4*3=8.25
+    val df = (0 until 10).map(i => ("m", i.toLong, i.toDouble))
+      .toDF("k", "ts", "v")
+    val r = TsAnalytics.histogramQuantile(df, Seq("k"), "ts", "v",
+        bucketNs = 100L, nBins = 3, probs = Seq(0.5, 0.9))
+      .orderBy("prob").collect()
+      .map(x => (x.getLong(1), x.getDouble(2), x.getLong(3), x.getDouble(4)))
+    assert(r.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq((0L, 0.5, 10L), (0L, 0.9, 10L)))
+    // est is deliberately un-rounded (see scaladoc): compare to 1e-9
+    assert(math.abs(r(0)._4 - 5.0) < 1e-9 && math.abs(r(1)._4 - 8.25) < 1e-9)
+    // constant group: every quantile is the constant
+    val const = (1 to 4).map(i => ("c", i.toLong, 7.0)).toDF("k", "ts", "v")
+    val c = TsAnalytics.histogramQuantile(const, Seq("k"), "ts", "v",
+        100L, 3, Seq(0.5)).collect().map(_.getDouble(4))
+    assert(c.length == 1 && math.abs(c(0) - 7.0) < 1e-9)
+    // empty bins between occupied ones: rank lands past the gap
+    // correctly (values 0 and 9, 3 bins: bin0 n=1, bin2 n=1; p75 ->
+    // rank 1.5 -> bin2, est = 6 + 0.5/1*3 = 7.5)
+    val gap = Seq(("g", 0L, 0.0), ("g", 1L, 9.0)).toDF("k", "ts", "v")
+    val g = TsAnalytics.histogramQuantile(gap, Seq("k"), "ts", "v",
+        100L, 3, Seq(0.75)).collect().map(_.getDouble(4))
+    assert(g.length == 1 && math.abs(g(0) - 7.5) < 1e-9)
+  }
+
+  test("downsampleLttb: endpoints kept, spike survives, flat line thins") {
+    // 3 buckets over [0, 8000ns]: endpoints + the interior point with
+    // the largest triangle vs neighbor-bucket averages. The interior
+    // bucket holds a flat 5.0 run plus one spike to 50 — the spike must
+    // be the kept point (that's the whole point of LTTB over avg/first)
+    val df = Seq(
+      ("s", 0L, 1.0), ("s", 1000L, 2.0),            // bucket 0
+      ("s", 3000L, 5.0), ("s", 4000L, 50.0),        // bucket 1 (spike)
+      ("s", 5000L, 5.0),
+      ("s", 7000L, 3.0), ("s", 8000L, 4.0))         // bucket 2
+      .toDF("k", "ts", "v")
+    val r = TsAnalytics.downsampleLttb(df, Seq("k"), "ts", "v", buckets = 3)
+      .orderBy("bucket").collect()
+      .map(x => (x.getLong(1), x.getLong(2), x.getDouble(3)))
+    assert(r.toSeq == Seq(
+      (0L, 0L, 1.0),        // first bucket: first sample
+      (1L, 4000L, 50.0),    // interior: the spike wins the area argmax
+      (2L, 8000L, 4.0)))    // last bucket: last sample
+    // single-sample series: one bucket, the sample itself
+    val one = Seq(("o", 42L, 9.0)).toDF("k", "ts", "v")
+    val ro = TsAnalytics.downsampleLttb(one, Seq("k"), "ts", "v", 3)
+      .collect().map(x => (x.getLong(1), x.getLong(2), x.getDouble(3)))
+    assert(ro.toSeq == Seq((0L, 42L, 9.0)))
   }
 
   test("timeValueHeatmap: bin edges, top edge closed, constant group") {
