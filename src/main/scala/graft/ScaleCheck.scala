@@ -181,6 +181,44 @@ object ScaleCheck {
       TsAnalytics.holtForecast(keyed, Seq("skey"), "ts", "value",
         alpha = 0.4, beta = 0.3, horizon = 5, stepNs = Day).count()
     }
+    // ---- round-6 additions --------------------------------------------
+    timed("ts_downsample_lttb") {
+      TsAnalytics.downsampleLttb(store.samples, Seq("metric"), "ts",
+        "value", buckets = 200).count()
+    }
+    timed("ts_sax_motifs") {
+      TsAnalytics.saxMotifs(store.samples, Seq("metric"), "ts", "value",
+        width = 8, alphabet = 4, minCount = 2).count()
+    }
+    timed("ts_histogram_quantile") {
+      TsAnalytics.histogramQuantile(store.samples, Seq("metric"), "ts",
+        "value", bucketNs = Day, nBins = 32,
+        probs = Seq(0.5, 0.95, 0.99)).count()
+    }
+    timed("ts_forecast_hw") {
+      // same giant-series regime as holt, one dimension up (period+2
+      // affine maps through keyedFold)
+      val keyed = store.samples.withColumn("skey",
+        concat(col("metric"), lit("/"),
+          pmod(element_at(col("tags"), "user").cast("long"), lit(16))))
+      TsAnalytics.holtWintersForecast(keyed, Seq("skey"), "ts", "value",
+        alpha = 0.3, beta = 0.1, gamma = 0.2, period = 7, horizon = 5,
+        stepNs = Day).count()
+    }
+    timed("ts_fill_forward") {
+      val t0 = graft.model.AkuTime.parseTs("20240105T000000")
+      val t1 = graft.model.AkuTime.parseTs("20240120T000000")
+      val keyed = store.samples.withColumn("skey",
+        concat(col("metric"), lit("/"),
+          pmod(element_at(col("tags"), "user").cast("long"), lit(16))))
+      TsAnalytics.fillForward(keyed, Seq("skey"), "ts", "value",
+        stepNs = 3600L * 1000000000L, fromNs = t0, toNs = t1,
+        maxAgeNs = 2 * Day).count()
+    }
+    timed("embed_knn_classify") {
+      Embed.knnClassify(emb.filter(col("vec_id") % 5 =!= 0),
+        emb.filter(col("vec_id") % 101 === 0), k = 5).count()
+    }
 
     def jval(v: Any): String = v match {
       case d: Double => f"$d%.3f"
