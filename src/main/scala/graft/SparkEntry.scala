@@ -3405,6 +3405,151 @@ object SparkEntry {
              |      ORDER BY n_votes DESC, pred_label ASC) AS vr
              |  FROM votes) WHERE vr = 1 ORDER BY qid""".stripMargin)),
 
+    // -- event-type transition matrix (user-path Sankey counts) ----------
+    "ts_transition_matrix" -> Gated(
+      (s, d) => {
+        val ev = TestData.events(s, d).samples.select(
+          element_at(col("tags"), "user").as("user"),
+          col("ts"), col("metric"))
+        EventOps.transitionMatrix(ev, Seq("user"), "ts", "metric")
+          .orderBy(col("prev"), col("next"))
+      },
+      Some(s"""WITH t AS (SELECT user_id::VARCHAR AS u, $tsSql AS t,
+              |    event_type AS k FROM events),
+              |p AS (SELECT u, k,
+              |    lag(k) OVER (PARTITION BY u ORDER BY t, k) AS prev
+              |  FROM t),
+              |c AS (SELECT prev, k AS next, count(*) AS n FROM p
+              |  WHERE prev IS NOT NULL GROUP BY 1, 2)
+              |SELECT prev, next, n, round(n::DOUBLE /
+              |    sum(n) OVER (PARTITION BY prev), 6) AS share
+              |FROM c ORDER BY 1, 2""".stripMargin)),
+
+    // -- soft dedup: 1/cluster-size training weights ---------------------
+    // the keep-nothing alternative to dedupKeepBest: every near-dup
+    // cluster contributes one document's worth of weight
+    "doc_soft_dedup" -> Gated(
+      (s, d) => {
+        val docs = TestData.table(s, d, "documents")
+        val cc = Dedup.connectedComponents(Dedup.minhashLsh(docs,
+          n = 3, bands = 64, rowsPerBand = 2, threshold = 0.5))
+        Dedup.softDedupWeights(docs, cc).orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE toks AS (
+             |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+             |  FROM documents),
+             |grams AS (
+             |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+             |    THEN list_transform(range(1, len(t) - 1),
+             |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+             |    ELSE [] END) AS g
+             |  FROM toks),
+             |pairs AS (
+             |  SELECT a, b FROM (
+             |    SELECT x.doc_id AS a, y.doc_id AS b,
+             |      len(list_intersect(x.g, y.g))::DOUBLE /
+             |        (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g))) AS j
+             |    FROM grams x JOIN grams y ON x.doc_id < y.doc_id)
+             |  WHERE j >= 0.5),
+             |edges AS (
+             |  SELECT a AS u, b AS v FROM pairs
+             |  UNION SELECT b, a FROM pairs),
+             |reach(u, v) AS (
+             |  SELECT u, v FROM edges
+             |  UNION
+             |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+             |comp AS MATERIALIZED (SELECT u AS doc_id,
+             |    least(u, min(v)) AS component
+             |  FROM reach GROUP BY u),
+             |sz AS (SELECT component, count(*) AS n FROM comp GROUP BY 1)
+             |SELECT d.doc_id,
+             |  coalesce(c.component, d.doc_id) AS cluster,
+             |  round(1.0 / coalesce(sz.n, 1), 6) AS weight
+             |FROM documents d
+             |LEFT JOIN comp c USING (doc_id)
+             |LEFT JOIN sz ON c.component = sz.component
+             |ORDER BY 1""".stripMargin)),
+
+    // -- per-dimension embedding standardization (z-normalize) -----------
+    // long format (vec_id, dim, v) — the comparator's array convention
+    // (embed_random_projection does the same)
+    "embed_standardize" -> Gated(
+      (s, d) => Embed.standardize(TestData.table(s, d, "embeddings"))
+        .select(col("vec_id"), posexplode(col("std")))
+        .select(col("vec_id"), col("pos").cast("long").as("dim"),
+          col("col").as("v"))
+        .orderBy(col("vec_id"), col("dim")),
+      Some("""WITH e AS (SELECT vec_id,
+             |    unnest(list_transform(embedding, x -> x::DOUBLE)) AS x,
+             |    unnest(range(len(embedding))) AS d
+             |  FROM embeddings),
+             |st AS MATERIALIZED (SELECT d, round(avg(x), 6) AS mu,
+             |    round(stddev_samp(x), 6) AS sd
+             |  FROM e GROUP BY 1)
+             |SELECT e.vec_id, e.d AS dim,
+             |  CASE WHEN st.sd > 0 THEN round((e.x - st.mu) / st.sd, 6)
+             |    ELSE 0.0 END AS v
+             |FROM e JOIN st USING (d)
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // -- duration-conditioned threshold alerts (gaps-and-islands runs) ---
+    "ts_threshold_alerts" -> Gated(
+      (s, d) => {
+        val ev = TestData.events(s, d).samples.select(col("metric"),
+          element_at(col("tags"), "user").as("user"),
+          col("ts"), col("value"))
+        TsAnalytics.thresholdAlerts(ev, Seq("metric", "user"),
+            "ts", "value", threshold = 120.0, minRun = 2)
+          .orderBy(col("metric"), col("user"), col("start_ts"))
+      },
+      Some(s"""WITH s0 AS (SELECT event_type AS metric,
+              |    user_id::VARCHAR AS user, $tsSql AS t, value
+              |  FROM events WHERE value IS NOT NULL),
+              |agg AS (SELECT metric, user, t, max(value) AS v
+              |  FROM s0 GROUP BY 1, 2, 3),
+              |f AS (SELECT *, round(v, 6) AS v6, row_number()
+              |    OVER (PARTITION BY metric, user ORDER BY t) AS rn
+              |  FROM agg),
+              |br AS (SELECT *, rn - row_number()
+              |    OVER (PARTITION BY metric, user ORDER BY t) AS grp
+              |  FROM f WHERE v6 > 120),
+              |runs AS (SELECT metric, user, grp, min(t) AS start_ts,
+              |    max(t) AS end_ts, count(*) AS n, round(max(v), 6) AS peak
+              |  FROM br GROUP BY 1, 2, 3)
+              |SELECT metric, user, start_ts, end_ts, n, peak
+              |FROM runs WHERE n >= 2 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // -- multi-window SLO burn rate (fast+slow window alerting) ----------
+    // slo 0.75 keeps the error budget an exact binary double on both
+    // engines; counts are exact longs so the burn division replays
+    "ts_burn_rate" -> Gated(
+      (s, d) => {
+        val ev = TestData.events(s, d).samples.select(
+          element_at(col("tags"), "user").as("user"),
+          col("ts"), col("metric"))
+        TsAnalytics.burnRate(ev, Seq("user"), "ts",
+            bad = col("metric") === "error", bucketNs = Day,
+            shortBuckets = 3, longBuckets = 7, slo = 0.75, factor = 1.0)
+          .orderBy(col("user"), col("bucket"))
+      },
+      Some(s"""WITH b AS (SELECT user_id::VARCHAR AS user,
+              |    $tsSql // $Day AS bk, count(*) AS n,
+              |    count(*) FILTER (WHERE event_type = 'error') AS n_bad
+              |  FROM events GROUP BY 1, 2),
+              |w AS (SELECT *,
+              |    (sum(n_bad) OVER ws)::DOUBLE / (sum(n) OVER ws)
+              |      / 0.25 AS bs,
+              |    (sum(n_bad) OVER wl)::DOUBLE / (sum(n) OVER wl)
+              |      / 0.25 AS bl
+              |  FROM b WINDOW ws AS (PARTITION BY user ORDER BY bk
+              |      RANGE BETWEEN 2 PRECEDING AND CURRENT ROW),
+              |    wl AS (PARTITION BY user ORDER BY bk
+              |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+              |SELECT user, bk * $Day AS bucket, n, n_bad,
+              |  round(bs, 6) AS burn_short, round(bl, 6) AS burn_long,
+              |  (round(bs, 6) > 1.0 AND round(bl, 6) > 1.0) AS alert
+              |FROM w ORDER BY 1, 2""".stripMargin)),
+
     // -- SQL extension surface: native expressions as plain SQL ----------
     // The same codegen'd kernels the DataFrame API uses, reachable from
     // spark.sql via SparkSessionExtensions (graft.sql.GraftExtensions) —

@@ -646,4 +646,31 @@ object Dedup {
       .unionByName(
         docs.join(best, col(idCol) === col("node"), "left_semi"))
   }
+
+  /** Soft deduplication weights (SoftDeDup): instead of DROPPING
+    * near-duplicates, every document gets a training weight
+    * `1 / |its near-dup cluster|` — the whole cluster still contributes
+    * one document's worth of gradient, but no single arbitrary survivor
+    * decides WHICH phrasing the model sees. Documents in no cluster
+    * weigh 1. Feed [[connectedComponents]] over any pair source
+    * (MinHash, SimHash, embedding) as `clusters`.
+    *
+    * Shape: cluster sizes are one hash aggregate over the (node,
+    * component) frame — cluster-scale, not corpus-scale — and both
+    * joins back to the id frame are AQE-sized. The weight divides two
+    * exact longs, so the double replays across engines.
+    *
+    * Output: id col, `cluster` (component id; the doc's own id when
+    * unclustered), `weight` (rounded 6). */
+  def softDedupWeights(docs: DataFrame, clusters: DataFrame,
+                       idCol: String = "doc_id"): DataFrame = {
+    val sizes = clusters.groupBy(col("component"))
+      .agg(count(lit(1)).as("__sz"))
+    docs.select(col(idCol))
+      .join(clusters.withColumnRenamed("node", idCol), Seq(idCol), "left")
+      .join(sizes, Seq("component"), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("cluster"),
+        round(lit(1.0) / coalesce(col("__sz"), lit(1L)), 6).as("weight"))
+  }
 }

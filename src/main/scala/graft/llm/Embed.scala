@@ -914,6 +914,38 @@ object Embed {
         col("rnk").cast("long").as("rnk"))
   }
 
+  /** Per-dimension standardization (z-normalization) of an embedding
+    * corpus — the feature-preprocessing step before distance-based
+    * algorithms that assume isotropic dimensions (kmeans, outlier
+    * scores, diagonal-whitened retrieval). Each dimension's mean and
+    * SAMPLE stddev come from one posexplode + hash aggregate (dim-scale
+    * output), rounded to 6 so the transform replays across engines; a
+    * zero-variance dimension maps to 0 (not NaN).
+    *
+    * Shape: one dim-scale aggregate broadcast back onto the corpus
+    * (dim rows — always broadcastable), one narrow transform pass.
+    * The per-element round is the array twin of the scalar convention.
+    *
+    * Output: id col, `std` array<double>. */
+  def standardize(corpus: DataFrame, vecCol: String = "embedding",
+                  idCol: String = "vec_id"): DataFrame = {
+    val stats = corpus
+      .select(posexplode(col(vecCol)).as(Seq("__d", "__x")))
+      .groupBy(col("__d"))
+      .agg(round(avg(col("__x")), 6).as("__mu"),
+        round(stddev_samp(col("__x")), 6).as("__sd"))
+      .orderBy(col("__d"))
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    val mus = array(stats.map(s => lit(s._1)).toSeq: _*)
+    val sds = array(stats.map(s => lit(s._2)).toSeq: _*)
+    corpus.select(col(idCol),
+      zip_with(col(vecCol).cast("array<double>"),
+        zip_with(mus, sds, (m, s) => struct(m.as("m"), s.as("s"))),
+        (x, ms) => when(ms.getField("s") > 0.0,
+          round((x - ms.getField("m")) / ms.getField("s"), 6))
+          .otherwise(lit(0.0))).as("std"))
+  }
+
   /** k-NN label propagation (classification by vote): predict a label
     * for every query vector from the majority label of its `k` nearest
     * LABELED neighbors — the weak-supervision step that turns a small

@@ -464,4 +464,37 @@ object EventOps {
         max(col(tsCol)).cast("long").as("session_end"),
         count(lit(1)).as("n_events"),
         sum(col(valueCol)).as("value_sum"))
+
+  /** Event-type transition matrix — the "what do users do next" table
+    * behind every user-path / Sankey panel: per key (user), events are
+    * ordered by (ts, type) and each adjacent pair contributes one
+    * (prev, next) transition; output counts every pair plus each row's
+    * share of all transitions leaving `prev`.
+    *
+    * Determinism: the order tie-break on the type column makes
+    * duplicate-instant events sort identically on both engines (two
+    * same-type events at one instant contribute the same self-loop
+    * whichever comes first). The share divides two exact longs — the
+    * same double both engines.
+    *
+    * Shape: ONE keyed event-scale window (lag), then a hash aggregate
+    * to the |types|² matrix; the share is a window over that tiny
+    * frame. Nothing after the aggregate is event-scale.
+    *
+    * Output: `prev`, `next`, `n`, `share` (rounded 6). */
+  def transitionMatrix(df: DataFrame, on: Seq[String], tsCol: String,
+                       typeCol: String): DataFrame = {
+    require(on.nonEmpty)
+    val w = Window.partitionBy(on.map(col): _*)
+      .orderBy(col("__t").asc, col("__k").asc)
+    val wPrev = Window.partitionBy(col("prev"))
+    df.select((on.map(col) :+ col(tsCol).cast("long").as("__t") :+
+        col(typeCol).as("__k")): _*)
+      .withColumn("prev", lag(col("__k"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("__k").as("next"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share",
+        round(col("n").cast("double") / sum(col("n")).over(wPrev), 6))
+  }
 }

@@ -1366,6 +1366,95 @@ object TsAnalytics {
         col("__p.t").as("ts"), col("__p.v").as("value"))): _*)
   }
 
+  /** Threshold alerting with a duration condition — "value above X for
+    * at least `minRun` consecutive samples" (every alerting stack's
+    * `for:` clause; a single spike shouldn't page). Consecutive
+    * breaching samples group into runs by the classic gaps-and-islands
+    * double row_number; runs shorter than `minRun` are suppressed.
+    *
+    * Determinism: samples are rounded to 6 before the threshold
+    * comparison (literal threshold, same double both engines);
+    * duplicate instants collapse to max first, so run membership is
+    * partition-order independent.
+    *
+    * Shape: two same-key window passes over the breaching rows only
+    * (the threshold filter lands BEFORE both windows — at alerting
+    * thresholds that is a tiny fraction of samples), one hash aggregate
+    * to runs. Output is run-scale.
+    *
+    * Output: on cols, `start_ts`, `end_ts`, `n` (samples in run),
+    * `peak` (extreme value in run, rounded 6). */
+  def thresholdAlerts(df: DataFrame, on: Seq[String], tsCol: String,
+                      valueCol: String, threshold: Double, minRun: Int,
+                      above: Boolean = true): DataFrame = {
+    require(on.nonEmpty && minRun >= 1)
+    val base = df.select(
+      (on.map(col) :+ col(tsCol).cast("long").as("__t") :+
+        col(valueCol).cast("double").as("__v")): _*)
+      .filter(col("__v").isNotNull)
+      .groupBy((on.map(col) :+ col("__t")): _*)
+      .agg((if (above) max(col("__v")) else min(col("__v"))).as("__v"))
+    val v6 = round(col("__v"), 6)
+    val breach = if (above) v6 > threshold else v6 < threshold
+    val wAll = Window.partitionBy(on.map(col): _*).orderBy(col("__t").asc)
+    // gaps-and-islands: rank among ALL samples minus rank among
+    // breaching samples is constant within a consecutive breach run
+    val numbered = base
+      .withColumn("__rn", row_number().over(wAll))
+      .filter(breach)
+    val wBr = Window.partitionBy(on.map(col): _*).orderBy(col("__t").asc)
+    numbered
+      .withColumn("__grp", col("__rn") - row_number().over(wBr))
+      .groupBy((on.map(col) :+ col("__grp")): _*)
+      .agg(min(col("__t")).as("start_ts"), max(col("__t")).as("end_ts"),
+        count(lit(1)).as("n"),
+        round((if (above) max(col("__v")) else min(col("__v"))), 6)
+          .as("peak"))
+      .filter(col("n") >= minRun)
+      .select((on.map(col) ++ Seq(col("start_ts"), col("end_ts"),
+        col("n"), col("peak"))): _*)
+  }
+
+  /** SLO burn rate, multi-window (the SRE alerting pattern: page only
+    * when BOTH a fast and a slow window burn error budget faster than
+    * `factor`× — fast-only pages on blips, slow-only pages too late).
+    * Events bucket to (key, bucket) good/bad counts; trailing RANGE
+    * windows of `shortBuckets`/`longBuckets` buckets sum them; burn =
+    * (bad/total) / (1 − slo).
+    *
+    * Shape: ONE event-scale hash aggregate down to buckets, then two
+    * RANGE windows over the bucket frame (series-scale). All counts are
+    * exact longs; the burn division is the same two-long double both
+    * engines, rounded 6 for output and for the alert comparison.
+    *
+    * Output: on cols, `bucket`, `n`, `n_bad`, `burn_short`,
+    * `burn_long` (rounded 6), `alert` (both windows over factor). */
+  def burnRate(df: DataFrame, on: Seq[String], tsCol: String,
+               bad: Column, bucketNs: Long, shortBuckets: Int,
+               longBuckets: Int, slo: Double, factor: Double): DataFrame = {
+    require(on.nonEmpty && bucketNs > 0 && shortBuckets >= 1 &&
+      longBuckets >= shortBuckets && slo > 0 && slo < 1 && factor > 0)
+    val buckets = df.select(
+      (on.map(col) :+ expr(s"($tsCol) div ${bucketNs}L").as("__b") :+
+        bad.cast("boolean").as("__bad")): _*)
+      .groupBy((on.map(col) :+ col("__b")): _*)
+      .agg(count(lit(1)).as("n"),
+        count(when(col("__bad"), 1)).as("n_bad"))
+    def w(nB: Int) = Window.partitionBy(on.map(col): _*)
+      .orderBy(col("__b").asc).rangeBetween(-(nB - 1), 0)
+    val budget = 1.0 - slo
+    def burn(nB: Int) = round(
+      sum(col("n_bad")).over(w(nB)).cast("double") /
+        sum(col("n")).over(w(nB)) / budget, 6)
+    buckets
+      .withColumn("burn_short", burn(shortBuckets))
+      .withColumn("burn_long", burn(longBuckets))
+      .select((on.map(col) ++ Seq((col("__b") * bucketNs).as("bucket"),
+        col("n"), col("n_bad"), col("burn_short"), col("burn_long"),
+        (col("burn_short") > factor && col("burn_long") > factor)
+          .as("alert"))): _*)
+  }
+
   def topKPerGroup(df: DataFrame, groupCol: String, seriesCol: String,
                    value: Column, k: Int): DataFrame = {
     require(k > 0, "k must be positive")

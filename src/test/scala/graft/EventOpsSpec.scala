@@ -311,4 +311,27 @@ class EventOpsSpec extends SparkFunSuite {
         (2, 20L, 93L, 1L)), s"width=$w")
     }
   }
+
+  test("transitionMatrix: ordered pairs per user, share per prev") {
+    val sp2 = spark
+    import sp2.implicits._
+    // u1: a -> b -> a ; u2: a -> b; dup instant (30, a/b) orders a
+    // before b by the type tie-break
+    val df = Seq(
+      ("u1", 10L, "a"), ("u1", 20L, "b"), ("u1", 30L, "a"),
+      ("u1", 30L, "b"),
+      ("u2", 5L, "a"), ("u2", 6L, "b"))
+      .toDF("u", "ts", "k")
+    val r = graft.plan.EventOps.transitionMatrix(df, Seq("u"), "ts", "k")
+      .orderBy("prev", "next").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2),
+        x.getDouble(3)))
+    // from a: a->b x3 (u1 10->20, u1 30->30b, u2) ; from b: b->a x1
+    assert(r.toSeq == Seq(
+      ("a", "b", 3L, 1.0), ("b", "a", 1L, 1.0)))
+    // single-event users contribute nothing
+    val solo = Seq(("s", 1L, "a")).toDF("u", "ts", "k")
+    assert(graft.plan.EventOps.transitionMatrix(
+      solo, Seq("u"), "ts", "k").count() == 0)
+  }
 }

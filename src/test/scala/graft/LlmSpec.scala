@@ -1479,6 +1479,38 @@ class LlmSpec extends SparkFunSuite {
     assert(r4.toSeq == Seq((3, 2L)))
   }
 
+  test("softDedupWeights: 1/cluster-size, singletons weigh 1") {
+    val sp2 = spark
+    import sp2.implicits._
+    val docsDf = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    // cluster {1,2,3} labeled by component 1; 4 and 5 unclustered
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("node", "component")
+    val r = Dedup.softDedupWeights(docsDf, clusters)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    assert(r.toSeq == Seq(
+      (1L, 1L, 0.333333), (2L, 1L, 0.333333), (3L, 1L, 0.333333),
+      (4L, 4L, 1.0), (5L, 5L, 1.0)))
+    // total weight = one doc per cluster + singletons
+    assert(math.abs(r.map(_._3).sum - 3.0) < 1e-5)
+  }
+
+  test("standardize: zero-mean unit-var dims; constant dim maps to 0") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(0L, Seq(1.0f, 5.0f)), Row(1L, Seq(3.0f, 5.0f)),
+        Row(2L, Seq(5.0f, 5.0f))), 2), schema)
+    val r = Embed.standardize(df).orderBy("vec_id").collect()
+      .map(x => x.getSeq[Double](1))
+    // dim 0: mean 3, sample sd 2 -> z = -1, 0, 1; dim 1 constant -> 0
+    assert(r.map(_.toSeq).toSeq == Seq(
+      Seq(-1.0, 0.0), Seq(0.0, 0.0), Seq(1.0, 0.0)))
+  }
+
   test("centroidDrift: identical slices no drift; a moved cell flags") {
     val cents = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 0.0, 1.0, 0.0))
     val a = vecs(Seq(

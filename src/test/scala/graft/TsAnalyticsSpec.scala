@@ -346,6 +346,50 @@ class TsAnalyticsSpec extends SparkFunSuite {
     }
   }
 
+  test("thresholdAlerts: run grouping, minRun gate, below mode") {
+    val df = Seq(
+      ("s", 1L, 5.0), ("s", 2L, 15.0), ("s", 3L, 16.0),  // run of 2
+      ("s", 4L, 5.0), ("s", 5L, 17.0),                   // isolated spike
+      ("s", 6L, 18.0), ("s", 7L, 19.0), ("s", 8L, 20.0)) // run of 3
+      .toDF("k", "ts", "v")
+    val r = TsAnalytics.thresholdAlerts(df, Seq("k"), "ts", "v",
+        threshold = 10.0, minRun = 2)
+      .orderBy("start_ts").collect()
+      .map(x => (x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4)))
+    // the isolated 5L spike is suppressed; 5L..8L? no — 5L breaches but
+    // 4L does not, and 6,7,8 are consecutive WITH 5 (5,6,7,8 all > 10
+    // except ts=4) -> run is 5..8 length 4
+    assert(r.toSeq == Seq((1L + 1, 3L, 2L, 16.0), (5L, 8L, 4L, 20.0)))
+    // below mode: dips under the threshold
+    val dips = TsAnalytics.thresholdAlerts(df, Seq("k"), "ts", "v",
+        threshold = 10.0, minRun = 1, above = false)
+      .orderBy("start_ts").collect().map(x => (x.getLong(1), x.getLong(3)))
+    assert(dips.toSeq == Seq((1L, 1L), (4L, 1L)))
+  }
+
+  test("burnRate: exact window sums, alert needs both windows hot") {
+    // one key, bucket width 10; buckets 0..4 with (n, bad):
+    // (4,0) (4,4) (4,4) (4,0) (4,0); slo .75 -> budget .25
+    val rows = for {
+      b <- 0 until 5; i <- 0 until 4
+    } yield ("k", b * 10L + i, b == 1 || b == 2)
+    val df = rows.toDF("k", "ts", "bad")
+    val r = TsAnalytics.burnRate(df, Seq("k"), "ts", col("bad"),
+        bucketNs = 10L, shortBuckets = 2, longBuckets = 4,
+        slo = 0.75, factor = 1.0)
+      .orderBy("bucket").collect()
+      .map(x => (x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getDouble(4), x.getDouble(5), x.getBoolean(6)))
+    // short window (2 buckets) rates: 0, .5, 1, .5, 0 -> burns 0,2,4,2,0
+    // long window (4 buckets) rates: 0, .5, 2/3, .5, .5->8/16=.5
+    assert(r.toSeq == Seq(
+      (0L, 4L, 0L, 0.0, 0.0, false),
+      (10L, 4L, 4L, 2.0, 2.0, true),
+      (20L, 4L, 4L, 4.0, 2.666667, true),
+      (30L, 4L, 0L, 2.0, 2.0, true),
+      (40L, 4L, 0L, 0.0, 2.0, false)))
+  }
+
   test("seasonalAnomalies: flags only the injected outlier") {
     // same clean periodic construction as the decompose spec, but one
     // bucket is knocked +50 off its pattern — after removing trend and
