@@ -281,6 +281,71 @@ object StreamIngest {
     * arriving-corpus pipeline dedups before paying storage, the batch
     * pass dedups what is already stored. `eventTimeCol` must be a
     * timestamp column. */
+  /** Carried state for [[streamingAnomaly]]: samples seen, EW mean, EW
+    * variance. A case class (not kryo-opaque mutation) so replays from
+    * a checkpoint restore the exact doubles. */
+  final case class AnomalyState(n: Long, mean: Double, varr: Double)
+
+  /** Streaming anomaly alerts per series: an exponentially-weighted
+    * mean/variance band maintained in `flatMapGroupsWithState`, emitting
+    * one row per sample that lands outside mean ± k·σ after `warmup`
+    * samples — continuous monitoring over the live ingest stream, the
+    * streaming twin of the batch anomaly nodes.
+    *
+    * The state update is West's EW moment recurrence, written in a FIXED
+    * operation order (`diff`, `incr`, then mean, then variance) so a
+    * batch replay of the same rows in ts order reproduces the exact
+    * doubles — the driver gate replays it in a DuckDB recursive CTE and
+    * the alert decision (on 6-rounded operands) matches bit-for-bit.
+    * The detection does not feed back into the state, so an alert can't
+    * perturb later alerts.
+    *
+    * Same per-batch ordering/memory bound and `idleTimeout` state-
+    * cardinality valve as [[streamingEwma]]. Output: (sname, ts, value,
+    * ewma, sigma) for alert rows only. */
+  def streamingAnomaly(samples: DataFrame, decay: Double, k: Double,
+                       warmup: Int, idleTimeout: Option[String] = None)
+      : Dataset[(String, Long, Double, Double, Double)] = {
+    import samples.sparkSession.implicits._
+    val keyed = samples
+      .withColumn("sname",
+        TsStore.snameOf(col("metric"), TsStore.tagStr(col("tags"))))
+      .select(col("sname").as[String], col("ts").as[Long],
+        col("value").as[Double])
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+    val timeoutConf = if (idleTimeout.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    keyed.flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
+      (key: String, rows: Iterator[(String, Long, Double)],
+       state: GroupState[AnomalyState]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          var st = state.getOption.getOrElse(AnomalyState(0L, 0.0, 0.0))
+          val out = Vector.newBuilder[(String, Long, Double, Double, Double)]
+          rows.toArray.sortBy(_._2).foreach { case (_, ts, v) =>
+            val sigma = math.sqrt(st.varr)
+            if (st.n >= warmup &&
+                rnd6(math.abs(v - st.mean)) > rnd6(k * sigma))
+              out += ((key, ts, v, st.mean, sigma))
+            // West's EW update, fixed op order (the oracle replays it)
+            val diff = v - st.mean
+            val incr = decay * diff
+            st = AnomalyState(st.n + 1, st.mean + incr,
+              (1 - decay) * (st.varr + diff * incr))
+          }
+          state.update(st)
+          idleTimeout.foreach(state.setTimeoutDuration)
+          out.result().iterator
+        }
+    }
+  }
+
+  private def rnd6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   def streamingDedupDocs(docs: DataFrame, eventTimeCol: String,
                          watermark: String,
                          textCol: String = "text"): DataFrame =

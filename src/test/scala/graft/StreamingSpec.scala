@@ -274,6 +274,33 @@ class StreamingSpec extends SparkFunSuite {
     } finally query.stop()
   }
 
+  test("streaming anomaly: spike flags after warmup, state spans batches") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val input = MemoryStream[String]
+    val parsed = StreamIngest.parseOpenTsdbStream(input.toDS())
+    val alerts = StreamIngest.streamingAnomaly(parsed, decay = 0.3,
+      k = 2.5, warmup = 4)
+    val query = alerts.toDF("sname", "ts", "value", "ewma", "sigma")
+      .writeStream.format("memory").queryName("sanom")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      // alternating 10/12 keeps sigma small; nothing alerts in warmup
+      input.addData((1 to 6).map(i =>
+        s"put m $i ${if (i % 2 == 0) 12.0 else 10.0} host=a"): _*)
+      query.processAllAvailable()
+      assert(spark.sql("SELECT * FROM sanom").count() == 0)
+      // the spike arrives in a LATER batch: state carried across
+      input.addData("put m 7 50.0 host=a", "put m 8 11.0 host=a")
+      query.processAllAvailable()
+      val a = spark.sql("SELECT ts, value FROM sanom ORDER BY ts").collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      assert(a.length == 1 && a(0)._2 == 50.0)
+    } finally query.stop()
+  }
+
   test("continuous aggregate buckets exactly on ns steps (not ms-aligned)") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
