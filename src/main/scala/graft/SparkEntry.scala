@@ -2361,6 +2361,50 @@ object SparkEntry {
       },
       Some(annTopKOracle)),
 
+    // -- similarity: MMR diversity re-rank of the brute shortlist --------
+    // distributed k*overscan shortlist, then the inherently-sequential
+    // greedy over the bounded candidate set; the oracle replays the
+    // greedy in a recursive CTE with a correlated argmax per step
+    "ann_topk_mmr" -> Gated(
+      (s, d) => {
+        val emb = TestData.table(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") === 7)
+          .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+        Embed.topKMmr(emb, q, k = 10, lambda = 0.7, overscan = 4)
+          .orderBy(col("rank"))
+      },
+      Some("""WITH RECURSIVE e AS (SELECT vec_id,
+             |    list_transform(embedding, x -> x::DOUBLE) AS v
+             |  FROM embeddings),
+             |nz AS (SELECT * FROM e
+             |  WHERE list_sum(list_transform(v, y -> y * y)) > 0),
+             |cand AS MATERIALIZED (SELECT vec_id AS id, v,
+             |    round(list_cosine_similarity(
+             |      (SELECT v FROM e WHERE vec_id = 7), v), 6) AS rel
+             |  FROM nz ORDER BY rel DESC, id ASC LIMIT 40),
+             |sims AS MATERIALIZED (SELECT a.id AS i, b.id AS j,
+             |    round(list_cosine_similarity(a.v, b.v), 6) AS s
+             |  FROM cand a JOIN cand b ON a.id <> b.id),
+             |sel AS (
+             |  SELECT 1 AS rnk,
+             |    [(SELECT id FROM cand ORDER BY rel DESC, id LIMIT 1)] AS ids
+             |  UNION ALL
+             |  SELECT rnk + 1, ids || [(
+             |     SELECT c.id FROM cand c
+             |     WHERE NOT list_contains(sel.ids, c.id)
+             |     ORDER BY round(0.7 * c.rel - (1 - 0.7) *
+             |        (SELECT max(s) FROM sims
+             |         WHERE i = c.id AND list_contains(sel.ids, j)), 6)
+             |       DESC, c.id
+             |     LIMIT 1)]
+             |  FROM sel WHERE rnk < 10),
+             |ord AS (SELECT unnest(ids) AS vec_id,
+             |    unnest(range(1, 11)) AS rank
+             |  FROM sel WHERE rnk = 10)
+             |SELECT o.vec_id, c.rel, o.rank::BIGINT AS rank
+             |FROM ord o JOIN cand c ON c.id = o.vec_id
+             |ORDER BY rank""".stripMargin)),
+
     // -- similarity: one distributed spherical k-means (Lloyd) step ------
     // IVF centroid training. Init = the first 4 vectors (normalized);
     // output = per-(cell, dimension) member means. Assignment runs on the

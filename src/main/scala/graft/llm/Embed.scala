@@ -914,6 +914,71 @@ object Embed {
         col("rnk").cast("long").as("rnk"))
   }
 
+  /** Diversity-aware top-k: Maximal Marginal Relevance re-ranking
+    * (Carbonell & Goldstein '98) of a brute-force shortlist — retrieval
+    * that answers "the k most relevant AND mutually distinct results"
+    * (a plain top-k from a crawl-dup-heavy corpus returns k copies of
+    * one page). Greedy: pick the most relevant, then repeatedly pick
+    * `argmax λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)`.
+    *
+    * Two stages, the [[pqTopKRerank]] shape: a DISTRIBUTED shortlist of
+    * `k·overscan` candidates by rounded cosine (one corpus pass +
+    * TakeOrdered), then the greedy selection driver-side over the
+    * bounded shortlist (k·overscan vectors — the greedy is inherently
+    * sequential in k, and k·overscan rows is exactly the state a
+    * production re-ranker holds). All cosines and MMR scores are
+    * rounded to 6 with id-ascending tie-breaks, so the selection
+    * replays externally (the oracle runs the same greedy in a DuckDB
+    * recursive CTE).
+    *
+    * Output: vec_id, `rel` (query cosine, rounded 6), `rank` (1..k in
+    * selection order). */
+  def topKMmr(corpus: DataFrame, query: Seq[Double], k: Int,
+              lambda: Double, overscan: Int = 4,
+              vecCol: String = "embedding",
+              idCol: String = "vec_id"): DataFrame = {
+    require(k > 0 && overscan >= 1 && lambda >= 0 && lambda <= 1)
+    val spark = corpus.sparkSession
+    val q = array(query.map(lit): _*)
+    val short = corpus.filter(dot(col(vecCol), col(vecCol)) > 0.0)
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"),
+        round(cosine(col(vecCol), q), 6).as("rel"))
+      .orderBy(col("rel").desc, col("id").asc)
+      .limit(k * overscan)
+      .collect()
+    def rnd6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ids = short.map(_.getLong(0))
+    val vecs = short.map(_.getSeq[Double](1).toArray)
+    val rels = short.map(_.getDouble(2))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      rnd6(d / math.sqrt(na * nb))
+    }
+    val n = ids.length
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val remaining = scala.collection.mutable.LinkedHashSet(0 until n: _*)
+    while (selected.size < math.min(k, n)) {
+      val pick =
+        if (selected.isEmpty) 0 // shortlist is already (rel desc, id asc)
+        else remaining.maxBy { c =>
+          val maxSim = selected.map(s => cos(vecs(c), vecs(s))).max
+          // (score, -id): ties on the rounded score go to the SMALLER id
+          (rnd6(lambda * rels(c) - (1.0 - lambda) * maxSim), -ids(c))
+        }
+      selected += pick
+      remaining -= pick
+    }
+    import spark.implicits._
+    selected.zipWithIndex
+      .map { case (i, r) => (ids(i), rels(i), (r + 1).toLong) }
+      .toSeq.toDF(idCol, "rel", "rank")
+  }
+
   /** Per-dimension standardization (z-normalization) of an embedding
     * corpus — the feature-preprocessing step before distance-based
     * algorithms that assume isotropic dimensions (kmeans, outlier

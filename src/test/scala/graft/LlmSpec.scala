@@ -1455,6 +1455,32 @@ class LlmSpec extends SparkFunSuite {
     assert(agg.count() == n)
   }
 
+  test("topKMmr: near-duplicate of the top hit is demoted, not repeated") {
+    // 0 and 1 are near-identical and most relevant; 2 is distinct and
+    // slightly less relevant; 3 is orthogonal filler. The query sits
+    // OFF every vector's axis so rel and pairwise sim differ (with
+    // query == v0, every candidate's rel equals its sim to the top
+    // pick and the greedy ties)
+    val corpus = vecs(Seq(
+      Seq(1.0, 0.1, 0.0),
+      Seq(1.0, 0.12, 0.0),
+      Seq(0.9, -0.4, 0.0),
+      Seq(0.0, 0.0, 1.0)))
+    val plain = Embed.topK(corpus, Seq(1.0, 0.0, 0.0), k = 3)
+      .collect().map(_.getLong(0))
+    assert(plain.toSeq == Seq(0L, 1L, 2L))    // dup right behind the top
+    val mmr = Embed.topKMmr(corpus, Seq(1.0, 0.0, 0.0), k = 3,
+        lambda = 0.5, overscan = 1)
+      .orderBy("rank").collect().map(_.getLong(0))
+    // MMR picks the distinct doc 2 before the near-dup 1
+    assert(mmr.toSeq == Seq(0L, 2L, 1L))
+    // lambda = 1 degrades to plain relevance order
+    val rel = Embed.topKMmr(corpus, Seq(1.0, 0.0, 0.0), k = 3,
+        lambda = 1.0, overscan = 1)
+      .orderBy("rank").collect().map(_.getLong(0))
+    assert(rel.toSeq == Seq(0L, 1L, 2L))
+  }
+
   test("knnClassify: majority vote, deterministic tie-break") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
