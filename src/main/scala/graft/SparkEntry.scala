@@ -3659,6 +3659,79 @@ object SparkEntry {
               |  round(sigma, 6) AS sigma
               |FROM al ORDER BY 1, 2""".stripMargin)),
 
+    // -- series-cardinality growth report (index-melt detector) ----------
+    "ts_cardinality_report" -> Gated(
+      (s, d) => {
+        val ev = TestData.events(s, d).samples
+        val withS = ev.select(col("metric"),
+          TsStore.snameOf(col("metric"),
+            TsStore.tagStr(col("tags"))).as("sname"),
+          col("ts"))
+        TsAnalytics.cardinalityReport(withS, Seq("metric"), "sname",
+            "ts", bucketNs = Day)
+          .orderBy(col("metric"), col("bucket"))
+      },
+      Some(s"""WITH c AS (SELECT event_type AS metric,
+              |    ${snameSql("event_type")} AS s, $tsSql // $Day AS b,
+              |    count(*) AS n
+              |  FROM events GROUP BY 1, 2, 3),
+              |pb AS (SELECT metric, b, count(*) AS n_series,
+              |    sum(n) AS n_samples FROM c GROUP BY 1, 2),
+              |fs AS (SELECT metric, b, count(*) AS n_new FROM
+              |  (SELECT metric, s, min(b) AS b FROM c GROUP BY 1, 2)
+              |  GROUP BY 1, 2)
+              |SELECT pb.metric, pb.b * $Day AS bucket, n_series,
+              |  n_samples, coalesce(n_new, 0) AS n_new,
+              |  n_series - lag(n_series) OVER (PARTITION BY pb.metric
+              |    ORDER BY pb.b) AS growth
+              |FROM pb LEFT JOIN fs ON pb.metric = fs.metric AND pb.b = fs.b
+              |ORDER BY 1, 2""".stripMargin)),
+
+    // -- forecast backtest: holt one-to-five-step MAE vs actual means ----
+    "ts_forecast_backtest" -> Gated(
+      (s, d) => {
+        val ev = TestData.events(s, d).samples
+          .select(col("metric").as("sname"), col("ts"), col("value"))
+        val split = AkuTime.parseTs("20240120T000000")
+        TsAnalytics.forecastBacktest(ev, Seq("sname"), "ts", "value",
+            alpha = 0.4, beta = 0.3, splitNs = split, horizon = 5,
+            stepNs = Day)
+          .orderBy(col("sname"))
+      },
+      Some(s"""WITH RECURSIVE src AS (
+              |  SELECT event_type AS sname, $tsSql AS t, value
+              |  FROM events WHERE value IS NOT NULL),
+              |agg AS (SELECT sname, t, max(value) AS v
+              |  FROM src WHERE t < ${AkuTime.parseTs("20240120T000000")}
+              |  GROUP BY 1, 2),
+              |base AS MATERIALIZED (SELECT sname, t, v,
+              |    row_number() OVER (PARTITION BY sname ORDER BY t) AS rn,
+              |    count(*) OVER (PARTITION BY sname) AS cnt FROM agg),
+              |r AS (
+              |  SELECT sname, t, rn, cnt, v::DOUBLE AS l, 0.0::DOUBLE AS b
+              |  FROM base WHERE rn = 1
+              |  UNION ALL
+              |  SELECT b2.sname, b2.t, b2.rn, b2.cnt,
+              |    0.4 * b2.v + 0.6 * (r.l + r.b),
+              |    0.3 * (0.4 * b2.v + 0.6 * (r.l + r.b) - r.l) + 0.7 * r.b
+              |  FROM r JOIN base b2
+              |    ON b2.sname = r.sname AND b2.rn = r.rn + 1),
+              |fin AS (SELECT sname, t AS last_ts, l, b
+              |  FROM r WHERE rn = cnt),
+              |fc AS MATERIALIZED (SELECT sname, last_ts + i * $Day AS fts,
+              |    round(l + i * b, 6) AS forecast
+              |  FROM fin CROSS JOIN (SELECT unnest(range(1, 6)) AS i)),
+              |act AS (SELECT f.sname, f.fts, f.forecast,
+              |    round(avg(s.value), 6) AS a
+              |  FROM fc f JOIN src s ON s.sname = f.sname
+              |    AND s.t >= ${AkuTime.parseTs("20240120T000000")}
+              |    AND s.t >= f.fts AND s.t < f.fts + $Day
+              |  GROUP BY 1, 2, 3)
+              |SELECT sname, count(*) AS n_eval,
+              |  round(avg(abs(forecast - a)), 6) AS mae,
+              |  round(avg(a), 6) AS mean_actual
+              |FROM act GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // -- SQL extension surface: native expressions as plain SQL ----------
     // The same codegen'd kernels the DataFrame API uses, reachable from
     // spark.sql via SparkSessionExtensions (graft.sql.GraftExtensions) —

@@ -1455,6 +1455,84 @@ object TsAnalytics {
           .as("alert"))): _*)
   }
 
+  /** Series-cardinality report per (group, time bucket) — the
+    * cardinality-explosion detector every TSDB operator runs (a deploy
+    * that stamps a request-id into a tag melts the index; you want the
+    * bucket where distinct-series jumped, and how many of them are NEW).
+    * For each bucket: distinct active series, total samples, series
+    * whose FIRST appearance is this bucket, and the bucket-over-bucket
+    * delta in active series.
+    *
+    * Shape: one event-scale aggregate down to (group, series, bucket)
+    * cells, then series-scale aggregates and one window over the tiny
+    * bucket frame. All outputs are exact integers — nothing to round.
+    *
+    * Output: on cols, `bucket`, `n_series`, `n_samples`, `n_new`,
+    * `growth` (null in each group's first bucket). */
+  def cardinalityReport(df: DataFrame, on: Seq[String], seriesCol: String,
+                        tsCol: String, bucketNs: Long): DataFrame = {
+    require(on.nonEmpty && bucketNs > 0)
+    val base = df.select(
+      (on.map(col) :+ col(seriesCol).as("__s") :+
+        expr(s"($tsCol) div ${bucketNs}L").as("__b")): _*)
+    val cells = base.groupBy((on.map(col) :+ col("__s") :+ col("__b")): _*)
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint() // feeds perBucket AND firstSeen: one fact scan
+    val perBucket = cells.groupBy((on.map(col) :+ col("__b")): _*)
+      .agg(count(lit(1)).as("n_series"), sum(col("__n")).as("n_samples"))
+    val firstSeen = cells.groupBy((on.map(col) :+ col("__s")): _*)
+      .agg(min(col("__b")).as("__b"))
+      .groupBy((on.map(col) :+ col("__b")): _*)
+      .agg(count(lit(1)).as("n_new"))
+    val w = Window.partitionBy(on.map(col): _*).orderBy(col("__b").asc)
+    perBucket.join(firstSeen, on :+ "__b", "left")
+      .withColumn("growth",
+        col("n_series") - lag(col("n_series"), 1).over(w))
+      .select((on.map(col) ++ Seq((col("__b") * bucketNs).as("bucket"),
+        col("n_series"), col("n_samples"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"), col("growth"))): _*)
+  }
+
+  /** Forecast backtest: train [[holtForecast]] on everything BEFORE
+    * `splitNs`, then score its `horizon` step-ahead forecasts against
+    * the ACTUAL per-step means observed after the split — the
+    * "measure, don't guess" loop for picking alpha/beta (a forecast
+    * operator without a backtest is a random-number generator with
+    * good marketing). A forecast step with no observed samples in its
+    * window is skipped (n_eval counts the scored steps).
+    *
+    * Shape: the training fold is the holt chunk-composed pass; the
+    * forecast frame is nSeries·horizon rows, broadcast against the
+    * post-split samples for the window-mean join; everything after is
+    * forecast-scale.
+    *
+    * Output: on cols, `n_eval`, `mae`, `mean_actual` (rounded 6). */
+  def forecastBacktest(df: DataFrame, on: Seq[String], tsCol: String,
+                       valueCol: String, alpha: Double, beta: Double,
+                       splitNs: Long, horizon: Int,
+                       stepNs: Long): DataFrame = {
+    require(on.nonEmpty && horizon > 0 && stepNs > 0)
+    val train = df.filter(col(tsCol).cast("long") < splitNs)
+    val fc = holtForecast(train, on, tsCol, valueCol, alpha, beta,
+        horizon, stepNs)
+      .withColumn("forecast", round(col("forecast"), 6))
+      .withColumnRenamed("ts", "__fts")
+    val test = df.select(
+      (on.map(c => col(c).cast("string").as(c)) :+
+        col(tsCol).cast("long").as("__t") :+
+        col(valueCol).cast("double").as("__v")): _*)
+      .filter(col("__v").isNotNull && col("__t") >= splitNs)
+    val actual = test
+      .join(broadcast(fc), on.map(k => test(k) === fc(k)).reduce(_ && _) &&
+        col("__t") >= col("__fts") && col("__t") < col("__fts") + stepNs)
+      .groupBy((on.map(k => fc(k)) :+ col("__fts") :+ col("forecast")): _*)
+      .agg(round(avg(col("__v")), 6).as("__a"))
+    actual.groupBy(on.map(col): _*)
+      .agg(count(lit(1)).as("n_eval"),
+        round(avg(abs(col("forecast") - col("__a"))), 6).as("mae"),
+        round(avg(col("__a")), 6).as("mean_actual"))
+  }
+
   def topKPerGroup(df: DataFrame, groupCol: String, seriesCol: String,
                    value: Column, k: Int): DataFrame = {
     require(k > 0, "k must be positive")

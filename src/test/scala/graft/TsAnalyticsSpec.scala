@@ -390,6 +390,40 @@ class TsAnalyticsSpec extends SparkFunSuite {
       (40L, 4L, 0L, 0.0, 2.0, false)))
   }
 
+  test("cardinalityReport: active, new, growth per bucket") {
+    val df = Seq(
+      ("m", "s1", 5L), ("m", "s2", 7L),          // bucket 0: 2 series, new
+      ("m", "s1", 12L), ("m", "s3", 13L),        // bucket 1: s3 is new
+      ("m", "s1", 14L), ("m", "s1", 15L),        // extra samples, same s1
+      ("m", "s4", 25L))                          // bucket 2: 1 active, new
+      .toDF("g", "s", "ts")
+    val r = TsAnalytics.cardinalityReport(df, Seq("g"), "s", "ts",
+        bucketNs = 10L)
+      .orderBy("bucket").collect()
+      .map(x => (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4),
+        if (x.isNullAt(5)) None else Some(x.getLong(5))))
+    assert(r.toSeq == Seq(
+      (0L, 2L, 2L, 2L, None),         // first bucket: growth null
+      (10L, 2L, 4L, 1L, Some(0L)),    // s1+s3 active, s3 new
+      (20L, 1L, 1L, 1L, Some(-1L))))  // shrink shows as negative growth
+  }
+
+  test("forecastBacktest: converged series scores its own continuation") {
+    // linear series v = 10 + t/10: holt converges to the exact trend,
+    // so post-split one-step forecasts equal the actuals -> mae 0
+    val df = (0 until 60).map(i => ("s", i * 10L, 10.0 + i))
+      .toDF("k", "ts", "v")
+    val r = TsAnalytics.forecastBacktest(df, Seq("k"), "ts", "v",
+        alpha = 0.5, beta = 0.5, splitNs = 400L, horizon = 3,
+        stepNs = 10L)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getDouble(2)))
+    assert(r.length == 1)
+    val (_, nEval, mae) = r(0)
+    assert(nEval == 3L)
+    // exact-trend series: forecast error collapses to ~0
+    assert(mae < 1e-3, s"mae=$mae")
+  }
+
   test("seasonalAnomalies: flags only the injected outlier") {
     // same clean periodic construction as the decompose spec, but one
     // bucket is knocked +50 off its pattern — after removing trend and
