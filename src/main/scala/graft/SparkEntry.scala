@@ -4210,6 +4210,31 @@ object SparkEntry {
              |FROM agg a LEFT JOIN mr USING (media_id)
              |ORDER BY 1""".stripMargin)),
 
+    // -- per-frame audio features: RMS + zero-crossing rate --------------
+    // same digest-fake sample replay as mm_vad; crossings via a lag
+    // window over the in-frame sample order
+    "mm_audio_features" -> Gated(
+      (s, d) => Multimodal.audioFrameFeatures(
+          Multimodal.fromDocuments(TestData.table(s, d, "documents")),
+          frame = 16)
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+          round(col("rms"), 6).as("rms"), round(col("zcr"), 6).as("zcr"))
+        .orderBy(col("media_id"), col("frame_idx")),
+      Some("""WITH h AS (SELECT doc_id AS media_id, sha256(text) AS hx
+             |  FROM documents WHERE doc_id % 3 = 1),
+             |s AS (SELECT media_id, j,
+             |    (ord(substr(hx, j, 1)) - 128) / 128.0 AS v,
+             |    (j - 1) // 16 AS f
+             |  FROM h, generate_series(1, 64) t(j)),
+             |cr AS (SELECT media_id, f, v,
+             |    CASE WHEN lag(v) OVER w IS NOT NULL
+             |      AND (v < 0) <> (lag(v) OVER w < 0) THEN 1 ELSE 0 END AS x
+             |  FROM s WINDOW w AS (PARTITION BY media_id, f ORDER BY j))
+             |SELECT media_id, f AS frame_idx,
+             |  round(round(sqrt(avg(v * v)), 9), 6) AS rms,
+             |  round(round(sum(x)::DOUBLE / 15, 9), 6) AS zcr
+             |FROM cr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // -- autocorrelation: the period detector for seasonalDecompose ------
     // bucket means, then corr(v_t, v_{t+k}) per (series, lag) over the
     // tiny bucket frame; zero-variance lags are null on both sides

@@ -536,6 +536,59 @@ object Multimodal {
     }(Encoders.row(vadSchema))
   }
 
+  val audioFrameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("rms", DoubleType, nullable = false),
+    StructField("zcr", DoubleType, nullable = false)))
+
+  /** Per-frame audio features: RMS energy and zero-crossing rate — the
+    * two cheapest speech/music/noise discriminators (high-ZCR+low-RMS =
+    * fricatives or hiss, low-ZCR+high-RMS = voiced speech or tones),
+    * feeding clip-level curation upstream of any expensive model. Same
+    * decode split as [[vadKernel]] (real WAV via javax.sound, digest
+    * fakes as centered 8-bit samples), same full-frames-only universe.
+    * A crossing is a strict sign-bit change (`v < 0` flips between
+    * adjacent samples — zeros count as non-negative, the convention the
+    * oracle replays with a lag window); zcr = crossings / (frame − 1).
+    * Undecodable or sub-frame payloads emit no rows (the vad_ok=false
+    * report already exists on [[vadAudio]]).
+    *
+    * Pure per-partition flatMap, frame-scale output, payloads never
+    * leave the task. Output: media_id, frame_idx, `rms`, `zcr`
+    * (both rounded 9, the mm kernel convention). */
+  def audioFrameFeatures(media: DataFrame, frame: Int = 400): DataFrame = {
+    require(frame >= 2)
+    val audio = media.filter(col("modality") === "audio")
+    val schema = audio.schema
+    val idIdx = schema.fieldIndex("media_id")
+    val cIdx = schema.fieldIndex("content")
+    audio.mapPartitions { it =>
+      it.flatMap { row =>
+        val content = row.getAs[Array[Byte]](cIdx)
+        val samples: Option[Array[Float]] =
+          if (content == null || content.isEmpty) None
+          else if (looksLikeWav(content)) decodeAudio(content).map(_.samples)
+          else Some(content.map(b => (((b & 0xff) - 128) / 128.0f)))
+        samples.toSeq.flatMap { s =>
+          val nf = s.length / frame
+          (0 until nf).map { f =>
+            var e = 0.0; var crossings = 0
+            var j = f * frame
+            while (j < (f + 1) * frame) {
+              e += s(j).toDouble * s(j)
+              if (j > f * frame && ((s(j) < 0) != (s(j - 1) < 0)))
+                crossings += 1
+              j += 1
+            }
+            Row(row.getLong(idIdx), f, rnd9(math.sqrt(e / frame)),
+              rnd9(crossings.toDouble / (frame - 1)))
+          }
+        }
+      }
+    }(Encoders.row(audioFrameSchema))
+  }
+
   val probedSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("duration_ms", LongType),

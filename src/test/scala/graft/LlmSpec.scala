@@ -1147,6 +1147,41 @@ class LlmSpec extends SparkFunSuite {
     assert(fake.toSeq == "0123456789abcdef".getBytes.map(b => (b ^ (16000 * 7)).toByte).toSeq)
   }
 
+  test("audioFrameFeatures: sine vs silence frames, real WAV decode") {
+    import javax.sound.sampled._
+    def wav(pcmOf: Int => Int, rate: Int, n: Int): Array[Byte] = {
+      val pcm = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val s = pcmOf(i)
+        pcm(i * 2) = (s & 0xff).toByte
+        pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(
+        new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt,
+          n.toLong), AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // 800 samples: first 400 a 400 Hz half-amp sine, last 400 silence
+    val mixed = wav(i => if (i < 400)
+      math.round(math.sin(2 * math.Pi * 400 * i / 8000.0) * 0.5 * 32767).toInt
+      else 0, 8000, 800)
+    val rows = Seq(Row(1L, "audio", mixed, "audio/wav", null, null,
+      100L, "mixed"))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), Multimodal.mediaSchema)
+    val f = Multimodal.audioFrameFeatures(media, frame = 400).collect()
+      .map(r => (r.getInt(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(f.length == 2)
+    // frame 0: sine rms A/sqrt2, zcr = 2 crossings/cycle * 20 cycles
+    assert(math.abs(f(0)._2 - 0.5 / math.sqrt(2)) < 1e-2)
+    assert(math.abs(f(0)._3 - 2 * 400.0 / 8000) < 2e-2)
+    // frame 1: silence — zero energy, zero crossings
+    assert(f(1)._2 < 1e-6 && f(1)._3 == 0.0)
+  }
+
   test("multimodal: real MP4 box structure probes duration and dimensions") {
     // hand-build a minimal ISO-BMFF file: ftyp + moov{mvhd, trak{tkhd}}
     def box(typ: String, content: Array[Byte]): Array[Byte] = {
