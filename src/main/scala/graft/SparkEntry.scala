@@ -1595,6 +1595,57 @@ object SparkEntry {
              |SELECT doc_id, term, tfidf, rank FROM ranked
              |WHERE rank <= 3 ORDER BY 1, 4""".stripMargin)),
 
+    // -- cluster topic labels: pooled TF-IDF top terms per dup cluster ---
+    "doc_cluster_topics" -> Gated(
+      (s, d) => {
+        val docs = TestData.table(s, d, "documents")
+        val cc = Dedup.connectedComponents(Dedup.minhashLsh(docs,
+          n = 3, bands = 64, rowsPerBand = 2, threshold = 0.5))
+        Text.clusterTopics(docs, cc, k = 3)
+          .orderBy(col("component"), col("rank"))
+      },
+      Some("""WITH RECURSIVE toks0 AS (
+             |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+             |  FROM documents),
+             |grams AS (
+             |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+             |    THEN list_transform(range(1, len(t) - 1),
+             |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+             |    ELSE [] END) AS g
+             |  FROM toks0),
+             |pairs AS (
+             |  SELECT a, b FROM (
+             |    SELECT x.doc_id AS a, y.doc_id AS b,
+             |      len(list_intersect(x.g, y.g))::DOUBLE /
+             |        (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g))) AS j
+             |    FROM grams x JOIN grams y ON x.doc_id < y.doc_id)
+             |  WHERE j >= 0.5),
+             |edges AS (
+             |  SELECT a AS u, b AS v FROM pairs
+             |  UNION SELECT b, a FROM pairs),
+             |reach(u, v) AS (
+             |  SELECT u, v FROM edges
+             |  UNION
+             |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+             |comp AS MATERIALIZED (SELECT u AS doc_id,
+             |    least(u, min(v)) AS component
+             |  FROM reach GROUP BY u),
+             |tf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf FROM
+             |  (SELECT doc_id, unnest(t) AS term FROM toks0) GROUP BY 1, 2),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |ctf AS (SELECT c.component, tf.term, sum(tf.tf) AS ctf
+             |  FROM tf JOIN comp c USING (doc_id) GROUP BY 1, 2),
+             |scored AS (SELECT ctf.component, ctf.term,
+             |    round(ctf.ctf * (ln(((SELECT count(*) FROM documents) + 1)
+             |      ::DOUBLE / (df.df + 1)) + 1), 6) AS score
+             |  FROM ctf JOIN df USING (term)),
+             |ranked AS (SELECT component, term, score, row_number() OVER (
+             |    PARTITION BY component
+             |    ORDER BY score DESC, term ASC)::INT AS rank
+             |  FROM scored)
+             |SELECT component, term, score, rank FROM ranked
+             |WHERE rank <= 3 ORDER BY 1, 4""".stripMargin)),
+
     // -- curation: deterministic corpus mixing (per-stratum sampling) ----
     // Hash-Bernoulli keep decision (md5 of doc_id + seed), stratified by
     // token-count bucket — reproducible on any cluster size; the oracle

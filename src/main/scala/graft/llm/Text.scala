@@ -469,6 +469,43 @@ object Text {
       .select(col(idCol), col("term"), col("tfidf"), col("rank"))
   }
 
+  /** Cluster topic labels: the top-k TF-IDF terms of each near-dup
+    * cluster's POOLED text — "what is this pile of duplicates about",
+    * the triage label a curation dashboard shows next to every cluster
+    * from [[graft.llm.Dedup.connectedComponents]]. Term frequency is
+    * summed across the cluster's members; document frequency stays
+    * corpus-level (so a term common to every cluster ranks low even if
+    * the cluster repeats it).
+    *
+    * Shape: one corpus tokenize + tf aggregate (shared with the tfidf
+    * path), the cluster join is id-equi and AQE-sized, the rank window
+    * runs over the (cluster, term) frame — cluster-scale. Scoring and
+    * tie-breaks replay externally (rounded score, term-ascending).
+    *
+    * Output: `component`, `term`, `score` (rounded 6), `rank` (1..k). */
+  def clusterTopics(docs: DataFrame, clusters: DataFrame, k: Int = 3,
+                    textCol: String = "text", idCol: String = "doc_id",
+                    n: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0)
+    val nDocs = n.getOrElse(docs.count())
+    val tf = docs
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val ctf = tf.join(clusters, col(idCol) === col("node"))
+      .groupBy(col("component"), col("term"))
+      .agg(sum(col("tf")).as("ctf"))
+    ctf.join(df, "term")
+      .withColumn("score", round(col("ctf") *
+        (log(lit((nDocs + 1).toDouble) / (col("df") + lit(1))) + lit(1)), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("component"))
+          .orderBy(col("score").desc, col("term").asc)))
+      .filter(col("rank") <= k)
+      .select(col("component"), col("term"), col("score"), col("rank"))
+  }
+
   /** BM25 retrieval over the corpus (Robertson-Spärck Jones; the
     * Lucene-shaped nonnegative idf `ln(1 + (N-df+0.5)/(df+0.5))`) — the
     * retrieval step of a RAG / data-curation pipeline, and the text

@@ -1540,6 +1540,26 @@ class LlmSpec extends SparkFunSuite {
     assert(r4.toSeq == Seq((3, 2L)))
   }
 
+  test("clusterTopics: cluster-specific terms beat corpus-common ones") {
+    import graft.llm.Text
+    val sp2 = spark
+    import sp2.implicits._
+    // every doc shares 'the'; cluster {1,2} is about quantum pumps,
+    // cluster {3} about llama farming
+    val docsDf = Seq(
+      (1L, "the quantum pump whirs"),
+      (2L, "the quantum pump leaks"),
+      (3L, "the llama farm prospers")).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("node", "component")
+    val r = Text.clusterTopics(docsDf, clusters, k = 2)
+      .orderBy("component", "rank").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getInt(3)))
+    // 'quantum'/'pump' (tf 2, df 2) outrank 'the' (df 3 -> low idf)
+    assert(r.toSeq == Seq(
+      (1L, "pump", 1), (1L, "quantum", 2),
+      (3L, "farm", 1), (3L, "llama", 2)))
+  }
+
   test("softDedupWeights: 1/cluster-size, singletons weigh 1") {
     val sp2 = spark
     import sp2.implicits._
