@@ -3832,6 +3832,36 @@ object SparkEntry {
               |  max(CASE WHEN rl = 1 THEN value END) AS v_last
               |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // -- rollup store: serve a 2-day aggregate from stored 1-day summaries
+    // writes step=6h and step=1d rollups, then serves step=2d — the
+    // coarsest-divisor pick MUST choose 1d and merge two buckets per
+    // output row (count/sum/min/max/first/last all merge associatively)
+    "ts_rollup_serve" -> Gated(
+      (s, d) => {
+        val tmp = s"/tmp/graft_rollup_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+        graft.io.Rollup.write(TestData.events(s, d).samples, tmp,
+          Seq(H6, Day))
+        graft.io.Rollup.serve(s, tmp, 2 * Day)
+          .orderBy(col("metric"), col("sname"), col("bucket"))
+      },
+      Some(s"""WITH b AS (SELECT event_type AS metric,
+              |    ${snameSql("event_type")} AS sname,
+              |    ($tsSql // ${2 * Day}) * ${2 * Day} AS bucket,
+              |    $tsSql AS t, value
+              |  FROM events WHERE value IS NOT NULL),
+              |f AS (SELECT *,
+              |    row_number() OVER (PARTITION BY metric, sname, bucket
+              |      ORDER BY t, value) AS rf,
+              |    row_number() OVER (PARTITION BY metric, sname, bucket
+              |      ORDER BY t DESC, value DESC) AS rl FROM b)
+              |SELECT metric, sname, bucket, count(*) AS cnt,
+              |  round(sum(value), 6) AS vsum,
+              |  min(value) AS vmin, max(value) AS vmax,
+              |  round(sum(value) / count(*), 6) AS mean,
+              |  max(CASE WHEN rf = 1 THEN value END) AS first_v,
+              |  max(CASE WHEN rl = 1 THEN value END) AS last_v
+              |FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
     // -- classical additive seasonal decomposition -----------------------
     // 6h buckets, period 5: trend = centered 5-bucket MA (null unless
     // the RANGE window holds a full period), seasonal = centered

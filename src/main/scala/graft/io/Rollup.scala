@@ -1,0 +1,100 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.plan.TsStore
+
+/** Multi-resolution rollup store — materialized continuous aggregates
+  * (the "1m/1h/1d rollup tables" every production TSDB deployment keeps;
+  * the reference can only re-scan raw samples for every aggregate
+  * query, `group-aggregate` has no materialization path).
+  *
+  * Each rollup step stores, per (metric, series, bucket), the FULL
+  * mergeable summary for SURVEY §2.6's aggregate set: count, sum,
+  * min, max, and argmin/argmax-by-time (first/last with the
+  * (ts, value)-struct tie-break every downsampler here uses). All six
+  * re-aggregate associatively, so a query at ANY step that is a
+  * multiple of a stored step is served from the stored rollup with one
+  * summary-scale aggregate — never a raw scan. mean/avg derives as
+  * sum/count at serve time (it does not merge; the parts do).
+  *
+  * Layout: `path/step=<ns>/` parquet per step (coarser steps are built
+  * from the raw frame too — at 100 TB build them from the next-finer
+  * rollup instead; the merge algebra above is exactly what makes that
+  * legal). Serving picks the COARSEST stored step dividing the query
+  * step: fewest rows read, and dir-scoped reads never touch other
+  * resolutions.
+  */
+object Rollup {
+
+  private def stepDir(path: String, stepNs: Long) = s"$path/step=$stepNs"
+
+  /** Build and write rollups at each step. Input: the engine sample
+    * frame (metric, tags, ts, value). */
+  def write(samples: DataFrame, path: String, steps: Seq[Long]): Unit = {
+    require(steps.nonEmpty && steps.forall(_ > 0), "steps must be positive")
+    val base = samples
+      .filter(col("value").isNotNull)
+      .select(col("metric"),
+        TsStore.snameOf(col("metric"), TsStore.tagStr(col("tags")))
+          .as("sname"),
+        col("ts").cast("long").as("ts"),
+        col("value").cast("double").as("value"))
+    steps.foreach { step =>
+      base
+        .groupBy(col("metric"), col("sname"),
+          (expr(s"ts div ${step}L") * step).as("bucket"))
+        .agg(count(col("value")).as("cnt"),
+          sum(col("value")).as("vsum"),
+          min(col("value")).as("vmin"),
+          max(col("value")).as("vmax"),
+          min(struct(col("ts").as("t"), col("value").as("v"))).as("__f"),
+          max(struct(col("ts").as("t"), col("value").as("v"))).as("__l"))
+        .select(col("metric"), col("sname"), col("bucket"), col("cnt"),
+          col("vsum"), col("vmin"), col("vmax"),
+          col("__f.t").as("first_ts"), col("__f.v").as("first_v"),
+          col("__l.t").as("last_ts"), col("__l.v").as("last_v"))
+        .write.mode("overwrite").parquet(stepDir(path, step))
+    }
+  }
+
+  /** Stored steps, from the `step=<ns>` directory names. */
+  def storedSteps(spark: SparkSession, path: String): Seq[Long] = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp)) Seq.empty
+    else fs.listStatus(hp).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("step=") => n.drop(5).toLong }
+      .sorted
+  }
+
+  /** Serve a group-aggregate at `stepNs` from the coarsest stored
+    * rollup whose step divides it — one summary-scale merge aggregate,
+    * no raw-sample scan. Output: metric, sname, bucket, cnt, vsum,
+    * vmin, vmax, mean (rounded 6), first_v, last_v. */
+  def serve(spark: SparkSession, path: String, stepNs: Long): DataFrame = {
+    val usable = storedSteps(spark, path).filter(s => stepNs % s == 0)
+    require(usable.nonEmpty,
+      s"no stored rollup step divides ${stepNs}ns " +
+        s"(stored: ${storedSteps(spark, path).mkString(",")})")
+    val best = usable.max
+    spark.read.parquet(stepDir(path, best))
+      .groupBy(col("metric"), col("sname"),
+        (expr(s"bucket div ${stepNs}L") * stepNs).as("bucket"))
+      .agg(sum(col("cnt")).as("cnt"),
+        sum(col("vsum")).as("vsum"),
+        min(col("vmin")).as("vmin"),
+        max(col("vmax")).as("vmax"),
+        min(struct(col("first_ts").as("t"), col("first_v").as("v")))
+          .as("__f"),
+        max(struct(col("last_ts").as("t"), col("last_v").as("v")))
+          .as("__l"))
+      .select(col("metric"), col("sname"), col("bucket"), col("cnt"),
+        round(col("vsum"), 6).as("vsum"), col("vmin"), col("vmax"),
+        round(col("vsum") / col("cnt"), 6).as("mean"),
+        col("__f.v").as("first_v"), col("__l.v").as("last_v"))
+  }
+}

@@ -424,6 +424,33 @@ class TsAnalyticsSpec extends SparkFunSuite {
     assert(mae < 1e-3, s"mae=$mae")
   }
 
+  test("rollup store: coarsest-divisor serve merges exactly") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ru").toString
+    val df = Seq(
+      ("m", 1L, 1.0), ("m", 2L, 5.0),     // 10-bucket 0
+      ("m", 11L, 3.0),                    // 10-bucket 10
+      ("m", 25L, 7.0))                    // 10-bucket 20
+      .toDF("metric", "ts", "value")
+      .withColumn("tags", map_from_arrays(
+        array().cast("array<string>"), array().cast("array<string>")))
+    graft.io.Rollup.write(df, tmp, Seq(5L, 10L))
+    assert(graft.io.Rollup.storedSteps(spark, tmp) == Seq(5L, 10L))
+    // step 20: both 5 and 10 divide; the 10 rollup must be picked and
+    // merged two-buckets-per-row
+    val r = graft.io.Rollup.serve(spark, tmp, 20L)
+      .orderBy("bucket").collect()
+      .map(x => (x.getLong(2), x.getLong(3), x.getDouble(4),
+        x.getDouble(5), x.getDouble(6), x.getDouble(7),
+        x.getDouble(8), x.getDouble(9)))
+    assert(r.toSeq == Seq(
+      (0L, 3L, 9.0, 1.0, 5.0, 3.0, 1.0, 3.0),   // buckets 0+10 merged
+      (20L, 1L, 7.0, 7.0, 7.0, 7.0, 7.0, 7.0)))
+    // step 7 divides neither stored step: loud failure, not wrong data
+    intercept[IllegalArgumentException] {
+      graft.io.Rollup.serve(spark, tmp, 7L)
+    }
+  }
+
   test("seasonalAnomalies: flags only the injected outlier") {
     // same clean periodic construction as the decompose spec, but one
     // bucket is knocked +50 off its pattern — after removing trend and
