@@ -3897,6 +3897,104 @@ object SparkEntry {
               |  AND dt.phase = pc.phase
               |ORDER BY 1, 2""".stripMargin)),
 
+    // -- seasonality / trend strength (Hyndman's STL F-measures) ---------
+    "ts_seasonality_strength" -> Gated(
+      (s, d) => TsAnalytics.seasonalityStrength(
+          TestData.events(s, d).samples, Seq("metric"), "ts", "value",
+          bucketNs = H6, period = 5)
+        .orderBy(col("metric")),
+      Some(s"""WITH b AS (SELECT event_type AS metric, $tsSql // $H6 AS bi,
+              |    avg(value) AS v
+              |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+              |t AS (SELECT *, CASE WHEN count(v) OVER w = 5
+              |      THEN avg(v) OVER w END AS trend
+              |  FROM b WINDOW w AS (PARTITION BY metric ORDER BY bi
+              |    RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING)),
+              |dt AS (SELECT *, bi % 5 AS phase, v - trend AS detr FROM t),
+              |pm AS (SELECT metric, phase, avg(detr) AS smean
+              |  FROM dt GROUP BY 1, 2),
+              |pc AS (SELECT metric, phase,
+              |    smean - avg(smean) OVER (PARTITION BY metric) AS seasonal
+              |  FROM pm),
+              |r AS (SELECT dt.metric, dt.trend, pc.seasonal,
+              |    dt.v - dt.trend - pc.seasonal AS rem
+              |  FROM dt JOIN pc ON dt.metric = pc.metric
+              |    AND dt.phase = pc.phase
+              |  WHERE dt.trend IS NOT NULL)
+              |SELECT metric, count(*) AS n,
+              |  round(CASE WHEN var_samp(seasonal + rem) > 0 THEN
+              |    greatest(0, 1 - var_samp(rem) / var_samp(seasonal + rem))
+              |    END, 6) AS f_seasonal,
+              |  round(CASE WHEN var_samp(trend + rem) > 0 THEN
+              |    greatest(0, 1 - var_samp(rem) / var_samp(trend + rem))
+              |    END, 6) AS f_trend
+              |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // -- IVF cluster-balance health report -------------------------------
+    // same pinned vec_id<4 centroids as embed_kmeans; entropy vs the
+    // uniform log2(cells) ceiling, imbalance = max/mean cell size
+    "embed_cluster_balance" -> Gated(
+      (s, d) => {
+        val emb = TestData.table(s, d, "embeddings")
+        val init = emb.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+          .select(Embed.normalized(col("embedding")))
+          .collect().toSeq.map(_.getSeq[Double](0).toSeq)
+        Embed.clusterBalance(emb, init)
+      },
+      Some("""WITH e AS (SELECT vec_id,
+             |    list_transform(embedding, x -> x::DOUBLE) AS v
+             |  FROM embeddings),
+             |n AS (SELECT vec_id,
+             |    list_transform(v, x ->
+             |      x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS u
+             |  FROM e),
+             |init AS (SELECT vec_id::INT AS cid, u FROM n WHERE vec_id < 4),
+             |assign AS (
+             |  SELECT vec_id, cid FROM (
+             |    SELECT n.vec_id, init.cid,
+             |      row_number() OVER (PARTITION BY n.vec_id
+             |        ORDER BY round(list_cosine_similarity(n.u, init.u), 6)
+             |          DESC, init.cid DESC) AS rn
+             |    FROM n CROSS JOIN init) WHERE rn = 1),
+             |sz AS (SELECT cid, count(*) AS sz FROM assign GROUP BY 1),
+             |tot AS (SELECT sum(sz) AS nv FROM sz)
+             |SELECT count(*) AS n_cells_used, (SELECT nv FROM tot)
+             |    AS n_vectors,
+             |  min(sz) AS min_cell, max(sz) AS max_cell,
+             |  round(max(sz) * count(*) / (SELECT nv FROM tot)::DOUBLE, 6)
+             |    AS imbalance,
+             |  round(-sum((sz::DOUBLE / (SELECT nv FROM tot)) *
+             |    log2(sz::DOUBLE / (SELECT nv FROM tot))), 6)
+             |    AS entropy_bits
+             |FROM sz""".stripMargin)),
+
+    // -- LSH banding recall vs exact truth (the dedup annRecall) ---------
+    // n_candidates depends on the banding hash and is for tuning eyes;
+    // the gate checks the truth-derived columns
+    "doc_lsh_recall" -> Gated(
+      (s, d) => Dedup.lshTuningReport(TestData.table(s, d, "documents"),
+          n = 3, bands = 64, rowsPerBand = 2, threshold = 0.5)
+        .select(col("n_true"), col("n_hits"), col("recall")),
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+              |  FROM documents),
+              |grams AS (
+              |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+              |    THEN list_transform(range(1, len(t) - 1),
+              |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+              |    ELSE [] END) AS g
+              |  FROM toks),
+              |pairs AS (
+              |  SELECT a, b FROM (
+              |    SELECT x.doc_id AS a, y.doc_id AS b,
+              |      len(list_intersect(x.g, y.g))::DOUBLE /
+              |        (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g))) AS j
+              |    FROM grams x JOIN grams y ON x.doc_id < y.doc_id)
+              |  WHERE j >= 0.5)
+              |SELECT count(*) AS n_true, count(*) AS n_hits,
+              |  round(1.0, 6) AS recall
+              |FROM pairs""".stripMargin)),
+
     // -- Holt double-exponential forecast --------------------------------
     // level+trend recursion folded as composed affine maps
     // (ChunkedScan.keyedFold — a giant series spans many tasks); the

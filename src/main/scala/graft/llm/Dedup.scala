@@ -411,6 +411,38 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** LSH banding tuning report — "measure, don't guess" for the
+    * (bands, rowsPerBand) trade (the [[graft.llm.Embed.annRecall]] of
+    * the text-dedup path): exact [[ngramJaccard]] truth vs the banding
+    * CANDIDATE set ([[minhashLsh]] at threshold 0, i.e. verification
+    * disabled), reporting recall of true pairs and how many candidate
+    * verifications the banding cost. More bands → recall up, candidate
+    * (verification) volume up; this report is how you pick.
+    *
+    * Driver state: four counts. Output (one row): `n_true`,
+    * `n_candidates`, `n_hits`, `recall` (rounded 6; null when no true
+    * pairs exist). `n_candidates` depends on the banding hash function
+    * and is reported for tuning, not oracle-checked. */
+  def lshTuningReport(docs: DataFrame, n: Int = 3, bands: Int = 32,
+                      rowsPerBand: Int = 3, threshold: Double = 0.5,
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    val truth = ngramJaccard(docs, n, threshold, textCol, idCol)
+      .select(col("a"), col("b")).localCheckpoint()
+    // threshold 0 keeps every banding candidate (jaccard >= 0 always):
+    // the pre-verification set, scored but unfiltered
+    val cands = minhashLsh(docs, n, bands, rowsPerBand, threshold = 0.0,
+      textCol, idCol).select(col("a"), col("b")).localCheckpoint()
+    val nTrue = truth.count()
+    val nCand = cands.count()
+    val nHits = cands.join(truth, Seq("a", "b"), "left_semi").count()
+    import spark.implicits._
+    Seq((nTrue, nCand, nHits)).toDF("n_true", "n_candidates", "n_hits")
+      .withColumn("recall", when(col("n_true") > 0,
+        round(col("n_hits").cast("double") / col("n_true"), 6)))
+  }
+
   // --- near-dup clustering -------------------------------------------------
 
   /** Connected components of a near-dup pair graph: `(node, component)`

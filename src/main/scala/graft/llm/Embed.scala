@@ -914,6 +914,44 @@ object Embed {
         col("rnk").cast("long").as("rnk"))
   }
 
+  /** IVF cluster-balance report — the health check before trusting an
+    * IVF layout at scale: probe cost is proportional to the probed
+    * cells' sizes, so one mega-cell (bad centroids, collapsed training)
+    * silently turns "probe 2 of 64 cells" back into a full scan. One
+    * row: cells used, vectors, min/max/mean cell size, `imbalance`
+    * (max/mean — 1.0 is perfect), `entropy_bits` vs the uniform
+    * `log2(n_cells_used)` ceiling.
+    *
+    * One assignment pass (k fused cosines per row, the
+    * [[kmeansStep]] argmax) + a k-row aggregate. All derived doubles
+    * divide exact longs — engine-portable after round 6. */
+  def clusterBalance(corpus: DataFrame, centroids: Seq[Seq[Double]],
+                     vecCol: String = "embedding"): DataFrame = {
+    require(centroids.nonEmpty)
+    val sizes = corpus
+      .filter(dot(col(vecCol), col(vecCol)) > 0.0)
+      .select(centroidIdRounded(normalized(col(vecCol)), centroids)
+        .as("cell"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("sz"))
+    // global share per cell: the window runs over the k-row cell frame,
+    // not the corpus — a single partition of k rows is the whole point
+    val p = col("sz").cast("double") / sum(col("sz")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy())
+    sizes
+      .withColumn("__plogp", p * log2(p))
+      .groupBy()
+      .agg(count(lit(1)).as("n_cells_used"),
+        sum(col("sz")).as("n_vectors"),
+        min(col("sz")).as("min_cell"),
+        max(col("sz")).as("max_cell"),
+        (-sum(col("__plogp"))).as("__h"))
+      .select(col("n_cells_used"), col("n_vectors"), col("min_cell"),
+        col("max_cell"),
+        round(col("max_cell") * col("n_cells_used") /
+          col("n_vectors").cast("double"), 6).as("imbalance"),
+        round(col("__h"), 6).as("entropy_bits"))
+  }
+
   /** Diversity-aware top-k: Maximal Marginal Relevance re-ranking
     * (Carbonell & Goldstein '98) of a brute-force shortlist — retrieval
     * that answers "the k most relevant AND mutually distinct results"

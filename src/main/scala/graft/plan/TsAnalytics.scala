@@ -1366,6 +1366,34 @@ object TsAnalytics {
         col("__p.t").as("ts"), col("__p.v").as("value"))): _*)
   }
 
+  /** Seasonality / trend strength per series (Hyndman's STL strength
+    * measures, FPP3 §4.3): `F_s = max(0, 1 − Var(R)/Var(S+R))` and
+    * `F_t = max(0, 1 − Var(R)/Var(T+R))` over the [[seasonalDecompose]]
+    * components — the single number that says WHICH series deserve a
+    * seasonal model vs a plain trend ("is the daily pattern real or
+    * noise"). Only buckets with a full trend window contribute
+    * (remainder null elsewhere); a constant series (zero variance)
+    * yields null strengths, not NaN.
+    *
+    * Shape: the decompose pass (one fact scan) plus one series-scale
+    * aggregate. Output: on cols, `n` (buckets scored), `f_seasonal`,
+    * `f_trend` (rounded 6). */
+  def seasonalityStrength(df: DataFrame, on: Seq[String], tsCol: String,
+                          valueCol: String, bucketNs: Long,
+                          period: Int): DataFrame = {
+    val dec = seasonalDecompose(df, on, tsCol, valueCol, bucketNs, period)
+      .filter(col("remainder").isNotNull)
+    val vr = var_samp(col("remainder"))
+    val vs = var_samp(col("seasonal") + col("remainder"))
+    val vt = var_samp(col("trend") + col("remainder"))
+    dec.groupBy(on.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        round(when(vs > 0, greatest(lit(0.0), lit(1.0) - vr / vs)), 6)
+          .as("f_seasonal"),
+        round(when(vt > 0, greatest(lit(0.0), lit(1.0) - vr / vt)), 6)
+          .as("f_trend"))
+  }
+
   /** Threshold alerting with a duration condition — "value above X for
     * at least `minRun` consecutive samples" (every alerting stack's
     * `for:` clause; a single spike shouldn't page). Consecutive

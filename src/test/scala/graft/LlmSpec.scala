@@ -1560,6 +1560,35 @@ class LlmSpec extends SparkFunSuite {
       (3L, "farm", 1), (3L, "llama", 2)))
   }
 
+  test("clusterBalance: uniform cells score 1.0; a mega-cell flags") {
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    // balanced: 2 vectors per cell -> imbalance 1, entropy 1 bit
+    val balanced = vecs(Seq(
+      Seq(1.0, 0.1), Seq(1.0, -0.1), Seq(0.1, 1.0), Seq(-0.1, 1.0)))
+    val b = Embed.clusterBalance(balanced, cents).collect()(0)
+    assert((b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3)) ==
+      ((2L, 4L, 2L, 2L)))
+    assert(b.getDouble(4) == 1.0 && b.getDouble(5) == 1.0)
+    // skewed 3:1 -> imbalance 1.5, entropy < 1 bit
+    val skewed = vecs(Seq(
+      Seq(1.0, 0.1), Seq(1.0, -0.1), Seq(1.0, 0.0), Seq(0.1, 1.0)))
+    val s = Embed.clusterBalance(skewed, cents).collect()(0)
+    assert(s.getDouble(4) == 1.5 && s.getDouble(5) < 1.0)
+  }
+
+  test("lshTuningReport: full recall on planted dups, truth counted") {
+    val texts = (0 until 30).map(i => s"unique filler document number $i " +
+      s"with assorted extra words ${i * 7} ${i * 13}") ++ Seq(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "the quick brown fox jumps over the lazy dog again and again!!")
+    val r = Dedup.lshTuningReport(docs(texts), n = 3, bands = 64,
+      rowsPerBand = 2, threshold = 0.5).collect()(0)
+    val (nTrue, nCand, nHits) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nTrue >= 1L && nHits == nTrue)     // full recall
+    assert(r.getDouble(3) == 1.0)
+    assert(nCand >= nTrue)                    // candidates cover truth
+  }
+
   test("softDedupWeights: 1/cluster-size, singletons weigh 1") {
     val sp2 = spark
     import sp2.implicits._

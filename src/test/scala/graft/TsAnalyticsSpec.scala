@@ -451,6 +451,23 @@ class TsAnalyticsSpec extends SparkFunSuite {
     }
   }
 
+  test("seasonalityStrength: periodic series scores high, noise low") {
+    // clean period-3 pattern on a flat base: seasonal strength ~ 1
+    val effect = Seq(6.0, 0.0, -6.0)
+    val periodic = (0 until 30).map(i =>
+      ("p", i * 10L, 20.0 + effect(i % 3)))
+    // deterministic hash noise, no period: seasonal strength low
+    val rnd = new scala.util.Random(3)
+    val noisy = (0 until 30).map(i =>
+      ("n", i * 10L, 20.0 + rnd.nextDouble() * 12 - 6))
+    val df = (periodic ++ noisy).toDF("k", "ts", "v")
+    val r = TsAnalytics.seasonalityStrength(df, Seq("k"), "ts", "v",
+        bucketNs = 10L, period = 3)
+      .collect().map(x => (x.getString(0), x.getDouble(2))).toMap
+    assert(r("p") > 0.99, s"periodic strength ${r("p")}")
+    assert(r("n") < 0.6, s"noise strength ${r("n")}")
+  }
+
   test("seasonalAnomalies: flags only the injected outlier") {
     // same clean periodic construction as the decompose spec, but one
     // bucket is knocked +50 off its pattern — after removing trend and
