@@ -3995,6 +3995,55 @@ object SparkEntry {
               |  round(1.0, 6) AS recall
               |FROM pairs""".stripMargin)),
 
+    // -- all-pairs metric correlation matrix over aligned buckets --------
+    "ts_corr_matrix" -> Gated(
+      (s, d) => TsAnalytics.correlationMatrix(
+          TestData.events(s, d).samples, "metric", "ts", "value",
+          bucketNs = H6)
+        .orderBy(col("m1"), col("m2")),
+      Some(s"""WITH b AS (SELECT event_type AS m, $tsSql // $H6 AS bi,
+              |    avg(value) AS v
+              |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
+              |SELECT l.m AS m1, r.m AS m2, count(*) AS n,
+              |  CASE WHEN stddev_samp(l.v) > 0 AND stddev_samp(r.v) > 0
+              |    THEN round(covar_samp(l.v, r.v) /
+              |      (stddev_samp(l.v) * stddev_samp(r.v)), 6) END AS corr
+              |FROM b l JOIN b r ON l.m < r.m AND l.bi = r.bi
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // -- event-impact: metric before/after each marker instant -----------
+    // markers = the user's error events; impact on their click values
+    "ts_event_impact" -> Gated(
+      (s, d) => {
+        val ev = TestData.events(s, d).samples
+        val clicks = ev.filter(col("metric") === "click")
+          .select(element_at(col("tags"), "user").as("user"),
+            col("ts"), col("value"))
+        val markers = ev.filter(col("metric") === "error")
+          .select(element_at(col("tags"), "user").as("user"), col("ts"))
+          .distinct()
+        TsAnalytics.eventImpact(clicks, markers, Seq("user"),
+            "ts", "value", windowNs = 2 * Day)
+          .orderBy(col("user"), col("marker_ts"))
+      },
+      Some(s"""WITH s AS (SELECT user_id::VARCHAR AS user, $tsSql AS t,
+              |    value FROM events
+              |  WHERE event_type = 'click' AND value IS NOT NULL),
+              |m AS (SELECT DISTINCT user_id::VARCHAR AS user,
+              |    $tsSql AS mt FROM events WHERE event_type = 'error'),
+              |j AS (SELECT s.user, m.mt, s.t, s.value
+              |  FROM s JOIN m ON s.user = m.user
+              |    AND s.t >= m.mt - ${2 * Day} AND s.t <= m.mt + ${2 * Day}
+              |    AND s.t <> m.mt)
+              |SELECT user, mt AS marker_ts,
+              |  count(*) FILTER (WHERE t < mt) AS n_before,
+              |  count(*) FILTER (WHERE t > mt) AS n_after,
+              |  round(avg(value) FILTER (WHERE t < mt), 6) AS mean_before,
+              |  round(avg(value) FILTER (WHERE t > mt), 6) AS mean_after,
+              |  round(round(avg(value) FILTER (WHERE t > mt), 6) -
+              |    round(avg(value) FILTER (WHERE t < mt), 6), 6) AS delta
+              |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // -- Holt double-exponential forecast --------------------------------
     // level+trend recursion folded as composed affine maps
     // (ChunkedScan.keyedFold — a giant series spans many tasks); the

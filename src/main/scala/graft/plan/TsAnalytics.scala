@@ -1394,6 +1394,86 @@ object TsAnalytics {
           .as("f_trend"))
   }
 
+  /** All-pairs metric correlation matrix over aligned time buckets —
+    * "which metrics move together" ([[crosscorrelation]] generalized
+    * from one pair at lag range to every pair at lag 0): bucket means
+    * per metric, equi-join on the bucket, Pearson per (m1 < m2) pair
+    * from moments with the zero-variance guard (ANSI corr throws on
+    * constant series; engines that return NULL must agree).
+    *
+    * Shape: ONE fact-scale aggregate to the bucket frame, then the
+    * pair join runs at buckets × metrics² — metric count is small by
+    * construction (it's a matrix you look at). Output: `m1`, `m2`
+    * (m1 < m2), `n` (aligned buckets), `corr` (rounded 6). */
+  def correlationMatrix(df: DataFrame, metricCol: String, tsCol: String,
+                        valueCol: String, bucketNs: Long): DataFrame = {
+    require(bucketNs > 0)
+    val buckets = df
+      .select(col(metricCol).as("__m"),
+        expr(s"($tsCol) div ${bucketNs}L").as("__b"),
+        col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("__m"), col("__b"))
+      .agg(avg(col("__v")).as("__v"))
+      .localCheckpoint() // both join sides: one fact scan
+    val l = buckets.select(col("__m").as("m1"), col("__b"),
+      col("__v").as("__v1"))
+    val r = buckets.select(col("__m").as("m2"), col("__b"),
+      col("__v").as("__v2"))
+    val sl = stddev_samp(col("__v1")); val sr = stddev_samp(col("__v2"))
+    val cv = covar_samp(col("__v1"), col("__v2"))
+    l.join(r, col("m1") < col("m2") && l("__b") === r("__b"))
+      .groupBy(col("m1"), col("m2"))
+      .agg(count(lit(1)).as("n"),
+        when(sl > 0 && sr > 0, round(cv / (sl * sr), 6)).as("corr"))
+  }
+
+  /** Event-impact report: for each marker instant (a deploy, a config
+    * push, an incident start), compare the metric in the window BEFORE
+    * the marker against the window AFTER — the "did the deploy move the
+    * metric" table. Before = [mts − windowNs, mts), after =
+    * (mts, mts + windowNs]; the marker instant itself is in neither.
+    *
+    * Shape: the marker frame is tiny by construction (deploys, not
+    * samples) and broadcasts onto ONE pass over the samples; per-side
+    * means aggregate marker-scale. `delta` divides/ subtracts rounded
+    * means — engine-portable.
+    *
+    * Output: marker key cols, `marker_ts`, `n_before`, `n_after`,
+    * `mean_before`, `mean_after`, `delta` (rounded 6; null when either
+    * side is empty). */
+  def eventImpact(samples: DataFrame, markers: DataFrame, on: Seq[String],
+                  tsCol: String, valueCol: String,
+                  windowNs: Long): DataFrame = {
+    require(on.nonEmpty && windowNs > 0)
+    val s = samples.select(
+      (on.map(col) :+ col(tsCol).cast("long").as("__t") :+
+        col(valueCol).cast("double").as("__v")): _*)
+      .filter(col("__v").isNotNull)
+    val m = markers.select(
+      (on.map(c => col(c).as(s"__m_$c")) :+
+        col(tsCol).cast("long").as("marker_ts")): _*)
+    val joined = s.join(broadcast(m),
+      on.map(k => col(k) === col(s"__m_$k")).reduce(_ && _) &&
+        col("__t") >= col("marker_ts") - windowNs &&
+        col("__t") <= col("marker_ts") + windowNs &&
+        col("__t") =!= col("marker_ts"))
+    val side = when(col("__t") < col("marker_ts"), lit("b"))
+      .otherwise(lit("a"))
+    joined
+      .withColumn("__side", side)
+      .groupBy((on.map(col) :+ col("marker_ts")): _*)
+      .agg(
+        count(when(col("__side") === "b", 1)).as("n_before"),
+        count(when(col("__side") === "a", 1)).as("n_after"),
+        round(avg(when(col("__side") === "b", col("__v"))), 6)
+          .as("mean_before"),
+        round(avg(when(col("__side") === "a", col("__v"))), 6)
+          .as("mean_after"))
+      .withColumn("delta",
+        round(col("mean_after") - col("mean_before"), 6))
+  }
+
   /** Threshold alerting with a duration condition — "value above X for
     * at least `minRun` consecutive samples" (every alerting stack's
     * `for:` clause; a single spike shouldn't page). Consecutive

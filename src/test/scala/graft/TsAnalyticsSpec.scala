@@ -468,6 +468,42 @@ class TsAnalyticsSpec extends SparkFunSuite {
     assert(r("n") < 0.6, s"noise strength ${r("n")}")
   }
 
+  test("correlationMatrix: correlated/anti/uncorrelated pairs") {
+    // x rises, y = 2x (corr 1), z = -x (corr -1), c constant (null)
+    val df = (0 until 12).flatMap { i =>
+      Seq(("x", i * 10L, i.toDouble), ("y", i * 10L, 2.0 * i),
+        ("z", i * 10L, -i.toDouble), ("c", i * 10L, 5.0))
+    }.toDF("m", "ts", "v")
+    val r = TsAnalytics.correlationMatrix(df, "m", "ts", "v", 10L)
+      .collect()
+      .map(x => ((x.getString(0), x.getString(1)),
+        if (x.isNullAt(3)) None else Some(x.getDouble(3)))).toMap
+    assert(r(("x", "y")) == Some(1.0))
+    assert(r(("x", "z")) == Some(-1.0))
+    assert(r(("y", "z")) == Some(-1.0))
+    // constant series: zero variance -> null, not NaN/throw
+    assert(r(("c", "x")) == None && r(("c", "y")) == None)
+    assert(r.size == 6) // all 4-choose-2 pairs present
+  }
+
+  test("eventImpact: window sides, marker exclusion, one-sided nulls") {
+    val samples = Seq(
+      ("u", 10L, 1.0), ("u", 20L, 3.0),   // before marker 30
+      ("u", 30L, 99.0),                   // AT the marker: excluded
+      ("u", 40L, 10.0), ("u", 50L, 12.0), // after
+      ("u", 200L, 7.0))                   // outside any window
+      .toDF("user", "ts", "v")
+    val markers = Seq(("u", 30L), ("u", 190L)).toDF("user", "ts")
+    val r = TsAnalytics.eventImpact(samples, markers, Seq("user"),
+        "ts", "v", windowNs = 25L)
+      .orderBy("marker_ts").collect()
+      .map(x => (x.getLong(1), x.getLong(2), x.getLong(3),
+        if (x.isNullAt(6)) None else Some(x.getDouble(6))))
+    assert(r.toSeq == Seq(
+      (30L, 2L, 2L, Some(9.0)),   // (10+12)/2 - (1+3)/2 = 11 - 2
+      (190L, 0L, 1L, None)))      // nothing before: delta null
+  }
+
   test("seasonalAnomalies: flags only the injected outlier") {
     // same clean periodic construction as the decompose spec, but one
     // bucket is knocked +50 off its pattern — after removing trend and
