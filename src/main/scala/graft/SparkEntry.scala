@@ -4463,6 +4463,40 @@ object SparkEntry {
              |  round(round(sum(x)::DOUBLE / 15, 9), 6) AS zcr
              |FROM cr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // -- video near-dup: shared per-frame perceptual hashes --------------
+    // id-shifted replica corpus (shift divisible by 3 and 30000 keeps
+    // modality AND duration identical) so every video pairs with its
+    // replica on ALL its frames; the fake frame hash is md5-60 of
+    // (hex ':' offset), replayed bit-for-bit by the oracle
+    "mm_video_near_dup" -> Gated(
+      (s, d) => {
+        val docs = TestData.table(s, d, "documents")
+          .select(col("doc_id"), col("text"))
+        val both = docs.unionByName(docs.select(
+          (col("doc_id") + 30000000L).as("doc_id"), col("text")))
+        Multimodal.videoNearDup(Multimodal.fromDocuments(both),
+            everyMs = 1000L, minShared = 2)
+          .orderBy(col("a"), col("b"))
+      },
+      Some(s"""WITH v AS (SELECT doc_id AS id, sha256(text) AS hex,
+              |    doc_id % 30000 + 1000 AS dur
+              |  FROM documents WHERE doc_id % 3 = 2),
+              |vv AS (SELECT id, hex, dur FROM v
+              |  UNION ALL SELECT id + 30000000, hex, dur FROM v),
+              |fr AS (SELECT id, hex,
+              |    unnest(generate_series(0, dur - 1, 1000)) AS ms
+              |  FROM vv),
+              |fh AS (SELECT DISTINCT id,
+              |    ${md5Int60Sql("hex || ':' || ms")} AS fhash
+              |  FROM fr),
+              |own AS (SELECT fhash FROM fh
+              |  GROUP BY 1 HAVING count(*) <= 1000),
+              |sf AS (SELECT fh.* FROM fh JOIN own USING (fhash))
+              |SELECT a.id AS a, b.id AS b, count(*) AS n_shared
+              |FROM sf a JOIN sf b ON a.fhash = b.fhash AND a.id < b.id
+              |GROUP BY 1, 2 HAVING count(*) >= 2
+              |ORDER BY 1, 2""".stripMargin)),
+
     // -- autocorrelation: the period detector for seasonalDecompose ------
     // bucket means, then corr(v_t, v_{t+k}) per (series, lag) over the
     // tiny bucket frame; zero-variance lags are null on both sides

@@ -916,4 +916,80 @@ object Multimodal {
     Dedup.hammingNearDup(
       dHash(media).filter(col("hash_ok")),
       maxDist, hashCol = "dhash", idCol = "media_id")
+
+  val videoFrameHashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_ms", LongType, nullable = false),
+    StructField("fhash", LongType, nullable = false)))
+
+  /** Per-frame perceptual hashes for video rows — the signature stage of
+    * video dedup. MJPEG-AVI payloads hash REAL frames (container parse →
+    * JDK JPEG decode → [[dHashKernel]] gradient hash); digest fakes hash
+    * `md5₆₀(hex ":" offset_ms)` per sampled offset (`everyMs` grid over
+    * `duration_ms`) — the [[graft.llm.Dedup.md5Hash60]] construction, so
+    * the fake path replays bit-for-bit in a SQL oracle. Pure
+    * per-partition flatMap; payloads never leave the task. */
+  def videoFrameHashes(media: DataFrame, everyMs: Long = 1000L): DataFrame = {
+    require(everyMs > 0)
+    val video = media.filter(col("modality") === "video")
+    val schema = video.schema
+    val idIdx = schema.fieldIndex("media_id")
+    val cIdx = schema.fieldIndex("content")
+    val dIdx = schema.fieldIndex("duration_ms")
+    video.mapPartitions { it =>
+      it.flatMap { row =>
+        val content = row.getAs[Array[Byte]](cIdx)
+        val id = row.getLong(idIdx)
+        if (looksLikeAvi(content)) {
+          parseAvi(content).toSeq.flatMap { avi =>
+            avi.frames.zipWithIndex.flatMap { case ((off, len), i) =>
+              val jpeg = java.util.Arrays.copyOfRange(content, off, off + len)
+              dHashKernel(jpeg).map(h =>
+                Row(id, i * avi.usPerFrame / 1000, h))
+            }
+          }
+        } else if (content == null || content.isEmpty ||
+            row.isNullAt(dIdx)) Seq.empty
+        else {
+          val hex = new String(content,
+            java.nio.charset.StandardCharsets.UTF_8)
+          val dur = row.getLong(dIdx)
+          (0L until dur by everyMs).map { ms =>
+            val d = java.security.MessageDigest.getInstance("MD5")
+              .digest(s"$hex:$ms".getBytes("UTF-8"))
+            val h = d.map(b => f"${b & 0xff}%02x").mkString
+            Row(id, ms, java.lang.Long.parseLong(h.substring(0, 15), 16))
+          }
+        }
+      }
+    }(Encoders.row(videoFrameHashSchema))
+  }
+
+  /** Video near-duplicate pairs: two videos sharing at least `minShared`
+    * distinct frame hashes (re-encodes, clips, replicas share frames; a
+    * Hamming-tolerant variant would route each frame hash through
+    * [[Dedup.hammingNearDup]] instead of the exact join). Candidates form
+    * ONLY on shared frame-hash buckets — never all-pairs — and a
+    * degenerate hash owned by more than `maxBucket` videos is dropped
+    * before pairing (the boilerplate valve every banding path here has:
+    * black frames and title cards would otherwise pair everything).
+    *
+    * Output: (a, b, n_shared) with a < b. */
+  def videoNearDup(media: DataFrame, everyMs: Long = 1000L,
+                   minShared: Int = 2, maxBucket: Int = 1000): DataFrame = {
+    require(minShared >= 1 && maxBucket >= 2)
+    val f = videoFrameHashes(media, everyMs)
+      .select(col("media_id"), col("fhash")).distinct()
+    val safe = f.join(
+      f.groupBy(col("fhash")).agg(count(lit(1)).as("__owners"))
+        .filter(col("__owners") <= maxBucket)
+        .select(col("fhash")),
+      "fhash")
+    safe.select(col("fhash"), col("media_id").as("a"))
+      .join(safe.select(col("fhash"), col("media_id").as("b")), "fhash")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -1223,6 +1223,57 @@ class LlmSpec extends SparkFunSuite {
       got(3).getString(5) == "fake" && got(3).getBoolean(6))
   }
 
+  test("videoNearDup: shared real frames pair videos; fakes pair replicas") {
+    def pattern(seed: Int, w: Int = 32, h: Int = 24): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (x * 31 + y * 17 + seed * 97) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    def le32b(v: Int): Array[Byte] = Array((v & 255).toByte,
+      ((v >> 8) & 255).toByte, ((v >> 16) & 255).toByte,
+      ((v >>> 24) & 255).toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] =
+      id.getBytes("ISO-8859-1") ++ le32b(data.length) ++ data ++
+        (if ((data.length & 1) == 1) Array[Byte](0) else Array.empty[Byte])
+    def rlist(typ: String, data: Array[Byte]): Array[Byte] =
+      chunk("LIST", typ.getBytes("ISO-8859-1") ++ data)
+    def avi(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val avih = chunk("avih", le32b(40000) ++ le32b(0) ++ le32b(0) ++
+        le32b(0) ++ le32b(frames.size) ++ le32b(0) ++ le32b(1) ++
+        le32b(0) ++ le32b(32) ++ le32b(24) ++ Array.fill[Byte](16)(0))
+      val body = rlist("hdrl", avih) ++
+        rlist("movi", frames.map(f => chunk("00dc", f)).reduce(_ ++ _))
+      "RIFF".getBytes ++ le32b(body.length + 4) ++ "AVI ".getBytes ++ body
+    }
+    val (a, b, c, d, x, y, z) = (pattern(1), pattern(2), pattern(3),
+      pattern(4), pattern(11), pattern(12), pattern(13))
+    val fake = "00FAKE00deadbeef".getBytes
+    val rows = Seq(
+      Row(1L, "video", avi(Seq(a, b, c)), "video/avi", 0, 0, 0L, "v1"),
+      Row(2L, "video", avi(Seq(a, b, d)), "video/avi", 0, 0, 0L, "v2"),
+      Row(3L, "video", avi(Seq(x, y, z)), "video/avi", 0, 0, 0L, "v3"),
+      // fake replicas: same content, 2500ms -> 3 sampled frames
+      Row(10L, "video", fake, "application/octet-stream", 0, 0, 2500L, "f1"),
+      Row(11L, "video", fake, "application/octet-stream", 0, 0, 2500L, "f2"))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.mediaSchema)
+    val pairs = Multimodal.videoNearDup(media, everyMs = 1000L,
+        minShared = 2).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // real AVIs: 1 and 2 share exactly frames a, b; 3 shares nothing
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) == 2L)
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    // fake replicas share all 3 sampled frame hashes
+    assert(pairs((10L, 11L)) == 3L)
+    assert(pairs.size == 2)
+  }
+
   test("multimodal: real MJPEG-AVI frames decode via the JDK image codec") {
     // synthesize 5 solid-color JPEG frames and wrap them in a real AVI
     def jpegFrame(rgb: Int, w: Int, h: Int): Array[Byte] = {
