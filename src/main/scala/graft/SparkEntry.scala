@@ -1646,6 +1646,28 @@ object SparkEntry {
              |SELECT component, term, score, rank FROM ranked
              |WHERE rank <= 3 ORDER BY 1, 4""".stripMargin)),
 
+    // -- water-filling mix rates: hit target shares, keep the most data --
+    "doc_mix_rates" -> Gated(
+      (s, d) => Sample.mixRates(TestData.table(s, d, "documents"), "lang",
+          Seq("en" -> 0.5, "zh" -> 0.15, "es" -> 0.15,
+            "de" -> 0.1, "fr" -> 0.1))
+        .orderBy(col("stratum")),
+      Some("""WITH c AS (SELECT lang AS stratum, count(*) AS n
+             |  FROM documents GROUP BY 1),
+             |t AS (SELECT stratum, share::DOUBLE AS share FROM (VALUES
+             |  ('en', 0.5), ('zh', 0.15), ('es', 0.15),
+             |  ('de', 0.1), ('fr', 0.1)) v(stratum, share)),
+             |j AS (SELECT t.stratum, t.share, coalesce(c.n, 0) AS n
+             |  FROM t LEFT JOIN c USING (stratum)),
+             |m AS MATERIALIZED (SELECT min(n / share) AS tt FROM j),
+             |k AS (SELECT stratum, n, share,
+             |    floor(share * (SELECT tt FROM m))::BIGINT AS take_n
+             |  FROM j)
+             |SELECT stratum, n, share, take_n,
+             |  CASE WHEN n > 0 THEN round(take_n::DOUBLE / n, 6)
+             |    ELSE 0.0 END AS rate
+             |FROM k ORDER BY 1""".stripMargin)),
+
     // -- curation: deterministic corpus mixing (per-stratum sampling) ----
     // Hash-Bernoulli keep decision (md5 of doc_id + seed), stratified by
     // token-count bucket — reproducible on any cluster size; the oracle

@@ -175,6 +175,44 @@ object Sample {
     df.withColumn("split", label)
   }
 
+  /** Water-filling mix rates: given target SHARES per stratum (language,
+    * source), the per-stratum sampling rates that hit the target
+    * composition exactly while keeping the most data — the planning
+    * step before [[corpusMix]] (which takes rates, not shares). The
+    * binding stratum is the one that runs out first: total
+    * `T = min_s(n_s / share_s)`, each stratum takes
+    * `floor(share_s · T)` docs, rate = take/n. Strata absent from
+    * `targets` are excluded (rate 0 by omission); a target stratum
+    * absent from the data pins T to 0 — loudly empty, not silently
+    * skewed.
+    *
+    * One stratum-scale aggregate joined to the broadcast target list;
+    * the global min is an aggregate over |targets| rows. All derived
+    * doubles divide exact longs by literal shares — engine-portable
+    * after round 6.
+    *
+    * Output: stratum, `n`, `share`, `take_n`, `rate` (rounded 6). */
+  def mixRates(df: DataFrame, stratumCol: String,
+               targets: Seq[(String, Double)]): DataFrame = {
+    require(targets.nonEmpty && targets.forall(_._2 > 0),
+      "target shares must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tgt = broadcast(targets.toDF("stratum", "share"))
+    val counts = df.select(col(stratumCol).as("stratum"))
+      .groupBy(col("stratum")).agg(count(lit(1)).as("n"))
+    val joined = tgt.join(counts, Seq("stratum"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val t = joined.agg(min(col("n") / col("share")).as("__t"))
+    joined.crossJoin(broadcast(t))
+      .withColumn("take_n", floor(col("share") * col("__t")).cast("long"))
+      .withColumn("rate", when(col("n") > 0,
+        round(col("take_n").cast("double") / col("n"), 6))
+        .otherwise(lit(0.0)))
+      .select(col("stratum"), col("n"), col("share"), col("take_n"),
+        col("rate"))
+  }
+
   /** Per-group score calibration: percent rank and z-score of a score
     * within each group — the normalization step before thresholding a
     * quality score ACROSS heterogeneous sources (a raw LM score cut

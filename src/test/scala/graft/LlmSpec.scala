@@ -1640,6 +1640,27 @@ class LlmSpec extends SparkFunSuite {
     assert(nCand >= nTrue)                    // candidates cover truth
   }
 
+  test("mixRates: binding stratum caps the mix; missing target pins 0") {
+    import graft.llm.Sample
+    val sp2 = spark
+    import sp2.implicits._
+    // en 80, de 20: targets 50/50 -> de binds (20/.5 = 40 docs total)
+    val df = ((1 to 80).map(i => (i.toLong, "en")) ++
+      (81 to 100).map(i => (i.toLong, "de"))).toDF("doc_id", "lang")
+    val r = Sample.mixRates(df, "lang", Seq("en" -> 0.5, "de" -> 0.5))
+      .orderBy("stratum").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(3),
+        x.getDouble(4)))
+    assert(r.toSeq == Seq(
+      ("de", 20L, 20L, 1.0),     // binding stratum keeps everything
+      ("en", 80L, 20L, 0.25)))   // 20 of 80: exact 50/50 composition
+    // a target stratum with no data pins the whole mix to zero — loud
+    val z = Sample.mixRates(df, "lang",
+        Seq("en" -> 0.5, "xx" -> 0.5))
+      .collect().map(x => (x.getString(0), x.getLong(3))).toMap
+    assert(z("en") == 0L && z("xx") == 0L)
+  }
+
   test("softDedupWeights: 1/cluster-size, singletons weigh 1") {
     val sp2 = spark
     import sp2.implicits._
