@@ -1668,6 +1668,46 @@ object SparkEntry {
              |    ELSE 0.0 END AS rate
              |FROM k ORDER BY 1""".stripMargin)),
 
+    // -- contamination attribution: which bench items leak, from where ---
+    "doc_contamination_report" -> Gated(
+      (s, d) => {
+        val docs = TestData.table(s, d, "documents")
+        Dedup.contaminationReport(
+          docs.filter(col("doc_id") % 50 =!= 3),
+          docs.filter(col("doc_id") % 50 === 3),
+          n = 3)
+          .orderBy(col("bench_id"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+             |  FROM documents),
+             |grams AS (
+             |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+             |    THEN list_transform(range(1, len(t) - 1),
+             |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+             |    ELSE [] END) AS g
+             |  FROM toks),
+             |ce AS (SELECT doc_id AS corpus_id, unnest(g) AS gr
+             |  FROM grams WHERE doc_id % 50 <> 3),
+             |heavy AS MATERIALIZED (SELECT gr FROM ce
+             |  GROUP BY 1 HAVING count(*) > 1000),
+             |cr AS (SELECT * FROM ce
+             |  WHERE gr NOT IN (SELECT gr FROM heavy)),
+             |be AS (SELECT doc_id AS bench_id, unnest(g) AS gr
+             |  FROM grams WHERE doc_id % 50 = 3),
+             |br AS MATERIALIZED (SELECT * FROM be
+             |  WHERE gr NOT IN (SELECT gr FROM heavy)),
+             |nb AS (SELECT bench_id, count(*) AS nb FROM br GROUP BY 1),
+             |p AS (SELECT br.bench_id, cr.corpus_id, count(*) AS n_shared
+             |  FROM br JOIN cr USING (gr) GROUP BY 1, 2),
+             |r AS (SELECT p.*, nb.nb, row_number() OVER (
+             |    PARTITION BY p.bench_id
+             |    ORDER BY n_shared DESC, corpus_id) AS rn
+             |  FROM p JOIN nb USING (bench_id))
+             |SELECT bench_id, corpus_id, n_shared,
+             |  round(n_shared::DOUBLE / nb, 6) AS overlap
+             |FROM r WHERE rn = 1 ORDER BY 1""".stripMargin)),
+
     // -- curation: deterministic corpus mixing (per-stratum sampling) ----
     // Hash-Bernoulli keep decision (md5 of doc_id + seed), stratified by
     // token-count bucket — reproducible on any cluster size; the oracle

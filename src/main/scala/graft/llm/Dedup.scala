@@ -339,6 +339,49 @@ object Dedup {
         (col("hits") >= minHits).as("contaminated"))
   }
 
+  /** Contamination attribution report — [[decontaminate]] tells you
+    * which CORPUS docs to drop; this tells you which BENCHMARK items
+    * leaked and from WHERE: per benchmark doc with any shingle overlap,
+    * the corpus doc sharing the most distinct shingles, plus the
+    * fraction of the benchmark item it covers (the evidence row an eval
+    * audit needs — "GSM8K item 412 appears verbatim in crawl doc X").
+    *
+    * Same one-universe heavy-shingle valve as [[shinglePairCounts]]:
+    * over-owned shingles (boilerplate) drop from BOTH sides before
+    * sizing, so the overlap fraction never mixes universes. Candidates
+    * form only on shared-shingle buckets; the top-1 window runs over the
+    * (bench, corpus-candidate) pair frame.
+    *
+    * Output: `bench_id`, `corpus_id` (strongest source), `n_shared`
+    * (distinct shared shingles), `overlap` (share of the bench item's
+    * retained shingles, rounded 6). */
+  def contaminationReport(corpus: DataFrame, benchmark: DataFrame,
+                          n: Int = 3, maxBucket: Int = 1000,
+                          textCol: String = "text",
+                          idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bs0 = benchmark.select(col(idCol).as("bench_id"),
+      explode(hashedShingles(col(textCol), n)).as("g"))
+    val cs0 = corpus.select(col(idCol).as("corpus_id"),
+      explode(hashedShingles(col(textCol), n)).as("g"))
+    val heavy = cs0.groupBy(col("g")).count()
+      .filter(col("count") > maxBucket).select(col("g"))
+    val cs = cs0.join(broadcast(heavy), Seq("g"), "left_anti")
+    val bs = bs0.join(broadcast(heavy), Seq("g"), "left_anti")
+    val nb = bs.groupBy(col("bench_id")).agg(count(lit(1)).as("__nb"))
+    val pairs = bs.join(cs, "g")
+      .groupBy(col("bench_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs.join(nb, "bench_id")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("bench_id"))
+          .orderBy(col("n_shared").desc, col("corpus_id").asc)))
+      .filter(col("__rn") === 1)
+      .select(col("bench_id"), col("corpus_id"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("__nb"), 6)
+          .as("overlap"))
+  }
+
   // --- MinHash + LSH -------------------------------------------------------
 
   /** `numHashes` MinHash signature of the shingle set — standard MinHash

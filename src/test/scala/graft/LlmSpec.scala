@@ -1661,6 +1661,25 @@ class LlmSpec extends SparkFunSuite {
     assert(z("en") == 0L && z("xx") == 0L)
   }
 
+  test("contaminationReport: strongest source attributed per bench item") {
+    val corpus = docs(Seq(
+      "alpha beta gamma delta epsilon zeta eta theta",       // 0: source
+      "alpha beta gamma delta nothing else here at all",     // 1: weaker
+      "totally unrelated content about llamas and pumps"))   // 2
+    val bench = docs(Seq(
+      "alpha beta gamma delta epsilon zeta eta theta"))      // = corpus 0
+      .select((col("doc_id") + 100L).as("doc_id"), col("text"))
+    val r = Dedup.contaminationReport(corpus, bench, n = 3).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    // 6 shingles in the bench item; doc 0 shares all 6 (overlap 1.0),
+    // doc 1 shares only 2 — the top-1 row names doc 0
+    assert(r.toSeq == Seq((100L, 0L, 6L, 1.0)))
+    // an uncontaminated bench item emits no row
+    val clean = docs(Seq("completely novel sentence with fresh words"))
+      .select((col("doc_id") + 200L).as("doc_id"), col("text"))
+    assert(Dedup.contaminationReport(corpus, clean, n = 3).count() == 0)
+  }
+
   test("softDedupWeights: 1/cluster-size, singletons weigh 1") {
     val sp2 = spark
     import sp2.implicits._
