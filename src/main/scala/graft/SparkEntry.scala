@@ -4057,6 +4057,64 @@ object SparkEntry {
               |  round(1.0, 6) AS recall
               |FROM pairs""".stripMargin)),
 
+    // -- Prometheus irate: last-two-sample instantaneous rate ------------
+    "ts_irate" -> Gated(
+      (s, d) => {
+        val ev = TestData.events(s, d).samples
+          .select(col("metric"),
+            element_at(col("tags"), "user").as("user"),
+            col("ts"), col("value"))
+        TsAnalytics.instantRate(ev, Seq("metric", "user"), "ts", "value")
+          .orderBy(col("metric"), col("user"))
+      },
+      Some(s"""WITH s0 AS (SELECT event_type AS metric,
+              |    user_id::VARCHAR AS user, $tsSql AS t, value
+              |  FROM events WHERE value IS NOT NULL),
+              |agg AS (SELECT metric, user, t, max(value) AS v
+              |  FROM s0 GROUP BY 1, 2, 3),
+              |rk AS (SELECT *, row_number() OVER (
+              |    PARTITION BY metric, user ORDER BY t DESC) AS rn
+              |  FROM agg),
+              |p AS (SELECT metric, user,
+              |    max(CASE WHEN rn = 1 THEN t END) AS lt,
+              |    max(CASE WHEN rn = 1 THEN v END) AS lv,
+              |    max(CASE WHEN rn = 2 THEN t END) AS pt,
+              |    max(CASE WHEN rn = 2 THEN v END) AS pv
+              |  FROM rk WHERE rn <= 2 GROUP BY 1, 2
+              |  HAVING count(*) = 2)
+              |SELECT metric, user, lt AS ts, lt - pt AS dt_ns,
+              |  round((CASE WHEN lv < pv THEN lv ELSE lv - pv END) /
+              |    ((lt - pt)::DOUBLE / 1000000000.0), 6) AS rate,
+              |  lv < pv AS reset
+              |FROM p ORDER BY 1, 2""".stripMargin)),
+
+    // -- Prometheus increase: counter-aware per-bucket delta sum ---------
+    "ts_increase" -> Gated(
+      (s, d) => {
+        val ev = TestData.events(s, d).samples
+          .select(col("metric"),
+            element_at(col("tags"), "user").as("user"),
+            col("ts"), col("value"))
+        TsAnalytics.counterIncrease(ev, Seq("metric", "user"),
+            "ts", "value", bucketNs = Day)
+          .orderBy(col("metric"), col("user"), col("bucket"))
+      },
+      Some(s"""WITH s0 AS (SELECT event_type AS metric,
+              |    user_id::VARCHAR AS user, $tsSql AS t, value
+              |  FROM events WHERE value IS NOT NULL),
+              |agg AS (SELECT metric, user, t, max(value) AS v
+              |  FROM s0 GROUP BY 1, 2, 3),
+              |lg AS (SELECT *, lag(v) OVER (
+              |    PARTITION BY metric, user ORDER BY t) AS pv
+              |  FROM agg)
+              |SELECT metric, user, (t // $Day) * $Day AS bucket,
+              |  count(*) AS n,
+              |  count(*) FILTER (WHERE v < pv) AS n_resets,
+              |  round(sum(CASE WHEN v < pv THEN v ELSE v - pv END), 6)
+              |    AS increase
+              |FROM lg WHERE pv IS NOT NULL
+              |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
     // -- all-pairs metric correlation matrix over aligned buckets --------
     "ts_corr_matrix" -> Gated(
       (s, d) => TsAnalytics.correlationMatrix(

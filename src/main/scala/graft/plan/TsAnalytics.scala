@@ -1394,6 +1394,80 @@ object TsAnalytics {
           .as("f_trend"))
   }
 
+  /** Instantaneous rate (Prometheus `irate`): per series, the
+    * per-second rate between the LAST TWO samples — the spiky-counter
+    * panel signal (a range-average `rate` flattens the spike you are
+    * being paged about). Counter resets (value drops) restart from 0:
+    * the rate becomes `v_last / Δt`, the Prometheus convention. Series
+    * with fewer than two samples emit nothing.
+    *
+    * Shape: duplicate instants collapse to max, ONE keyed window pass
+    * ranks from the tail, and only ranks 1–2 survive into a tiny
+    * per-series aggregate (Catalyst group-limits the rank filter).
+    *
+    * Output: on cols, `ts` (last sample), `dt_ns`, `rate`
+    * (per second, rounded 6), `reset` (true when the counter dropped). */
+  def instantRate(df: DataFrame, on: Seq[String], tsCol: String,
+                  valueCol: String): DataFrame = {
+    require(on.nonEmpty)
+    val w = Window.partitionBy(on.map(col): _*).orderBy(col("__t").desc)
+    val last2 = df.select(
+      (on.map(col) :+ col(tsCol).cast("long").as("__t") :+
+        col(valueCol).cast("double").as("__v")): _*)
+      .filter(col("__v").isNotNull)
+      .groupBy((on.map(col) :+ col("__t")): _*)
+      .agg(max(col("__v")).as("__v"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 2)
+    val agged = last2.groupBy(on.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        max(when(col("__rn") === 1,
+          struct(col("__t").as("t"), col("__v").as("v")))).as("__l"),
+        max(when(col("__rn") === 2,
+          struct(col("__t").as("t"), col("__v").as("v")))).as("__p"))
+      .filter(col("__n") === 2)
+    val dt = col("__l.t") - col("__p.t")
+    val reset = col("__l.v") < col("__p.v")
+    val delta = when(reset, col("__l.v"))
+      .otherwise(col("__l.v") - col("__p.v"))
+    agged.select((on.map(col) ++ Seq(col("__l.t").as("ts"),
+      dt.as("dt_ns"),
+      round(delta / (dt.cast("double") / 1000000000.0), 6).as("rate"),
+      reset.as("reset"))): _*)
+  }
+
+  /** Counter-aware increase per (series, bucket) (Prometheus
+    * `increase`): the sum of non-negative sample-to-sample deltas, a
+    * counter RESET contributing the post-reset value (counting restarts
+    * from 0, never a negative spike). The first sample of a series has
+    * no predecessor and contributes nothing; deltas attribute to the
+    * CURRENT sample's bucket.
+    *
+    * Shape: ONE keyed event-scale lag window, then a hash aggregate to
+    * buckets. Output: on cols, `bucket`, `n` (deltas summed),
+    * `n_resets`, `increase` (rounded 6). */
+  def counterIncrease(df: DataFrame, on: Seq[String], tsCol: String,
+                      valueCol: String, bucketNs: Long): DataFrame = {
+    require(on.nonEmpty && bucketNs > 0)
+    val w = Window.partitionBy(on.map(col): _*).orderBy(col("__t").asc)
+    val lagged = df.select(
+      (on.map(col) :+ col(tsCol).cast("long").as("__t") :+
+        col(valueCol).cast("double").as("__v")): _*)
+      .filter(col("__v").isNotNull)
+      .groupBy((on.map(col) :+ col("__t")): _*)
+      .agg(max(col("__v")).as("__v"))
+      .withColumn("__pv", lag(col("__v"), 1).over(w))
+      .filter(col("__pv").isNotNull)
+    val reset = col("__v") < col("__pv")
+    val inc = when(reset, col("__v")).otherwise(col("__v") - col("__pv"))
+    lagged
+      .groupBy((on.map(col) :+
+        (expr(s"__t div ${bucketNs}L") * bucketNs).as("bucket")): _*)
+      .agg(count(lit(1)).as("n"),
+        count(when(reset, 1)).as("n_resets"),
+        round(sum(inc), 6).as("increase"))
+  }
+
   /** All-pairs metric correlation matrix over aligned time buckets —
     * "which metrics move together" ([[crosscorrelation]] generalized
     * from one pair at lag range to every pair at lag 0): bucket means

@@ -504,6 +504,38 @@ class TsAnalyticsSpec extends SparkFunSuite {
       (190L, 0L, 1L, None)))      // nothing before: delta null
   }
 
+  test("instantRate: last two samples, reset restarts from zero") {
+    val df = Seq(
+      ("s", 1000000000L, 10.0), ("s", 2000000000L, 20.0),
+      ("s", 4000000000L, 30.0),             // last pair: +10 over 2s
+      ("r", 1000000000L, 100.0), ("r", 3000000000L, 4.0), // reset
+      ("one", 5L, 1.0))                     // single sample: no row
+      .toDF("k", "ts", "v")
+    val r = TsAnalytics.instantRate(df, Seq("k"), "ts", "v")
+      .collect().map(x => (x.getString(0),
+        (x.getLong(1), x.getLong(2), x.getDouble(3), x.getBoolean(4))))
+      .toMap
+    assert(r("s") == ((4000000000L, 2000000000L, 5.0, false)))
+    // reset: rate counts from 0 -> 4.0 over 2s = 2/s
+    assert(r("r") == ((3000000000L, 2000000000L, 2.0, true)))
+    assert(!r.contains("one"))
+  }
+
+  test("counterIncrease: positive deltas sum, resets count from zero") {
+    // series: 10 -> 15 (+5) | bucket 1: 18 (+3), 2 (reset: +2), 7 (+5)
+    val df = Seq(
+      ("c", 1L, 10.0), ("c", 5L, 15.0),
+      ("c", 11L, 18.0), ("c", 15L, 2.0), ("c", 18L, 7.0))
+      .toDF("k", "ts", "v")
+    val r = TsAnalytics.counterIncrease(df, Seq("k"), "ts", "v",
+        bucketNs = 10L)
+      .orderBy("bucket").collect()
+      .map(x => (x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4)))
+    assert(r.toSeq == Seq(
+      (0L, 1L, 0L, 5.0),     // first sample contributes nothing
+      (10L, 3L, 1L, 10.0)))  // 3 + 2 (post-reset) + 5
+  }
+
   test("seasonalAnomalies: flags only the injected outlier") {
     // same clean periodic construction as the decompose spec, but one
     // bucket is knocked +50 off its pattern — after removing trend and
