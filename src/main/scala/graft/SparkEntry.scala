@@ -4057,6 +4057,35 @@ object SparkEntry {
               |  round(1.0, 6) AS recall
               |FROM pairs""".stripMargin)),
 
+    // -- per-series overview panel (count/span/gaps/range/percentiles) ---
+    "ts_series_overview" -> Gated(
+      (s, d) => {
+        val ev = TestData.events(s, d).samples
+        val withS = ev.select(col("metric"),
+          TsStore.snameOf(col("metric"),
+            TsStore.tagStr(col("tags"))).as("sname"),
+          col("ts"), col("value"))
+        TsAnalytics.seriesOverview(withS, Seq("metric", "sname"),
+            "ts", "value")
+          .orderBy(col("metric"), col("sname"))
+      },
+      Some(s"""WITH s0 AS (SELECT event_type AS metric,
+              |    ${snameSql("event_type")} AS sname, $tsSql AS t, value
+              |  FROM events WHERE value IS NOT NULL),
+              |agg AS (SELECT metric, sname, t, max(value) AS v
+              |  FROM s0 GROUP BY 1, 2, 3),
+              |g AS (SELECT *, t - lag(t) OVER (
+              |    PARTITION BY metric, sname ORDER BY t) AS gap
+              |  FROM agg)
+              |SELECT metric, sname, count(*) AS n,
+              |  min(t) AS first_ts, max(t) AS last_ts,
+              |  max(t) - min(t) AS span_ns, max(gap) AS max_gap_ns,
+              |  min(v) AS vmin, max(v) AS vmax,
+              |  round(avg(v), 6) AS mean,
+              |  round(quantile_cont(v, 0.5), 6) AS p50,
+              |  round(quantile_cont(v, 0.95), 6) AS p95
+              |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // -- Prometheus irate: last-two-sample instantaneous rate ------------
     "ts_irate" -> Gated(
       (s, d) => {

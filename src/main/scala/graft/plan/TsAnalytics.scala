@@ -1394,6 +1394,39 @@ object TsAnalytics {
           .as("f_trend"))
   }
 
+  /** Per-series overview — the one-row-per-series summary every series
+    * browser fires before anything else: sample count, observed span,
+    * value range/mean/p50/p95, and the largest inter-sample gap (the
+    * "this series has a hole" flag). Exact interpolated percentiles
+    * (the [[bucketQuantiles]] buffer caveat); duplicate instants
+    * collapse to max first so the gap statistic is order-independent.
+    *
+    * Shape: one keyed lag window for gaps + ONE hash aggregate; output
+    * is series-scale. Output: on cols, `n`, `first_ts`, `last_ts`,
+    * `span_ns`, `max_gap_ns` (null for single-sample series), `vmin`,
+    * `vmax`, `mean`, `p50`, `p95` (rounded 6). */
+  def seriesOverview(df: DataFrame, on: Seq[String], tsCol: String,
+                     valueCol: String): DataFrame = {
+    require(on.nonEmpty)
+    val w = Window.partitionBy(on.map(col): _*).orderBy(col("__t").asc)
+    df.select(
+      (on.map(col) :+ col(tsCol).cast("long").as("__t") :+
+        col(valueCol).cast("double").as("__v")): _*)
+      .filter(col("__v").isNotNull)
+      .groupBy((on.map(col) :+ col("__t")): _*)
+      .agg(max(col("__v")).as("__v"))
+      .withColumn("__gap", col("__t") - lag(col("__t"), 1).over(w))
+      .groupBy(on.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        min(col("__t")).as("first_ts"), max(col("__t")).as("last_ts"),
+        (max(col("__t")) - min(col("__t"))).as("span_ns"),
+        max(col("__gap")).as("max_gap_ns"),
+        min(col("__v")).as("vmin"), max(col("__v")).as("vmax"),
+        round(avg(col("__v")), 6).as("mean"),
+        round(percentile(col("__v"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("__v"), lit(0.95)), 6).as("p95"))
+  }
+
   /** Instantaneous rate (Prometheus `irate`): per series, the
     * per-second rate between the LAST TWO samples — the spiky-counter
     * panel signal (a range-average `rate` flattens the spike you are

@@ -536,6 +536,23 @@ class TsAnalyticsSpec extends SparkFunSuite {
       (10L, 3L, 1L, 10.0)))  // 3 + 2 (post-reset) + 5
   }
 
+  test("seriesOverview: counts, span, max gap, percentiles") {
+    val df = Seq(
+      ("s", 0L, 1.0), ("s", 10L, 2.0), ("s", 40L, 3.0), ("s", 50L, 4.0),
+      ("s", 50L, 0.5),                    // dup instant: max wins (4.0)
+      ("one", 7L, 9.0))
+      .toDF("k", "ts", "v")
+    val r = TsAnalytics.seriesOverview(df, Seq("k"), "ts", "v")
+      .collect().map(x => x.getString(0) -> x).toMap
+    val s = r("s")
+    assert(s.getLong(1) == 4L && s.getLong(2) == 0L && s.getLong(3) == 50L)
+    assert(s.getLong(4) == 50L && s.getLong(5) == 30L) // gap 10->40
+    assert(s.getDouble(6) == 1.0 && s.getDouble(7) == 4.0)
+    assert(s.getDouble(8) == 2.5 && s.getDouble(9) == 2.5) // mean, p50
+    val one = r("one")
+    assert(one.getLong(1) == 1L && one.isNullAt(5)) // no gap for 1 sample
+  }
+
   test("seasonalAnomalies: flags only the injected outlier") {
     // same clean periodic construction as the decompose spec, but one
     // bucket is knocked +50 off its pattern — after removing trend and
