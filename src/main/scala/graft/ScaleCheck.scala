@@ -219,6 +219,23 @@ object ScaleCheck {
       Embed.knnClassify(emb.filter(col("vec_id") % 5 =!= 0),
         emb.filter(col("vec_id") % 101 === 0), k = 5).count()
     }
+    timed("doc_contamination_report") {
+      Dedup.contaminationReport(docs.filter(col("doc_id") % 50 =!= 3),
+        docs.filter(col("doc_id") % 50 === 3), n = 3).count()
+    }
+    timed("mm_video_near_dup") {
+      graft.llm.Multimodal.videoNearDup(
+        graft.llm.Multimodal.fromDocuments(docs), everyMs = 1000L,
+        minShared = 2).count()
+    }
+    timed("ts_series_overview") {
+      TsAnalytics.seriesOverview(store.samples, Seq("metric"), "ts",
+        "value").count()
+    }
+    timed("ts_increase") {
+      TsAnalytics.counterIncrease(store.samples, Seq("metric"), "ts",
+        "value", bucketNs = Day).count()
+    }
 
     def jval(v: Any): String = v match {
       case d: Double => f"$d%.3f"
