@@ -15,6 +15,11 @@ OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# record the oracle engine version: hash mismatches have twice been
+# comparator-environment artifacts (round-5 mm_vad/doc_vocab_growth),
+# and the first triage question is "which DuckDB ran the oracle"
+print(f"oracle: duckdb {duckdb.__version__}")
+
 con = duckdb.connect()
 for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
