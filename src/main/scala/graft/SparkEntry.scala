@@ -3924,6 +3924,38 @@ object SparkEntry {
               |  max(CASE WHEN rl = 1 THEN value END) AS last_v
               |FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
 
+    // -- rollup store maintenance: incremental batch fold ----------------
+    // build from the pre-split half, update() with the rest, serve at
+    // 2d: the merge algebra must reproduce the full-rebuild answer (the
+    // same oracle as ts_rollup_serve — direct aggregation over ALL rows)
+    "ts_rollup_update" -> Gated(
+      (s, d) => {
+        val tmp = s"/tmp/graft_ruup_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+        val ev = TestData.events(s, d).samples
+        val mid = AkuTime.parseTs("20240116T000000")
+        graft.io.Rollup.write(ev.filter(col("ts") < mid), tmp, Seq(Day))
+        graft.io.Rollup.update(ev.filter(col("ts") >= mid), tmp)
+        graft.io.Rollup.serve(s, tmp, 2 * Day)
+          .orderBy(col("metric"), col("sname"), col("bucket"))
+      },
+      Some(s"""WITH b AS (SELECT event_type AS metric,
+              |    ${snameSql("event_type")} AS sname,
+              |    ($tsSql // ${2 * Day}) * ${2 * Day} AS bucket,
+              |    $tsSql AS t, value
+              |  FROM events WHERE value IS NOT NULL),
+              |f AS (SELECT *,
+              |    row_number() OVER (PARTITION BY metric, sname, bucket
+              |      ORDER BY t, value) AS rf,
+              |    row_number() OVER (PARTITION BY metric, sname, bucket
+              |      ORDER BY t DESC, value DESC) AS rl FROM b)
+              |SELECT metric, sname, bucket, count(*) AS cnt,
+              |  round(sum(value), 6) AS vsum,
+              |  min(value) AS vmin, max(value) AS vmax,
+              |  round(sum(value) / count(*), 6) AS mean,
+              |  max(CASE WHEN rf = 1 THEN value END) AS first_v,
+              |  max(CASE WHEN rl = 1 THEN value END) AS last_v
+              |FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
     // -- classical additive seasonal decomposition -----------------------
     // 6h buckets, period 5: trend = centered 5-bucket MA (null unless
     // the RANGE window holds a full period), seasonal = centered

@@ -30,10 +30,8 @@ object Rollup {
 
   private def stepDir(path: String, stepNs: Long) = s"$path/step=$stepNs"
 
-  /** Build and write rollups at each step. Input: the engine sample
-    * frame (metric, tags, ts, value). */
-  def write(samples: DataFrame, path: String, steps: Seq[Long]): Unit = {
-    require(steps.nonEmpty && steps.forall(_ > 0), "steps must be positive")
+  /** Per-step summary of a sample batch (the mergeable form). */
+  private def stepAgg(samples: DataFrame, step: Long): DataFrame = {
     val base = samples
       .filter(col("value").isNotNull)
       .select(col("metric"),
@@ -41,21 +39,71 @@ object Rollup {
           .as("sname"),
         col("ts").cast("long").as("ts"),
         col("value").cast("double").as("value"))
+    base
+      .groupBy(col("metric"), col("sname"),
+        (expr(s"ts div ${step}L") * step).as("bucket"))
+      .agg(count(col("value")).as("cnt"),
+        sum(col("value")).as("vsum"),
+        min(col("value")).as("vmin"),
+        max(col("value")).as("vmax"),
+        min(struct(col("ts").as("t"), col("value").as("v"))).as("__f"),
+        max(struct(col("ts").as("t"), col("value").as("v"))).as("__l"))
+      .select(col("metric"), col("sname"), col("bucket"), col("cnt"),
+        col("vsum"), col("vmin"), col("vmax"),
+        col("__f.t").as("first_ts"), col("__f.v").as("first_v"),
+        col("__l.t").as("last_ts"), col("__l.v").as("last_v"))
+  }
+
+  /** Merge summary rows sharing a (metric, sname, bucket) key — the
+    * associative algebra every serve/update path reuses. */
+  private def mergeSummaries(df: DataFrame): DataFrame =
+    df.groupBy(col("metric"), col("sname"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"),
+        sum(col("vsum")).as("vsum"),
+        min(col("vmin")).as("vmin"),
+        max(col("vmax")).as("vmax"),
+        min(struct(col("first_ts").as("t"), col("first_v").as("v")))
+          .as("__f"),
+        max(struct(col("last_ts").as("t"), col("last_v").as("v")))
+          .as("__l"))
+      .select(col("metric"), col("sname"), col("bucket"), col("cnt"),
+        col("vsum"), col("vmin"), col("vmax"),
+        col("__f.t").as("first_ts"), col("__f.v").as("first_v"),
+        col("__l.t").as("last_ts"), col("__l.v").as("last_v"))
+
+  /** Build and write rollups at each step. Input: the engine sample
+    * frame (metric, tags, ts, value). */
+  def write(samples: DataFrame, path: String, steps: Seq[Long]): Unit = {
+    require(steps.nonEmpty && steps.forall(_ > 0), "steps must be positive")
     steps.foreach { step =>
-      base
-        .groupBy(col("metric"), col("sname"),
-          (expr(s"ts div ${step}L") * step).as("bucket"))
-        .agg(count(col("value")).as("cnt"),
-          sum(col("value")).as("vsum"),
-          min(col("value")).as("vmin"),
-          max(col("value")).as("vmax"),
-          min(struct(col("ts").as("t"), col("value").as("v"))).as("__f"),
-          max(struct(col("ts").as("t"), col("value").as("v"))).as("__l"))
-        .select(col("metric"), col("sname"), col("bucket"), col("cnt"),
-          col("vsum"), col("vmin"), col("vmax"),
-          col("__f.t").as("first_ts"), col("__f.v").as("first_v"),
-          col("__l.t").as("last_ts"), col("__l.v").as("last_v"))
+      stepAgg(samples, step)
         .write.mode("overwrite").parquet(stepDir(path, step))
+    }
+  }
+
+  /** Incrementally fold a NEW sample batch into every stored rollup —
+    * the maintenance path a continuous ingest runs per batch: summarize
+    * the batch at each stored step, merge with the stored summaries
+    * (the mergeable algebra makes this EXACT, not approximate — the
+    * result is bit-for-bit what a full rebuild over old+new would
+    * produce, up to fp addition order in `vsum`), land out-of-place,
+    * swap by rename. Cost is batch-scale + touched-summary-scale; the
+    * raw history is never rescanned. */
+  def update(samples: DataFrame, path: String): Unit = {
+    val spark = samples.sparkSession
+    val steps = storedSteps(spark, path)
+    require(steps.nonEmpty, s"no rollup store at $path")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    steps.foreach { step =>
+      val dir = stepDir(path, step)
+      val tmp = s"$dir.updating"
+      val merged = mergeSummaries(
+        spark.read.parquet(dir).unionByName(stepAgg(samples, step)))
+      merged.write.mode("overwrite").parquet(tmp)
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(dir)), s"rename failed for $dir")
     }
   }
 

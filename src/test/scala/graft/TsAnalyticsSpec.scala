@@ -451,6 +451,31 @@ class TsAnalyticsSpec extends SparkFunSuite {
     }
   }
 
+  test("rollup update: incremental fold equals full rebuild") {
+    def mk(rows: Seq[(String, Long, Double)]) =
+      rows.toDF("metric", "ts", "value")
+        .withColumn("tags", map_from_arrays(
+          array().cast("array<string>"), array().cast("array<string>")))
+    val first = Seq(("m", 1L, 4.0), ("m", 2L, 9.0), ("m", 11L, 3.0))
+    val second = Seq(("m", 3L, 1.0),   // extends an EXISTING bucket:
+                                       // min/first must flip to the new row
+      ("m", 25L, 7.0))                 // and a brand-new bucket appears
+    val inc = java.nio.file.Files.createTempDirectory("graft_ri").toString
+    graft.io.Rollup.write(mk(first), inc, Seq(10L))
+    graft.io.Rollup.update(mk(second), inc)
+    val full = java.nio.file.Files.createTempDirectory("graft_rf").toString
+    graft.io.Rollup.write(mk(first ++ second), full, Seq(10L))
+    def served(p: String) = graft.io.Rollup.serve(spark, p, 10L)
+      .orderBy("bucket").collect()
+      .map(x => (x.getLong(2), x.getLong(3), x.getDouble(4),
+        x.getDouble(5), x.getDouble(6), x.getDouble(7), x.getDouble(8),
+        x.getDouble(9))).toSeq
+    assert(served(inc) == served(full))
+    // and the merged bucket is actually right: n=3, min 1.0, last 1.0
+    assert(served(inc).head == ((0L, 3L, 14.0, 1.0, 9.0, 4.666667,
+      4.0, 1.0)))
+  }
+
   test("seasonalityStrength: periodic series scores high, noise low") {
     // clean period-3 pattern on a flat base: seasonal strength ~ 1
     val effect = Seq(6.0, 0.0, -6.0)
