@@ -27,13 +27,18 @@ for t in TABLES:
 oracles = json.load(open(f"{OUT}/oracle_sql.json"))
 
 def norm(v):
+    # EXACT compare, mirroring the driver's hash: floats keep their full
+    # bit pattern (hex) and stay distinct from ints — 78 != 78.0. The old
+    # 9-decimal rounding masked the round-5/6 dtype reds (DuckDB HUGEINT
+    # sums → pandas float64 vs Spark int64); GateNorm now guarantees both
+    # sides emit int64 for every numeric column, so exact compare is the
+    # honest local gate.
     if v is None:
         return None
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # round to 9 significant-ish decimals to absorb fp noise
-        return round(v, 9)
+        return v.hex()
     return v
 
 fail = ok = 0

@@ -76,13 +76,30 @@ object Bench {
     * floor, so delete the entry from BENCH_floor.json in the same commit. */
   val floorPath = java.nio.file.Paths.get("BENCH_floor.json")
 
-  /** Returns (queryFloors, rateFloors, mayPersist). The ledger is bound to
-    * one scale factor — numbers from a dev run at sf0.001 must neither read
-    * as nor overwrite the official sf0.1 floors, so on an sf mismatch both
-    * maps come back empty and the run must not write the file. */
-  def loadFloor(sfDir: String): (Map[String, Double], Map[String, Double], Boolean) = {
+  /** Plan-regression guard (VERDICT r6 #8): an audited query whose
+    * executed-plan exchange count EXCEEDS its ledger floor is a shuffle
+    * regression — wall-clock on this host swings 3-30x with contention,
+    * but the exchange count of an unchanged plan is deterministic, so
+    * this is the one bench signal that can hard-fail. A DELIBERATE plan
+    * change (new exchange that buys something) follows the ledger
+    * discipline above: delete the query's entry from BENCH_floor.json in
+    * the same commit, and the next run re-seeds it. */
+  def planRegressions(floor: Map[String, Double],
+                      current: Map[String, Int]): Seq[String] =
+    current.toSeq.sortBy(_._1).collect {
+      case (k, ex) if floor.get(k).exists(ex > _) =>
+        s"$k: exchanges $ex > floor ${floor(k).toInt}"
+    }
+
+  /** Returns (queryFloors, rateFloors, planFloors, mayPersist). The ledger
+    * is bound to one scale factor — numbers from a dev run at sf0.001 must
+    * neither read as nor overwrite the official sf0.1 floors, so on an sf
+    * mismatch the maps come back empty and the run must not write the
+    * file. planFloors = minimum-ever exchange count per audited query. */
+  def loadFloor(sfDir: String): (Map[String, Double], Map[String, Double],
+      Map[String, Double], Boolean) = {
     if (!java.nio.file.Files.exists(floorPath))
-      return (Map.empty, Map.empty, true)
+      return (Map.empty, Map.empty, Map.empty, true)
     try {
       // minimal flat-JSON parse (two string->number maps); avoids a JSON dep
       val txt = new String(java.nio.file.Files.readAllBytes(floorPath),
@@ -101,9 +118,9 @@ object Bench {
       }
       val sfRe = """"sf"\s*:\s*"([^"]*)"""".r
       val ledgerSf = sfRe.findFirstMatchIn(txt).map(_.group(1))
-      if (ledgerSf.exists(_ != sfDir)) (Map.empty, Map.empty, false)
-      else (section("queries"), section("rates"), true)
-    } catch { case _: Throwable => (Map.empty, Map.empty, false) }
+      if (ledgerSf.exists(_ != sfDir)) (Map.empty, Map.empty, Map.empty, false)
+      else (section("queries"), section("rates"), section("plans"), true)
+    } catch { case _: Throwable => (Map.empty, Map.empty, Map.empty, false) }
   }
 
   def main(args: Array[String]): Unit = {
@@ -294,7 +311,7 @@ object Bench {
     // gates' executed plans and publish exchange/broadcast/pruned-scan
     // counts in the artifact, so a 3-exchange outlier like r5's
     // ts_rate_resets is caught by diffing BENCH_full.json, not by eye.
-    val planAudit: Seq[(String, String)] =
+    val planAudit: Seq[(String, Int, String)] =
       if (skipQueries) Seq.empty
       else okResults.sortBy(-_._2).take(10).map(_._1).sorted.flatMap { name =>
         try {
@@ -304,8 +321,8 @@ object Bench {
           val bc = "BroadcastExchange".r.findAllIn(plan).size
           val scans = "Scan parquet".r.findAllIn(plan).size
           val pushed = "PushedFilters: \\[[^\\]]".r.findAllIn(plan).size
-          Some(name ->
-            s"""{"exchanges":$ex,"broadcasts":$bc,"scans":$scans,"pushed_scans":$pushed}""")
+          Some((name, ex,
+            s"""{"exchanges":$ex,"broadcasts":$bc,"scans":$scans,"pushed_scans":$pushed}"""))
         } catch { case _: Throwable => None }
       }
 
@@ -315,7 +332,15 @@ object Bench {
     // quiet host, >>1 when the container is degraded (r5's official run
     // measured 3-6x on identical code). A factor > 2 flags the run's own
     // times as unrepresentative; the floor columns carry the real signal.
-    val (floorQ0, floorR0, floorPersist) = loadFloor(sfDir)
+    val (floorQ0, floorR0, floorP0, floorPersist) = loadFloor(sfDir)
+    // exchange-count guard: evaluated against the PRE-merge ledger, the
+    // merged ledger keeps the min so a deliberate improvement ratchets
+    val exNow = planAudit.map { case (k, ex, _) => k -> ex }.toMap
+    val planRegs = planRegressions(floorP0, exNow)
+    val floorP = (floorP0.keySet ++ exNow.keySet).map { k =>
+      k -> math.min(floorP0.getOrElse(k, Double.MaxValue),
+        exNow.get(k).map(_.toDouble).getOrElse(Double.MaxValue))
+    }.filter(_._2 < Double.MaxValue).toMap
     val floorQ = (floorQ0.keySet ++ okResults.map(_._1)).map { k =>
       val cur = okResults.toMap.get(k)
       k -> math.min(floorQ0.getOrElse(k, Double.MaxValue),
@@ -356,11 +381,14 @@ object Bench {
         val floorQJson = floorQ.toSeq.sortBy(_._1)
           .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
         val auditJson = planAudit
-          .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+          .map { case (k, _, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+        val floorPJson = floorP.toSeq.sortBy(_._1)
+          .map { case (k, v) => s""""$k":${v.toInt}""" }.mkString("{", ",", "}")
         // persist the merged ledger for the next run (repo cwd; committed)
         if (floorPersist)
           try java.nio.file.Files.write(floorPath,
-            (s"""{"sf":"$sfDir","queries":$floorQJson,"rates":$floorRJson}""" +
+            (s"""{"sf":"$sfDir","queries":$floorQJson,"rates":$floorRJson,""" +
+              s""""plans":$floorPJson}""" +
               "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
           catch { case _: java.io.IOException => () }
         s""""contention_factor":$contention,"rates_floor":$floorRJson,""" +
@@ -375,5 +403,12 @@ object Bench {
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: java.io.IOException => () } // read-only cwd: stdout stands
     spark.stop()
+    // hard-fail AFTER the artifact is published: the JSON above still
+    // carries the full run, but a shuffle regression must not pass as a
+    // green bench (see planRegressions scaladoc for the override path)
+    if (planRegs.nonEmpty) {
+      planRegs.foreach(r => Console.err.println(s"PLAN REGRESSION $r"))
+      sys.exit(2)
+    }
   }
 }

@@ -61,6 +61,68 @@ object SparkEntry {
       fn: (SparkSession, String) => DataFrame,
       oracle: Option[String])
 
+  /** One Lloyd step from the pinned vec_id<4 init, means rounded 6 —
+    * the shared centroid recipe of every IVF-celled gate (graph, topk,
+    * clusters), identical to the oracle's assign0/cm/cent CTEs. */
+  private def ivfCentroids(s: SparkSession, d: String): Seq[Seq[Double]] = {
+    val emb = TestData.table(s, d, "embeddings")
+    val init = emb.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+      .select(Embed.normalized(col("embedding")))
+      .collect().toSeq.map(_.getSeq[Double](0).toSeq)
+    val step = Embed.kmeansStep(emb, init)
+      .select(col("cell"), col("dim"), round(col("m"), 6).as("m"))
+      .collect()
+    val byCell = step.groupBy(_.getInt(0))
+    init.indices.map(c => byCell.get(c).fold(init(c))(
+      rs => rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq))
+  }
+
+  /** DuckDB replay of [[ivfCentroids]] + the probed-cell k-NN graph
+    * (knnGraphCells, probes=2): CTE chain ending in `r` = the ranked
+    * celled graph. Shared by embed_knn_graph_ivf / embed_knn_clusters. */
+  private val ivfKnnCtes: String =
+    """e0 AS (SELECT vec_id,
+      |    list_transform(embedding, x -> x::DOUBLE) AS v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, v, list_transform(v, x ->
+      |    x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS u
+      |  FROM e0),
+      |init AS (SELECT vec_id::INT AS cid, u FROM n WHERE vec_id < 4),
+      |assign0 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT n.vec_id, init.cid,
+      |      row_number() OVER (PARTITION BY n.vec_id
+      |        ORDER BY round(list_cosine_similarity(n.u, init.u), 6)
+      |          DESC, init.cid DESC) AS rn
+      |    FROM n CROSS JOIN init) WHERE rn = 1),
+      |mem AS (SELECT a.cid AS cell, n.u
+      |  FROM assign0 a JOIN n USING (vec_id)),
+      |cm AS (SELECT cell, (i - 1)::INT AS dim, round(avg(u[i]), 6) AS m
+      |  FROM mem CROSS JOIN
+      |    (SELECT unnest(generate_series(1, 64)) AS i)
+      |  GROUP BY 1, 2),
+      |cent AS (SELECT cell, list(m ORDER BY dim) AS cv
+      |  FROM cm GROUP BY cell),
+      |e AS (SELECT vec_id, v FROM e0
+      |  WHERE list_sum(list_transform(v, x -> x * x)) > 0),
+      |sc AS (SELECT e.vec_id, e.v, cent.cell,
+      |    round(list_cosine_similarity(e.v, cent.cv), 6) AS cs
+      |  FROM e CROSS JOIN cent),
+      |av AS (SELECT vec_id, v, cell FROM (SELECT *,
+      |    row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY cs DESC, cell DESC) AS rn FROM sc)
+      |  WHERE rn = 1),
+      |pq AS (SELECT vec_id AS qid, v AS qv, cell FROM (SELECT *,
+      |    row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY cs DESC, cell DESC) AS rn FROM sc)
+      |  WHERE rn <= 2),
+      |s AS (SELECT pq.qid, av.vec_id AS neighbor_id,
+      |    round(list_cosine_similarity(pq.qv, av.v), 6) AS score
+      |  FROM pq JOIN av USING (cell) WHERE av.vec_id <> pq.qid),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+      |    ORDER BY score DESC, neighbor_id ASC)::BIGINT AS rnk
+      |  FROM s)""".stripMargin
+
   /** All-pairs word-3gram Jaccard >= 0.5 in DuckDB — the oracle for both
     * the exact shared-shingle dedup and the MinHash-LSH path (whose
     * detection probability at J=0.5 with 64 bands x 2 rows is
@@ -2828,6 +2890,42 @@ object SparkEntry {
               |  AND $tsSql >= ${AkuTime.parseTs("20240110T000000")}
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // -- retention by SIZE: "keep at most N bytes", oldest days evicted --
+    // the reference's volume-ring cap is BYTES, not age
+    // (test_volume_overflow.py: a fixed ring of volumes recycles oldest-
+    // first when full). The gate sets the byte budget so the walk must
+    // evict exactly the two oldest days — the require() pins the byte
+    // accounting, the oracle pins what queries see afterwards (the
+    // contiguous recent suffix, day-whole eviction)
+    "ts_retention_bytes" -> Gated(
+      (s, d) => {
+        val tmp = s"/tmp/graft_layout_retb_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+        graft.io.Ingest.writeLayout(
+          TestData.events(s, d).samples
+            .filter(col("metric") === "click")
+            .withColumn("event", lit(null).cast("string")),
+          tmp, flattenTags = Seq("user"))
+        val byDay = graft.io.Ingest.layoutDayBytes(s, tmp)
+        require(byDay.size >= 3, s"need >=3 days, got ${byDay.size}")
+        val budget = byDay.map(_._2).sum - byDay.take(2).map(_._2).sum
+        val dropped = graft.io.Ingest.enforceRetention(s, tmp, budget)
+        require(dropped == byDay.take(2).map(_._1),
+          s"size eviction dropped $dropped, expected ${byDay.take(2).map(_._1)}")
+        graft.io.Ingest.readLayout(s, tmp).samples
+          .groupBy(expr(s"ts div ${Day}L").as("day"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value")), 6).as("sum_v"))
+          .orderBy(col("day"))
+      },
+      Some(s"""WITH days AS (SELECT DISTINCT $tsSql // $Day AS d
+              |  FROM events WHERE event_type = 'click'),
+              |cut AS (SELECT d FROM days ORDER BY d LIMIT 1 OFFSET 2)
+              |SELECT $tsSql // $Day AS day, count(*) AS n,
+              |  round(sum(value), 6) AS sum_v
+              |FROM events WHERE event_type = 'click'
+              |  AND $tsSql // $Day >= (SELECT d FROM cut)
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // -- meta:names served from the MAINTAINED series dimension ----------
     // writeLayout + writeSeriesFromLayout, then readLayout attaches the
     // dimension: the metadata query is O(series), never a fact scan
@@ -3476,7 +3574,8 @@ object SparkEntry {
               |    sum(nb) OVER (PARTITION BY metric, bucket) AS N
               |  FROM cells),
               |p AS (SELECT * FROM cum
-              |  CROSS JOIN (SELECT unnest([0.5, 0.95, 0.99]) AS prob))
+              |  CROSS JOIN (SELECT unnest(
+              |    [0.5::DOUBLE, 0.95::DOUBLE, 0.99::DOUBLE]) AS prob))
               |SELECT metric, bucket, prob, N AS n,
               |  lo + (hi - lo) / 20 * bin +
               |    (prob * N - (cum - nb)) / nb * ((hi - lo) / 20) AS est
@@ -4398,63 +4497,12 @@ object SparkEntry {
     // embed_kmeans machinery), means rounded 6 on BOTH sides so the
     // whole graph replays; candidates per query = probed cells only
     "embed_knn_graph_ivf" -> Gated(
-      (s, d) => {
-        val emb = TestData.table(s, d, "embeddings")
-        val init = emb.filter(col("vec_id") < 4).orderBy(col("vec_id"))
-          .select(Embed.normalized(col("embedding")))
-          .collect().toSeq.map(_.getSeq[Double](0).toSeq)
-        val step = Embed.kmeansStep(emb, init)
-          .select(col("cell"), col("dim"), round(col("m"), 6).as("m"))
-          .collect()
-        val byCell = step.groupBy(_.getInt(0))
-        val cents = init.indices.map(c => byCell.get(c).fold(init(c))(
-          rs => rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq))
-        Embed.knnGraphCells(emb, k = 5, cents, probes = 2)
-          .orderBy(col("qid"), col("rnk"))
-      },
-      Some("""WITH e0 AS (SELECT vec_id,
-             |    list_transform(embedding, x -> x::DOUBLE) AS v
-             |  FROM embeddings),
-             |n AS (SELECT vec_id, v, list_transform(v, x ->
-             |    x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS u
-             |  FROM e0),
-             |init AS (SELECT vec_id::INT AS cid, u FROM n WHERE vec_id < 4),
-             |assign0 AS (
-             |  SELECT vec_id, cid FROM (
-             |    SELECT n.vec_id, init.cid,
-             |      row_number() OVER (PARTITION BY n.vec_id
-             |        ORDER BY round(list_cosine_similarity(n.u, init.u), 6)
-             |          DESC, init.cid DESC) AS rn
-             |    FROM n CROSS JOIN init) WHERE rn = 1),
-             |mem AS (SELECT a.cid AS cell, n.u
-             |  FROM assign0 a JOIN n USING (vec_id)),
-             |cm AS (SELECT cell, (i - 1)::INT AS dim, round(avg(u[i]), 6) AS m
-             |  FROM mem CROSS JOIN
-             |    (SELECT unnest(generate_series(1, 64)) AS i)
-             |  GROUP BY 1, 2),
-             |cent AS (SELECT cell, list(m ORDER BY dim) AS cv
-             |  FROM cm GROUP BY cell),
-             |e AS (SELECT vec_id, v FROM e0
-             |  WHERE list_sum(list_transform(v, x -> x * x)) > 0),
-             |sc AS (SELECT e.vec_id, e.v, cent.cell,
-             |    round(list_cosine_similarity(e.v, cent.cv), 6) AS cs
-             |  FROM e CROSS JOIN cent),
-             |av AS (SELECT vec_id, v, cell FROM (SELECT *,
-             |    row_number() OVER (PARTITION BY vec_id
-             |      ORDER BY cs DESC, cell DESC) AS rn FROM sc)
-             |  WHERE rn = 1),
-             |pq AS (SELECT vec_id AS qid, v AS qv, cell FROM (SELECT *,
-             |    row_number() OVER (PARTITION BY vec_id
-             |      ORDER BY cs DESC, cell DESC) AS rn FROM sc)
-             |  WHERE rn <= 2),
-             |s AS (SELECT pq.qid, av.vec_id AS neighbor_id,
-             |    round(list_cosine_similarity(pq.qv, av.v), 6) AS score
-             |  FROM pq JOIN av USING (cell) WHERE av.vec_id <> pq.qid),
-             |r AS (SELECT *, row_number() OVER (PARTITION BY qid
-             |    ORDER BY score DESC, neighbor_id ASC)::BIGINT AS rnk
-             |  FROM s)
-             |SELECT qid, neighbor_id, score, rnk FROM r
-             |WHERE rnk <= 5 ORDER BY 1, 4""".stripMargin)),
+      (s, d) => Embed.knnGraphCells(TestData.table(s, d, "embeddings"),
+          k = 5, ivfCentroids(s, d), probes = 2)
+        .orderBy(col("qid"), col("rnk")),
+      Some(s"""WITH $ivfKnnCtes
+              |SELECT qid, neighbor_id, score, rnk FROM r
+              |WHERE rnk <= 5 ORDER BY 1, 4""".stripMargin)),
 
     // -- seasonal-adjusted anomaly flags ---------------------------------
     // |remainder| > 2σ of the series' remainders, AFTER removing trend
@@ -4717,20 +4765,16 @@ object SparkEntry {
     // reciprocated top-3 edges (hub suppression) -> connected
     // components; the twin replays the graph, the mutual filter, and a
     // recursive transitive closure
+    // clusters are built from the IVF-CELLED graph — the 100x-safe
+    // plan is the one the gate + bench exercise (the brute graph stays
+    // the spec-level truth in LlmSpec); the oracle replays the same
+    // celled graph via the shared CTE chain
     "embed_knn_clusters" -> Gated(
       (s, d) => Embed.knnClusters(
-          Embed.knnGraph(TestData.table(s, d, "embeddings"), k = 3))
+          Embed.knnGraphCells(TestData.table(s, d, "embeddings"),
+            k = 3, ivfCentroids(s, d), probes = 2))
         .orderBy(col("vec_id")),
-      Some("""WITH RECURSIVE e AS (SELECT vec_id,
-             |    list_transform(embedding, x -> x::DOUBLE) AS v
-             |  FROM embeddings
-             |  WHERE list_sum(list_transform(embedding,
-             |    x -> x::DOUBLE * x)) > 0),
-             |s AS (SELECT q.vec_id AS qid, n.vec_id AS neighbor_id,
-             |    round(list_cosine_similarity(q.v, n.v), 6) AS score
-             |  FROM e q JOIN e n ON n.vec_id <> q.vec_id),
-             |r AS (SELECT *, row_number() OVER (PARTITION BY qid
-             |    ORDER BY score DESC, neighbor_id ASC) AS rnk FROM s),
+      Some(s"""WITH RECURSIVE $ivfKnnCtes,
              |kn AS (SELECT qid, neighbor_id FROM r WHERE rnk <= 3),
              |mu AS (SELECT l.qid AS a, l.neighbor_id AS b
              |  FROM kn l JOIN kn m ON l.qid = m.neighbor_id

@@ -23,12 +23,23 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // GateNorm: every numeric gate column leaves the engine as int64
+    // (ints cast, doubles micro-unit-quantized) and the paired oracle SQL
+    // is rewritten with the identical transformation — the mechanical fix
+    // for the round-5/6 hash-only reds (HUGEINT→float64 dtype skew and
+    // last-ulp double skew). The rewrite is driven by the Spark result
+    // schema, captured here per gate.
+    val schemas = scala.collection.mutable.Map.empty[String,
+      org.apache.spark.sql.types.StructType]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        try {
+          val df = fn(spark, sfDir)
+          schemas(name) = df.schema
+          GateNorm.quantize(df).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }
@@ -46,7 +57,10 @@ object Verify {
     } + "\""
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.isEmpty || only(k) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        val sql = schemas.get(k).fold(v)(GateNorm.wrapOracle(v, _))
+        s"${q(k)}: ${q(sql)}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -1,8 +1,10 @@
 package graft.functions
 
 import scala.collection.mutable
+import scala.reflect.ClassTag
 
-import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.{Partitioner, TaskContext}
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
@@ -17,14 +19,18 @@ import graft.plan.{Frame, TsStore}
   *  1. Each partition summarizes every (series-run, column) it holds
   *     into a small mergeable summary (an affine map for ewma, a sum
   *     for cusum, the last `width` samples for sax) — one narrow pass.
-  *  2. The driver composes summaries in partition order per series
-  *     (bounded state: #(partition, series-span) pairs <= nSeries +
-  *     nPartitions, same bounded-collect model as Sample.pack), and
-  *     broadcasts each partition's ENTRY state; pass 2 then runs the
-  *     exact sequential machine inside every partition, seeded from
-  *     the entry state. Equality with the single-task path holds by
-  *     construction — the row-level machine is identical, only its
-  *     start state is precomputed — and is proven in ChunkedScanSpec.
+  *  2. Summaries are shuffled BY KEY (a tiny frame: nKeys +
+  *     nPartitions rows) and each key's chunks are folded in partition
+  *     order with the same `advance` compose, emitting each chunk's
+  *     ENTRY state; entry rows are then re-partitioned by their chunk's
+  *     partition id and zip-joined against the frozen frame, so pass 2
+  *     runs the exact sequential machine inside every partition, seeded
+  *     from its entry states. NOTHING is collected to the driver — at
+  *     tens of millions of series the compose is an ordinary small
+  *     shuffle, not O(nSeries) driver memory. Equality with the
+  *     single-task path holds by construction — the row-level machine
+  *     is identical, only its start state is precomputed — and is
+  *     proven in ChunkedScanSpec.
   *
   * The partitioning MUST be identical in both passes, so the sorted
   * frame is localCheckpointed (range boundaries are sampled and would
@@ -65,29 +71,50 @@ object ChunkedScan {
     }
   }
 
+  /** Deliver entry rows to their chunk's partition: key IS the partition
+    * id. Tiny payload (only boundary-spanning keys emit a row). */
+  private final class PidPartitioner(n: Int) extends Partitioner {
+    def numPartitions: Int = n
+    def getPartition(key: Any): Int = key.asInstanceOf[Int]
+  }
+
+  /** Entry states for a frozen chunked frame, pre-partitioned so that
+    * partition `pid` of [[byPid]] holds exactly the (key -> entry state)
+    * rows for partition `pid` of the frame. Absent key = the key starts
+    * in that partition (seed with `init`). */
+  final case class EntryStates[S](byPid: RDD[(Int, (String, S))]) {
+    /** Run `f` over each partition of `rows` with that partition's
+      * entry-state map — the pass-2 shape every ChunkedScan consumer
+      * uses (zip-join by partition index; no driver map, no broadcast). */
+    def mapRowsWithEntry[T: ClassTag](rows: RDD[Row])(
+        f: (Int, collection.Map[String, S], Iterator[Row]) => Iterator[T])
+        : RDD[T] =
+      rows.zipPartitions(byPid) { (rit, eit) =>
+        val pid = TaskContext.getPartitionId()
+        f(pid, eit.map(_._2).toMap, rit)
+      }
+  }
+
   /** Freeze a (series, ts) range partitioning of `df`, summarize each
     * (partition, series) run with `empty`/`absorbRow`, compose entry
-    * states on the driver with `init`/`advance`, and return the frozen
-    * frame + the broadcast (partition, series) -> entry-state map
-    * (absent key = series starts in that partition = `init`). */
-  def seriesEntry[U, S](df: DataFrame, backward: Boolean,
+    * states distributively with `init`/`advance`, and return the frozen
+    * frame + its per-partition entry states. */
+  def seriesEntry[U: ClassTag, S: ClassTag](df: DataFrame, backward: Boolean,
       empty: () => U, absorbRow: (U, Row) => U,
       init: () => S, advance: (S, U) => S):
-      (DataFrame, Broadcast[Map[(Int, String), S]]) = {
+      (DataFrame, EntryStates[S]) = {
     import TsStore.{Sname, Ts}
     val tsOrd = if (backward) col(Ts).desc else col(Ts).asc
     keyedEntry(df, Sname, Seq(tsOrd), empty, absorbRow, init, advance)
   }
 
-  /** The general form of [[seriesEntry]]: range-partition `df` on a
-    * string key column + in-key order, summarize each (partition, key)
-    * run, compose entry states on the driver. Used by the event-ops
-    * hot-key escape hatch (EventOps.asOf / sessionize) as well as the
-    * per-series pipeline kernels. */
-  def keyedEntry[U, S](df: DataFrame, keyCol: String, order: Seq[Column],
-      empty: () => U, absorbRow: (U, Row) => U,
-      init: () => S, advance: (S, U) => S):
-      (DataFrame, Broadcast[Map[(Int, String), S]]) = {
+  /** Range-partition `df` on (key, order), sort within partitions, and
+    * summarize each (partition, key) run in one narrow pass. Shared
+    * pass-1 of [[keyedEntry]]/[[keyedFold]]. */
+  private def chunkSummaries[U: ClassTag](df: DataFrame, keyCol: String,
+      order: Seq[Column], freeze: Boolean,
+      empty: () => U, absorbRow: (U, Row) => U)
+      : (DataFrame, RDD[(Int, String, U)]) = {
     // graft.scan.chunkedPartitions > 0 pins the chunk count (an explicit
     // numPartitions also opts out of AQE coalescing); 0 = let Spark/AQE
     // size the range shuffle to the data
@@ -97,9 +124,8 @@ object ChunkedScan {
     val ranged =
       if (nParts > 0) df.repartitionByRange(nParts, exprs: _*)
       else df.repartitionByRange(exprs: _*)
-    val sorted = ranged
-      .sortWithinPartitions(exprs: _*)
-      .localCheckpoint()
+    val within = ranged.sortWithinPartitions(exprs: _*)
+    val sorted = if (freeze) within.localCheckpoint() else within
     val nameIdx = df.schema.fieldIndex(keyCol)
     val summaries = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
       val out = mutable.ArrayBuffer.empty[(Int, String, U)]
@@ -116,57 +142,66 @@ object ChunkedScan {
       }
       if (open) out += ((pid, cur, u))
       out.iterator
-    }.collect()
-    val entry = mutable.Map.empty[(Int, String), S]
-    summaries.groupBy(_._2).foreach { case (s, chunks) =>
-      var st = init()
-      chunks.sortBy(_._1).zipWithIndex.foreach { case ((pid, _, u), i) =>
-        if (i > 0) entry((pid, s)) = st
-        st = advance(st, u)
-      }
     }
-    (sorted, df.sparkSession.sparkContext.broadcast(entry.toMap))
+    (sorted, summaries)
+  }
+
+  /** The general form of [[seriesEntry]]: range-partition `df` on a
+    * string key column + in-key order, summarize each (partition, key)
+    * run, compose entry states DISTRIBUTIVELY: summaries shuffle by key
+    * (nKeys + nPartitions tiny rows), fold in partition order with
+    * `advance`, and the resulting entry rows are delivered back to their
+    * chunk's partition for the zip-join pass 2. Used by the event-ops
+    * hot-key escape hatch (EventOps.asOf / sessionize) as well as the
+    * per-series pipeline kernels. */
+  def keyedEntry[U: ClassTag, S: ClassTag](df: DataFrame, keyCol: String,
+      order: Seq[Column],
+      empty: () => U, absorbRow: (U, Row) => U,
+      init: () => S, advance: (S, U) => S):
+      (DataFrame, EntryStates[S]) = {
+    val (sorted, summaries) =
+      chunkSummaries(df, keyCol, order, freeze = true, empty, absorbRow)
+    val nChunks = sorted.rdd.getNumPartitions
+    val entries = summaries
+      .map { case (pid, k, u) => (k, (pid, u)) }
+      .groupByKey()
+      .flatMap { case (k, chunks) =>
+        val ordered = chunks.toArray.sortBy(_._1)
+        var st = init()
+        val out = mutable.ArrayBuffer.empty[(Int, (String, S))]
+        ordered.zipWithIndex.foreach { case ((pid, u), i) =>
+          if (i > 0) out += ((pid, (k, st)))
+          st = advance(st, u)
+        }
+        out.iterator
+      }
+      .partitionBy(new PidPartitioner(nChunks))
+    (sorted, EntryStates(entries))
   }
 
   /** Single-pass variant of [[keyedEntry]] for folds that only need each
     * key's FINAL state (e.g. the last (level, trend) of a forecast
     * recursion): range-partition on (key, order), summarize each
-    * (partition, key) run in one narrow pass, compose per key on the
-    * driver in partition order. Driver state is bounded by
-    * nKeys + nPartitions summaries (the Sample.pack collect model);
-    * there is no second pass, so the partitioning needs no freezing. */
-  def keyedFold[U, S](df: DataFrame, keyCol: String, order: Seq[Column],
+    * (partition, key) run in one narrow pass, then compose per key in an
+    * ordinary by-key shuffle over the tiny summary frame — the result
+    * stays DISTRIBUTED (one (key, state) row per key), so a consumer
+    * fanning each state out into forecast rows never funnels nKeys
+    * through the driver. There is no second pass over the facts, so the
+    * partitioning needs no freezing. */
+  def keyedFold[U: ClassTag, S: ClassTag](df: DataFrame, keyCol: String,
+      order: Seq[Column],
       empty: () => U, absorbRow: (U, Row) => U,
-      init: () => S, advance: (S, U) => S): Map[String, S] = {
-    val nParts = df.sparkSession.conf
-      .get("graft.scan.chunkedPartitions", "0").toInt
-    val exprs = col(keyCol) +: order
-    val ranged =
-      if (nParts > 0) df.repartitionByRange(nParts, exprs: _*)
-      else df.repartitionByRange(exprs: _*)
-    val sorted = ranged.sortWithinPartitions(exprs: _*)
-    val nameIdx = df.schema.fieldIndex(keyCol)
-    val summaries = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
-      val out = mutable.ArrayBuffer.empty[(Int, String, U)]
-      var cur: String = null
-      var u: U = null.asInstanceOf[U]
-      var open = false
-      it.foreach { row =>
-        val s = row.getString(nameIdx)
-        if (!open || s != cur) {
-          if (open) out += ((pid, cur, u))
-          cur = s; u = empty(); open = true
+      init: () => S, advance: (S, U) => S): RDD[(String, S)] = {
+    val (_, summaries) =
+      chunkSummaries(df, keyCol, order, freeze = false, empty, absorbRow)
+    summaries
+      .map { case (pid, k, u) => (k, (pid, u)) }
+      .groupByKey()
+      .map { case (key, chunks) =>
+        key -> chunks.toArray.sortBy(_._1).foldLeft(init()) {
+          case (s, (_, u)) => advance(s, u)
         }
-        u = absorbRow(u, row)
       }
-      if (open) out += ((pid, cur, u))
-      out.iterator
-    }.collect()
-    summaries.groupBy(_._2).map { case (key, chunks) =>
-      key -> chunks.sortBy(_._1).foldLeft(init()) {
-        case (s, (_, _, u)) => advance(s, u)
-      }
-    }
   }
 
   /** Chunked equivalent of Pipe.stateful: rewrite every value column in
@@ -178,7 +213,7 @@ object ChunkedScan {
     val nameIdx = schema.fieldIndex(Sname)
     val vIdxs = frame.valueCols.map(schema.fieldIndex).toArray
     val kernels0 = mkKernels()
-    val (sorted, bc) = seriesEntry[Array[AnyRef], Array[AnyRef]](
+    val (sorted, entries) = seriesEntry[Array[AnyRef], Array[AnyRef]](
       df, frame.backward,
       empty = () => kernels0.map(_.emptySummary),
       absorbRow = (u, row) => {
@@ -193,7 +228,7 @@ object ChunkedScan {
       init = () => kernels0.map(_.init),
       advance = (s, u) =>
         Array.tabulate(s.length)(j => kernels0(j).advance(s(j), u(j))))
-    val out = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val out = entries.mapRowsWithEntry(sorted.rdd) { (_, entry, it) =>
       val kernels = mkKernels()
       var cur: String = null
       var states: Array[AnyRef] = null
@@ -201,7 +236,7 @@ object ChunkedScan {
         val s = row.getString(nameIdx)
         if (states == null || s != cur) {
           cur = s
-          states = bc.value.get((pid, s))
+          states = entry.get(s)
             .map(_.clone()).getOrElse(kernels.map(_.init))
         }
         val arr = Array.tabulate[Any](row.length)(i => row.get(i))

@@ -176,7 +176,7 @@ object Sax {
         // last <= width values); entering state replays as a pre-filled
         // window + the word it spells (for cross-chunk numerosity
         // reduction).
-        val (sorted, bc) = ChunkedScan.seriesEntry[
+        val (sorted, entries) = ChunkedScan.seriesEntry[
             (Long, Vector[Double]), (Long, Vector[Double])](
           df, frame.backward,
           empty = () => (0L, Vector.empty),
@@ -186,9 +186,9 @@ object Sax {
           init = () => (0L, Vector.empty),
           advance = (s, u) =>
             (s._1 + u._1, (s._2 ++ u._2).takeRight(width)))
-        val rdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
-          encodePartition((p, s) =>
-            bc.value.getOrElse((p, s), (0L, Vector.empty)))(pid, it)
+        val rdd = entries.mapRowsWithEntry(sorted.rdd) { (pid, entry, it) =>
+          encodePartition((_, s) =>
+            entry.getOrElse(s, (0L, Vector.empty)))(pid, it)
         }
         df.sparkSession.createDataFrame(rdd, outSchema)
       } else df.repartition(col(Sname))

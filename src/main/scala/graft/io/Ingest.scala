@@ -387,6 +387,33 @@ object Ingest {
     (fs, dirs)
   }
 
+  /** Per-day byte footprint of a layout, oldest day first — the store's
+    * capacity ledger (one metadata listing, no data read). Lets callers
+    * pick a byte budget with known consequences ("evicting day D frees
+    * B bytes") the way the reference sizes its volume ring up front. */
+  def layoutDayBytes(spark: SparkSession, path: String): Seq[(Long, Long)] = {
+    val (_, dayDirs) = listDayDirs(spark, path)
+    dayDirs.groupBy(_._1).toSeq
+      .map { case (day, ds) => (day, ds.map(_._3).sum) }
+      .sortBy(_._1)
+  }
+
+  /** Size-based retention over layout + write-head spool — "keep at most
+    * `maxBytes` ON DISK, whatever is oldest goes first". The spool (WAL /
+    * run files awaiting a fold) is the write head: its bytes COUNT toward
+    * the cap but are never deleted, mirroring the reference's volume ring
+    * where the WAL and the active volume are always retained and only
+    * sealed volumes recycle (libakumuli/storage_engine/blockstore.cpp,
+    * functests/test_volume_overflow.py). */
+  def enforceRetention(spark: SparkSession, path: String, maxBytes: Long,
+                       spoolPath: String): Seq[Long] = {
+    val sp = new org.apache.hadoop.fs.Path(spoolPath)
+    val fs = sp.getFileSystem(spark.sessionState.newHadoopConf())
+    val spoolBytes =
+      if (fs.exists(sp)) fs.getContentSummary(sp).getLength else 0L
+    enforceRetention(spark, path, math.max(0L, maxBytes - spoolBytes))
+  }
+
   /** Retention enforcement — the Spark analogue of the reference's
     * fixed-volume rotation (test_database_overflow.py: when volumes
     * fill, the OLDEST data disappears and reads return a contiguous

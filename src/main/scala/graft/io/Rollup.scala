@@ -100,10 +100,20 @@ object Rollup {
       val merged = mergeSummaries(
         spark.read.parquet(dir).unionByName(stepAgg(samples, step)))
       merged.write.mode("overwrite").parquet(tmp)
+      // Swap via rename-aside, not delete-then-rename: a crash between a
+      // delete and the rename-in would lose the whole step. Sequence:
+      // dir -> dir.old (atomic), tmp -> dir (atomic), delete dir.old.
+      // A crash leaves either the old dir live (tmp orphaned) or the new
+      // dir live (dir.old orphaned) — never a missing step. storedSteps
+      // ignores the .updating/.old names, so orphans can't poison reads.
       val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
-      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-      require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
-        new org.apache.hadoop.fs.Path(dir)), s"rename failed for $dir")
+      val dirP = new org.apache.hadoop.fs.Path(dir)
+      val oldP = new org.apache.hadoop.fs.Path(s"$dir.old")
+      fs.delete(oldP, true) // clear any orphan from a prior crash
+      require(fs.rename(dirP, oldP), s"rename-aside failed for $dir")
+      require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dirP),
+        s"rename failed for $dir")
+      fs.delete(oldP, true)
     }
   }
 
@@ -115,7 +125,11 @@ object Rollup {
     else fs.listStatus(hp).toSeq
       .filter(_.isDirectory)
       .map(_.getPath.getName)
-      .collect { case n if n.startsWith("step=") => n.drop(5).toLong }
+      // strict name parse: a stale `step=<ns>.updating` / `.old` dir from
+      // an interrupted update must not brick the store with a
+      // NumberFormatException — only pure-long step names count
+      .collect { case n if n.startsWith("step=") &&
+          n.drop(5).forall(_.isDigit) && n.length > 5 => n.drop(5).toLong }
       .sorted
   }
 

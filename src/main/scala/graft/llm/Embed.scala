@@ -1038,7 +1038,11 @@ object Embed {
       .agg(round(avg(col("__x")), 6).as("__mu"),
         round(stddev_samp(col("__x")), 6).as("__sd"))
       .orderBy(col("__d"))
-      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+      // null-safe sd read: stddev_samp is NULL for a single-vector corpus
+      // — treat it as the documented zero-variance case (maps to 0 in the
+      // transform) instead of NPE-ing on Row.getDouble
+      .collect().map(r => (r.getDouble(1),
+        if (r.isNullAt(2)) 0.0 else r.getDouble(2)))
     val mus = array(stats.map(s => lit(s._1)).toSeq: _*)
     val sds = array(stats.map(s => lit(s._2)).toSeq: _*)
     corpus.select(col(idCol),

@@ -311,6 +311,25 @@ object Sample {
       .limit(k)
   }
 
+  /** Per-bucket cumulative base offsets WITHOUT a driver collect: one
+    * totals aggregate over the bucket column (<= `buckets` rows), a
+    * prefix-sum window over that tiny frame, and a broadcast join back
+    * onto the facts. Replaces the old collect-to-driver + literal-map
+    * scheme: driver state is now zero, and the bucket count can scale
+    * with the corpus instead of being capped by a driver map. `desc`
+    * accumulates from the TOP bucket down (takeBudget's regime). */
+  private def withBucketBase(t: DataFrame, cnt: Column,
+                             desc: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = if (desc) col("__b").desc else col("__b").asc
+    val w = Window.orderBy(ord)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = t.groupBy(col("__b")).agg(sum(cnt).as("__bt"))
+      .withColumn("__base", coalesce(sum(col("__bt")).over(w), lit(0L)))
+      .select(col("__b"), col("__base"))
+    t.join(broadcast(bases), Seq("__b"))
+  }
+
   /** Token-budget selection: walk the corpus in priority order (highest
     * `priority` first, ties broken by id ascending) and keep rows while
     * the running `cost` total — INCLUDING the current row — stays within
@@ -346,26 +365,18 @@ object Sample {
       if (bounds.isEmpty) lit(0)
       else bounds.map(b => when(col("__p") >= b, 1).otherwise(0))
         .reduce(_ + _)
-    val t = t0.withColumn("__b", bucket)
-    // Pass 1: per-bucket cost totals; bases accumulate from the TOP
-    // bucket down (highest priority first).
-    val totals = t.groupBy(col("__b")).agg(sum(col("__c")).as("t"))
-      .collect().map(r => (r.getInt(0), r.getLong(1)))
-      .sortBy(-_._1)
-    val bases = totals.scanLeft((Int.MinValue, 0L)) {
-      case ((_, acc), (b, n)) => (b, acc + n)
-    }.tail.zip(totals).map { case ((b, end), (_, n)) => (b, end - n) }.toMap
-    val baseMap = map(bases.toSeq.flatMap { case (b, o) =>
-      Seq(lit(b), lit(o)) }: _*)
-    // Pass 2: inclusive running sum within the bucket, highest first.
+    val t = withBucketBase(t0.withColumn("__b", bucket), col("__c"),
+      desc = true)
+    // Pass 2: inclusive running sum within the bucket, highest first,
+    // plus the bucket's base offset (all buckets above it).
     val cum = sum(col("__c")).over(
       Window.partitionBy(col("__b"))
         .orderBy(col("__p").desc, col(idCol).asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)) +
-      element_at(baseMap, col("__b"))
+      col("__base")
     t.withColumn("__cum", cum)
       .filter(col("__cum") <= budget)
-      .drop("__p", "__c", "__b", "__cum")
+      .drop("__p", "__c", "__b", "__base", "__cum")
   }
 
   /** Sequence packing ("concat-and-chunk"): lay every document's tokens
@@ -404,51 +415,43 @@ object Sample {
     * count aggregate (B values to the driver), pass 2 one within-bucket
     * row_number window over corpus/B rows. No global window, no
     * zipWithIndex RDD round-trip. */
-  def shuffleOrder(df: DataFrame, buckets: Int = 256,
+  def shuffleOrder(df: DataFrame, buckets: Int = 65536,
                    idCol: String = "doc_id",
                    seed: String = ""): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val key = hashFrac(col(idCol), seed)
-    val t = df.withColumn("__key", key)
-      .withColumn("__b", floor(col("__key") * buckets).cast("int"))
-    val counts = t.groupBy(col("__b")).agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val bases = counts.scanLeft((Int.MinValue, 0L)) {
-      case ((_, acc), (b, c)) => (b, acc + c)
-    }.tail.zip(counts).map { case ((b, end), (_, c)) => (b, end - c) }.toMap
-    val baseMap = map(bases.toSeq.flatMap { case (b, o) =>
-      Seq(lit(b), lit(o)) }: _*)
+    val t = withBucketBase(
+      df.withColumn("__key", key)
+        .withColumn("__b", floor(col("__key") * buckets).cast("int")),
+      lit(1L), desc = false)
     t.withColumn("shuffle_pos",
         row_number().over(Window.partitionBy(col("__b"))
           .orderBy(col("__key"), col(idCol))).cast("long") - 1L +
-          element_at(baseMap, col("__b")))
-      .drop("__key", "__b")
+          col("__base"))
+      .drop("__key", "__b", "__base")
   }
 
   def pack(df: DataFrame, nTokens: Column, seqLen: Long,
-           buckets: Int = 256, idCol: String = "doc_id",
+           buckets: Int = 65536, idCol: String = "doc_id",
            seed: String = ""): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(seqLen > 0, "seqLen must be positive")
     val key = hashFrac(col(idCol), seed)
-    val t = df.select(col(idCol), nTokens.cast("long").as("__n"),
-        key.as("__key"),
-        floor(key * buckets).cast("int").as("__b"))
-      .filter(col("__n") > 0)
-    // pass 1: one total per bucket; cumulative base offsets on the
-    // driver (B values — O(buckets), not O(rows))
-    val totals = t.groupBy(col("__b")).agg(sum(col("__n")).as("t"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val bases = totals.scanLeft((Int.MinValue, 0L)) {
-      case ((_, acc), (b, n)) => (b, acc + n)
-    }.tail.zip(totals).map { case ((b, end), (_, n)) => (b, end - n) }.toMap
-    val baseMap = map(bases.toSeq.flatMap { case (b, o) =>
-      Seq(lit(b), lit(o)) }: _*)
+    // pass 1: one total per bucket -> prefix-summed base offsets,
+    // broadcast-joined back (withBucketBase: zero driver state, so the
+    // default bucket count is 65536 — a 1e11-row corpus puts ~1.5M rows
+    // in each within-bucket window task instead of 1/256th of it)
+    val t = withBucketBase(
+      df.select(col(idCol), nTokens.cast("long").as("__n"),
+          key.as("__key"),
+          floor(key * buckets).cast("int").as("__b"))
+        .filter(col("__n") > 0),
+      col("__n"), desc = false)
     // pass 2: within-bucket running sum + bucket base = global offset
     val off = coalesce(sum(col("__n")).over(
         Window.partitionBy(col("__b")).orderBy(col("__key"), col(idCol))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) +
-      element_at(baseMap, col("__b"))
+      col("__base")
     t.withColumn("__off", off)
       // `div`, not `/` (Spark's / on longs is double division, which
       // loses exactness past 2^53 total tokens)

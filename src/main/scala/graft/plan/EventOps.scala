@@ -122,7 +122,7 @@ object EventOps {
     val vIdx = schema.fieldIndex(vOut)
     val tIdx = schema.fieldIndex(tsOut)
     val kIdx = schema.fieldIndex("__k")
-    val (sorted, bc) = ChunkedScan.keyedEntry[Carry, Carry](
+    val (sorted, entries) = ChunkedScan.keyedEntry[Carry, Carry](
       keyed, "__k", Seq(col(tsCol).asc, col("__side").asc),
       empty = () => null,
       absorbRow = (u, row) =>
@@ -130,7 +130,7 @@ object EventOps {
         else u,
       init = () => null,
       advance = (s, u) => if (u != null) u else s)
-    val rdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val rdd = entries.mapRowsWithEntry(sorted.rdd) { (_, entry, it) =>
       var cur: String = null
       var carry: Carry = null
       var open = false
@@ -138,7 +138,7 @@ object EventOps {
         val k = row.getString(kIdx)
         if (!open || k != cur) {
           cur = k; open = true
-          carry = bc.value.getOrElse((pid, k), null)
+          carry = entry.getOrElse(k, null)
         }
         if (row.getInt(sideIdx) == 0) {
           carry = Carry(row.getLong(tIdx), row.get(vIdx))
@@ -302,7 +302,7 @@ object EventOps {
     val kdIdx = schema.fieldIndex("__kdisp")
     val tIdx  = schema.fieldIndex("__t")
     val sIdx  = schema.fieldIndex("session_id")
-    val (sorted, bc) = ChunkedScan.keyedEntry[SessU, SessS](
+    val (sorted, entries) = ChunkedScan.keyedEntry[SessU, SessS](
       keyed, "__k", Seq(col("__t").asc),
       empty = () => null,
       absorbRow = (u, row) => {
@@ -317,7 +317,7 @@ object EventOps {
           if (!s.hasPrev || u.firstTs - s.lastTs > gapNs) 1L else 0L
         SessS(hasPrev = true, u.lastTs, s.idx + firstNew + u.internalNew)
       })
-    val rdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val rdd = entries.mapRowsWithEntry(sorted.rdd) { (_, entry, it) =>
       var cur: String = null
       var open = false
       var st: SessS = null
@@ -325,7 +325,7 @@ object EventOps {
         val k = row.getString(kIdx)
         if (!open || k != cur) {
           cur = k; open = true
-          st = bc.value.getOrElse((pid, k), SessS(hasPrev = false, 0L, 0L))
+          st = entry.getOrElse(k, SessS(hasPrev = false, 0L, 0L))
         }
         val t = row.getLong(tIdx)
         val isNew = !st.hasPrev || t - st.lastTs > gapNs

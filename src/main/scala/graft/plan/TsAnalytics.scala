@@ -331,7 +331,10 @@ object TsAnalytics {
             u.a11 * l0 + u.a12 * b0 + u.c1,
             u.a21 * l0 + u.a22 * b0 + u.c2, u.lastTs)
         })
-    val rows = fin.toSeq.filter(_._2.n > 0L).sortBy(_._1).flatMap {
+    // fan each final state out to `horizon` rows WHERE IT LIVES — fin
+    // is a distributed (key, state) RDD (one row per series), so the
+    // forecast never funnels nSeries through the driver
+    val rows = fin.filter(_._2.n > 0L).flatMap {
       case (k, s) =>
         val keys = k.split("\u0001", -1).toSeq
         (1 to horizon).map { i =>
@@ -345,8 +348,7 @@ object TsAnalytics {
     val schema = StructType(
       on.map(n => StructField(n, StringType)) ++ Seq(
         StructField("ts", LongType), StructField("forecast", DoubleType)))
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), schema)
+    spark.createDataFrame(rows, schema)
   }
 
   /** Per-series autocorrelation function over bucketed values — the
@@ -845,7 +847,7 @@ object TsAnalytics {
     val spark = df.sparkSession
     val dim = period + 2
     val keyed = df.select(
-        concat_ws("", on.map(c => col(c).cast("string")): _*)
+        concat_ws("\u0001", on.map(c => col(c).cast("string")): _*)
           .as("__k"),
         col(tsCol).cast("long").as("__t"),
         col(valueCol).cast("double").as("__v"))
@@ -949,9 +951,10 @@ object TsAnalytics {
           if (z != null && u.m != null) z = applyAffine(u.m, u.c, z)
           HwS(s.n + u.count, pend, z, u.lastTs)
         })
-    val rows = fin.toSeq.filter(_._2.z != null).sortBy(_._1).flatMap {
+    // distributed fan-out, as in holtForecast: fin is an RDD
+    val rows = fin.filter(_._2.z != null).flatMap {
       case (k, s) =>
-        val keys = k.split("", -1).toSeq
+        val keys = k.split("\u0001", -1).toSeq
         (1 to horizon).map { h =>
           val f = s.z(0) + h * s.z(1) + s.z(2 + ((h - 1) % period))
           org.apache.spark.sql.Row.fromSeq(
@@ -964,8 +967,7 @@ object TsAnalytics {
     val schema = StructType(
       on.map(n => StructField(n, StringType)) ++ Seq(
         StructField("ts", LongType), StructField("forecast", DoubleType)))
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), schema)
+    spark.createDataFrame(rows, schema)
   }
 
   /** Ranked top-k per group (SURVEY §2.8: no ranking windows in the
@@ -1011,7 +1013,11 @@ object TsAnalytics {
       .groupBy((on.map(col) :+ col("__t")): _*)
       .agg(max(col("__v")).as("__v"))
       .withColumn("__side", lit(0))
-    val grid = df.select(on.map(col): _*).distinct()
+    // the grid's series universe comes from the null-FILTERED samples
+    // frame, not the raw input: a series whose values are all null must
+    // not emit an all-null grid (the oracle derives the series set from
+    // value-IS-NOT-NULL rows only)
+    val grid = samples.select(on.map(col): _*).distinct()
       .withColumn("__t", explode(expr(
         s"sequence(${fromNs}L, ${toNs - 1}L, ${stepNs}L)")))
       .withColumn("__v", lit(null).cast("double"))

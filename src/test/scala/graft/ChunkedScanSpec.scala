@@ -111,6 +111,31 @@ class ChunkedScanSpec extends SparkFunSuite {
     assert(chunked.size == 1, s"numerosity reduction broke: ${chunked.size}")
   }
 
+  test("high series cardinality: entry compose is distributed, " +
+      "results identical (50k series, no driver-side summary map)") {
+    // 50k single-sample series + one spanning series: the entry-state
+    // compose runs as a by-key shuffle over the summary frame and a
+    // zip-join back by partition id — the old driver collect would hold
+    // one summary per (partition, series); now the driver holds nothing.
+    // Correctness: every singleton series' ewma == its own value (warmup
+    // forecast), and the spanning series matches the sequential run.
+    val rows = (0 until 50000).map(i =>
+      (f"s$i%05d", 1000000000L + (i % 977) * 1000000000L,
+        (i % 101).toDouble: Any)) ++
+      (0 until 2000).map(i => ("zz", 1000000000L + i * 1000000000L,
+        (math.cos(i * 0.23) * 10 + i % 5): Any))
+    // series identity lives in the TAGS — one metric, 50k+1 tag values
+    val st = new TsStore(spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (sid, ts, v) => Row("m", Map("h" -> sid), ts, v) },
+        8), sampleSchema))
+    val q = """{"name":"ewma","decay":0.3}"""
+    val chunked = runQ(q, st, chunked = true)
+    val serial = runQ(q, st, chunked = false)
+    assertSame(chunked, serial)
+    assert(chunked.size == 52000)
+  }
+
   test("backward scan: chunked == sequential") {
     spark.conf.set("graft.scan.chunked", "on")
     spark.conf.set("graft.scan.chunkedPartitions", "4")

@@ -220,6 +220,42 @@ class IngestSpec extends SparkFunSuite {
     assert(Ingest.enforceRetention(spark, layout, Long.MaxValue).isEmpty)
   }
 
+  // functests/test_volume_overflow.py spirit: the cap is BYTES over the
+  // whole store — layout AND the write-head spool. Spool bytes consume
+  // budget (forcing older sealed days out sooner) but are never deleted,
+  // like the reference's WAL + active volume
+  test("size retention counts spool bytes against the cap, never deletes them") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-retention-b").toFile
+    val layout = new java.io.File(dir, "layout").getAbsolutePath
+    val spool = new java.io.File(dir, "spool")
+    spool.mkdirs()
+    val day = Ingest.DayNs
+    val samples = spark.range(300).select(
+      lit("temp").as("metric"),
+      map(lit("host"), lit("h0")).as("tags"),
+      (col("id") / 100).cast("long") * day + (col("id") % 100) * 1000000000L,
+      col("id").cast("double").as("value"),
+      lit(null).cast("string").as("event"))
+      .toDF("metric", "tags", "ts", "value", "event")
+    Ingest.writeLayout(samples, layout)
+    val byDay = Ingest.layoutDayBytes(spark, layout)
+    assert(byDay.map(_._1) == Seq(0L, 1L, 2L))
+    val total = byDay.map(_._2).sum
+    // budget that fits the whole layout exactly — nothing evicts...
+    assert(Ingest.enforceRetention(spark, layout, total,
+      spool.getAbsolutePath).isEmpty)
+    // ...until a spool file eats into it: day 0 must now go
+    val wal = new java.io.File(spool, "run-1.grun")
+    java.nio.file.Files.write(wal.toPath, new Array[Byte](byDay.head._2.toInt))
+    assert(Ingest.enforceRetention(spark, layout, total,
+      spool.getAbsolutePath) == Seq(0L))
+    assert(wal.exists, "the spool is the write head — never evicted")
+    val got = Ingest.readLayout(spark, layout)
+      .samples.select("value").collect().map(_.getDouble(0)).sorted
+    assert(got.toSeq == (100 until 300).map(_.toDouble))
+  }
+
   test("time retention drops whole buckets before the cutoff only") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("graft-retention-t").toFile

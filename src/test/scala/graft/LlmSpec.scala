@@ -1733,4 +1733,58 @@ class LlmSpec extends SparkFunSuite {
       vecs(Seq(Seq(1.0, 0.05, 0.0, 0.0))), cents).collect()
     assert(aOnly.map(_.getInt(0)).toSeq == Seq(0))
   }
+
+  // ADVICE r6: the doc_lsh_recall oracle derives only n_true
+  // independently and asserts recall = 1.0 as an axiom, so the banding
+  // candidate generation + intersection inside lshTuningReport was
+  // unchecked. This replays the WHOLE pipeline independently on the
+  // driver: signatures from the shared splitmix64 family
+  // (VecMath.minhashMix — one definition, cannot drift), banding by
+  // RAW SLICE EQUALITY (band-hash equality == slice equality modulo
+  // xxhash64 collisions), truth by exact set Jaccard — none of the
+  // engine's join/window machinery involved.
+  test("lshTuningReport matches an independent driver-side banding replay") {
+    def sentence(seed: Int): String =
+      (0 until 30).map(k => s"tok${(seed * 31 + k * 7) % 97}").mkString(" ")
+    // 5 planted near-dup pairs (high J) + 6 unrelated docs
+    val texts = (0 until 5).flatMap { p =>
+      val s = sentence(p + 1); Seq(s, s + " extra word")
+    } ++ (0 until 6).map(i => sentence(1000 + i * 13))
+    val d = docs(texts)
+    val (n, bands, rpb, thr) = (3, 8, 2, 0.5)
+
+    val rep = Dedup.lshTuningReport(d, n, bands, rpb, thr).collect().head
+    val (nTrue, nCand, nHits) =
+      (rep.getLong(0), rep.getLong(1), rep.getLong(2))
+
+    val sets = d.select(col("doc_id"), Dedup.hashedShingles(col("text"), n))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
+      .filter(_._2.nonEmpty).toMap
+    val ids = sets.keys.toSeq.sorted
+    def jac(a: Set[Long], b: Set[Long]): Double =
+      (a & b).size.toDouble / (a | b).size
+    val truth = (for {
+      i <- ids; j <- ids if i < j
+      if jac(sets(i), sets(j)) >= thr
+    } yield (i, j)).toSet
+    val sig = sets.map { case (id, hs) =>
+      id -> Array.tabulate(bands * rpb)(k =>
+        hs.map(h =>
+          org.apache.spark.sql.graftio.VecMath.minhashMix(h, k)).min)
+    }
+    val cands = (for {
+      i <- ids; j <- ids if i < j
+      if (0 until bands).exists { b =>
+        (0 until rpb).forall(r =>
+          sig(i)(b * rpb + r) == sig(j)(b * rpb + r))
+      }
+    } yield (i, j)).toSet
+
+    assert(truth.size >= 5, "planted pairs must be true near-dups")
+    assert(nTrue == truth.size)
+    assert(nHits == (cands & truth).size)
+    assert(nCand == cands.size)
+    assert(rep.getDouble(3) == BigDecimal(nHits.toDouble / nTrue)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }
