@@ -65,9 +65,9 @@ class KillRecoverySpec extends SparkFunSuite {
     val runs = new File(dir, "runs").getAbsolutePath
     val layout = new File(dir, "layout").getAbsolutePath
 
-    val java = new File(new File(sys.props("java.home"), "bin"), "java")
+    val javaBin = new File(new File(sys.props("java.home"), "bin"), "java")
       .getAbsolutePath
-    val pb = new ProcessBuilder(java, "-cp", sys.props("java.class.path"),
+    val pb = new ProcessBuilder(javaBin, "-cp", sys.props("java.class.path"),
       "graft.KillChild", spool1.getAbsolutePath)
     pb.redirectErrorStream(true)
     pb.redirectOutput(new File(dir, "child.log"))
