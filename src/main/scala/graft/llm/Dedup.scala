@@ -499,18 +499,22 @@ object Dedup {
     * through their own label (`l(v) <- l(l(v))`), giving O(log diameter)
     * rounds. State per round is only `(node, label)` pairs and each round
     * is a bounded number of hash-shuffles — no driver-side graph, no
-    * unbounded collect; `localCheckpoint` cuts the iterative lineage.
+    * unbounded collect; [[graft.functions.Lineage.barrier]] cuts the
+    * iterative lineage AND the origin statistics (bare `localCheckpoint`
+    * preserves origin sizeInBytes, which ~squares per self-join round
+    * until Catalyst's estimator overflows BigInteger — the round-7
+    * `embed_knn_clusters` failure at sf0.1).
     * Nodes appearing in no pair are absent (their component is
     * themselves). */
   def connectedComponents(pairs: DataFrame, aCol: String = "a",
                           bCol: String = "b", maxIter: Int = 30): DataFrame = {
+    import graft.functions.Lineage.barrier
     val sym = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
-    val edges = sym.localCheckpoint()
-    var labels = edges.groupBy(col("u"))
+    val edges = barrier(sym)
+    var labels = barrier(edges.groupBy(col("u"))
       .agg(min(col("v")).as("mn"))
-      .select(col("u").as("node"), least(col("u"), col("mn")).as("label"))
-      .localCheckpoint()
+      .select(col("u").as("node"), least(col("u"), col("mn")).as("label")))
     var prevSig: Option[(Long, Long)] = None
     var iter = 0
     var done = false
@@ -525,12 +529,11 @@ object Dedup {
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
       // pointer jump: l(u) <- l(l(u)) (labels are node ids, so the label
       // table joins against itself keyed by label)
-      val jumped = merged
+      val jumped = barrier(merged
         .join(merged.select(col("node").as("label"), col("label").as("ll")),
           Seq("label"), "left")
         .select(col("node"),
-          least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
-        .localCheckpoint()
+          least(col("label"), coalesce(col("ll"), col("label"))).as("label")))
       // fixpoint when the (count, content-hash) signature repeats —
       // bit_xor: order-independent and immune to ANSI long overflow
       val sig = jumped
