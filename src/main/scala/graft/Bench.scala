@@ -307,24 +307,41 @@ object Bench {
     val okResults = results.filter(_._2 >= 0)
     val total = okResults.map(_._2).sum
 
-    // Plan regression tripwire (VERDICT r5 #8): audit the 10 most expensive
-    // gates' executed plans and publish exchange/broadcast/pruned-scan
-    // counts in the artifact, so a 3-exchange outlier like r5's
-    // ts_rate_resets is caught by diffing BENCH_full.json, not by eye.
-    val planAudit: Seq[(String, Int, String)] =
+    // Plan regression tripwire (VERDICT r5 #8, widened r8): audit EVERY
+    // gate's executed plan — the old top-10-by-wall-clock set was
+    // timing-noise-dependent, so a shuffle regression in a query that
+    // drifted out of the top 10 escaped the hard-fail. Plan capture is
+    // driver-side and cheap; publish exchange/broadcast/pruned-scan counts
+    // plus plan_ms (wall time to MATERIALIZE executedPlan — the round-7
+    // BigInteger stats explosion was 20 min of pure planning, invisible to
+    // both the exchange guard and the execution floors until it errored).
+    val planAudit: Seq[(String, Int, Long, String)] =
       if (skipQueries) Seq.empty
-      else okResults.sortBy(-_._2).take(10).map(_._1).sorted.flatMap { name =>
+      else SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
         try {
-          val plan = SparkEntry.queries(name)(spark, sfDir)
-            .queryExecution.executedPlan.toString
+          val df = SparkEntry.queries(name)(spark, sfDir)
+          val t0 = System.nanoTime()
+          val plan = df.queryExecution.executedPlan.toString
+          val planMs = (System.nanoTime() - t0) / 1000000L
           val ex = "Exchange (hash|range)partitioning".r.findAllIn(plan).size
           val bc = "BroadcastExchange".r.findAllIn(plan).size
           val scans = "Scan parquet".r.findAllIn(plan).size
           val pushed = "PushedFilters: \\[[^\\]]".r.findAllIn(plan).size
-          Some((name, ex,
-            s"""{"exchanges":$ex,"broadcasts":$bc,"scans":$scans,"pushed_scans":$pushed}"""))
+          Some((name, ex, planMs,
+            s"""{"exchanges":$ex,"broadcasts":$bc,"scans":$scans,""" +
+              s""""pushed_scans":$pushed,"plan_ms":$planMs}"""))
         } catch { case _: Throwable => None }
       }
+    // Planning-wall-time guard: any single plan materialization past the
+    // cap is a planner pathology (stats blowup, rule fixpoint runaway) —
+    // absolute threshold, not a ledger: plan time is JIT-noisy run-to-run
+    // but healthy plans are ~100ms and the failure mode is minutes.
+    val planTimeCapMs =
+      sys.env.getOrElse("SPARK_GRAFT_PLAN_CAP_MS", "60000").toLong
+    val planTimeRegs = planAudit.collect {
+      case (k, _, ms, _) if ms > planTimeCapMs =>
+        s"$k: plan_ms $ms > cap $planTimeCapMs"
+    }
 
     // Cross-run contention floor (VERDICT r5 #2): merge this run into the
     // best-ever ledger and publish both. contention_factor is the median
@@ -334,18 +351,22 @@ object Bench {
     // times as unrepresentative; the floor columns carry the real signal.
     val (floorQ0, floorR0, floorP0, floorPersist) = loadFloor(sfDir)
     // exchange-count guard: evaluated against the PRE-merge ledger, the
-    // merged ledger keeps the min so a deliberate improvement ratchets
-    val exNow = planAudit.map { case (k, ex, _) => k -> ex }.toMap
+    // merged ledger keeps the min so a deliberate improvement ratchets.
+    // Ledger hygiene (r7 advice): entries whose gate no longer exists are
+    // pruned on merge — a renamed/removed query must not haunt the file.
+    val gateNames = SparkEntry.queries.keySet
+    val exNow = planAudit.map { case (k, ex, _, _) => k -> ex }.toMap
     val planRegs = planRegressions(floorP0, exNow)
-    val floorP = (floorP0.keySet ++ exNow.keySet).map { k =>
+    val floorP = (floorP0.keySet ++ exNow.keySet).filter(gateNames).map { k =>
       k -> math.min(floorP0.getOrElse(k, Double.MaxValue),
         exNow.get(k).map(_.toDouble).getOrElse(Double.MaxValue))
     }.filter(_._2 < Double.MaxValue).toMap
-    val floorQ = (floorQ0.keySet ++ okResults.map(_._1)).map { k =>
-      val cur = okResults.toMap.get(k)
-      k -> math.min(floorQ0.getOrElse(k, Double.MaxValue),
-                    cur.getOrElse(Double.MaxValue))
-    }.filter(_._2 < Double.MaxValue).toMap
+    val floorQ = (floorQ0.keySet ++ okResults.map(_._1)).filter(gateNames)
+      .map { k =>
+        val cur = okResults.toMap.get(k)
+        k -> math.min(floorQ0.getOrElse(k, Double.MaxValue),
+                      cur.getOrElse(Double.MaxValue))
+      }.filter(_._2 < Double.MaxValue).toMap
     val ratios = okResults.flatMap { case (k, v) =>
       floorQ0.get(k).filter(_ > 0).map(v / _) }.sorted
     val contention =
@@ -381,7 +402,7 @@ object Bench {
         val floorQJson = floorQ.toSeq.sortBy(_._1)
           .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
         val auditJson = planAudit
-          .map { case (k, _, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+          .map { case (k, _, _, v) => s""""$k":$v""" }.mkString("{", ",", "}")
         val floorPJson = floorP.toSeq.sortBy(_._1)
           .map { case (k, v) => s""""$k":${v.toInt}""" }.mkString("{", ",", "}")
         // persist the merged ledger for the next run (repo cwd; committed)
@@ -406,8 +427,9 @@ object Bench {
     // hard-fail AFTER the artifact is published: the JSON above still
     // carries the full run, but a shuffle regression must not pass as a
     // green bench (see planRegressions scaladoc for the override path)
-    if (planRegs.nonEmpty) {
+    if (planRegs.nonEmpty || planTimeRegs.nonEmpty) {
       planRegs.foreach(r => Console.err.println(s"PLAN REGRESSION $r"))
+      planTimeRegs.foreach(r => Console.err.println(s"PLAN TIME $r"))
       sys.exit(2)
     }
   }

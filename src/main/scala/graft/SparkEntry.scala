@@ -21,6 +21,18 @@ import graft.sources.TestData
   */
 object SparkEntry {
 
+  /** Per-process scratch path for gates that MATERIALIZE a mutable layout
+    * (ivf/rollup/retention/meta gates). Keyed by dataset dir AND pid:
+    * concurrent processes over the same sf — driver verify beside a bench,
+    * or the bench plan audit re-invoking a gate fn whose timing pass ran in
+    * another process — must never race on one directory (the retention
+    * gates `require()` on the layout's pre-eviction state). Within a
+    * process, gate invocations are sequential and each rewrites its layout
+    * from scratch, so same-path reuse stays deterministic. */
+  private val procToken = ProcessHandle.current().pid().toString
+  private def scratch(prefix: String, d: String): String =
+    s"/tmp/${prefix}_p${procToken}_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+
   // ---- shared time constants (single source of truth for JSON + SQL) ----
   private val T0iso = "20240105T000000"; private val T0 = AkuTime.parseTs(T0iso)
   private val T1iso = "20240120T000000"; private val T1 = AkuTime.parseTs(T1iso)
@@ -2628,7 +2640,7 @@ object SparkEntry {
     "ann_topk_ivf" -> Gated(
       (s, d) => {
         val emb = TestData.table(s, d, "embeddings")
-        val tmp = s"/tmp/graft_ivf_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+        val tmp = scratch("graft_ivf", d)
         Embed.writeIvf(emb, tmp, nCentroids = 16)
         val q = emb.filter(col("vec_id") === 7)
           .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
@@ -2706,7 +2718,7 @@ object SparkEntry {
             init = Some(books0))
           .map(_.map(_.map(x =>
             BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
-        val tmp = s"/tmp/graft_ivfpq_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+        val tmp = scratch("graft_ivfpq", d)
         Embed.writeIvfPq(emb, tmp, nCentroids = 4, m = 8, k = 4,
           centroids = Some(init), books = Some(books))
         val q = emb.filter(col("vec_id") === 7)
@@ -2845,7 +2857,7 @@ object SparkEntry {
     // queries the original table directly.
     "layout_roundtrip" -> Gated(
       (s, d) => {
-        val tmp = s"/tmp/graft_layout_rt_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+        val tmp = scratch("graft_layout_rt", d)
         graft.io.Ingest.writeLayout(
           TestData.events(s, d).samples
             .filter(col("metric") === "view") // the queried slice is what
@@ -2870,7 +2882,7 @@ object SparkEntry {
     // eviction; cutoff on a day boundary makes suffix == ts >= cutoff
     "ts_retention" -> Gated(
       (s, d) => {
-        val tmp = s"/tmp/graft_layout_ret_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+        val tmp = scratch("graft_layout_ret", d)
         graft.io.Ingest.writeLayout(
           TestData.events(s, d).samples
             .filter(col("metric") === "click")
@@ -2899,7 +2911,7 @@ object SparkEntry {
     // contiguous recent suffix, day-whole eviction)
     "ts_retention_bytes" -> Gated(
       (s, d) => {
-        val tmp = s"/tmp/graft_layout_retb_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+        val tmp = scratch("graft_layout_retb", d)
         graft.io.Ingest.writeLayout(
           TestData.events(s, d).samples
             .filter(col("metric") === "click")
@@ -2932,7 +2944,7 @@ object SparkEntry {
     // (IngestSpec asserts the plan reads only the dimension parquet).
     "layout_meta_names" -> Gated(
       (s, d) => {
-        val base = s"/tmp/graft_layout_meta_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+        val base = scratch("graft_layout_meta", d)
         graft.io.Ingest.writeLayout(
           TestData.events(s, d).samples
             .filter(col("metric") === "purchase")
@@ -3999,7 +4011,7 @@ object SparkEntry {
     // output row (count/sum/min/max/first/last all merge associatively)
     "ts_rollup_serve" -> Gated(
       (s, d) => {
-        val tmp = s"/tmp/graft_rollup_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+        val tmp = scratch("graft_rollup", d)
         graft.io.Rollup.write(TestData.events(s, d).samples, tmp,
           Seq(H6, Day))
         graft.io.Rollup.serve(s, tmp, 2 * Day)
@@ -4029,7 +4041,7 @@ object SparkEntry {
     // same oracle as ts_rollup_serve — direct aggregation over ALL rows)
     "ts_rollup_update" -> Gated(
       (s, d) => {
-        val tmp = s"/tmp/graft_ruup_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+        val tmp = scratch("graft_ruup", d)
         val ev = TestData.events(s, d).samples
         val mid = AkuTime.parseTs("20240116T000000")
         graft.io.Rollup.write(ev.filter(col("ts") < mid), tmp, Seq(Day))

@@ -31,17 +31,44 @@ object Verify {
     // schema, captured here per gate.
     val schemas = scala.collection.mutable.Map.empty[String,
       org.apache.spark.sql.types.StructType]
+    // Per-gate watchdog (round-7 lesson): one pathological gate must never
+    // zero the whole artifact — r7's CORRECTNESS json came back `{}`
+    // because a single gate spent 20+ min inside Catalyst planning and the
+    // driver's budget ran out before ANY result was written. Each gate runs
+    // on a daemon thread under its own job group; on timeout the group is
+    // cancelled, the gate is logged as timed out, and the loop moves on.
+    // (A driver-side planning hang ignores the cancel — the daemon thread
+    // is simply abandoned; it cannot block JVM exit.)
+    val gateTimeoutMs =
+      sys.env.getOrElse("SPARK_GRAFT_GATE_TIMEOUT_SEC", "300").toLong * 1000L
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-        try {
-          val df = fn(spark, sfDir)
-          schemas(name) = df.schema
-          GateNorm.quantize(df).coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name")
-        } catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        }
+        @volatile var err: Option[Throwable] = None
+        val t = new Thread(() => {
+          spark.sparkContext.setJobGroup(s"gate-$name", name,
+            interruptOnCancel = true)
+          try {
+            val df = fn(spark, sfDir)
+            val schema = df.schema
+            GateNorm.quantize(df).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            // only a COMPLETE dump publishes its schema: a half-written
+            // gate must not get its oracle SQL emitted as if it passed
+            schemas.synchronized { schemas(name) = schema }
+          } catch { case e: Throwable => err = Some(e) }
+          finally spark.sparkContext.clearJobGroup()
+        }, s"verify-$name")
+        t.setDaemon(true)
+        t.start()
+        t.join(gateTimeoutMs)
+        if (t.isAlive) {
+          spark.sparkContext.cancelJobGroup(s"gate-$name")
+          t.join(15000)
+          System.err.println(
+            s"[verify] $name timed out after ${gateTimeoutMs / 1000}s")
+        } else err.foreach(e =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}"))
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
