@@ -54,8 +54,25 @@ object GateNorm {
         .otherwise(floor(d * lit(1000000.0) + lit(0.5))))
   }
 
+  /** Value-class discriminator for a floating column: the quantizer folds
+    * NULL, NaN, ±Inf and |x|>9e15 all to NULL, which would make the gate
+    * blind to a GENUINE non-finite divergence (Spark NaN where the oracle
+    * has NULL, +Inf vs a huge finite value). Both sides emit this small
+    * int beside the quantized value so that class still has to match:
+    * 0=finite, 1=null, 2=nan, 3=+inf, 4=-inf, 5=finite beyond double's
+    * exact-int range. */
+  def classCol(c: Column): Column = {
+    val d = c.cast(DoubleType)
+    when(d.isNull, lit(1)).when(isnan(d), lit(2))
+      .when(d === lit(Double.PositiveInfinity), lit(3))
+      .when(d === lit(Double.NegativeInfinity), lit(4))
+      .when(abs(d) > lit(9.0e15), lit(5))
+      .otherwise(lit(0)).cast(LongType)
+  }
+
   /** All integer columns → int64; all floating columns → micro-unit
-    * int64. Non-numeric columns (string/bool/binary) pass through. */
+    * int64 PLUS a `<name>__cls` value-class column (see [[classCol]]).
+    * Non-numeric columns (string/bool/binary) pass through. */
   def quantize(df: DataFrame): DataFrame = {
     val cols = df.schema.fields.toIndexedSeq.map { f =>
       f.dataType match {
@@ -65,7 +82,11 @@ object GateNorm {
         case _ => col(f.name)
       }
     }
-    df.select(cols: _*)
+    val cls = df.schema.fields.toIndexedSeq.collect {
+      case f if f.dataType == DoubleType || f.dataType == FloatType =>
+        classCol(col(f.name)).as(s"${f.name}__cls")
+    }
+    df.select(cols ++ cls: _*)
   }
 
   private def qid(ident: String): String =
@@ -80,11 +101,21 @@ object GateNorm {
       s" ELSE CAST(floor($c * 1000000.0 + 0.5) AS BIGINT) END AS ${qid(name)}"
   }
 
+  /** DuckDB twin of [[classCol]] — same predicates, same order. */
+  def oracleClassExpr(name: String): String = {
+    val c = s"CAST(${qid(name)} AS DOUBLE)"
+    s"CASE WHEN ${qid(name)} IS NULL THEN 1 WHEN isnan($c) THEN 2" +
+      s" WHEN isinf($c) AND $c > 0 THEN 3 WHEN isinf($c) THEN 4" +
+      s" WHEN abs($c) > 9.0e15 THEN 5 ELSE 0 END" +
+      s" AS ${qid(name + "__cls")}"
+  }
+
   /** Rewrite an oracle query so its numeric columns match the
     * [[quantize]]d Spark output: driven by the SPARK result schema (the
     * two sides' column sets are identical — the driver checks that
-    * independently). Emits a plain projection over the original query;
-    * DuckDB preserves the inner ORDER BY through it. */
+    * independently). Emits a plain projection over the original query
+    * (quantized replacements + the `__cls` discriminators); DuckDB
+    * preserves the inner ORDER BY through it. */
   def wrapOracle(sql: String, schema: StructType): String = {
     val reps = schema.fields.toIndexedSeq.flatMap { f =>
       f.dataType match {
@@ -94,7 +125,13 @@ object GateNorm {
         case _ => None
       }
     }
+    val cls = schema.fields.toIndexedSeq.collect {
+      case f if f.dataType == DoubleType || f.dataType == FloatType =>
+        oracleClassExpr(f.name)
+    }
     if (reps.isEmpty) sql
-    else s"SELECT * REPLACE (${reps.mkString(", ")}) FROM (\n$sql\n) __graft_gate"
+    else s"SELECT * REPLACE (${reps.mkString(", ")})" +
+      (if (cls.isEmpty) "" else s", ${cls.mkString(", ")}") +
+      s" FROM (\n$sql\n) __graft_gate"
   }
 }

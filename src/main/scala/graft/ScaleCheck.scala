@@ -228,6 +228,26 @@ object ScaleCheck {
         graft.llm.Multimodal.fromDocuments(docs), everyMs = 1000L,
         minShared = 2).count()
     }
+    // ---- round-8 additions: the connectedComponents consumers ----------
+    // (absent from every earlier ScaleCheck; r7's Catalyst stats
+    // explosion lived exactly here and only surfaced at bench sf0.1)
+    timed("doc_neardup_clusters") {
+      Dedup.connectedComponents(
+        Dedup.minhashLsh(docs, n = 3, bands = 64, rowsPerBand = 2,
+          threshold = 0.5)).count()
+    }
+    timed("doc_dedup_pipeline") {
+      Dedup.dedupKeepBest(docs,
+        Dedup.connectedComponents(
+          Dedup.minhashLsh(docs, n = 3, bands = 64, rowsPerBand = 2,
+            threshold = 0.5)),
+        col("n_chars").cast("double")).count()
+    }
+    timed("embed_knn_clusters") {
+      val cents = Embed.kmeansCentroids(emb, k = 16, iters = 2)
+      Embed.knnClusters(Embed.knnGraphCells(emb, k = 3, cents, probes = 2))
+        .count()
+    }
     timed("ts_series_overview") {
       TsAnalytics.seriesOverview(store.samples, Seq("metric"), "ts",
         "value").count()

@@ -103,9 +103,12 @@ object Rollup {
       // Swap via rename-aside, not delete-then-rename: a crash between a
       // delete and the rename-in would lose the whole step. Sequence:
       // dir -> dir.old (atomic), tmp -> dir (atomic), delete dir.old.
-      // A crash leaves either the old dir live (tmp orphaned) or the new
-      // dir live (dir.old orphaned) — never a missing step. storedSteps
-      // ignores the .updating/.old names, so orphans can't poison reads.
+      // A crash leaves the old dir live (tmp orphaned), the new dir live
+      // (dir.old orphaned), or — in the window BETWEEN the two renames —
+      // only dir.old; storedSteps restores that last case by renaming
+      // dir.old back before any read or update (see its scaladoc), and
+      // ignores the .updating/.old names otherwise, so no crash point
+      // loses the step or poisons reads.
       val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
       val dirP = new org.apache.hadoop.fs.Path(dir)
       val oldP = new org.apache.hadoop.fs.Path(s"$dir.old")
@@ -117,14 +120,35 @@ object Rollup {
     }
   }
 
-  /** Stored steps, from the `step=<ns>` directory names. */
+  /** Stored steps, from the `step=<ns>` directory names. Self-healing:
+    * a crash in [[update]]'s two-rename swap window (after
+    * `dir -> dir.old`, before `tmp -> dir`) leaves NO live `step=` dir —
+    * only the rename-aside orphan. Every listing first restores such
+    * orphans (`step=X.old` without `step=X` renames back; the
+    * `.updating` merge output is deleted — update() is atomic, the
+    * caller never got a return so it must replay the batch, and
+    * promoting the merged dir instead would double-count that replay).
+    * So the swap window is repaired on the next read or update, never
+    * by hand. */
   def storedSteps(spark: SparkSession, path: String): Seq[Long] = {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(hp)) Seq.empty
-    else fs.listStatus(hp).toSeq
-      .filter(_.isDirectory)
+    if (!fs.exists(hp)) return Seq.empty
+    def names() = fs.listStatus(hp).toSeq.filter(_.isDirectory)
       .map(_.getPath.getName)
+    val all = names()
+    val live = all.toSet
+    all.filter(n => n.startsWith("step=") && n.endsWith(".old")).foreach { o =>
+      val base = o.dropRight(4)
+      if (!live(base)) {
+        fs.delete(new org.apache.hadoop.fs.Path(hp, s"$base.updating"), true)
+        require(fs.rename(new org.apache.hadoop.fs.Path(hp, o),
+          new org.apache.hadoop.fs.Path(hp, base)),
+          s"crash repair: restoring $o -> $base failed")
+      }
+    }
+    (if (all.exists(o => o.endsWith(".old") &&
+        !live(o.dropRight(4)))) names() else all)
       // strict name parse: a stale `step=<ns>.updating` / `.old` dir from
       // an interrupted update must not brick the store with a
       // NumberFormatException — only pure-long step names count

@@ -317,7 +317,13 @@ object Sample {
     * onto the facts. Replaces the old collect-to-driver + literal-map
     * scheme: driver state is now zero, and the bucket count can scale
     * with the corpus instead of being capped by a driver map. `desc`
-    * accumulates from the TOP bucket down (takeBudget's regime). */
+    * accumulates from the TOP bucket down (takeBudget's regime).
+    *
+    * Bound: the prefix-sum window has no partitionBy, so the bucket-totals
+    * frame (NOT the facts) funnels through ONE task — linear in `buckets`.
+    * Fine at the 65536-bucket default; if buckets is ever made
+    * proportional to corpus size, replace with a two-level prefix sum
+    * (chunk-local sums, then a window over the ≤√buckets chunk totals). */
   private def withBucketBase(t: DataFrame, cnt: Column,
                              desc: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window

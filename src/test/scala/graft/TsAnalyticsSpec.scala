@@ -476,6 +476,35 @@ class TsAnalyticsSpec extends SparkFunSuite {
       4.0, 1.0)))
   }
 
+  test("rollup update: crash between the two swap renames self-heals") {
+    def mk(rows: Seq[(String, Long, Double)]) =
+      rows.toDF("metric", "ts", "value")
+        .withColumn("tags", map_from_arrays(
+          array().cast("array<string>"), array().cast("array<string>")))
+    val p = java.nio.file.Files.createTempDirectory("graft_rc").toString
+    graft.io.Rollup.write(mk(Seq(("m", 1L, 4.0), ("m", 11L, 3.0))), p,
+      Seq(10L))
+    val pre = graft.io.Rollup.serve(spark, p, 10L).orderBy("bucket")
+      .collect().map(_.toSeq).toSeq
+    // simulate update() dying BETWEEN rename-aside and rename-in: the
+    // live dir is gone, only the .old orphan and a merge output remain
+    val d = new java.io.File(p, "step=10")
+    assert(d.renameTo(new java.io.File(p, "step=10.old")))
+    new java.io.File(p, "step=10.updating").mkdirs()
+    // any listing path repairs it: the step is visible again and serves
+    // the PRE-crash contents (update is atomic — the caller replays)
+    assert(graft.io.Rollup.storedSteps(spark, p) == Seq(10L))
+    assert(d.isDirectory)
+    assert(!new java.io.File(p, "step=10.old").exists())
+    assert(!new java.io.File(p, "step=10.updating").exists())
+    val post = graft.io.Rollup.serve(spark, p, 10L).orderBy("bucket")
+      .collect().map(_.toSeq).toSeq
+    assert(post == pre)
+    // and a replayed update over the healed store still folds exactly
+    graft.io.Rollup.update(mk(Seq(("m", 25L, 7.0))), p)
+    assert(graft.io.Rollup.serve(spark, p, 10L).count() == 3)
+  }
+
   test("seasonalityStrength: periodic series scores high, noise low") {
     // clean period-3 pattern on a flat base: seasonal strength ~ 1
     val effect = Seq(6.0, 0.0, -6.0)
