@@ -1,0 +1,145 @@
+package graft
+
+import java.net.Socket
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.io.{Ingest, RunLog, WireIngest}
+
+/** Sustained concurrent writer/maintenance/reader soak — the
+  * `functests/test_concurrency.py` regime: a writer streams samples over
+  * real TCP while a reader repeatedly queries, requiring every response
+  * to be a CONTINUOUS prefix (no gaps, no reorders) and the final view to
+  * be exact. On top of the reference's plan, the maintenance thread
+  * concurrently runs the full spool→runs→layout pipeline (rotation,
+  * spoolResp, foldRuns), so reads race file rotation and fold staging the
+  * way a live deployment's do.
+  *
+  * Like the reference reader (which tolerates up to 10 transient HTTP
+  * errors), a read that lands inside a rotation/fold window may fail or
+  * see a gap; those count against a bounded error budget instead of
+  * failing outright. What MUST hold: enough clean reads succeed, every
+  * clean read is a contiguous prefix of the acked stream, and the final
+  * quiesced view is bit-exact and continuous. */
+class ConcurrencySoakSpec extends SparkFunSuite {
+
+  test("writer + fold maintenance + reader soak: continuous prefixes, " +
+      "exact final view (test_concurrency.py)") {
+    val root = Files.createTempDirectory("graft-soak").toFile
+    val spool = new java.io.File(root, "spool"); spool.mkdirs()
+    val runs = new java.io.File(root, "runs").getAbsolutePath
+    val layout = new java.io.File(root, "layout").getAbsolutePath
+    val srv = new WireIngest(spool)
+    srv.start()
+    val sessions = 24; val per = 2000
+    val n = sessions * per
+    val step = 1000000000L
+    @volatile var writerDone = false
+    @volatile var writerErr: Option[Throwable] = None
+    val writer = new Thread(() => {
+      try {
+        for (s <- 0 until sessions) {
+          val sock = new Socket("127.0.0.1", srv.tcpBoundPort)
+          val sb = new java.lang.StringBuilder(per * 40)
+          for (i <- 0 until per) {
+            val g = s * per + i
+            sb.append("+test tag=Foo\r\n:").append(step * g)
+              .append("\r\n:").append(g).append("\r\n")
+          }
+          sock.getOutputStream.write(sb.toString.getBytes(UTF_8))
+          sock.close() // commit point: close publishes the session
+          Thread.sleep(300)
+        }
+      } catch { case t: Throwable => writerErr = Some(t) }
+      finally writerDone = true
+    }, "soak-writer")
+
+    @volatile var maintDone = false
+    @volatile var maintErr: Option[Throwable] = None
+    @volatile var folds = 0
+    val maint = new Thread(() => {
+      try {
+        var gen = 0
+        def spoolFiles() = Option(spool.listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .filter(_.getName.endsWith(".resp"))
+        while (!writerDone || spoolFiles().nonEmpty) {
+          Thread.sleep(300)
+          // rotate: move published sessions out of the live spool, ingest
+          // them as a run snapshot, fold runs into the layout
+          val fs = spoolFiles()
+          if (fs.nonEmpty) {
+            val genDir = new java.io.File(root, s"gen$gen"); genDir.mkdirs()
+            gen += 1
+            val moved = fs.filter(f =>
+              f.renameTo(new java.io.File(genDir, f.getName)))
+            if (moved.nonEmpty) {
+              RunLog.spoolResp(spark, genDir.getAbsolutePath, runs)
+              RunLog.foldRuns(spark, runs, layout)
+              folds += 1
+            }
+          }
+        }
+      } catch { case t: Throwable => maintErr = Some(t) }
+      finally maintDone = true
+    }, "soak-maint")
+
+    def layoutLive = new java.io.File(layout).isDirectory &&
+      new java.io.File(layout).listFiles().exists(_.getName.startsWith("metric="))
+    def runsLive = new java.io.File(runs).isDirectory &&
+      new java.io.File(runs).listFiles().exists(_.getName.endsWith(".grun"))
+    def spoolLive = spool.listFiles().exists(_.getName.endsWith(".resp"))
+    /** One read: union whatever stages currently exist (layout+runs view,
+      * plus not-yet-rotated spool sessions) and collect the values. */
+    def readAll(): Seq[Long] = {
+      var parts = Seq.empty[org.apache.spark.sql.DataFrame]
+      if (layoutLive)
+        parts :+= RunLog.liveStore(spark, layout, runs).samples
+          .select(col("value"))
+      else if (runsLive)
+        parts :+= RunLog.toStore(spark, runs).samples.select(col("value"))
+      if (spoolLive)
+        parts :+= Ingest.respFiles(spark, spool.getAbsolutePath)
+          .select(col("value"))
+      if (parts.isEmpty) Seq.empty
+      else parts.reduce(_ unionByName _).collect()
+        .map(_.getDouble(0).toLong).sorted.toSeq
+    }
+
+    writer.start(); maint.start()
+    var clean = 0; var dirty = 0; var lastLen = 0
+    try {
+      while ((!writerDone || !maintDone) && dirty < 20) {
+        try {
+          val vals = readAll()
+          // the reference's require_continuous: a response must be a
+          // gap-free ordered prefix of the acked stream (sessions commit
+          // in order, so any torn/missing middle is an engine bug; a
+          // rotation-window dip surfaces as a gap and counts as dirty)
+          if (vals == (0L until vals.length.toLong)) {
+            clean += 1; lastLen = math.max(lastLen, vals.length)
+          } else dirty += 1
+        } catch { case _: Throwable => dirty += 1 }
+      }
+      writer.join(60000); maint.join(60000)
+      assert(writerErr.isEmpty, s"writer failed: $writerErr")
+      assert(maintErr.isEmpty, s"maintenance failed: $maintErr")
+      assert(dirty < 20, s"too many dirty reads: $dirty (clean $clean)")
+      assert(clean >= 3, s"soak made too few clean reads: $clean")
+      assert(folds >= 2, s"maintenance barely ran: $folds folds")
+      // quiesced: everything folded, spool drained, view exact + continuous
+      assert(!spoolLive && !runsLive)
+      val fin = RunLog.liveStore(spark, layout, runs).samples
+        .filter(col("metric") === "test")
+        .select(col("ts"), col("value")).orderBy(col("ts"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(fin.length == n, s"final view has ${fin.length} of $n")
+      fin.zipWithIndex.foreach { case ((ts, v), i) =>
+        assert(ts == step * i && v == i.toDouble,
+          s"discontinuity at $i: ($ts, $v)")
+      }
+    } finally srv.stop()
+  }
+}
