@@ -252,6 +252,34 @@ object ScaleCheck {
       TsAnalytics.seriesOverview(store.samples, Seq("metric"), "ts",
         "value").count()
     }
+    timed("doc_neardup_incremental") {
+      // index 3/4 of the scaled corpus once, probe the last quarter
+      // against it — the per-batch cost of the growing-corpus loop
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_sc_lsh").toString
+      Dedup.writeLshIndex(docs.filter(col("doc_id") % 4 =!= 0), tmp,
+        n = 3, bands = 64, rowsPerBand = 2)
+      Dedup.neardupAgainstIndex(docs.filter(col("doc_id") % 4 === 0), tmp,
+        threshold = 0.5).count()
+    }
+    timed("embed_ivf_update") {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_sc_ivfu").toString
+      Embed.writeIvf(emb.filter(col("vec_id") % 2 === 0), tmp,
+        nCentroids = 64)
+      Embed.ivfUpdate(emb.filter(col("vec_id") % 2 =!= 0), tmp)
+      Embed.topKIvfStored(spark.read.parquet(tmp),
+        emb0.filter(col("vec_id") === 7).select(col("embedding"))
+          .head().getSeq[Float](0).map(_.toDouble).toSeq,
+        k = 10, nCentroids = 64, nProbe = 4,
+        trained = Some(Embed.readIvfCentroids(spark, tmp))).count()
+    }
+    timed("doc_c4_filters") {
+      Text.c4Clean(docs.select(col("doc_id"),
+        concat(col("text"), lit(".\nenable javascript now please.\n"),
+          col("text"), lit(" again.")).as("text")),
+        minLineWords = 3, minLines = 2).count()
+    }
     timed("ts_increase") {
       TsAnalytics.counterIncrease(store.samples, Seq("metric"), "ts",
         "value", bucketNs = Day).count()

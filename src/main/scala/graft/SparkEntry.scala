@@ -167,6 +167,28 @@ object SparkEntry {
       |  FROM e x JOIN e y ON x.vec_id < y.vec_id)
       |WHERE score >= 0.4 ORDER BY 1, 2""".stripMargin
 
+  /** Direct 2-day group-aggregate over ALL events — what any correctly
+    * maintained rollup store must serve (shared by the batch-update and
+    * streaming-fold maintenance gates). */
+  private lazy val rollupServe2dOracle: String =
+    s"""WITH b AS (SELECT event_type AS metric,
+       |    ${snameSql("event_type")} AS sname,
+       |    ($tsSql // ${2 * Day}) * ${2 * Day} AS bucket,
+       |    $tsSql AS t, value
+       |  FROM events WHERE value IS NOT NULL),
+       |f AS (SELECT *,
+       |    row_number() OVER (PARTITION BY metric, sname, bucket
+       |      ORDER BY t, value) AS rf,
+       |    row_number() OVER (PARTITION BY metric, sname, bucket
+       |      ORDER BY t DESC, value DESC) AS rl FROM b)
+       |SELECT metric, sname, bucket, count(*) AS cnt,
+       |  round(sum(value), 6) AS vsum,
+       |  min(value) AS vmin, max(value) AS vmax,
+       |  round(sum(value) / count(*), 6) AS mean,
+       |  max(CASE WHEN rf = 1 THEN value END) AS first_v,
+       |  max(CASE WHEN rl = 1 THEN value END) AS last_v
+       |FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   private val annTopKOracle: String =
     """WITH e AS (SELECT vec_id,
       |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
@@ -1554,6 +1576,111 @@ object SparkEntry {
              |    THEN chr(10) || 'unique line ' || doc_id ELSE '' END AS text
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // -- curation: C4 page + line cleaning -------------------------------
+    // The corpus text is single-line, so the gate synthesizes the page
+    // structure C4 discriminates on (identically in the oracle): a kept
+    // lead line (first 5 words + '.'), a javascript line, a 2-word line,
+    // an unpunctuated line, a second kept line for doc_id % 3 != 0, and
+    // page-killing lorem-ipsum (% 7 == 0) / curly-brace (% 11 == 0)
+    // tails. Survivors: % 3 != 0 && % 7 != 0 && % 11 != 0, text = the
+    // two kept lines.
+    "doc_c4_filters" -> Gated(
+      (s, d) => {
+        val w = split(col("text"), " ")
+        val synth = TestData.table(s, d, "documents").select(col("doc_id"),
+          concat(
+            concat_ws(" ", slice(w, 1, 5)), lit("."),
+            lit("\nEnable javascript to view this content."),
+            lit("\nclick here"),
+            lit("\n"), concat_ws(" ", slice(w, 6, 5)),
+            when(col("doc_id") % 3 =!= 0,
+              concat(lit("\nthis line stays number "),
+                col("doc_id").cast("string"), lit("."))).otherwise(lit("")),
+            when(col("doc_id") % 7 === 0,
+              lit("\nLorem Ipsum dolor sit amet.")).otherwise(lit("")),
+            when(col("doc_id") % 11 === 0,
+              lit("\nfunction f() { return 1; }")).otherwise(lit(""))
+          ).as("text"))
+        Text.c4Clean(synth, minLineWords = 3, minLines = 2)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH synth AS (
+             |  SELECT doc_id,
+             |    array_to_string(string_split(text, ' ')[1:5], ' ') || '.' ||
+             |    chr(10) || 'Enable javascript to view this content.' ||
+             |    chr(10) || 'click here' ||
+             |    chr(10) || array_to_string(string_split(text, ' ')[6:10], ' ') ||
+             |    CASE WHEN doc_id % 3 <> 0 THEN chr(10) ||
+             |      'this line stays number ' || doc_id || '.' ELSE '' END ||
+             |    CASE WHEN doc_id % 7 = 0 THEN chr(10) ||
+             |      'Lorem Ipsum dolor sit amet.' ELSE '' END ||
+             |    CASE WHEN doc_id % 11 = 0 THEN chr(10) ||
+             |      'function f() { return 1; }' ELSE '' END AS text
+             |  FROM documents),
+             |base AS (SELECT * FROM synth
+             |  WHERE NOT contains(lower(text), 'lorem ipsum')
+             |    AND NOT contains(text, '{')),
+             |lines AS (SELECT doc_id,
+             |    list_filter(string_split(text, chr(10)), l ->
+             |      regexp_matches(trim(l), '[.!?"]$')
+             |      AND len(string_split_regex(trim(l), '\s+')) >= 3
+             |      AND NOT contains(lower(l), 'javascript')) AS keep
+             |  FROM base)
+             |SELECT doc_id, array_to_string(keep, chr(10)) AS text
+             |FROM lines WHERE len(keep) >= 2 ORDER BY doc_id""".stripMargin)),
+
+    // -- dedup: canonical-URL dedup --------------------------------------
+    // URLs synthesized (identically both sides) in four per-doc variants
+    // of one logical page: UPPERCASE scheme + www. + trailing slash,
+    // utm-only query, mixed query (utm dropped, id kept), #fragment.
+    // canonicalUrl must collapse variants 0/1/3 of a (source, doc_id%25)
+    // page to one key, variant 2 keeps its ?id=. Keep-best: longest
+    // n_chars, ties to smallest doc_id.
+    "doc_url_dedup" -> Gated(
+      (s, d) => {
+        val v = col("doc_id") % 4
+        val url = concat(
+          when(v === 0, lit("HTTPS://WWW.")).otherwise(lit("https://")),
+          lower(col("source")), lit(".example.com/page/"),
+          (col("doc_id") % 25).cast("string"),
+          when(v === 0, lit("/")).otherwise(lit("")),
+          when(v === 1, lit("?utm_source=feed&utm_campaign=x"))
+            .otherwise(lit("")),
+          when(v === 2, concat(lit("?id="), (col("doc_id") % 3).cast("string"),
+            lit("&utm_medium=em"))).otherwise(lit("")),
+          when(v === 3, lit("#section-2")).otherwise(lit("")))
+        Dedup.urlDedup(TestData.table(s, d, "documents")
+          .select(col("doc_id"), col("n_chars"), url.as("url")))
+          .orderBy(col("canonical_url"))
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id, n_chars,
+             |    CASE WHEN doc_id % 4 = 0 THEN 'HTTPS://WWW.'
+             |      ELSE 'https://' END ||
+             |    lower(source) || '.example.com/page/' || (doc_id % 25) ||
+             |    CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+             |    CASE WHEN doc_id % 4 = 1
+             |      THEN '?utm_source=feed&utm_campaign=x' ELSE '' END ||
+             |    CASE WHEN doc_id % 4 = 2
+             |      THEN '?id=' || (doc_id % 3) || '&utm_medium=em'
+             |      ELSE '' END ||
+             |    CASE WHEN doc_id % 4 = 3 THEN '#section-2' ELSE '' END AS url
+             |  FROM documents),
+             |nf AS (SELECT doc_id, n_chars,
+             |    regexp_replace(url, '#.*$', '') AS url FROM u),
+             |c AS (SELECT doc_id, n_chars,
+             |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             |      lower(regexp_extract(url, '^([a-zA-Z]+://[^/?]*)', 1)) ||
+             |        regexp_replace(url, '^[a-zA-Z]+://[^/?]*', ''),
+             |      '^([a-z]+://)www\.', '\1'),
+             |      'utm_[^&#]*&', ''),
+             |      '[?&]utm_[^&#]*$', ''),
+             |      '/$', '') AS canonical_url
+             |  FROM nf)
+             |SELECT canonical_url, count(*) AS n_docs,
+             |  arg_min(doc_id, doc_id - n_chars * 1000000000) AS keep_doc_id
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // -- dedup: STREAMING exact dedup through real micro-batches ---------
     // The corpus arrives as micro-batch 1, then replays ENTIRELY as
     // micro-batch 2 inside the watermark: dropDuplicatesWithinWatermark
@@ -1608,6 +1735,27 @@ object SparkEntry {
         n = 3, bands = 64, rowsPerBand = 2, threshold = 0.5)
         .orderBy(col("a"), col("b")),
       Some(ngramJaccardOracle)),
+
+    // -- dedup: INCREMENTAL near-dup against a persisted LSH index -------
+    // Index built from doc_id % 4 != 0 (writeLshIndex — corpus shingled
+    // ONCE, band table + shingle sets persisted), then the % 4 == 0 batch
+    // checked against it: batch bands join the STORED band table, the
+    // indexed text is never re-shingled — the growing-corpus production
+    // shape. Output = near-dup pairs with >= one new side (corpus-vs-
+    // corpus pairs are by design absent: reported when their batch
+    // arrived). Oracle: brute n-gram Jaccard with the same predicate.
+    "doc_neardup_incremental" -> Gated(
+      (s, d) => {
+        val docs = TestData.table(s, d, "documents")
+        val tmp = scratch("graft_lshidx", d)
+        Dedup.writeLshIndex(docs.filter(col("doc_id") % 4 =!= 0), tmp,
+          n = 3, bands = 64, rowsPerBand = 2)
+        Dedup.neardupAgainstIndex(docs.filter(col("doc_id") % 4 === 0), tmp,
+          threshold = 0.5)
+          .orderBy(col("a"), col("b"))
+      },
+      Some(ngramJaccardOracle.replace("WHERE jaccard >= 0.5",
+        "WHERE jaccard >= 0.5 AND (a % 4 = 0 OR b % 4 = 0)"))),
 
     // -- dedup: near-dup pair graph -> connected components --------------
     // (node, component=min reachable id) over the minhash pair set; the
@@ -2642,6 +2790,28 @@ object SparkEntry {
         val emb = TestData.table(s, d, "embeddings")
         val tmp = scratch("graft_ivf", d)
         Embed.writeIvf(emb, tmp, nCentroids = 16)
+        val q = emb.filter(col("vec_id") === 7)
+          .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+        Embed.topKIvfStored(s.read.parquet(tmp), q, k = 10,
+          nCentroids = 16, nProbe = 16,
+          trained = Some(Embed.readIvfCentroids(s, tmp)))
+      },
+      Some(annTopKOracle)),
+
+    // -- similarity: INCREMENTAL IVF index maintenance -------------------
+    // Index built from even vec_ids only, then the odd half folded in via
+    // ivfUpdate — assignment with the layout's persisted centroids, pure
+    // parquet append under the matching cell directories, no rebuild.
+    // The probe (nProbe = all cells ⇒ exhaustive) must see both halves;
+    // query vec 7 is in the UPDATED half, so a lost append can't pass.
+    // Oracle: brute-force top-k over the full corpus.
+    "embed_ivf_update" -> Gated(
+      (s, d) => {
+        val emb = TestData.table(s, d, "embeddings")
+        val tmp = scratch("graft_ivfu", d)
+        Embed.writeIvf(emb.filter(col("vec_id") % 2 === 0), tmp,
+          nCentroids = 16)
+        Embed.ivfUpdate(emb.filter(col("vec_id") % 2 =!= 0), tmp)
         val q = emb.filter(col("vec_id") === 7)
           .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
         Embed.topKIvfStored(s.read.parquet(tmp), q, k = 10,
@@ -4049,23 +4219,35 @@ object SparkEntry {
         graft.io.Rollup.serve(s, tmp, 2 * Day)
           .orderBy(col("metric"), col("sname"), col("bucket"))
       },
-      Some(s"""WITH b AS (SELECT event_type AS metric,
-              |    ${snameSql("event_type")} AS sname,
-              |    ($tsSql // ${2 * Day}) * ${2 * Day} AS bucket,
-              |    $tsSql AS t, value
-              |  FROM events WHERE value IS NOT NULL),
-              |f AS (SELECT *,
-              |    row_number() OVER (PARTITION BY metric, sname, bucket
-              |      ORDER BY t, value) AS rf,
-              |    row_number() OVER (PARTITION BY metric, sname, bucket
-              |      ORDER BY t DESC, value DESC) AS rl FROM b)
-              |SELECT metric, sname, bucket, count(*) AS cnt,
-              |  round(sum(value), 6) AS vsum,
-              |  min(value) AS vmin, max(value) AS vmax,
-              |  round(sum(value) / count(*), 6) AS mean,
-              |  max(CASE WHEN rf = 1 THEN value END) AS first_v,
-              |  max(CASE WHEN rl = 1 THEN value END) AS last_v
-              |FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+      Some(rollupServe2dOracle)),
+
+    // -- rollup store maintenance: CONTINUOUS (streaming) fold -----------
+    // The same pre-split halves arrive as two REAL micro-batches through
+    // a foreachBatch sink (continuousRollup): batch 1 bootstraps the
+    // store, batch 2 folds via Rollup.update — serve at 2d must equal
+    // the direct aggregation over all rows, same oracle as the batch
+    // update gate (the fold algebra is exact across the batch boundary).
+    "ts_rollup_stream" -> Gated(
+      (s, d) => {
+        val tmpDir = java.nio.file.Files
+          .createTempDirectory("graft_rustream").toString
+        val src = s"$tmpDir/src"; val ckpt = s"$tmpDir/ckpt"
+        val store = s"$tmpDir/store"
+        val ev = TestData.events(s, d).samples
+        val mid = AkuTime.parseTs("20240116T000000")
+        ev.filter(col("ts") < mid).write.mode("append").parquet(src)
+        val q = graft.streaming.StreamIngest.continuousRollup(
+          s.readStream.schema(ev.schema).parquet(src),
+          store, Seq(Day), ckpt).start()
+        try {
+          q.processAllAvailable()
+          ev.filter(col("ts") >= mid).write.mode("append").parquet(src)
+          q.processAllAvailable()
+        } finally q.stop()
+        graft.io.Rollup.serve(s, store, 2 * Day)
+          .orderBy(col("metric"), col("sname"), col("bucket"))
+      },
+      Some(rollupServe2dOracle)),
 
     // -- classical additive seasonal decomposition -----------------------
     // 6h buckets, period 5: trend = centered 5-bucket MA (null unless

@@ -30,6 +30,31 @@ object Dedup {
       .groupBy(col("fingerprint"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_doc_id"))
 
+  /** URL-level deduplication — the crawl-pipeline step BEFORE any
+    * content hashing (most crawl duplicates are one page fetched under
+    * cosmetically different URLs: tracking params, fragments, www/case
+    * variants, trailing slashes). Groups by
+    * [[graft.llm.Text.canonicalUrl]] and keeps the best fetch per
+    * canonical form: longest text (`lenCol`, crawl heuristic — the
+    * fullest render wins), ties to the smallest id. Output: one row per
+    * canonical URL (canonical_url, n_docs, keep_doc_id). One
+    * hash-shuffle on the canonical string, survivor state is a single
+    * value per key — the same 100 TB shape as [[exact]]. The (len desc,
+    * id asc) preference rides a single BIGINT `min_by` key
+    * (`id - len·1e9` — DuckDB's arg_min has no struct overload), which
+    * is exact while len < 2^33 and id < 1e9. */
+  def urlDedup(docs: DataFrame, urlCol: String = "url",
+               lenCol: String = "n_chars",
+               idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(Text.canonicalUrl(col(urlCol)).as("canonical_url"),
+        col(lenCol), col(idCol))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_docs"),
+        min_by(col(idCol),
+          col(idCol) - col(lenCol).cast("long") * lit(1000000000L))
+          .as("keep_doc_id"))
+
   /** Incremental (cross-snapshot) exact dedup: drop every new document
     * whose normalized-content fingerprint already exists in the `seen`
     * corpus — the "dedup this crawl against everything already
@@ -445,6 +470,126 @@ object Dedup {
       .join(sets.select(col("id").as("a"), col("sh").as("sha"),
         col("nsh").as("na")), "a")
       .join(sets.select(col("id").as("b"), col("sh").as("shb"),
+        col("nsh").as("nb")), "b")
+      .withColumn("inter",
+        size(array_intersect(col("sha"), col("shb"))).cast("double"))
+      .withColumn("jaccard",
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  // --- persisted LSH index + incremental near-dup --------------------------
+
+  private def lshMetaFile(path: String) = s"$path/_lsh_meta.txt"
+
+  private def bandHashArr(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map(b =>
+      xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand))): _*)
+
+  /** Persist the corpus's LSH state as a reusable on-disk index:
+    * `path/sets` = (id, sh, nsh) hashed shingle sets, `path/bands` =
+    * (id, band, bandhash) band table, plus the `(n, bands, rowsPerBand)`
+    * meta so a later batch can never band with different parameters.
+    * The text is shingled ONCE (bands are derived from the stored sets);
+    * incremental near-dup ([[neardupAgainstIndex]]) then never touches
+    * corpus text again — the production shape for a growing 100 TB
+    * corpus, where re-shingling the history per batch is the thing that
+    * does not scale. */
+  def writeLshIndex(docs: DataFrame, path: String, n: Int = 3,
+                    bands: Int = 64, rowsPerBand: Int = 2,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): Unit = {
+    val spark = docs.sparkSession
+    docs
+      .select(col(idCol).as("id"), hashedShingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), col("sh"), size(col("sh")).as("nsh"))
+      .write.mode("overwrite").parquet(s"$path/sets")
+    spark.read.parquet(s"$path/sets")
+      .select(col("id"),
+        minhashFromHashes(col("sh"), bands * rowsPerBand).as("sig"))
+      .select(col("id"), posexplode(bandHashArr(col("sig"), bands, rowsPerBand)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bandhash")
+      .write.mode("overwrite").parquet(s"$path/bands")
+    Embed.writeTextFile(spark, lshMetaFile(path), s"$n,$bands,$rowsPerBand")
+  }
+
+  /** Fold a new batch into a [[writeLshIndex]] layout: shingle + band the
+    * batch with the layout's persisted parameters and parquet-append to
+    * `sets`/`bands`. Like [[graft.llm.Embed.ivfUpdate]], append-only
+    * maintenance — existing index files are never rewritten. */
+  def appendLshIndex(newDocs: DataFrame, path: String,
+                     textCol: String = "text",
+                     idCol: String = "doc_id"): Unit = {
+    val spark = newDocs.sparkSession
+    val Array(n, bands, rowsPerBand) =
+      Embed.readTextFile(spark, lshMetaFile(path)).split(",").map(_.toInt)
+    val sets = newDocs
+      .select(col(idCol).as("id"), hashedShingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), col("sh"), size(col("sh")).as("nsh"))
+    sets.write.mode("append").parquet(s"$path/sets")
+    sets
+      .select(col("id"),
+        minhashFromHashes(col("sh"), bands * rowsPerBand).as("sig"))
+      .select(col("id"), posexplode(bandHashArr(col("sig"), bands, rowsPerBand)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bandhash")
+      .write.mode("append").parquet(s"$path/bands")
+  }
+
+  /** Incremental near-dup: pairs of a NEW batch against a
+    * [[writeLshIndex]] layout (plus new-vs-new pairs within the batch),
+    * WITHOUT re-shingling the indexed corpus. The batch's bands join the
+    * stored band table (band, bandhash) — bucket-local, never all-pairs —
+    * and candidates are verified with exact shingle Jaccard from stored +
+    * batch sets. Corpus-vs-corpus pairs are by construction absent: they
+    * were reported when their batches arrived. Ids must be disjoint
+    * between index and batch. Output: (a, b, jaccard) with a < b, at
+    * least one side new, jaccard >= threshold. */
+  def neardupAgainstIndex(newDocs: DataFrame, path: String,
+                          threshold: Double = 0.5,
+                          textCol: String = "text",
+                          idCol: String = "doc_id"): DataFrame = {
+    val spark = newDocs.sparkSession
+    val Array(n, bands, rowsPerBand) =
+      Embed.readTextFile(spark, lshMetaFile(path)).split(",").map(_.toInt)
+    val newSh = newDocs
+      .repartition(spark.sparkContext.defaultParallelism * 2)
+      .select(col(idCol).as("id"), hashedShingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val newSets = newSh
+      .select(col("id"), col("sh"), size(col("sh")).as("nsh"))
+    val newBanded = newSh
+      .select(col("id"),
+        minhashFromHashes(col("sh"), bands * rowsPerBand).as("sig"))
+      .select(col("id"), posexplode(bandHashArr(col("sig"), bands, rowsPerBand)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bandhash")
+    val storedBanded = spark.read.parquet(s"$path/bands")
+    // corpus-vs-new (either id order — normalize to a < b) …
+    val cx = storedBanded.alias("l")
+      .join(newBanded.alias("r"),
+        col("l.band") === col("r.band") &&
+          col("l.bandhash") === col("r.bandhash") &&
+          col("l.id") =!= col("r.id"))
+      .select(least(col("l.id"), col("r.id")).as("a"),
+        greatest(col("l.id"), col("r.id")).as("b"))
+    // … plus new-vs-new within the batch
+    val nn = newBanded.alias("l")
+      .join(newBanded.alias("r"),
+        col("l.band") === col("r.band") &&
+          col("l.bandhash") === col("r.bandhash") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+    val candidates = cx.unionByName(nn).dropDuplicates("a", "b")
+    val allSets = spark.read.parquet(s"$path/sets").unionByName(newSets)
+    candidates
+      .join(allSets.select(col("id").as("a"), col("sh").as("sha"),
+        col("nsh").as("na")), "a")
+      .join(allSets.select(col("id").as("b"), col("sh").as("shb"),
         col("nsh").as("nb")), "b")
       .withColumn("inter",
         size(array_intersect(col("sha"), col("shb"))).cast("double"))

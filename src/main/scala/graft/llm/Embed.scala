@@ -306,6 +306,26 @@ object Embed {
     readTextFile(spark, centroidsFile(path))
       .split("\n").toSeq.map(_.split(",").toSeq.map(_.toDouble))
 
+  /** Incremental index maintenance: fold a batch of NEW vectors into an
+    * existing [[writeIvf]] layout without rebuilding it. The batch is
+    * assigned with the layout's PERSISTED centroid matrix (never a
+    * recomputed one — a drifted assignment would strand old cells) and
+    * appended as new parquet files under the matching `ivf_cell=`
+    * partition directories; existing files are untouched. At 100 TB this
+    * is the only viable maintenance shape — an index rebuild rereads the
+    * corpus, an append touches only the batch. Probes ([[topKIvfStored]])
+    * see old + new rows through the same partition-pruned listing.
+    * Cell skew drifts as the corpus grows away from the training sample;
+    * [[centroidDrift]] is the monitor that says when to retrain. */
+  def ivfUpdate(newVecs: DataFrame, path: String,
+                vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
+    val cents = readIvfCentroids(newVecs.sparkSession, path)
+    newVecs
+      .withColumn("ivf_cell", centroidId(col(vecCol), cents))
+      .repartition(col("ivf_cell"))
+      .write.partitionBy("ivf_cell").mode("append").parquet(path)
+  }
+
   /** Top-k probe against a [[writeIvf]] layout: the `ivf_cell` filter is a
     * partition-column predicate, so only `nProbe` of `nCentroids`
     * directories are read — the 100 TB ANN path. Pass the layout's
@@ -517,7 +537,7 @@ object Embed {
 
   private def pqBooksFile(path: String) = s"$path/_pq_books.txt"
 
-  private def writeTextFile(spark: SparkSession, pathStr: String,
+  private[llm] def writeTextFile(spark: SparkSession, pathStr: String,
                             text: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(pathStr)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -526,7 +546,7 @@ object Embed {
     finally out.close()
   }
 
-  private def readTextFile(spark: SparkSession, pathStr: String): String = {
+  private[llm] def readTextFile(spark: SparkSession, pathStr: String): String = {
     val p = new org.apache.hadoop.fs.Path(pathStr)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(p)

@@ -723,6 +723,55 @@ object Text {
     trim(regexp_replace(ent, "[ \\t]+", " "))
   }
 
+  /** C4-style page + line cleaning (Raffel et al. 2020 §2.2, the
+    * en.clean recipe), the standard pre-dedup pass of a crawl pipeline:
+    *
+    *  - page drops: any page containing `lorem ipsum` (lowercased) or a
+    *    curly brace (code, per the paper) is removed whole;
+    *  - line keeps: a line survives iff it ends in terminal punctuation
+    *    (`. ! ? "`), has >= `minLineWords` words, and does not mention
+    *    `javascript` (lowercased);
+    *  - page floor: pages with fewer than `minLines` surviving lines are
+    *    removed (the paper's >= 3-sentence floor at line granularity).
+    *
+    * Output: (id, cleaned text) with survivors' line order preserved.
+    * Pure narrow projection — split / higher-order filter / array_join,
+    * no shuffle, no UDF; scales as a map over the corpus. The DuckDB
+    * twin is the identical RE2-safe predicates over string_split. */
+  def c4Clean(docs: DataFrame, minLineWords: Int = 3, minLines: Int = 2,
+              textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val kept = filter(split(col(textCol), "\n"), l =>
+      trim(l).rlike("[.!?\"]$") &&
+        size(split(trim(l), "\\s+")) >= minLineWords &&
+        !lower(l).contains("javascript"))
+    docs
+      .filter(!lower(col(textCol)).contains("lorem ipsum") &&
+        !col(textCol).contains("{"))
+      .select(col(idCol), kept.as("__keep"))
+      .filter(size(col("__keep")) >= minLines)
+      .select(col(idCol), array_join(col("__keep"), "\n").as(textCol))
+  }
+
+  /** Canonical URL form for URL-level deduplication (the crawl-pipeline
+    * step BEFORE content dedup — most crawl dups are the same URL dressed
+    * differently). Lowercases scheme+host, strips a leading `www.`, drops
+    * the `#fragment`, removes `utm_*` tracking parameters (and a then-
+    * empty `?`), and trims a trailing `/`. Pure regexp chain, RE2-safe —
+    * the DuckDB twin runs the same patterns with `\1` replacements. */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val hostLower = concat(
+      lower(regexp_extract(noFrag, "^([a-zA-Z]+://[^/?]*)", 1)),
+      regexp_replace(noFrag, "^[a-zA-Z]+://[^/?]*", ""))
+    val noWww = regexp_replace(hostLower, "^([a-z]+://)www\\.", "$1")
+    // drop utm_* keeping the neighbours' separators intact: first any
+    // "utm_x=..&" (its & belonged to it), then a trailing "?utm_x=.." /
+    // "&utm_x=.." (it owned its leading separator)
+    val noUtm = regexp_replace(
+      regexp_replace(noWww, "utm_[^&#]*&", ""), "[?&]utm_[^&#]*$", "")
+    regexp_replace(noUtm, "/$", "")
+  }
+
   /** Corpus-wide paragraph-level deduplication (the Dolma/C4 dedupe
     * granularity between whole-document exact dedup and line-level
     * boilerplate stripping): every paragraph keeps only its FIRST

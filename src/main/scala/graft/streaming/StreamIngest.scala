@@ -93,6 +93,31 @@ object StreamIngest {
       .outputMode(OutputMode.Append)
   }
 
+  /** Continuous rollup maintenance: every micro-batch folds into a
+    * [[graft.io.Rollup]] store through the exact mergeable algebra —
+    * the streaming sibling of `Rollup.update`, and the deployment shape
+    * for "the 1m/1h/1d tables are always current": the raw history is
+    * never rescanned, each batch costs batch-scale + touched-summary-
+    * scale, and a serve at any multiple of a stored step sees every
+    * sample acked before the last completed batch. The first non-empty
+    * batch bootstraps the store at `steps`. Exactness: the fold result
+    * is bit-for-bit a full rebuild over everything ingested (up to fp
+    * addition order in `vsum` — the serve-side 6-decimal round absorbs
+    * it). Checkpointing makes the sink effectively-once per epoch;
+    * Rollup.update's rename-swap keeps a crashed fold invisible (the
+    * un-acked batch replays into the pre-fold store). */
+  def continuousRollup(samples: DataFrame, path: String, steps: Seq[Long],
+                       checkpoint: String): DataStreamWriter[Row] =
+    samples.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        if (!b.isEmpty) {
+          if (graft.io.Rollup.storedSteps(b.sparkSession, path).isEmpty)
+            graft.io.Rollup.write(b, path, steps)
+          else graft.io.Rollup.update(b, path)
+        }
+      }
+
   /** Continuous group-aggregate: per (series, bucket) min/max/sum/count
     * over event-time windows with a watermark — the streaming analogue of
     * Q4 (reference continuous queries read the tail repeatedly; here the

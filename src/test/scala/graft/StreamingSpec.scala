@@ -414,6 +414,36 @@ class StreamingSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("continuous rollup fold equals a full rebuild across batches") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-cr").toString
+    val input = MemoryStream[(String, Long, Double)]
+    val samples = input.toDF().toDF("metric", "ts", "value")
+      .withColumn("tags", map(lit("h"), lit("a")))
+    val day = 86400L * 1000000000L
+    val q = StreamIngest.continuousRollup(samples, s"$root/store",
+      Seq(day), s"$root/ckpt").start()
+    val b1 = Seq(("m", 1L, 5.0), ("m", day + 3L, 1.0), ("n", 9L, 8.0))
+    val b2 = Seq(("m", 5L, 2.0), ("m", day + 7L, 9.0), ("n", 2 * day, 4.0))
+    try {
+      input.addData(b1: _*) // bootstraps the store
+      q.processAllAvailable()
+      input.addData(b2: _*) // folds via Rollup.update
+      q.processAllAvailable()
+    } finally q.stop()
+    val served = graft.io.Rollup.serve(sp, s"$root/store", day)
+      .orderBy("metric", "sname", "bucket").collect().toSeq
+    val rebuilt = s"$root/rebuilt"
+    graft.io.Rollup.write((b1 ++ b2).toDF("metric", "ts", "value")
+      .withColumn("tags", map(lit("h"), lit("a"))), rebuilt, Seq(day))
+    val want = graft.io.Rollup.serve(sp, rebuilt, day)
+      .orderBy("metric", "sname", "bucket").collect().toSeq
+    assert(served == want)
+    assert(served.size == 4) // m: day0,day1 + n: day0,day2
+  }
+
   test("streaming near-dup candidates: cross-batch owners, exact recall") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
