@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ast.QueryJson
-import graft.llm.{Bpe, Dedup, Embed, Sample, Text}
+import graft.llm.{Bpe, CorpusIo, Dedup, Embed, Sample, Text}
 import graft.plan.{EventOps, Planner, TsAnalytics, TsStore}
 import graft.sources.TestData
 
@@ -273,6 +273,36 @@ object ScaleCheck {
           .head().getSeq[Float](0).map(_.toDouble).toSeq,
         k = 10, nCentroids = 64, nProbe = 4,
         trained = Some(Embed.readIvfCentroids(spark, tmp))).count()
+    }
+    timed("doc_export_shards") {
+      // final-mile export: hash-shard + within-shard shuffle order +
+      // manifest readback over the scaled corpus
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_sc_shards").toString
+      CorpusIo.writeShards(docs.select(col("doc_id"), col("text"),
+        col("source")), tmp, nShards = 32, shuffled = true)
+      CorpusIo.shardManifest(spark, tmp).count()
+    }
+    timed("embed_topk_batch_ivf") {
+      // batch serving shape: one probe pass over the layout serves the
+      // whole query batch (every 50th vector queries, nProbe 8 of 64)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_sc_bivf").toString
+      Embed.writeIvf(emb, tmp, nCentroids = 64)
+      Embed.topKBatchIvf(
+        emb.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        spark.read.parquet(tmp), k = 10,
+        centroids = Embed.readIvfCentroids(spark, tmp), nProbe = 8).count()
+    }
+    timed("doc_substring_dedup") {
+      // full-text window explode over the scaled corpus — the heaviest
+      // shape of the op (every token emits a window row)
+      Dedup.trimDuplicateSpans(docs.select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 2 === 0, lit(
+            " subscribe to our newsletter for daily updates and offers"))
+            .otherwise(lit(""))).as("text")), k = 8).count()
     }
     timed("doc_c4_filters") {
       Text.c4Clean(docs.select(col("doc_id"),

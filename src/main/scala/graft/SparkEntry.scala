@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ast.QueryJson
-import graft.llm.{Bpe, Dedup, Embed, Multimodal, Sample, Text}
+import graft.llm.{Bpe, CorpusIo, Dedup, Embed, Multimodal, Sample, Text}
 import graft.model.AkuTime
 import graft.plan.{EventOps, Meta, Planner, TsAnalytics, TsStore}
 import graft.serve.OutputFormat
@@ -188,6 +188,19 @@ object SparkEntry {
        |  max(CASE WHEN rf = 1 THEN value END) AS first_v,
        |  max(CASE WHEN rl = 1 THEN value END) AS last_v
        |FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  private val batchTopKOracle: String =
+    """WITH e AS MATERIALIZED (SELECT vec_id,
+      |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+      |  WHERE vec_id % 101 = 0),
+      |s AS (SELECT query_id, e.vec_id,
+      |    round(list_cosine_similarity(qv, e.v), 6) AS score
+      |  FROM q CROSS JOIN e),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, vec_id ASC) AS rn FROM s)
+      |SELECT query_id, vec_id, score FROM r WHERE rn <= 5
+      |ORDER BY query_id, score DESC, vec_id""".stripMargin
 
   private val annTopKOracle: String =
     """WITH e AS (SELECT vec_id,
@@ -1681,6 +1694,165 @@ object SparkEntry {
              |  arg_min(doc_id, doc_id - n_chars * 1000000000) AS keep_doc_id
              |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // -- dedup: exact substring dedup (span removal, Lee et al. '22) -----
+    // Shared k-token boilerplate is synthesized identically both sides:
+    // every doc = its first 8 words, plus a newsletter sentence (% 2 ==
+    // 0) and/or a legal sentence (% 5 == 0). trimDuplicateSpans must keep
+    // only the globally-first occurrence of every duplicated 6-token
+    // window and cut the rest; the oracle recomputes the same semantics
+    // from raw SQL (window rn over gram, positional NOT EXISTS cut).
+    "doc_substring_dedup" -> Gated(
+      (s, d) => {
+        val synth = TestData.table(s, d, "documents").select(col("doc_id"),
+          concat(
+            concat_ws(" ", slice(split(col("text"), " "), 1, 8)),
+            when(col("doc_id") % 2 === 0, lit(
+              " subscribe to our newsletter for daily updates and offers"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 5 === 0, lit(
+              " all rights reserved contact corporate headquarters today"))
+              .otherwise(lit(""))).as("text"))
+        Dedup.trimDuplicateSpans(synth, k = 6).orderBy(col("doc_id"))
+      },
+      Some("""WITH synth AS MATERIALIZED (
+             |  SELECT doc_id,
+             |    array_to_string(string_split(text, ' ')[1:8], ' ') ||
+             |    CASE WHEN doc_id % 2 = 0 THEN
+             |      ' subscribe to our newsletter for daily updates and offers'
+             |      ELSE '' END ||
+             |    CASE WHEN doc_id % 5 = 0 THEN
+             |      ' all rights reserved contact corporate headquarters today'
+             |      ELSE '' END AS text
+             |  FROM documents),
+             |t AS MATERIALIZED (SELECT doc_id,
+             |    string_split_regex(trim(text), '\s+') AS toks FROM synth),
+             |w AS MATERIALIZED (
+             |  SELECT doc_id, i - 1 AS start,
+             |    array_to_string(toks[i:i+5], chr(1)) AS gram
+             |  FROM (SELECT doc_id, toks,
+             |      unnest(generate_series(1, len(toks) - 5)) AS i
+             |    FROM t WHERE len(toks) >= 6)),
+             |m AS MATERIALIZED (SELECT doc_id, start,
+             |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, start)
+             |      AS rn
+             |  FROM w),
+             |cuts AS MATERIALIZED (
+             |  SELECT doc_id, start FROM m WHERE rn > 1),
+             |tok AS MATERIALIZED (
+             |  SELECT doc_id, i - 1 AS p, toks[i] AS tok
+             |  FROM (SELECT doc_id, toks,
+             |      unnest(generate_series(1, len(toks))) AS i FROM t)),
+             |keep AS MATERIALIZED (
+             |  SELECT tok.doc_id, p, tok FROM tok
+             |  WHERE NOT EXISTS (SELECT 1 FROM cuts
+             |    WHERE cuts.doc_id = tok.doc_id
+             |      AND tok.p >= cuts.start AND tok.p < cuts.start + 6))
+             |SELECT t.doc_id,
+             |  coalesce(string_agg(keep.tok, ' ' ORDER BY keep.p), '')
+             |    AS text,
+             |  (len(t.toks) - count(keep.tok))::INT AS n_removed
+             |FROM t LEFT JOIN keep ON keep.doc_id = t.doc_id
+             |GROUP BY t.doc_id, len(t.toks)
+             |ORDER BY t.doc_id""".stripMargin)),
+
+    // -- curation: per-registered-domain corpus report --------------------
+    // URLs synthesized identically both sides: optional news./blog.
+    // subdomain (doc_id % 3), host from `source`, .com or .co.uk suffix
+    // (% 4). The ORACLE derives the expected registered domain
+    // analytically (source + suffix — never running the engine's
+    // extraction), so the gate proves urlHost+registeredDomain collapse
+    // subdomains and respect compound suffixes.
+    "doc_domain_report" -> Gated(
+      (s, d) => {
+        val url = concat(lit("https://"),
+          when(col("doc_id") % 3 === 0, lit("news."))
+            .when(col("doc_id") % 3 === 1, lit("blog."))
+            .otherwise(lit("")),
+          lower(col("source")),
+          when(col("doc_id") % 4 === 0, lit(".co.uk"))
+            .otherwise(lit(".com")),
+          lit("/p/"), col("doc_id").cast("string"))
+        Text.domainReport(TestData.table(s, d, "documents")
+          .select(col("doc_id"), col("text"), url.as("url")))
+          .orderBy(col("domain"))
+      },
+      Some("""SELECT lower(source) ||
+             |    CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.com' END
+             |    AS domain,
+             |  count(*) AS n_docs, sum(length(text)) AS n_chars,
+             |  round(count(*) / (SELECT count(*) FROM documents)::DOUBLE, 6)
+             |    AS share
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // -- curation: Zipf rank-frequency fit per source ----------------------
+    // Vocabulary-health diagnostic: slope/intercept of ln(count) on
+    // ln(rank) over each source's top-50 terms. Ranks are deterministic
+    // (count desc, word asc); both engines fit with their native
+    // regr_slope/regr_intercept over identical (ln rank, ln count)
+    // pairs — a ≤50-point aggregate where merge-order noise is ~1e-14,
+    // far under the 6-decimal round.
+    "doc_zipf" -> Gated(
+      (s, d) => Text.zipfReport(TestData.table(s, d, "documents"),
+        groupCols = Seq("source"), topN = 50)
+        .orderBy(col("source")),
+      Some("""WITH w AS MATERIALIZED (
+             |  SELECT source, regexp_replace(lower(unnest(
+             |      string_split_regex(trim(text), '\s+'))),
+             |      '[^a-z0-9]', '', 'g') AS w
+             |  FROM documents),
+             |c AS MATERIALIZED (SELECT source, w, count(*) AS n
+             |  FROM w WHERE len(w) > 0 GROUP BY 1, 2),
+             |r AS (SELECT source, n, row_number() OVER (
+             |    PARTITION BY source ORDER BY n DESC, w ASC) AS rank
+             |  FROM c)
+             |SELECT source, count(*) AS n_terms,
+             |  round(regr_slope(ln(n), ln(rank)), 6) AS slope,
+             |  round(regr_intercept(ln(n), ln(rank)), 6) AS intercept
+             |FROM r WHERE rank <= 50 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // -- corpus I/O: sharded training export + manifest -------------------
+    // The corpus is exported as shard=NN parquet directories under a
+    // deterministic md5-keyed assignment, then the manifest is read back
+    // FROM THE LAYOUT (counts, char mass, id ranges per shard). The
+    // oracle recomputes the shard key with the md5Int60 twin directly
+    // over the table — a lost/truncated shard write cannot pass.
+    "doc_export_shards" -> Gated(
+      (s, d) => {
+        val tmp = scratch("graft_shards", d)
+        CorpusIo.writeShards(TestData.table(s, d, "documents")
+          .select(col("doc_id"), col("text"), col("source")), tmp,
+          nShards = 8)
+        CorpusIo.shardManifest(s, tmp).orderBy(col("shard"))
+      },
+      Some(s"""SELECT (${md5Int60Sql("doc_id::VARCHAR")} % 8)::INT AS shard,
+              |  count(*) AS n_docs, sum(length(text)) AS n_chars,
+              |  min(doc_id) AS min_id, max(doc_id) AS max_id
+              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // -- corpus I/O: JSONL ingestion with corrupt-line quarantine ---------
+    // Documents round-trip through to_json lines; every % 17 == 0 line
+    // is corrupted with a prefix. readJsonl (from_json over a text scan
+    // with an explicit corrupt-record channel) must keep exactly the
+    // clean lines with text/source intact.
+    "doc_jsonl_ingest" -> Gated(
+      (s, d) => {
+        val tmp = scratch("graft_jsonl", d)
+        val js = to_json(struct(col("doc_id"), col("text"), col("source")))
+        TestData.table(s, d, "documents")
+          .select(when(col("doc_id") % 17 === 0,
+            concat(lit("{corrupt "), js)).otherwise(js).as("value"))
+          .write.mode("overwrite").text(tmp)
+        CorpusIo.readJsonl(s, tmp,
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id BIGINT, text STRING, source STRING"))
+          .select(col("doc_id"), length(col("text")).as("n_chars"),
+            col("source"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, length(text) AS n_chars, source
+             |FROM documents WHERE doc_id % 17 <> 0
+             |ORDER BY doc_id""".stripMargin)),
+
     // -- dedup: STREAMING exact dedup through real micro-batches ---------
     // The corpus arrives as micro-batch 1, then replays ENTIRELY as
     // micro-batch 2 inside the watermark: dropDuplicatesWithinWatermark
@@ -2819,6 +2991,41 @@ object SparkEntry {
           trained = Some(Embed.readIvfCentroids(s, tmp)))
       },
       Some(annTopKOracle)),
+
+    // -- similarity: BATCH brute-force retrieval --------------------------
+    // Every % 101 == 0 vector queries the whole corpus at once: one
+    // corpus scan serves the batch, per-query top-5 via a (query_id)
+    // window. Oracle: per-query cross-join rank with the same rounded
+    // cosine and tie order.
+    "embed_topk_batch" -> Gated(
+      (s, d) => {
+        val emb = TestData.table(s, d, "embeddings")
+        Embed.topKBatch(
+          emb.filter(col("vec_id") % 101 === 0)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          emb, k = 5)
+          .orderBy(col("query_id"), col("score").desc, col("vec_id"))
+      },
+      Some(batchTopKOracle)),
+
+    // -- similarity: BATCH IVF retrieval over a stored layout -------------
+    // Same query batch probed through a writeIvf layout with
+    // nProbe = nCentroids (exhaustive ⇒ exact), so the brute-force
+    // oracle applies; the probe-assignment/explode/equi-join machinery
+    // (the 100 TB batch serving shape) is what's under test.
+    "embed_topk_batch_ivf" -> Gated(
+      (s, d) => {
+        val emb = TestData.table(s, d, "embeddings")
+        val tmp = scratch("graft_bivf", d)
+        Embed.writeIvf(emb, tmp, nCentroids = 16)
+        Embed.topKBatchIvf(
+          emb.filter(col("vec_id") % 101 === 0)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          s.read.parquet(tmp), k = 5,
+          centroids = Embed.readIvfCentroids(s, tmp), nProbe = 16)
+          .orderBy(col("query_id"), col("score").desc, col("vec_id"))
+      },
+      Some(batchTopKOracle)),
 
     // -- similarity: product-quantization ADC top-k ----------------------
     // One deterministic-init Lloyd round per subspace (m=8, k=4), codes

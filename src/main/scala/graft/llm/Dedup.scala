@@ -326,6 +326,60 @@ object Dedup {
       .select(col("a"), col("b"), col("shared_fps"))
   }
 
+  /** Exact substring dedup, the REMOVAL side (Lee et al. '22,
+    * "Deduplicating Training Data Makes Language Models Better" — their
+    * ExactSubstr step; [[sharedSpanPairs]] is the detection side): every
+    * k-token window that occurs more than once ANYWHERE in the corpus
+    * keeps only its first occurrence (min (doc, start) order); every
+    * other occurrence's tokens are cut from their documents, and the
+    * survivors are re-joined with single spaces. Unlike document-level
+    * dedup this removes boilerplate/quotation spans embedded in
+    * otherwise-unique documents.
+    *
+    * Scale shape: windows ride as (id, start, xxhash64(k-gram)) rows —
+    * one explode, one groupBy(hash) for the global first-occurrence
+    * owner, one join back, one groupBy(id) collecting duplicated starts
+    * (bounded by the doc's own token count — doc-scale state, same as
+    * holding the doc), then a narrow array rebuild. Never all-pairs,
+    * never a driver collect. The k-gram key is joined with a 
+    * separator so token boundaries stay unambiguous.
+    *
+    * Output: (idCol, textCol rewritten, n_removed tokens), one row per
+    * input document (short docs with < k tokens pass through whole,
+    * modulo whitespace normalization — reassembly is single-space). */
+  def trimDuplicateSpans(docs: DataFrame, k: Int = 10,
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    require(k >= 2, s"window must span tokens, got k=$k")
+    val base = docs
+      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+    val wins = base
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism * 2)
+      .filter(size(col("toks")) >= k)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(0), size(col("toks")) - k),
+        i => xxhash64(concat_ws("\u0001", slice(col("toks"), i + 1, lit(k)))))))
+      .toDF("id", "start", "wh")
+    val owners = wins.groupBy(col("wh"))
+      .agg(min(struct(col("id"), col("start"))).as("own"),
+        count(lit(1)).as("n"))
+    val dupStarts = wins.join(owners, "wh")
+      .filter(col("n") > 1 &&
+        !(col("id") === col("own.id") && col("start") === col("own.start")))
+      .groupBy(col("id"))
+      .agg(collect_set(col("start")).as("cuts"))
+    base.join(dupStarts, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        when(col("cuts").isNull, concat_ws(" ", col("toks")))
+          .otherwise(concat_ws(" ", filter(col("toks"), (_, p) =>
+            !exists(col("cuts"), s => p >= s && p < s + k))))
+          .as(textCol),
+        when(col("cuts").isNull, lit(0))
+          .otherwise(size(col("toks")) - size(filter(col("toks"), (_, p) =>
+            !exists(col("cuts"), s => p >= s && p < s + k))))
+          .cast("int").as("n_removed"))
+  }
+
   // --- benchmark decontamination -------------------------------------------
 
   /** Benchmark decontamination: per corpus document, how many word

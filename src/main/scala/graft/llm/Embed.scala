@@ -353,6 +353,70 @@ object Embed {
       .limit(k)
   }
 
+  // --- batch retrieval -------------------------------------------------------
+
+  /** Batch brute-force retrieval: top-k corpus neighbours for EVERY
+    * query row in one pass — the bulk serving/annotation shape (RAG
+    * labeling, recall eval sets, hard-negative mining batches). The
+    * query batch is broadcast (model-scale next to the corpus), the
+    * corpus is scanned ONCE for the whole batch instead of once per
+    * query, and the per-query top-k is a (query_id) window over the
+    * scored pairs — the shuffle is bounded by |queries| × |corpus|
+    * candidate rows of three columns, never the vectors. */
+  def topKBatch(queries: DataFrame, corpus: DataFrame, k: Int,
+                vecCol: String = "embedding", idCol: String = "vec_id",
+                qIdCol: String = "query_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(qIdCol).as("query_id"),
+      col(vecCol).as("__qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(idCol).asc)
+    corpus.select(col(idCol), col(vecCol).as("__cv"))
+      .join(broadcast(q))
+      .select(col("query_id"), col(idCol),
+        round(cosine(col("__cv"), col("__qv")), 6).as("score"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col(idCol), col("score"))
+  }
+
+  /** Batch IVF retrieval against a [[writeIvf]] layout: each query is
+    * assigned its `nProbe` nearest cells from the PERSISTED centroid
+    * matrix (pure array expressions over the broadcast literal — no
+    * per-query driver work), exploded to (query, cell) probe rows, and
+    * equi-joined to the layout on the `ivf_cell` partition column — the
+    * batch reads only the UNION of probed cells, once, for all queries.
+    * Per-query top-k is a window over candidates. This is the batch
+    * serving shape at 100 TB; [[topKBatch]] is its verification twin.
+    * Probe-cell ties on the 6-decimal rounded cosine break to the
+    * smaller cell id (deterministic, oracle-replayable). */
+  def topKBatchIvf(queries: DataFrame, stored: DataFrame, k: Int,
+                   centroids: Seq[Seq[Double]], nProbe: Int,
+                   vecCol: String = "embedding", idCol: String = "vec_id",
+                   qIdCol: String = "query_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nProbe >= 1 && nProbe <= centroids.size, "bad nProbe")
+    val cellScores = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct((-round(cosine(col("__qv"), array(c.map(lit): _*)), 6))
+        .as("negscore"), lit(i).as("cid"))
+    }: _*)
+    val probe = transform(slice(array_sort(cellScores), 1, nProbe),
+      s => s.getField("cid"))
+    val q = queries
+      .select(col(qIdCol).as("query_id"), col(vecCol).as("__qv"))
+      .select(col("query_id"), col("__qv"),
+        explode(probe).as("ivf_cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(idCol).asc)
+    stored.select(col(idCol), col(vecCol).as("__cv"), col("ivf_cell"))
+      .join(broadcast(q), "ivf_cell")
+      .select(col("query_id"), col(idCol),
+        round(cosine(col("__cv"), col("__qv")), 6).as("score"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col(idCol), col("score"))
+  }
+
   // --- int8 vector quantization ---------------------------------------------
 
   /** Per-vector symmetric int8 quantization: `scale` = max |x| over the

@@ -772,6 +772,84 @@ object Text {
     regexp_replace(noUtm, "/$", "")
   }
 
+  /** Zipf rank-frequency fit per group — a vocabulary-health diagnostic
+    * for a training corpus: natural language sits near slope -1 on the
+    * ln(count)-vs-ln(rank) line over the top terms; flatter slopes flag
+    * templated/boilerplate text, steeper ones degenerate vocabularies.
+    * Words are lowercased whitespace tokens stripped to `[a-z0-9]`;
+    * ranks order by (count desc, word asc) so the fit is deterministic.
+    *
+    * Scale shape: one groupBy((group, word)) over the corpus, then the
+    * rank window runs on the AGGREGATED vocabulary (vocab-scale, not
+    * corpus-scale) partitioned by group; the regression is one
+    * `regr_slope`/`regr_intercept` aggregate over ≤ topN rows per group.
+    * Output: group cols, n_terms, slope, intercept (rounded 6). */
+  def zipfReport(docs: DataFrame, groupCols: Seq[String] = Seq("source"),
+                 topN: Int = 100, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val vocab = docs
+      .select(g :+ explode(tokens(lower(col(textCol)))).as("__w"): _*)
+      .select(g :+ regexp_replace(col("__w"), "[^a-z0-9]", "").as("__w"): _*)
+      .filter(length(col("__w")) > 0)
+      .groupBy(g :+ col("__w"): _*)
+      .agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(g: _*)
+      .orderBy(col("__n").desc, col("__w").asc)
+    vocab
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= topN)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n_terms"),
+        round(regr_slope(log(col("__n")), log(col("__rank"))), 6)
+          .as("slope"),
+        round(regr_intercept(log(col("__n")), log(col("__rank"))), 6)
+          .as("intercept"))
+  }
+
+  /** Host of a URL: the authority lowercased, userinfo and port
+    * stripped. Empty string when the input has no `scheme://` form.
+    * Pure regexp (RE2-safe) — the DuckDB twin runs the same pattern. */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#@]*@)?([^/?#:]+)", 2))
+
+  /** Registered domain of a host — the per-site aggregation key of a
+    * crawl pipeline (blocklists, per-domain caps, domain mix reports
+    * all group on this, not the raw host). Last two labels, except
+    * under compound public suffixes of the `co.uk` shape (a well-known
+    * second-level label + 2-letter ccTLD) where it is the last three.
+    * A heuristic stand-in for the full public-suffix list (which is a
+    * data file, not an algorithm); documented deviation: exotic
+    * suffixes (e.g. `gov.uk` sub-registries beyond the listed labels)
+    * fall back to last-two. */
+  def registeredDomain(host: Column): Column = {
+    val parts = split(host, "\\.")
+    val known = Seq("co", "com", "net", "org", "ac", "gov", "edu")
+    when(size(parts) <= 2, host)
+      .when(element_at(parts, -2).isin(known: _*) &&
+          length(element_at(parts, -1)) === 2,
+        concat_ws(".", slice(parts, -3, 3)))
+      .otherwise(concat_ws(".", slice(parts, -2, 2)))
+  }
+
+  /** Per-registered-domain corpus report: document count, character
+    * mass, and corpus share — the table a crawl curation loop reads to
+    * find dominating/spam domains before applying blocklists or
+    * [[graft.llm.Sample.capPerStratum]] caps. One hash aggregate over
+    * (domain), plus a single-row total collected to the driver
+    * (model-scale) — scales as a linear pass. */
+  def domainReport(docs: DataFrame, urlCol: String = "url",
+                   textCol: String = "text"): DataFrame = {
+    val agg = docs
+      .select(registeredDomain(urlHost(col(urlCol))).as("domain"),
+        length(col(textCol)).cast("long").as("__nc"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nc")).as("n_chars"))
+    val total = agg.agg(sum(col("n_docs"))).head().getLong(0)
+    agg.withColumn("share",
+      round(col("n_docs").cast("double") / lit(total.toDouble), 6))
+  }
+
   /** Corpus-wide paragraph-level deduplication (the Dolma/C4 dedupe
     * granularity between whole-document exact dedup and line-level
     * boilerplate stripping): every paragraph keeps only its FIRST
