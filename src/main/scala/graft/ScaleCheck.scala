@@ -274,6 +274,15 @@ object ScaleCheck {
         k = 10, nCentroids = 64, nProbe = 4,
         trained = Some(Embed.readIvfCentroids(spark, tmp))).count()
     }
+    timed("doc_substring_incremental") {
+      // per-batch cost of the growing-corpus substring loop: index 3/4
+      // of the scaled corpus once, trim the last quarter against it
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_sc_spanidx").toString
+      Dedup.writeSpanIndex(docs.filter(col("doc_id") % 4 =!= 0), tmp, k = 8)
+      Dedup.trimAgainstIndex(docs.filter(col("doc_id") % 4 === 0), tmp)
+        .count()
+    }
     timed("doc_export_shards") {
       // final-mile export: hash-shard + within-shard shuffle order +
       // manifest readback over the scaled corpus

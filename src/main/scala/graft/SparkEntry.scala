@@ -189,6 +189,64 @@ object SparkEntry {
        |  max(CASE WHEN rl = 1 THEN value END) AS last_v
        |FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  /** Synthesized pages for the substring-dedup gates: every doc = its
+    * first 8 words, plus a shared newsletter sentence (% 2 == 0) and/or
+    * a shared legal sentence (% 5 == 0) — deterministic duplicated
+    * 6-token runs, identical on both engines. */
+  private def spanSynthDf(s: SparkSession, d: String): DataFrame =
+    TestData.table(s, d, "documents").select(col("doc_id"),
+      concat(
+        concat_ws(" ", slice(split(col("text"), " "), 1, 8)),
+        when(col("doc_id") % 2 === 0, lit(
+          " subscribe to our newsletter for daily updates and offers"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(
+          " all rights reserved contact corporate headquarters today"))
+          .otherwise(lit(""))).as("text"))
+
+  /** Oracle front half shared by the substring-dedup gates: the synth
+    * pages, their token arrays (t), and their 6-token windows (w). */
+  private val spanSynthCtes: String =
+    """synth AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    array_to_string(string_split(text, ' ')[1:8], ' ') ||
+      |    CASE WHEN doc_id % 2 = 0 THEN
+      |      ' subscribe to our newsletter for daily updates and offers'
+      |      ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 0 THEN
+      |      ' all rights reserved contact corporate headquarters today'
+      |      ELSE '' END AS text
+      |  FROM documents),
+      |t AS MATERIALIZED (SELECT doc_id,
+      |    string_split_regex(trim(text), '\s+') AS toks FROM synth),
+      |w AS MATERIALIZED (
+      |  SELECT doc_id, i - 1 AS start,
+      |    array_to_string(toks[i:i+5], chr(1)) AS gram
+      |  FROM (SELECT doc_id, toks,
+      |      unnest(generate_series(1, len(toks) - 5)) AS i
+      |    FROM t WHERE len(toks) >= 6))""".stripMargin
+
+  /** Oracle back half shared by the substring-dedup gates: rebuild the
+    * docs in `tgt` with tokens under `cuts` removed. */
+  private val spanRebuildSql: String =
+    """,
+      |tok AS MATERIALIZED (
+      |  SELECT doc_id, i - 1 AS p, toks[i] AS tok
+      |  FROM (SELECT doc_id, toks,
+      |      unnest(generate_series(1, len(toks))) AS i FROM tgt)),
+      |keep AS MATERIALIZED (
+      |  SELECT tok.doc_id, p, tok FROM tok
+      |  WHERE NOT EXISTS (SELECT 1 FROM cuts
+      |    WHERE cuts.doc_id = tok.doc_id
+      |      AND tok.p >= cuts.start AND tok.p < cuts.start + 6))
+      |SELECT tgt.doc_id,
+      |  coalesce(string_agg(keep.tok, ' ' ORDER BY keep.p), '')
+      |    AS text,
+      |  (len(tgt.toks) - count(keep.tok))::INT AS n_removed
+      |FROM tgt LEFT JOIN keep ON keep.doc_id = tgt.doc_id
+      |GROUP BY tgt.doc_id, len(tgt.toks)
+      |ORDER BY tgt.doc_id""".stripMargin
+
   private val batchTopKOracle: String =
     """WITH e AS MATERIALIZED (SELECT vec_id,
       |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
@@ -1702,58 +1760,47 @@ object SparkEntry {
     // window and cut the rest; the oracle recomputes the same semantics
     // from raw SQL (window rn over gram, positional NOT EXISTS cut).
     "doc_substring_dedup" -> Gated(
-      (s, d) => {
-        val synth = TestData.table(s, d, "documents").select(col("doc_id"),
-          concat(
-            concat_ws(" ", slice(split(col("text"), " "), 1, 8)),
-            when(col("doc_id") % 2 === 0, lit(
-              " subscribe to our newsletter for daily updates and offers"))
-              .otherwise(lit("")),
-            when(col("doc_id") % 5 === 0, lit(
-              " all rights reserved contact corporate headquarters today"))
-              .otherwise(lit(""))).as("text"))
-        Dedup.trimDuplicateSpans(synth, k = 6).orderBy(col("doc_id"))
-      },
-      Some("""WITH synth AS MATERIALIZED (
-             |  SELECT doc_id,
-             |    array_to_string(string_split(text, ' ')[1:8], ' ') ||
-             |    CASE WHEN doc_id % 2 = 0 THEN
-             |      ' subscribe to our newsletter for daily updates and offers'
-             |      ELSE '' END ||
-             |    CASE WHEN doc_id % 5 = 0 THEN
-             |      ' all rights reserved contact corporate headquarters today'
-             |      ELSE '' END AS text
-             |  FROM documents),
-             |t AS MATERIALIZED (SELECT doc_id,
-             |    string_split_regex(trim(text), '\s+') AS toks FROM synth),
-             |w AS MATERIALIZED (
-             |  SELECT doc_id, i - 1 AS start,
-             |    array_to_string(toks[i:i+5], chr(1)) AS gram
-             |  FROM (SELECT doc_id, toks,
-             |      unnest(generate_series(1, len(toks) - 5)) AS i
-             |    FROM t WHERE len(toks) >= 6)),
+      (s, d) => Dedup.trimDuplicateSpans(spanSynthDf(s, d), k = 6)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH $spanSynthCtes,
              |m AS MATERIALIZED (SELECT doc_id, start,
              |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, start)
              |      AS rn
              |  FROM w),
              |cuts AS MATERIALIZED (
              |  SELECT doc_id, start FROM m WHERE rn > 1),
-             |tok AS MATERIALIZED (
-             |  SELECT doc_id, i - 1 AS p, toks[i] AS tok
-             |  FROM (SELECT doc_id, toks,
-             |      unnest(generate_series(1, len(toks))) AS i FROM t)),
-             |keep AS MATERIALIZED (
-             |  SELECT tok.doc_id, p, tok FROM tok
-             |  WHERE NOT EXISTS (SELECT 1 FROM cuts
-             |    WHERE cuts.doc_id = tok.doc_id
-             |      AND tok.p >= cuts.start AND tok.p < cuts.start + 6))
-             |SELECT t.doc_id,
-             |  coalesce(string_agg(keep.tok, ' ' ORDER BY keep.p), '')
-             |    AS text,
-             |  (len(t.toks) - count(keep.tok))::INT AS n_removed
-             |FROM t LEFT JOIN keep ON keep.doc_id = t.doc_id
-             |GROUP BY t.doc_id, len(t.toks)
-             |ORDER BY t.doc_id""".stripMargin)),
+             |tgt AS MATERIALIZED (SELECT * FROM t)
+             |$spanRebuildSql""".stripMargin)),
+
+    // -- dedup: INCREMENTAL substring dedup against a stored span index --
+    // Index = distinct 6-token window hashes of the % 4 != 0 docs
+    // (writeSpanIndex — the indexed corpus is tokenized ONCE, ever);
+    // the % 4 == 0 batch is trimmed against it: any window present in
+    // the index is cut (its surviving copy lives in the corpus), plus
+    // within-batch first-copy-wins. The oracle re-derives both rules
+    // from raw SQL over the same synthesized pages.
+    "doc_substring_incremental" -> Gated(
+      (s, d) => {
+        val synth = spanSynthDf(s, d)
+        val tmp = scratch("graft_spanidx", d)
+        Dedup.writeSpanIndex(synth.filter(col("doc_id") % 4 =!= 0), tmp,
+          k = 6)
+        Dedup.trimAgainstIndex(synth.filter(col("doc_id") % 4 === 0), tmp)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $spanSynthCtes,
+             |wi AS MATERIALIZED (
+             |  SELECT DISTINCT gram FROM w WHERE doc_id % 4 <> 0),
+             |wb AS MATERIALIZED (SELECT * FROM w WHERE doc_id % 4 = 0),
+             |cuts AS MATERIALIZED (
+             |  SELECT doc_id, start FROM wb JOIN wi USING (gram)
+             |  UNION
+             |  SELECT doc_id, start FROM (
+             |    SELECT doc_id, start, row_number() OVER (
+             |      PARTITION BY gram ORDER BY doc_id, start) AS rn FROM wb)
+             |  WHERE rn > 1),
+             |tgt AS MATERIALIZED (SELECT * FROM t WHERE doc_id % 4 = 0)
+             |$spanRebuildSql""".stripMargin)),
 
     // -- curation: per-registered-domain corpus report --------------------
     // URLs synthesized identically both sides: optional news./blog.

@@ -351,6 +351,21 @@ object Dedup {
                          textCol: String = "text",
                          idCol: String = "doc_id"): DataFrame = {
     require(k >= 2, s"window must span tokens, got k=$k")
+    val (base, wins) = spanWindows(docs, k, textCol, idCol)
+    val owners = wins.groupBy(col("wh"))
+      .agg(min(struct(col("id"), col("start"))).as("own"),
+        count(lit(1)).as("n"))
+    val cuts = wins.join(owners, "wh")
+      .filter(col("n") > 1 &&
+        !(col("id") === col("own.id") && col("start") === col("own.start")))
+      .select(col("id"), col("start"))
+    rebuildTrimmed(base, cuts, k, textCol, idCol)
+  }
+
+  /** (tokenized base, (id, start, window-hash) rows) of a corpus — the
+    * shared front half of the span-dedup family. */
+  private def spanWindows(docs: DataFrame, k: Int, textCol: String,
+                          idCol: String): (DataFrame, DataFrame) = {
     val base = docs
       .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
     val wins = base
@@ -360,14 +375,17 @@ object Dedup {
         sequence(lit(0), size(col("toks")) - k),
         i => xxhash64(concat_ws("\u0001", slice(col("toks"), i + 1, lit(k)))))))
       .toDF("id", "start", "wh")
-    val owners = wins.groupBy(col("wh"))
-      .agg(min(struct(col("id"), col("start"))).as("own"),
-        count(lit(1)).as("n"))
-    val dupStarts = wins.join(owners, "wh")
-      .filter(col("n") > 1 &&
-        !(col("id") === col("own.id") && col("start") === col("own.start")))
-      .groupBy(col("id"))
-      .agg(collect_set(col("start")).as("cuts"))
+    (base, wins)
+  }
+
+  /** Rebuild documents with the tokens under `cuts` (id, start) window
+    * occurrences removed — the shared back half of the span-dedup
+    * family. Per-doc cut state is bounded by the doc's own token count
+    * (doc-scale, same as holding the doc). */
+  private def rebuildTrimmed(base: DataFrame, cuts: DataFrame, k: Int,
+                             textCol: String, idCol: String): DataFrame = {
+    val dupStarts = cuts
+      .groupBy(col("id")).agg(collect_set(col("start")).as("cuts"))
     base.join(dupStarts, Seq("id"), "left")
       .select(col("id").as(idCol),
         when(col("cuts").isNull, concat_ws(" ", col("toks")))
@@ -378,6 +396,66 @@ object Dedup {
           .otherwise(size(col("toks")) - size(filter(col("toks"), (_, p) =>
             !exists(col("cuts"), s => p >= s && p < s + k))))
           .cast("int").as("n_removed"))
+  }
+
+  private def spanMetaFile(path: String) = s"$path/_span_meta.txt"
+
+  /** Persist the corpus's duplicated-span state as a reusable index:
+    * the DISTINCT k-token window hashes, plus k pinned in meta. Enough
+    * for incremental trimming — any indexed occurrence outranks every
+    * future batch occurrence, so membership alone decides a cut; owner
+    * positions never need to leave the original pass. */
+  def writeSpanIndex(docs: DataFrame, path: String, k: Int = 10,
+                     textCol: String = "text",
+                     idCol: String = "doc_id"): Unit = {
+    require(k >= 2, s"window must span tokens, got k=$k")
+    val (_, wins) = spanWindows(docs, k, textCol, idCol)
+    wins.select(col("wh")).distinct()
+      .write.mode("overwrite").parquet(s"$path/wh")
+    Embed.writeTextFile(docs.sparkSession, spanMetaFile(path), k.toString)
+  }
+
+  /** Fold a batch's window hashes into a [[writeSpanIndex]] layout —
+    * append-only, existing files untouched (probes tolerate duplicate
+    * hashes across files: membership is idempotent). */
+  def appendSpanIndex(newDocs: DataFrame, path: String,
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): Unit = {
+    val k = Embed.readTextFile(newDocs.sparkSession,
+      spanMetaFile(path)).trim.toInt
+    val (_, wins) = spanWindows(newDocs, k, textCol, idCol)
+    wins.select(col("wh")).distinct()
+      .write.mode("append").parquet(s"$path/wh")
+  }
+
+  /** Incremental exact substring dedup: trim a NEW batch against a
+    * [[writeSpanIndex]] layout WITHOUT re-tokenizing the indexed
+    * corpus. A batch window occurrence is cut when its hash exists in
+    * the index (the surviving copy lives in the indexed corpus) or when
+    * an earlier batch occurrence owns it (within-batch first-copy-wins,
+    * exactly [[trimDuplicateSpans]] restricted to the batch). One
+    * hash-join of batch windows against the stored hash set plus one
+    * batch-local owner groupBy — per-batch cost at 100 TB is
+    * batch-windows-scale, never corpus-scale. Output: the batch rows as
+    * (idCol, trimmed textCol, n_removed). */
+  def trimAgainstIndex(newDocs: DataFrame, path: String,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val spark = newDocs.sparkSession
+    val k = Embed.readTextFile(spark, spanMetaFile(path)).trim.toInt
+    val (base, wins) = spanWindows(newDocs, k, textCol, idCol)
+    val stored = spark.read.parquet(s"$path/wh").distinct()
+    val fromIndex = wins.join(stored, Seq("wh"), "left_semi")
+      .select(col("id"), col("start"))
+    val owners = wins.groupBy(col("wh"))
+      .agg(min(struct(col("id"), col("start"))).as("own"),
+        count(lit(1)).as("n"))
+    val withinBatch = wins.join(owners, "wh")
+      .filter(col("n") > 1 &&
+        !(col("id") === col("own.id") && col("start") === col("own.start")))
+      .select(col("id"), col("start"))
+    rebuildTrimmed(base, fromIndex.unionByName(withinBatch).distinct(),
+      k, textCol, idCol)
   }
 
   // --- benchmark decontamination -------------------------------------------

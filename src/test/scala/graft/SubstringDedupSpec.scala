@@ -41,6 +41,34 @@ class SubstringDedupSpec extends SparkFunSuite {
     assert(r(2L) == "")
   }
 
+  test("span index: batch windows cut when indexed or batch-first-owned; " +
+      "append extends the index") {
+    val corpus = Seq(
+      (1L, "a b c d e f"),
+      (2L, "q r s t u v")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-spanidx").toString
+    Dedup.writeSpanIndex(corpus, tmp, k = 4)
+    val batch = Seq(
+      (10L, "x y a b c d z"),           // "a b c d" is indexed -> cut
+      (11L, "x y a b c d z"),           // identical: doc 10 owns ALL windows
+      (12L, "fresh words only here now"))
+      .toDF("doc_id", "text")
+    val r = Dedup.trimAgainstIndex(batch, tmp)
+      .collect().map(x => x.getLong(0) -> ((x.getString(1), x.getInt(2))))
+      .toMap
+    assert(r(10L) == (("x y z", 4)))
+    assert(r(11L) == (("", 7)))
+    assert(r(12L) == (("fresh words only here now", 0)))
+    // fold the batch in: a later batch collides with ITS windows too
+    Dedup.appendSpanIndex(batch, tmp)
+    val r2 = Dedup.trimAgainstIndex(
+      Seq((20L, "x y a b q")).toDF("doc_id", "text"), tmp)
+      .collect().map(x => x.getLong(0) -> ((x.getString(1), x.getInt(2))))
+      .toMap
+    assert(r2(20L) == (("q", 4))) // "x y a b" was doc 10's window 0
+  }
+
   test("urlHost: userinfo, port, case, missing scheme") {
     val cases = Seq(
       "https://user:pw@WWW.Example.co.uk:8080/p?q#f" -> "www.example.co.uk",
