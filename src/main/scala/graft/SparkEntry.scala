@@ -1831,6 +1831,104 @@ object SparkEntry {
              |    AS share
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // -- curation: encoding-noise (mojibake) report ------------------------
+    // UTF-8 damage synthesized identically both sides: U+FFFD pairs
+    // (% 4), double-decoded 'café'/'straße' digraphs (% 5 — the 'ß'
+    // case's follower is a C1 byte, counted as C1 not mojibake), bare
+    // C1 NEL bytes (% 7). The oracle counts with RE2 classes over the
+    // same construction.
+    "doc_encoding_noise" -> Gated(
+      (s, d) => {
+        val noisy = TestData.table(s, d, "documents").select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 4 === 0, lit("\uFFFD\uFFFD"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 5 === 0,
+              lit(" caf\u00C3\u00A9 stra\u00C3\u009Fe"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 7 === 0, lit("\u0085line\u0085"))
+              .otherwise(lit(""))).as("text"))
+        Text.encodingNoise(noisy).orderBy(col("doc_id"))
+      },
+      Some("""WITH noisy AS (SELECT doc_id, text ||
+             |    CASE WHEN doc_id % 4 = 0
+             |      THEN chr(65533) || chr(65533) ELSE '' END ||
+             |    CASE WHEN doc_id % 5 = 0 THEN ' caf' || chr(195) ||
+             |      chr(169) || ' stra' || chr(195) || chr(159) || 'e'
+             |      ELSE '' END ||
+             |    CASE WHEN doc_id % 7 = 0
+             |      THEN chr(133) || 'line' || chr(133) ELSE '' END AS text
+             |  FROM documents),
+             |c AS (SELECT doc_id, length(text) AS n_chars,
+             |    len(regexp_extract_all(text, chr(65533)))::BIGINT
+             |      AS n_replacement,
+             |    len(regexp_extract_all(text, '[\x{0080}-\x{009F}]'))
+             |      ::BIGINT AS n_c1,
+             |    len(regexp_extract_all(text,
+             |      '[\x{00C2}\x{00C3}][\x{00A0}-\x{00BF}]'))::BIGINT
+             |      AS n_mojibake
+             |  FROM noisy)
+             |SELECT doc_id, n_chars, n_replacement, n_c1, n_mojibake,
+             |  round((n_replacement + n_c1 + n_mojibake)::DOUBLE /
+             |    greatest(n_chars, 1)::DOUBLE, 6) AS noise_rate
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // -- curation: classifier calibration threshold sweep -----------------
+    // Deterministic pseudo-score ((doc_id*37 % 100)/100) + pseudo-label
+    // (doc_id % 3 == 0), identical both sides: the unit under test is
+    // the confusion/precision/recall/F1 arithmetic, with every ratio a
+    // single rounded division of exact integer counts.
+    "doc_calibration" -> Gated(
+      (s, d) => Text.calibrationReport(
+        TestData.table(s, d, "documents").select(
+          ((col("doc_id") * 37) % 100).cast("double").divide(lit(100.0))
+            .as("score"),
+          (col("doc_id") % 3 === 0).as("label")),
+        "label", thresholds = Seq(0.25, 0.5, 0.75))
+        .orderBy(col("threshold")),
+      Some("""SELECT threshold, tp, fp, fn, tn,
+             |  round(tp / greatest(tp + fp, 1)::DOUBLE, 6) AS precision,
+             |  round(tp / greatest(tp + fn, 1)::DOUBLE, 6) AS recall,
+             |  round(tp * 2 / greatest(tp * 2 + fp + fn, 1)::DOUBLE, 6)
+             |    AS f1
+             |FROM (
+             |  SELECT threshold,
+             |    sum(CASE WHEN sc >= threshold AND y THEN 1 ELSE 0 END)
+             |      ::BIGINT AS tp,
+             |    sum(CASE WHEN sc >= threshold AND NOT y THEN 1 ELSE 0 END)
+             |      ::BIGINT AS fp,
+             |    sum(CASE WHEN sc < threshold AND y THEN 1 ELSE 0 END)
+             |      ::BIGINT AS fn,
+             |    sum(CASE WHEN sc < threshold AND NOT y THEN 1 ELSE 0 END)
+             |      ::BIGINT AS tn
+             |  FROM (SELECT ((doc_id * 37) % 100)::DOUBLE / 100.0::DOUBLE
+             |      AS sc, (doc_id % 3 = 0) AS y FROM documents),
+             |    (SELECT unnest([0.25::DOUBLE, 0.5::DOUBLE, 0.75::DOUBLE])
+             |      AS threshold)
+             |  GROUP BY 1)
+             |ORDER BY threshold""".stripMargin)),
+
+    // -- sampling: deterministic weighted interleave (training order) -----
+    // Strata a (rate 4) and b (rate 1) from doc_id % 3 (c dropped):
+    // vt = hashFrac(id, seed)/rate — reading in vt order serves strata
+    // 4:1 at every prefix. Pure map; oracle replays the md5 fraction.
+    "doc_interleave" -> Gated(
+      (s, d) => Sample.interleave(
+        TestData.table(s, d, "documents").select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, "a")
+            .when(col("doc_id") % 3 === 1, "b")
+            .otherwise("c").as("stratum")),
+        "stratum", Map("a" -> 4.0, "b" -> 1.0), seed = "il1")
+        .orderBy(col("vt"), col("doc_id")),
+      Some(s"""SELECT doc_id,
+              |  CASE doc_id % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b'
+              |    ELSE 'c' END AS stratum,
+              |  round(${md5FracSql("doc_id::VARCHAR || 'il1'")} /
+              |    (CASE doc_id % 3 WHEN 0 THEN 4.0::DOUBLE
+              |      ELSE 1.0::DOUBLE END), 9) AS vt
+              |FROM documents WHERE doc_id % 3 < 2
+              |ORDER BY 3, 1""".stripMargin)),
+
     // -- curation: Zipf rank-frequency fit per source ----------------------
     // Vocabulary-health diagnostic: slope/intercept of ln(count) on
     // ln(rank) over each source's top-50 terms. Ranks are deterministic

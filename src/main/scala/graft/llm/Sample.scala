@@ -421,6 +421,32 @@ object Sample {
     * count aggregate (B values to the driver), pass 2 one within-bucket
     * row_number window over corpus/B rows. No global window, no
     * zipWithIndex RDD round-trip. */
+  /** Deterministic weighted interleave of strata — the training-order
+    * schedule ("sample domains according to their weights, in a fixed
+    * order"): every row gets a virtual time `vt = hashFrac(id, seed) /
+    * rate(stratum)`, and reading the corpus in vt order serves strata
+    * proportionally to their rates at every prefix (hash fractions are
+    * uniform, so stratum s's rows land at density rate_s per unit vt
+    * — the hash-uniform analogue of weighted fair queueing). Pure
+    * narrow map: no window, no shuffle, no per-stratum state — the
+    * 100 TB-safe way to emit a global training order (an exact-rank
+    * contiguous position would need the bucketed prefix sum of
+    * [[shuffleOrder]]). Rows of strata missing from `rates` are
+    * dropped, like [[mix]]. Output: input columns + `vt` (rounded 9 —
+    * an ordering key, not a measure). */
+  def interleave(df: DataFrame, stratumCol: String,
+                 rates: Map[String, Double], idCol: String = "doc_id",
+                 seed: String = ""): DataFrame = {
+    require(rates.nonEmpty && rates.values.forall(_ > 0),
+      "every stratum rate must be positive")
+    val rate = rates.foldLeft(lit(null).cast("double")) {
+      case (acc, (s, r)) =>
+        when(col(stratumCol) === s, lit(r)).otherwise(acc)
+    }
+    df.withColumn("vt", round(hashFrac(col(idCol), seed) / rate, 9))
+      .filter(col("vt").isNotNull)
+  }
+
   def shuffleOrder(df: DataFrame, buckets: Int = 65536,
                    idCol: String = "doc_id",
                    seed: String = ""): DataFrame = {

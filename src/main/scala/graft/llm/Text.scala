@@ -1024,6 +1024,70 @@ object Text {
     agged.select((groupCols.map(col) ++ Seq(col("n")) ++ qCols): _*)
   }
 
+  /** Encoding-noise report: per document, counts of the UTF-8 damage
+    * signatures a crawl pipeline filters on — U+FFFD replacement
+    * characters (decoder already gave up), C1 control characters
+    * U+0080–U+009F (the classic cp1252-read-as-latin1 tell), and
+    * `Ã`/`Â` followed by a Latin-1 supplement char (the digraphs
+    * double-decoded UTF-8 leaves behind) — plus the per-character
+    * noise rate. Pure regexp-count projection, no shuffle; the DuckDB
+    * twin runs the same RE2-safe classes. */
+  def encodingNoise(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
+    def cnt(pattern: String): Column =
+      size(split(t, pattern, -1)) - 1 // occurrences = separators found
+    val repl = cnt("\uFFFD")
+    // follower class starts at U+00A0 so a C1 byte is never counted twice
+    val c1 = cnt("[\u0080-\u009F]")
+    val moji = cnt("[\u00C2\u00C3][\u00A0-\u00BF]")
+    docs.select(col(idCol),
+      length(t).as("n_chars"),
+      repl.cast("long").as("n_replacement"),
+      c1.cast("long").as("n_c1"),
+      moji.cast("long").as("n_mojibake"),
+      round((repl + c1 + moji).cast("double") /
+        greatest(length(t), lit(1)).cast("double"), 6).as("noise_rate"))
+  }
+
+  /** Classifier calibration report — the threshold sweep a curation
+    * loop reads to pick its quality cutoff: per candidate threshold,
+    * the confusion counts and precision/recall/F1 of `scoreCol >=
+    * threshold` against a boolean label. One explode over a handful of
+    * threshold literals + one aggregate — corpus-scale × |thresholds|,
+    * map-side combined. All ratios derive from exact integer counts in
+    * a single rounded division (F1 = 2tp/(2tp+fp+fn), never from the
+    * already-rounded precision/recall — re-rounding derived values
+    * manufactures cross-engine half-way decimals). Zero-denominator
+    * ratios report 0. */
+  def calibrationReport(scored: DataFrame, labelCol: String,
+                        scoreCol: String = "score",
+                        thresholds: Seq[Double] = Seq(0.3, 0.5, 0.7)): DataFrame = {
+    require(thresholds.nonEmpty)
+    def ratio(num: Column, den: Column): Column =
+      round(num.cast("double") / greatest(den, lit(1L)).cast("double"), 6)
+    scored
+      .select(col(scoreCol).as("__s"),
+        col(labelCol).cast("boolean").as("__y"),
+        explode(array(thresholds.map(lit): _*)).as("threshold"))
+      .groupBy(col("threshold"))
+      .agg(
+        sum(when(col("__s") >= col("threshold") && col("__y"), 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("__s") >= col("threshold") && !col("__y"), 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("__s") < col("threshold") && col("__y"), 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(col("__s") < col("threshold") && !col("__y"), 1L)
+          .otherwise(0L)).as("tn"))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"), col("tn"),
+        ratio(col("tp"), col("tp") + col("fp")).as("precision"),
+        ratio(col("tp"), col("tp") + col("fn")).as("recall"),
+        round(col("tp").cast("double") * 2.0 /
+          greatest(col("tp") * 2 + col("fp") + col("fn"), lit(1L)), 6)
+          .as("f1"))
+  }
+
   /** One-call document stats frame: the per-document feature row a
     * training-data pipeline materializes before filtering. */
   def docStats(docs: DataFrame, textCol: String = "text"): DataFrame = {

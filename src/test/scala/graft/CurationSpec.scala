@@ -11,6 +11,67 @@ class CurationSpec extends SparkFunSuite {
   private lazy val sp = spark
   import sp.implicits._
 
+  test("encodingNoise: each damage class counted once, C1 follower " +
+      "never double-counted as mojibake") {
+    val docs = Seq(
+      (1L, "clean text here"),
+      (2L, "bad \uFFFD char \uFFFD"),
+      (3L, "cafÃ© ole"),        // Ã© -> mojibake
+      (4L, "x\u0085y"),                   // NEL -> C1
+      (5L, "stra\u00C3\u009Fe"))          // Ã + C1 follower: c1 only
+      .toDF("doc_id", "text")
+    val r = Text.encodingNoise(docs).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r(1L) == ((0L, 0L, 0L)))
+    assert(r(2L) == ((2L, 0L, 0L)))
+    assert(r(3L) == ((0L, 0L, 1L)))
+    assert(r(4L) == ((0L, 1L, 0L)))
+    assert(r(5L) == ((0L, 1L, 0L)))
+    val rate = Text.encodingNoise(docs).filter($"doc_id" === 4)
+      .head().getDouble(5)
+    assert(rate == math.rint(1.0 / 3.0 * 1e6) / 1e6 ||
+      math.abs(rate - 0.333333) < 1e-9)
+  }
+
+  test("calibrationReport: hand-computed confusion + ratios, empty sides") {
+    // scores .1 .4 .6 .9 / labels F T F T
+    val scored = Seq((0.1, false), (0.4, true), (0.6, false), (0.9, true))
+      .toDF("score", "label")
+    val r = Text.calibrationReport(scored, "label",
+      thresholds = Seq(0.5, 0.95))
+      .collect().map(x => x.getDouble(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4),
+          x.getDouble(5), x.getDouble(6), x.getDouble(7)))).toMap
+    // t=0.5: pred {.6,.9} -> tp=1 fp=1 fn=1 tn=1; p=r=f1=0.5
+    assert(r(0.5) == ((1L, 1L, 1L, 1L, 0.5, 0.5, 0.5)))
+    // t=0.95: nothing predicted -> tp=fp=0, fn=2, tn=2; p=0 r=0 f1=0
+    assert(r(0.95) == ((0L, 0L, 2L, 2L, 0.0, 0.0, 0.0)))
+  }
+
+  test("interleave: vt density follows rates; missing strata dropped; " +
+      "deterministic") {
+    val sp2 = sp
+    val docs = (0 until 3000).map(i =>
+      (i.toLong, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"))
+      .toDF("doc_id", "stratum")
+    val r = graft.llm.Sample.interleave(docs, "stratum",
+      Map("a" -> 4.0, "b" -> 1.0), seed = "s")
+    val rows = r.orderBy($"vt", $"doc_id").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getDouble(2)))
+    assert(!rows.exists(_._2 == "c")) // unknown stratum dropped
+    assert(rows.length == 2000)
+    // the first chunk of the schedule should be ~4:1 a-to-b
+    val head = rows.take(500)
+    val aShare = head.count(_._2 == "a").toDouble / head.length
+    assert(aShare > 0.7 && aShare < 0.9, s"a share $aShare")
+    // deterministic: same seed -> same vt per id
+    val again = graft.llm.Sample.interleave(docs, "stratum",
+      Map("a" -> 4.0, "b" -> 1.0), seed = "s")
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    rows.foreach { case (id, _, vt) => assert(again(id) == vt) }
+  }
+
   test("charEntropy: hand-computed values, code points, empty/null") {
     val df = Seq(
       (1L, "aaaa"),         // one symbol -> 0 bits
