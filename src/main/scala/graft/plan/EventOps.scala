@@ -445,7 +445,11 @@ object EventOps {
           col("__t") <= col("__t1") + lit(windowNs))
         .groupBy(col("__u"), col("__t1"))
         .agg(min(col("__t")).as("__tprev"))
-      cur = nxt.localCheckpoint() // each level feeds count + next join
+      // barrier, not bare localCheckpoint: the checkpointed frame
+      // re-enters a join INSIDE this loop, so preserved origin stats
+      // would compound per step (the round-7 BigInteger stats explosion
+      // class — see Lineage.barrier's scaladoc)
+      cur = graft.functions.Lineage.barrier(nxt)
       counts += ((i + 1, step, cur.count()))
     }
     import spark.implicits._
