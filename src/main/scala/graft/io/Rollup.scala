@@ -1,5 +1,6 @@
 package graft.io
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -19,16 +20,110 @@ import graft.plan.TsStore
   * summary-scale aggregate — never a raw scan. mean/avg derives as
   * sum/count at serve time (it does not merge; the parts do).
   *
-  * Layout: `path/step=<ns>/` parquet per step (coarser steps are built
-  * from the raw frame too — at 100 TB build them from the next-finer
-  * rollup instead; the merge algebra above is exactly what makes that
-  * legal). Serving picks the COARSEST stored step dividing the query
-  * step: fewest rows read, and dir-scoped reads never touch other
-  * resolutions.
+  * == Layout: epoch MVCC ==
+  *
+  * `path/epoch=<n>/step=<ns>/` parquet per step, plus a per-epoch
+  * `_COMMITTED` marker (written last, via tmp+rename, carrying the
+  * last-folded micro-batch id). Readers resolve the max COMMITTED epoch
+  * and only ever read inside it; writers build the next epoch fully out
+  * of place and publish it with the single marker rename — so a fold is
+  * visible for ALL steps or NONE (no per-step swap window), a crash at
+  * any point leaves an ignorable uncommitted orphan that the replay
+  * overwrites, and no read path ever mutates the store (the round-8
+  * advice hazard: a reader "repairing" mid-swap deleted a live writer's
+  * merge output). The previous epoch is retained until the NEXT commit,
+  * so an in-flight reader keeps a full update-cycle grace period.
+  *
+  * == Idempotence ==
+  *
+  * `update`/`write` accept the caller's micro-batch id (Structured
+  * Streaming `foreachBatch` is at-least-once: a batch whose fold
+  * committed but whose checkpoint ack was lost WILL replay). The id is
+  * committed atomically with the fold inside the marker; a replayed
+  * batch (`batchId <= lastBatch`) is skipped, so the fold is
+  * effectively-once even across crash-replay — double-counting
+  * `cnt`/`vsum` is structurally impossible. Batch (non-streaming)
+  * callers omit the id (-1 = always fold). The store is bound to ONE
+  * checkpoint lineage: restarting a stream with a fresh checkpoint
+  * directory resets batch ids to 0 and those batches would be skipped —
+  * pair a new checkpoint with a new store (or a full [[write]] rebuild).
+  *
+  * Concurrency contract: one writer at a time (the streaming sink is
+  * single-threaded per query; two concurrent folds would race the same
+  * next-epoch directory). Readers are lock-free and unlimited.
+  *
+  * Coarser steps are built from the raw frame too — at 100 TB build
+  * them from the next-finer rollup instead; the merge algebra is
+  * exactly what makes that legal. Serving picks the COARSEST stored
+  * step dividing the query step: fewest rows read, and epoch+step
+  * scoped reads never touch other resolutions.
   */
 object Rollup {
 
-  private def stepDir(path: String, stepNs: Long) = s"$path/step=$stepNs"
+  private val Marker = "_COMMITTED"
+
+  private def fsOf(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def epochDir(path: String, n: Long) = s"$path/epoch=$n"
+  private def stepDir(epoch: String, stepNs: Long) = s"$epoch/step=$stepNs"
+
+  /** Max committed epoch number, or None for an empty/uninitialized
+    * store. Pure read — never mutates (crash orphans are uncommitted
+    * directories the next writer overwrites). */
+  private def currentEpoch(fs: FileSystem, path: String): Option[Long] = {
+    val hp = new Path(path)
+    if (!fs.exists(hp)) return None
+    val ns = fs.listStatus(hp).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("epoch=") &&
+          n.drop(6).nonEmpty && n.drop(6).forall(_.isDigit) => n.drop(6).toLong }
+    ns.filter(n => fs.exists(new Path(epochDir(path, n), Marker)))
+      .sorted.lastOption
+  }
+
+  /** The committed marker's last-folded batch id (-1 when the store was
+    * built without one). */
+  def lastBatch(spark: SparkSession, path: String): Long = {
+    val fs = fsOf(spark, path)
+    currentEpoch(fs, path).map { n =>
+      readMarker(fs, new Path(epochDir(path, n), Marker))
+    }.getOrElse(-1L)
+  }
+
+  private def readMarker(fs: FileSystem, p: Path): Long = {
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](64)
+      val k = in.read(buf)
+      val s = new String(buf, 0, math.max(k, 0), "UTF-8").trim
+      if (s.isEmpty) -1L else s.toLong
+    } finally in.close()
+  }
+
+  /** Commit an epoch: write the marker out of place, rename in — the
+    * single atomic publish point for every step the epoch holds. */
+  private def commit(fs: FileSystem, epoch: String, batch: Long): Unit = {
+    val tmp = new Path(epoch, s"$Marker.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(batch.toString.getBytes("UTF-8")) finally out.close()
+    require(fs.rename(tmp, new Path(epoch, Marker)),
+      s"commit rename failed for $epoch")
+  }
+
+  /** Drop every epoch older than `keepFrom` (committed or orphaned) —
+    * called by the WRITER after a commit; readers never delete. */
+  private def prune(fs: FileSystem, path: String, keepFrom: Long): Unit = {
+    val hp = new Path(path)
+    if (!fs.exists(hp)) return
+    fs.listStatus(hp).toSeq.filter(_.isDirectory).map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.startsWith("epoch=") && n.drop(6).forall(_.isDigit) &&
+          n.drop(6).nonEmpty && n.drop(6).toLong < keepFrom
+      }
+      .foreach(p => fs.delete(p, true))
+  }
 
   /** Per-step summary of a sample batch (the mergeable form). */
   private def stepAgg(samples: DataFrame, step: Long): DataFrame = {
@@ -71,14 +166,23 @@ object Rollup {
         col("__f.t").as("first_ts"), col("__f.v").as("first_v"),
         col("__l.t").as("last_ts"), col("__l.v").as("last_v"))
 
-  /** Build and write rollups at each step. Input: the engine sample
-    * frame (metric, tags, ts, value). */
-  def write(samples: DataFrame, path: String, steps: Seq[Long]): Unit = {
+  /** Build (or fully rebuild) the store at each step. Input: the engine
+    * sample frame (metric, tags, ts, value). `batchId` seeds the
+    * idempotence marker when the bootstrap IS a streaming micro-batch
+    * (a replayed bootstrap must not fold twice); batch callers omit it. */
+  def write(samples: DataFrame, path: String, steps: Seq[Long],
+            batchId: Long = -1L): Unit = {
     require(steps.nonEmpty && steps.forall(_ > 0), "steps must be positive")
+    val fs = fsOf(samples.sparkSession, path)
+    val next = currentEpoch(fs, path).getOrElse(0L) + 1
+    val epoch = epochDir(path, next)
+    fs.delete(new Path(epoch), true) // stale orphan from a prior crash
     steps.foreach { step =>
       stepAgg(samples, step)
-        .write.mode("overwrite").parquet(stepDir(path, step))
+        .write.mode("overwrite").parquet(stepDir(epoch, step))
     }
+    commit(fs, epoch, batchId)
+    prune(fs, path, next)
   }
 
   /** Incrementally fold a NEW sample batch into every stored rollup —
@@ -86,75 +190,54 @@ object Rollup {
     * the batch at each stored step, merge with the stored summaries
     * (the mergeable algebra makes this EXACT, not approximate — the
     * result is bit-for-bit what a full rebuild over old+new would
-    * produce, up to fp addition order in `vsum`), land out-of-place,
-    * swap by rename. Cost is batch-scale + touched-summary-scale; the
-    * raw history is never rescanned. */
-  def update(samples: DataFrame, path: String): Unit = {
+    * produce, up to fp addition order in `vsum`), land as the next
+    * epoch, publish with one marker rename covering ALL steps. Cost is
+    * batch-scale + touched-summary-scale; the raw history is never
+    * rescanned.
+    *
+    * `batchId >= 0` makes the fold idempotent: a batch at or below the
+    * committed marker is a replay and is skipped (see the class doc's
+    * idempotence section). A crash anywhere before the marker rename
+    * leaves the current epoch untouched and the replay folds cleanly. */
+  def update(samples: DataFrame, path: String, batchId: Long = -1L): Unit = {
     val spark = samples.sparkSession
-    val steps = storedSteps(spark, path)
-    require(steps.nonEmpty, s"no rollup store at $path")
-    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = fsOf(spark, path)
+    val cur = currentEpoch(fs, path)
+    require(cur.nonEmpty, s"no rollup store at $path")
+    val curEpoch = epochDir(path, cur.get)
+    val last = readMarker(fs, new Path(curEpoch, Marker))
+    if (batchId >= 0 && batchId <= last) return // replayed batch: folded
+    val steps = listSteps(fs, curEpoch)
+    require(steps.nonEmpty, s"committed epoch $curEpoch holds no steps")
+    val next = epochDir(path, cur.get + 1)
+    fs.delete(new Path(next), true) // stale orphan from a prior crash
     steps.foreach { step =>
-      val dir = stepDir(path, step)
-      val tmp = s"$dir.updating"
-      val merged = mergeSummaries(
-        spark.read.parquet(dir).unionByName(stepAgg(samples, step)))
-      merged.write.mode("overwrite").parquet(tmp)
-      // Swap via rename-aside, not delete-then-rename: a crash between a
-      // delete and the rename-in would lose the whole step. Sequence:
-      // dir -> dir.old (atomic), tmp -> dir (atomic), delete dir.old.
-      // A crash leaves the old dir live (tmp orphaned), the new dir live
-      // (dir.old orphaned), or — in the window BETWEEN the two renames —
-      // only dir.old; storedSteps restores that last case by renaming
-      // dir.old back before any read or update (see its scaladoc), and
-      // ignores the .updating/.old names otherwise, so no crash point
-      // loses the step or poisons reads.
-      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
-      val dirP = new org.apache.hadoop.fs.Path(dir)
-      val oldP = new org.apache.hadoop.fs.Path(s"$dir.old")
-      fs.delete(oldP, true) // clear any orphan from a prior crash
-      require(fs.rename(dirP, oldP), s"rename-aside failed for $dir")
-      require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dirP),
-        s"rename failed for $dir")
-      fs.delete(oldP, true)
+      mergeSummaries(
+        spark.read.parquet(stepDir(curEpoch, step))
+          .unionByName(stepAgg(samples, step)))
+        .write.mode("overwrite").parquet(stepDir(next, step))
     }
+    commit(fs, next, math.max(last, batchId))
+    // keep the just-superseded epoch as reader grace; drop older ones
+    prune(fs, path, cur.get)
   }
 
-  /** Stored steps, from the `step=<ns>` directory names. Self-healing:
-    * a crash in [[update]]'s two-rename swap window (after
-    * `dir -> dir.old`, before `tmp -> dir`) leaves NO live `step=` dir —
-    * only the rename-aside orphan. Every listing first restores such
-    * orphans (`step=X.old` without `step=X` renames back; the
-    * `.updating` merge output is deleted — update() is atomic, the
-    * caller never got a return so it must replay the batch, and
-    * promoting the merged dir instead would double-count that replay).
-    * So the swap window is repaired on the next read or update, never
-    * by hand. */
-  def storedSteps(spark: SparkSession, path: String): Seq[Long] = {
-    val hp = new org.apache.hadoop.fs.Path(path)
-    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(hp)) return Seq.empty
-    def names() = fs.listStatus(hp).toSeq.filter(_.isDirectory)
+  private def listSteps(fs: FileSystem, epoch: String): Seq[Long] =
+    fs.listStatus(new Path(epoch)).toSeq.filter(_.isDirectory)
       .map(_.getPath.getName)
-    val all = names()
-    val live = all.toSet
-    all.filter(n => n.startsWith("step=") && n.endsWith(".old")).foreach { o =>
-      val base = o.dropRight(4)
-      if (!live(base)) {
-        fs.delete(new org.apache.hadoop.fs.Path(hp, s"$base.updating"), true)
-        require(fs.rename(new org.apache.hadoop.fs.Path(hp, o),
-          new org.apache.hadoop.fs.Path(hp, base)),
-          s"crash repair: restoring $o -> $base failed")
-      }
-    }
-    (if (all.exists(o => o.endsWith(".old") &&
-        !live(o.dropRight(4)))) names() else all)
-      // strict name parse: a stale `step=<ns>.updating` / `.old` dir from
-      // an interrupted update must not brick the store with a
-      // NumberFormatException — only pure-long step names count
       .collect { case n if n.startsWith("step=") &&
-          n.drop(5).forall(_.isDigit) && n.length > 5 => n.drop(5).toLong }
+          n.drop(5).nonEmpty && n.drop(5).forall(_.isDigit) => n.drop(5).toLong }
       .sorted
+
+  /** Stored steps of the current committed epoch (empty for no store).
+    * Pure read — crash orphans are invisible here by construction, so
+    * there is nothing to repair and nothing a reader can break. */
+  def storedSteps(spark: SparkSession, path: String): Seq[Long] = {
+    val fs = fsOf(spark, path)
+    currentEpoch(fs, path) match {
+      case None => Seq.empty
+      case Some(n) => listSteps(fs, epochDir(path, n))
+    }
   }
 
   /** Serve a group-aggregate at `stepNs` from the coarsest stored
@@ -162,12 +245,17 @@ object Rollup {
     * no raw-sample scan. Output: metric, sname, bucket, cnt, vsum,
     * vmin, vmax, mean (rounded 6), first_v, last_v. */
   def serve(spark: SparkSession, path: String, stepNs: Long): DataFrame = {
-    val usable = storedSteps(spark, path).filter(s => stepNs % s == 0)
+    val fs = fsOf(spark, path)
+    val cur = currentEpoch(fs, path)
+    require(cur.nonEmpty, s"no rollup store at $path")
+    val epoch = epochDir(path, cur.get)
+    val stored = listSteps(fs, epoch)
+    val usable = stored.filter(s => stepNs % s == 0)
     require(usable.nonEmpty,
       s"no stored rollup step divides ${stepNs}ns " +
-        s"(stored: ${storedSteps(spark, path).mkString(",")})")
+        s"(stored: ${stored.mkString(",")})")
     val best = usable.max
-    spark.read.parquet(stepDir(path, best))
+    spark.read.parquet(stepDir(epoch, best))
       .groupBy(col("metric"), col("sname"),
         (expr(s"bucket div ${stepNs}L") * stepNs).as("bucket"))
       .agg(sum(col("cnt")).as("cnt"),

@@ -103,18 +103,27 @@ object StreamIngest {
     * batch bootstraps the store at `steps`. Exactness: the fold result
     * is bit-for-bit a full rebuild over everything ingested (up to fp
     * addition order in `vsum` — the serve-side 6-decimal round absorbs
-    * it). Checkpointing makes the sink effectively-once per epoch;
-    * Rollup.update's rename-swap keeps a crashed fold invisible (the
-    * un-acked batch replays into the pre-fold store). */
+    * it).
+    *
+    * Exactly-once across crash-replay: `foreachBatch` is only
+    * at-least-once (a batch whose fold committed but whose checkpoint
+    * ack was lost replays on restart), so the batchId is threaded into
+    * the store and committed ATOMICALLY with the fold (one marker
+    * rename covering every step — see [[graft.io.Rollup]]); the
+    * replayed batch is then recognized and skipped, so cnt/vsum are
+    * never double-counted. Corollary: the store is bound to this
+    * stream's checkpoint lineage — a fresh checkpoint restarts batch
+    * ids at 0, which the store would skip; pair a new checkpoint with a
+    * new store path. */
   def continuousRollup(samples: DataFrame, path: String, steps: Seq[Long],
                        checkpoint: String): DataStreamWriter[Row] =
     samples.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (b: Dataset[Row], _: Long) =>
+      .foreachBatch { (b: Dataset[Row], batchId: Long) =>
         if (!b.isEmpty) {
           if (graft.io.Rollup.storedSteps(b.sparkSession, path).isEmpty)
-            graft.io.Rollup.write(b, path, steps)
-          else graft.io.Rollup.update(b, path)
+            graft.io.Rollup.write(b, path, steps, batchId)
+          else graft.io.Rollup.update(b, path, batchId)
         }
       }
 

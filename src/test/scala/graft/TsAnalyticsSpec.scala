@@ -476,7 +476,8 @@ class TsAnalyticsSpec extends SparkFunSuite {
       4.0, 1.0)))
   }
 
-  test("rollup update: crash between the two swap renames self-heals") {
+  test("rollup update: a crashed (uncommitted) fold is invisible and " +
+      "the replay lands cleanly") {
     def mk(rows: Seq[(String, Long, Double)]) =
       rows.toDF("metric", "ts", "value")
         .withColumn("tags", map_from_arrays(
@@ -486,23 +487,50 @@ class TsAnalyticsSpec extends SparkFunSuite {
       Seq(10L))
     val pre = graft.io.Rollup.serve(spark, p, 10L).orderBy("bucket")
       .collect().map(_.toSeq).toSeq
-    // simulate update() dying BETWEEN rename-aside and rename-in: the
-    // live dir is gone, only the .old orphan and a merge output remain
-    val d = new java.io.File(p, "step=10")
-    assert(d.renameTo(new java.io.File(p, "step=10.old")))
-    new java.io.File(p, "step=10.updating").mkdirs()
-    // any listing path repairs it: the step is visible again and serves
-    // the PRE-crash contents (update is atomic — the caller replays)
+    // simulate update() dying BEFORE its commit marker: a partially
+    // written next epoch exists, with no _COMMITTED
+    val orphan = new java.io.File(p, "epoch=2/step=10")
+    orphan.mkdirs()
+    new java.io.File(orphan, "part-junk.parquet").createNewFile()
+    // readers never see (or touch) the orphan: the current epoch serves
     assert(graft.io.Rollup.storedSteps(spark, p) == Seq(10L))
-    assert(d.isDirectory)
-    assert(!new java.io.File(p, "step=10.old").exists())
-    assert(!new java.io.File(p, "step=10.updating").exists())
     val post = graft.io.Rollup.serve(spark, p, 10L).orderBy("bucket")
       .collect().map(_.toSeq).toSeq
     assert(post == pre)
-    // and a replayed update over the healed store still folds exactly
+    assert(orphan.exists) // the read did NOT mutate the store
+    // the replayed update overwrites the orphan and commits atomically
     graft.io.Rollup.update(mk(Seq(("m", 25L, 7.0))), p)
     assert(graft.io.Rollup.serve(spark, p, 10L).count() == 3)
+    assert(new java.io.File(p, "epoch=2/_COMMITTED").exists)
+  }
+
+  test("rollup update: replayed micro-batch ids fold exactly once") {
+    def mk(rows: Seq[(String, Long, Double)]) =
+      rows.toDF("metric", "ts", "value")
+        .withColumn("tags", map_from_arrays(
+          array().cast("array<string>"), array().cast("array<string>")))
+    val p = java.nio.file.Files.createTempDirectory("graft_rb").toString
+    // bootstrap as streaming batch 0; then batch 1 folds, and the SAME
+    // batch 1 replays (foreachBatch at-least-once after a crash between
+    // the fold commit and the checkpoint ack) — it must be a no-op
+    graft.io.Rollup.write(mk(Seq(("m", 1L, 4.0))), p, Seq(10L), batchId = 0L)
+    assert(graft.io.Rollup.lastBatch(spark, p) == 0L)
+    graft.io.Rollup.update(mk(Seq(("m", 2L, 9.0))), p, batchId = 1L)
+    graft.io.Rollup.update(mk(Seq(("m", 2L, 9.0))), p, batchId = 1L) // replay
+    assert(graft.io.Rollup.lastBatch(spark, p) == 1L)
+    val r = graft.io.Rollup.serve(spark, p, 10L).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(3) == 2L)           // cnt: NOT 3 (no double fold)
+    assert(r.head.getDouble(4) == 13.0)       // vsum: 4 + 9, once
+    // a batch BELOW the marker is also skipped; a new one folds
+    graft.io.Rollup.update(mk(Seq(("m", 3L, 1.0))), p, batchId = 0L)
+    assert(graft.io.Rollup.serve(spark, p, 10L).head.getLong(3) == 2L)
+    graft.io.Rollup.update(mk(Seq(("m", 3L, 1.0))), p, batchId = 2L)
+    assert(graft.io.Rollup.serve(spark, p, 10L).head.getLong(3) == 3L)
+    // un-id'd batch callers always fold and never regress the marker
+    graft.io.Rollup.update(mk(Seq(("m", 4L, 2.0))), p)
+    assert(graft.io.Rollup.serve(spark, p, 10L).head.getLong(3) == 4L)
+    assert(graft.io.Rollup.lastBatch(spark, p) == 2L)
   }
 
   test("seasonalityStrength: periodic series scores high, noise low") {
