@@ -130,6 +130,14 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // typed-imperative aggregates (udaf Aggregators: LastTwoAgg,
+      // SpaceSaver) run in ObjectHashAggregateExec, which falls back to
+      // SORT-based aggregation after 128 distinct keys by default —
+      // re-introducing exactly the sort the last-two-samples plan
+      // removed. Buffers here are tiny (tens of bytes), so a 64k-key
+      // hash map is ~MBs per task: keep the hash regime.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "65536")
       .config("spark.ui.enabled", "false")
       // local-FS bench IO: v2 commit (no sequential final renames) and no
       // client-side CRC shadow files — a cluster deployment gets both
@@ -376,19 +384,24 @@ object Bench {
     val errs = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":"${v.replace("\"", "'")}"""" }
       .mkString("{", ",", "}")
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""errors":$errs,"n_ok":${okResults.size},"n_failed":${errors.size},""" +
-      s""""ingest_samples_per_sec":$ingestRate,""" +
-      // write_samples_per_sec was REDEFINED in round 4 from the
-      // synchronous clustered-parquet write (now published as
-      // write_clustered_samples_per_sec) to the run-log spool — the
-      // adopted ingest architecture; write_path makes the redefinition
-      // explicit in the artifact so r1-r3 comparisons aren't read as a
-      // like-for-like speedup
-      s""""write_samples_per_sec":$writeRate,"write_path":"runlog_spool",""" +
-      s""""write_clustered_samples_per_sec":$clusteredRate,""" +
-      s""""compact_samples_per_sec":$compactRate,""" + {
+    // The driver's per-round artifact keeps only the LAST ~2000 chars of
+    // stdout; with the floor ledger printed last, BENCH_r07/r08's tail
+    // showed cross-run minima and this run's own numbers were cut — a
+    // regression could never appear in the official artifact (round-8
+    // verdict #3). Order the line so the big reference maps (plan audit,
+    // floors, full query map) come FIRST and a compact THIS-RUN summary
+    // comes last: headline rates, contention, how many queries ran past
+    // 2x their floor, and the worst floor-ratio offenders with their
+    // this-run seconds. BENCH_full.json still carries everything.
+    val over2x = okResults.count { case (k, v) =>
+      floorQ0.get(k).exists(f => f > 0 && v > 2 * f) }
+    val worst = okResults
+      .flatMap { case (k, v) => floorQ0.get(k).filter(_ > 0)
+        .map(f => (k, v, v / f)) }
+      .sortBy(-_._3).take(12)
+      .map { case (k, v, r) => f""""$k":{"sec":$v%.3f,"x_floor":$r%.2f}""" }
+      .mkString("{", ",", "}")
+    val json = {
         // floors: best-ever rates (max) and the query-time ledger (min);
         // both survive a contended run to stand beside its raw numbers
         val rateNames = Seq("ingest_samples_per_sec" -> ingestRate,
@@ -412,10 +425,25 @@ object Bench {
               s""""plans":$floorPJson}""" +
               "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
           catch { case _: java.io.IOException => () }
-        s""""contention_factor":$contention,"rates_floor":$floorRJson,""" +
-        s""""plan_audit":$auditJson,"queries_floor":$floorQJson,"""
-      } +
-      s""""sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""plan_audit":$auditJson,"queries_floor":$floorQJson,""" +
+        s""""rates_floor":$floorRJson,"queries":$qs,""" +
+        // ---- this-run summary from here down: the driver-tail window ----
+        s""""errors":$errs,"n_ok":${okResults.size},"n_failed":${errors.size},""" +
+        s""""ingest_samples_per_sec":$ingestRate,""" +
+        // write_samples_per_sec was REDEFINED in round 4 from the
+        // synchronous clustered-parquet write (now published as
+        // write_clustered_samples_per_sec) to the run-log spool — the
+        // adopted ingest architecture; write_path makes the redefinition
+        // explicit in the artifact so r1-r3 comparisons aren't read as a
+        // like-for-like speedup
+        s""""write_samples_per_sec":$writeRate,"write_path":"runlog_spool",""" +
+        s""""write_clustered_samples_per_sec":$clusteredRate,""" +
+        s""""compact_samples_per_sec":$compactRate,""" +
+        s""""this_run":{"total_sec":$total,"contention_factor":$contention,""" +
+        s""""n_over_2x_floor":$over2x,"worst_vs_floor":$worst},""" +
+        s""""sf":"$sfDir"}"""
+      }
     println(json)
     // the driver captures stdout through a `tail` that can truncate the
     // per-query map — persist the complete artifact next to the repo so

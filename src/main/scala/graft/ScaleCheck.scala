@@ -17,7 +17,11 @@ import graft.sources.TestData
   * clusters; embeddings replicate identically in the sparse (0.9)
   * LSH regime, whose candidate count must stay ≪ n²/2.
   *
-  * Usage: runMain graft.ScaleCheck [sfDir] [factor]
+  * Usage: runMain graft.ScaleCheck [sfDir] [factor] [opName...]
+  * Further args select a subset of ops — the 100x graduation runs name
+  * the five most expensive pipelines at factor 100 without paying for
+  * the other 35 at that volume. Unknown names are an error (a typo
+  * must not produce a vacuously-clean run).
   * Prints one JSON line: {"metric":"scalecheck","factor":F,
   *   "queries":{op:sec,...},"rows":{op:n,...},"errors":{...}}
   */
@@ -26,12 +30,22 @@ object ScaleCheck {
   def main(args: Array[String]): Unit = {
     val sfDir  = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val only   = args.drop(2).toSet
+    val known  = scala.collection.mutable.LinkedHashSet[String]()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-scalecheck")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // typed-imperative aggregates (udaf Aggregators: LastTwoAgg,
+      // SpaceSaver) run in ObjectHashAggregateExec, which falls back to
+      // SORT-based aggregation after 128 distinct keys by default —
+      // re-introducing exactly the sort the last-two-samples plan
+      // removed. Buffers here are tiny (tens of bytes), so a 64k-key
+      // hash map is ~MBs per task: keep the hash regime.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "65536")
       .config("spark.ui.enabled", "false")
       .config("spark.hadoop.fs.file.impl",
         "org.apache.hadoop.fs.RawLocalFileSystem")
@@ -75,6 +89,8 @@ object ScaleCheck {
     val rows = scala.collection.mutable.LinkedHashMap[String, Long]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     def timed(name: String)(f: => Long): Unit = {
+      known += name
+      if (only.nonEmpty && !only(name)) return
       val t0 = System.nanoTime()
       try {
         rows(name) = f
@@ -323,6 +339,30 @@ object ScaleCheck {
       TsAnalytics.counterIncrease(store.samples, Seq("metric"), "ts",
         "value", bucketNs = Day).count()
     }
+    // ---- round-9 addition: the continuous-rollup maintenance loop ------
+    // (the only gated heavy absent from earlier ScaleChecks; it is the
+    // per-batch cost of "the 1m/1h/1d tables are always current")
+    timed("ts_rollup_stream") {
+      val tmpDir = java.nio.file.Files
+        .createTempDirectory("graft_sc_rustream").toString
+      val src = s"$tmpDir/src"; val ckpt = s"$tmpDir/ckpt"
+      val ruStore = s"$tmpDir/store"
+      val sm = store.samples
+      val mid = graft.model.AkuTime.parseTs("20240116T000000")
+      sm.filter(col("ts") < mid).write.mode("append").parquet(src)
+      val q = graft.streaming.StreamIngest.continuousRollup(
+        spark.readStream.schema(sm.schema).parquet(src),
+        ruStore, Seq(Day), ckpt).start()
+      try {
+        q.processAllAvailable()
+        sm.filter(col("ts") >= mid).write.mode("append").parquet(src)
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.io.Rollup.serve(spark, ruStore, 2 * Day).count()
+    }
+
+    val unknown = only.diff(known.toSet)
+    require(unknown.isEmpty, s"unknown op name(s): ${unknown.mkString(", ")}")
 
     def jval(v: Any): String = v match {
       case d: Double => f"$d%.3f"

@@ -1744,13 +1744,17 @@ object SparkEntry {
              |      lower(regexp_extract(url, '^([a-zA-Z]+://[^/?]*)', 1)) ||
              |        regexp_replace(url, '^[a-zA-Z]+://[^/?]*', ''),
              |      '^([a-z]+://)www\.', '\1'),
-             |      'utm_[^&#]*&', ''),
+             |      '([?&])(utm_[^&#]*&)+', '\1', 'g'),
              |      '[?&]utm_[^&#]*$', ''),
              |      '/$', '') AS canonical_url
-             |  FROM nf)
-             |SELECT canonical_url, count(*) AS n_docs,
-             |  arg_min(doc_id, doc_id - n_chars * 1000000000) AS keep_doc_id
-             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+             |  FROM nf),
+             |r AS (SELECT canonical_url, doc_id,
+             |    count(*) OVER (PARTITION BY canonical_url) AS n_docs,
+             |    row_number() OVER (PARTITION BY canonical_url
+             |      ORDER BY n_chars DESC, doc_id ASC) AS rn
+             |  FROM c)
+             |SELECT canonical_url, n_docs, doc_id AS keep_doc_id
+             |FROM r WHERE rn = 1 ORDER BY 1""".stripMargin)),
 
     // -- dedup: exact substring dedup (span removal, Lee et al. '22) -----
     // Shared k-token boilerplate is synthesized identically both sides:

@@ -19,6 +19,14 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // typed-imperative aggregates (udaf Aggregators: LastTwoAgg,
+      // SpaceSaver) run in ObjectHashAggregateExec, which falls back to
+      // SORT-based aggregation after 128 distinct keys by default —
+      // re-introducing exactly the sort the last-two-samples plan
+      // removed. Buffers here are tiny (tens of bytes), so a 64k-key
+      // hash map is ~MBs per task: keep the hash regime.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "65536")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -41,6 +49,14 @@ object Verify {
     // is simply abandoned; it cannot block JVM exit.)
     val gateTimeoutMs =
       sys.env.getOrElse("SPARK_GRAFT_GATE_TIMEOUT_SEC", "300").toLong * 1000L
+    // Timed-out gates stay poisoned forever (round-8 advice): the
+    // abandoned daemon thread may RESUME after cancelJobGroup (a
+    // driver-side planning hang ignores the cancel), submit new jobs,
+    // and try to overwrite $outDir/$name concurrently with later gates
+    // or the final artifact assembly. The worker re-checks its cancelled
+    // flag immediately before the write and before publishing its
+    // schema, and the artifact assembly excludes the name regardless.
+    val timedOut = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -51,11 +67,15 @@ object Verify {
           try {
             val df = fn(spark, sfDir)
             val schema = df.schema
-            GateNorm.quantize(df).coalesce(1).write.mode("overwrite")
-              .parquet(s"$outDir/$name")
-            // only a COMPLETE dump publishes its schema: a half-written
-            // gate must not get its oracle SQL emitted as if it passed
-            schemas.synchronized { schemas(name) = schema }
+            if (!timedOut.contains(name)) {
+              GateNorm.quantize(df).coalesce(1).write.mode("overwrite")
+                .parquet(s"$outDir/$name")
+              // only a COMPLETE dump publishes its schema: a half-written
+              // gate must not get its oracle SQL emitted as if it passed;
+              // a CANCELLED gate must not publish even a complete one
+              if (!timedOut.contains(name))
+                schemas.synchronized { schemas(name) = schema }
+            }
           } catch { case e: Throwable => err = Some(e) }
           finally spark.sparkContext.clearJobGroup()
         }, s"verify-$name")
@@ -63,6 +83,7 @@ object Verify {
         t.start()
         t.join(gateTimeoutMs)
         if (t.isAlive) {
+          timedOut.add(name) // BEFORE the cancel: the worker must see it
           spark.sparkContext.cancelJobGroup(s"gate-$name")
           t.join(15000)
           System.err.println(
@@ -82,10 +103,15 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // snapshot under the map's own lock and drop timed-out names: a
+    // zombie worker completing mid-assembly must not race this read or
+    // resurrect a gate the watchdog already disowned
+    val finalSchemas = schemas.synchronized { schemas.toMap }
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.isEmpty || only(k) }
+      .filter { case (k, _) =>
+        (only.isEmpty || only(k)) && !timedOut.contains(k) }
       .map { case (k, v) =>
-        val sql = schemas.get(k).fold(v)(GateNorm.wrapOracle(v, _))
+        val sql = finalSchemas.get(k).fold(v)(GateNorm.wrapOracle(v, _))
         s"${q(k)}: ${q(sql)}"
       }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -40,9 +40,11 @@ object Dedup {
     * canonical URL (canonical_url, n_docs, keep_doc_id). One
     * hash-shuffle on the canonical string, survivor state is a single
     * value per key — the same 100 TB shape as [[exact]]. The (len desc,
-    * id asc) preference rides a single BIGINT `min_by` key
-    * (`id - len·1e9` — DuckDB's arg_min has no struct overload), which
-    * is exact while len < 2^33 and id < 1e9. */
+    * id asc) preference rides `min_by` over a (-len, id) struct —
+    * exact for the FULL int64 domain of both columns (the previous
+    * composite BIGINT key `id - len·1e9` silently picked wrong
+    * survivors for snowflake-scale ids ≥ 1e9; the oracle twin emulates
+    * the struct order with a row_number window). */
   def urlDedup(docs: DataFrame, urlCol: String = "url",
                lenCol: String = "n_chars",
                idCol: String = "doc_id"): DataFrame =
@@ -52,7 +54,8 @@ object Dedup {
       .groupBy(col("canonical_url"))
       .agg(count(lit(1)).as("n_docs"),
         min_by(col(idCol),
-          col(idCol) - col(lenCol).cast("long") * lit(1000000000L))
+          struct((-col(lenCol).cast("long")).as("nl"),
+            col(idCol).cast("long").as("i")))
           .as("keep_doc_id"))
 
   /** Incremental (cross-snapshot) exact dedup: drop every new document
@@ -742,17 +745,30 @@ object Dedup {
     * Driver state: four counts. Output (one row): `n_true`,
     * `n_candidates`, `n_hits`, `recall` (rounded 6; null when no true
     * pairs exist). `n_candidates` depends on the banding hash function
-    * and is reported for tuning, not oracle-checked. */
+    * and is reported for tuning, not oracle-checked.
+    *
+    * `maxDocs > 0` bounds the exact-truth side to a DETERMINISTIC
+    * md5-ordered document sample (the shard-membership hash order, so
+    * any engine replays the identical subset) — the valve that makes
+    * this O(n²)-truth diagnostic runnable on a 100 TB corpus: recall is
+    * then estimated over the sampled sub-corpus (truth AND banding both
+    * restricted to it, so the ratio stays an unbiased banding-recall
+    * estimate; pair counts scale ~(maxDocs/N)²). 0 = full corpus. */
   def lshTuningReport(docs: DataFrame, n: Int = 3, bands: Int = 32,
                       rowsPerBand: Int = 3, threshold: Double = 0.5,
                       textCol: String = "text",
-                      idCol: String = "doc_id"): DataFrame = {
+                      idCol: String = "doc_id",
+                      maxDocs: Int = 0): DataFrame = {
     val spark = docs.sparkSession
-    val truth = ngramJaccard(docs, n, threshold, textCol, idCol)
+    val sampled =
+      if (maxDocs <= 0) docs
+      else docs.orderBy(md5(col(idCol).cast("string")), col(idCol))
+        .limit(maxDocs) // TakeOrderedAndProject: top-k, no global sort
+    val truth = ngramJaccard(sampled, n, threshold, textCol, idCol)
       .select(col("a"), col("b")).localCheckpoint()
     // threshold 0 keeps every banding candidate (jaccard >= 0 always):
     // the pre-verification set, scored but unfiltered
-    val cands = minhashLsh(docs, n, bands, rowsPerBand, threshold = 0.0,
+    val cands = minhashLsh(sampled, n, bands, rowsPerBand, threshold = 0.0,
       textCol, idCol).select(col("a"), col("b")).localCheckpoint()
     val nTrue = truth.count()
     val nCand = cands.count()

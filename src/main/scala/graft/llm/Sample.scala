@@ -313,26 +313,38 @@ object Sample {
 
   /** Per-bucket cumulative base offsets WITHOUT a driver collect: one
     * totals aggregate over the bucket column (<= `buckets` rows), a
-    * prefix-sum window over that tiny frame, and a broadcast join back
-    * onto the facts. Replaces the old collect-to-driver + literal-map
-    * scheme: driver state is now zero, and the bucket count can scale
-    * with the corpus instead of being capped by a driver map. `desc`
-    * accumulates from the TOP bucket down (takeBudget's regime).
+    * TWO-LEVEL prefix sum over that tiny frame, and a broadcast join
+    * back onto the facts. Replaces the old collect-to-driver +
+    * literal-map scheme: driver state is zero, and the bucket count can
+    * scale with the corpus instead of being capped by a driver map.
+    * `desc` accumulates from the TOP bucket down (takeBudget's regime).
     *
-    * Bound: the prefix-sum window has no partitionBy, so the bucket-totals
-    * frame (NOT the facts) funnels through ONE task — linear in `buckets`.
-    * Fine at the 65536-bucket default; if buckets is ever made
-    * proportional to corpus size, replace with a two-level prefix sum
-    * (chunk-local sums, then a window over the ≤√buckets chunk totals). */
+    * The prefix sum is chunked so NO single task is linear in
+    * `buckets` (the round-8 advice bound): level 1 runs per-chunk
+    * exclusive prefixes (~√buckets chunks in parallel, ~√buckets rows
+    * each), level 2 prefixes the ≤√buckets chunk TOTALS; a bucket's
+    * base = its chunk-local prefix + its chunk's base. Buckets can now
+    * grow with the corpus — the per-task bound stays √buckets. */
   private def withBucketBase(t: DataFrame, cnt: Column,
-                             desc: Boolean): DataFrame = {
+                             desc: Boolean, buckets: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ord = if (desc) col("__b").desc else col("__b").asc
-    val w = Window.orderBy(ord)
+    val width = math.max(1L, math.ceil(math.sqrt(buckets.toDouble)).toLong)
+    val ordB = if (desc) col("__b").desc else col("__b").asc
+    val ordC = if (desc) col("__chunk").desc else col("__chunk").asc
+    val bt = t.groupBy(col("__b")).agg(sum(cnt).as("__bt"))
+      .withColumn("__chunk", floor(col("__b") / lit(width)).cast("long"))
+    val wIn = Window.partitionBy(col("__chunk")).orderBy(ordB)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val bases = t.groupBy(col("__b")).agg(sum(cnt).as("__bt"))
-      .withColumn("__base", coalesce(sum(col("__bt")).over(w), lit(0L)))
-      .select(col("__b"), col("__base"))
+    val local = bt.withColumn("__local",
+      coalesce(sum(col("__bt")).over(wIn), lit(0L)))
+    val wCh = Window.orderBy(ordC)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunkBases = bt.groupBy(col("__chunk"))
+      .agg(sum(col("__bt")).as("__ct"))
+      .withColumn("__cbase", coalesce(sum(col("__ct")).over(wCh), lit(0L)))
+      .select(col("__chunk"), col("__cbase"))
+    val bases = local.join(broadcast(chunkBases), Seq("__chunk"))
+      .select(col("__b"), (col("__local") + col("__cbase")).as("__base"))
     t.join(broadcast(bases), Seq("__b"))
   }
 
@@ -372,7 +384,7 @@ object Sample {
       else bounds.map(b => when(col("__p") >= b, 1).otherwise(0))
         .reduce(_ + _)
     val t = withBucketBase(t0.withColumn("__b", bucket), col("__c"),
-      desc = true)
+      desc = true, buckets = buckets)
     // Pass 2: inclusive running sum within the bucket, highest first,
     // plus the bucket's base offset (all buckets above it).
     val cum = sum(col("__c")).over(
@@ -455,7 +467,7 @@ object Sample {
     val t = withBucketBase(
       df.withColumn("__key", key)
         .withColumn("__b", floor(col("__key") * buckets).cast("int")),
-      lit(1L), desc = false)
+      lit(1L), desc = false, buckets = buckets)
     t.withColumn("shuffle_pos",
         row_number().over(Window.partitionBy(col("__b"))
           .orderBy(col("__key"), col(idCol))).cast("long") - 1L +
@@ -478,7 +490,7 @@ object Sample {
           key.as("__key"),
           floor(key * buckets).cast("int").as("__b"))
         .filter(col("__n") > 0),
-      col("__n"), desc = false)
+      col("__n"), desc = false, buckets = buckets)
     // pass 2: within-bucket running sum + bucket base = global offset
     val off = coalesce(sum(col("__n")).over(
         Window.partitionBy(col("__b")).orderBy(col("__key"), col(idCol))

@@ -764,11 +764,18 @@ object Text {
       lower(regexp_extract(noFrag, "^([a-zA-Z]+://[^/?]*)", 1)),
       regexp_replace(noFrag, "^[a-zA-Z]+://[^/?]*", ""))
     val noWww = regexp_replace(hostLower, "^([a-z]+://)www\\.", "$1")
-    // drop utm_* keeping the neighbours' separators intact: first any
-    // "utm_x=..&" (its & belonged to it), then a trailing "?utm_x=.." /
-    // "&utm_x=.." (it owned its leading separator)
+    // drop utm_* keeping the neighbours' separators intact. The interior
+    // pattern is ANCHORED to a parameter boundary ([?&], kept via $1) so
+    // "utm_" inside a value or path segment ("?a=xutm_b=1", "/utm_x")
+    // is never touched — an unanchored strip corrupted non-tracking
+    // content and could collapse DISTINCT urls to one canonical form
+    // (round-8 advice). A run of consecutive utm params is consumed in
+    // one match ((utm_..&)+); then a trailing "?utm_x" / "&utm_x" drops
+    // with its own leading separator. RE2-safe — no lookarounds, the
+    // DuckDB twin runs the identical patterns with the 'g' flag.
     val noUtm = regexp_replace(
-      regexp_replace(noWww, "utm_[^&#]*&", ""), "[?&]utm_[^&#]*$", "")
+      regexp_replace(noWww, "([?&])(utm_[^&#]*&)+", "$1"),
+      "[?&]utm_[^&#]*$", "")
     regexp_replace(noUtm, "/$", "")
   }
 

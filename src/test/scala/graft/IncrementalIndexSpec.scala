@@ -114,7 +114,15 @@ class IncrementalIndexSpec extends SparkFunSuite {
         "https://example.com/a?id=1&z=2",
       "http://example.com/a#frag" -> "http://example.com/a",
       // path case is preserved; only scheme+host lowercase
-      "https://A.B/KeepCase?Q=V" -> "https://a.b/KeepCase?Q=V")
+      "https://A.B/KeepCase?Q=V" -> "https://a.b/KeepCase?Q=V",
+      // a RUN of consecutive utm params before a kept one drops whole
+      "https://example.com/a?utm_a=1&utm_b=2&id=3" ->
+        "https://example.com/a?id=3",
+      // boundary anchoring (round-8 advice): 'utm_' INSIDE a value or a
+      // path segment is content, not a tracking param — untouched
+      "https://example.com/a?a=xutm_b=1&c=2" ->
+        "https://example.com/a?a=xutm_b=1&c=2",
+      "https://example.com/utm_x&y" -> "https://example.com/utm_x&y")
     val df = cases.map(_._1).zipWithIndex
       .map { case (u, i) => (i.toLong, u) }.toDF("id", "url")
     val got = df.select(col("id"), Text.canonicalUrl(col("url")).as("c"))
@@ -129,11 +137,17 @@ class IncrementalIndexSpec extends SparkFunSuite {
       (1L, 100L, "https://www.a.com/x/"),
       (2L, 300L, "https://a.com/x?utm_s=1"), // same canonical, longer: wins
       (3L, 300L, "HTTPS://A.com/x#f"),       // ties 2 on len: larger id loses
-      (4L, 50L, "https://a.com/y"))
+      (4L, 50L, "https://a.com/y"),
+      // snowflake-scale ids (≥ 1e9) broke the old composite BIGINT
+      // min_by key (round-8 advice); the struct key is exact: the
+      // longer fetch must win regardless of id magnitude
+      (7020936858583826432L, 10L, "https://a.com/z"),
+      (7020936858583826433L, 900L, "https://a.com/z"))
       .toDF("doc_id", "n_chars", "url")
     val r = Dedup.urlDedup(docs).collect()
       .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
     assert(r("https://a.com/x") == ((3L, 2L)))
     assert(r("https://a.com/y") == ((1L, 4L)))
+    assert(r("https://a.com/z") == ((2L, 7020936858583826433L)))
   }
 }

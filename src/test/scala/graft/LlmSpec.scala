@@ -1640,6 +1640,32 @@ class LlmSpec extends SparkFunSuite {
     assert(nCand >= nTrue)                    // candidates cover truth
   }
 
+  test("lshTuningReport maxDocs valve: deterministic sample, recall " +
+      "estimate matches the full run") {
+    // 40 planted near-dup pairs (80 docs): enough that a half-corpus
+    // sample still holds many whole pairs — the sampled recall must be
+    // the same banding-recall estimate the full O(n²) run reports
+    val texts = (0 until 40).flatMap { i =>
+      val base = s"planted duplicate pair $i with shared phrasing " +
+        s"spread over many tokens ${i * 3} ${i * 11} ${i * 17}"
+      Seq(base, base + " x")
+    }
+    def run(maxDocs: Int) = Dedup.lshTuningReport(docs(texts), n = 3,
+      bands = 64, rowsPerBand = 2, threshold = 0.5, maxDocs = maxDocs)
+      .collect()(0)
+    val full = run(0)
+    val half = run(40)
+    val half2 = run(40)
+    // deterministic: the md5-ordered sample replays identically
+    assert(half.toSeq == half2.toSeq)
+    // the valve actually bounds the quadratic side
+    assert(half.getLong(0) > 0L && half.getLong(0) < full.getLong(0))
+    assert(full.getLong(0) == 40L)
+    // these planted dups are fully recalled in both regimes, so the
+    // sampled estimate must agree with the full number exactly here
+    assert(full.getDouble(3) == 1.0 && half.getDouble(3) == 1.0)
+  }
+
   test("mixRates: binding stratum caps the mix; missing target pins 0") {
     import graft.llm.Sample
     val sp2 = spark

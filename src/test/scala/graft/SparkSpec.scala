@@ -15,6 +15,11 @@ object SparkSpec {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "2")
     .config("spark.sql.session.timeZone", "UTC")
+    // match the deployment builders (Bench/Verify/ScaleCheck): udaf
+    // Aggregators stay in the ObjectHashAggregate hash regime instead
+    // of sort-falling-back at 128 keys
+    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      "65536")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
