@@ -85,6 +85,15 @@ object ScaleCheck {
     }.reduce(_ unionAll _))
 
     // ---- timed heavy ops ----------------------------------------------
+    // Celled-ANN layouts must keep PER-CELL size roughly constant as the
+    // corpus grows — a production IVF deployment grows its cell count
+    // with n (the probe cost is nProbe x cell size). Pinning the cell
+    // counts while the factor grows 10x would make every celled op
+    // quadratic and measure a configuration nobody would deploy; scaling
+    // them with the factor keeps factor-10 runs bit-identical to the
+    // published SCALECHECK numbers and keeps 100x honest.
+    val knnCells = math.max(16, 16 * factor / 10)
+    val ivfCells = math.max(64, 64 * factor / 10)
     val secs = scala.collection.mutable.LinkedHashMap[String, Double]()
     val rows = scala.collection.mutable.LinkedHashMap[String, Long]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -165,7 +174,7 @@ object ScaleCheck {
     timed("embed_knn_graph_ivf") {
       // brute kNN graph is O(n²) scans by design; at factor-x volume
       // only the celled path is run (the brute regime is gate-verified)
-      val cents = Embed.kmeansCentroids(emb, k = 16, iters = 2)
+      val cents = Embed.kmeansCentroids(emb, k = knnCells, iters = 2)
       Embed.knnGraphCells(emb, k = 5, cents, probes = 2).count()
     }
     timed("embed_random_projection") {
@@ -259,8 +268,19 @@ object ScaleCheck {
             threshold = 0.5)),
         col("n_chars").cast("double")).count()
     }
+    timed("doc_dedup_pipeline_star") {
+      // the dense-duplication dedup shape: star edges per bucket keep
+      // the replica families Θ(d) instead of Θ(d²) — at factor 100 the
+      // clique variant above spends its whole budget enumerating
+      // 100-replica cliques
+      Dedup.dedupKeepBest(docs,
+        Dedup.connectedComponents(
+          Dedup.minhashLshStar(docs, n = 3, bands = 64, rowsPerBand = 2,
+            threshold = 0.5)),
+        col("n_chars").cast("double")).count()
+    }
     timed("embed_knn_clusters") {
-      val cents = Embed.kmeansCentroids(emb, k = 16, iters = 2)
+      val cents = Embed.kmeansCentroids(emb, k = knnCells, iters = 2)
       Embed.knnClusters(Embed.knnGraphCells(emb, k = 3, cents, probes = 2))
         .count()
     }
@@ -282,12 +302,12 @@ object ScaleCheck {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_sc_ivfu").toString
       Embed.writeIvf(emb.filter(col("vec_id") % 2 === 0), tmp,
-        nCentroids = 64)
+        nCentroids = ivfCells)
       Embed.ivfUpdate(emb.filter(col("vec_id") % 2 =!= 0), tmp)
       Embed.topKIvfStored(spark.read.parquet(tmp),
         emb0.filter(col("vec_id") === 7).select(col("embedding"))
           .head().getSeq[Float](0).map(_.toDouble).toSeq,
-        k = 10, nCentroids = 64, nProbe = 4,
+        k = 10, nCentroids = ivfCells, nProbe = 4,
         trained = Some(Embed.readIvfCentroids(spark, tmp))).count()
     }
     timed("doc_substring_incremental") {
@@ -313,7 +333,7 @@ object ScaleCheck {
       // whole query batch (every 50th vector queries, nProbe 8 of 64)
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_sc_bivf").toString
-      Embed.writeIvf(emb, tmp, nCentroids = 64)
+      Embed.writeIvf(emb, tmp, nCentroids = ivfCells)
       Embed.topKBatchIvf(
         emb.filter(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("query_id"), col("embedding")),

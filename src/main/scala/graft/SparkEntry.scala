@@ -2113,6 +2113,44 @@ object SparkEntry {
              |SELECT u AS doc_id, least(u, min(v)) AS component
              |FROM reach GROUP BY u ORDER BY 1""".stripMargin)),
 
+    // -- dedup: clusters from STAR edges (the dense-duplication path) ---
+    // minhashLshStar emits one verified hub edge per bucket member
+    // instead of the bucket clique — Θ(d) not Θ(d²) on a d-fold dup
+    // family — and its components must still equal the ground-truth
+    // clusters (same recursive-CTE oracle as doc_neardup_clusters: at
+    // these (b, r) every true pair is hub-connected in some bucket).
+    "doc_neardup_clusters_star" -> Gated(
+      (s, d) => Dedup.connectedComponents(
+        Dedup.minhashLshStar(TestData.table(s, d, "documents"),
+          n = 3, bands = 64, rowsPerBand = 2, threshold = 0.5))
+        .select(col("node").as("doc_id"), col("component"))
+        .orderBy(col("doc_id")),
+      Some("""WITH RECURSIVE toks AS (
+             |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+             |  FROM documents),
+             |grams AS (
+             |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+             |    THEN list_transform(range(1, len(t) - 1),
+             |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+             |    ELSE [] END) AS g
+             |  FROM toks),
+             |pairs AS (
+             |  SELECT a, b FROM (
+             |    SELECT x.doc_id AS a, y.doc_id AS b,
+             |      len(list_intersect(x.g, y.g))::DOUBLE /
+             |        (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g))) AS j
+             |    FROM grams x JOIN grams y ON x.doc_id < y.doc_id)
+             |  WHERE j >= 0.5),
+             |edges AS (
+             |  SELECT a AS u, b AS v FROM pairs
+             |  UNION SELECT b, a FROM pairs),
+             |reach(u, v) AS (
+             |  SELECT u, v FROM edges
+             |  UNION
+             |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+             |SELECT u AS doc_id, least(u, min(v)) AS component
+             |FROM reach GROUP BY u ORDER BY 1""".stripMargin)),
+
     // -- text analysis: per-doc TF-IDF top terms -------------------------
     // Ranking runs on the ROUNDED score with term tiebreak, so selection
     // at the top-k boundary is identical on both sides regardless of

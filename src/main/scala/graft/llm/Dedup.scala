@@ -614,6 +614,67 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** MinHash-LSH near-dup edges in STAR form — the connected-components
+    * feeder for densely-duplicated corpora. [[minhashLsh]] emits every
+    * colliding pair, so a d-fold duplicate family (the common crawl
+    * regime: one boilerplate page mirrored across d sites) costs
+    * Θ(d²) pair rows PER BAND before dedup and Θ(d²) verified output
+    * pairs — at a 100x corpus scale test this one shape dominated the
+    * whole dedup pipeline. For clustering, the clique is redundant:
+    * connectivity only needs a spanning star. Here each (band, bucket)
+    * emits edges from its minimum id (the hub) to the other members —
+    * Θ(|bucket|) rows — and each edge is verified with exact shingle
+    * Jaccard like every other candidate path.
+    *
+    * Contract: output edges are a VERIFIED SUBSET of [[minhashLsh]]'s
+    * pairs (same threshold semantics per edge; `a` < `b` because the hub
+    * is the bucket min). Feeding [[connectedComponents]], the clusters
+    * equal the clique-edge clusters whenever every true near-dup pair is
+    * hub-connected in at least one of its colliding buckets — with
+    * b bands a pair at Jaccard J collides in ~b·J^r buckets (b=64, r=2,
+    * J=0.5: ~16), and losing ALL of them requires an unverifiable hub in
+    * every one, so divergence needs adversarial corpora, not crawl dups.
+    * Use it when the product is CLUSTERS (dedup survivors); use
+    * [[minhashLsh]] when the product is the scored pair list itself. */
+  def minhashLshStar(docs: DataFrame, n: Int = 3, bands: Int = 32,
+                     rowsPerBand: Int = 3, threshold: Double = 0.5,
+                     textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val numHashes = bands * rowsPerBand
+    val sh = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism * 2)
+      .select(col(idCol).as("id"),
+        hashedShingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), col("sh"),
+        minhashFromHashes(col("sh"), numHashes).as("sig"))
+    val banded = sh.select(col("id"),
+        posexplode(bandHashArr(col("sig"), bands, rowsPerBand)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bandhash")
+    // bucket hub via an un-ordered window min: ONE hash shuffle on
+    // (band, bandhash), no self-join — the whole candidate stage is
+    // linear in n x bands
+    val hubbed = banded.withColumn("a",
+      min(col("id")).over(Window.partitionBy(col("band"), col("bandhash"))))
+    val edges = hubbed.filter(col("id") =!= col("a"))
+      .select(col("a"), col("id").as("b"))
+      .dropDuplicates("a", "b")
+    val sets = sh.select(col("id"), col("sh"), size(col("sh")).as("nsh"))
+    edges
+      .join(sets.select(col("id").as("a"), col("sh").as("sha"),
+        col("nsh").as("na")), "a")
+      .join(sets.select(col("id").as("b"), col("sh").as("shb"),
+        col("nsh").as("nb")), "b")
+      .withColumn("inter",
+        size(array_intersect(col("sha"), col("shb"))).cast("double"))
+      .withColumn("jaccard",
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
   // --- persisted LSH index + incremental near-dup --------------------------
 
   private def lshMetaFile(path: String) = s"$path/_lsh_meta.txt"

@@ -863,15 +863,17 @@ object Embed {
     val q = corpus.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("qid"), col(vecCol).as("qv"),
         col(labelCol).as("qlabel"))
-    val scored = corpus
+    corpus
       .join(broadcast(q), col(labelCol) =!= col("qlabel"))
       .withColumn("score", round(cosine(col(vecCol), col("qv")), 6))
-    scored
+      // vectors off before the top-k window (the knnGraph payload rule)
+      .select(col("qid"), col(idCol).as("neg_id"),
+        col(labelCol).as("label"), col("score"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("qid"))
-          .orderBy(col("score").desc, col(idCol).asc)))
+          .orderBy(col("score").desc, col("neg_id").asc)))
       .filter(col("rnk") <= k)
-      .select(col("qid"), col(idCol).as("neg_id"), col(labelCol).as("label"),
+      .select(col("qid"), col("neg_id"), col("label"),
         col("score"), col("rnk").cast("long").as("rnk"))
   }
 
@@ -937,6 +939,11 @@ object Embed {
     nonZero.select(col(idCol).as("qid"), col(vecCol).as("__qv"))
       .join(broadcast(nbrs), col("neighbor_id") =!= col("qid"))
       .withColumn("score", round(cosine(col("__qv"), col("__nv")), 6))
+      // project the vector payloads OFF before the top-k window: the
+      // range shuffle + sort otherwise carries both full vectors per
+      // candidate row (~20x the bytes of (qid, neighbor_id, score)) —
+      // at a 100x scale run this sort was the whole operator
+      .select(col("qid"), col("neighbor_id"), col("score"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("qid"))
           .orderBy(col("score").desc, col("neighbor_id").asc)))
@@ -990,6 +997,11 @@ object Embed {
       .join(assigned, "__cell")
       .filter(col("neighbor_id") =!= col("qid"))
       .withColumn("score", round(cosine(col("__qv"), col("__nv")), 6))
+      // same payload discipline as [[knnGraph]]: the top-k window must
+      // sort (qid, neighbor_id, score) rows, never rows still carrying
+      // the two probe vectors — the 100x ScaleCheck graduation caught
+      // this sort moving ~20x the necessary bytes and spilling
+      .select(col("qid"), col("neighbor_id"), col("score"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("qid"))
           .orderBy(col("score").desc, col("neighbor_id").asc)))
@@ -1166,6 +1178,8 @@ object Embed {
       .select(col(idCol).as("qid"), col(vecCol).as("__qv"))
       .join(broadcast(lab), col("__nid") =!= col("qid"))
       .withColumn("__score", round(cosine(col("__qv"), col("__nv")), 6))
+      // vectors off before the top-k window (the knnGraph payload rule)
+      .select(col("qid"), col("__nid"), col("__nl"), col("__score"))
       .withColumn("__rnk", row_number().over(
         Window.partitionBy(col("qid"))
           .orderBy(col("__score").desc, col("__nid").asc)))
@@ -1226,6 +1240,8 @@ object Embed {
     val q = nonZero.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("qid"), col(vecCol).as("__qv"))
     def topK(scored: DataFrame) = scored
+      // vectors off before the top-k window (the knnGraph payload rule)
+      .select(col("qid"), col("nid"), col("__s"))
       .withColumn("__rnk", row_number().over(
         Window.partitionBy(col("qid"))
           .orderBy(col("__s").desc, col("nid").asc)))
