@@ -14,4 +14,8 @@ object VecMath {
     org.apache.spark.sql.graftio.VecMath.minhashMins(baseHashes, numHashes)
   def simhashVote(hashes: Column): Column =
     org.apache.spark.sql.graftio.VecMath.simhashVote(hashes)
+  def centroidTopCells(vec: Column, centroids: Seq[Seq[Double]],
+                       probes: Int): Column =
+    org.apache.spark.sql.graftio.VecMath.centroidTopCells(vec, centroids,
+      probes)
 }

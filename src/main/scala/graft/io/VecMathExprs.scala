@@ -284,4 +284,139 @@ object VecMath {
 
   def simhashVote(hashes: Column): Column =
     Columns.of(SimHashVote(Columns.exprOf(hashes)))
+
+  /** Spark `round(x, 6)` for doubles, verbatim (HALF_UP via the decimal
+    * string representation; NaN/Infinity pass through) — shared by the
+    * interpreted and codegen paths of [[CentroidTopCells]] so the
+    * centroid scores can never drift from the Column-level `round` the
+    * SQL oracles replay. */
+  def round6(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Top-`probes` centroid cells of a vector in ONE fused pass — the
+    * k-means/IVF assignment and probe-list kernel.
+    *
+    * The Column formulation (`greatest`/`array_sort` over k
+    * `struct(round(cosine(vec, lit-array)), cid)` subtrees) re-reads the
+    * vector k times and stops scaling in k: at k=160 cells its generated
+    * code degrades to allocation-heavy evaluation and a 100x-volume
+    * k-means step ran for half an hour. This expression reads the vector
+    * once, loops centroids in primitive arrays (k·dim multiplies total),
+    * and keeps an insertion buffer of `probes` entries.
+    *
+    * Semantics are bit-identical to the Column form it replaces:
+    * per-cell score = `round(cosine(vec, c), 6)` ([[round6]] = Spark's
+    * HALF_UP round; cosine NaN on a zero norm), order = score
+    * descending with ties to the LARGER cid (the `greatest`-struct /
+    * `reverse(array_sort)` convention, NaN sorting above every real
+    * score like Spark's double ordering). Element 0 is therefore the
+    * `centroidIdRounded` assignment. NULL on a null input, a null
+    * element, or a dimension mismatch. */
+  final case class CentroidTopCells(child: Expression,
+                                    centroids: Seq[Seq[Double]], probes: Int)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with ExpectsInputTypes {
+    require(centroids.nonEmpty, "no centroids")
+    require(centroids.forall(_.size == centroids.head.size),
+      "ragged centroid matrix")
+    require(probes >= 1 && probes <= centroids.size,
+      s"probes must be in [1, ${centroids.size}]")
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(AcceptedArray)
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "centroid_top_cells"
+
+    @transient private lazy val childFloat: Boolean =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    @transient private lazy val k = centroids.size
+    @transient private lazy val dim = centroids.head.size
+    @transient private lazy val flat: Array[Double] =
+      centroids.flatten.toArray
+    @transient private lazy val cnorms: Array[Double] =
+      centroids.map(c => math.sqrt(c.map(x => x * x).sum)).toArray
+
+    /** Shared kernel: scores into (topS, topC); returns the filled ids. */
+    private[graftio] def topCells(v: Array[Double]): Array[Int] = {
+      var nv = 0.0
+      var i = 0
+      while (i < dim) { nv += v(i) * v(i); i += 1 }
+      nv = math.sqrt(nv)
+      val topS = Array.fill(probes)(Double.NegativeInfinity)
+      val topC = Array.fill(probes)(-1)
+      var filled = 0
+      var c = 0
+      while (c < k) {
+        var dot = 0.0
+        val off = c * dim
+        var j = 0
+        while (j < dim) { dot += v(j) * flat(off + j); j += 1 }
+        val s = round6(dot / (nv * cnorms(c)))
+        var p = 0
+        while (p < filled && java.lang.Double.compare(s, topS(p)) < 0) p += 1
+        if (p < probes) {
+          var q = math.min(filled, probes - 1)
+          while (q > p) { topS(q) = topS(q - 1); topC(q) = topC(q - 1); q -= 1 }
+          topS(p) = s; topC(p) = c
+          if (filled < probes) filled += 1
+        }
+        c += 1
+      }
+      java.util.Arrays.copyOf(topC, filled)
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      if (arr.numElements() != dim) return null
+      val v = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        if (arr.isNullAt(i)) return null
+        v(i) = if (childFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(topCells(v))
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, arr => {
+        val self = ctx.addReferenceObj("centroidTopCells", this,
+          classOf[CentroidTopCells].getName)
+        val v = ctx.freshName("v")
+        val i = ctx.freshName("i")
+        val bad = ctx.freshName("bad")
+        val get =
+          if (childFloat) s"(double) $arr.getFloat($i)"
+          else s"$arr.getDouble($i)"
+        // the k x dim loop stays in compiled scala (topCells) — one
+        // virtual call per row, zero closure allocation; only the array
+        // copy-in is generated here, so the method never approaches the
+        // 64KB codegen limit no matter how large k grows
+        s"""
+           |boolean $bad = ($arr.numElements() != $dim);
+           |final double[] $v = $bad ? null : new double[$dim];
+           |if (!$bad) {
+           |  for (int $i = 0; $i < $dim; $i++) {
+           |    if ($arr.isNullAt($i)) { $bad = true; break; }
+           |    $v[$i] = $get;
+           |  }
+           |}
+           |if ($bad) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  ${ev.value} = org.apache.spark.sql.catalyst.expressions
+           |    .UnsafeArrayData.fromPrimitiveArray($self.topCells($v));
+           |}
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): CentroidTopCells =
+      copy(child = newChild)
+  }
+
+  def centroidTopCells(vec: Column, centroids: Seq[Seq[Double]],
+                       probes: Int): Column =
+    Columns.of(CentroidTopCells(Columns.exprOf(vec), centroids, probes))
 }

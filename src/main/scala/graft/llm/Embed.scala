@@ -180,13 +180,13 @@ object Embed {
   private def centroidIdRounded(vec: Column, centroids: Seq[Seq[Double]]): Column = {
     require(centroids.nonEmpty, "no centroids")
     if (centroids.size == 1) lit(0)
-    else {
-      val scored = centroids.zipWithIndex.map { case (c, i) =>
-        struct(round(cosine(vec, array(c.map(lit): _*)), 6).as("score"),
-          lit(i).as("cid"))
-      }
-      greatest(scored: _*).getField("cid")
-    }
+    // one fused k x dim pass (VecMath.CentroidTopCells) — the former
+    // greatest-of-k-struct-subtrees form re-read the vector per centroid
+    // and collapsed at scale-proportional cell counts (k=160 turned a
+    // 100x k-means step into half an hour); scores, rounding, and the
+    // larger-cid tie-break are bit-identical by the expression's spec
+    else element_at(
+      graft.functions.VecMath.centroidTopCells(vec, centroids, 1), 1)
   }
 
   /** One distributed Lloyd step for spherical k-means: assign every
@@ -973,27 +973,22 @@ object Embed {
     require(probes <= centroids.size, "probes must be <= nCells")
     import org.apache.spark.sql.expressions.Window
     val nonZero = corpus.filter(dot(col(vecCol), col(vecCol)) > 0.0)
-    val scoredCells = array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(round(cosine(col(vecCol), array(c.map(lit): _*)), 6)
-        .as("score"), lit(i).as("cid"))
-    }: _*)
-    // ONE corpus pass computes the nCells assignment cosines; both join
-    // sides project off the checkpointed frame (the naive formulation
-    // scanned the corpus twice, re-evaluating every cosine per side).
-    // array_max over (score, cid) structs = the centroidIdRounded
-    // argmax (ties to the larger cid); descending sort + slice = the
-    // top-`probes` cells under the same tie-break.
+    // ONE corpus pass computes the top-`probes` cells per vector via the
+    // fused CentroidTopCells kernel (k x dim multiplies, vector read
+    // once); both join sides project off the checkpointed frame. Element
+    // 1 is the centroidIdRounded assignment (larger-cid ties), the full
+    // array is the probe list under the same (score desc, cid desc)
+    // order the old reverse(array_sort(struct...)) form produced.
     val base = nonZero.select(col(idCol).as("__id"),
-        col(vecCol).as("__vec"), scoredCells.as("__sc"))
+        col(vecCol).as("__vec"),
+        graft.functions.VecMath.centroidTopCells(col(vecCol), centroids,
+          probes).as("__cells"))
       .localCheckpoint()
-    val probeCells = transform(
-      slice(reverse(array_sort(col("__sc"))), 1, probes),
-      s => s.getField("cid"))
     val assigned = base.select(col("__id").as("neighbor_id"),
       col("__vec").as("__nv"),
-      array_max(col("__sc")).getField("cid").as("__cell"))
+      element_at(col("__cells"), 1).as("__cell"))
     base.select(col("__id").as("qid"), col("__vec").as("__qv"),
-        explode(probeCells).as("__cell"))
+        explode(col("__cells")).as("__cell"))
       .join(assigned, "__cell")
       .filter(col("neighbor_id") =!= col("qid"))
       .withColumn("score", round(cosine(col("__qv"), col("__nv")), 6))
@@ -1250,13 +1245,9 @@ object Embed {
       .select(col(idCol).as("nid"), col(vecCol).as("__nv"))
       .join(broadcast(q), col("nid") =!= col("qid"))
       .withColumn("__s", round(cosine(col("__qv"), col("__nv")), 6)))
-    val scoredCells = array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(round(cosine(col("__qv"), array(c.map(lit): _*)), 6)
-        .as("score"), lit(i).as("cid"))
-    }: _*)
-    val qCells = q.withColumn("__cell", explode(transform(
-      slice(reverse(array_sort(scoredCells)), 1, probes),
-      s => s.getField("cid"))))
+    val qCells = q.withColumn("__cell", explode(
+      graft.functions.VecMath.centroidTopCells(col("__qv"), centroids,
+        probes)))
     val assigned = nonZero.select(col(idCol).as("nid"),
       col(vecCol).as("__nv"),
       centroidIdRounded(col(vecCol), centroids).as("__cell"))
