@@ -15,7 +15,7 @@ object VecMath {
   def simhashVote(hashes: Column): Column =
     org.apache.spark.sql.graftio.VecMath.simhashVote(hashes)
   def centroidTopCells(vec: Column, centroids: Seq[Seq[Double]],
-                       probes: Int): Column =
+                       probes: Int, rounded: Boolean = true): Column =
     org.apache.spark.sql.graftio.VecMath.centroidTopCells(vec, centroids,
-      probes)
+      probes, rounded)
 }

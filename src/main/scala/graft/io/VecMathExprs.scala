@@ -313,9 +313,13 @@ object VecMath {
     * `reverse(array_sort)` convention, NaN sorting above every real
     * score like Spark's double ordering). Element 0 is therefore the
     * `centroidIdRounded` assignment. NULL on a null input, a null
-    * element, or a dimension mismatch. */
+    * element, or a dimension mismatch. `rounded = false` skips the
+    * per-score round — the raw-cosine `centroidId` convention (IVF list
+    * assignment); accumulation order matches the Column form, so raw
+    * scores are bit-identical too. */
   final case class CentroidTopCells(child: Expression,
-                                    centroids: Seq[Seq[Double]], probes: Int)
+                                    centroids: Seq[Seq[Double]], probes: Int,
+                                    rounded: Boolean = true)
       extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
       with ExpectsInputTypes {
     require(centroids.nonEmpty, "no centroids")
@@ -352,7 +356,8 @@ object VecMath {
         val off = c * dim
         var j = 0
         while (j < dim) { dot += v(j) * flat(off + j); j += 1 }
-        val s = round6(dot / (nv * cnorms(c)))
+        val raw = dot / (nv * cnorms(c))
+        val s = if (rounded) round6(raw) else raw
         var p = 0
         while (p < filled && java.lang.Double.compare(s, topS(p)) < 0) p += 1
         if (p < probes) {
@@ -417,6 +422,7 @@ object VecMath {
   }
 
   def centroidTopCells(vec: Column, centroids: Seq[Seq[Double]],
-                       probes: Int): Column =
-    Columns.of(CentroidTopCells(Columns.exprOf(vec), centroids, probes))
+                       probes: Int, rounded: Boolean = true): Column =
+    Columns.of(CentroidTopCells(Columns.exprOf(vec), centroids, probes,
+      rounded))
 }

@@ -139,13 +139,14 @@ object Embed {
     * constant across centroids) — the IVF list assignment. */
   def centroidId(vec: Column, centroids: Seq[Seq[Double]]): Column = {
     require(centroids.nonEmpty, "no centroids")
-    if (centroids.size == 1) lit(0) // greatest() needs >= 2 args
-    else {
-      val scored = centroids.zipWithIndex.map { case (c, i) =>
-        struct(cosine(vec, array(c.map(lit): _*)).as("score"), lit(i).as("cid"))
-      }
-      greatest(scored: _*).getField("cid")
-    }
+    if (centroids.size == 1) lit(0)
+    // fused kernel, RAW scores (this is the unrounded variant — see
+    // centroidIdRounded for the replay-exact one); the former
+    // greatest-of-k-struct form also java-serialized a k-wide literal
+    // tree into every task binary, which at 640 cells OOM'd task
+    // deserialization in the 100x graduation run
+    else element_at(graft.functions.VecMath.centroidTopCells(
+      vec, centroids, 1, rounded = false), 1)
   }
 
   /** IVF top-k: assign the corpus to `nCentroids` inverted lists, probe

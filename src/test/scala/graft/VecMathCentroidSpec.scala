@@ -51,6 +51,29 @@ class VecMathCentroidSpec extends AnyFunSuite {
     }
   }
 
+  test("raw (unrounded) mode matches the unrounded greatest-struct argmax") {
+    val sp = SparkSpec.spark
+    import sp.implicits._
+    val cents = Seq(
+      Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0),
+      Seq(0.0, 1.0, 0.0, 0.0), Seq(0.3, 0.3, 0.3, 0.1))
+    def oldArgmax(vec: org.apache.spark.sql.Column) =
+      greatest(cents.zipWithIndex.map { case (c, i) =>
+        struct(VecMath.cosine(vec, array(c.map(lit): _*)).as("score"),
+          lit(i).as("cid"))
+      }: _*).getField("cid")
+    val rnd = new scala.util.Random(11)
+    val df = (0 until 400).map { i =>
+      (i.toLong, Array.fill(4)((rnd.nextDouble() * 2 - 1).toFloat).toSeq)
+    }.toDF("id", "v").localCheckpoint()
+    val got = df.select(col("id"), element_at(
+      VecMath.centroidTopCells(col("v"), cents, 1, rounded = false), 1)
+      .as("c"))
+    val want = df.select(col("id"), oldArgmax(col("v")).as("c"))
+    assert(got.exceptAll(want).count() == 0 &&
+      want.exceptAll(got).count() == 0)
+  }
+
   test("null element and dimension mismatch return null") {
     val sp = SparkSpec.spark
     import sp.implicits._
