@@ -3032,6 +3032,44 @@ object SparkEntry {
              |  FROM u x JOIN u y ON x.vec_id < y.vec_id)
              |WHERE score >= 0.9 ORDER BY 1, 2""".stripMargin)),
 
+    // -- similarity: dup-family clusters from STAR edges ------------------
+    // The embedding twin of doc_neardup_clusters_star: nearDupLshStar
+    // emits one verified hub edge per bucket member (Θ(d) on a d-fold
+    // family), and in the sparse high-threshold regime (planted exact
+    // clones; no organic pair reaches 0.9) its components equal the
+    // ground-truth clusters the oracle derives from the brute pair set.
+    "embed_neardup_clusters_star" -> Gated(
+      (s, d) => {
+        val emb = TestData.table(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val clones = emb.filter(col("vec_id") < 10)
+          .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+        Dedup.connectedComponents(
+            Embed.nearDupLshStar(emb.unionAll(clones),
+              threshold = 0.9, nPlanes = 16, tables = 8))
+          .select(col("node").as("vec_id"), col("component"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH RECURSIVE e AS (SELECT vec_id,
+             |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+             |u AS (SELECT vec_id, v FROM e UNION ALL
+             |      SELECT vec_id + 100000, v FROM e WHERE vec_id < 10),
+             |pairs AS (
+             |  SELECT a, b FROM (
+             |    SELECT x.vec_id AS a, y.vec_id AS b,
+             |      round(list_cosine_similarity(x.v, y.v), 6) AS score
+             |    FROM u x JOIN u y ON x.vec_id < y.vec_id)
+             |  WHERE score >= 0.9),
+             |edges AS (
+             |  SELECT a AS s, b AS t FROM pairs
+             |  UNION SELECT b, a FROM pairs),
+             |reach(s, t) AS (
+             |  SELECT s, t FROM edges
+             |  UNION
+             |  SELECT r.s, e2.t FROM reach r JOIN edges e2 ON r.t = e2.s)
+             |SELECT s AS vec_id, least(s, min(t)) AS component
+             |FROM reach GROUP BY s ORDER BY 1""".stripMargin)),
+
     // -- similarity: brute-force cosine top-k ANN baseline ---------------
     "ann_topk" -> Gated(
       (s, d) => {

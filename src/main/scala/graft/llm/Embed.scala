@@ -1390,4 +1390,47 @@ object Embed {
       .filter(col("score") >= threshold)
       .select(col("a"), col("b"), col("score"))
   }
+
+  /** Hyperplane-LSH near-dup edges in STAR form — the embedding-side
+    * twin of [[graft.llm.Dedup.minhashLshStar]], for feeding
+    * [[graft.llm.Dedup.connectedComponents]] on densely-duplicated
+    * embedding corpora. [[nearDupLsh]] enumerates every colliding pair,
+    * so a d-fold duplicate family (the same vector embedded d times —
+    * mirrored pages, re-crawls) costs Θ(d²) verified pairs; clustering
+    * only needs a spanning star, so each (table, bucket) emits verified
+    * edges from its minimum id. Edges are a subset of [[nearDupLsh]]'s
+    * pairs (hub is the bucket min, so `a` < `b`); clusters match the
+    * clique clusters whenever every true pair is hub-connected in one
+    * of its colliding buckets (d-fold EXACT duplicates share every
+    * bucket with their hub, so that regime is deterministic). This is
+    * a HIGH-threshold dup-family operator: at loose thresholds cosine
+    * is far from transitive, hub verification legitimately breaks
+    * bucket connectivity, and clusters will under-merge — use
+    * [[nearDupLsh]] + connectedComponents there, or the scored pair
+    * list when pairs are the product. */
+  def nearDupLshStar(corpus: DataFrame, threshold: Double,
+                     nPlanes: Int = 10, tables: Int = 12,
+                     vecCol: String = "embedding",
+                     idCol: String = "vec_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dim = dimOf(corpus, vecCol)
+    val keyArr = array((0 until tables).map(t =>
+      hyperplaneKey(col(vecCol), randomPlanes(nPlanes, dim, 42L + t))): _*)
+    val banded = corpus
+      .select(col(idCol).as("id"), posexplode(keyArr))
+      .withColumnRenamed("pos", "table").withColumnRenamed("col", "key")
+    val edges = banded
+      .withColumn("a",
+        min(col("id")).over(Window.partitionBy(col("table"), col("key"))))
+      .filter(col("id") =!= col("a"))
+      .select(col("a"), col("id").as("b"))
+      .dropDuplicates("a", "b")
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    edges
+      .join(vecs.select(col("id").as("a"), col("v").as("va")), "a")
+      .join(vecs.select(col("id").as("b"), col("v").as("vb")), "b")
+      .withColumn("score", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("score") >= threshold)
+      .select(col("a"), col("b"), col("score"))
+  }
 }

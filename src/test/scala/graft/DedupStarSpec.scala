@@ -43,6 +43,32 @@ class DedupStarSpec extends AnyFunSuite {
       "star connectivity diverged from clique connectivity")
   }
 
+  test("embedding star edges: dup-family regime matches clique clusters") {
+    // star is a DUP-FAMILY feeder, not a loose-similarity-graph one: at
+    // a loose threshold (0.4) hub verification legitimately breaks
+    // bucket connectivity (cos isn't transitive), and the spec pins the
+    // supported regime instead — a high threshold where components are
+    // exact-duplicate families (the sparse gate's construction: planted
+    // clones of vec_id < 10; no organic pair reaches 0.9)
+    val sp = SparkSpec.spark
+    val emb = TestData.table(sp, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val clones = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val both = emb.unionAll(clones)
+    val star = graft.llm.Embed.nearDupLshStar(both, threshold = 0.9,
+      nPlanes = 16, tables = 8)
+    val clique = graft.llm.Embed.nearDupLsh(both, threshold = 0.9,
+      nPlanes = 16, tables = 8)
+    assert(star.join(clique, Seq("a", "b"), "left_anti").count() == 0)
+    assert(clique.count() > 0, "fixture produced no dup pairs")
+    val starCc = cc(star.select("a", "b"))
+    val cliqueCc = cc(clique.select("a", "b"))
+    assert(starCc.exceptAll(cliqueCc).count() == 0 &&
+      cliqueCc.exceptAll(starCc).count() == 0,
+      "embedding star connectivity diverged from clique connectivity")
+  }
+
   test("a d-fold duplicate family costs d-1 star edges, not d(d-1)/2") {
     val sp = SparkSpec.spark
     import sp.implicits._
