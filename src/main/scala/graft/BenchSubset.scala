@@ -13,7 +13,8 @@ import org.apache.spark.sql.functions._
   * go read the plan).
   *
   * Usage: runMain graft.BenchSubset [sfDir] [reps] name...
-  * Prints one JSON line {"metric":"bench_subset","queries":{name:minSec}}
+  * Prints one JSON line
+  * {"metric":"bench_subset","queries":{name:{"min":s,"median":s}}}
   * plus per-pass stderr lines.
   */
 object BenchSubset {
@@ -44,7 +45,7 @@ object BenchSubset {
     spark.range(1000000).select(sum(col("id"))).head()
     Seq(("w", 1)).toDF("a", "b").repartition(2, col("a"))
       .groupBy("a").agg(sum(col("b"))).count()
-    val mins = names.map { name =>
+    val stats = names.map { name =>
       val times = (0 until reps).map { i =>
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir).count()
@@ -52,10 +53,15 @@ object BenchSubset {
         Console.err.println(f"[subset] $name%-32s pass$i $dt%7.3f s")
         dt
       }
-      name -> times.min
+      val sorted = times.sorted
+      val median =
+        if (reps % 2 == 1) sorted(reps / 2)
+        else (sorted(reps / 2 - 1) + sorted(reps / 2)) / 2.0
+      name -> ((times.min, median))
     }
-    println(mins.map { case (k, v) => f""""$k":$v%.3f""" }
-      .mkString("""{"metric":"bench_subset","queries":{""", ",", "}}"))
+    println(stats.map { case (k, (mn, md)) =>
+      f""""$k":{"min":$mn%.3f,"median":$md%.3f}"""
+    }.mkString("""{"metric":"bench_subset","queries":{""", ",", "}}"))
     spark.stop()
   }
 }

@@ -330,6 +330,11 @@ object VecMath {
 
     override def inputTypes: Seq[AbstractDataType] = Seq(AcceptedArray)
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    // returns null for NON-null inputs too (dimension mismatch, null
+    // element), so nullability must not follow the child: with a
+    // non-nullable child, nullSafeCodeGen binds ev.isNull to the literal
+    // `false` and the fragment's `isNull = true` branch is uncompilable
+    override def nullable: Boolean = true
     override def prettyName: String = "centroid_top_cells"
 
     @transient private lazy val childFloat: Boolean =

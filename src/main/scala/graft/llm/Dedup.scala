@@ -570,10 +570,26 @@ object Dedup {
     * With b=32, r=3 the detection probability at J=0.8 is
     * 1-(1-0.8^3)^32 ≈ 1-1e-10 — effectively exact for near-dups while
     * J=0.2 pairs almost never collide.
+    *
+    * `maxBucket` is the heavy-bucket valve (same pattern as
+    * [[ngramJaccard]]): the banded self-join emits Θ(d²) candidate rows
+    * for a d-member (band, bandhash) bucket, so one boilerplate page
+    * mirrored across 10⁶ sites would otherwise cost 10¹² pair rows per
+    * colliding band. Buckets over the cap are dropped before the
+    * self-join (the over-cap key set is boilerplate-scale, broadcast
+    * anti-join). A pair is lost ONLY if every one of its colliding
+    * buckets is over the cap — any corpus whose duplicate families stay
+    * under `maxBucket` members gets the identical pair list. When
+    * families larger than the cap are expected AND the product is
+    * clusters, use [[minhashLshStar]] (Θ(d) by construction, no cap
+    * needed for output size); when the product is the scored pair list
+    * itself, an over-cap family's Θ(d²) pairs are intrinsic to the ask —
+    * raise `maxBucket` deliberately and budget for the output.
     * Output: (a, b, jaccard) with a < b, jaccard >= threshold. */
   def minhashLsh(docs: DataFrame, n: Int = 3, bands: Int = 32,
                  rowsPerBand: Int = 3, threshold: Double = 0.5,
-                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                 textCol: String = "text", idCol: String = "doc_id",
+                 maxBucket: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
     // string-hash each shingle exactly once; everything downstream
     // (signature, bands, verification intersection) works on the 64-bit
@@ -592,8 +608,15 @@ object Dedup {
     val banded = sh.select(col("id"), posexplode(bandArr))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bandhash")
-    val candidates = banded.alias("l")
-      .join(banded.alias("r"),
+    // heavy-bucket valve: drop over-cap buckets before the quadratic
+    // self-join; the over-cap key set is boilerplate-scale — broadcast
+    val heavy = banded.groupBy(col("band"), col("bandhash")).count()
+      .filter(col("count") > maxBucket)
+      .select(col("band"), col("bandhash"))
+    val kept = banded.join(broadcast(heavy),
+      Seq("band", "bandhash"), "left_anti")
+    val candidates = kept.alias("l")
+      .join(kept.alias("r"),
         col("l.band") === col("r.band") &&
           col("l.bandhash") === col("r.bandhash") &&
           col("l.id") < col("r.id"))
@@ -634,12 +657,57 @@ object Dedup {
     * b bands a pair at Jaccard J collides in ~b·J^r buckets (b=64, r=2,
     * J=0.5: ~16), and losing ALL of them requires an unverifiable hub in
     * every one, so divergence needs adversarial corpora, not crawl dups.
+    * [[minhashLshStarRejected]] is the runtime signal for that regime:
+    * it returns the hub edges that FAILED exact verification — a large
+    * rejected fraction means many bucket members hang off an
+    * unverifiable hub and the under-merge risk is live (raise `bands`,
+    * or score the affected ids through [[minhashLsh]]).
+    *
+    * `hubSalt` is the degenerate-mega-bucket valve: the hub window
+    * partitions on (band, bandhash), so one 10⁹-member boilerplate
+    * bucket would buffer — and serialize — in a single WindowExec task.
+    * With `hubSalt` = S > 0 the window partitions on (band, bandhash,
+    * id-hash mod S) — each salt cell buffers ≤ ~d/S rows and elects a
+    * sub-hub — and a second, CELL-scale window (≤ S rows per bucket)
+    * links sub-hubs to the bucket minimum. Exactly members−1 edges per
+    * bucket either way, connectivity identical pre-verification; the
+    * default 0 keeps the single-window plan (one shuffle — optimal for
+    * crawl-shaped buckets, and the salted form adds two cell-scale
+    * shuffles that are pure overhead when no bucket is degenerate).
     * Use it when the product is CLUSTERS (dedup survivors); use
     * [[minhashLsh]] when the product is the scored pair list itself. */
   def minhashLshStar(docs: DataFrame, n: Int = 3, bands: Int = 32,
                      rowsPerBand: Int = 3, threshold: Double = 0.5,
                      textCol: String = "text",
-                     idCol: String = "doc_id"): DataFrame = {
+                     idCol: String = "doc_id",
+                     hubSalt: Int = 0): DataFrame =
+    starEdgesScored(docs, n, bands, rowsPerBand, textCol, idCol, hubSalt)
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+
+  /** Under-merge diagnostic for [[minhashLshStar]]: the hub edges that
+    * failed exact verification (jaccard < `threshold`), i.e. bucket
+    * members whose only link to their bucket's hub was a false LSH
+    * collision. A handful is normal (LSH buckets always admit some
+    * false positives — the clique path drops the same pairs); a LARGE
+    * fraction relative to the accepted edges flags the regime where the
+    * star form can under-merge versus the clique (a true near-dup pair
+    * survives only if SOME colliding bucket gives it a verifiable hub
+    * path). Same pipeline, same cost as the star call it diagnoses. */
+  def minhashLshStarRejected(docs: DataFrame, n: Int = 3, bands: Int = 32,
+                             rowsPerBand: Int = 3, threshold: Double = 0.5,
+                             textCol: String = "text",
+                             idCol: String = "doc_id",
+                             hubSalt: Int = 0): DataFrame =
+    starEdgesScored(docs, n, bands, rowsPerBand, textCol, idCol, hubSalt)
+      .filter(col("jaccard") < threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+
+  /** Shared star machinery: every (hub, member) candidate edge with its
+    * exact verified jaccard, UN-thresholded. */
+  private def starEdgesScored(docs: DataFrame, n: Int, bands: Int,
+                              rowsPerBand: Int, textCol: String,
+                              idCol: String, hubSalt: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val numHashes = bands * rowsPerBand
     val sh = docs
@@ -653,14 +721,34 @@ object Dedup {
         posexplode(bandHashArr(col("sig"), bands, rowsPerBand)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bandhash")
-    // bucket hub via an un-ordered window min: ONE hash shuffle on
-    // (band, bandhash), no self-join — the whole candidate stage is
-    // linear in n x bands
-    val hubbed = banded.withColumn("a",
-      min(col("id")).over(Window.partitionBy(col("band"), col("bandhash"))))
-    val edges = hubbed.filter(col("id") =!= col("a"))
-      .select(col("a"), col("id").as("b"))
-      .dropDuplicates("a", "b")
+    val edges = (if (hubSalt <= 0) {
+      // bucket hub via an un-ordered window min: ONE hash shuffle on
+      // (band, bandhash), no self-join — the whole candidate stage is
+      // linear in n x bands
+      val hubbed = banded.withColumn("a",
+        min(col("id")).over(Window.partitionBy(col("band"), col("bandhash"))))
+      hubbed.filter(col("id") =!= col("a"))
+        .select(col("a"), col("id").as("b"))
+    } else {
+      // salted two-level star: each salt cell buffers ≤ ~d/hubSalt rows
+      // (bounded WindowExec partitions even for a degenerate mega-
+      // bucket), sub-hubs link to the bucket min on a cell-scale frame
+      val salted = banded.withColumn("salt",
+        pmod(xxhash64(col("id")), lit(hubSalt.toLong)))
+      val subbed = salted.withColumn("subhub",
+        min(col("id")).over(
+          Window.partitionBy(col("band"), col("bandhash"), col("salt"))))
+      val memberEdges = subbed.filter(col("id") =!= col("subhub"))
+        .select(col("subhub").as("a"), col("id").as("b"))
+      val cells = subbed
+        .select(col("band"), col("bandhash"), col("subhub")).distinct()
+      val linked = cells.withColumn("hub",
+        min(col("subhub")).over(
+          Window.partitionBy(col("band"), col("bandhash"))))
+      val linkEdges = linked.filter(col("subhub") =!= col("hub"))
+        .select(col("hub").as("a"), col("subhub").as("b"))
+      memberEdges.unionAll(linkEdges)
+    }).dropDuplicates("a", "b")
     val sets = sh.select(col("id"), col("sh"), size(col("sh")).as("nsh"))
     edges
       .join(sets.select(col("id").as("a"), col("sh").as("sha"),
@@ -671,8 +759,6 @@ object Dedup {
         size(array_intersect(col("sha"), col("shb"))).cast("double"))
       .withColumn("jaccard",
         round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a"), col("b"), col("jaccard"))
   }
 
   // --- persisted LSH index + incremental near-dup --------------------------

@@ -1407,11 +1407,20 @@ object Embed {
     * is far from transitive, hub verification legitimately breaks
     * bucket connectivity, and clusters will under-merge — use
     * [[nearDupLsh]] + connectedComponents there, or the scored pair
-    * list when pairs are the product. */
+    * list when pairs are the product.
+    *
+    * `hubSalt` is the degenerate-mega-bucket valve, exactly
+    * [[graft.llm.Dedup.minhashLshStar]]'s: with S > 0 the hub window
+    * partitions on (table, key, id-hash mod S) so no single WindowExec
+    * task buffers a 10⁹-member bucket, and a second cell-scale window
+    * (≤ S rows per bucket) links sub-hubs to the bucket minimum —
+    * members−1 edges per bucket either way, connectivity identical
+    * pre-verification. Default 0 keeps the one-shuffle plan. */
   def nearDupLshStar(corpus: DataFrame, threshold: Double,
                      nPlanes: Int = 10, tables: Int = 12,
                      vecCol: String = "embedding",
-                     idCol: String = "vec_id"): DataFrame = {
+                     idCol: String = "vec_id",
+                     hubSalt: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dim = dimOf(corpus, vecCol)
     val keyArr = array((0 until tables).map(t =>
@@ -1419,12 +1428,29 @@ object Embed {
     val banded = corpus
       .select(col(idCol).as("id"), posexplode(keyArr))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "key")
-    val edges = banded
-      .withColumn("a",
-        min(col("id")).over(Window.partitionBy(col("table"), col("key"))))
-      .filter(col("id") =!= col("a"))
-      .select(col("a"), col("id").as("b"))
-      .dropDuplicates("a", "b")
+    val edges = (if (hubSalt <= 0) {
+      banded
+        .withColumn("a",
+          min(col("id")).over(Window.partitionBy(col("table"), col("key"))))
+        .filter(col("id") =!= col("a"))
+        .select(col("a"), col("id").as("b"))
+    } else {
+      val salted = banded.withColumn("salt",
+        pmod(xxhash64(col("id")), lit(hubSalt.toLong)))
+      val subbed = salted.withColumn("subhub",
+        min(col("id")).over(
+          Window.partitionBy(col("table"), col("key"), col("salt"))))
+      val memberEdges = subbed.filter(col("id") =!= col("subhub"))
+        .select(col("subhub").as("a"), col("id").as("b"))
+      val cells = subbed
+        .select(col("table"), col("key"), col("subhub")).distinct()
+      val linked = cells.withColumn("hub",
+        min(col("subhub")).over(
+          Window.partitionBy(col("table"), col("key"))))
+      val linkEdges = linked.filter(col("subhub") =!= col("hub"))
+        .select(col("hub").as("a"), col("subhub").as("b"))
+      memberEdges.unionAll(linkEdges)
+    }).dropDuplicates("a", "b")
     val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
     edges
       .join(vecs.select(col("id").as("a"), col("v").as("va")), "a")

@@ -87,4 +87,23 @@ class VecMathCentroidSpec extends AnyFunSuite {
       .orderBy(col("id")).collect()
     assert(out(0).isNullAt(1) && out(1).isNullAt(1) && !out(2).isNullAt(1))
   }
+
+  test("non-nullable child: nullable stays true, codegen compiles, mismatch is null") {
+    // regression: the expression returns null for NON-null inputs
+    // (dimension mismatch), so nullable must not follow the child — with
+    // a non-nullable child, nullSafeCodeGen would bind ev.isNull to the
+    // literal `false` and the generated `false = true;` fails janino
+    val sp = SparkSpec.spark
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    // array(non-nullable exprs) over range() is a non-nullable column
+    val df = sp.range(4).select(
+      array(col("id").cast("double"), lit(1.0), lit(2.0)).as("v"))
+    assert(!df.schema("v").nullable, "fixture must be non-nullable")
+    val expr = VecMath.centroidTopCells(col("v"), cents, 1)
+    assert(df.select(expr.as("c")).schema("c").nullable)
+    // 3-dim vectors vs 2-dim centroids: every row is a mismatch -> null,
+    // evaluated through the codegen path without a compile failure
+    val out = df.select(expr.as("c")).collect()
+    assert(out.forall(_.isNullAt(0)))
+  }
 }
