@@ -91,6 +91,32 @@ object Bench {
         s"$k: exchanges $ex > floor ${floor(k).toInt}"
     }
 
+  /** Directory-level partition-pruning evidence (VERDICT r9 #6):
+    * (partitions read, partitions total) summed over the PARTITIONED
+    * file scans in `df`'s physical plan — (0, 0) when no scan is
+    * partition-structured. "Read" re-applies each scan's own static
+    * partitionFilters through the public `FileIndex.listFiles` path,
+    * i.e. exactly the directory pruning the scan performs at execution;
+    * the `pushed_scans` regex cannot see this (cell/step probes prune
+    * at the directory level, not via PushedFilters), so IVF and rollup
+    * gates prove their pruned fraction here instead of only in specs.
+    * Dynamic-pruning subqueries are excluded: they are unevaluable at
+    * audit time and only ever prune FURTHER than the static count. */
+  def partitionPruning(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    var read = 0
+    var total = 0
+    df.queryExecution.sparkPlan.foreach {
+      case f: FileSourceScanExec if f.relation.partitionSchema.nonEmpty =>
+        val static = f.partitionFilters.filterNot(_.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
+        total += f.relation.location.listFiles(Nil, Nil).size
+        read += f.relation.location.listFiles(static, Nil).size
+      case _ => ()
+    }
+    (read, total)
+  }
+
   /** Returns (queryFloors, rateFloors, planFloors, mayPersist). The ledger
     * is bound to one scale factor — numbers from a dev run at sf0.001 must
     * neither read as nor overwrite the official sf0.1 floors, so on an sf
@@ -335,9 +361,11 @@ object Bench {
           val bc = "BroadcastExchange".r.findAllIn(plan).size
           val scans = "Scan parquet".r.findAllIn(plan).size
           val pushed = "PushedFilters: \\[[^\\]]".r.findAllIn(plan).size
+          val (pRead, pTotal) = partitionPruning(df)
           Some((name, ex, planMs,
             s"""{"exchanges":$ex,"broadcasts":$bc,"scans":$scans,""" +
-              s""""pushed_scans":$pushed,"plan_ms":$planMs}"""))
+              s""""pushed_scans":$pushed,"parts_read":$pRead,""" +
+              s""""parts_total":$pTotal,"plan_ms":$planMs}"""))
         } catch { case _: Throwable => None }
       }
     // Planning-wall-time guard: any single plan materialization past the

@@ -24,7 +24,9 @@ object PlanAudit {
         val plan = df.queryExecution.executedPlan.toString
         val exchanges = "Exchange hash|Exchange range".r.findAllIn(plan).size
         val bcasts = "BroadcastExchange".r.findAllIn(plan).size
-        println(s"shuffle-exchanges=$exchanges broadcasts=$bcasts")
+        val (pRead, pTotal) = Bench.partitionPruning(df)
+        println(s"shuffle-exchanges=$exchanges broadcasts=$bcasts" +
+          (if (pTotal > 0) s" partitions=$pRead/$pTotal" else ""))
         println(plan.linesIterator.filter(l =>
           l.contains("Exchange") || l.contains("Join") ||
           l.contains("Window") || l.contains("PushedFilters"))

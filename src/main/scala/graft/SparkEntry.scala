@@ -89,10 +89,10 @@ object SparkEntry {
       rs => rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq))
   }
 
-  /** DuckDB replay of [[ivfCentroids]] + the probed-cell k-NN graph
-    * (knnGraphCells, probes=2): CTE chain ending in `r` = the ranked
-    * celled graph. Shared by embed_knn_graph_ivf / embed_knn_clusters. */
-  private val ivfKnnCtes: String =
+  /** DuckDB replay of [[ivfCentroids]] + the rounded-cosine cell
+    * assignment of every vector: CTE chain ending in `av` =
+    * (vec_id, v, cell). Shared front half of the celled-ANN oracles. */
+  private val ivfAssignCtes: String =
     """e0 AS (SELECT vec_id,
       |    list_transform(embedding, x -> x::DOUBLE) AS v
       |  FROM embeddings),
@@ -123,7 +123,13 @@ object SparkEntry {
       |av AS (SELECT vec_id, v, cell FROM (SELECT *,
       |    row_number() OVER (PARTITION BY vec_id
       |      ORDER BY cs DESC, cell DESC) AS rn FROM sc)
-      |  WHERE rn = 1),
+      |  WHERE rn = 1)""".stripMargin
+
+  /** [[ivfAssignCtes]] + the probed-cell k-NN graph (knnGraphCells,
+    * probes=2): CTE chain ending in `r` = the ranked celled graph.
+    * Shared by embed_knn_graph_ivf / embed_knn_clusters. */
+  private val ivfKnnCtes: String = ivfAssignCtes +
+    """,
       |pq AS (SELECT vec_id AS qid, v AS qv, cell FROM (SELECT *,
       |    row_number() OVER (PARTITION BY vec_id
       |      ORDER BY cs DESC, cell DESC) AS rn FROM sc)
@@ -266,6 +272,22 @@ object SparkEntry {
       |SELECT b.vec_id, round(list_cosine_similarity(
       |    (SELECT v FROM e WHERE vec_id = 7), b.v), 6) AS score
       |FROM e b ORDER BY 2 DESC, 1 ASC LIMIT 10""".stripMargin
+
+  /** Pruned IVF probe replay: assignment from [[ivfAssignCtes]], the
+    * query's 2 nearest cells by centroid dot (topKIvfStored ranks raw
+    * dot(c, q/|q|); cosine·|c| is the same ranking with |q| constant
+    * across cells), then exact top-10 over ONLY those cells' members. */
+  private val prunedIvfOracle: String =
+    s"""WITH $ivfAssignCtes,
+       |qv AS (SELECT v FROM e0 WHERE vec_id = 7),
+       |qs AS (SELECT cell, list_cosine_similarity(cv, (SELECT v FROM qv))
+       |      * sqrt(list_sum(list_transform(cv, x -> x * x))) AS ds
+       |  FROM cent),
+       |pc AS (SELECT cell FROM qs ORDER BY ds DESC, cell ASC LIMIT 2)
+       |SELECT av.vec_id, round(list_cosine_similarity(
+       |    (SELECT v FROM qv), av.v), 6) AS score
+       |FROM av JOIN pc USING (cell)
+       |ORDER BY 2 DESC, 1 ASC LIMIT 10""".stripMargin
 
   private val pqAdcCtes: String =
     """WITH e AS (SELECT vec_id,
@@ -3194,6 +3216,30 @@ object SparkEntry {
           trained = Some(Embed.readIvfCentroids(s, tmp)))
       },
       Some(annTopKOracle)),
+
+    // -- similarity: PRUNED IVF probe (partition-pruning evidence) -------
+    // The partial-probe complement of ann_topk_ivf: 2 of 4 cells through
+    // the static `ivf_cell isin` partition filter, so the bench audit's
+    // parts_read/parts_total row (2/4) is committed proof the cell
+    // predicate prunes directories (VERDICT r9 #6). The layout is
+    // written with the ROUNDED assignment from the pinned ivfCentroids
+    // so cell membership replays in SQL, and the oracle rebuilds
+    // assignment, probe selection, and the top-k over ONLY the probed
+    // cells' members — exact for the pruned result by construction (no
+    // recall assumption against the brute truth is needed).
+    "ann_topk_ivf_pruned" -> Gated(
+      (s, d) => {
+        val emb = TestData.table(s, d, "embeddings")
+        val tmp = scratch("graft_ivfp", d)
+        Embed.writeIvf(emb, tmp, nCentroids = 4,
+          centroids = Some(ivfCentroids(s, d)), rounded = true)
+        val q = emb.filter(col("vec_id") === 7)
+          .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+        Embed.topKIvfStored(s.read.parquet(tmp), q, k = 10,
+          nCentroids = 4, nProbe = 2,
+          trained = Some(Embed.readIvfCentroids(s, tmp)))
+      },
+      Some(prunedIvfOracle)),
 
     // -- similarity: INCREMENTAL IVF index maintenance -------------------
     // Index built from even vec_ids only, then the odd half folded in via

@@ -255,7 +255,12 @@ object Rollup {
       s"no stored rollup step divides ${stepNs}ns " +
         s"(stored: ${stored.mkString(",")})")
     val best = usable.max
-    spark.read.parquet(stepDir(epoch, best))
+    // read the epoch root with `step` as a discovered partition column
+    // and prune via the filter (1 of K step dirs) rather than by path
+    // construction: byte-identical scan, but the pruning is now visible
+    // to the plan audit's parts_read/parts_total evidence
+    spark.read.option("basePath", epoch).parquet(epoch)
+      .filter(col("step") === best)
       .groupBy(col("metric"), col("sname"),
         (expr(s"bucket div ${stepNs}L") * stepNs).as("bucket"))
       .agg(sum(col("cnt")).as("cnt"),

@@ -283,11 +283,17 @@ object Embed {
     * deterministic sample from the stored ids. */
   def writeIvf(corpus: DataFrame, path: String, nCentroids: Int = 256,
                vecCol: String = "embedding", idCol: String = "vec_id",
-               centroids: Option[Seq[Seq[Double]]] = None): Unit = {
+               centroids: Option[Seq[Seq[Double]]] = None,
+               rounded: Boolean = false): Unit = {
     val cents = centroids.getOrElse(
       sampleCentroids(corpus, nCentroids, vecCol, idCol))
+    // rounded = true assigns on the 6-decimal-rounded cosine (the
+    // kmeansStep convention) so the layout's cell membership replays
+    // bit-stably in an external engine — the oracle-gated layouts use it
+    val assign = if (rounded) centroidIdRounded(col(vecCol), cents)
+                 else centroidId(col(vecCol), cents)
     corpus
-      .withColumn("ivf_cell", centroidId(col(vecCol), cents))
+      .withColumn("ivf_cell", assign)
       .repartition(col("ivf_cell"))
       .write.partitionBy("ivf_cell").mode("overwrite").parquet(path)
     // persist the centroid matrix INSIDE the layout (after the overwrite,
