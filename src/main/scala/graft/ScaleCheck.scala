@@ -380,6 +380,78 @@ object ScaleCheck {
       } finally q.stop()
       graft.io.Rollup.serve(spark, ruStore, 2 * Day).count()
     }
+    // ---- round-10 additions: streaming STATE paths at volume -----------
+    // (verdict r9 #5: flatMapGroupsWithState owners and EW bands are
+    // exactly the per-key state a 100x replay can break where batch
+    // cannot — dedup state must absorb a full-corpus replay, anomaly
+    // state must fan out across factor-x the series cardinality)
+    timed("doc_dedup_stream") {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_sc_sdedup").toString
+      val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+      val d2 = docs.select(col("doc_id"), col("text"))
+      def batchAt(ts: String) = d2.withColumn("event_time",
+        lit(java.sql.Timestamp.valueOf(ts)))
+      batchAt("2024-01-01 00:00:00").write.mode("append").parquet(src)
+      val deduped = graft.streaming.StreamIngest.streamingDedupDocs(
+        spark.readStream.schema(batchAt("2024-01-01 00:00:00").schema)
+          .parquet(src),
+        "event_time", "1 hour")
+      val q = deduped.select(col("fingerprint")).writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) => b.write.mode("append").parquet(out); ()
+        }
+        .start()
+      try {
+        q.processAllAvailable()
+        // full scaled-corpus replay inside the watermark horizon: the
+        // cross-batch bucket-owner state must drop every row of it
+        batchAt("2024-01-01 00:10:00").write.mode("append").parquet(src)
+        q.processAllAvailable()
+      } finally q.stop()
+      val n = spark.read.parquet(out).count()
+      // the base corpus contains planted exact-text duplicates (8 per
+      // sf0.1 replica — the first 100x run flagged exactly 800), so the
+      // expected survivor count is the DISTINCT fingerprint count, with
+      // null-text docs unique by the operator's uuid contract
+      val want = d2
+        .select(coalesce(graft.llm.Text.fingerprint(col("text")),
+          col("doc_id").cast("string")).as("fp"))
+        .agg(countDistinct(col("fp"))).head().getLong(0)
+      require(n == want, s"streaming dedup emitted $n of $want uniques")
+      n
+    }
+    timed("ts_anomaly_stream") {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_sc_sanom").toString
+      val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+      val sm = store.samples.filter(col("value").isNotNull)
+      val mid = graft.model.AkuTime.parseTs("20240116T000000")
+      sm.filter(col("ts") < mid).write.mode("append").parquet(src)
+      // series here are (metric, user, k) — ~13 samples each at sf0.1
+      // (the state fans out across factor x the series cardinality, the
+      // thing a 100x replay stresses), so the warmup must fit inside a
+      // series and the band is tightened to make emission observable
+      val alerts = graft.streaming.StreamIngest.streamingAnomaly(
+        spark.readStream.schema(sm.schema).parquet(src),
+        decay = 0.3, k = 1.5, warmup = 3)
+        .toDF("sname", "ts", "value", "ewma", "sigma")
+      val q = alerts.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) => b.write.mode("append").parquet(out); ()
+        }
+        .start()
+      try {
+        q.processAllAvailable()
+        sm.filter(col("ts") >= mid).write.mode("append").parquet(src)
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.read.parquet(out).count()
+    }
 
     val unknown = only.diff(known.toSet)
     require(unknown.isEmpty, s"unknown op name(s): ${unknown.mkString(", ")}")
