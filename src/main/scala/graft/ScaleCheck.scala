@@ -453,6 +453,59 @@ object ScaleCheck {
       spark.read.parquet(out).count()
     }
 
+    // ---- round-10 additions: composite + sketch paths at volume --------
+    // (beyond the verdict list: the remaining heavy composites whose
+    // scale behavior is claimed but uncertified — cluster topics rides
+    // the star dedup + a full TF-IDF, funnel is the stats-barriered
+    // k-step loop, the sketch anomaly is the bounded-state CountMin
+    // frame-fold whose 22 exchanges the plan audit documents)
+    timed("doc_cluster_topics") {
+      // star edges, not the clique: at factor 100 the replica families
+      // are 100-member cliques and the pair product would dominate the
+      // thing being measured (TF-IDF over CC clusters)
+      val cc = Dedup.connectedComponents(
+        Dedup.minhashLshStar(docs, n = 3, bands = 64, rowsPerBand = 2,
+          threshold = 0.5))
+      val t = Text.clusterTopics(docs, cc, k = 3)
+      val n = t.count()
+      require(n > 0, "clusterTopics emitted no rows at scale")
+      n
+    }
+    timed("ts_funnel") {
+      val steps = Seq("signup", "click", "purchase")
+      val scaled = EventOps.funnel(ev, "user_id", "ts", "event_type",
+        steps, windowNs = 14 * Day)
+        .select(col("step"), col("n_users")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val base = EventOps.funnel(ev0, "user_id", "ts", "event_type",
+        steps, windowNs = 14 * Day)
+        .select(col("step"), col("n_users")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // replica user-id spaces are disjoint and each carries an
+      // identical event history, so every step count must be EXACTLY
+      // factor x the base — any deviation is cross-replica state bleed
+      // or a lost user in the k-step barrier loop
+      steps.foreach { s =>
+        require(scaled(s) == factor * base(s),
+          s"funnel step $s: ${scaled(s)} != $factor x ${base(s)}")
+      }
+      scaled.values.sum
+    }
+    timed("ts_apply_anomaly_sketch") {
+      // group-by-tag user -> factor x the series cardinality through
+      // the CountMin fold; sketch state stays N_ts x 2^bits x hashes
+      // regardless of how many series hash into it
+      val n = Planner.plan(QueryJson.parse(
+        """{"group-aggregate":{"metric":"view","step":"1d","func":"mean"},
+          |"range":{"from":"20240105T000000","to":"20240120T000000"},
+          |"group-by-tag":["user"],
+          |"apply":[{"name":"anomaly","method":"ewma","alpha":0.4,
+          |"threshold":0.2,"approx":true,"bits":10,"hashes":3}]}"""
+          .stripMargin), store).df.count()
+      require(n > 0, "sketch anomaly emitted no rows at scale")
+      n
+    }
+
     val unknown = only.diff(known.toSet)
     require(unknown.isEmpty, s"unknown op name(s): ${unknown.mkString(", ")}")
 
