@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ast.QueryJson
@@ -33,11 +33,27 @@ object ScaleCheck {
     val only   = args.drop(2).toSet
     val known  = scala.collection.mutable.LinkedHashSet[String]()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-scalecheck")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+    // Above factor 100 the explode-based replica construction (below)
+    // carries the BASE frame's size estimate — 1000x too small — so
+    // static planning would broadcast multi-GB join sides (observed: a
+    // 1 GiB+ driver collect killed the star dedup at factor 1000).
+    // Disable estimate-driven static broadcasts and let AQE promote
+    // joins from RUNTIME shuffle sizes instead — the standard posture
+    // for any production corpus whose stats are unreliable. Factors
+    // <= 100 keep the default regime every published number used.
+    val builder =
+      if (factor > 100)
+        builder0
+          .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+          .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "10485760")
+      else builder0
+    val spark = builder
       // typed-imperative aggregates (udaf Aggregators: LastTwoAgg,
       // SpaceSaver) run in ObjectHashAggregateExec, which falls back to
       // SORT-based aggregation after 128 distinct keys by default —
@@ -53,36 +69,61 @@ object ScaleCheck {
     spark.sparkContext.setLogLevel("WARN")
 
     // ---- scaled inputs -------------------------------------------------
+    // Replica construction: per-replica unionAll up to factor 100 (the
+    // construction every published SCALECHECK/SCALECHECK100 number was
+    // measured with); above that a 100-way union per EXPLODED row keeps
+    // the logical plan linear in ops, not in factor — a 1000-child
+    // Union would pay Catalyst analysis per op for no data difference.
+    // Both forms produce identical rows for the same factor.
+    def replicated(base: DataFrame)(shape: (DataFrame, Column) => DataFrame)
+    : DataFrame =
+      if (factor <= 100)
+        (0 until factor).map(r => shape(base, lit(r.toLong)))
+          .reduce(_ unionAll _)
+      else
+        // repartition the (small) base BEFORE the explode: the base
+        // parquet is often a single input split, and exploding factor-x
+        // inside one task would serialize the whole scaled corpus on
+        // one core (observed: writeIvf's 8M-vector cell assignment
+        // pinned to a single thread for 19 min at factor 1000)
+        shape(
+          base.repartition(
+            spark.sparkContext.defaultParallelism * 2)
+            .withColumn("__r",
+              explode(sequence(lit(0L), lit(factor - 1L)))),
+          col("__r")).drop("__r")
+
     val docs0 = TestData.table(spark, sfDir, "documents")
-    val docs = (0 until factor).map { r =>
-      docs0.select(
-        (col("doc_id") + lit(r * 10000000L)).as("doc_id"),
-        (if (r == 0) col("text")
-         else concat(col("text"), lit(s" replica$r"))).as("text"),
+    val docs = replicated(docs0) { (b, r) =>
+      b.select(
+        (col("doc_id") + r * 10000000L).as("doc_id"),
+        when(r === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" replica"),
+            r.cast("string"))).as("text"),
         col("lang"), col("source"), col("n_chars"))
-    }.reduce(_ unionAll _)
+    }
 
     val emb0 = TestData.table(spark, sfDir, "embeddings")
-    val emb = (0 until factor).map { r =>
-      emb0.select((col("vec_id") + lit(r * 10000000L)).as("vec_id"),
+    val emb = replicated(emb0) { (b, r) =>
+      b.select((col("vec_id") + r * 10000000L).as("vec_id"),
         col("embedding"), col("label"))
-    }.reduce(_ unionAll _)
+    }
 
     val ev0 = TestData.eventsRaw(spark, sfDir)
-    val ev = (0 until factor).map { r =>
-      ev0.select((col("event_id") + lit(r * 100000000L)).as("event_id"),
-        col("ts"), (col("user_id") + lit(r * 1000000L)).as("user_id"),
+    val ev = replicated(ev0) { (b, r) =>
+      b.select((col("event_id") + r * 100000000L).as("event_id"),
+        col("ts"), (col("user_id") + r * 1000000L).as("user_id"),
         col("event_type"), col("value"), col("props"))
-    }.reduce(_ unionAll _)
+    }
 
     val samples0 = TestData.events(spark, sfDir).samples
-    val store = new TsStore((0 until factor).map { r =>
-      samples0.withColumn("tags", map(
+    val store = new TsStore(replicated(samples0) { (b, r) =>
+      b.withColumn("tags", map(
         lit("user"),
-        (element_at(col("tags"), "user").cast("long") + lit(r * 1000000L))
+        (element_at(col("tags"), "user").cast("long") + r * 1000000L)
           .cast("string"),
         lit("k"), element_at(col("tags"), "k")))
-    }.reduce(_ unionAll _))
+    })
 
     // ---- timed heavy ops ----------------------------------------------
     // Celled-ANN layouts must keep PER-CELL size roughly constant as the
@@ -127,6 +168,15 @@ object ScaleCheck {
         .select(Embed.normalized(col("embedding")))
         .collect().toSeq.map(_.getSeq[Double](0).toSeq)
       Embed.semDedup(emb, init, threshold = 0.4).count()
+    }
+    timed("embed_semdedup_cells") {
+      // the scale-shaped semdedup: cell count grows with n (knnCells)
+      // so the within-cell pair product stays bounded — the pinned
+      // 4-centroid variant above measures the gate shape and at high
+      // factors its cells exceed maxCell and the valve (correctly)
+      // drops them, which certifies the valve but not the dedup
+      val cents = Embed.kmeansCentroids(emb, k = knnCells, iters = 2)
+      Embed.semDedup(emb, cents, threshold = 0.4).count()
     }
     timed("bpe_train") {
       Bpe.trainBatched(Bpe.wordVocab(docs), k = 6)._1.size.toLong
