@@ -464,12 +464,15 @@ object ScaleCheck {
       val n = spark.read.parquet(out).count()
       // the base corpus contains planted exact-text duplicates (8 per
       // sf0.1 replica — the first 100x run flagged exactly 800), so the
-      // expected survivor count is the DISTINCT fingerprint count, with
-      // null-text docs unique by the operator's uuid contract
-      val want = d2
-        .select(coalesce(graft.llm.Text.fingerprint(col("text")),
-          col("doc_id").cast("string")).as("fp"))
-        .agg(countDistinct(col("fp"))).head().getLong(0)
+      // expected survivor count is the DISTINCT fingerprint count.
+      // Null-text docs are keyed by a fresh uuid PER BATCH under the
+      // operator's contract, so each emits once per batch it appears
+      // in — twice here (initial + replay), never deduped
+      val fp = graft.llm.Text.fingerprint(col("text"))
+      val distinctFp = d2.filter(fp.isNotNull)
+        .agg(countDistinct(fp)).head().getLong(0)
+      val nNull = d2.filter(fp.isNull).count()
+      val want = distinctFp + 2 * nNull
       require(n == want, s"streaming dedup emitted $n of $want uniques")
       n
     }

@@ -280,8 +280,8 @@ object SparkEntry {
   private val prunedIvfOracle: String =
     s"""WITH $ivfAssignCtes,
        |qv AS (SELECT v FROM e0 WHERE vec_id = 7),
-       |qs AS (SELECT cell, list_cosine_similarity(cv, (SELECT v FROM qv))
-       |      * sqrt(list_sum(list_transform(cv, x -> x * x))) AS ds
+       |qs AS (SELECT cell, round(list_cosine_similarity(cv, (SELECT v FROM qv))
+       |      * sqrt(list_sum(list_transform(cv, x -> x * x))), 6) AS ds
        |  FROM cent),
        |pc AS (SELECT cell FROM qs ORDER BY ds DESC, cell ASC LIMIT 2)
        |SELECT av.vec_id, round(list_cosine_similarity(

@@ -47,6 +47,13 @@ final class WireIngest(spoolDir: File, tcpPort: Int = 0, udpPort: Int = 0,
   def tcpBoundPort: Int = tcpSocket.getLocalPort
   def udpBoundPort: Int = udpSocket.getLocalPort
 
+  /** Sessions published so far (spool files made visible by the atomic
+    * rename). The publish happens in the connection's handler thread
+    * AFTER the client's close() returns, so a caller that needs
+    * ordered / complete ingestion (a soak test, a monitor, a drain
+    * sequence) awaits this counter rather than sleeping. */
+  def sessionsPublished: Long = seq.get()
+
   // per-instance nonce: without it a RESTARTED server's counter begins
   // at 1 again and its first sessions silently REPLACE the previous
   // lifetime's spool files (ATOMIC_MOVE overwrites) — data loss across

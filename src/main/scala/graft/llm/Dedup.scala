@@ -136,16 +136,27 @@ object Dedup {
     * smallest doc_id; when `nearDupThreshold` is set, near-duplicate
     * pairs (MinHash-LSH) additionally drop the larger id of each pair —
     * the standard greedy survivor policy (lower id wins; a broadcast
-    * anti-join, no driver-side clustering). */
+    * anti-join, no driver-side clustering).
+    *
+    * `maxBucket` is [[minhashLsh]]'s heavy-bucket valve: near-dup
+    * families whose banding buckets exceed it contribute NO pairs, so
+    * their members all survive this greedy pass. That is the deliberate
+    * scale posture (one boilerplate page mirrored across 10⁶ sites must
+    * not cost 10¹² pair rows), not a silent default to rely on — when a
+    * corpus is expected to carry over-cap families, either raise
+    * `maxBucket` deliberately, or dedup by cluster instead:
+    * [[deduplicateClustered]] over [[minhashLshStar]] edges handles
+    * arbitrarily large families in Θ(d) without any cap. */
   def deduplicate(docs: DataFrame, textCol: String = "text",
                   idCol: String = "doc_id",
-                  nearDupThreshold: Option[Double] = None): DataFrame = {
+                  nearDupThreshold: Option[Double] = None,
+                  maxBucket: Int = 1000): DataFrame = {
     val survivors = exact(docs, textCol, idCol)
       .select(col("keep_doc_id").as(idCol))
     var kept = docs.join(survivors, idCol)
     for (t <- nearDupThreshold) {
       val losers = minhashLsh(kept, threshold = t,
-        textCol = textCol, idCol = idCol)
+        textCol = textCol, idCol = idCol, maxBucket = maxBucket)
         .select(col("b").as(idCol)).distinct()
       kept = kept.join(broadcast(losers), Seq(idCol), "left_anti")
     }
@@ -609,12 +620,18 @@ object Dedup {
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bandhash")
     // heavy-bucket valve: drop over-cap buckets before the quadratic
-    // self-join; the over-cap key set is boilerplate-scale — broadcast
-    val heavy = banded.groupBy(col("band"), col("bandhash")).count()
-      .filter(col("count") > maxBucket)
-      .select(col("band"), col("bandhash"))
-    val kept = banded.join(broadcast(heavy),
-      Seq("band", "bandhash"), "left_anti")
+    // self-join; the over-cap key set is boilerplate-scale — broadcast.
+    // Int.MaxValue is a true disable sentinel: no bucket could ever
+    // exceed it, so skip the bucket-count aggregation + anti-join and
+    // keep the original two-exchange plan
+    val kept =
+      if (maxBucket == Int.MaxValue) banded
+      else {
+        val heavy = banded.groupBy(col("band"), col("bandhash")).count()
+          .filter(col("count") > maxBucket)
+          .select(col("band"), col("bandhash"))
+        banded.join(broadcast(heavy), Seq("band", "bandhash"), "left_anti")
+      }
     val candidates = kept.alias("l")
       .join(kept.alias("r"),
         col("l.band") === col("r.band") &&
@@ -705,10 +722,48 @@ object Dedup {
 
   /** Shared star machinery: every (hub, member) candidate edge with its
     * exact verified jaccard, UN-thresholded. */
+  /** Star edges over a bucketed frame — the shared Θ(d)-per-bucket
+    * candidate stage behind [[minhashLshStar]] (text bands) and
+    * [[graft.llm.Embed.nearDupLshStar]] (hyperplane tables). `banded`
+    * must carry an `id` column plus `bucketCols`; output is distinct
+    * (a, b) hub→member edges.
+    *
+    * hubSalt <= 0: bucket hub via an un-ordered window min — ONE hash
+    * shuffle on the bucket key, no self-join; the candidate stage is
+    * linear in rows. hubSalt = S > 0: salted two-level star — each salt
+    * cell buffers ≤ ~d/S rows (bounded WindowExec partitions even for a
+    * degenerate mega-bucket), sub-hubs link to the bucket min on a
+    * cell-scale frame; members−1 edges per bucket and identical
+    * pre-verification connectivity either way. */
+  private[llm] def starEdges(banded: DataFrame, bucketCols: Seq[String],
+                             hubSalt: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucket = bucketCols.map(col)
+    (if (hubSalt <= 0) {
+      banded.withColumn("a",
+        min(col("id")).over(Window.partitionBy(bucket: _*)))
+        .filter(col("id") =!= col("a"))
+        .select(col("a"), col("id").as("b"))
+    } else {
+      val salted = banded.withColumn("salt",
+        pmod(xxhash64(col("id")), lit(hubSalt.toLong)))
+      val subbed = salted.withColumn("subhub",
+        min(col("id")).over(
+          Window.partitionBy(bucket :+ col("salt"): _*)))
+      val memberEdges = subbed.filter(col("id") =!= col("subhub"))
+        .select(col("subhub").as("a"), col("id").as("b"))
+      val cells = subbed.select(bucket :+ col("subhub"): _*).distinct()
+      val linked = cells.withColumn("hub",
+        min(col("subhub")).over(Window.partitionBy(bucket: _*)))
+      val linkEdges = linked.filter(col("subhub") =!= col("hub"))
+        .select(col("hub").as("a"), col("subhub").as("b"))
+      memberEdges.unionAll(linkEdges)
+    }).dropDuplicates("a", "b")
+  }
+
   private def starEdgesScored(docs: DataFrame, n: Int, bands: Int,
                               rowsPerBand: Int, textCol: String,
                               idCol: String, hubSalt: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val numHashes = bands * rowsPerBand
     val sh = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism * 2)
@@ -721,34 +776,7 @@ object Dedup {
         posexplode(bandHashArr(col("sig"), bands, rowsPerBand)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bandhash")
-    val edges = (if (hubSalt <= 0) {
-      // bucket hub via an un-ordered window min: ONE hash shuffle on
-      // (band, bandhash), no self-join — the whole candidate stage is
-      // linear in n x bands
-      val hubbed = banded.withColumn("a",
-        min(col("id")).over(Window.partitionBy(col("band"), col("bandhash"))))
-      hubbed.filter(col("id") =!= col("a"))
-        .select(col("a"), col("id").as("b"))
-    } else {
-      // salted two-level star: each salt cell buffers ≤ ~d/hubSalt rows
-      // (bounded WindowExec partitions even for a degenerate mega-
-      // bucket), sub-hubs link to the bucket min on a cell-scale frame
-      val salted = banded.withColumn("salt",
-        pmod(xxhash64(col("id")), lit(hubSalt.toLong)))
-      val subbed = salted.withColumn("subhub",
-        min(col("id")).over(
-          Window.partitionBy(col("band"), col("bandhash"), col("salt"))))
-      val memberEdges = subbed.filter(col("id") =!= col("subhub"))
-        .select(col("subhub").as("a"), col("id").as("b"))
-      val cells = subbed
-        .select(col("band"), col("bandhash"), col("subhub")).distinct()
-      val linked = cells.withColumn("hub",
-        min(col("subhub")).over(
-          Window.partitionBy(col("band"), col("bandhash"))))
-      val linkEdges = linked.filter(col("subhub") =!= col("hub"))
-        .select(col("hub").as("a"), col("subhub").as("b"))
-      memberEdges.unionAll(linkEdges)
-    }).dropDuplicates("a", "b")
+    val edges = starEdges(banded, Seq("band", "bandhash"), hubSalt)
     val sets = sh.select(col("id"), col("sh"), size(col("sh")).as("nsh"))
     edges
       .join(sets.select(col("id").as("a"), col("sh").as("sha"),
@@ -905,7 +933,14 @@ object Dedup {
                       rowsPerBand: Int = 3, threshold: Double = 0.5,
                       textCol: String = "text",
                       idCol: String = "doc_id",
-                      maxDocs: Int = 0): DataFrame = {
+                      maxDocs: Int = 0,
+                      maxBucket: Int = 1000): DataFrame = {
+    // maxBucket is passed to the banding side so the reported recall
+    // measures the SAME valve regime the production minhashLsh run
+    // uses — with the default cap, an over-cap family's misses show up
+    // here as lost recall (which is the honest reading: those pairs
+    // really are dropped in production). Pass Int.MaxValue to measure
+    // the uncapped banding itself.
     val spark = docs.sparkSession
     val sampled =
       if (maxDocs <= 0) docs
@@ -916,7 +951,8 @@ object Dedup {
     // threshold 0 keeps every banding candidate (jaccard >= 0 always):
     // the pre-verification set, scored but unfiltered
     val cands = minhashLsh(sampled, n, bands, rowsPerBand, threshold = 0.0,
-      textCol, idCol).select(col("a"), col("b")).localCheckpoint()
+      textCol, idCol, maxBucket).select(col("a"), col("b"))
+      .localCheckpoint()
     val nTrue = truth.count()
     val nCand = cands.count()
     val nHits = cands.join(truth, Seq("a", "b"), "left_semi").count()
@@ -1091,12 +1127,17 @@ object Dedup {
   def crossDupPairs(corpusA: DataFrame, corpusB: DataFrame,
                     n: Int = 3, bands: Int = 64, rowsPerBand: Int = 2,
                     threshold: Double = 0.5, textCol: String = "text",
-                    idCol: String = "doc_id"): DataFrame = {
+                    idCol: String = "doc_id",
+                    maxBucket: Int = 1000): DataFrame = {
+    // maxBucket is minhashLsh's heavy-bucket valve: an over-cap family
+    // reports NO cross-corpus pairs. For a compliance sweep where a
+    // miss is worse than the pair volume, pass Int.MaxValue (true
+    // disable) or raise the cap deliberately.
     def side(df: DataFrame, s: Int) =
       df.select(col(idCol), col(textCol)).withColumn("__side", lit(s))
     val tagged = side(corpusA, 0).unionByName(side(corpusB, 1))
     val pairs = minhashLsh(tagged, n, bands, rowsPerBand, threshold,
-      textCol, idCol)
+      textCol, idCol, maxBucket)
     val sides = tagged.select(col(idCol).as("__sid"), col("__side"))
     pairs
       .join(sides.select(col("__sid").as("a"), col("__side").as("__sa")), "a")
@@ -1120,9 +1161,13 @@ object Dedup {
   def dupMatrix(docs: DataFrame, stratumCol: String, n: Int = 3,
                 bands: Int = 64, rowsPerBand: Int = 2,
                 threshold: Double = 0.5, textCol: String = "text",
-                idCol: String = "doc_id"): DataFrame = {
+                idCol: String = "doc_id",
+                maxBucket: Int = 1000): DataFrame = {
+    // maxBucket (minhashLsh's heavy-bucket valve) excludes over-cap
+    // families from the matrix — their Θ(d²) pair counts would dwarf
+    // every other cell anyway; raise deliberately to include them
     val pairs = minhashLsh(docs, n, bands, rowsPerBand, threshold,
-      textCol, idCol)
+      textCol, idCol, maxBucket)
     val s = docs.select(col(idCol).as("__sid"),
       col(stratumCol).cast("string").as("__str"))
     pairs

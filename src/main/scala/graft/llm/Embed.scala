@@ -349,9 +349,17 @@ object Embed {
       sampleCentroids(stored, nCentroids, vecCol, idCol))
     val qn = math.sqrt(query.map(x => x * x).sum)
     val qUnit = query.map(_ / qn)
+    // probe ranking rounded to 6dp, ties to the lower cell id: when
+    // nProbe < nCentroids an external replayer (the oracle) computes
+    // the same cell scores along a different FP path, and an unrounded
+    // near-tie could select a different probe set per engine — same
+    // convention as centroidIdRounded and every gated score here
     val probes = centroids.zipWithIndex
-      .map { case (c, i) => (c.zip(qUnit).map { case (a, b) => a * b }.sum, i) }
-      .sortBy(-_._1).take(nProbe).map(_._2)
+      .map { case (c, i) =>
+        (math.round(c.zip(qUnit).map { case (a, b) => a * b }.sum * 1e6)
+          / 1e6, i)
+      }
+      .sortBy { case (s, i) => (-s, i) }.take(nProbe).map(_._2)
     val q = array(qUnit.map(lit): _*)
     stored
       .filter(col("ivf_cell").isin(probes: _*))
@@ -1427,36 +1435,13 @@ object Embed {
                      vecCol: String = "embedding",
                      idCol: String = "vec_id",
                      hubSalt: Int = 0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val dim = dimOf(corpus, vecCol)
     val keyArr = array((0 until tables).map(t =>
       hyperplaneKey(col(vecCol), randomPlanes(nPlanes, dim, 42L + t))): _*)
     val banded = corpus
       .select(col(idCol).as("id"), posexplode(keyArr))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "key")
-    val edges = (if (hubSalt <= 0) {
-      banded
-        .withColumn("a",
-          min(col("id")).over(Window.partitionBy(col("table"), col("key"))))
-        .filter(col("id") =!= col("a"))
-        .select(col("a"), col("id").as("b"))
-    } else {
-      val salted = banded.withColumn("salt",
-        pmod(xxhash64(col("id")), lit(hubSalt.toLong)))
-      val subbed = salted.withColumn("subhub",
-        min(col("id")).over(
-          Window.partitionBy(col("table"), col("key"), col("salt"))))
-      val memberEdges = subbed.filter(col("id") =!= col("subhub"))
-        .select(col("subhub").as("a"), col("id").as("b"))
-      val cells = subbed
-        .select(col("table"), col("key"), col("subhub")).distinct()
-      val linked = cells.withColumn("hub",
-        min(col("subhub")).over(
-          Window.partitionBy(col("table"), col("key"))))
-      val linkEdges = linked.filter(col("subhub") =!= col("hub"))
-        .select(col("hub").as("a"), col("subhub").as("b"))
-      memberEdges.unionAll(linkEdges)
-    }).dropDuplicates("a", "b")
+    val edges = Dedup.starEdges(banded, Seq("table", "key"), hubSalt)
     val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
     edges
       .join(vecs.select(col("id").as("a"), col("v").as("va")), "a")

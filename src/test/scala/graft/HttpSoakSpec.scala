@@ -40,6 +40,13 @@ class HttpSoakSpec extends SparkFunSuite {
     val step = 1000000000L
 
     def sendSession(s: Int): Unit = {
+      // ack-synchronous: WireIngest publishes the session in its
+      // handler thread AFTER close() returns, so await the publish
+      // counter before returning — otherwise a saturated host can
+      // publish session k after k+1 (a non-contiguous fold the torn
+      // check would blame on the engine) or after the writer-done
+      // flag (the final-view assert would miss the last session)
+      val expect = srv.sessionsPublished + 1
       val sock = new Socket("127.0.0.1", srv.tcpBoundPort)
       val sb = new java.lang.StringBuilder(per * 40)
       for (i <- 0 until per) {
@@ -49,6 +56,12 @@ class HttpSoakSpec extends SparkFunSuite {
       }
       sock.getOutputStream.write(sb.toString.getBytes(UTF_8))
       sock.close()
+      var w = 0
+      while (srv.sessionsPublished < expect && w < 20000) {
+        Thread.sleep(20); w += 20
+      }
+      assert(srv.sessionsPublished >= expect,
+        s"session $s not published within 20s")
     }
 
     // seed one folded session so the layout exists before the server
