@@ -61,6 +61,29 @@ class LlmSpec extends SparkFunSuite {
       Seq(0L, 3L))
   }
 
+  test("deduplicate maxBucket: over-cap near-dup family survives at a " +
+      "tiny cap, Int.MaxValue (true disable) restores full dedup") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // distinct texts (no exact dups), all near-dups of each other:
+    // with the default banding their buckets hold 4 > maxBucket = 1
+    val d = docs(Seq(base, base + " lambda", base + " mu", base + " nu"))
+    val capped = Dedup.deduplicate(d, nearDupThreshold = Some(0.3),
+      maxBucket = 1)
+    // the valve drops every over-cap bucket: no pairs, all 4 survive —
+    // the DOCUMENTED posture, not a silent guarantee of dedup
+    assert(capped.count() == 4)
+    val uncapped = Dedup.deduplicate(d, nearDupThreshold = Some(0.3),
+      maxBucket = Int.MaxValue)
+    assert(uncapped.select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(0L))
+    // and the sentinel path produces the same result as an effectively
+    // large finite cap (the gate-corpus equivalence)
+    val bigCap = Dedup.deduplicate(d, nearDupThreshold = Some(0.3),
+      maxBucket = 1000)
+    assert(bigCap.select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(0L))
+  }
+
   test("ngramJaccard finds planted near-dups exactly") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val d = docs(Seq(
