@@ -2079,6 +2079,31 @@ object SparkEntry {
         .orderBy(col("a"), col("b")),
       Some(ngramJaccardOracle)),
 
+    // -- dedup: the maxBucket valve's runtime signal ----------------------
+    // A planted 350-member boilerplate family (constant text) crosses the
+    // cap in every one of the 32 bands — lshOverCapBuckets must name
+    // exactly those buckets with the exact member count, making a capped
+    // run's silent survivors observable instead of invisible. The 50 real
+    // docs can't cross the cap by cardinality. bandhash is an
+    // engine-internal xxhash64, so the gate projects (band, n_members),
+    // which the oracle replays from first principles: identical docs
+    // share every band bucket, so each band holds one family-sized bucket.
+    "doc_lsh_overcap" -> Gated(
+      (s, d) => {
+        val docs = TestData.table(s, d, "documents")
+          .filter(col("doc_id") < 400)
+          .withColumn("text", when(col("doc_id") < 350,
+            lit("one boilerplate page mirrored across a million sites"))
+            .otherwise(col("text")))
+        Dedup.lshOverCapBuckets(docs, maxBucket = 100)
+          .select(col("band"), col("n_members"))
+          .orderBy(col("band"))
+      },
+      Some("""SELECT t.band::INT AS band,
+             |  (SELECT count(*) FROM documents WHERE doc_id < 350)::BIGINT
+             |    AS n_members
+             |FROM range(32) AS t(band) ORDER BY band""".stripMargin)),
+
     // -- dedup: INCREMENTAL near-dup against a persisted LSH index -------
     // Index built from doc_id % 4 != 0 (writeLshIndex — corpus shingled
     // ONCE, band table + shingle sets persisted), then the % 4 == 0 batch
@@ -5570,6 +5595,186 @@ object SparkEntry {
              |SELECT doc_id FROM documents
              |WHERE doc_id NOT IN (SELECT node FROM comp)
              |   OR doc_id IN (SELECT node FROM best)
+             |ORDER BY 1""".stripMargin)),
+
+    // -- END-TO-END pipeline composition: the advertised production chain
+    // as ONE gate — jsonl ingest (corrupt-line quarantine) → normalize →
+    // gopher quality filter → exact dedup → near-dup star dedup
+    // (LSH + CC + keep-best) → benchmark decontamination → water-filled
+    // corpus mix → sequence packing → hash-sharded export, with the
+    // final shard layout read BACK from disk. Per-op gates cannot catch
+    // inter-stage schema/contract drift; the reference's own golden test
+    // is the same shape end-to-end (functests/roundtrip.sh:8-27 — ingest
+    // → query → diff as one artifact). Output: one row per exported doc
+    // with its shard id, normalized length, and packed-sequence span.
+    "doc_e2e_pipeline" -> Gated(
+      (s, d) => {
+        val raw = TestData.table(s, d, "documents")
+        val tmpJ = scratch("graft_e2e_jsonl", d)
+        val tmpS = scratch("graft_e2e_shards", d)
+        val js = to_json(struct(col("doc_id"), col("text"), col("source")))
+        raw.select(when(col("doc_id") % 17 === 0,
+            concat(lit("{corrupt "), js)).otherwise(js).as("value"))
+          .write.mode("overwrite").text(tmpJ)
+        val ingested = CorpusIo.readJsonl(s, tmpJ,
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id BIGINT, text STRING, source STRING"))
+        val normed = ingested.withColumn("text",
+          Text.normalizeText(col("text")))
+        val kept = normed.join(
+          Text.gopherRules(normed).filter(col("keep")).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        val exDocs = kept.join(
+          Dedup.exact(kept).select(col("keep_doc_id").as("doc_id")),
+          Seq("doc_id"), "left_semi")
+        val near = Dedup.dedupKeepBest(exDocs,
+          Dedup.connectedComponents(
+            Dedup.minhashLshStar(exDocs, n = 3, bands = 64,
+              rowsPerBand = 2, threshold = 0.5)),
+          length(col("text")).cast("double"))
+        val clean = near.join(
+          Dedup.decontaminate(near, raw.filter(col("doc_id") % 50 === 3),
+              n = 3, minHits = 3)
+            .filter(!col("contaminated")).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        val stratum = when(Text.tokenCount(col("text")) < 70, "short")
+          .when(Text.tokenCount(col("text")) < 85, "medium")
+          .otherwise("long")
+        // plan the mix with mixRates (water-filling), then apply it —
+        // the collect is 3 stratum rows, model-scale by construction
+        val rates = Sample.mixRates(clean.withColumn("stratum", stratum),
+            "stratum",
+            Seq("short" -> 0.2, "medium" -> 0.5, "long" -> 0.3))
+          .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+        val mixed = Sample.mix(clean, stratum, rates, defaultRate = 0.0,
+          seed = "e2emix")
+        val packed = Sample.pack(mixed, Text.tokenCount(col("text")),
+          seqLen = 512, buckets = 16, seed = "e2epack")
+        CorpusIo.writeShards(
+          mixed.select(col("doc_id"), col("text"), col("source")),
+          tmpS, nShards = 8)
+        s.read.parquet(tmpS)
+          .select(col("doc_id"), col("shard").cast("int").as("shard"),
+            length(col("text")).as("n_chars"))
+          .join(packed.groupBy("doc_id").agg(
+              count(lit(1)).as("n_seqs"),
+              min(col("seq_id")).as("first_seq")),
+            Seq("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE
+             |ing AS (SELECT doc_id, text, source FROM documents
+             |  WHERE doc_id % 17 <> 0),
+             |norm AS MATERIALIZED (SELECT doc_id, source,
+             |  trim(regexp_replace(regexp_replace(nfc_normalize(text),
+             |    '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+             |  '[ \t]+', ' ', 'g')) AS nt
+             |  FROM ing),
+             |gsig AS (SELECT doc_id, source, nt,
+             |    string_split_regex(trim(nt), '\\s+') AS w,
+             |    string_split(nt, chr(10)) AS ln,
+             |    ((len(nt) - len(replace(nt, '#', '')))
+             |     + (len(nt) - len(replace(nt, '...', ''))) / 3)::DOUBLE AS sym
+             |  FROM norm),
+             |gkeep AS MATERIALIZED (SELECT doc_id, source, nt FROM gsig
+             |  WHERE len(w) >= 50 AND len(w) <= 100000
+             |    AND round(list_sum(list_transform(w, x -> len(x)))::DOUBLE
+             |      / len(w), 6) BETWEEN 3.0 AND 10.0
+             |    AND round(sym / len(w), 6) < 0.1
+             |    AND round(len(list_filter(ln, l -> substr(trim(l), 1, 1)
+             |      IN ('•', '-', '*')))::DOUBLE / len(ln), 6) < 0.9
+             |    AND round(len(list_filter(ln, l ->
+             |      ends_with(trim(l), '...')))::DOUBLE / len(ln), 6) < 0.3
+             |    AND round(len(list_filter(w, x ->
+             |      regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(w), 6) > 0.8
+             |    AND len(list_filter(w, x -> lower(x) IN
+             |      ('the','be','to','of','and','that','have','with'))) >= 2),
+             |ex AS MATERIALIZED (SELECT doc_id, source, nt FROM (
+             |  SELECT doc_id, source, nt, min(doc_id) OVER (PARTITION BY
+             |    md5(lower(regexp_replace(trim(nt), '\\s+', ' ', 'g'))))
+             |    AS keep_id
+             |  FROM gkeep) WHERE doc_id = keep_id),
+             |grams AS MATERIALIZED (SELECT doc_id,
+             |  list_distinct(CASE WHEN len(t) >= 3
+             |    THEN list_transform(range(1, len(t) - 1),
+             |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+             |    ELSE [] END) AS g
+             |  FROM (SELECT doc_id,
+             |    string_split_regex(trim(lower(nt)), '\\s+') AS t FROM ex)),
+             |prs AS (SELECT a, b FROM (
+             |    SELECT x.doc_id AS a, y.doc_id AS b,
+             |      len(list_intersect(x.g, y.g))::DOUBLE /
+             |        (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g)))
+             |        AS j
+             |    FROM grams x JOIN grams y ON x.doc_id < y.doc_id)
+             |  WHERE j >= 0.5),
+             |edges AS (SELECT a AS u, b AS v FROM prs
+             |  UNION SELECT b, a FROM prs),
+             |reach(u, v) AS (SELECT u, v FROM edges
+             |  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+             |comp AS MATERIALIZED (SELECT u AS node, least(u, min(v))
+             |  AS component FROM reach GROUP BY u),
+             |best AS (SELECT node FROM (
+             |    SELECT c.node, row_number() OVER (PARTITION BY c.component
+             |      ORDER BY length(e.nt) DESC, c.node ASC) AS rn
+             |    FROM comp c JOIN ex e ON e.doc_id = c.node)
+             |  WHERE rn = 1),
+             |near AS MATERIALIZED (SELECT doc_id, source, nt FROM ex
+             |  WHERE doc_id NOT IN (SELECT node FROM comp)
+             |     OR doc_id IN (SELECT node FROM best)),
+             |bgrams AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+             |    THEN list_transform(range(1, len(t) - 1),
+             |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+             |    ELSE [] END) AS g
+             |  FROM (SELECT doc_id,
+             |      string_split_regex(trim(lower(text)), '\\s+') AS t
+             |    FROM documents WHERE doc_id % 50 = 3)),
+             |bench AS MATERIALIZED (SELECT list_distinct(flatten(list(g)))
+             |  AS bg FROM bgrams),
+             |clean AS MATERIALIZED (SELECT n.doc_id, n.source, n.nt
+             |  FROM near n JOIN grams g USING (doc_id) CROSS JOIN bench
+             |  WHERE len(list_intersect(g.g, bg)) < 3),
+             |strat AS MATERIALIZED (SELECT doc_id, source, nt,
+             |    CASE WHEN len(string_split_regex(trim(nt), '\\s+')) < 70
+             |           THEN 'short'
+             |         WHEN len(string_split_regex(trim(nt), '\\s+')) < 85
+             |           THEN 'medium'
+             |         ELSE 'long' END AS stratum
+             |  FROM clean),
+             |cnt AS (SELECT stratum, count(*) AS n FROM strat GROUP BY 1),
+             |tgt AS (SELECT stratum, share::DOUBLE AS share FROM (VALUES
+             |  ('short', 0.2), ('medium', 0.5), ('long', 0.3))
+             |  v(stratum, share)),
+             |jn AS (SELECT t.stratum, t.share, coalesce(c.n, 0) AS n
+             |  FROM tgt t LEFT JOIN cnt c USING (stratum)),
+             |mm AS MATERIALIZED (SELECT min(n / share) AS tt FROM jn),
+             |rts AS MATERIALIZED (SELECT stratum, CASE WHEN n > 0
+             |    THEN round(floor(share * (SELECT tt FROM mm))::DOUBLE / n, 6)
+             |    ELSE 0.0 END AS rate
+             |  FROM jn),
+             |mixed AS MATERIALIZED (SELECT s.doc_id, s.source, s.nt
+             |  FROM strat s JOIN rts r USING (stratum)
+             |  WHERE ${md5FracSql("s.doc_id::VARCHAR || 'e2emix'")} < r.rate),
+             |pt AS (SELECT doc_id,
+             |    len(string_split_regex(trim(nt), '\\s+'))::BIGINT AS n,
+             |    ${md5FracSql("doc_id::VARCHAR || 'e2epack'")} AS frac
+             |  FROM mixed),
+             |po AS (SELECT doc_id, n,
+             |    coalesce(sum(n) OVER (ORDER BY frac, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |      0)::BIGINT AS off
+             |  FROM pt WHERE n > 0),
+             |px AS (SELECT doc_id,
+             |    unnest(generate_series(off // 512, (off + n - 1) // 512))
+             |      AS seq_id
+             |  FROM po),
+             |pagg AS (SELECT doc_id, count(*) AS n_seqs,
+             |    min(seq_id) AS first_seq
+             |  FROM px GROUP BY 1)
+             |SELECT m.doc_id,
+             |  (${md5Int60Sql("m.doc_id::VARCHAR")} % 8)::INT AS shard,
+             |  length(m.nt) AS n_chars, p.n_seqs, p.first_seq
+             |FROM mixed m JOIN pagg p USING (doc_id)
              |ORDER BY 1""".stripMargin)),
 
     // -- phase percentile bands: the dashboard envelope ------------------

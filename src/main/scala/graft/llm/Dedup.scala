@@ -146,7 +146,10 @@ object Dedup {
     * corpus is expected to carry over-cap families, either raise
     * `maxBucket` deliberately, or dedup by cluster instead:
     * [[deduplicateClustered]] over [[minhashLshStar]] edges handles
-    * arbitrarily large families in Θ(d) without any cap. */
+    * arbitrarily large families in Θ(d) without any cap.
+    * [[lshOverCapBuckets]] with the same parameters is the runtime
+    * signal: it names every bucket this pass dropped (empty output =
+    * the cap changed nothing on this corpus). */
   def deduplicate(docs: DataFrame, textCol: String = "text",
                   idCol: String = "doc_id",
                   nearDupThreshold: Option[Double] = None,
@@ -431,15 +434,24 @@ object Dedup {
 
   /** Fold a batch's window hashes into a [[writeSpanIndex]] layout —
     * append-only, existing files untouched (probes tolerate duplicate
-    * hashes across files: membership is idempotent). */
+    * hashes across files: membership is idempotent, so even a
+    * double-appended batch cannot change [[trimAgainstIndex]] RESULTS —
+    * only index size). `batchId` still gives exactly-once landing
+    * ([[IdempotentBatch]]) so replayed batches don't bloat the hash set
+    * on disk; None is a plain append. */
   def appendSpanIndex(newDocs: DataFrame, path: String,
                       textCol: String = "text",
-                      idCol: String = "doc_id"): Unit = {
-    val k = Embed.readTextFile(newDocs.sparkSession,
-      spanMetaFile(path)).trim.toInt
+                      idCol: String = "doc_id",
+                      batchId: Option[String] = None): Unit = {
+    val spark = newDocs.sparkSession
+    val k = Embed.readTextFile(spark, spanMetaFile(path)).trim.toInt
     val (_, wins) = spanWindows(newDocs, k, textCol, idCol)
-    wins.select(col("wh")).distinct()
-      .write.mode("append").parquet(s"$path/wh")
+    val wh = wins.select(col("wh")).distinct()
+    batchId match {
+      case None => wh.write.mode("append").parquet(s"$path/wh")
+      case Some(b) => IdempotentBatch.land(spark, s"$path/wh", b)(
+        dir => wh.write.mode("overwrite").parquet(dir))
+    }
   }
 
   /** Incremental exact substring dedup: trim a NEW batch against a
@@ -596,7 +608,10 @@ object Dedup {
     * needed for output size); when the product is the scored pair list
     * itself, an over-cap family's Θ(d²) pairs are intrinsic to the ask —
     * raise `maxBucket` deliberately and budget for the output.
-    * Output: (a, b, jaccard) with a < b, jaccard >= threshold. */
+    * [[lshOverCapBuckets]] audits what a given cap drops at the cost of
+    * one extra count aggregate — run it whenever the cap is active on
+    * an unfamiliar corpus. Output: (a, b, jaccard) with a < b,
+    * jaccard >= threshold. */
   def minhashLsh(docs: DataFrame, n: Int = 3, bands: Int = 32,
                  rowsPerBand: Int = 3, threshold: Double = 0.5,
                  textCol: String = "text", idCol: String = "doc_id",
@@ -654,6 +669,37 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Runtime observability for the `maxBucket` valve: the (band,
+    * bandhash) buckets whose member count exceeds `maxBucket` — exactly
+    * the buckets [[minhashLsh]] (and every wrapper forwarding
+    * `maxBucket`) drops before the quadratic self-join. Empty output
+    * proves the valve changed nothing on this corpus: the capped pair
+    * list is identical to the uncapped one. Non-empty output is the
+    * audit trail for the silent-survivor review the valve otherwise
+    * hides — an over-cap family contributes no pairs, so its members
+    * all survive a greedy dedup pass invisibly. Each reported bucket is
+    * an action item: cluster the affected ids via [[minhashLshStar]]
+    * (Θ(d), capless) or re-run them through [[minhashLsh]] with a
+    * deliberately raised cap. Cost: the same shingle+band pass as the
+    * LSH call it audits plus ONE count aggregate — no self-join, and
+    * the output is boilerplate-scale by construction.
+    * Output: (band, bandhash, n_members) with n_members > maxBucket. */
+  def lshOverCapBuckets(docs: DataFrame, n: Int = 3, bands: Int = 32,
+                        rowsPerBand: Int = 3, textCol: String = "text",
+                        idCol: String = "doc_id",
+                        maxBucket: Int = 1000): DataFrame =
+    docs
+      .select(col(idCol).as("id"), hashedShingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), posexplode(bandHashArr(
+        minhashFromHashes(col("sh"), bands * rowsPerBand),
+        bands, rowsPerBand)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bandhash")
+      .groupBy(col("band"), col("bandhash"))
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > maxBucket)
+
   /** MinHash-LSH near-dup edges in STAR form — the connected-components
     * feeder for densely-duplicated corpora. [[minhashLsh]] emits every
     * colliding pair, so a d-fold duplicate family (the common crawl
@@ -691,6 +737,16 @@ object Dedup {
     * default 0 keeps the single-window plan (one shuffle — optimal for
     * crawl-shaped buckets, and the salted form adds two cell-scale
     * shuffles that are pure overhead when no bucket is degenerate).
+    *
+    * The salted/unsalted equivalence is a PRE-verification claim only:
+    * with `hubSalt` > 0 a member is exact-verified against its
+    * salt-cell SUB-hub instead of the bucket hub, so when similarity is
+    * non-transitive a borderline member can verify against one hub and
+    * not the other — VERIFIED edges (and hence clusters) may differ
+    * from the `hubSalt = 0` output. Crawl-shaped dup families (every
+    * member near the hub) verify identically either way; a corpus where
+    * that margin matters should compare [[minhashLshStarRejected]]
+    * between the two settings before trusting the salted clusters.
     * Use it when the product is CLUSTERS (dedup survivors); use
     * [[minhashLsh]] when the product is the scored pair list itself. */
   def minhashLshStar(docs: DataFrame, n: Int = 3, bands: Int = 32,
@@ -720,8 +776,6 @@ object Dedup {
       .filter(col("jaccard") < threshold)
       .select(col("a"), col("b"), col("jaccard"))
 
-  /** Shared star machinery: every (hub, member) candidate edge with its
-    * exact verified jaccard, UN-thresholded. */
   /** Star edges over a bucketed frame — the shared Θ(d)-per-bucket
     * candidate stage behind [[minhashLshStar]] (text bands) and
     * [[graft.llm.Embed.nearDupLshStar]] (hyperplane tables). `banded`
@@ -761,6 +815,8 @@ object Dedup {
     }).dropDuplicates("a", "b")
   }
 
+  /** Shared star machinery: every (hub, member) candidate edge with its
+    * exact verified jaccard, UN-thresholded. */
   private def starEdgesScored(docs: DataFrame, n: Int, bands: Int,
                               rowsPerBand: Int, textCol: String,
                               idCol: String, hubSalt: Int): DataFrame = {
@@ -829,10 +885,18 @@ object Dedup {
   /** Fold a new batch into a [[writeLshIndex]] layout: shingle + band the
     * batch with the layout's persisted parameters and parquet-append to
     * `sets`/`bands`. Like [[graft.llm.Embed.ivfUpdate]], append-only
-    * maintenance — existing index files are never rewritten. */
+    * maintenance — existing index files are never rewritten.
+    *
+    * `batchId` is the retry-idempotence handle ([[IdempotentBatch]]):
+    * with a stable batch name (crawl snapshot id, ingestion date), a
+    * driver-level RE-RUN of a failed append lands the batch exactly
+    * once — the replay clears its own earlier files before landing.
+    * Without it (None), the write is a plain parquet append and the
+    * caller owns at-most-once execution per batch. */
   def appendLshIndex(newDocs: DataFrame, path: String,
                      textCol: String = "text",
-                     idCol: String = "doc_id"): Unit = {
+                     idCol: String = "doc_id",
+                     batchId: Option[String] = None): Unit = {
     val spark = newDocs.sparkSession
     val Array(n, bands, rowsPerBand) =
       Embed.readTextFile(spark, lshMetaFile(path)).split(",").map(_.toInt)
@@ -840,14 +904,22 @@ object Dedup {
       .select(col(idCol).as("id"), hashedShingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("id"), col("sh"), size(col("sh")).as("nsh"))
-    sets.write.mode("append").parquet(s"$path/sets")
-    sets
+    val banded = sets
       .select(col("id"),
         minhashFromHashes(col("sh"), bands * rowsPerBand).as("sig"))
       .select(col("id"), posexplode(bandHashArr(col("sig"), bands, rowsPerBand)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bandhash")
-      .write.mode("append").parquet(s"$path/bands")
+    batchId match {
+      case None =>
+        sets.write.mode("append").parquet(s"$path/sets")
+        banded.write.mode("append").parquet(s"$path/bands")
+      case Some(b) =>
+        IdempotentBatch.land(spark, s"$path/sets", b)(
+          dir => sets.write.mode("overwrite").parquet(dir))
+        IdempotentBatch.land(spark, s"$path/bands", b)(
+          dir => banded.write.mode("overwrite").parquet(dir))
+    }
   }
 
   /** Incremental near-dup: pairs of a NEW batch against a
@@ -1128,11 +1200,12 @@ object Dedup {
                     n: Int = 3, bands: Int = 64, rowsPerBand: Int = 2,
                     threshold: Double = 0.5, textCol: String = "text",
                     idCol: String = "doc_id",
-                    maxBucket: Int = 1000): DataFrame = {
-    // maxBucket is minhashLsh's heavy-bucket valve: an over-cap family
-    // reports NO cross-corpus pairs. For a compliance sweep where a
-    // miss is worse than the pair volume, pass Int.MaxValue (true
-    // disable) or raise the cap deliberately.
+                    maxBucket: Int = Int.MaxValue): DataFrame = {
+    // maxBucket (minhashLsh's heavy-bucket valve) defaults to DISABLED
+    // here: this is a compliance product — an over-cap family silently
+    // reporting NO cross-corpus pairs is worse than the pair volume.
+    // At crawl scale set the cap deliberately and audit what it drops
+    // with lshOverCapBuckets over the tagged union.
     def side(df: DataFrame, s: Int) =
       df.select(col(idCol), col(textCol)).withColumn("__side", lit(s))
     val tagged = side(corpusA, 0).unionByName(side(corpusB, 1))
@@ -1162,10 +1235,12 @@ object Dedup {
                 bands: Int = 64, rowsPerBand: Int = 2,
                 threshold: Double = 0.5, textCol: String = "text",
                 idCol: String = "doc_id",
-                maxBucket: Int = 1000): DataFrame = {
-    // maxBucket (minhashLsh's heavy-bucket valve) excludes over-cap
-    // families from the matrix — their Θ(d²) pair counts would dwarf
-    // every other cell anyway; raise deliberately to include them
+                maxBucket: Int = Int.MaxValue): DataFrame = {
+    // maxBucket (minhashLsh's heavy-bucket valve) defaults to DISABLED:
+    // the matrix is a which-source-copies-which report, and an over-cap
+    // family vanishing from its cells inverts the report's conclusion
+    // (the MOST duplicated source reads as clean). A capped run should
+    // pair with lshOverCapBuckets so the dropped families are named.
     val pairs = minhashLsh(docs, n, bands, rowsPerBand, threshold,
       textCol, idCol, maxBucket)
     val s = docs.select(col(idCol).as("__sid"),

@@ -301,10 +301,28 @@ object Embed {
     // with a different centroid set than the one that assigned the cells
     writeTextFile(corpus.sparkSession, centroidsFile(path),
       cents.map(_.mkString(",")).mkString("\n"))
+    // the assignment MODE is part of the layout contract too: an append
+    // ([[ivfUpdate]]) that assigned raw against a rounded layout would
+    // place boundary vectors in a different cell than the layout's
+    // convention, breaking the bit-stable external-replay property the
+    // rounded mode exists for
+    writeTextFile(corpus.sparkSession, ivfMetaFile(path), s"rounded=$rounded")
   }
 
   /** Underscore-prefixed, so parquet directory listings skip it. */
   private def centroidsFile(path: String) = s"$path/_ivf_centroids.txt"
+
+  private def ivfMetaFile(path: String) = s"$path/_ivf_meta.txt"
+
+  /** The assignment mode persisted by [[writeIvf]]. Layouts written
+    * before the meta sidecar existed assigned raw — missing file reads
+    * as `rounded=false`, so appends to old layouts keep old behavior. */
+  private[llm] def readIvfRounded(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(ivfMetaFile(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) &&
+      readTextFile(spark, ivfMetaFile(path)).trim == "rounded=true"
+  }
 
   /** The centroid matrix persisted by [[writeIvf]] — pass this to
     * [[topKIvfStored]] as `trained`. Double text round-trips exactly
@@ -323,14 +341,35 @@ object Embed {
     * corpus, an append touches only the batch. Probes ([[topKIvfStored]])
     * see old + new rows through the same partition-pruned listing.
     * Cell skew drifts as the corpus grows away from the training sample;
-    * [[centroidDrift]] is the monitor that says when to retrain. */
+    * [[centroidDrift]] is the monitor that says when to retrain.
+    * Assignment replays the layout's persisted MODE as well as its
+    * centroids: a `rounded=true` layout assigns appends on the
+    * 6-decimal-rounded cosine, so a boundary vector lands in the same
+    * cell the layout build would have put it in.
+    *
+    * `batchId` is the retry-idempotence handle
+    * ([[graft.llm.IdempotentBatch]]): a driver-level re-run of a failed
+    * batch with the same name lands exactly once — without it a replay
+    * silently double-appends the batch's vectors, and every probe then
+    * returns duplicated neighbors. None = plain append (caller owns
+    * at-most-once execution). */
   def ivfUpdate(newVecs: DataFrame, path: String,
-                vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
-    val cents = readIvfCentroids(newVecs.sparkSession, path)
-    newVecs
-      .withColumn("ivf_cell", centroidId(col(vecCol), cents))
+                vecCol: String = "embedding", idCol: String = "vec_id",
+                batchId: Option[String] = None): Unit = {
+    val spark = newVecs.sparkSession
+    val cents = readIvfCentroids(spark, path)
+    val assign = if (readIvfRounded(spark, path))
+      centroidIdRounded(col(vecCol), cents)
+    else centroidId(col(vecCol), cents)
+    val assigned = newVecs
+      .withColumn("ivf_cell", assign)
       .repartition(col("ivf_cell"))
-      .write.partitionBy("ivf_cell").mode("append").parquet(path)
+    batchId match {
+      case None =>
+        assigned.write.partitionBy("ivf_cell").mode("append").parquet(path)
+      case Some(b) => IdempotentBatch.land(spark, path, b)(dir =>
+        assigned.write.partitionBy("ivf_cell").mode("overwrite").parquet(dir))
+    }
   }
 
   /** Top-k probe against a [[writeIvf]] layout: the `ivf_cell` filter is a

@@ -124,6 +124,27 @@ class DedupStarSpec extends AnyFunSuite {
     assert(star.filter(col("a") < 100).count() == 39)
   }
 
+  test("lshOverCapBuckets names exactly the buckets the valve drops") {
+    val sp = SparkSpec.spark
+    import sp.implicits._
+    val boiler = "one boilerplate page mirrored across many sites " * 8
+    val small = "a small duplicate family with its own words " * 8
+    val mega = (0 until 40).map(i => (i.toLong, boiler))
+    val fam = (100L until 105L).map(i => (i, small))
+    val docs = (mega ++ fam).toDF("doc_id", "text")
+    // the 40-member family owns one over-cap bucket in each of the 64
+    // bands (identical docs share every band hash); the 5-member family
+    // never crosses the cap
+    val over = Dedup.lshOverCapBuckets(docs, n = 3, bands = 64,
+      rowsPerBand = 2, maxBucket = 10).collect()
+    assert(over.length == 64)
+    assert(over.forall(_.getLong(2) == 40L))
+    // raising the cap above the biggest family empties the report — the
+    // observable proof that a capped run equals the uncapped one
+    assert(Dedup.lshOverCapBuckets(docs, n = 3, bands = 64,
+      rowsPerBand = 2, maxBucket = 40).count() == 0)
+  }
+
   test("star hubSalt valve: salted == unsalted clusters, d-1 edges per family") {
     val sp = SparkSpec.spark
     import sp.implicits._

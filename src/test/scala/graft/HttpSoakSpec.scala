@@ -167,8 +167,15 @@ class HttpSoakSpec extends SparkFunSuite {
     Thread.sleep(1500)
     writer.start(); maint.start()
     try {
-      while (!maintDone) Thread.sleep(100)
-      stop.set(true)
+      // generous deadline, but a deadline: a wedged maintenance thread
+      // (e.g. a spool renameTo persistently failing) must fail the suite
+      // with a diagnostic, not hang it forever
+      val maintDeadline = System.nanoTime() + 180L * 1000000000L
+      while (!maintDone && System.nanoTime() < maintDeadline)
+        Thread.sleep(100)
+      stop.set(true) // before the assert: clients must wind down either way
+      assert(maintDone,
+        s"maintenance did not finish within 180s ($folds folds done)")
       clients.foreach(_.join(120000))
       writer.join(60000); maint.join(60000)
       assert(writerErr.isEmpty, s"writer failed: $writerErr")

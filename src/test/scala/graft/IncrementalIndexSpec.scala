@@ -46,6 +46,34 @@ class IncrementalIndexSpec extends SparkFunSuite {
     assert(got.exists(_ >= 20))
   }
 
+  test("ivfUpdate replays the layout's persisted assignment mode") {
+    val cents = Some(Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0)))
+    val base = Seq((0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    // boundary vector: the raw cosine favors cell 0 by one float ulp;
+    // 6-decimal rounding ties the two cells and the rounded tie-break
+    // picks the LARGER cid — so the two assignment modes disagree on
+    // exactly this vector
+    val boundary = Seq((10L, Array(Math.nextUp(1.0f), 1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val rounded = Files.createTempDirectory("graft-ivfr").toString
+    Embed.writeIvf(base, rounded, nCentroids = 2, centroids = cents,
+      rounded = true)
+    Embed.ivfUpdate(boundary, rounded)
+    assert(sp.read.parquet(rounded).filter($"vec_id" === 10L)
+      .select($"ivf_cell").head().getInt(0) == 1,
+      "append to a rounded layout must assign on the rounded cosine")
+    // a raw layout assigns the same append raw; deleting the meta
+    // sidecar emulates a layout written before it existed — appends to
+    // old layouts keep the old (raw) behavior
+    val raw = Files.createTempDirectory("graft-ivfw").toString
+    Embed.writeIvf(base, raw, nCentroids = 2, centroids = cents)
+    assert(new java.io.File(raw, "_ivf_meta.txt").delete())
+    Embed.ivfUpdate(boundary, raw)
+    assert(sp.read.parquet(raw).filter($"vec_id" === 10L)
+      .select($"ivf_cell").head().getInt(0) == 0)
+  }
+
   test("LSH index: incremental near-dup finds corpus-vs-new and " +
       "new-vs-new, never corpus-vs-corpus; append extends the index") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
