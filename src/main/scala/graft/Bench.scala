@@ -117,36 +117,116 @@ object Bench {
     (read, total)
   }
 
-  /** Returns (queryFloors, rateFloors, planFloors, mayPersist). The ledger
-    * is bound to one scale factor — numbers from a dev run at sf0.001 must
-    * neither read as nor overwrite the official sf0.1 floors, so on an sf
-    * mismatch the maps come back empty and the run must not write the
-    * file. planFloors = minimum-ever exchange count per audited query. */
-  def loadFloor(sfDir: String): (Map[String, Double], Map[String, Double],
-      Map[String, Double], Boolean) = {
-    if (!java.nio.file.Files.exists(floorPath))
-      return (Map.empty, Map.empty, Map.empty, true)
+  /** Returns (queryFloors, rateFloors, planFloors, provenance,
+    * mayPersist). The ledger is bound to one scale factor — numbers from
+    * a dev run at sf0.001 must neither read as nor overwrite the official
+    * sf0.1 floors, so on an sf mismatch the maps come back empty and the
+    * run must not write the file. planFloors = minimum-ever exchange
+    * count per audited query; provenance = per-query-floor origin string
+    * `<source>@<host>@<date>` (source: `full-run` when the full Bench
+    * sweep set the value, `subset-converged` when a BenchSubset
+    * `--reseed` recorded its converged isolated minimum). */
+  def loadFloor(sfDir: String,
+                path: java.nio.file.Path = floorPath)
+  : (Map[String, Double], Map[String, Double],
+      Map[String, Double], Map[String, String], Boolean) = {
+    if (!java.nio.file.Files.exists(path))
+      return (Map.empty, Map.empty, Map.empty, Map.empty, true)
     try {
-      // minimal flat-JSON parse (two string->number maps); avoids a JSON dep
-      val txt = new String(java.nio.file.Files.readAllBytes(floorPath),
+      // minimal flat-JSON parse (string->number / string->string maps);
+      // avoids a JSON dep
+      val txt = new String(java.nio.file.Files.readAllBytes(path),
         java.nio.charset.StandardCharsets.UTF_8)
       val entry = """"([^"]+)"\s*:\s*(-?[0-9.eE+]+)""".r
-      def section(key: String): Map[String, Double] = {
-        // tolerate arbitrary JSON whitespace: locate the key's object by
-        // regex, then scan to its closing brace (flat objects only)
-        ("\"" + key + "\"\\s*:\\s*\\{").r.findFirstMatchIn(txt) match {
-          case None => Map.empty
-          case Some(m) =>
-            val body = txt.substring(m.end, txt.indexOf('}', m.end))
-            entry.findAllMatchIn(body)
-              .map(e => e.group(1) -> e.group(2).toDouble).toMap
-        }
-      }
+      val sentry = """"([^"]+)"\s*:\s*"([^"]*)"""".r
+      def body(key: String): Option[String] =
+        ("\"" + key + "\"\\s*:\\s*\\{").r.findFirstMatchIn(txt)
+          // tolerate arbitrary JSON whitespace: locate the key's object
+          // by regex, then scan to its closing brace (flat objects only)
+          .map(m => txt.substring(m.end, txt.indexOf('}', m.end)))
+      def section(key: String): Map[String, Double] =
+        body(key).map(b => entry.findAllMatchIn(b)
+          .map(e => e.group(1) -> e.group(2).toDouble).toMap)
+          .getOrElse(Map.empty)
+      def ssection(key: String): Map[String, String] =
+        body(key).map(b => sentry.findAllMatchIn(b)
+          .map(e => e.group(1) -> e.group(2)).toMap)
+          .getOrElse(Map.empty)
       val sfRe = """"sf"\s*:\s*"([^"]*)"""".r
       val ledgerSf = sfRe.findFirstMatchIn(txt).map(_.group(1))
-      if (ledgerSf.exists(_ != sfDir)) (Map.empty, Map.empty, Map.empty, false)
-      else (section("queries"), section("rates"), section("plans"), true)
-    } catch { case _: Throwable => (Map.empty, Map.empty, Map.empty, false) }
+      if (ledgerSf.exists(_ != sfDir))
+        (Map.empty, Map.empty, Map.empty, Map.empty, false)
+      else (section("queries"), section("rates"), section("plans"),
+        ssection("provenance"), true)
+    } catch { case _: Throwable =>
+      (Map.empty, Map.empty, Map.empty, Map.empty, false) }
+  }
+
+  /** Serialize + persist the floor ledger (shared by the full [[Bench]]
+    * merge and [[BenchSubset]]'s `--reseed`). Write failures are
+    * non-fatal: the ledger is best-effort bookkeeping, never a reason to
+    * fail a bench run. */
+  def writeFloor(sfDir: String, queries: Map[String, Double],
+                 rates: Map[String, Double], plans: Map[String, Double],
+                 prov: Map[String, String],
+                 path: java.nio.file.Path = floorPath): Unit = {
+    def num(m: Map[String, Double], asInt: Boolean = false) =
+      m.toSeq.sortBy(_._1).map { case (k, v) =>
+        s""""$k":${if (asInt) v.toInt.toString else v.toString}""" }
+        .mkString("{", ",", "}")
+    val provJson = prov.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    try java.nio.file.Files.write(path,
+      (s"""{"sf":"$sfDir","queries":${num(queries)},""" +
+        s""""rates":${num(rates)},"plans":${num(plans, asInt = true)},""" +
+        s""""provenance":$provJson}""" + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: java.io.IOException => () }
+  }
+
+  /** Query-floor merge with the re-seed guard (VERDICT r10 #4). Returns
+    * (mergedFloors, mergedProvenance, refusedSeeds).
+    *
+    * Merge: per-query min of ledger and this run, pruned to live gates.
+    * Provenance: `stamp` on every entry this run SET (new seed or
+    * improvement), inherited otherwise; legacy entries without a
+    * provenance line stay unstamped until a run improves them.
+    *
+    * Re-seed guard: a ledger entry whose VALUE was deleted but whose
+    * provenance line remains is a half-done re-seed — seeding it from a
+    * (possibly contended) full run is exactly the self-fulfilling-floor
+    * pattern provenance exists to prevent (r10's doc_simhash re-seed
+    * landed ~this-run's value while the converged isolated minimum was
+    * 1.7x lower). The seed is REFUSED: the entry stays valueless with
+    * its old provenance, keeping the guard armed, and the sanctioned
+    * path is `BenchSubset --reseed` (records a converged isolated
+    * minimum with `subset-converged` provenance). A FRESH gate (no
+    * value, no provenance) seeds normally. */
+  def mergeFloors(floorQ0: Map[String, Double], prov0: Map[String, String],
+                  okResults: Map[String, Double], gateNames: Set[String],
+                  stamp: String)
+  : (Map[String, Double], Map[String, String], Set[String]) = {
+    val refused = okResults.keySet
+      .filter(k => !floorQ0.contains(k) && prov0.contains(k))
+    val floorQ = (floorQ0.keySet ++ okResults.keySet).filter(gateNames)
+      .filterNot(refused)
+      .map { k =>
+        k -> math.min(floorQ0.getOrElse(k, Double.MaxValue),
+                      okResults.getOrElse(k, Double.MaxValue))
+      }.filter(_._2 < Double.MaxValue).toMap
+    val prov = (floorQ.keySet.map { k =>
+      val improved = floorQ0.get(k).forall(floorQ(k) < _)
+      k -> (if (improved) stamp else prov0.getOrElse(k, ""))
+    } ++ refused.map(k => k -> prov0(k)))
+      .filter(_._2.nonEmpty).toMap
+    (floorQ, prov, refused)
+  }
+
+  /** Provenance stamp for a floor entry set by the current process. */
+  def provStamp(source: String): String = {
+    val host = try java.net.InetAddress.getLocalHost.getHostName
+      catch { case _: Exception => "unknown" }
+    s"$source@$host@${java.time.LocalDate.now}"
   }
 
   def main(args: Array[String]): Unit = {
@@ -385,7 +465,7 @@ object Bench {
     // quiet host, >>1 when the container is degraded (r5's official run
     // measured 3-6x on identical code). A factor > 2 flags the run's own
     // times as unrepresentative; the floor columns carry the real signal.
-    val (floorQ0, floorR0, floorP0, floorPersist) = loadFloor(sfDir)
+    val (floorQ0, floorR0, floorP0, prov0, floorPersist) = loadFloor(sfDir)
     // exchange-count guard: evaluated against the PRE-merge ledger, the
     // merged ledger keeps the min so a deliberate improvement ratchets.
     // Ledger hygiene (r7 advice): entries whose gate no longer exists are
@@ -397,12 +477,13 @@ object Bench {
       k -> math.min(floorP0.getOrElse(k, Double.MaxValue),
         exNow.get(k).map(_.toDouble).getOrElse(Double.MaxValue))
     }.filter(_._2 < Double.MaxValue).toMap
-    val floorQ = (floorQ0.keySet ++ okResults.map(_._1)).filter(gateNames)
-      .map { k =>
-        val cur = okResults.toMap.get(k)
-        k -> math.min(floorQ0.getOrElse(k, Double.MaxValue),
-                      cur.getOrElse(Double.MaxValue))
-      }.filter(_._2 < Double.MaxValue).toMap
+    val (floorQ, prov, refusedSeeds) =
+      mergeFloors(floorQ0, prov0, okResults.toMap, gateNames,
+        provStamp("full-run"))
+    refusedSeeds.foreach(k => Console.err.println(
+      s"[bench] REFUSING full-run floor re-seed for $k (provenance " +
+        s"'${prov0(k)}' still present); use BenchSubset --reseed, or " +
+        "delete the provenance entry too for a deliberate fresh seed"))
     val ratios = okResults.flatMap { case (k, v) =>
       floorQ0.get(k).filter(_ > 0).map(v / _) }.sorted
     val contention =
@@ -447,12 +528,7 @@ object Bench {
         val floorPJson = floorP.toSeq.sortBy(_._1)
           .map { case (k, v) => s""""$k":${v.toInt}""" }.mkString("{", ",", "}")
         // persist the merged ledger for the next run (repo cwd; committed)
-        if (floorPersist)
-          try java.nio.file.Files.write(floorPath,
-            (s"""{"sf":"$sfDir","queries":$floorQJson,"rates":$floorRJson,""" +
-              s""""plans":$floorPJson}""" +
-              "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          catch { case _: java.io.IOException => () }
+        if (floorPersist) writeFloor(sfDir, floorQ, floorR, floorP, prov)
         s"""{"metric":"total","value":$total,"unit":"sec",""" +
         s""""plan_audit":$auditJson,"queries_floor":$floorQJson,""" +
         s""""rates_floor":$floorRJson,"queries":$qs,""" +

@@ -329,6 +329,84 @@ object ScaleCheck {
             threshold = 0.5)),
         col("n_chars").cast("double")).count()
     }
+    timed("doc_e2e_pipeline") {
+      // the full advertised production chain as ONE composed run —
+      // normalize -> gopher -> exact dedup -> star near-dup dedup ->
+      // decontaminate -> water-filled mix -> pack -> sharded export,
+      // with the shard layout read BACK and reconciled against the mix
+      // output row-for-row. Per-stage ops above each prove their own
+      // scaling; this proves the HANDOFFS (schema/contract drift shows
+      // up as a count mismatch or an empty stage, both hard failures
+      // here). Cross-factor note: the dedup leg's survivor count is the
+      // replica-invariant (certified by doc_dedup_pipeline_star);
+      // the mix leg's membership is id-hash-based, so the FINAL count
+      // is deterministic per factor but not factor-invariant by design.
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_sc_e2e").toString
+      // each stage is localCheckpoint-materialized at its boundary: a
+      // production pipeline lands every stage once (usually as parquet),
+      // while the un-cut lineage would re-execute the whole prefix per
+      // downstream reference AND multiply the logical plan tree per
+      // stage (exDocs alone is referenced 4x by keep-best + CC) — the
+      // composed plan blows the driver heap at factor 10 before a
+      // single task runs. Stats are preserved (non-loop checkpoints),
+      // so AQE sizing still sees real volumes.
+      val normed = docs.select(col("doc_id"), col("source"),
+        Text.normalizeText(col("text")).as("text"))
+      val kept = normed.join(
+        Text.gopherRules(normed).filter(col("keep")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val exDocs = kept.join(
+        Dedup.exact(kept).select(col("keep_doc_id").as("doc_id")),
+        Seq("doc_id"), "left_semi").localCheckpoint()
+      Console.err.println(s"[scalecheck]   e2e exact-dedup survivors: " +
+        exDocs.count())
+      val near = Dedup.dedupKeepBest(exDocs,
+        Dedup.connectedComponents(
+          Dedup.minhashLshStar(exDocs, n = 3, bands = 64,
+            rowsPerBand = 2, threshold = 0.5)),
+        length(col("text")).cast("double")).localCheckpoint()
+      Console.err.println(s"[scalecheck]   e2e near-dup survivors: " +
+        near.count())
+      // minHits = 25 (not the gate's 3): the synthetic corpus is
+      // template-generated, so a 100-base-doc benchmark shares >= 3
+      // trigrams with ~90% of ALL docs — at 3 the stage (correctly, per
+      // its contract) empties the corpus. 25 is the measured boundary
+      // where only genuine bench near-copies trip (~0.7% of docs), the
+      // regime a real decontamination pass runs in.
+      val clean = near.join(
+        Dedup.decontaminate(near, docs.filter(col("doc_id") % 50 === 3),
+            n = 3, minHits = 25)
+          .filter(!col("contaminated")).select("doc_id"),
+        Seq("doc_id"), "left_semi").localCheckpoint()
+      Console.err.println(s"[scalecheck]   e2e decontaminated: " +
+        clean.count())
+      val stratum = when(Text.tokenCount(col("text")) < 70, "short")
+        .when(Text.tokenCount(col("text")) < 85, "medium")
+        .otherwise("long")
+      val rates = Sample.mixRates(clean.withColumn("stratum", stratum),
+          "stratum", Seq("short" -> 0.2, "medium" -> 0.5, "long" -> 0.3))
+        .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+      val mixed = Sample.mix(clean, stratum, rates, defaultRate = 0.0,
+        seed = "e2emix").localCheckpoint()
+      val nMixed = mixed.count()
+      require(nMixed > 0, "e2e pipeline emptied before export")
+      val nPackedDocs = Sample.pack(mixed, Text.tokenCount(col("text")),
+        seqLen = 512, buckets = 16, seed = "e2epack")
+        .select(col("doc_id")).distinct().count()
+      CorpusIo.writeShards(
+        mixed.select(col("doc_id"), col("text"), col("source")),
+        tmp, nShards = 32)
+      val back = spark.read.parquet(tmp)
+      val nExported = back.count()
+      val nShardsSeen = back.select(col("shard")).distinct().count()
+      require(nExported == nMixed,
+        s"shard export lost/duplicated rows: $nExported != $nMixed")
+      require(nPackedDocs == nMixed,
+        s"pack lost/duplicated docs: $nPackedDocs != $nMixed")
+      require(nShardsSeen == 32, s"expected 32 shards, saw $nShardsSeen")
+      nExported
+    }
     timed("embed_knn_clusters") {
       val cents = Embed.kmeansCentroids(emb, k = knnCells, iters = 2)
       Embed.knnClusters(Embed.knnGraphCells(emb, k = 3, cents, probes = 2))

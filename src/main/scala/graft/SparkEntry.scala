@@ -2079,6 +2079,18 @@ object SparkEntry {
         .orderBy(col("a"), col("b")),
       Some(ngramJaccardOracle)),
 
+    // -- dedup: maxDocChars giant-document valve, capped == uncapped -----
+    // Every gate doc is far under the 100k-char cap, so the capped run
+    // must reproduce the UNCAPPED oracle exactly — proving the valve is
+    // a true no-op below the cap (the same contract DedupStarSpec pins
+    // for maxBucket); SkewSpec owns the over-cap (multi-MB doc) regime.
+    "doc_lsh_capped" -> Gated(
+      (s, d) => Dedup.minhashLsh(TestData.table(s, d, "documents"),
+        n = 3, bands = 64, rowsPerBand = 2, threshold = 0.5,
+        maxDocChars = 100000)
+        .orderBy(col("a"), col("b")),
+      Some(ngramJaccardOracle)),
+
     // -- dedup: the maxBucket valve's runtime signal ----------------------
     // A planted 350-member boilerplate family (constant text) crosses the
     // cap in every one of the 32 bands — lshOverCapBuckets must name

@@ -153,13 +153,15 @@ object Dedup {
   def deduplicate(docs: DataFrame, textCol: String = "text",
                   idCol: String = "doc_id",
                   nearDupThreshold: Option[Double] = None,
-                  maxBucket: Int = 1000): DataFrame = {
+                  maxBucket: Int = 1000,
+                  maxDocChars: Int = Int.MaxValue): DataFrame = {
     val survivors = exact(docs, textCol, idCol)
       .select(col("keep_doc_id").as(idCol))
     var kept = docs.join(survivors, idCol)
     for (t <- nearDupThreshold) {
       val losers = minhashLsh(kept, threshold = t,
-        textCol = textCol, idCol = idCol, maxBucket = maxBucket)
+        textCol = textCol, idCol = idCol, maxBucket = maxBucket,
+        maxDocChars = maxDocChars)
         .select(col("b").as(idCol)).distinct()
       kept = kept.join(broadcast(losers), Seq(idCol), "left_anti")
     }
@@ -167,6 +169,26 @@ object Dedup {
   }
 
   // --- word shingles -------------------------------------------------------
+
+  /** Giant-document valve shared by the SIGNATURE ops ([[minhashLsh]],
+    * [[minhashLshStar]], [[simhashNearDup]], [[lshOverCapBuckets]]):
+    * fingerprints are computed over at most the first `maxDocChars`
+    * characters of the text. A 100 MB document otherwise becomes a
+    * ~25M-element hash array inside ONE row (single-task signature
+    * work, row-size pressure on every shuffle that carries it); the
+    * reference engine's analogue is its hard 4096-byte event-payload
+    * cap (include/akumuli_def.h:120). Semantics under the cap are
+    * PREFIX fingerprinting: documents identical within the first
+    * `maxDocChars` chars are indistinguishable, and similarity is
+    * measured over the prefix only — the standard crawl-dedup posture
+    * (dup families share prefixes). `Int.MaxValue` (the default)
+    * disables the valve and keeps the exact whole-document semantics;
+    * the plan is unchanged when disabled. */
+  private def capText(text: Column, maxDocChars: Int): Column = {
+    require(maxDocChars > 0, s"maxDocChars must be positive: $maxDocChars")
+    if (maxDocChars == Int.MaxValue) text
+    else substring(text, 1, maxDocChars)
+  }
 
   /** Distinct word n-gram shingles of the normalized text. The token
     * array is let-bound ([[Text.bindOnce]]) so the slice lambda reads a
@@ -610,12 +632,15 @@ object Dedup {
     * raise `maxBucket` deliberately and budget for the output.
     * [[lshOverCapBuckets]] audits what a given cap drops at the cost of
     * one extra count aggregate — run it whenever the cap is active on
-    * an unfamiliar corpus. Output: (a, b, jaccard) with a < b,
-    * jaccard >= threshold. */
+    * an unfamiliar corpus. `maxDocChars` is the giant-document valve
+    * (see [[capText]]): signatures cover at most the first
+    * `maxDocChars` characters — prefix fingerprinting, default off.
+    * Output: (a, b, jaccard) with a < b, jaccard >= threshold. */
   def minhashLsh(docs: DataFrame, n: Int = 3, bands: Int = 32,
                  rowsPerBand: Int = 3, threshold: Double = 0.5,
                  textCol: String = "text", idCol: String = "doc_id",
-                 maxBucket: Int = 1000): DataFrame = {
+                 maxBucket: Int = 1000,
+                 maxDocChars: Int = Int.MaxValue): DataFrame = {
     val numHashes = bands * rowsPerBand
     // string-hash each shingle exactly once; everything downstream
     // (signature, bands, verification intersection) works on the 64-bit
@@ -623,7 +648,7 @@ object Dedup {
     val sh = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism * 2)
       .select(col(idCol).as("id"),
-        hashedShingles(col(textCol), n).as("sh"))
+        hashedShingles(capText(col(textCol), maxDocChars), n).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("id"), col("sh"),
         minhashFromHashes(col("sh"), numHashes).as("sig"))
@@ -687,9 +712,11 @@ object Dedup {
   def lshOverCapBuckets(docs: DataFrame, n: Int = 3, bands: Int = 32,
                         rowsPerBand: Int = 3, textCol: String = "text",
                         idCol: String = "doc_id",
-                        maxBucket: Int = 1000): DataFrame =
+                        maxBucket: Int = 1000,
+                        maxDocChars: Int = Int.MaxValue): DataFrame =
     docs
-      .select(col(idCol).as("id"), hashedShingles(col(textCol), n).as("sh"))
+      .select(col(idCol).as("id"),
+        hashedShingles(capText(col(textCol), maxDocChars), n).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("id"), posexplode(bandHashArr(
         minhashFromHashes(col("sh"), bands * rowsPerBand),
@@ -753,8 +780,10 @@ object Dedup {
                      rowsPerBand: Int = 3, threshold: Double = 0.5,
                      textCol: String = "text",
                      idCol: String = "doc_id",
-                     hubSalt: Int = 0): DataFrame =
-    starEdgesScored(docs, n, bands, rowsPerBand, textCol, idCol, hubSalt)
+                     hubSalt: Int = 0,
+                     maxDocChars: Int = Int.MaxValue): DataFrame =
+    starEdgesScored(docs, n, bands, rowsPerBand, textCol, idCol, hubSalt,
+      maxDocChars)
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
 
@@ -771,8 +800,10 @@ object Dedup {
                              rowsPerBand: Int = 3, threshold: Double = 0.5,
                              textCol: String = "text",
                              idCol: String = "doc_id",
-                             hubSalt: Int = 0): DataFrame =
-    starEdgesScored(docs, n, bands, rowsPerBand, textCol, idCol, hubSalt)
+                             hubSalt: Int = 0,
+                             maxDocChars: Int = Int.MaxValue): DataFrame =
+    starEdgesScored(docs, n, bands, rowsPerBand, textCol, idCol, hubSalt,
+      maxDocChars)
       .filter(col("jaccard") < threshold)
       .select(col("a"), col("b"), col("jaccard"))
 
@@ -819,12 +850,13 @@ object Dedup {
     * exact verified jaccard, UN-thresholded. */
   private def starEdgesScored(docs: DataFrame, n: Int, bands: Int,
                               rowsPerBand: Int, textCol: String,
-                              idCol: String, hubSalt: Int): DataFrame = {
+                              idCol: String, hubSalt: Int,
+                              maxDocChars: Int = Int.MaxValue): DataFrame = {
     val numHashes = bands * rowsPerBand
     val sh = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism * 2)
       .select(col(idCol).as("id"),
-        hashedShingles(col(textCol), n).as("sh"))
+        hashedShingles(capText(col(textCol), maxDocChars), n).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("id"), col("sh"),
         minhashFromHashes(col("sh"), numHashes).as("sig"))
@@ -1141,11 +1173,13 @@ object Dedup {
     * never all-pairs. Output: (a, b, hamming). */
   def simhashNearDup(docs: DataFrame, maxDist: Int = 3,
                      textCol: String = "text", idCol: String = "doc_id",
-                     hashFn: Column => Column = c => xxhash64(c)): DataFrame = {
+                     hashFn: Column => Column = c => xxhash64(c),
+                     maxDocChars: Int = Int.MaxValue): DataFrame = {
     val sh = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism * 2)
       .select(col(idCol).as("id"),
-        transform(Text.tokens(lower(col(textCol))), t => hashFn(t)).as("th"))
+        transform(Text.tokens(lower(capText(col(textCol), maxDocChars))),
+          t => hashFn(t)).as("th"))
       .select(col("id"), simhashFromHashes(col("th")).as("h"))
     hammingNearDup(sh, maxDist)
   }

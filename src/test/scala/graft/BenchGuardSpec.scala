@@ -35,4 +35,62 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(regs == Seq("a: exchanges 3 > floor 1",
       "b: exchanges 2 > floor 1"))
   }
+
+  // ---- floor provenance + the re-seed guard (VERDICT r10 #4) ----------
+
+  test("mergeFloors stamps new seeds and improvements, inherits the rest") {
+    val (q, prov, refused) = Bench.mergeFloors(
+      floorQ0 = Map("q_old" -> 2.0, "q_beat" -> 3.0),
+      prov0 = Map("q_old" -> "full-run@h@2026-01-01",
+        "q_beat" -> "full-run@h@2026-01-01"),
+      okResults = Map("q_old" -> 2.5, "q_beat" -> 1.5, "q_new" -> 4.0),
+      gateNames = Set("q_old", "q_beat", "q_new"),
+      stamp = "full-run@h@2026-08-16")
+    assert(refused.isEmpty)
+    assert(q == Map("q_old" -> 2.0, "q_beat" -> 1.5, "q_new" -> 4.0))
+    assert(prov("q_old") == "full-run@h@2026-01-01")   // inherited
+    assert(prov("q_beat") == "full-run@h@2026-08-16")  // improved
+    assert(prov("q_new") == "full-run@h@2026-08-16")   // fresh seed
+  }
+
+  test("mergeFloors refuses a full-run re-seed of a half-deleted entry") {
+    // value deleted, provenance left behind: the r10 doc_simhash pattern
+    val (q, prov, refused) = Bench.mergeFloors(
+      floorQ0 = Map.empty,
+      prov0 = Map("q_simhash" -> "full-run@h@2026-01-01"),
+      okResults = Map("q_simhash" -> 1.65),
+      gateNames = Set("q_simhash"),
+      stamp = "full-run@h@2026-08-16")
+    assert(refused == Set("q_simhash"))
+    assert(!q.contains("q_simhash"), "refused seed must stay valueless")
+    // the old line survives so the guard stays armed next run
+    assert(prov("q_simhash") == "full-run@h@2026-01-01")
+  }
+
+  test("mergeFloors seeds a truly fresh gate (no value, no provenance)") {
+    val (q, _, refused) = Bench.mergeFloors(
+      Map.empty, Map.empty, Map("q_new" -> 1.0), Set("q_new"), "s@h@d")
+    assert(refused.isEmpty && q == Map("q_new" -> 1.0))
+  }
+
+  test("writeFloor/loadFloor round-trips all four sections") {
+    val tmp = java.nio.file.Files.createTempFile("graft_floor", ".json")
+    try {
+      Bench.writeFloor("/sf/x",
+        queries = Map("q1" -> 1.25, "q2" -> 0.5),
+        rates = Map("write" -> 2.7e7),
+        plans = Map("q1" -> 4.0),
+        prov = Map("q1" -> "subset-converged@h@2026-08-16"),
+        path = tmp)
+      val (q, r, p, prov, ok) = Bench.loadFloor("/sf/x", tmp)
+      assert(ok)
+      assert(q == Map("q1" -> 1.25, "q2" -> 0.5))
+      assert(r == Map("write" -> 2.7e7))
+      assert(p == Map("q1" -> 4.0))
+      assert(prov == Map("q1" -> "subset-converged@h@2026-08-16"))
+      // sf binding: a dev run at another sf reads empty and must not write
+      val (q2, _, _, _, ok2) = Bench.loadFloor("/sf/other", tmp)
+      assert(q2.isEmpty && !ok2)
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
 }

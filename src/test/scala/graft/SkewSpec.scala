@@ -84,4 +84,108 @@ class SkewSpec extends SparkFunSuite {
     val rows = timed("sax")(df.collect())
     assert(rows.length == 1)
   }
+
+  // ---- giant-DOCUMENT skew ------------------------------------------------
+  // The text twin of the giant-series risk: one multi-MB document's
+  // shingle set is a multi-million-element hash array inside ONE row
+  // (single-task signature work, row-size pressure on every shuffle
+  // carrying it). The reference engine refuses the regime outright
+  // (4096-byte event-payload cap, include/akumuli_def.h:120); we accept
+  // unbounded text, so these cases prove (a) the uncapped path stays
+  // LINEAR on a ~7 MB doc, (b) the maxDocChars valve bounds a ~55 MB
+  // doc to prefix-scale work without losing its dup pair, (c) capped
+  // and uncapped results are IDENTICAL when no doc exceeds the cap, and
+  // (d) the span-trim explode survives a 2M-token doc.
+
+  import graft.llm.Dedup
+
+  /** Deterministic pseudo-random word stream (~7 bytes/token): an
+    * independent 30000-word vocabulary draw per salt, so docs with
+    * different salts share essentially no trigram shingles (an
+    * arithmetic progression mod vocab would alias every doc onto the
+    * SAME 30000 trigrams and pair everything with everything). */
+  private def words(n: Int, salt: Long = 0L): String = {
+    val rnd = new java.util.SplittableRandom(salt)
+    val sb = new StringBuilder(n * 7)
+    var i = 0
+    while (i < n) {
+      sb.append('w').append(rnd.nextInt(30000))
+      sb.append(' ')
+      i += 1
+    }
+    sb.result()
+  }
+
+  test("7MB single document: uncapped minhash dedup stays linear") {
+    val sp = spark
+    import sp.implicits._
+    val base = words(1000000) // ~7 MB, 1M tokens
+    val nearDup = base.substring(0, (base.length * 0.9).toInt) +
+      words(100000, salt = 99) // 90% shared prefix -> jaccard ~0.8
+    val docs = (Seq((1L, base), (2L, nearDup)) ++
+      (10L until 30L).map(i => (i, words(200, salt = i)))).toDF("doc_id", "text")
+    // bands*rowsPerBand = 16 signature hashes: 16 passes over a
+    // 1M-element hash array per giant doc — linear, one task each
+    val pairs = timed("giant-lsh") {
+      Dedup.minhashLsh(docs, n = 3, bands = 8, rowsPerBand = 2,
+        threshold = 0.5).select("a", "b").as[(Long, Long)].collect().toSet
+    }
+    assert(pairs.contains((1L, 2L)),
+      s"giant near-dup pair must survive the uncapped path: $pairs")
+  }
+
+  test("55MB single document: maxDocChars valve bounds signature work") {
+    val sp = spark
+    import sp.implicits._
+    val base = words(8000000) // ~55 MB, 8M tokens
+    val nearDup = base + words(1000, salt = 7) // shared 55MB prefix
+    val docs = (Seq((1L, base), (2L, nearDup)) ++
+      (10L until 30L).map(i => (i, words(200, salt = i)))).toDF("doc_id", "text")
+    val pairs = timed("giant-capped") {
+      Dedup.minhashLsh(docs, n = 3, bands = 8, rowsPerBand = 2,
+        threshold = 0.5, maxDocChars = 200000)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+    }
+    // prefix fingerprinting: identical within the cap => found at j=1.0
+    assert(pairs.contains((1L, 2L)),
+      s"prefix-identical giants must pair under the cap: $pairs")
+  }
+
+  test("capped == uncapped when no document exceeds the cap") {
+    val sp = spark
+    import sp.implicits._
+    val docs = (0L until 200L).map { i =>
+      // 40 dup families of 5 members: member 0 exact base, others with
+      // a distinct short suffix -> organic near-dup structure
+      val fam = i % 40
+      (i, words(300, salt = fam) + words(10, salt = 1000 + i))
+    }.toDF("doc_id", "text")
+    def run(cap: Int) =
+      Dedup.minhashLsh(docs, n = 3, bands = 16, rowsPerBand = 2,
+        threshold = 0.5, maxDocChars = cap)
+        .select("a", "b", "jaccard").as[(Long, Long, Double)]
+        .collect().toSet
+    val uncapped = run(Int.MaxValue)
+    val capped = timed("cap-equiv")(run(100000)) // every doc < 100k chars
+    assert(uncapped.nonEmpty, "corpus must produce organic pairs")
+    assert(capped == uncapped,
+      "valve must be a no-op when every doc fits under the cap")
+  }
+
+  test("2M-token single document: span-trim explode stays linear") {
+    val sp = spark
+    import sp.implicits._
+    val span = words(1000, salt = 5)
+    // the same 1000-token span planted at both ends of a 2M-token doc:
+    // the second occurrence's windows must be cut, first kept
+    val giant = span + words(2000000, salt = 3) + span
+    val docs = Seq((1L, giant)).toDF("doc_id", "text")
+    val out = timed("giant-trim") {
+      Dedup.trimDuplicateSpans(docs, k = 8).select("n_removed")
+        .as[Int].head()
+    }
+    // every window of the trailing copy is a duplicate of the leading
+    // copy's window at the same offset -> the full 1000-token tail goes
+    assert(out >= 1000, s"trailing planted span must be trimmed: $out")
+  }
 }
