@@ -128,7 +128,29 @@ def render(gates) -> str:
         "`Dedup.lshTuningReport(maxDocs)` bounds the diagnostic to a",
         "deterministic sample; `Multimodal` near-dup uses a max-bucket",
         "black-frame valve. `Dedup.minhashLshStarRejected` is the star form's",
-        "under-merge signal (hub edges that failed exact verification).",
+        "under-merge signal (hub edges that failed exact verification);",
+        "`Dedup.lshOverCapBuckets` names every bucket a `maxBucket` cap dropped",
+        "(empty output proves the cap changed nothing). `maxDocChars` on the",
+        "signature ops (`minhashLsh`/`minhashLshStar`/`simhashNearDup`) is the",
+        "giant-document valve: fingerprints cover at most the first N characters",
+        "(prefix fingerprinting), so one 100 MB document can't become a",
+        "25M-element hash array in a single row — default off.",
+        "",
+        "Posture for corpora with unreliable size statistics: when a frame's",
+        "estimated size is far below its real volume (explode-constructed",
+        "replicas, selective-looking UDF filters, fresh tables without ANALYZE),",
+        "Catalyst's ESTIMATE-driven static broadcasts will happily plan a",
+        "multi-GB driver collect. Disable them and let AQE promote joins from",
+        "measured runtime shuffle sizes instead — set",
+        "`spark.sql.autoBroadcastJoinThreshold=-1` and keep",
+        "`spark.sql.adaptive.autoBroadcastJoinThreshold` at its normal value",
+        "(`ScaleCheck.scala` does exactly this above factor 100, where the",
+        "estimate error reaches 1000x; a 1 GiB+ driver collect killed the star",
+        "dedup before the switch). Multi-stage pipeline compositions should also",
+        "materialize stage boundaries (`localCheckpoint` or intermediate parquet)",
+        "— an un-cut lineage re-executes the whole prefix per downstream",
+        "reference and multiplies the logical-plan tree per stage, which blows",
+        "the DRIVER heap on planning alone before a single task runs.",
         "",
     ]
     ordered_titles = [t for _, t in GROUPS] + ["Other"]

@@ -426,6 +426,21 @@ object ScaleCheck {
       Dedup.neardupAgainstIndex(docs.filter(col("doc_id") % 4 === 0), tmp,
         threshold = 0.5).count()
     }
+    timed("doc_neardup_incremental_star") {
+      // the dedup-DECISION probe at scale: same index/batch split, but
+      // each new doc verifies against bucket hubs only (Θ(batch×bands)).
+      // The pair form above is quadratic in dup-family size — at factor
+      // 1000 a replica family yields ~187k pairs and ~12M raw band
+      // candidates PER FAMILY, so the star probe is the shape that
+      // graduates to 1000x.
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_sc_lshstar").toString
+      Dedup.writeLshIndex(docs.filter(col("doc_id") % 4 =!= 0), tmp,
+        n = 3, bands = 64, rowsPerBand = 2)
+      Dedup.neardupAgainstIndexStar(docs.filter(col("doc_id") % 4 === 0),
+        tmp, threshold = 0.5)
+        .select(col("id")).distinct().count()
+    }
     timed("embed_ivf_update") {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_sc_ivfu").toString

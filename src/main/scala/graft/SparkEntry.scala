@@ -2137,6 +2137,42 @@ object SparkEntry {
       Some(ngramJaccardOracle.replace("WHERE jaccard >= 0.5",
         "WHERE jaccard >= 0.5 AND (a % 4 = 0 OR b % 4 = 0)"))),
 
+    // -- dedup: STAR-form incremental probe (the dedup-decision twin) ----
+    // Same index/batch split as doc_neardup_incremental, but each new
+    // doc verifies against bucket HUBS only — Θ(batch × bands), the
+    // 1000x-survivable shape (the pair form is quadratic in dup-family
+    // size). The gate projects the DECISION: which new docs duplicate
+    // the stored corpus. Oracle = exact EXISTS over all (new, stored)
+    // jaccards — recall 1 on this corpus because dup families are tight
+    // (every member verifies against any bucket hub of its family).
+    "doc_neardup_incremental_star" -> Gated(
+      (s, d) => {
+        val docs = TestData.table(s, d, "documents")
+        val tmp = scratch("graft_lshidx_star", d)
+        Dedup.writeLshIndex(docs.filter(col("doc_id") % 4 =!= 0), tmp,
+          n = 3, bands = 64, rowsPerBand = 2)
+        Dedup.neardupAgainstIndexStar(docs.filter(col("doc_id") % 4 === 0),
+            tmp, threshold = 0.5)
+          .select(col("id").as("doc_id")).distinct()
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+             |  FROM documents),
+             |grams AS (
+             |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+             |    THEN list_transform(range(1, len(t) - 1),
+             |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+             |    ELSE [] END) AS g
+             |  FROM toks)
+             |SELECT DISTINCT x.doc_id
+             |FROM grams x JOIN grams y
+             |  ON x.doc_id % 4 = 0 AND y.doc_id % 4 <> 0
+             |WHERE len(list_intersect(x.g, y.g))::DOUBLE /
+             |    (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g)))
+             |    >= 0.5
+             |ORDER BY 1""".stripMargin)),
+
     // -- dedup: near-dup pair graph -> connected components --------------
     // (node, component=min reachable id) over the minhash pair set; the
     // oracle walks the same pair set to a fixpoint with a recursive CTE.

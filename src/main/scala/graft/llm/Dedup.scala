@@ -954,6 +954,73 @@ object Dedup {
     }
   }
 
+  /** Incremental near-dup probe in STAR form — the dedup-DECISION twin
+    * of [[neardupAgainstIndex]], Θ(batch × bands) instead of quadratic
+    * in dup-family size. The pair form enumerates every batch×index
+    * pair inside each colliding bucket: with d-member dup families
+    * split i/b between index and batch, that is i·b pairs per family
+    * per band BEFORE dedup — at a 1000-replica family (750 indexed,
+    * 250 new) ≈ 187k final pairs and ~12M raw band candidates per
+    * family, tens of billions corpus-wide. Here each (band, bandhash)
+    * bucket of the STORED band table elects one hub (min id — no
+    * re-shingling of history), and a new doc verifies against only the
+    * hubs of buckets it collides with: per new doc at most `bands`
+    * verified edges, whatever the family size.
+    *
+    * Product: "which NEW docs duplicate the stored corpus, with a
+    * verified witness" — (id, hub, jaccard), one row per colliding
+    * (new doc, hub) with jaccard >= threshold. Use the pair form when
+    * the full pair list is the ask. Batch-INTERNAL duplicates are out
+    * of scope by design (run [[minhashLshStar]] on the batch — also
+    * Θ(batch)); mixing batch hubs in here would make "who gets flagged"
+    * depend on batch composition. Recall caveat mirrors
+    * [[minhashLshStar]]: a true near-dup of SOME family member is
+    * flagged only if it verifies against a colliding bucket's hub —
+    * exact for crawl-tight families, conservative when similarity is
+    * non-transitive. */
+  def neardupAgainstIndexStar(newDocs: DataFrame, path: String,
+                              threshold: Double = 0.5,
+                              textCol: String = "text",
+                              idCol: String = "doc_id"): DataFrame = {
+    val spark = newDocs.sparkSession
+    val Array(n, bands, rowsPerBand) =
+      Embed.readTextFile(spark, lshMetaFile(path)).split(",").map(_.toInt)
+    val newSh = newDocs
+      .repartition(spark.sparkContext.defaultParallelism * 2)
+      .select(col(idCol).as("id"), hashedShingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val newBanded = newSh
+      .select(col("id"),
+        minhashFromHashes(col("sh"), bands * rowsPerBand).as("sig"))
+      .select(col("id"),
+        posexplode(bandHashArr(col("sig"), bands, rowsPerBand)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bandhash")
+    // one hub per stored bucket: a bucket-count-sized aggregate of the
+    // persisted band table — history is never re-shingled
+    val hubs = spark.read.parquet(s"$path/bands")
+      .groupBy(col("band"), col("bandhash"))
+      .agg(min(col("id")).as("hub"))
+    val edges = newBanded.join(hubs, Seq("band", "bandhash"))
+      .filter(col("id") =!= col("hub"))
+      .select(col("id"), col("hub"))
+      .dropDuplicates("id", "hub")
+    val newSets = newSh.select(col("id"), col("sh"),
+      size(col("sh")).as("nsh"))
+    val hubSets = spark.read.parquet(s"$path/sets")
+    edges
+      .join(newSets.select(col("id"), col("sh").as("sha"),
+        col("nsh").as("na")), "id")
+      .join(hubSets.select(col("id").as("hub"), col("sh").as("shb"),
+        col("nsh").as("nb")), "hub")
+      .withColumn("inter",
+        size(array_intersect(col("sha"), col("shb"))).cast("double"))
+      .withColumn("jaccard",
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id"), col("hub"), col("jaccard"))
+  }
+
   /** Incremental near-dup: pairs of a NEW batch against a
     * [[writeLshIndex]] layout (plus new-vs-new pairs within the batch),
     * WITHOUT re-shingling the indexed corpus. The batch's bands join the
