@@ -368,15 +368,16 @@ object ScaleCheck {
         length(col("text")).cast("double")).localCheckpoint()
       Console.err.println(s"[scalecheck]   e2e near-dup survivors: " +
         near.count())
-      // minHits = 25 (not the gate's 3): the synthetic corpus is
-      // template-generated, so a 100-base-doc benchmark shares >= 3
-      // trigrams with ~90% of ALL docs — at 3 the stage (correctly, per
-      // its contract) empties the corpus. 25 is the measured boundary
-      // where only genuine bench near-copies trip (~0.7% of docs), the
-      // regime a real decontamination pass runs in.
+      // benchmark = the gate's FIXED base doc ids (scale-independent
+      // gram set — a modulus-class bench grows with the corpus until
+      // its template grams cover everything and the stage empties the
+      // pipeline); under replication only the r=0 copies match, so the
+      // bench stays 3 docs at every factor and the dropped set is the
+      // replica families of those 3 docs
       val clean = near.join(
-        Dedup.decontaminate(near, docs.filter(col("doc_id") % 50 === 3),
-            n = 3, minHits = 25)
+        Dedup.decontaminate(near,
+            docs.filter(col("doc_id").isin(3L, 53L, 103L)),
+            n = 3, minHits = 3)
           .filter(!col("contaminated")).select("doc_id"),
         Seq("doc_id"), "left_semi").localCheckpoint()
       Console.err.println(s"[scalecheck]   e2e decontaminated: " +
