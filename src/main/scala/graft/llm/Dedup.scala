@@ -1301,7 +1301,8 @@ object Dedup {
                     n: Int = 3, bands: Int = 64, rowsPerBand: Int = 2,
                     threshold: Double = 0.5, textCol: String = "text",
                     idCol: String = "doc_id",
-                    maxBucket: Int = Int.MaxValue): DataFrame = {
+                    maxBucket: Int = Int.MaxValue,
+                    maxDocChars: Int = Int.MaxValue): DataFrame = {
     // maxBucket (minhashLsh's heavy-bucket valve) defaults to DISABLED
     // here: this is a compliance product — an over-cap family silently
     // reporting NO cross-corpus pairs is worse than the pair volume.
@@ -1311,7 +1312,7 @@ object Dedup {
       df.select(col(idCol), col(textCol)).withColumn("__side", lit(s))
     val tagged = side(corpusA, 0).unionByName(side(corpusB, 1))
     val pairs = minhashLsh(tagged, n, bands, rowsPerBand, threshold,
-      textCol, idCol, maxBucket)
+      textCol, idCol, maxBucket, maxDocChars)
     val sides = tagged.select(col(idCol).as("__sid"), col("__side"))
     pairs
       .join(sides.select(col("__sid").as("a"), col("__side").as("__sa")), "a")
@@ -1336,14 +1337,15 @@ object Dedup {
                 bands: Int = 64, rowsPerBand: Int = 2,
                 threshold: Double = 0.5, textCol: String = "text",
                 idCol: String = "doc_id",
-                maxBucket: Int = Int.MaxValue): DataFrame = {
+                maxBucket: Int = Int.MaxValue,
+                maxDocChars: Int = Int.MaxValue): DataFrame = {
     // maxBucket (minhashLsh's heavy-bucket valve) defaults to DISABLED:
     // the matrix is a which-source-copies-which report, and an over-cap
     // family vanishing from its cells inverts the report's conclusion
     // (the MOST duplicated source reads as clean). A capped run should
     // pair with lshOverCapBuckets so the dropped families are named.
     val pairs = minhashLsh(docs, n, bands, rowsPerBand, threshold,
-      textCol, idCol, maxBucket)
+      textCol, idCol, maxBucket, maxDocChars)
     val s = docs.select(col(idCol).as("__sid"),
       col(stratumCol).cast("string").as("__str"))
     pairs

@@ -104,6 +104,37 @@ class IncrementalIndexSpec extends SparkFunSuite {
     assert(pairs2.contains((11L, 20L)) && pairs2.contains((10L, 20L)))
   }
 
+  test("LSH index: STAR probe flags new dups against bucket hubs, " +
+      "stays Θ(batch) on a mega-family, and follows appends") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // a 40-member stored family (the mega-bucket regime the pair probe
+    // is quadratic in) + one unrelated stored doc
+    val corpus = ((1L to 40L).map(i => (i, base)) :+
+      (100L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val tmp = Files.createTempDirectory("graft-lshstar").toString
+    Dedup.writeLshIndex(corpus, tmp, n = 3, bands = 32, rowsPerBand = 2)
+    val batch = Seq(
+      (200L, base),  // exact member of the stored family
+      (201L, "totally different words with no shingles shared at all"))
+      .toDF("doc_id", "text")
+    val edges = Dedup.neardupAgainstIndexStar(batch, tmp, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the family member is flagged with the MIN-id member as witness —
+    // identical docs share every bucket, so every bucket's hub is doc 1
+    // and the output is ONE edge, not 40 pairs
+    assert(edges.toSeq == Seq((200L, 1L, 1.0)),
+      s"expected the single hub edge, got ${edges.toSeq}")
+    // fold the batch in; a later probe must hub against ITS docs too
+    Dedup.appendLshIndex(batch, tmp)
+    val edges2 = Dedup.neardupAgainstIndexStar(
+      Seq((300L, "totally different words with no shingles shared at " +
+        "all plus")).toDF("doc_id", "text"), tmp, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges2.contains((300L, 201L)),
+      s"appended doc 201 must serve as a hub: $edges2")
+  }
+
   test("c4Clean: each rule drops exactly its target") {
     val docs = Seq(
       // survives: two qualifying lines; javascript / short / unpunctuated
