@@ -20,8 +20,11 @@ import org.apache.spark.sql.functions._
   * `--reseed` is the SANCTIONED floor-re-seed path (VERDICT r10 #4): for
   * each named query whose passes CONVERGED (median <= 1.3x min — i.e.
   * the isolated minimum is reproducible, not one lucky pass), the ledger
-  * entry in BENCH_floor.json is REPLACED (up or down) with the converged
-  * minimum and stamped `subset-converged@host@date` provenance. A full
+  * entry in BENCH_floor.json is LOWERED-or-seeded to the converged
+  * minimum and stamped `subset-converged@host@date` provenance; an
+  * existing lower floor is kept (a converged-but-contended subset must
+  * not degrade the ledger — delete the value entry first for a
+  * deliberate upward re-seed after a plan change). A full
   * Bench run refuses to seed an entry whose value was deleted but whose
   * provenance remains, so deliberate re-seeds flow through here and the
   * ledger records where every floor came from. Unconverged queries are
@@ -88,11 +91,23 @@ object BenchSubset {
           f"[subset] NOT reseeding $k: unconverged (min $mn%.3f, " +
             f"median $md%.3f > 1.3x) — rerun on a quieter host") }
         if (conv.nonEmpty) {
-          val q = q0 ++ conv.map { case (k, (mn, _)) => k -> mn }
-          val prov = prov0 ++ conv.map { case (k, _) => k -> stampVal }
-          Bench.writeFloor(sfDir, q, r0, p0, prov)
-          conv.foreach { case (k, (mn, _)) => Console.err.println(
-            f"[subset] reseeded floor $k = $mn%.3f s ($stampVal)") }
+          // never RAISE an existing floor: a converged subset on a busy
+          // host is still reproducibly-contended, and silently replacing
+          // a better floor upward degrades the ledger. An intentional
+          // upward re-seed (plan changed) deletes the value entry first
+          // — the seed below then records the converged minimum.
+          val (seeds, kept) = conv.partition { case (k, (mn, _)) =>
+            q0.get(k).forall(mn < _) }
+          kept.foreach { case (k, (mn, _)) => Console.err.println(
+            f"[subset] keeping floor $k = ${q0(k)}%.3f s (converged " +
+              f"$mn%.3f is no better; delete the entry to re-seed up)") }
+          if (seeds.nonEmpty) {
+            val q = q0 ++ seeds.map { case (k, (mn, _)) => k -> mn }
+            val prov = prov0 ++ seeds.map { case (k, _) => k -> stampVal }
+            Bench.writeFloor(sfDir, q, r0, p0, prov)
+            seeds.foreach { case (k, (mn, _)) => Console.err.println(
+              f"[subset] reseeded floor $k = $mn%.3f s ($stampVal)") }
+          }
         }
       }
     }
