@@ -137,7 +137,12 @@ object Bench {
       // avoids a JSON dep
       val txt = new String(java.nio.file.Files.readAllBytes(path),
         java.nio.charset.StandardCharsets.UTF_8)
-      val entry = """"([^"]+)"\s*:\s*(-?[0-9.eE+]+)""".r
+      // the exponent needs its own sign: Double.toString(9.5e-4) is
+      // "9.5E-4", and a class without '-' would stop the match at "9.5E"
+      // and make toDouble throw — blanking the WHOLE ledger (fails
+      // closed, but every floor check is lost)
+      val entry =
+        """"([^"]+)"\s*:\s*(-?[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)""".r
       val sentry = """"([^"]+)"\s*:\s*"([^"]*)"""".r
       def body(key: String): Option[String] =
         ("\"" + key + "\"\\s*:\\s*\\{").r.findFirstMatchIn(txt)
@@ -206,8 +211,13 @@ object Bench {
                   okResults: Map[String, Double], gateNames: Set[String],
                   stamp: String)
   : (Map[String, Double], Map[String, String], Set[String]) = {
-    val refused = okResults.keySet
-      .filter(k => !floorQ0.contains(k) && prov0.contains(k))
+    // every provenance line whose value is absent stays armed — including
+    // gates that ERRORED or didn't run this pass. Keying refusal off
+    // okResults would drop the orphan line for an absent gate, and the
+    // NEXT full run would seed the floor freshly, bypassing exactly the
+    // guard the provenance exists to arm.
+    val refused = prov0.keySet
+      .filter(k => !floorQ0.contains(k) && gateNames(k))
     val floorQ = (floorQ0.keySet ++ okResults.keySet).filter(gateNames)
       .filterNot(refused)
       .map { k =>
@@ -504,6 +514,35 @@ object Bench {
     // this-run seconds. BENCH_full.json still carries everything.
     val over2x = okResults.count { case (k, v) =>
       floorQ0.get(k).exists(f => f > 0 && v > 2 * f) }
+    // Self-adjudication (VERDICT r11 #2): a query >2x its floor in the
+    // sweep is either a plan regression or the sweep's neighborhood (GC/
+    // page-cache state left by the previous 200 queries). Previously only
+    // a manual BenchSubset repro could tell them apart — the committed
+    // artifact couldn't adjudicate itself. Now the same session re-times
+    // exactly the flagged queries in isolation (3 passes, keep the min)
+    // and records {run_sec, isolated_min, verdict}: `contention` when the
+    // isolated minimum lands back under 2x floor, `regression` when even
+    // isolated passes stay over — the one case worth a human's plan read.
+    val flagged = okResults.filter { case (k, v) =>
+      floorQ0.get(k).exists(f => f > 0 && v > 2 * f) }
+    val adjudication = flagged.toSeq.sortBy(_._1).map { case (k, runSec) =>
+      val fl = floorQ0(k)
+      val isoMin = (0 until 3).map { i =>
+        try {
+          val t0 = System.nanoTime()
+          SparkEntry.queries(k)(spark, sfDir).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          Console.err.println(f"[adjudicate] $k%-32s pass$i $dt%7.3f s")
+          dt
+        } catch { case _: Throwable => Double.MaxValue }
+      }.min
+      val verdict =
+        if (isoMin == Double.MaxValue) "error"
+        else if (isoMin <= 2 * fl) "contention"
+        else "regression"
+      f""""$k":{"run_sec":$runSec%.3f,"isolated_min":$isoMin%.3f,""" +
+        f""""x_floor_isolated":${isoMin / fl}%.2f,"verdict":"$verdict"}"""
+    }.mkString("{", ",", "}")
     val worst = okResults
       .flatMap { case (k, v) => floorQ0.get(k).filter(_ > 0)
         .map(f => (k, v, v / f)) }
@@ -545,7 +584,8 @@ object Bench {
         s""""write_clustered_samples_per_sec":$clusteredRate,""" +
         s""""compact_samples_per_sec":$compactRate,""" +
         s""""this_run":{"total_sec":$total,"contention_factor":$contention,""" +
-        s""""n_over_2x_floor":$over2x,"worst_vs_floor":$worst},""" +
+        s""""n_over_2x_floor":$over2x,"adjudication":$adjudication,""" +
+        s""""worst_vs_floor":$worst},""" +
         s""""sf":"$sfDir"}"""
       }
     println(json)

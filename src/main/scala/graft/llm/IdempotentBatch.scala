@@ -76,9 +76,17 @@ private[llm] object IdempotentBatch {
     val fs = tgt.getFileSystem(conf)
     val staging = new Path(tgt, s".staging-$batchId")
     write(staging.toString)
-    // clear a previous (possibly partial) landing of this batch
+    // clear a previous (possibly partial) landing of this batch. Match
+    // the landed name EXACTLY (batch-<id>-<numeric index>.parquet): a
+    // prefix test would also delete batch "b1-retry"'s files when
+    // replaying batch "b1", since batchId may itself contain '-'
+    // (e.g. "snap-2026-08-15").
+    val landedName =
+      java.util.regex.Pattern.compile(
+        "^batch-" + java.util.regex.Pattern.quote(batchId) +
+          "-\\d+\\.parquet$")
     listDataFiles(fs, tgt)
-      .filter(_.getName.startsWith(s"batch-$batchId-"))
+      .filter(p => landedName.matcher(p.getName).matches())
       .foreach(p => fs.delete(p, false))
     // land staged files under deterministic names, preserving the
     // partition directory layout (e.g. ivf_cell=3/...)

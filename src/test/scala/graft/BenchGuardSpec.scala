@@ -73,6 +73,41 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(refused.isEmpty && q == Map("q_new" -> 1.0))
   }
 
+  test("mergeFloors keeps the orphan provenance of a gate absent from " +
+      "this run (errored gate must not disarm the re-seed guard)") {
+    // value deleted, provenance left, and the gate ERRORED this run (not
+    // in okResults): the line must survive the merge, or the NEXT full
+    // run would seed the floor freshly with the guard silently gone
+    val (q, prov, refused) = Bench.mergeFloors(
+      floorQ0 = Map("q_live" -> 1.0),
+      prov0 = Map("q_guarded" -> "full-run@h@2026-01-01"),
+      okResults = Map("q_live" -> 1.2),
+      gateNames = Set("q_live", "q_guarded"),
+      stamp = "full-run@h@2026-08-16")
+    assert(refused == Set("q_guarded"))
+    assert(!q.contains("q_guarded"))
+    assert(prov("q_guarded") == "full-run@h@2026-01-01")
+    // ...while a DELETED gate's orphan line is pruned with the gate
+    val (_, prov2, refused2) = Bench.mergeFloors(
+      Map.empty, Map("q_gone" -> "full-run@h@2026-01-01"),
+      Map.empty, Set("q_other"), "s@h@d")
+    assert(refused2.isEmpty && !prov2.contains("q_gone"))
+  }
+
+  test("loadFloor parses values with signed exponents (9.5E-4 style)") {
+    // Double.toString of a sub-1e-3 floor serializes with a negative
+    // exponent; a regex that can't match it blanks the entire ledger
+    val tmp = java.nio.file.Files.createTempFile("graft_floor_exp", ".json")
+    try {
+      Bench.writeFloor("/sf/x",
+        queries = Map("q_tiny" -> 9.5e-4, "q_big" -> 1.3e7),
+        rates = Map.empty, plans = Map.empty, prov = Map.empty, path = tmp)
+      val (q, _, _, _, ok) = Bench.loadFloor("/sf/x", tmp)
+      assert(ok, "a tiny floor must not freeze the ledger")
+      assert(q == Map("q_tiny" -> 9.5e-4, "q_big" -> 1.3e7))
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+
   test("writeFloor/loadFloor round-trips all four sections") {
     val tmp = java.nio.file.Files.createTempFile("graft_floor", ".json")
     try {

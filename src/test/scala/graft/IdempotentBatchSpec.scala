@@ -100,4 +100,26 @@ class IdempotentBatchSpec extends SparkFunSuite {
     Dedup.appendSpanIndex(batch, tmp)
     assert(sp.read.parquet(s"$tmp/wh").count() > n1)
   }
+
+  test("replaying batch 'b1' must not clear batch 'b1-retry' " +
+      "(hyphenated ids are the documented convention)") {
+    // the landed-file clear matches batch-<id>-<index>.parquet EXACTLY;
+    // a prefix test would see "batch-b1-retry-0.parquet".startsWith(
+    // "batch-b1-") and silently drop b1-retry's rows on a b1 replay
+    def words(n: Int, off: Int) =
+      (0 until n).map(i => s"w${i + off}").mkString(" ")
+    val tmp = Files.createTempDirectory("graft-idem-hyphen").toString
+    Dedup.writeSpanIndex(Seq((1L, words(30, 0))).toDF("doc_id", "text"),
+      tmp, k = 5)
+    Dedup.appendSpanIndex(Seq((2L, words(30, 100))).toDF("doc_id", "text"),
+      tmp, batchId = Some("b1"))
+    Dedup.appendSpanIndex(Seq((3L, words(30, 200))).toDF("doc_id", "text"),
+      tmp, batchId = Some("b1-retry"))
+    val full = sp.read.parquet(s"$tmp/wh").count()
+    // replay b1: b1's own rows replaced, b1-retry's rows untouched
+    Dedup.appendSpanIndex(Seq((2L, words(30, 100))).toDF("doc_id", "text"),
+      tmp, batchId = Some("b1"))
+    assert(sp.read.parquet(s"$tmp/wh").count() == full,
+      "b1 replay dropped another batch's rows")
+  }
 }
