@@ -21,11 +21,14 @@ object PlanAudit {
       println(s"===== $q =====")
       try {
         val df = SparkEntry.queries(q)(spark, sfDir)
+        val t0 = System.nanoTime()
         val plan = df.queryExecution.executedPlan.toString
+        val planMs = (System.nanoTime() - t0) / 1000000L
         val exchanges = "Exchange hash|Exchange range".r.findAllIn(plan).size
         val bcasts = "BroadcastExchange".r.findAllIn(plan).size
         val (pRead, pTotal) = Bench.partitionPruning(df)
         println(s"shuffle-exchanges=$exchanges broadcasts=$bcasts" +
+          s" plan_ms=$planMs" +
           (if (pTotal > 0) s" partitions=$pRead/$pTotal" else ""))
         println(plan.linesIterator.filter(l =>
           l.contains("Exchange") || l.contains("Join") ||

@@ -135,6 +135,19 @@ object ScaleCheck {
     // published SCALECHECK numbers and keeps 100x honest.
     val knnCells = math.max(16, 16 * factor / 10)
     val ivfCells = math.max(64, 64 * factor / 10)
+    // Past a few hundred cells the flat O(k·dim)-per-row assignment is
+    // the measured scale-killer (r11's 1000x run: embed_knn_clusters
+    // grew 42x in wall for 10x data at k=1600), so the celled k-means
+    // consumers switch to the two-level routed kernel
+    // (Embed.buildCentroidIndex — O(√k·dim) per row). Threshold 256
+    // keeps every factor <= 100 run on the flat path, bit-identical to
+    // the published SCALECHECK/SCALECHECK100 numbers.
+    val hierAssign = knnCells > 256
+    def knnIndex(cents: Seq[Seq[Double]]): Option[Embed.CentroidIndex] =
+      if (hierAssign) Some(Embed.buildCentroidIndex(cents)) else None
+    def knnCentroids(): Seq[Seq[Double]] =
+      Embed.kmeansCentroids(emb, k = knnCells, iters = 2,
+        hierarchical = hierAssign)
     val secs = scala.collection.mutable.LinkedHashMap[String, Double]()
     val rows = scala.collection.mutable.LinkedHashMap[String, Long]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -175,8 +188,9 @@ object ScaleCheck {
       // 4-centroid variant above measures the gate shape and at high
       // factors its cells exceed maxCell and the valve (correctly)
       // drops them, which certifies the valve but not the dedup
-      val cents = Embed.kmeansCentroids(emb, k = knnCells, iters = 2)
-      Embed.semDedup(emb, cents, threshold = 0.4).count()
+      val cents = knnCentroids()
+      Embed.semDedup(emb, cents, threshold = 0.4,
+        hier = knnIndex(cents)).count()
     }
     timed("bpe_train") {
       Bpe.trainBatched(Bpe.wordVocab(docs), k = 6)._1.size.toLong
@@ -224,8 +238,9 @@ object ScaleCheck {
     timed("embed_knn_graph_ivf") {
       // brute kNN graph is O(n²) scans by design; at factor-x volume
       // only the celled path is run (the brute regime is gate-verified)
-      val cents = Embed.kmeansCentroids(emb, k = knnCells, iters = 2)
-      Embed.knnGraphCells(emb, k = 5, cents, probes = 2).count()
+      val cents = knnCentroids()
+      Embed.knnGraphCells(emb, k = 5, cents, probes = 2,
+        hier = knnIndex(cents)).count()
     }
     timed("embed_random_projection") {
       Embed.randomProjectSigned(emb, outDim = 16).count()
@@ -409,8 +424,9 @@ object ScaleCheck {
       nExported
     }
     timed("embed_knn_clusters") {
-      val cents = Embed.kmeansCentroids(emb, k = knnCells, iters = 2)
-      Embed.knnClusters(Embed.knnGraphCells(emb, k = 3, cents, probes = 2))
+      val cents = knnCentroids()
+      Embed.knnClusters(Embed.knnGraphCells(emb, k = 3, cents, probes = 2,
+          hier = knnIndex(cents)))
         .count()
     }
     timed("ts_series_overview") {
@@ -598,6 +614,54 @@ object ScaleCheck {
         q.processAllAvailable()
       } finally q.stop()
       spark.read.parquet(out).count()
+    }
+    timed("ts_anomaly_stream_ordered") {
+      // the event-time-deterministic variant under SCRAMBLED arrival
+      // (whole late half first), with the invariant the unordered op
+      // cannot give: the streamed alert set must EQUAL the static
+      // per-series ts-ordered fold — exact at every factor, no
+      // cross-run constants (the unordered op's 1000x run drifted
+      // 0.97% on micro-batch boundary placement)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_sc_sanord").toString
+      val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+      val sm = store.samples.filter(col("value").isNotNull)
+        .select(col("metric"), col("ts"), col("value"), col("tags"))
+      val mid = graft.model.AkuTime.parseTs("20240116T000000")
+      val maxTs = graft.model.AkuTime.parseTs("20240301T000000")
+      val day = 86400L * 1000000000L
+      def sentinel(ts: Long) = spark.range(1).select(
+        lit("__wm").as("metric"), lit(ts).as("ts"), lit(0.0).as("value"),
+        map_from_arrays(array().cast("array<string>"),
+          array().cast("array<string>")).as("tags"))
+      sm.filter(col("ts") >= mid).write.mode("append").parquet(src)
+      val alerts = graft.streaming.StreamIngest.streamingAnomalyOrdered(
+        spark.readStream.schema(sm.schema).parquet(src),
+        decay = 0.3, k = 1.5, warmup = 3, watermarkDelay = "60 days")
+        .toDF("sname", "ts", "value", "ewma", "sigma")
+      val q = alerts.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) => b.write.mode("append").parquet(out); ()
+        }
+        .start()
+      try {
+        q.processAllAvailable()
+        sm.filter(col("ts") < mid).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        sentinel(maxTs + 90 * day).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        sentinel(maxTs + 120 * day).write.mode("append").parquet(src)
+        q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.read.parquet(out)
+        .filter(col("sname") =!= "__wm").count()
+      val exact = graft.streaming.StreamIngest.anomalyBatchExact(
+        sm, decay = 0.3, k = 1.5, warmup = 3).count()
+      require(streamed == exact,
+        s"ordered stream diverged from the batch fold: $streamed != $exact")
+      streamed
     }
 
     // ---- round-10 additions: composite + sketch paths at volume --------

@@ -4604,6 +4604,90 @@ object SparkEntry {
               |  round(sigma, 6) AS sigma
               |FROM al ORDER BY 1, 2""".stripMargin)),
 
+    // -- event-time-DETERMINISTIC streaming anomaly (VERDICT r11 #5) -----
+    // the arrival order is deliberately SCRAMBLED (the whole late half
+    // lands before the early half) and the op must still match the
+    // ts-ordered recursive-CTE oracle bit-for-bit: the watermark-
+    // buffered fold makes the alert set a pure function of the data,
+    // where streamingAnomaly's trajectory would follow arrival order
+    // (OrderedAnomalySpec proves that op diverges on this shape)
+    "ts_anomaly_stream_ordered" -> Gated(
+      (s, d) => {
+        val collapsed = TestData.events(s, d).samples
+          .filter(col("value").isNotNull)
+          .groupBy(col("metric"), col("ts"))
+          .agg(max(col("value")).as("value"))
+          .withColumn("tags",
+            map_from_arrays(array().cast("array<string>"),
+              array().cast("array<string>")))
+        val mid = AkuTime.parseTs("20240116T000000")
+        val maxTs = AkuTime.parseTs("20240301T000000")
+        val day = 86400L * 1000000000L
+        def sentinel(ts: Long) = s.range(1).select(
+          lit("__wm").as("metric"), lit(ts).as("ts"),
+          lit(0.0).as("value"),
+          map_from_arrays(array().cast("array<string>"),
+            array().cast("array<string>")).as("tags"))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_sanom_ord").toString
+        val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+        // batch 1 = LATE half first: the maximally out-of-order arrival
+        collapsed.filter(col("ts") >= mid).write.mode("append").parquet(src)
+        val alerts = graft.streaming.StreamIngest.streamingAnomalyOrdered(
+          s.readStream.schema(collapsed.schema).parquet(src),
+          decay = 0.3, k = 2.5, warmup = 10, watermarkDelay = "60 days")
+          .toDF("sname", "ts", "value", "ewma", "sigma")
+        val q = alerts.writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             _: Long) => b.write.mode("append").parquet(out); ()
+          }
+          .start()
+        try {
+          q.processAllAvailable()
+          collapsed.filter(col("ts") < mid)
+            .write.mode("append").parquet(src)
+          q.processAllAvailable()
+          // two sentinel batches: the first advances the watermark past
+          // every real row, the second fires the event-time timeouts
+          // that flush the buffered series
+          sentinel(maxTs + 90 * day).write.mode("append").parquet(src)
+          q.processAllAvailable()
+          sentinel(maxTs + 120 * day).write.mode("append").parquet(src)
+          q.processAllAvailable()
+        } finally q.stop()
+        s.read.parquet(out)
+          .filter(col("sname") =!= "__wm")
+          .select(col("sname"), col("ts"), col("value"),
+            round(col("ewma"), 6).as("ewma"),
+            round(col("sigma"), 6).as("sigma"))
+          .orderBy(col("sname"), col("ts"))
+      },
+      Some(s"""WITH RECURSIVE agg AS (
+              |  SELECT event_type AS sname, $tsSql AS t, max(value) AS v
+              |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+              |base AS MATERIALIZED (SELECT sname, t, v, row_number()
+              |    OVER (PARTITION BY sname ORDER BY t) AS rn FROM agg),
+              |r AS (
+              |  SELECT sname, 0 AS rn, 0.0::DOUBLE AS mean,
+              |    0.0::DOUBLE AS varr
+              |  FROM (SELECT DISTINCT sname FROM base)
+              |  UNION ALL
+              |  SELECT b.sname, b.rn,
+              |    r.mean + 0.3 * (b.v - r.mean),
+              |    (1 - 0.3) * (r.varr +
+              |      (b.v - r.mean) * (0.3 * (b.v - r.mean)))
+              |  FROM r JOIN base b ON b.sname = r.sname AND b.rn = r.rn + 1),
+              |al AS (SELECT b.sname, b.t, b.v, r.mean,
+              |    sqrt(r.varr) AS sigma
+              |  FROM base b JOIN r ON r.sname = b.sname AND r.rn = b.rn - 1
+              |  WHERE b.rn - 1 >= 10 AND
+              |    round(abs(b.v - r.mean), 6) > round(2.5 * sigma, 6))
+              |SELECT sname, t AS ts, v AS value, round(mean, 6) AS ewma,
+              |  round(sigma, 6) AS sigma
+              |FROM al ORDER BY 1, 2""".stripMargin)),
+
     // -- series-cardinality growth report (index-melt detector) ----------
     "ts_cardinality_report" -> Gated(
       (s, d) => {

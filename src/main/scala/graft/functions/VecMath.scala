@@ -18,4 +18,10 @@ object VecMath {
                        probes: Int, rounded: Boolean = true): Column =
     org.apache.spark.sql.graftio.VecMath.centroidTopCells(vec, centroids,
       probes, rounded)
+  def hierCentroidTopCells(vec: Column, fine: Seq[Seq[Double]],
+                           coarse: Seq[Seq[Double]],
+                           children: Seq[Seq[Int]], coarseProbes: Int,
+                           probes: Int, rounded: Boolean = true): Column =
+    org.apache.spark.sql.graftio.VecMath.hierCentroidTopCells(vec, fine,
+      coarse, children, coarseProbes, probes, rounded)
 }

@@ -430,4 +430,196 @@ object VecMath {
                        probes: Int, rounded: Boolean = true): Column =
     Columns.of(CentroidTopCells(Columns.exprOf(vec), centroids, probes,
       rounded))
+
+  /** Insert (s, c) into the descending insertion buffers shared by the
+    * centroid kernels — same ordering convention as
+    * [[CentroidTopCells.topCells]]'s inline loop: score descending,
+    * equal scores keep the LATER-inserted (larger, when iterating cids
+    * ascending) cid first, NaN sorts above every real score
+    * (`Double.compare`). Returns the new filled count. */
+  private[graftio] def insertTop(s: Double, c: Int, topS: Array[Double],
+                                 topC: Array[Int], filled: Int): Int = {
+    val cap = topS.length
+    var p = 0
+    while (p < filled && java.lang.Double.compare(s, topS(p)) < 0) p += 1
+    if (p >= cap) return filled
+    var q = math.min(filled, cap - 1)
+    while (q > p) { topS(q) = topS(q - 1); topC(q) = topC(q - 1); q -= 1 }
+    topS(p) = s; topC(p) = c
+    if (filled < cap) filled + 1 else filled
+  }
+
+  /** Two-level (hierarchical) variant of [[CentroidTopCells]] — the
+    * scale-safe assignment kernel for cell counts that grow with the
+    * corpus. Flat assignment is O(k·dim) per row; with k ∝ n (the IVF /
+    * k-means sizing rule) the whole assignment pass turns O(n²) — the
+    * 1000x ScaleCheck measured 42x wall growth for 10x data on exactly
+    * this term. Here the k fine centroids are pre-grouped under
+    * `coarse.size` ≈ √k routing centroids (driver-side, see
+    * `Embed.buildCentroidIndex`): a row scores the coarse set, descends
+    * into its `coarseProbes` nearest groups, and scores ONLY those
+    * groups' fine children — O((√k + coarseProbes·k/√k)·dim) per row,
+    * i.e. O(√k) for balanced groups.
+    *
+    * Within the probed candidate set the scoring convention is
+    * BIT-IDENTICAL to [[CentroidTopCells]]: same `round6` HALF_UP
+    * scores (or raw under `rounded = false`), candidates iterated in
+    * ascending cid order so equal scores keep the larger cid, NaN
+    * sorts above real scores. With `coarseProbes == coarse.size` the
+    * candidate set is ALL fine centroids and the result equals the flat
+    * kernel exactly (the equivalence spec's anchor); with fewer probes
+    * the assignment is approximate in the standard two-level-IVF sense —
+    * a vector whose true nearest fine centroid hides under an unprobed
+    * coarse group is assigned to the best probed one. Coarse routing
+    * uses the same score/tie convention, so the probe choice itself
+    * replays deterministically. */
+  final case class HierCentroidTopCells(child: Expression,
+                                        fine: Seq[Seq[Double]],
+                                        coarse: Seq[Seq[Double]],
+                                        fineChildren: Seq[Seq[Int]],
+                                        coarseProbes: Int, probes: Int,
+                                        rounded: Boolean = true)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with ExpectsInputTypes {
+    require(fine.nonEmpty && coarse.nonEmpty, "no centroids")
+    require(fine.forall(_.size == fine.head.size) &&
+      coarse.forall(_.size == fine.head.size),
+      "ragged or mismatched centroid matrices")
+    require(fineChildren.size == coarse.size,
+      s"children lists (${fineChildren.size}) != coarse count " +
+        s"(${coarse.size})")
+    require(fineChildren.flatten.sorted == fine.indices.toList,
+      "fineChildren must partition the fine centroid ids exactly")
+    require(probes >= 1 && probes <= fine.size,
+      s"probes must be in [1, ${fine.size}]")
+    require(coarseProbes >= 1 && coarseProbes <= coarse.size,
+      s"coarseProbes must be in [1, ${coarse.size}]")
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(AcceptedArray)
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    // same nullability note as CentroidTopCells: null for non-null
+    // inputs too (dimension mismatch, null element)
+    override def nullable: Boolean = true
+    override def prettyName: String = "hier_centroid_top_cells"
+
+    @transient private lazy val childFloat: Boolean =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    @transient private lazy val dim = fine.head.size
+    @transient private lazy val kc = coarse.size
+    @transient private lazy val flatF: Array[Double] = fine.flatten.toArray
+    @transient private lazy val fNorms: Array[Double] =
+      fine.map(c => math.sqrt(c.map(x => x * x).sum)).toArray
+    @transient private lazy val flatC: Array[Double] = coarse.flatten.toArray
+    @transient private lazy val cNorms: Array[Double] =
+      coarse.map(c => math.sqrt(c.map(x => x * x).sum)).toArray
+    // each child list ascending: candidate iteration order must be
+    // ascending GLOBAL cid for the flat kernel's tie convention
+    @transient private lazy val childArr: Array[Array[Int]] =
+      fineChildren.map(_.toArray.sorted).toArray
+
+    private[graftio] def topCellsHier(v: Array[Double]): Array[Int] = {
+      var nv = 0.0
+      var i = 0
+      while (i < dim) { nv += v(i) * v(i); i += 1 }
+      nv = math.sqrt(nv)
+      // stage 1: route to the coarseProbes nearest coarse groups
+      val cS = Array.fill(coarseProbes)(Double.NegativeInfinity)
+      val cC = Array.fill(coarseProbes)(-1)
+      var cf = 0
+      var c = 0
+      while (c < kc) {
+        var dot = 0.0
+        val off = c * dim
+        var j = 0
+        while (j < dim) { dot += v(j) * flatC(off + j); j += 1 }
+        val raw = dot / (nv * cNorms(c))
+        cf = insertTop(if (rounded) round6(raw) else raw, c, cS, cC, cf)
+        c += 1
+      }
+      // stage 2: gather the probed groups' fine children, ascending cid
+      var nCand = 0
+      var p = 0
+      while (p < cf) { nCand += childArr(cC(p)).length; p += 1 }
+      val cand = new Array[Int](nCand)
+      var o = 0
+      p = 0
+      while (p < cf) {
+        val ch = childArr(cC(p))
+        System.arraycopy(ch, 0, cand, o, ch.length)
+        o += ch.length; p += 1
+      }
+      java.util.Arrays.sort(cand)
+      // stage 3: exact argmax over the candidates, flat conventions
+      val tS = Array.fill(probes)(Double.NegativeInfinity)
+      val tC = Array.fill(probes)(-1)
+      var tf = 0
+      var ci = 0
+      while (ci < nCand) {
+        val fc = cand(ci)
+        var dot = 0.0
+        val off = fc * dim
+        var j = 0
+        while (j < dim) { dot += v(j) * flatF(off + j); j += 1 }
+        val raw = dot / (nv * fNorms(fc))
+        tf = insertTop(if (rounded) round6(raw) else raw, fc, tS, tC, tf)
+        ci += 1
+      }
+      java.util.Arrays.copyOf(tC, tf)
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      if (arr.numElements() != dim) return null
+      val v = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        if (arr.isNullAt(i)) return null
+        v(i) = if (childFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(topCellsHier(v))
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, arr => {
+        val self = ctx.addReferenceObj("hierCentroidTopCells", this,
+          classOf[HierCentroidTopCells].getName)
+        val v = ctx.freshName("v")
+        val i = ctx.freshName("i")
+        val bad = ctx.freshName("bad")
+        val get =
+          if (childFloat) s"(double) $arr.getFloat($i)"
+          else s"$arr.getDouble($i)"
+        // same shape as CentroidTopCells: only the copy-in is generated,
+        // the routed two-stage loop stays in compiled scala
+        s"""
+           |boolean $bad = ($arr.numElements() != $dim);
+           |final double[] $v = $bad ? null : new double[$dim];
+           |if (!$bad) {
+           |  for (int $i = 0; $i < $dim; $i++) {
+           |    if ($arr.isNullAt($i)) { $bad = true; break; }
+           |    $v[$i] = $get;
+           |  }
+           |}
+           |if ($bad) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  ${ev.value} = org.apache.spark.sql.catalyst.expressions
+           |    .UnsafeArrayData.fromPrimitiveArray($self.topCellsHier($v));
+           |}
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(
+        newChild: Expression): HierCentroidTopCells =
+      copy(child = newChild)
+  }
+
+  def hierCentroidTopCells(vec: Column, fine: Seq[Seq[Double]],
+                           coarse: Seq[Seq[Double]],
+                           children: Seq[Seq[Int]], coarseProbes: Int,
+                           probes: Int, rounded: Boolean = true): Column =
+    Columns.of(HierCentroidTopCells(Columns.exprOf(vec), fine, coarse,
+      children, coarseProbes, probes, rounded))
 }

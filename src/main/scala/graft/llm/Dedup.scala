@@ -289,7 +289,13 @@ object Dedup {
     // whenever part of a pair's overlap is heavy-carried.
     val heavy = ex.groupBy(col("g")).count().filter(col("count") > maxBucket)
       .select(col("g"))
+    // LAZY lineage cut (same rationale as minhashLsh's `sh`): `bucketed`
+    // feeds the size aggregate and BOTH pair-join sides; uncut, the
+    // shingle-explode + heavy-anti-join subtree re-analyzes 3x —
+    // doc_containment's 734 ms plan time, the fleet's widest — and the
+    // exploded frame re-executes per consumer
     val bucketed = ex.join(broadcast(heavy), Seq("g"), "left_anti")
+      .localCheckpoint(false)
     val sizes = bucketed.groupBy(col("id")).agg(count(lit(1)).as("nsh"))
     val inter = bucketed.alias("l")
       .join(bucketed.alias("r"), col("l.g") === col("r.g") &&
@@ -652,6 +658,16 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .select(col("id"), col("sh"),
         minhashFromHashes(col("sh"), numHashes).as("sig"))
+      // LAZY lineage cut: `sh` feeds the band explode AND both
+      // verification sides, so without the cut the shingle+minhash
+      // expression tree (numHashes fused permutations + the band hash
+      // array) is re-analyzed per consumer — doc_crossdup's 527 ms
+      // plan time was mostly this — and re-EXECUTED per consumer at
+      // run time. eager=false defers the job: blocks materialize on
+      // first action and later consumers read them, no work at
+      // dataframe-construction time (a plan audit builds every gate
+      // without running the corpus pass).
+      .localCheckpoint(false)
     val bandArr = array((0 until bands).map(b =>
       xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)
     // banded rows carry ONLY (id, band, bandhash) — exploding the shingle

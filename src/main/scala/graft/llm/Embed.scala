@@ -190,14 +190,123 @@ object Embed {
       graft.functions.VecMath.centroidTopCells(vec, centroids, 1), 1)
   }
 
+  /** Two-level routing index over a fine centroid set — the scale-safe
+    * assignment path for cell counts that grow with the corpus (the IVF
+    * sizing rule k ∝ n makes flat assignment O(n·k·dim) = O(n²); the
+    * 1000x ScaleCheck measured `embed_knn_clusters` growing 42x in wall
+    * for 10x data on exactly this term). `coarse` ≈ √k routing
+    * centroids group the fine set; `children(c)` lists the fine ids
+    * under coarse c (a partition of `fine.indices`). Assignment routes
+    * through the `coarseProbes` nearest groups and argmaxes only their
+    * children — O(√k·dim) per row for balanced groups, exact within the
+    * probed candidate set (see the kernel scaladoc,
+    * `VecMath.HierCentroidTopCells`). Built deterministically from the
+    * fine set alone ([[buildCentroidIndex]]), so any holder of the fine
+    * centroids — an appender replaying a persisted layout, an external
+    * oracle — reconstructs the identical routing. */
+  final case class CentroidIndex(fine: Seq[Seq[Double]],
+                                 coarse: Seq[Seq[Double]],
+                                 children: Seq[Seq[Int]],
+                                 coarseProbes: Int)
+
+  /** Group `fine` under ~√k coarse routing centroids via driver-side
+    * spherical k-means OVER THE CENTROIDS (k·dim doubles — model-scale
+    * by construction, never touches the corpus). Deterministic: stride
+    * init over the fine set, fixed `iters` Lloyd rounds, larger-cid tie
+    * breaks — two calls on the same fine set build the same index.
+    * `coarseProbes` defaults to 4 (the two-level-IVF regime: ~8x fewer
+    * multiplies than flat at k=1600, growing as √k); raise it toward
+    * `nCoarse` to trade speed back for exactness —
+    * `coarseProbes == nCoarse` IS flat assignment, bit-identical. */
+  def buildCentroidIndex(fine: Seq[Seq[Double]], nCoarse: Int = 0,
+                         coarseProbes: Int = 0,
+                         iters: Int = 8): CentroidIndex = {
+    require(fine.nonEmpty, "no centroids")
+    val k = fine.size
+    val dim = fine.head.size
+    val nc = math.max(1, math.min(k,
+      if (nCoarse > 0) nCoarse else math.ceil(math.sqrt(k.toDouble)).toInt))
+    val cp = math.max(1, math.min(nc,
+      if (coarseProbes > 0) coarseProbes else 4))
+    def unit(v: Seq[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0 || n.isNaN) v.toArray else v.map(_ / n).toArray
+    }
+    val f = fine.map(unit).toArray
+    val coarse: Array[Array[Double]] =
+      Array.tabulate(nc)(i => f((i.toLong * k / nc).toInt).clone())
+    def assign(): Array[Int] = Array.tabulate(k) { i =>
+      var best = 0
+      var bestS = Double.NegativeInfinity
+      var c = 0
+      while (c < nc) {
+        var dot = 0.0
+        var j = 0
+        while (j < dim) { dot += f(i)(j) * coarse(c)(j); j += 1 }
+        // >= : later (larger) cid wins ties, the kernel's convention
+        if (java.lang.Double.compare(dot, bestS) >= 0) { bestS = dot; best = c }
+        c += 1
+      }
+      best
+    }
+    var asg = assign()
+    var it = 0
+    var moved = true
+    while (it < iters && moved) {
+      val sums = Array.fill(nc)(new Array[Double](dim))
+      val cnt = new Array[Int](nc)
+      var i = 0
+      while (i < k) {
+        val c = asg(i); cnt(c) += 1
+        var j = 0
+        while (j < dim) { sums(c)(j) += f(i)(j); j += 1 }
+        i += 1
+      }
+      var c = 0
+      while (c < nc) {
+        if (cnt(c) > 0) {
+          val n = math.sqrt(sums(c).map(x => x * x).sum)
+          if (n > 0) coarse(c) = sums(c).map(_ / n)
+        }
+        c += 1
+      }
+      val next = assign()
+      moved = !java.util.Arrays.equals(next, asg)
+      asg = next
+      it += 1
+    }
+    val children = (0 until nc).map(c => (0 until k).filter(asg(_) == c))
+    CentroidIndex(fine, coarse.map(_.toSeq).toSeq, children, cp)
+  }
+
+  /** Hierarchical [[centroidIdRounded]]: nearest fine cell via the
+    * two-level kernel — exact within the routed candidate set. */
+  private def centroidIdHierRounded(vec: Column,
+                                    idx: CentroidIndex): Column =
+    if (idx.fine.size == 1) lit(0)
+    else element_at(centroidTopCellsHier(vec, idx, 1), 1)
+
+  /** Top-`probes` fine cells via the two-level routed kernel — the
+    * hierarchical sibling of `VecMath.centroidTopCells` (same output
+    * contract: element 1 is the assignment, full array is the probe
+    * list under (score desc, cid desc)). */
+  def centroidTopCellsHier(vec: Column, idx: CentroidIndex, probes: Int,
+                           rounded: Boolean = true): Column =
+    graft.functions.VecMath.hierCentroidTopCells(vec, idx.fine,
+      idx.coarse, idx.children, idx.coarseProbes, probes, rounded)
+
   /** One distributed Lloyd step for spherical k-means: assign every
     * vector to its nearest centroid, then emit the per-(cell, dimension)
     * MEAN of the unit-normalized members. One narrow map (assignment is
     * k fused cosines per row) + one groupBy over (cell, dim) — k·dim
     * result rows, map-side combined; nothing else shuffles. The gate
-    * `embed_kmeans` runs this step against a DuckDB argmax/avg twin. */
+    * `embed_kmeans` runs this step against a DuckDB argmax/avg twin.
+    * `hier` opts the assignment into the two-level routed kernel
+    * (approximate Lloyd — standard for corpus-proportional k; the index
+    * must be built over exactly `centroids`). */
   def kmeansStep(corpus: DataFrame, centroids: Seq[Seq[Double]],
-                 vecCol: String = "embedding"): DataFrame =
+                 vecCol: String = "embedding",
+                 hier: Option[CentroidIndex] = None): DataFrame =
     corpus
       // same zero-norm guard as sampleCentroids: a zero vector normalizes
       // to all-NaN, the NaN enters the cell average, and the poisoned
@@ -205,7 +314,11 @@ object Embed {
       // remaining Lloyd iteration
       .filter(dot(col(vecCol), col(vecCol)) > 0.0)
       .select(normalized(col(vecCol)).as("u"))
-      .select(centroidIdRounded(col("u"), centroids).as("cell"),
+      .select(hier.map { ix =>
+          require(ix.fine == centroids,
+            "hier index was built over a different centroid set")
+          centroidIdHierRounded(col("u"), ix)
+        }.getOrElse(centroidIdRounded(col("u"), centroids)).as("cell"),
         posexplode(col("u")))
       .groupBy(col("cell"), col("pos").as("dim"))
       .agg(avg(col("col")).as("m"))
@@ -215,14 +328,26 @@ object Embed {
     * `iters` rounds of [[kmeansStep]], re-normalizing each mean on the
     * driver (k·dim doubles — the only driver-side state). Cells that
     * lose all members keep their previous centroid. Train once, then
-    * pass the result to BOTH [[writeIvf]] and [[topKIvfStored]]. */
+    * pass the result to BOTH [[writeIvf]] and [[topKIvfStored]].
+    *
+    * `hierarchical = true` routes each iteration's assignment through a
+    * fresh [[buildCentroidIndex]] over that iteration's centroids — the
+    * O(n·√k·dim) training regime for corpus-proportional k, where the
+    * flat per-row k·dim assignment is the measured scale-killer. The
+    * index rebuild is driver-side k·dim work per iteration, negligible
+    * next to the corpus pass it accelerates. */
   def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int = 5,
                       init: Option[Seq[Seq[Double]]] = None,
                       vecCol: String = "embedding",
-                      idCol: String = "vec_id"): Seq[Seq[Double]] = {
+                      idCol: String = "vec_id",
+                      hierarchical: Boolean = false,
+                      nCoarse: Int = 0,
+                      coarseProbes: Int = 0): Seq[Seq[Double]] = {
     var cents = init.getOrElse(sampleCentroids(corpus, k, vecCol, idCol))
     for (_ <- 0 until iters) {
-      val byCell = kmeansStep(corpus, cents, vecCol)
+      val idx = if (hierarchical)
+        Some(buildCentroidIndex(cents, nCoarse, coarseProbes)) else None
+      val byCell = kmeansStep(corpus, cents, vecCol, idx)
         .collect()
         .groupBy(_.getAs[Int]("cell"))
       cents = cents.zipWithIndex.map { case (old, c) =>
@@ -760,7 +885,10 @@ object Embed {
   def semDedupPairs(corpus: DataFrame, centroids: Seq[Seq[Double]],
                     threshold: Double,
                     vecCol: String = "embedding", idCol: String = "vec_id",
-                    maxCell: Long = 100000L): DataFrame = {
+                    maxCell: Long = 100000L,
+                    hier: Option[CentroidIndex] = None): DataFrame = {
+    require(hier.forall(_.fine == centroids),
+      "hier index was built over a different centroid set")
     // materialized once: the plan below consumes `assigned` three times
     // (heavy-cell count + both join sides) — without the checkpoint the
     // k-cosine assignment would re-score the whole corpus three times
@@ -768,7 +896,8 @@ object Embed {
       .filter(dot(col(vecCol), col(vecCol)) > 0.0)
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism * 2)
       .select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("cell", centroidIdRounded(col("v"), centroids))
+      .withColumn("cell", hier.map(centroidIdHierRounded(col("v"), _))
+        .getOrElse(centroidIdRounded(col("v"), centroids)))
       .localCheckpoint()
     val heavy = assigned.groupBy(col("cell")).count()
       .filter(col("count") > maxCell).select(col("cell"))
@@ -790,9 +919,11 @@ object Embed {
   def semDedup(corpus: DataFrame, centroids: Seq[Seq[Double]],
                threshold: Double,
                vecCol: String = "embedding", idCol: String = "vec_id",
-               maxCell: Long = 100000L): DataFrame =
+               maxCell: Long = 100000L,
+               hier: Option[CentroidIndex] = None): DataFrame =
     Dedup.deduplicateClustered(corpus,
-      semDedupPairs(corpus, centroids, threshold, vecCol, idCol, maxCell),
+      semDedupPairs(corpus, centroids, threshold, vecCol, idCol, maxCell,
+        hier),
       idCol)
 
   /** SSL-prototypes data pruning (Sorscher et al. 2022,
@@ -1022,21 +1153,27 @@ object Embed {
     * Output: qid, neighbor_id, score (rounded 6), rnk (1..k). */
   def knnGraphCells(corpus: DataFrame, k: Int, centroids: Seq[Seq[Double]],
                     probes: Int = 2, vecCol: String = "embedding",
-                    idCol: String = "vec_id"): DataFrame = {
+                    idCol: String = "vec_id",
+                    hier: Option[CentroidIndex] = None): DataFrame = {
     require(k > 0 && probes > 0 && centroids.nonEmpty)
     require(probes <= centroids.size, "probes must be <= nCells")
+    require(hier.forall(_.fine == centroids),
+      "hier index was built over a different centroid set")
     import org.apache.spark.sql.expressions.Window
     val nonZero = corpus.filter(dot(col(vecCol), col(vecCol)) > 0.0)
     // ONE corpus pass computes the top-`probes` cells per vector via the
     // fused CentroidTopCells kernel (k x dim multiplies, vector read
-    // once); both join sides project off the checkpointed frame. Element
-    // 1 is the centroidIdRounded assignment (larger-cid ties), the full
-    // array is the probe list under the same (score desc, cid desc)
-    // order the old reverse(array_sort(struct...)) form produced.
+    // once — or the two-level routed kernel under `hier`, √k·dim per
+    // row, for corpus-proportional cell counts); both join sides project
+    // off the checkpointed frame. Element 1 is the centroidIdRounded
+    // assignment (larger-cid ties), the full array is the probe list
+    // under the same (score desc, cid desc) order the old
+    // reverse(array_sort(struct...)) form produced.
+    val cellsExpr = hier.map(centroidTopCellsHier(col(vecCol), _, probes))
+      .getOrElse(graft.functions.VecMath.centroidTopCells(col(vecCol),
+        centroids, probes))
     val base = nonZero.select(col(idCol).as("__id"),
-        col(vecCol).as("__vec"),
-        graft.functions.VecMath.centroidTopCells(col(vecCol), centroids,
-          probes).as("__cells"))
+        col(vecCol).as("__vec"), cellsExpr.as("__cells"))
       .localCheckpoint()
     val assigned = base.select(col("__id").as("neighbor_id"),
       col("__vec").as("__nv"),
@@ -1071,11 +1208,16 @@ object Embed {
     * [[kmeansStep]] argmax) + a k-row aggregate. All derived doubles
     * divide exact longs — engine-portable after round 6. */
   def clusterBalance(corpus: DataFrame, centroids: Seq[Seq[Double]],
-                     vecCol: String = "embedding"): DataFrame = {
+                     vecCol: String = "embedding",
+                     hier: Option[CentroidIndex] = None): DataFrame = {
     require(centroids.nonEmpty)
+    require(hier.forall(_.fine == centroids),
+      "hier index was built over a different centroid set")
     val sizes = corpus
       .filter(dot(col(vecCol), col(vecCol)) > 0.0)
-      .select(centroidIdRounded(normalized(col(vecCol)), centroids)
+      .select(hier.map(ix =>
+          centroidIdHierRounded(normalized(col(vecCol)), ix))
+        .getOrElse(centroidIdRounded(normalized(col(vecCol)), centroids))
         .as("cell"))
       .groupBy(col("cell")).agg(count(lit(1)).as("sz"))
     // global share per cell: the window runs over the k-row cell frame,

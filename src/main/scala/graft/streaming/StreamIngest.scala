@@ -336,7 +336,19 @@ object StreamIngest {
     *
     * Same per-batch ordering/memory bound and `idleTimeout` state-
     * cardinality valve as [[streamingEwma]]. Output: (sname, ts, value,
-    * ewma, sigma) for alert rows only. */
+    * ewma, sigma) for alert rows only.
+    *
+    * DETERMINISM CAVEAT: rows are ts-sorted WITHIN each micro-batch,
+    * so the EW trajectory (and with it the alert set) is exact against
+    * the batch recurrence only when arrival order respects event time
+    * ACROSS batches — i.e. no later micro-batch carries rows older
+    * than an earlier one. Under out-of-order arrival (a backfill, a
+    * file source whose `maxFilesPerTrigger` splits interleaved files)
+    * the trajectory differs; the 1000x ScaleCheck measured a 0.97%
+    * alert-count drift from exactly this. An alerting consumer that
+    * needs replay-exact output under disorder should use
+    * [[streamingAnomalyOrdered]], which buffers to the watermark and
+    * processes in global event-time order. */
   def streamingAnomaly(samples: DataFrame, decay: Double, k: Double,
                        warmup: Int, idleTimeout: Option[String] = None)
       : Dataset[(String, Long, Double, Double, Double)] = {
@@ -359,22 +371,144 @@ object StreamIngest {
         } else {
           var st = state.getOption.getOrElse(AnomalyState(0L, 0.0, 0.0))
           val out = Vector.newBuilder[(String, Long, Double, Double, Double)]
-          rows.toArray.sortBy(_._2).foreach { case (_, ts, v) =>
-            val sigma = math.sqrt(st.varr)
-            if (st.n >= warmup &&
-                rnd6(math.abs(v - st.mean)) > rnd6(k * sigma))
-              out += ((key, ts, v, st.mean, sigma))
-            // West's EW update, fixed op order (the oracle replays it)
-            val diff = v - st.mean
-            val incr = decay * diff
-            st = AnomalyState(st.n + 1, st.mean + incr,
-              (1 - decay) * (st.varr + diff * incr))
-          }
+          st = ewFold(key, rows.toArray.sortBy(_._2)
+            .iterator.map(r => (r._2, r._3)), st, decay, k, warmup, out)
           state.update(st)
           idleTimeout.foreach(state.setTimeoutDuration)
           out.result().iterator
         }
     }
+  }
+
+  /** The EW band fold shared by [[streamingAnomaly]],
+    * [[streamingAnomalyOrdered]] and [[anomalyBatchExact]] — ONE
+    * definition of the recurrence so the three paths cannot drift.
+    * `rows` must already be in the caller's processing order; West's EW
+    * update runs in a FIXED operation order (`diff`, `incr`, then mean,
+    * then variance) so any engine replaying the same rows in the same
+    * order reproduces the exact doubles. */
+  private def ewFold(key: String, rows: Iterator[(Long, Double)],
+                     st0: AnomalyState, decay: Double, k: Double,
+                     warmup: Int,
+                     out: scala.collection.mutable.Builder[
+                       (String, Long, Double, Double, Double), _])
+      : AnomalyState = {
+    var st = st0
+    rows.foreach { case (ts, v) =>
+      val sigma = math.sqrt(st.varr)
+      if (st.n >= warmup &&
+          rnd6(math.abs(v - st.mean)) > rnd6(k * sigma))
+        out += ((key, ts, v, st.mean, sigma))
+      // West's EW update, fixed op order (the oracle replays it)
+      val diff = v - st.mean
+      val incr = decay * diff
+      st = AnomalyState(st.n + 1, st.mean + incr,
+        (1 - decay) * (st.varr + diff * incr))
+    }
+    st
+  }
+
+  /** Carried state for [[streamingAnomalyOrdered]]: rows newer than the
+    * watermark, still awaiting their turn, plus the EW band that has
+    * absorbed everything at or below it. Pending size is bounded by the
+    * series' arrival rate x the watermark delay — the disorder horizon,
+    * not the stream. */
+  final case class OrderedAnomalyState(pending: Vector[(Long, Double)],
+                                       st: AnomalyState)
+
+  /** Event-time-DETERMINISTIC streaming anomaly alerts — the replay-
+    * exact sibling of [[streamingAnomaly]]. That operator processes
+    * rows in arrival order (ts-sorted per micro-batch), so its EW
+    * trajectory depends on how the source splits batches; this one
+    * buffers every row in state until the WATERMARK passes it, then
+    * folds rows in global (ts, value) order. The alert set below the
+    * final watermark is therefore a pure function of the data and the
+    * watermark delay — identical under `maxFilesPerTrigger = 1`, one
+    * mega-batch, or any interleaving (the OrderedAnomalySpec proves
+    * this against scrambled file arrivals), and equal to
+    * [[anomalyBatchExact]] on the same rows.
+    *
+    * The trade is latency and the standard watermark contract: an alert
+    * for ts T emits only once the watermark passes T (delay behind the
+    * max seen event time), and rows arriving LATER than the delay are
+    * dropped by the watermark like any stateful operator's late data.
+    * Buffered rows flush via event-time timeouts as the watermark
+    * advances, so a series flushes even when no new rows arrive for it.
+    * `samples.ts` must hold event-time NANOS (the engine's sample ts). */
+  def streamingAnomalyOrdered(samples: DataFrame, decay: Double, k: Double,
+                              warmup: Int, watermarkDelay: String)
+      : Dataset[(String, Long, Double, Double, Double)] = {
+    import samples.sparkSession.implicits._
+    val keyed = samples
+      .withColumn("sname",
+        TsStore.snameOf(col("metric"), TsStore.tagStr(col("tags"))))
+      // `div`, not `/`: double division of ~1.7e18 ns loses precision
+      // past 2^53 before the divide even runs
+      .withColumn("__et", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("__et", watermarkDelay)
+      // the watermark column must SURVIVE the projection into the
+      // grouped Dataset — event-time timeouts refuse to plan otherwise
+      .select(col("sname").as[String], col("ts").as[Long],
+        col("value").as[Double],
+        col("__et").as[java.sql.Timestamp])
+      .as[(String, Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+    keyed.flatMapGroupsWithState(OutputMode.Append,
+      GroupStateTimeout.EventTimeTimeout) {
+      (key: String, rows: Iterator[(String, Long, Double, java.sql.Timestamp)],
+       state: GroupState[OrderedAnomalyState]) =>
+        val prev = state.getOption
+          .getOrElse(OrderedAnomalyState(Vector.empty,
+            AnomalyState(0L, 0.0, 0.0)))
+        val wmNs = state.getCurrentWatermarkMs() * 1000000L
+        val all = prev.pending ++ rows.map(r => (r._2, r._3))
+        // rows at or below the watermark are FINAL (later arrivals below
+        // it would be dropped as late data), so their fold order is
+        // settled; everything newer waits for its turn
+        val (ready, rest) = all.partition(_._1 <= wmNs)
+        val out = Vector.newBuilder[(String, Long, Double, Double, Double)]
+        // (ts, value) order: a total, data-deterministic order even if a
+        // series carries duplicate timestamps
+        val st = ewFold(key, ready.sortBy(identity).iterator, prev.st,
+          decay, k, warmup, out)
+        state.update(OrderedAnomalyState(rest, st))
+        if (rest.nonEmpty) {
+          // wake this series when the watermark reaches its oldest
+          // pending row, so buffered rows flush without new arrivals
+          val wakeMs = rest.map(_._1).min / 1000000L + 1L
+          state.setTimeoutTimestamp(
+            math.max(wakeMs, state.getCurrentWatermarkMs() + 1L))
+        }
+        out.result().iterator
+    }
+  }
+
+  /** Batch-exact twin of the EW anomaly band: per-series (ts, value)-
+    * ordered fold of exactly [[ewFold]]'s recurrence over a STATIC
+    * frame — the ground truth [[streamingAnomalyOrdered]] must equal
+    * below its final watermark, and the self-contained invariant the
+    * ScaleCheck runs assert (stream count == batch count, no cross-run
+    * constants). One shuffle on series; per-group arrays are one
+    * series' samples (series cardinality scales with the corpus, series
+    * LENGTH does not — the bound that makes mapGroups safe here). */
+  def anomalyBatchExact(samples: DataFrame, decay: Double, k: Double,
+                        warmup: Int)
+      : Dataset[(String, Long, Double, Double, Double)] = {
+    import samples.sparkSession.implicits._
+    samples
+      .withColumn("sname",
+        TsStore.snameOf(col("metric"), TsStore.tagStr(col("tags"))))
+      .select(col("sname").as[String], col("ts").as[Long],
+        col("value").as[Double])
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (key, rows) =>
+        val out = Vector.newBuilder[(String, Long, Double, Double, Double)]
+        ewFold(key, rows.map(r => (r._2, r._3)).toArray
+          .sortBy(identity).iterator,
+          AnomalyState(0L, 0.0, 0.0), decay, k, warmup, out)
+        out.result().iterator
+      }
   }
 
   private def rnd6(x: Double): Double =
