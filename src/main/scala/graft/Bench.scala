@@ -194,8 +194,12 @@ object Bench {
     *
     * Merge: per-query min of ledger and this run, pruned to live gates.
     * Provenance: `stamp` on every entry this run SET (new seed or
-    * improvement), inherited otherwise; legacy entries without a
-    * provenance line stay unstamped until a run improves them.
+    * improvement), inherited otherwise. A legacy entry with NO
+    * provenance line gets `confirmStamp` when this run REPRODUCED it
+    * within 2x (the floor is then auditable: not where the value came
+    * from, but a named run that attests it is achievable) — a floor this
+    * run could not approach stays unstamped, which is the signal to
+    * re-seed it through `BenchSubset --reseed` or retire it.
     *
     * Re-seed guard: a ledger entry whose VALUE was deleted but whose
     * provenance line remains is a half-done re-seed — seeding it from a
@@ -209,7 +213,7 @@ object Bench {
     * value, no provenance) seeds normally. */
   def mergeFloors(floorQ0: Map[String, Double], prov0: Map[String, String],
                   okResults: Map[String, Double], gateNames: Set[String],
-                  stamp: String)
+                  stamp: String, confirmStamp: String = "")
   : (Map[String, Double], Map[String, String], Set[String]) = {
     // every provenance line whose value is absent stays armed — including
     // gates that ERRORED or didn't run this pass. Keying refusal off
@@ -226,7 +230,14 @@ object Bench {
       }.filter(_._2 < Double.MaxValue).toMap
     val prov = (floorQ.keySet.map { k =>
       val improved = floorQ0.get(k).forall(floorQ(k) < _)
-      k -> (if (improved) stamp else prov0.getOrElse(k, ""))
+      val inherited = prov0.getOrElse(k, "")
+      val confirmed =
+        if (inherited.isEmpty &&
+            okResults.get(k).exists(_ <= 2 * floorQ(k))) confirmStamp
+        else ""
+      k -> (if (improved) stamp
+            else if (inherited.nonEmpty) inherited
+            else confirmed)
     } ++ refused.map(k => k -> prov0(k)))
       .filter(_._2.nonEmpty).toMap
     (floorQ, prov, refused)
@@ -489,7 +500,7 @@ object Bench {
     }.filter(_._2 < Double.MaxValue).toMap
     val (floorQ, prov, refusedSeeds) =
       mergeFloors(floorQ0, prov0, okResults.toMap, gateNames,
-        provStamp("full-run"))
+        provStamp("full-run"), provStamp("full-run-confirmed"))
     refusedSeeds.foreach(k => Console.err.println(
       s"[bench] REFUSING full-run floor re-seed for $k (provenance " +
         s"'${prov0(k)}' still present); use BenchSubset --reseed, or " +

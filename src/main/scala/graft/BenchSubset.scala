@@ -101,9 +101,23 @@ object BenchSubset {
           kept.foreach { case (k, (mn, _)) => Console.err.println(
             f"[subset] keeping floor $k = ${q0(k)}%.3f s (converged " +
               f"$mn%.3f is no better; delete the entry to re-seed up)") }
-          if (seeds.nonEmpty) {
+          // a kept-but-UNSTAMPED floor the converged minimum lands
+          // within 2x of gets a confirmation line (same attestation
+          // semantics as the full run's `full-run-confirmed`): the
+          // legacy value is auditable without being lowered
+          val confirmStamp = Bench.provStamp("subset-confirmed")
+          val confirms = kept.collect {
+            case (k, (mn, _)) if !prov0.contains(k) &&
+                q0.get(k).exists(f => mn <= 2 * f) =>
+              k -> confirmStamp
+          }
+          confirms.foreach { case (k, _) => Console.err.println(
+            f"[subset] confirmed floor $k = ${q0(k)}%.3f s " +
+              f"($confirmStamp)") }
+          if (seeds.nonEmpty || confirms.nonEmpty) {
             val q = q0 ++ seeds.map { case (k, (mn, _)) => k -> mn }
-            val prov = prov0 ++ seeds.map { case (k, _) => k -> stampVal }
+            val prov = prov0 ++ confirms ++
+              seeds.map { case (k, _) => k -> stampVal }
             Bench.writeFloor(sfDir, q, r0, p0, prov)
             seeds.foreach { case (k, (mn, _)) => Console.err.println(
               f"[subset] reseeded floor $k = $mn%.3f s ($stampVal)") }

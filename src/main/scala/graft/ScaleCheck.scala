@@ -366,8 +366,15 @@ object ScaleCheck {
       // composed plan blows the driver heap at factor 10 before a
       // single task runs. Stats are preserved (non-loop checkpoints),
       // so AQE sizing still sees real volumes.
+      // the normalize stage needs the SAME boundary cut as every later
+      // stage: `normed` is referenced twice (rows + gopher scores), and
+      // at factor 100 the un-cut reference is two copies of a 100-child
+      // replica Union inside one join — Catalyst constraint propagation
+      // over that shape spun the driver for 16+ min of pure planning
+      // before a single task ran (caught by this gate's first 100x
+      // attempt; exactly the inter-stage drift it exists to surface)
       val normed = docs.select(col("doc_id"), col("source"),
-        Text.normalizeText(col("text")).as("text"))
+        Text.normalizeText(col("text")).as("text")).localCheckpoint()
       val kept = normed.join(
         Text.gopherRules(normed).filter(col("keep")).select("doc_id"),
         Seq("doc_id"), "left_semi")
@@ -472,12 +479,26 @@ object ScaleCheck {
     }
     timed("doc_substring_incremental") {
       // per-batch cost of the growing-corpus substring loop: index 3/4
-      // of the scaled corpus once, trim the last quarter against it
+      // of the scaled corpus once, trim the last quarter against it.
+      // The replica-invariance witness for the cross-order artifacts is
+      // the count of docs the probe actually SHORTENED (stderr note):
+      // batch size alone is linear by construction and would certify
+      // nothing about the span probe itself.
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_sc_spanidx").toString
+      val batch = docs.filter(col("doc_id") % 4 === 0)
       Dedup.writeSpanIndex(docs.filter(col("doc_id") % 4 =!= 0), tmp, k = 8)
-      Dedup.trimAgainstIndex(docs.filter(col("doc_id") % 4 === 0), tmp)
-        .count()
+      val trimmed = Dedup.trimAgainstIndex(batch, tmp)
+        .select(col("doc_id"), length(col("text")).as("lt"))
+        .join(batch.select(col("doc_id"), length(col("text")).as("lo")),
+          "doc_id")
+      val nShortened = trimmed.filter(col("lt") < col("lo")).count()
+      val nTotal = trimmed.count()
+      Console.err.println(
+        s"[scalecheck] doc_substring_incremental shortened=$nShortened" +
+          s" of $nTotal")
+      require(nShortened > 0, "span probe trimmed nothing — fixture broke")
+      nTotal
     }
     timed("doc_export_shards") {
       // final-mile export: hash-shard + within-shard shuffle order +

@@ -67,6 +67,25 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(prov("q_simhash") == "full-run@h@2026-01-01")
   }
 
+  test("mergeFloors confirm-stamps an unstamped legacy floor this run " +
+      "reproduced within 2x, and leaves unapproachable ones unstamped") {
+    val (q, prov, _) = Bench.mergeFloors(
+      floorQ0 = Map("q_near" -> 1.0, "q_far" -> 1.0,
+        "q_stamped" -> 1.0),
+      prov0 = Map("q_stamped" -> "full-run@h@2026-01-01"),
+      okResults = Map("q_near" -> 1.8, "q_far" -> 5.0,
+        "q_stamped" -> 1.8),
+      gateNames = Set("q_near", "q_far", "q_stamped"),
+      stamp = "full-run@h@2026-08-16",
+      confirmStamp = "full-run-confirmed@h@2026-08-16")
+    assert(q == Map("q_near" -> 1.0, "q_far" -> 1.0, "q_stamped" -> 1.0))
+    assert(prov("q_near") == "full-run-confirmed@h@2026-08-16")
+    assert(!prov.contains("q_far"), "an unreproduced floor must stay " +
+      "unstamped — the signal to re-seed or retire it")
+    // an existing line is never overwritten by a confirmation
+    assert(prov("q_stamped") == "full-run@h@2026-01-01")
+  }
+
   test("mergeFloors seeds a truly fresh gate (no value, no provenance)") {
     val (q, _, refused) = Bench.mergeFloors(
       Map.empty, Map.empty, Map("q_new" -> 1.0), Set("q_new"), "s@h@d")
