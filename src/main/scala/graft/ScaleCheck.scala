@@ -514,7 +514,11 @@ object ScaleCheck {
       // whole query batch (every 50th vector queries, nProbe 8 of 64)
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_sc_bivf").toString
-      Embed.writeIvf(emb, tmp, nCentroids = ivfCells)
+      // same threshold as the k-means consumers: past a few hundred
+      // cells the layout build's flat assignment is the O(n·k) term,
+      // so the build routes through the persisted two-level index
+      Embed.writeIvf(emb, tmp, nCentroids = ivfCells,
+        hierAssign = ivfCells > 256)
       Embed.topKBatchIvf(
         emb.filter(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("query_id"), col("embedding")),

@@ -409,14 +409,27 @@ object Embed {
   def writeIvf(corpus: DataFrame, path: String, nCentroids: Int = 256,
                vecCol: String = "embedding", idCol: String = "vec_id",
                centroids: Option[Seq[Seq[Double]]] = None,
-               rounded: Boolean = false): Unit = {
+               rounded: Boolean = false,
+               hierAssign: Boolean = false): Unit = {
     val cents = centroids.getOrElse(
       sampleCentroids(corpus, nCentroids, vecCol, idCol))
+    // hierAssign routes the build through the two-level kernel — the
+    // production regime once nCentroids grows with the corpus (flat
+    // assignment is O(n·k·dim); the 1000x layout build at k=6400 pays
+    // for exactly this). The routing index derives DETERMINISTICALLY
+    // from the persisted centroid matrix, so an appender rebuilds the
+    // identical routing from the layout alone (meta records the knobs).
+    val hierIdx = if (hierAssign) Some(buildCentroidIndex(cents)) else None
     // rounded = true assigns on the 6-decimal-rounded cosine (the
     // kmeansStep convention) so the layout's cell membership replays
     // bit-stably in an external engine — the oracle-gated layouts use it
-    val assign = if (rounded) centroidIdRounded(col(vecCol), cents)
-                 else centroidId(col(vecCol), cents)
+    val assign = hierIdx match {
+      case Some(ix) =>
+        element_at(centroidTopCellsHier(col(vecCol), ix, 1, rounded), 1)
+      case None =>
+        if (rounded) centroidIdRounded(col(vecCol), cents)
+        else centroidId(col(vecCol), cents)
+    }
     corpus
       .withColumn("ivf_cell", assign)
       .repartition(col("ivf_cell"))
@@ -430,8 +443,13 @@ object Embed {
     // ([[ivfUpdate]]) that assigned raw against a rounded layout would
     // place boundary vectors in a different cell than the layout's
     // convention, breaking the bit-stable external-replay property the
-    // rounded mode exists for
-    writeTextFile(corpus.sparkSession, ivfMetaFile(path), s"rounded=$rounded")
+    // rounded mode exists for; same for the ROUTING — a flat append to a
+    // hier layout (or vice versa) would strand boundary vectors in cells
+    // the layout's own convention would never probe-match
+    val meta = s"rounded=$rounded" + hierIdx.fold("")(ix =>
+      s"\nhier=true\nhierCoarse=${ix.coarse.size}" +
+        s"\nhierProbes=${ix.coarseProbes}")
+    writeTextFile(corpus.sparkSession, ivfMetaFile(path), meta)
   }
 
   /** Underscore-prefixed, so parquet directory listings skip it. */
@@ -442,11 +460,28 @@ object Embed {
   /** The assignment mode persisted by [[writeIvf]]. Layouts written
     * before the meta sidecar existed assigned raw — missing file reads
     * as `rounded=false`, so appends to old layouts keep old behavior. */
-  private[llm] def readIvfRounded(spark: SparkSession, path: String): Boolean = {
+  private[llm] def readIvfRounded(spark: SparkSession, path: String): Boolean =
+    readIvfMeta(spark, path).get("rounded").contains("true")
+
+  /** The two-level routing knobs persisted by [[writeIvf]] when the
+    * layout was built with `hierAssign`: (nCoarse, coarseProbes), None
+    * for flat layouts. */
+  private[llm] def readIvfHier(spark: SparkSession,
+                               path: String): Option[(Int, Int)] = {
+    val m = readIvfMeta(spark, path)
+    if (m.get("hier").contains("true"))
+      Some((m("hierCoarse").toInt, m("hierProbes").toInt))
+    else None
+  }
+
+  private def readIvfMeta(spark: SparkSession,
+                          path: String): Map[String, String] = {
     val p = new org.apache.hadoop.fs.Path(ivfMetaFile(path))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) &&
-      readTextFile(spark, ivfMetaFile(path)).trim == "rounded=true"
+    if (!fs.exists(p)) Map.empty
+    else readTextFile(spark, ivfMetaFile(path)).trim
+      .split("\n").iterator.map(_.trim.split("=", 2))
+      .collect { case Array(k, v) => k -> v }.toMap
   }
 
   /** The centroid matrix persisted by [[writeIvf]] — pass this to
@@ -483,9 +518,18 @@ object Embed {
                 batchId: Option[String] = None): Unit = {
     val spark = newVecs.sparkSession
     val cents = readIvfCentroids(spark, path)
-    val assign = if (readIvfRounded(spark, path))
-      centroidIdRounded(col(vecCol), cents)
-    else centroidId(col(vecCol), cents)
+    val rounded = readIvfRounded(spark, path)
+    // a hier layout replays its ROUTING, not just its centroids: the
+    // index rebuilds deterministically from the persisted matrix + the
+    // persisted knobs, so the append assigns exactly as the build did
+    val assign = readIvfHier(spark, path) match {
+      case Some((nc, cp)) =>
+        element_at(centroidTopCellsHier(col(vecCol),
+          buildCentroidIndex(cents, nc, cp), 1, rounded), 1)
+      case None =>
+        if (rounded) centroidIdRounded(col(vecCol), cents)
+        else centroidId(col(vecCol), cents)
+    }
     val assigned = newVecs
       .withColumn("ivf_cell", assign)
       .repartition(col("ivf_cell"))

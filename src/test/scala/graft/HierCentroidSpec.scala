@@ -143,6 +143,55 @@ class HierCentroidSpec extends AnyFunSuite {
       s"agreement $agree/${joined.length} below the expected regime")
   }
 
+  test("writeIvf(hierAssign) persists its routing: appends land in the " +
+      "layout's own cells, and a full-probe hier layout equals flat") {
+    val sp = SparkSpec.spark
+    import sp.implicits._
+    val rows = randVecs(400, 8, 33)
+    val df = rows.toDF("vec_id", "embedding").localCheckpoint()
+    val (a, b) = (df.filter(col("vec_id") < 300),
+      df.filter(col("vec_id") >= 300))
+    // hier layout: build from A, append B — B's stored cells must equal
+    // what the layout's own (rebuilt-from-meta) routing assigns them
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-hier-ivf").toString
+    Embed.writeIvf(a, tmp, nCentroids = 16, rounded = true,
+      hierAssign = true)
+    Embed.ivfUpdate(b, tmp)
+    val cents = Embed.readIvfCentroids(sp, tmp)
+    val (nc, cp) = {
+      val h = Embed.buildCentroidIndex(cents)
+      (h.coarse.size, h.coarseProbes)
+    }
+    val idx = Embed.buildCentroidIndex(cents, nc, cp)
+    val want = b.select(col("vec_id"),
+      element_at(Embed.centroidTopCellsHier(col("embedding"), idx, 1), 1)
+        .as("cell"))
+    val stored = sp.read.parquet(tmp).filter(col("vec_id") >= 300)
+      .select(col("vec_id"), col("ivf_cell").cast("int").as("cell"))
+    assert(stored.exceptAll(want).count() == 0 &&
+      want.exceptAll(stored).count() == 0,
+      "append assigned differently than the layout's persisted routing")
+    // a full-probe hier layout is cell-for-cell identical to flat
+    val tmpH = java.nio.file.Files
+      .createTempDirectory("graft-hier-full").toString
+    val tmpF = java.nio.file.Files
+      .createTempDirectory("graft-flat").toString
+    val pinned = Embed.sampleCentroids(df, 9)
+    val fullIdx = Embed.buildCentroidIndex(pinned)
+    Embed.writeIvf(df, tmpF, centroids = Some(pinned), rounded = true)
+    // k = 9 -> nCoarse = 3 and the default coarseProbes = min(3, 4) = 3
+    // covers every group, so the hier build IS full-probe here
+    assert(fullIdx.coarseProbes == fullIdx.coarse.size)
+    Embed.writeIvf(df, tmpH, centroids = Some(pinned), rounded = true,
+      hierAssign = true)
+    val h = sp.read.parquet(tmpH)
+      .select(col("vec_id"), col("ivf_cell").cast("int").as("c"))
+    val f = sp.read.parquet(tmpF)
+      .select(col("vec_id"), col("ivf_cell").cast("int").as("c"))
+    assert(h.exceptAll(f).count() == 0 && f.exceptAll(h).count() == 0)
+  }
+
   test("kmeansCentroids(hierarchical) with full coarse probing equals " +
       "flat training exactly; knnGraphCells(hier) likewise") {
     val sp = SparkSpec.spark
