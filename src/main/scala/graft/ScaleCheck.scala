@@ -187,9 +187,23 @@ object ScaleCheck {
       // so the within-cell pair product stays bounded — the pinned
       // 4-centroid variant above measures the gate shape and at high
       // factors its cells exceed maxCell and the valve (correctly)
-      // drops them, which certifies the valve but not the dedup
+      // drops them, which certifies the valve but not the dedup.
+      // DOES NOT GRADUATE past factor 100 by arithmetic: pair emission
+      // is quadratic in duplicate-family size, and the 1000x replica
+      // corpus (1000 identical copies per base vector) makes that
+      // ~500k verified pairs PER FAMILY — the factor-1000 attempt
+      // emitted ~4B pairs and filled the disk before clustering.
+      // embed_semdedup_star below is the form that graduates.
       val cents = knnCentroids()
       Embed.semDedup(emb, cents, threshold = 0.4,
+        hier = knnIndex(cents)).count()
+    }
+    timed("embed_semdedup_star") {
+      // the dense-duplication semdedup shape: members verify against
+      // the cell's min-id hub only — Θ(|cell|) edges, the embedding
+      // twin of doc_dedup_pipeline_star's answer to the same Θ(d²)
+      val cents = knnCentroids()
+      Embed.semDedupStar(emb, cents, threshold = 0.4,
         hier = knnIndex(cents)).count()
     }
     timed("bpe_train") {

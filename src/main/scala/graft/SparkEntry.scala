@@ -3494,6 +3494,48 @@ object SparkEntry {
              |WHERE vec_id NOT IN (SELECT vec_id FROM losers)
              |ORDER BY vec_id""".stripMargin)),
 
+    // -- similarity: SemDeDup in STAR form (dense-duplication path) ------
+    // Same pinned centroids as embed_semdedup, but each cell verifies
+    // members against its MIN-id hub only — Θ(|cell|) edges instead of
+    // the within-cell clique, the form that survives replica-dense
+    // corpora (the clique form emitted ~4B pairs at the 1000x
+    // ScaleCheck and filled the disk). Star components are hub-rooted,
+    // so the oracle needs no recursion: survivors = everything minus
+    // members the hub absorbed.
+    "embed_semdedup_star" -> Gated(
+      (s, d) => {
+        val emb = TestData.table(s, d, "embeddings")
+        val init = emb.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+          .select(Embed.normalized(col("embedding")))
+          .collect().toSeq.map(_.getSeq[Double](0).toSeq)
+        Embed.semDedupStar(emb, init, threshold = 0.4)
+          .select(col("vec_id")).orderBy(col("vec_id"))
+      },
+      Some("""WITH e AS (SELECT vec_id,
+             |    list_transform(embedding, x -> x::DOUBLE) AS v
+             |  FROM embeddings),
+             |n AS (SELECT vec_id, list_transform(v, x ->
+             |    x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS u
+             |  FROM e),
+             |init AS (SELECT vec_id::INT AS cid, u FROM n WHERE vec_id < 4),
+             |assign AS (SELECT vec_id, cid FROM (
+             |    SELECT n.vec_id, init.cid,
+             |      row_number() OVER (PARTITION BY n.vec_id
+             |        ORDER BY round(list_cosine_similarity(n.u, init.u), 6)
+             |          DESC, init.cid DESC) AS rn
+             |    FROM n CROSS JOIN init) WHERE rn = 1),
+             |hubs AS (SELECT cid, min(vec_id) AS hub
+             |  FROM assign GROUP BY cid),
+             |losers AS (SELECT a.vec_id
+             |  FROM assign a JOIN hubs h ON a.cid = h.cid
+             |  JOIN e m ON m.vec_id = a.vec_id
+             |  JOIN e x ON x.vec_id = h.hub
+             |  WHERE a.vec_id <> h.hub
+             |    AND round(list_cosine_similarity(m.v, x.v), 6) >= 0.4)
+             |SELECT vec_id FROM e
+             |WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+             |ORDER BY vec_id""".stripMargin)),
+
     // -- curation: semantic decontamination (embedding space) ------------
     // Benchmark = every 29th vector; corpus rows within 0.4 cosine of
     // any benchmark vector drop. The bench side broadcasts; the oracle

@@ -869,6 +869,9 @@ object Dedup {
                               idCol: String, hubSalt: Int,
                               maxDocChars: Int = Int.MaxValue): DataFrame = {
     val numHashes = bands * rowsPerBand
+    // same lazy lineage cut as minhashLsh's `sh`: the band explode and
+    // both verification sides otherwise re-analyze AND re-execute the
+    // shingle+minhash pass per consumer
     val sh = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism * 2)
       .select(col(idCol).as("id"),
@@ -876,6 +879,7 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .select(col("id"), col("sh"),
         minhashFromHashes(col("sh"), numHashes).as("sig"))
+      .localCheckpoint(false)
     val banded = sh.select(col("id"),
         posexplode(bandHashArr(col("sig"), bands, rowsPerBand)))
       .withColumnRenamed("pos", "band")

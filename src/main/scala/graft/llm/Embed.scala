@@ -859,19 +859,30 @@ object Embed {
                  iters: Int = 5,
                  vecCol: String = "embedding", idCol: String = "vec_id",
                  centroids: Option[Seq[Seq[Double]]] = None,
-                 books: Option[Seq[Seq[Seq[Double]]]] = None): Unit = {
+                 books: Option[Seq[Seq[Seq[Double]]]] = None,
+                 hierAssign: Boolean = false): Unit = {
     val cents = centroids.getOrElse(
       sampleCentroids(corpus, nCentroids, vecCol, idCol))
     val bks = books.getOrElse(
       pqTrain(corpus, m, k, iters, None, vecCol, idCol))
     val subDim = bks.head.head.size
+    // same two-level routing as writeIvf(hierAssign) for the coarse
+    // cell — the PQ sub-codebook assignment is per-subvector k·subDim
+    // and does not grow with nCentroids, so only the coarse term needs
+    // the route. (This layout has no appender, so no meta knob: the
+    // flag only shapes the one-shot build.)
+    val cellAssign =
+      if (hierAssign)
+        element_at(centroidTopCellsHier(col("u"),
+          buildCentroidIndex(cents), 1), 1)
+      else centroidIdRounded(col("u"), cents)
     corpus
       .filter(dot(col(vecCol), col(vecCol)) > 0.0)
       .select(col(idCol), normalized(col(vecCol)).as("u"))
       .select(col(idCol),
         array(bks.indices.map(s =>
           codeIdRounded(subVec(col("u"), subDim, s), bks(s))): _*).as("codes"),
-        centroidIdRounded(col("u"), cents).as("ivf_cell"))
+        cellAssign.as("ivf_cell"))
       .repartition(col("ivf_cell"))
       .write.partitionBy("ivf_cell").mode("overwrite").parquet(path)
     val spark = corpus.sparkSession
@@ -968,6 +979,62 @@ object Embed {
     Dedup.deduplicateClustered(corpus,
       semDedupPairs(corpus, centroids, threshold, vecCol, idCol, maxCell,
         hier),
+      idCol)
+
+  /** SemDeDup candidate edges in STAR form — the dense-duplication
+    * scale path, mirroring [[Dedup.minhashLshStar]]'s answer to the
+    * same arithmetic: [[semDedupPairs]] emits every within-cell pair,
+    * so a d-fold duplicate family costs Θ(d²) verified pair rows — a
+    * 1000x ScaleCheck run with 1000-replica embedding families emitted
+    * ~4 BILLION pairs and filled the disk before clustering even began.
+    * For dedup, the clique is redundant: connectivity needs a spanning
+    * star. Each cell verifies its members against the cell's MIN-id
+    * hub only — Θ(|cell|) edges, no `maxCell` valve needed because
+    * nothing is quadratic. The trade (same as the text-side star): a
+    * near-dup pair whose BOTH members are ≥ threshold from the hub is
+    * not connected through it — at dedup thresholds on duplicate-dense
+    * corpora the family members all sit near the hub by construction.
+    * Output: (a = hub, b = member, cell, score rounded 6) with
+    * score >= threshold. */
+  def semDedupPairsStar(corpus: DataFrame, centroids: Seq[Seq[Double]],
+                        threshold: Double,
+                        vecCol: String = "embedding",
+                        idCol: String = "vec_id",
+                        hier: Option[CentroidIndex] = None): DataFrame = {
+    require(hier.forall(_.fine == centroids),
+      "hier index was built over a different centroid set")
+    val assigned = corpus
+      .filter(dot(col(vecCol), col(vecCol)) > 0.0)
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism * 2)
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("cell", hier.map(centroidIdHierRounded(col("v"), _))
+        .getOrElse(centroidIdRounded(col("v"), centroids)))
+      .localCheckpoint()
+    // one hub row per cell (min id; ids are unique so the struct min
+    // never compares vectors) — cell-count-sized, broadcast into the
+    // member pass
+    val hubs = assigned.groupBy(col("cell"))
+      .agg(min(struct(col("id"), col("v"))).as("__h"))
+      .select(col("cell"), col("__h.id").as("__hid"),
+        col("__h.v").as("__hv"))
+    assigned.join(broadcast(hubs), "cell")
+      .filter(col("id") =!= col("__hid"))
+      .withColumn("score", round(cosine(col("v"), col("__hv")), 6))
+      .filter(col("score") >= threshold)
+      .select(col("__hid").as("a"), col("id").as("b"), col("cell"),
+        col("score"))
+  }
+
+  /** SemDeDup survivors from STAR edges: same keep-the-minimal-member
+    * policy as [[semDedup]], fed by [[semDedupPairsStar]] — with star
+    * edges every component is hub-rooted, so the survivors are the
+    * hubs plus every member the hub did not absorb. */
+  def semDedupStar(corpus: DataFrame, centroids: Seq[Seq[Double]],
+                   threshold: Double,
+                   vecCol: String = "embedding", idCol: String = "vec_id",
+                   hier: Option[CentroidIndex] = None): DataFrame =
+    Dedup.deduplicateClustered(corpus,
+      semDedupPairsStar(corpus, centroids, threshold, vecCol, idCol, hier),
       idCol)
 
   /** SSL-prototypes data pruning (Sorscher et al. 2022,

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.llm.{CrawlProfile, Dedup}
+import graft.llm.{CrawlProfile, Dedup, Embed}
 import graft.sources.TestData
 
 /** The crawl-profile presets must COMPOSE the individually-certified
@@ -46,6 +46,29 @@ class CrawlProfileSpec extends SparkFunSuite {
     assert(got.exceptAll(want).count() == 0 &&
       want.exceptAll(got).count() == 0,
       "compliance edges diverged from the exact pair scorer")
+  }
+
+  test("semDedupStar refines semDedup: star survivors contain the " +
+      "clique survivors, with linear edge volume") {
+    val sp = spark
+    import sp.implicits._
+    val emb = TestData.table(sp, "/root/testdata/sf0.001", "embeddings")
+    val init = emb.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+      .select(Embed.normalized(col("embedding")))
+      .collect().toSeq.map(_.getSeq[Double](0).toSeq)
+    // every star edge is also a clique pair, so star components REFINE
+    // clique components: the star can only lose fewer members
+    val star = Embed.semDedupStar(emb, init, threshold = 0.4)
+      .select(col("vec_id"))
+    val clique = Embed.semDedup(emb, init, threshold = 0.4)
+      .select(col("vec_id"))
+    assert(clique.exceptAll(star).count() == 0,
+      "a clique survivor was lost by the star form")
+    // Θ(|cell|): at most one edge per non-hub member
+    val edges = Embed.semDedupPairsStar(emb, init, threshold = 0.4)
+    val nonHub = edges.select(col("b")).distinct().count()
+    assert(edges.count() == nonHub,
+      "star form emitted more than one edge per member")
   }
 
   test("crawl profile forwards its rails verbatim (plumbing guard)") {

@@ -190,6 +190,20 @@ class HierCentroidSpec extends AnyFunSuite {
     val f = sp.read.parquet(tmpF)
       .select(col("vec_id"), col("ivf_cell").cast("int").as("c"))
     assert(h.exceptAll(f).count() == 0 && f.exceptAll(h).count() == 0)
+    // and the IVF-PQ layout's coarse cell takes the same route
+    val tmpPH = java.nio.file.Files
+      .createTempDirectory("graft-hier-pq").toString
+    val tmpPF = java.nio.file.Files
+      .createTempDirectory("graft-flat-pq").toString
+    Embed.writeIvfPq(df, tmpPF, m = 2, k = 4, iters = 1,
+      centroids = Some(pinned))
+    Embed.writeIvfPq(df, tmpPH, m = 2, k = 4, iters = 1,
+      centroids = Some(pinned), hierAssign = true)
+    val ph = sp.read.parquet(tmpPH)
+      .select(col("vec_id"), col("ivf_cell").cast("int").as("c"))
+    val pf = sp.read.parquet(tmpPF)
+      .select(col("vec_id"), col("ivf_cell").cast("int").as("c"))
+    assert(ph.exceptAll(pf).count() == 0 && pf.exceptAll(ph).count() == 0)
   }
 
   test("kmeansCentroids(hierarchical) with full coarse probing equals " +
