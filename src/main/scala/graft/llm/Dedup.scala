@@ -287,15 +287,21 @@ object Dedup {
     // shingles (post anti-join), keeping numerator and denominator over
     // one universe — sizing on the raw sets would bias every score low
     // whenever part of a pair's overlap is heavy-carried.
+    // LAZY lineage cut on the (boilerplate-scale) over-cap key set:
+    // `bucketed` feeds the size aggregate and BOTH pair-join sides, so
+    // uncut, the heavy-agg's full corpus pass re-analyzes and
+    // re-EXECUTES per consumer (3x). Cutting `heavy` stores only the
+    // tiny key set and halves the plan tree. The exploded frame itself
+    // is deliberately NOT materialized: an A/B at the factor-10 corpus
+    // put storing it at 1.5x the wall of recomputing it (per-shingle
+    // rows through the block store vs a cheap re-scan+hash), and at
+    // 100 TB its executor-storage footprint is corpus-proportional —
+    // the exact pair scorer's shape is recompute-per-consumer by
+    // design.
     val heavy = ex.groupBy(col("g")).count().filter(col("count") > maxBucket)
       .select(col("g"))
-    // LAZY lineage cut (same rationale as minhashLsh's `sh`): `bucketed`
-    // feeds the size aggregate and BOTH pair-join sides; uncut, the
-    // shingle-explode + heavy-anti-join subtree re-analyzes 3x —
-    // doc_containment's 734 ms plan time, the fleet's widest — and the
-    // exploded frame re-executes per consumer
-    val bucketed = ex.join(broadcast(heavy), Seq("g"), "left_anti")
       .localCheckpoint(false)
+    val bucketed = ex.join(broadcast(heavy), Seq("g"), "left_anti")
     val sizes = bucketed.groupBy(col("id")).agg(count(lit(1)).as("nsh"))
     val inter = bucketed.alias("l")
       .join(bucketed.alias("r"), col("l.g") === col("r.g") &&
@@ -659,14 +665,14 @@ object Dedup {
       .select(col("id"), col("sh"),
         minhashFromHashes(col("sh"), numHashes).as("sig"))
       // LAZY lineage cut: `sh` feeds the band explode AND both
-      // verification sides, so without the cut the shingle+minhash
-      // expression tree (numHashes fused permutations + the band hash
-      // array) is re-analyzed per consumer — doc_crossdup's 527 ms
-      // plan time was mostly this — and re-EXECUTED per consumer at
-      // run time. eager=false defers the job: blocks materialize on
-      // first action and later consumers read them, no work at
-      // dataframe-construction time (a plan audit builds every gate
-      // without running the corpus pass).
+      // verification sides, so without the cut the 128-permutation
+      // signature pass is re-analyzed AND re-executed per consumer
+      // (A/B at the factor-10 corpus: 14.7 s vs 18.1 s for
+      // doc_minhash_lsh, 17.6 s vs 24.2 s for the star pipeline).
+      // One row per DOC rides the block store — cheap next to two
+      // extra minhash passes. eager=false: no job at dataframe-
+      // construction time (the plan audit builds every gate without
+      // running a corpus pass).
       .localCheckpoint(false)
     val bandArr = array((0 until bands).map(b =>
       xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)
