@@ -139,10 +139,13 @@ object ScaleCheck {
     // the measured scale-killer (r11's 1000x run: embed_knn_clusters
     // grew 42x in wall for 10x data at k=1600), so the celled k-means
     // consumers switch to the two-level routed kernel
-    // (Embed.buildCentroidIndex — O(√k·dim) per row). Threshold 256
-    // keeps every factor <= 100 run on the flat path, bit-identical to
-    // the published SCALECHECK/SCALECHECK100 numbers.
-    val hierAssign = knnCells > 256
+    // (Embed.buildCentroidIndex — O(√k·dim) per row). Gated on the
+    // FACTOR, not the cell count, so every factor <= 100 op — including
+    // embed_topk_batch_ivf, whose ivfCells hits 640 at factor 100 —
+    // stays on the flat path, bit-identical to the published
+    // SCALECHECK/SCALECHECK100 numbers (r12 ADVICE: a cell-count gate
+    // silently flipped the 100x layout build to 4-probe assignment).
+    val hierAssign = factor > 100
     def knnIndex(cents: Seq[Seq[Double]]): Option[Embed.CentroidIndex] =
       if (hierAssign) Some(Embed.buildCentroidIndex(cents)) else None
     def knnCentroids(): Seq[Seq[Double]] =
@@ -506,8 +509,16 @@ object ScaleCheck {
         .select(col("doc_id"), length(col("text")).as("lt"))
         .join(batch.select(col("doc_id"), length(col("text")).as("lo")),
           "doc_id")
-      val nShortened = trimmed.filter(col("lt") < col("lo")).count()
-      val nTotal = trimmed.count()
+      // ONE action for both counts: two separate counts would execute
+      // trimAgainstIndex twice inside the timed block (r12 ADVICE — the
+      // 1000x wall was measured on that double-pass shape; cross-factor
+      // comparisons against it should note the r13 single-pass change)
+      val agg = trimmed.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("lt") < col("lo"), 1L).otherwise(0L)).as("ns"))
+        .head()
+      val nTotal = agg.getLong(0)
+      val nShortened = agg.getLong(1)
       Console.err.println(
         s"[scalecheck] doc_substring_incremental shortened=$nShortened" +
           s" of $nTotal")
@@ -528,11 +539,12 @@ object ScaleCheck {
       // whole query batch (every 50th vector queries, nProbe 8 of 64)
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_sc_bivf").toString
-      // same threshold as the k-means consumers: past a few hundred
-      // cells the layout build's flat assignment is the O(n·k) term,
-      // so the build routes through the persisted two-level index
+      // same factor gate as the k-means consumers: past factor 100 the
+      // layout build's flat assignment is the O(n·k) term, so the build
+      // routes through the persisted two-level index; at factor <= 100
+      // it stays flat, matching the published SCALECHECK100 number
       Embed.writeIvf(emb, tmp, nCentroids = ivfCells,
-        hierAssign = ivfCells > 256)
+        hierAssign = hierAssign)
       Embed.topKBatchIvf(
         emb.filter(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("query_id"), col("embedding")),
@@ -674,9 +686,15 @@ object ScaleCheck {
         map_from_arrays(array().cast("array<string>"),
           array().cast("array<string>")).as("tags"))
       sm.filter(col("ts") >= mid).write.mode("append").parquet(src)
+      // report the realized disorder-horizon state: the per-series peak
+      // pending-buffer size (the op's only non-O(1) state term — the
+      // quantity the watermark-delay sizing rule bounds)
+      val peak = new graft.streaming.StreamIngest.MaxAccumulator
+      spark.sparkContext.register(peak, "oanom_pending_peak")
       val alerts = graft.streaming.StreamIngest.streamingAnomalyOrdered(
         spark.readStream.schema(sm.schema).parquet(src),
-        decay = 0.3, k = 1.5, warmup = 3, watermarkDelay = "60 days")
+        decay = 0.3, k = 1.5, warmup = 3, watermarkDelay = "60 days",
+        pendingPeak = Some(peak))
         .toDF("sname", "ts", "value", "ewma", "sigma")
       val q = alerts.writeStream
         .option("checkpointLocation", ckpt)
@@ -700,6 +718,9 @@ object ScaleCheck {
         sm, decay = 0.3, k = 1.5, warmup = 3).count()
       require(streamed == exact,
         s"ordered stream diverged from the batch fold: $streamed != $exact")
+      Console.err.println(
+        s"[scalecheck] ts_anomaly_stream_ordered peak per-series" +
+          s" pending buffer = ${peak.value} rows")
       streamed
     }
 

@@ -207,7 +207,14 @@ object Embed {
   final case class CentroidIndex(fine: Seq[Seq[Double]],
                                  coarse: Seq[Seq[Double]],
                                  children: Seq[Seq[Int]],
-                                 coarseProbes: Int)
+                                 coarseProbes: Int,
+                                 // the RESOLVED pre-filter knobs: empty
+                                 // coarse groups are dropped from
+                                 // coarse/children, so a replayer must
+                                 // rebuild from these, not coarse.size
+                                 // (stride init runs over nCoarseReq)
+                                 nCoarseReq: Int,
+                                 probesReq: Int)
 
   /** Group `fine` under ~√k coarse routing centroids via driver-side
     * spherical k-means OVER THE CENTROIDS (k·dim doubles — model-scale
@@ -275,8 +282,17 @@ object Embed {
       asg = next
       it += 1
     }
-    val children = (0 until nc).map(c => (0 until k).filter(asg(_) == c))
-    CentroidIndex(fine, coarse.map(_.toSeq).toSeq, children, cp)
+    // drop coarse groups that captured no fine centroid: probing an
+    // empty group wastes a probe slot, and if every probed group were
+    // empty the kernel would return an EMPTY probe list —
+    // element_at(..., 1) = null, which a consumer's getAs[Int]("cell")
+    // silently unboxes to 0, polluting cell 0's mean (or writing a
+    // null partition from writeIvf)
+    val kept = (0 until nc)
+      .map(c => (coarse(c).toSeq, (0 until k).filter(asg(_) == c)))
+      .filter(_._2.nonEmpty)
+    CentroidIndex(fine, kept.map(_._1), kept.map(_._2),
+      math.min(cp, kept.size), nc, cp)
   }
 
   /** Hierarchical [[centroidIdRounded]]: nearest fine cell via the
@@ -446,9 +462,13 @@ object Embed {
     // rounded mode exists for; same for the ROUTING — a flat append to a
     // hier layout (or vice versa) would strand boundary vectors in cells
     // the layout's own convention would never probe-match
+    // persist the REQUESTED routing knobs, not the post-filter sizes:
+    // buildCentroidIndex drops empty coarse groups, and a replayer
+    // rebuilding from the filtered count would stride-init a different
+    // grouping than the one that assigned this layout's cells
     val meta = s"rounded=$rounded" + hierIdx.fold("")(ix =>
-      s"\nhier=true\nhierCoarse=${ix.coarse.size}" +
-        s"\nhierProbes=${ix.coarseProbes}")
+      s"\nhier=true\nhierCoarse=${ix.nCoarseReq}" +
+        s"\nhierProbes=${ix.probesReq}")
     writeTextFile(corpus.sparkSession, ivfMetaFile(path), meta)
   }
 

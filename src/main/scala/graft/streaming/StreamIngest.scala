@@ -416,6 +416,24 @@ object StreamIngest {
   final case class OrderedAnomalyState(pending: Vector[(Long, Double)],
                                        st: AnomalyState)
 
+  /** Driver-readable MAX across tasks. [[streamingAnomalyOrdered]] takes
+    * one optionally to report its peak per-series pending-buffer size —
+    * the number the watermark-delay sizing rule bounds. */
+  final class MaxAccumulator
+      extends org.apache.spark.util.AccumulatorV2[Long, Long] {
+    private var m = 0L
+    override def isZero: Boolean = m == 0L
+    override def copy(): MaxAccumulator = {
+      val c = new MaxAccumulator; c.m = m; c
+    }
+    override def reset(): Unit = m = 0L
+    override def add(v: Long): Unit = m = math.max(m, v)
+    override def merge(
+        other: org.apache.spark.util.AccumulatorV2[Long, Long]): Unit =
+      m = math.max(m, other.value)
+    override def value: Long = m
+  }
+
   /** Event-time-DETERMINISTIC streaming anomaly alerts — the replay-
     * exact sibling of [[streamingAnomaly]]. That operator processes
     * rows in arrival order (ts-sorted per micro-batch), so its EW
@@ -434,9 +452,26 @@ object StreamIngest {
     * dropped by the watermark like any stateful operator's late data.
     * Buffered rows flush via event-time timeouts as the watermark
     * advances, so a series flushes even when no new rows arrive for it.
-    * `samples.ts` must hold event-time NANOS (the engine's sample ts). */
+    * `samples.ts` must hold event-time NANOS (the engine's sample ts).
+    *
+    * ==Sizing the watermark delay==
+    * The op's only state beyond the O(1) EW band is the pending buffer,
+    * and its size is the DISORDER HORIZON, not the stream: per series,
+    * at most (series arrival rate) x (watermark delay) rows wait for the
+    * watermark to pass them; across the job, (corpus ingest rate) x
+    * (delay) rows total, sharded across executors by series key. Pick
+    * the delay as the max out-of-orderness the source can actually
+    * produce (a Kafka ingest's max partition lag, a backfill window) —
+    * NOT a safety margin of days: a 60-day delay at a 1M-rows/s ingest
+    * is a 5-trillion-row state store. A pathological delay degrades
+    * predictably — state grows to the full horizon while the alert set
+    * stays exact (WatermarkDelaySpec measures both via `pendingPeak`) —
+    * but the memory bill is real; the spec's sizing rule is the one to
+    * follow. Pass `pendingPeak` (a registered [[MaxAccumulator]]) to
+    * observe the realized per-series peak in production. */
   def streamingAnomalyOrdered(samples: DataFrame, decay: Double, k: Double,
-                              warmup: Int, watermarkDelay: String)
+                              warmup: Int, watermarkDelay: String,
+                              pendingPeak: Option[MaxAccumulator] = None)
       : Dataset[(String, Long, Double, Double, Double)] = {
     import samples.sparkSession.implicits._
     val keyed = samples
@@ -462,10 +497,19 @@ object StreamIngest {
             AnomalyState(0L, 0.0, 0.0)))
         val wmNs = state.getCurrentWatermarkMs() * 1000000L
         val all = prev.pending ++ rows.map(r => (r._2, r._3))
-        // rows at or below the watermark are FINAL (later arrivals below
-        // it would be dropped as late data), so their fold order is
-        // settled; everything newer waits for its turn
-        val (ready, rest) = all.partition(_._1 <= wmNs)
+        // STRICTLY-below-watermark rows are FINAL. The boundary (event
+        // time EXACTLY equal to the watermark) is the one case where
+        // Spark's late-row filter convention is not ours to rely on:
+        // this engine version drops boundary-equal stragglers (measured
+        // in OrderedAnomalySpec), but a convention that DELIVERS them
+        // would break a `<=` fold — the equal-ts row would arrive after
+        // its siblings were folded as final. Strict `<` is safe under
+        // either convention at the cost of one extra ms of buffering:
+        // wmNs is a whole ms, and ts <= wmNs - 1 implies the row's
+        // µs-truncated event time <= ms(wm)*1000 - 1 < watermark, i.e.
+        // every ready row is one no future batch can be delivered below.
+        val (ready, rest) = all.partition(_._1 < wmNs)
+        pendingPeak.foreach(_.add(all.size.toLong))
         val out = Vector.newBuilder[(String, Long, Double, Double, Double)]
         // (ts, value) order: a total, data-deterministic order even if a
         // series carries duplicate timestamps

@@ -44,6 +44,32 @@ class HierCentroidSpec extends AnyFunSuite {
     }
   }
 
+  test("coarse groups with no fine children are dropped from the " +
+      "index (r12 ADVICE: an all-empty probe set would yield a null " +
+      "cell that getAs[Int] unboxes to 0, polluting cell 0)") {
+    val sp = SparkSpec.spark
+    import sp.implicits._
+    // identical fine centroids: every fine assigns to ONE coarse group
+    // (larger-cid tie break), leaving the other requested groups empty
+    val fine = Seq.fill(9)(Seq(1.0, 0.0, 0.0))
+    val idx = Embed.buildCentroidIndex(fine, nCoarse = 3, coarseProbes = 3)
+    assert(idx.coarse.size == 1 && idx.children.size == 1,
+      s"empty groups survived: ${idx.children}")
+    assert(idx.children.head.sorted == (0 until 9),
+      "the surviving group must hold every fine centroid")
+    assert(idx.coarseProbes == 1, "probes must clamp to the kept groups")
+    // the REQUESTED knobs survive for sidecar persistence: a replayer
+    // rebuilds from these (stride init runs over the requested count)
+    assert(idx.nCoarseReq == 3 && idx.probesReq == 3)
+    // and the kernel assigns every vector a non-null cell through it
+    val df = Seq((1L, Seq(1.0f, 0.0f, 0.0f)), (2L, Seq(0.0f, 1.0f, 0.0f)))
+      .toDF("id", "v")
+    val nulls = df.select(element_at(
+        Embed.centroidTopCellsHier(col("v"), idx, 1), 1).as("c"))
+      .filter(col("c").isNull).count()
+    assert(nulls == 0, "null cell leaked from the filtered index")
+  }
+
   test("full coarse probing is bit-identical to the flat kernel " +
       "(ties, NaN, floats, rounded and raw)") {
     val sp = SparkSpec.spark

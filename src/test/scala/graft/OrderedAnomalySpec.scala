@@ -114,6 +114,71 @@ class OrderedAnomalySpec extends SparkFunSuite {
       "fixture no longer demonstrates the arrival-order dependence")
   }
 
+  test("a straggler whose ts EQUALS the watermark cannot perturb rows " +
+      "already folded (r12 ADVICE boundary case: the fold treats only " +
+      "STRICTLY-below-watermark rows as final, so whichever convention " +
+      "the engine's late filter takes at the boundary — this version " +
+      "drops the row; one that delivers it would fold it in order — " +
+      "the alert trajectory stays a pure function of the accepted data)") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val T = Base + 9 * Sec
+    // rows 0..8 stable ~100, row 9 a 500 spike AT the boundary ts; the
+    // straggler is a second row at the SAME ts with a smaller value, so
+    // the data-deterministic (ts, value) order folds it BEFORE the 500
+    // — folding the 500 as final at wm == T would break the invariant
+    val first = (0 until 9).map(i =>
+      ("m", Base + i * Sec, if (i % 2 == 0) 100.0 else 102.0)) :+
+      (("m", T, 500.0))
+    val straggler = ("m", T, 100.0)
+    // a row at T + delay lands the watermark EXACTLY at T
+    val wmPush = ("__wm", T + 600 * Sec, 0.0)
+    val input = MemoryStream[(String, Long, Double)]
+    val samples = input.toDF().toDF("metric", "ts", "value")
+      .withColumn("tags", map(lit("h"), lit("a")))
+    val alerts = StreamIngest.streamingAnomalyOrdered(samples,
+      decay = 0.3, k = 2.5, warmup = 4, watermarkDelay = "10 minutes")
+    val q = alerts.toDF("sname", "ts", "value", "ewma", "sigma")
+      .writeStream.format("memory").queryName("oanom_boundary")
+      .outputMode(OutputMode.Append).start()
+    try Seq(first :+ wmPush, Seq(straggler),
+        Seq(sentinel(1)), Seq(sentinel(2))).foreach { b =>
+      input.addData(b: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def tup(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    val got = sp.sql(
+      "SELECT ts, value, round(ewma, 6), round(sigma, 6) " +
+        "FROM oanom_boundary WHERE sname NOT LIKE '__wm%' " +
+        "ORDER BY ts, value").collect().map(tup).toSeq
+    // the two folds an honest engine may produce: the straggler dropped
+    // by the late filter (this Spark version's measured behavior at
+    // exact equality), or delivered and folded in (ts, value) order.
+    // The OLD `<=` partition could produce a third, broken trajectory:
+    // the 500 folded as final at wm == T, then the delivered straggler
+    // folded AFTER it — out of the data-deterministic order.
+    def exactOn(data: Seq[(String, Long, Double)]) =
+      StreamIngest.anomalyBatchExact(
+          data.toDF("metric", "ts", "value")
+            .withColumn("tags", map(lit("h"), lit("a"))),
+          decay = 0.3, k = 2.5, warmup = 4)
+        .toDF("sname", "ts", "value", "ewma", "sigma")
+        .select(col("ts"), col("value"), round(col("ewma"), 6),
+          round(col("sigma"), 6))
+        .orderBy(col("ts"), col("value"))
+        .collect().map(tup).toSeq
+    val wantDropped = exactOn(first)
+    val wantFolded = exactOn(first :+ straggler)
+    assert(wantDropped.nonEmpty, "fixture must alert on the 500 spike")
+    assert(wantDropped != wantFolded,
+      "fixture no longer discriminates the straggler's fold position")
+    assert(got == wantDropped || got == wantFolded,
+      s"boundary straggler perturbed the fold out of order:\n$got\n" +
+        s"vs dropped=$wantDropped\nvs folded=$wantFolded")
+  }
+
   test("rows later than the watermark are dropped, not folded out of " +
       "order") {
     val sp = spark

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamIngest
+
+/** The watermark-delay sizing rule for
+  * [[StreamIngest.streamingAnomalyOrdered]] (VERDICT r12 #7): the op's
+  * only non-O(1) state is the pending buffer, bounded per series by
+  * (arrival rate) x (watermark delay) — the disorder horizon. A
+  * pathological delay must degrade PREDICTABLY: state grows to the full
+  * horizon (here: the whole series sits buffered until the sentinel
+  * advances the watermark) while the alert set stays exactly the
+  * batch fold. The spec measures both sides of that trade with the
+  * same in-order arrival, differing only in the delay. */
+class WatermarkDelaySpec extends SparkFunSuite {
+
+  private val Base = 1700000000000000000L // ns
+  private val Sec = 1000000000L
+
+  /** 60 in-order rows, one per second; spikes make the alert set
+    * non-empty so the correctness half of the assertion has teeth. */
+  private def rows: Seq[(String, Long, Double)] =
+    (0 until 60).map { i =>
+      val v =
+        if (i == 25 || i == 50) 500.0
+        else if (i % 2 == 0) 100.0 else 102.0
+      ("m", Base + i * Sec, v)
+    }
+
+  private def sentinel(d: Int) = ("__wm", Base + d * 86400L * Sec, 0.0)
+
+  /** Run the ordered op over six in-order 10-row batches and return
+    * (alerts as (ts, value), peak per-series pending-buffer size). */
+  private def run(name: String, delay: String): (Seq[(Long, Double)], Long) = {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val peak = new StreamIngest.MaxAccumulator
+    sp.sparkContext.register(peak, s"pending_peak_$name")
+    val input = MemoryStream[(String, Long, Double)]
+    val samples = input.toDF().toDF("metric", "ts", "value")
+      .withColumn("tags", map(lit("h"), lit("a")))
+    val alerts = StreamIngest.streamingAnomalyOrdered(samples,
+      decay = 0.3, k = 2.5, warmup = 4, watermarkDelay = delay,
+      pendingPeak = Some(peak))
+    val q = alerts.toDF("sname", "ts", "value", "ewma", "sigma")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    // sentinels must clear even the 60-day pathological delay
+    try (rows.grouped(10).toSeq ++ Seq(Seq(sentinel(90)), Seq(sentinel(120))))
+      .foreach { b =>
+        input.addData(b: _*)
+        q.processAllAvailable()
+      }
+    finally q.stop()
+    val got = sp.sql(s"SELECT ts, value FROM $name " +
+        "WHERE sname NOT LIKE '__wm%' ORDER BY ts")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    (got, peak.value)
+  }
+
+  private lazy val exact: Seq[(Long, Double)] = {
+    val sp = spark
+    import sp.implicits._
+    StreamIngest.anomalyBatchExact(
+        rows.toDF("metric", "ts", "value")
+          .withColumn("tags", map(lit("h"), lit("a"))),
+        decay = 0.3, k = 2.5, warmup = 4)
+      .toDF("sname", "ts", "value", "ewma", "sigma")
+      .orderBy(col("ts"))
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+  }
+
+  test("a delay sized to the real disorder keeps the pending buffer at " +
+      "the horizon, not the stream") {
+    assert(exact.nonEmpty, "fixture must alert")
+    val (got, peak) = run("wmd_short", "10 seconds")
+    assert(got == exact, s"short-delay alerts diverged:\n$got\nvs\n$exact")
+    // per-series bound: ~(batch size) + (delay horizon) + one batch of
+    // watermark lag — far below the 60-row series. The exact value is
+    // 31 under this arrival; assert the bound, not the incidental value
+    assert(peak <= 40, s"pending peak $peak blew the disorder horizon")
+  }
+
+  test("a pathological delay degrades state to the full horizon while " +
+      "the alert set stays exact") {
+    val (got, peak) = run("wmd_patho", "60 days")
+    assert(got == exact, s"long-delay alerts diverged:\n$got\nvs\n$exact")
+    // 60-day delay >> the series' 1-minute span: the watermark never
+    // passes a single row until the sentinel, so the WHOLE series sits
+    // in the buffer — the predictable cost the scaladoc's sizing rule
+    // tells operators to avoid
+    assert(peak == 60L,
+      s"expected the full 60-row series buffered, measured $peak")
+  }
+}
