@@ -142,7 +142,17 @@ object Anomaly {
     // EVERY sketch row, turn all F2 estimates NaN, and silently disable
     // detection for the whole frame. The dropped row also can't be
     // flagged itself — same outcome as the exact path's !isnan filter.
-    val df = frame.df.filter(!isnan(col(Value)))
+    // LAZY lineage cut: this frame feeds the sketch build, the frame-ts
+    // grid AND the final per-series estimate join (3 consumers), and it
+    // sits on top of the whole group-aggregate query subtree — uncut,
+    // each consumer re-analyzes and re-executes that subtree (the r12
+    // plan audit's fleet-max 22 exchanges came from exactly this). One
+    // row per (series, bucket) — the op's already-aggregated input, the
+    // per-doc-frame regime where the measured A/B discipline says
+    // storing wins (vs the exploded per-token regime where it loses).
+    // Measured (r13, factor-10 corpus, 3 passes): cuts 8.7/9.4/10.3 s
+    // vs uncut 12.0/12.5/12.5 s; plan 22 exchanges/7 broadcasts -> 4/1.
+    val df = frame.df.filter(!isnan(col(Value))).localCheckpoint(false)
 
     // 1. the actual sketch: nonzero cells per frame...
     val sparse = df
@@ -165,14 +175,23 @@ object Anomaly {
         concat_ws(":", col("i"), col("h")).as(Sname),
         col(Ts), col("i"), col("h"), col("__cv")),
       valueCols = Seq("__cv"))
+    // LAZY cut on the forecast cells too: N*2^bits cells per frame —
+    // bounded by the sketch dimensions, NOT series cardinality (the
+    // sketch's own scale contract) — consumed by both the frame stats
+    // and the per-series estimate join, and recomputing it replays the
+    // stateful per-cell scan (repartition + sort) per consumer.
     val errCells = Pipe.statefulColumn(cellFrame, "__cv", "__fc", mk)
       .withColumn("__err", abs(col("__cv") - col("__fc")))
+      .localCheckpoint(false)
 
     // 3. frame statistics: sum_ = row-0 error sum (::_update_sum), per-row
-    // F2 estimate, median across rows (N is odd)
+    // F2 estimate, median across rows (N is odd). rowStats is N rows per
+    // frame and feeds two consumers — cut it so the sumErr leg doesn't
+    // re-aggregate the cell sketch.
     val rowStats = errCells.groupBy(col(Ts), col("i"))
       .agg(sum(col("__err") * col("__err")).as("__rowsum"),
         sum(col("__err")).as("__rowerr"))
+      .localCheckpoint(false)
     val sumErr = rowStats.filter(col("i") === 0)
       .select(col(Ts), col("__rowerr").as("__sumerr"))
     val frameStats = rowStats.join(sumErr, Seq(Ts))
