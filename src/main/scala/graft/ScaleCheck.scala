@@ -691,6 +691,31 @@ object ScaleCheck {
       // quantity the watermark-delay sizing rule bounds)
       val peak = new graft.streaming.StreamIngest.MaxAccumulator
       spark.sparkContext.register(peak, "oanom_pending_peak")
+      // Past factor 100 the adversarial arrival (whole late half first,
+      // 60-day delay) buffers the ENTIRE corpus in state by design —
+      // 96M rows across 7.4M series at factor 1000 — and the default
+      // HDFS-backed provider keeps every retained state version
+      // on-heap: the r13 attempt OOM'd a 48 GiB heap in the flush
+      // batch. RocksDB is the documented production posture for
+      // beyond-heap state (off-heap/on-disk, the op's scaladoc sizing
+      // section); factors <= 100 keep the default provider every
+      // published number used. Set per-query: the conf is read at
+      // stream start and ops run sequentially.
+      val prevProvider =
+        spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      val hconf = spark.sparkContext.hadoopConfiguration
+      if (factor > 100) {
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state." +
+            "RocksDBStateStoreProvider")
+        // RocksDBFileManager casts the checkpoint fs to LocalFileSystem
+        // (it needs the checksummed wrapper's raw accessor), so the
+        // harness's RawLocalFileSystem perf posture must step aside for
+        // this op; the cache must be disabled or the already-cached raw
+        // instance keeps winning. Restored in the finally.
+        hconf.set("fs.file.impl", "org.apache.hadoop.fs.LocalFileSystem")
+        hconf.set("fs.file.impl.disable.cache", "true")
+      }
       val alerts = graft.streaming.StreamIngest.streamingAnomalyOrdered(
         spark.readStream.schema(sm.schema).parquet(src),
         decay = 0.3, k = 1.5, warmup = 3, watermarkDelay = "60 days",
@@ -711,7 +736,22 @@ object ScaleCheck {
         q.processAllAvailable()
         sentinel(maxTs + 120 * day).write.mode("append").parquet(src)
         q.processAllAvailable()
-      } finally q.stop()
+      } finally {
+        q.stop()
+        // restore even on failure: a leaked provider or fs conf would
+        // change any later op's regime
+        prevProvider match {
+          case Some(p) => spark.conf
+            .set("spark.sql.streaming.stateStore.providerClass", p)
+          case None => spark.conf
+            .unset("spark.sql.streaming.stateStore.providerClass")
+        }
+        if (factor > 100) {
+          hconf.set("fs.file.impl",
+            "org.apache.hadoop.fs.RawLocalFileSystem")
+          hconf.unset("fs.file.impl.disable.cache")
+        }
+      }
       val streamed = spark.read.parquet(out)
         .filter(col("sname") =!= "__wm").count()
       val exact = graft.streaming.StreamIngest.anomalyBatchExact(

@@ -410,10 +410,18 @@ object StreamIngest {
 
   /** Carried state for [[streamingAnomalyOrdered]]: rows newer than the
     * watermark, still awaiting their turn, plus the EW band that has
-    * absorbed everything at or below it. Pending size is bounded by the
+    * absorbed everything below it. Pending size is bounded by the
     * series' arrival rate x the watermark delay — the disorder horizon,
-    * not the stream. */
-  final case class OrderedAnomalyState(pending: Vector[(Long, Double)],
+    * not the stream. PRIMITIVE parallel arrays, deliberately: the state
+    * round-trips through the store's encoder on every touched key of
+    * every batch, and a `Vector[(Long, Double)]` form allocated three
+    * boxed objects per buffered row on each deserialize — at the 1000x
+    * ScaleCheck volume (96M buffered rows across 7.4M series, all
+    * flushing in ONE timeout batch) that churn OOM'd a 48 GiB heap.
+    * Primitive arrays encode as packed UnsafeArrayData and deserialize
+    * with zero per-element allocation. */
+  final case class OrderedAnomalyState(pendingTs: Array[Long],
+                                       pendingV: Array[Double],
                                        st: AnomalyState)
 
   /** Driver-readable MAX across tasks. [[streamingAnomalyOrdered]] takes
@@ -468,7 +476,16 @@ object StreamIngest {
     * stays exact (WatermarkDelaySpec measures both via `pendingPeak`) —
     * but the memory bill is real; the spec's sizing rule is the one to
     * follow. Pass `pendingPeak` (a registered [[MaxAccumulator]]) to
-    * observe the realized per-series peak in production. */
+    * observe the realized per-series peak in production.
+    *
+    * When the horizon must exceed heap scale anyway (a deep backfill
+    * window), run the query under the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass` →
+    * `RocksDBStateStoreProvider`): the default HDFS-backed provider
+    * keeps every retained state version on-heap, and the 1000x
+    * ScaleCheck's adversarial whole-corpus buffer (96M rows, 7.4M
+    * series) OOM'd a 48 GiB heap under it while RocksDB holds state
+    * off-heap/on-disk — that run's posture note documents the switch. */
   def streamingAnomalyOrdered(samples: DataFrame, decay: Double, k: Double,
                               warmup: Int, watermarkDelay: String,
                               pendingPeak: Option[MaxAccumulator] = None)
@@ -493,10 +510,9 @@ object StreamIngest {
       (key: String, rows: Iterator[(String, Long, Double, java.sql.Timestamp)],
        state: GroupState[OrderedAnomalyState]) =>
         val prev = state.getOption
-          .getOrElse(OrderedAnomalyState(Vector.empty,
-            AnomalyState(0L, 0.0, 0.0)))
+          .getOrElse(OrderedAnomalyState(Array.emptyLongArray,
+            Array.emptyDoubleArray, AnomalyState(0L, 0.0, 0.0)))
         val wmNs = state.getCurrentWatermarkMs() * 1000000L
-        val all = prev.pending ++ rows.map(r => (r._2, r._3))
         // STRICTLY-below-watermark rows are FINAL. The boundary (event
         // time EXACTLY equal to the watermark) is the one case where
         // Spark's late-row filter convention is not ours to rely on:
@@ -508,18 +524,41 @@ object StreamIngest {
         // wmNs is a whole ms, and ts <= wmNs - 1 implies the row's
         // µs-truncated event time <= ms(wm)*1000 - 1 < watermark, i.e.
         // every ready row is one no future batch can be delivered below.
-        val (ready, rest) = all.partition(_._1 < wmNs)
-        pendingPeak.foreach(_.add(all.size.toLong))
+        // Ready rows box transiently for the (ts, value) sort — they're
+        // folded and discarded; the CARRIED rest stays primitive.
+        val ready = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Double)]
+        val tsB = scala.collection.mutable.ArrayBuilder.make[Long]
+        val vB = scala.collection.mutable.ArrayBuilder.make[Double]
+        var seen = 0L
+        var i = 0
+        while (i < prev.pendingTs.length) {
+          val t = prev.pendingTs(i); val v = prev.pendingV(i)
+          if (t < wmNs) ready += ((t, v)) else { tsB += t; vB += v }
+          seen += 1; i += 1
+        }
+        rows.foreach { r =>
+          val t = r._2; val v = r._3
+          if (t < wmNs) ready += ((t, v)) else { tsB += t; vB += v }
+          seen += 1
+        }
+        pendingPeak.foreach(_.add(seen))
         val out = Vector.newBuilder[(String, Long, Double, Double, Double)]
         // (ts, value) order: a total, data-deterministic order even if a
         // series carries duplicate timestamps
         val st = ewFold(key, ready.sortBy(identity).iterator, prev.st,
           decay, k, warmup, out)
-        state.update(OrderedAnomalyState(rest, st))
-        if (rest.nonEmpty) {
+        val restTs = tsB.result()
+        state.update(OrderedAnomalyState(restTs, vB.result(), st))
+        if (restTs.nonEmpty) {
           // wake this series when the watermark reaches its oldest
           // pending row, so buffered rows flush without new arrivals
-          val wakeMs = rest.map(_._1).min / 1000000L + 1L
+          var mn = Long.MaxValue
+          var j = 0
+          while (j < restTs.length) {
+            if (restTs(j) < mn) mn = restTs(j); j += 1
+          }
+          val wakeMs = mn / 1000000L + 1L
           state.setTimeoutTimestamp(
             math.max(wakeMs, state.getCurrentWatermarkMs() + 1L))
         }
