@@ -33,11 +33,22 @@ class WatermarkDelaySpec extends SparkFunSuite {
   private def sentinel(d: Int) = ("__wm", Base + d * 86400L * Sec, 0.0)
 
   /** Run the ordered op over six in-order 10-row batches and return
-    * (alerts as (ts, value), peak per-series pending-buffer size). */
-  private def run(name: String, delay: String): (Seq[(Long, Double)], Long) = {
+    * (alerts as (ts, value), peak per-series pending-buffer size).
+    * `rocksDb` pins the beyond-heap-state posture the op's scaladoc
+    * recommends: the RocksDB provider must produce the identical alert
+    * set (the 1000x ScaleCheck runs under it — a provider/engine drift
+    * would otherwise only surface in a 6-minute scale run). */
+  private def run(name: String, delay: String,
+                  rocksDb: Boolean = false): (Seq[(Long, Double)], Long) = {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
     import sp.implicits._
+    val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = sp.conf.getOption(ProviderKey)
+    if (rocksDb)
+      sp.conf.set(ProviderKey,
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
     val peak = new StreamIngest.MaxAccumulator
     sp.sparkContext.register(peak, s"pending_peak_$name")
     val input = MemoryStream[(String, Long, Double)]
@@ -55,7 +66,14 @@ class WatermarkDelaySpec extends SparkFunSuite {
         input.addData(b: _*)
         q.processAllAvailable()
       }
-    finally q.stop()
+    finally {
+      q.stop()
+      // restore: the suite session is shared across specs
+      prevProvider match {
+        case Some(p) => sp.conf.set(ProviderKey, p)
+        case None    => sp.conf.unset(ProviderKey)
+      }
+    }
     val got = sp.sql(s"SELECT ts, value FROM $name " +
         "WHERE sname NOT LIKE '__wm%' ORDER BY ts")
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
@@ -83,6 +101,14 @@ class WatermarkDelaySpec extends SparkFunSuite {
     // watermark lag — far below the 60-row series. The exact value is
     // 31 under this arrival; assert the bound, not the incidental value
     assert(peak <= 40, s"pending peak $peak blew the disorder horizon")
+  }
+
+  test("the RocksDB state store provider — the beyond-heap-state " +
+      "posture the scaladoc recommends — produces the identical alert " +
+      "set and peak") {
+    val (got, peak) = run("wmd_rocks", "10 seconds", rocksDb = true)
+    assert(got == exact, s"RocksDB-provider alerts diverged:\n$got")
+    assert(peak <= 40, s"pending peak $peak under RocksDB")
   }
 
   test("a pathological delay degrades state to the full horizon while " +
