@@ -154,6 +154,19 @@ object ScaleCheck {
     val secs = scala.collection.mutable.LinkedHashMap[String, Double]()
     val rows = scala.collection.mutable.LinkedHashMap[String, Long]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Evaluation-forcing terminal for ROW-PRESERVING ops: `.count()`
+    // lets Catalyst prune the computed columns (a Window whose outputs
+    // are unreferenced is eliminated outright), so a count-terminated
+    // wall times the SCAN, not the operator — r13 caught sessionize
+    // "processing" 100M rows in 0.32s this way. Hash-summing the
+    // computed columns makes every value load-bearing at the cost of
+    // one per-row hash. Ops whose count already forces the work
+    // (filters, joins, aggregations) keep the plain count.
+    // (bit_xor, not sum: summing 64-bit hashes overflows under ANSI)
+    def forced(df: org.apache.spark.sql.DataFrame, cs: String*): Long =
+      df.agg(count(lit(1)).as("__n"),
+          bit_xor(xxhash64(cs.map(col): _*)).as("__h"))
+        .head().getLong(0)
     def timed(name: String)(f: => Long): Unit = {
       known += name
       if (only.nonEmpty && !only(name)) return
@@ -235,12 +248,12 @@ object ScaleCheck {
         .select(col("user_id"), col("ts"), col("value"))
       val r = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts"), col("value"))
-      EventOps.asOf(l, r, Seq("user_id"), "ts", "value",
-        toleranceNs = Some(2 * Day)).count()
+      forced(EventOps.asOf(l, r, Seq("user_id"), "ts", "value",
+        toleranceNs = Some(2 * Day)), "value_r", "ts_r")
     }
     timed("sessionize") {
-      EventOps.sessionize(ev, Seq("user_id"), "ts",
-        gapNs = 6 * 3600L * 1000000000L).count()
+      forced(EventOps.sessionize(ev, Seq("user_id"), "ts",
+        gapNs = 6 * 3600L * 1000000000L), "session_id")
     }
     timed("take_budget") {
       Sample.takeBudget(docs.select(col("doc_id"), col("n_chars")),
@@ -260,16 +273,17 @@ object ScaleCheck {
         hier = knnIndex(cents)).count()
     }
     timed("embed_random_projection") {
-      Embed.randomProjectSigned(emb, outDim = 16).count()
+      forced(Embed.randomProjectSigned(emb, outDim = 16), "proj")
     }
     timed("doc_bm25") {
       Text.bm25Search(docs, Seq("spark", "vector", "merge"), k = 10).count()
     }
     timed("doc_char_entropy") {
-      Text.charEntropyReport(docs).count()
+      forced(Text.charEntropyReport(docs), "entropy_bits")
     }
     timed("doc_ccnet_bucket") {
-      Text.perplexityBuckets(docs, Seq("source"), nBuckets = 3).count()
+      forced(Text.perplexityBuckets(docs, Seq("source"), nBuckets = 3),
+        "perplexity", "bucket")
     }
     timed("ts_m4_downsample") {
       TsAnalytics.m4Downsample(store.samples, Seq("metric"), "ts", "value",
@@ -318,9 +332,9 @@ object ScaleCheck {
       val keyed = store.samples.withColumn("skey",
         concat(col("metric"), lit("/"),
           pmod(element_at(col("tags"), "user").cast("long"), lit(16))))
-      TsAnalytics.fillForward(keyed, Seq("skey"), "ts", "value",
+      forced(TsAnalytics.fillForward(keyed, Seq("skey"), "ts", "value",
         stepNs = 3600L * 1000000000L, fromNs = t0, toNs = t1,
-        maxAgeNs = 2 * Day).count()
+        maxAgeNs = 2 * Day), "value", "age_ns")
     }
     timed("embed_knn_classify") {
       Embed.knnClassify(emb.filter(col("vec_id") % 5 =!= 0),
