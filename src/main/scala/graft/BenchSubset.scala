@@ -64,7 +64,9 @@ object BenchSubset {
     val stats = names.map { name =>
       val times = (0 until reps).map { i =>
         val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, sfDir).count()
+        // same forced terminal as Bench: floors, re-seeds and the
+        // official sweep must all time ONE shape (r13 hollow-wall fix)
+        Bench.forceTimed(SparkEntry.queries(name)(spark, sfDir))
         val dt = (System.nanoTime() - t0) / 1e9
         Console.err.println(f"[subset] $name%-32s pass$i $dt%7.3f s")
         dt
