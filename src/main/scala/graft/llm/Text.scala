@@ -226,33 +226,44 @@ object Text {
     * its bigrams, `perplexity` = exp(-mean). Documents shorter than one
     * bigram score 0 / 1.
     *
-    * Shape at scale: explode -> one bigram-count shuffle (map-side
-    * combined); the MODEL is tiny and broadcast back onto the bigram
-    * stream — no second wide shuffle; per-doc mean groups by doc. */
+    * Shape at scale (r14, replacing the explode form the forced timing
+    * terminal un-hid at 977 s/1000×): the alphabet is BOUNDED (38² =
+    * 1444 model cells), so neither pass needs per-bigram rows —
+    *   pass 1  one typed-Aggregator fold of every doc's text into a
+    *           single 1444-cell count array (map-side combined; the
+    *           only shuffled state is one array per task), collected to
+    *           the driver — model-scale by construction;
+    *   pass 2  one fused codegen'd expression scores each doc against
+    *           the broadcast log-prob table ([[org.apache.spark.sql
+    *           .graftio.TextNorm.CharBigramScore]] — the
+    *           [[charEntropyReport]] precedent): no explode, no joins,
+    *           no per-doc-mean shuffle, the score computes inside the
+    *           parquet scan projection.
+    * The old form exploded one row per character-bigram OF THE CORPUS
+    * through a count shuffle and a per-doc mean shuffle — ~6 orders of
+    * magnitude more shuffled rows at 100 TB. Arithmetic is
+    * bit-compatible: same lowercase (`UTF8String.toLowerCase`), same
+    * per-codepoint bucketing, same `Math.log` on the same doubles,
+    * summed in the same document order. */
   def charBigramLm(docs: DataFrame,
                    textCol: String = "text",
                    idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.graftio.TextNorm
     val V = 38
-    val chars = split(regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", "_"), "")
-    val bigrams = docs.select(col(idCol),
-        bindOnce(chars) { t =>
-          when(size(t) >= 2, transform(sequence(lit(1), size(t) - 1),
-            i => concat(element_at(t, i), element_at(t, i + 1))))
-            .otherwise(array().cast("array<string>"))
-        }.as("__bgs"))
-      .select(col(idCol), explode(col("__bgs")).as("__bg"))
-    val model = bigrams.groupBy(col("__bg")).agg(count(lit(1)).as("__cbg"))
-    val ctx = model.groupBy(substring(col("__bg"), 1, 1).as("__c"))
-      .agg(sum(col("__cbg")).as("__cctx"))
-    val perDoc = bigrams
-      .join(broadcast(model), "__bg")
-      .withColumn("__c", substring(col("__bg"), 1, 1))
-      .join(broadcast(ctx), "__c")
-      .withColumn("__lp",
-        log((col("__cbg") + 1).cast("double") / (col("__cctx") + V)))
-      .groupBy(col(idCol)).agg(avg(col("__lp")).as("__alp"))
-    docs.select(col(idCol))
-      .join(perDoc, Seq(idCol), "left")
+    val counts: Array[Long] = docs.select(col(textCol))
+      .as(org.apache.spark.sql.Encoders.STRING)
+      .select(new TextNorm.BigramCountAgg().toColumn)
+      .head()
+    val ctx = Array.tabulate(V) { a =>
+      var s = 0L; var b = 0
+      while (b < V) { s += counts(a * V + b); b += 1 }
+      s
+    }
+    val lp = Array.tabulate(V * V) { i =>
+      math.log((counts(i) + 1).toDouble / (ctx(i / V) + V).toDouble)
+    }
+    docs.select(col(idCol),
+        TextNorm.charBigramScore(col(textCol), lp).as("__alp"))
       .select(col(idCol),
         round(coalesce(col("__alp"), lit(0.0)), 6).as("avg_logp"),
         round(exp(-coalesce(col("__alp"), lit(0.0))), 6).as("perplexity"))
@@ -278,20 +289,27 @@ object Text {
     * makes bucket boundaries deterministic and externally replayable
     * (SQL-standard ntile).
     *
-    * Shape: the LM scoring is [[charBigramLm]]'s one corpus pass +
-    * broadcast models; the ntile window shuffles one ROW per doc (id,
-    * group, perplexity — no text). Output: id, group cols, perplexity,
-    * `bucket` (1..nBuckets, 1 = lowest perplexity = head). */
+    * Shape: the LM scoring is [[charBigramLm]]'s fused two-pass (no
+    * per-bigram rows); the bucketing keeps EXACT ntile semantics but
+    * computes the rank via [[Rank.groupRank]]'s range-partitioned
+    * offset pattern instead of `ntile().over(partitionBy(group))` — the
+    * group column is low-cardinality (a handful of sources), so the
+    * window form funnels ~corpus/n_sources rows through ONE task at
+    * 100 TB (the r13 verdict's named scale-killer). Output: id, group
+    * cols, perplexity, `bucket` (1..nBuckets, 1 = lowest perplexity =
+    * head). */
   def perplexityBuckets(docs: DataFrame, groupCols: Seq[String],
                         nBuckets: Int = 3, textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame = {
     require(nBuckets >= 2, "nBuckets must be >= 2")
     val scored = charBigramLm(docs, textCol, idCol)
       .join(docs.select((col(idCol) +: groupCols.map(col)): _*), idCol)
-    val w = Window.partitionBy(groupCols.map(col): _*)
-      .orderBy(col("perplexity").asc, col(idCol).asc)
-    scored.select((Seq(col(idCol)) ++ groupCols.map(col) ++ Seq(
-      col("perplexity"), ntile(nBuckets).over(w).as("bucket"))): _*)
+      .select((Seq(col(idCol)) ++ groupCols.map(col)
+        :+ col("perplexity")): _*)
+    Rank.ntileBucket(scored, groupCols,
+      Seq(col("perplexity").asc, col(idCol).asc), nBuckets, "bucket")
+      .select((Seq(col(idCol)) ++ groupCols.map(col) ++ Seq(
+        col("perplexity"), col("bucket"))): _*)
   }
 
   /** Vocabulary-growth curve: per ingestion batch (`idCol div batch`),

@@ -114,6 +114,30 @@ class CurationSpec extends SparkFunSuite {
     assert(r(6L) == 3 || r(7L) == 3)
   }
 
+  test("Rank.ntileBucket == SQL ntile window for every group size, " +
+      "ties included, across many shuffle partitions") {
+    // group sizes straddle the bucket count (N < n, N == n, N ≫ n) and
+    // values collide heavily so the id tie-break is load-bearing; the
+    // frame spans all 32 shuffle partitions so the per-(pid, group)
+    // offset arithmetic is exercised across real partition boundaries
+    val rnd = new scala.util.Random(7)
+    val rows = (Seq.tabulate(2)(i => (i.toLong, "tiny", rnd.nextInt(3))) ++
+      Seq.tabulate(4)(i => (100L + i, "exact", rnd.nextInt(2))) ++
+      Seq.tabulate(997)(i => (1000L + i, "big", rnd.nextInt(5))) ++
+      Seq.tabulate(503)(i => (10000L + i, "odd", rnd.nextInt(4))))
+    val df = rows.toDF("id", "grp", "v").repartition(32)
+    for (n <- Seq(2, 3, 4, 7)) {
+      val got = graft.llm.Rank
+        .ntileBucket(df, Seq("grp"), Seq(col("v"), col("id")), n, "b")
+        .select("id", "b").as[(Long, Int)].collect().toMap
+      val want = df.select(col("id"), ntile(n).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("grp")
+            .orderBy(col("v"), col("id"))).as("b"))
+        .as[(Long, Int)].collect().toMap
+      assert(got == want, s"ntile($n) mismatch")
+    }
+  }
+
   test("randomProjectSigned: matches a driver-side ±1 matrix multiply") {
     val rnd = new scala.util.Random(3)
     val vecs = (0 until 20).map(i =>
