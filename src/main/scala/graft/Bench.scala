@@ -84,13 +84,22 @@ object Bench {
     * BenchSubset and the in-run adjudicator use the same terminal, so
     * floors, re-seeds and adjudication all time one shape. */
   def forceTimed(df: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.types._
+    // xxhash64 rejects MapType at ANY nesting depth (array<map>, a map
+    // inside a struct field), not just top-level — route every column
+    // whose type CONTAINS a map through to_json, so a future gate with
+    // a nested map is timed rather than recorded as a bench error
+    def containsMap(dt: DataType): Boolean = dt match {
+      case _: MapType         => true
+      case a: ArrayType       => containsMap(a.elementType)
+      case s: StructType      => s.fields.exists(f => containsMap(f.dataType))
+      case _                  => false
+    }
     val hcols = df.schema.fields.toSeq.map { f =>
-      f.dataType match {
-        case _: org.apache.spark.sql.types.MapType =>
-          org.apache.spark.sql.functions.to_json(
-            org.apache.spark.sql.functions.col(f.name))
-        case _ => org.apache.spark.sql.functions.col(f.name)
-      }
+      if (containsMap(f.dataType))
+        org.apache.spark.sql.functions.to_json(
+          org.apache.spark.sql.functions.col(f.name))
+      else org.apache.spark.sql.functions.col(f.name)
     }
     df.agg(count(lit(1)).as("__n"),
         org.apache.spark.sql.functions.bit_xor(

@@ -426,7 +426,8 @@ object Embed {
                vecCol: String = "embedding", idCol: String = "vec_id",
                centroids: Option[Seq[Seq[Double]]] = None,
                rounded: Boolean = false,
-               hierAssign: Boolean = false): Unit = {
+               hierAssign: Boolean = false,
+               nCoarse: Int = 0, coarseProbes: Int = 0): Unit = {
     val cents = centroids.getOrElse(
       sampleCentroids(corpus, nCentroids, vecCol, idCol))
     // hierAssign routes the build through the two-level kernel — the
@@ -435,7 +436,15 @@ object Embed {
     // for exactly this). The routing index derives DETERMINISTICALLY
     // from the persisted centroid matrix, so an appender rebuilds the
     // identical routing from the layout alone (meta records the knobs).
-    val hierIdx = if (hierAssign) Some(buildCentroidIndex(cents)) else None
+    // `nCoarse`/`coarseProbes` are the caller's routing shape (0 = the
+    // kernel defaults, ~√k groups / 4 probes) — a profile whose routing
+    // diverges from the defaults (e.g. the coarseProbes == nCoarse
+    // exactness escape hatch) must land ITS shape in the layout, or the
+    // persisted cells were assigned by a different route than every
+    // other consumer of that profile (the r13 ADVICE finding).
+    val hierIdx =
+      if (hierAssign) Some(buildCentroidIndex(cents, nCoarse, coarseProbes))
+      else None
     // rounded = true assigns on the 6-decimal-rounded cosine (the
     // kmeansStep convention) so the layout's cell membership replays
     // bit-stably in an external engine — the oracle-gated layouts use it

@@ -114,7 +114,14 @@ final case class EmbedProfile(hierAbove: Int, nCoarse: Int,
                   vecCol: String = "embedding",
                   idCol: String = "vec_id"): Unit =
     Embed.writeIvf(corpus, path, nCentroids, vecCol, idCol, centroids,
-      rounded = rounded, hierAssign = nCentroids > hierAbove)
+      rounded = rounded, hierAssign = nCentroids > hierAbove,
+      // forward the profile's routing shape (r13 ADVICE): without these
+      // the layout is assigned with kernel-default routing even when the
+      // profile's own consumers ([[semDedup]]/[[knnGraph]]/
+      // [[trainCentroids]] via [[centroidIndex]]) route differently —
+      // e.g. the coarseProbes == nCoarse exactness escape hatch would
+      // persist a default-√k/4-probe layout
+      nCoarse = nCoarse, coarseProbes = coarseProbes)
 
   /** Idempotent append to a layout written by [[writeLayout]] — the
     * persisted sidecar knobs, not this profile, drive the assignment,
@@ -127,11 +134,20 @@ final case class EmbedProfile(hierAbove: Int, nCoarse: Int,
 
 object EmbedProfile {
 
-  /** The 100 TB serving/curation shape: two-level assignment past the
-    * published 256-cell switch point with the kernel's default routing
-    * (~√k coarse groups, 4 probes), 2-probe kNN graph (every celled
-    * gate's operating point), 5 Lloyd iterations, bit-replayable
-    * rounded layouts. */
+  /** The 100 TB serving/curation shape: two-level assignment past 256
+    * fine cells with the kernel's default routing (~√k coarse groups,
+    * 4 probes), 2-probe kNN graph (every celled gate's operating
+    * point), 5 Lloyd iterations, bit-replayable rounded layouts.
+    *
+    * 256 is this profile's own deployment heuristic, not a published
+    * measurement boundary: the ScaleCheck suite gates hier assignment
+    * by scale FACTOR (>100), so its published factor-100 numbers (e.g.
+    * `embed_topk_batch_ivf` at 640 cells) stay on the flat path — on a
+    * corpus with 256 < cells <= ~640 this profile routes hier where
+    * the suite's flat numbers were measured. The trade is the standard
+    * two-level-IVF one (O(√k·dim) vs O(k·dim) per row; the flat path
+    * was the measured r11 1000x scale-killer at k=1600), and
+    * HierCentroidSpec pins the routed kernel's semantics. */
   val serving: EmbedProfile = EmbedProfile(
     hierAbove = 256, nCoarse = 0, coarseProbes = 0, graphProbes = 2,
     kmeansIters = 5, rounded = true)

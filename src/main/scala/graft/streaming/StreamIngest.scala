@@ -530,25 +530,27 @@ object StreamIngest {
           .empty[(Long, Double)]
         val tsB = scala.collection.mutable.ArrayBuilder.make[Long]
         val vB = scala.collection.mutable.ArrayBuilder.make[Double]
-        var seen = 0L
         var i = 0
         while (i < prev.pendingTs.length) {
           val t = prev.pendingTs(i); val v = prev.pendingV(i)
           if (t < wmNs) ready += ((t, v)) else { tsB += t; vB += v }
-          seen += 1; i += 1
+          i += 1
         }
         rows.foreach { r =>
           val t = r._2; val v = r._3
           if (t < wmNs) ready += ((t, v)) else { tsB += t; vB += v }
-          seen += 1
         }
-        pendingPeak.foreach(_.add(seen))
         val out = Vector.newBuilder[(String, Long, Double, Double, Double)]
         // (ts, value) order: a total, data-deterministic order even if a
         // series carries duplicate timestamps
         val st = ewFold(key, ready.sortBy(identity).iterator, prev.st,
           decay, k, warmup, out)
         val restTs = tsB.result()
+        // the CARRIED buffer is what the sizing rule bounds (rows waiting
+        // for the watermark), so the peak excludes rows folded-and-freed
+        // within this same invocation (r13 ADVICE: `seen` overstated the
+        // carried state by up to one in-flight batch)
+        pendingPeak.foreach(_.add(restTs.length.toLong))
         state.update(OrderedAnomalyState(restTs, vB.result(), st))
         if (restTs.nonEmpty) {
           // wake this series when the watermark reaches its oldest

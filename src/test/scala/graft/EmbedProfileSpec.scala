@@ -104,4 +104,37 @@ class EmbedProfileSpec extends SparkFunSuite {
       "layout cells diverged from the flat rounded assignment")
     assert(stored.count() == emb.count(), "append lost rows")
   }
+
+  test("writeLayout forwards the profile's routing shape — a full-probe " +
+      "profile must not persist a default-probe layout (r13 ADVICE)") {
+    // k = 25: the kernel DEFAULT resolves to √25 = 5 coarse groups with
+    // 4 probes — a routed, inexact shape. The 4-centroid fixture above
+    // can't catch a dropped forward because its default (2 groups,
+    // min(2,4) = 2 probes) is full-probe anyway; here the profile's
+    // exactness escape hatch (coarseProbes == nCoarse == 5) genuinely
+    // DIFFERS from the default, so an unforwarded knob is visible both
+    // in the sidecar and (potentially) in boundary-vector cells.
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_embprof_route").toString
+    val cents = emb.filter(col("vec_id") < 25).orderBy(col("vec_id"))
+      .select(Embed.normalized(col("embedding")))
+      .collect().toSeq.map(_.getSeq[Double](0).toSeq)
+    val full = EmbedProfile.serving.copy(hierAbove = 0,
+      nCoarse = 5, coarseProbes = 5)
+    full.writeLayout(emb, tmp, nCentroids = 25, centroids = Some(cents))
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(tmp, "_ivf_meta.txt")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(meta.contains("hierCoarse=5") && meta.contains("hierProbes=5"),
+      s"layout sidecar recorded default routing, not the profile's:\n$meta")
+    // full-probe == flat: every persisted cell equals the flat rounded
+    // assignment (bit-identity the escape hatch exists to guarantee)
+    val stored = spark.read.parquet(tmp)
+    val flat = emb.select(col("vec_id"),
+      element_at(graft.functions.VecMath.centroidTopCells(
+        col("embedding"), cents, 1, rounded = true), 1).as("want_cell"))
+    assert(stored.select(col("vec_id"), col("ivf_cell")).join(flat, "vec_id")
+      .filter(col("ivf_cell") =!= col("want_cell")).count() == 0,
+      "full-probe layout cells diverged from the flat rounded assignment")
+  }
 }
