@@ -103,6 +103,14 @@ object Anomaly {
     val withF = Pipe.statefulColumn(frame, Value, "__forecast", mk)
     // 2. per-time-frame detection rule
     val err = abs(col(Value) - col("__forecast"))
+    // The per-Ts window partition is
+    // the operator's semantic unit (the reference's cross-section error
+    // norm over all series at one instant), bounded by the SERIES count,
+    // not the corpus: time growth adds partitions, series growth widens
+    // them (7.4M series per instant at the 1000x certificate — an
+    // unsorted sum, not a rank, so the cost is one pass over the
+    // cross-section). Exempt from the r14 low-cardinality-window
+    // restructures: the key's cardinality grows with the time range.
     val f2 = sqrt(sum(when(isnan(err), 0.0).otherwise(err * err))
       .over(Window.partitionBy(col(Ts))))
     val df = withF

@@ -567,7 +567,11 @@ object Dedup {
     * over-owned shingles (boilerplate) drop from BOTH sides before
     * sizing, so the overlap fraction never mixes universes. Candidates
     * form only on shared-shingle buckets; the top-1 window runs over the
-    * (bench, corpus-candidate) pair frame.
+    * (bench, corpus-candidate) pair frame — its per-`bench_id` partition
+    * is BOUNDED by (bench item's shingles) × `maxBucket` candidate rows
+    * (the valve caps every surviving bucket), corpus-independent, so
+    * this window is exempt from the r14 low-cardinality-window
+    * restructures by arithmetic rather than by staging.
     *
     * Output: `bench_id`, `corpus_id` (strongest source), `n_shared`
     * (distinct shared shingles), `overlap` (share of the bench item's
@@ -1392,21 +1396,23 @@ object Dedup {
     * ends) or keeps transitive dup families.
     *
     * Shape: the cluster frame is pair-graph-sized (only docs with an
-    * edge), so the rank window runs on the small frame; the corpus is
-    * touched by one anti + one semi membership join on the id — AQE
-    * broadcasts them when the clustered-id set is small enough and
-    * falls back to a shuffle join when a dup-heavy corpus makes it
-    * large. Output: the kept rows of `docs`, unchanged. */
+    * edge), so the top-1 rank runs on the small frame — via
+    * [[graft.llm.Rank.stagedTopN]], because a single duplicate FAMILY
+    * is unbounded (star dedup of an identical-replica corpus puts the
+    * whole corpus in one component; a plain per-component window would
+    * sort that family in one task). The corpus is touched by one anti +
+    * one semi membership join on the id — AQE broadcasts them when the
+    * clustered-id set is small enough and falls back to a shuffle join
+    * when a dup-heavy corpus makes it large. Output: the kept rows of
+    * `docs`, unchanged. */
   def dedupKeepBest(docs: DataFrame, clusters: DataFrame, quality: Column,
                     idCol: String = "doc_id"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val q = docs.select(col(idCol).as("__id"), quality.as("__q"))
-    val best = clusters
-      .join(q, col("node") === col("__id"))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("component"))
-          .orderBy(col("__q").desc, col("node").asc)))
-      .filter(col("__rn") === 1)
+    val best = Rank.stagedTopN(
+        clusters.join(q, col("node") === col("__id")),
+        Seq(col("component")),
+        Seq(col("__q").desc, col("node").asc), lit(1),
+        saltKey = col("node"))
       .select(col("node"))
     val members = clusters.select(col("node"))
     docs.join(members, col(idCol) === col("node"), "left_anti")

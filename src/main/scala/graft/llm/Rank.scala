@@ -79,6 +79,44 @@ object Rank {
       .drop("__pid", "__off")
   }
 
+  /** Staged exact per-group top-`n`: identical output to
+    * `row_number().over(partitionBy(groupCols).orderBy(orderKeys))
+    * <= nExpr`, without ever sorting a whole group in one task.
+    *
+    * Phase 1 pre-prunes per (group, salt): a row whose rank within its
+    * salt slice exceeds the group's `n` cannot be in the group's global
+    * top-n (the global top-n rows intersected with one salt slice are at
+    * most n rows, each ranking no worse there than globally), so
+    * survivors are ≤ salts·n per group. Phase 2 ranks the survivors
+    * exactly — its window partitions are bounded by salts·n rows,
+    * CORPUS-INDEPENDENT, so a hot group (one giant domain, one dominant
+    * source) never funnels its raw rows through a single task; the only
+    * full-corpus shuffle is phase 1's, keyed on (group, salt), which a
+    * hot group spreads over `salts` tasks.
+    *
+    * `nExpr` must be a deterministic per-group bound (a literal cap, a
+    * map lookup on the group value); `saltKey` any column that varies
+    * within a group (the tie-break id). `rankCol`, when set, carries the
+    * exact global in-group rank of each survivor. */
+  def stagedTopN(df: DataFrame, groupCols: Seq[Column],
+                 orderKeys: Seq[Column], nExpr: Column, saltKey: Column,
+                 rankCol: Option[String] = None,
+                 salts: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(salts >= 1, "salts must be >= 1")
+    val salt = pmod(xxhash64(saltKey), lit(salts.toLong))
+    val w1 = Window.partitionBy(groupCols :+ salt: _*).orderBy(orderKeys: _*)
+    val pruned = df
+      .withColumn("__sr", row_number().over(w1).cast("long"))
+      .filter(col("__sr") <= nExpr.cast("long"))
+      .drop("__sr")
+    val w2 = Window.partitionBy(groupCols: _*).orderBy(orderKeys: _*)
+    val ranked = pruned
+      .withColumn(rankCol.getOrElse("__gr"), row_number().over(w2).cast("long"))
+      .filter(col(rankCol.getOrElse("__gr")) <= nExpr.cast("long"))
+    if (rankCol.isDefined) ranked else ranked.drop("__gr")
+  }
+
   /** SQL-standard `ntile(n)` from the closed form over (rank, N): the
     * first `N mod n` buckets take `N div n + 1` rows, the rest
     * `N div n` — identical output to

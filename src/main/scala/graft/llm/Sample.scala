@@ -36,22 +36,23 @@ object Sample {
     * (hashFrac asc, id asc — the same total order [[takeExact]] uses),
     * so re-runs keep the SAME rows. This is the per-domain quota every
     * crawl-curation pipeline applies so one giant domain can't dominate
-    * the corpus. One window shuffle on the stratum key; skew note: a
-    * hot stratum's rows land in one task — cap >> task memory is not a
-    * realistic regime (the cap bounds what survives, and rank
-    * truncation could be staged via per-salt pre-ranking if one domain's
-    * RAW rows overwhelm a task at 100 TB). */
+    * the corpus.
+    *
+    * Shape at scale (r14, closing the skew note this scaladoc used to
+    * carry): the rank is [[Rank.stagedTopN]]'s per-salt pre-prune — a
+    * hot stratum's RAW rows spread over the salt slices in the one
+    * full-corpus shuffle, and the exact final rank runs over ≤
+    * salts·cap survivors per stratum, corpus-independent. A plain
+    * `Window.partitionBy(stratum)` would sort one giant domain's whole
+    * row set in a single task at 100 TB. */
   def capPerStratum(df: DataFrame, stratum: Column, cap: Int,
                     idCol: String = "doc_id",
                     seed: String = "cap1"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(cap > 0, "cap must be positive")
-    val w = Window.partitionBy(col("stratum"))
-      .orderBy(hashFrac(col(idCol), seed).asc, col(idCol).asc)
-    df.withColumn("stratum", stratum)
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= cap)
-      .drop("__rk")
+    Rank.stagedTopN(df.withColumn("stratum", stratum),
+      Seq(col("stratum")),
+      Seq(hashFrac(col(idCol), seed).asc, col(idCol).asc),
+      lit(cap), saltKey = col(idCol))
   }
 
   /** Corpus mixing: per-stratum sampling rates in one pass. `stratum` is
@@ -108,23 +109,24 @@ object Sample {
     * reproducibility contract as [[mix]], but with exact output sizes
     * ("take 10k docs per language").
     *
-    * Scale note: the rank is one window per stratum, so a stratum sorts
-    * in a single task chain — right for bounded strata (languages,
-    * sources). When one stratum is most of a 100 TB corpus, use the
-    * rate-based [[mix]] (a narrow filter) instead. */
+    * Scale note (r14): the rank is [[Rank.stagedTopN]]'s per-salt
+    * pre-prune, so a hot stratum's raw rows never sort in one task —
+    * the exact final rank sees ≤ salts·n survivors per stratum. The
+    * exception is a stratum whose requested n is itself corpus-scale
+    * (`defaultN` left at MaxValue means "keep all", which prunes
+    * nothing for that stratum — by construction); when one KEPT-WHOLE
+    * stratum is most of a 100 TB corpus, use the rate-based [[mix]]
+    * (a narrow filter) instead. */
   def takeExact(df: DataFrame, stratum: Column, counts: Map[String, Int],
                 defaultN: Int = Int.MaxValue, idCol: String = "doc_id",
                 seed: String = ""): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val nMap = map(counts.toSeq.flatMap { case (k, v) =>
       Seq(lit(k), lit(v)) }: _*)
-    df.withColumn("stratum", stratum)
-      .withColumn("__rank", row_number().over(
-        Window.partitionBy(col("stratum"))
-          .orderBy(hashFrac(col(idCol), seed), col(idCol))))
-      .filter(col("__rank") <=
-        coalesce(try_element_at(nMap, col("stratum")), lit(defaultN)))
-      .drop("__rank")
+    Rank.stagedTopN(df.withColumn("stratum", stratum),
+      Seq(col("stratum")),
+      Seq(hashFrac(col(idCol), seed), col(idCol)),
+      coalesce(try_element_at(nMap, col("stratum")), lit(defaultN)),
+      saltKey = col(idCol))
   }
 
   /** Temperature-flattened corpus mixing (the multilingual-LM sampling

@@ -496,15 +496,18 @@ object Text {
     * the cluster repeats it).
     *
     * Shape: one corpus tokenize + tf aggregate (shared with the tfidf
-    * path), the cluster join is id-equi and AQE-sized, the rank window
-    * runs over the (cluster, term) frame — cluster-scale. Scoring and
-    * tie-breaks replay externally (rounded score, term-ascending).
+    * path), the cluster join is id-equi and AQE-sized, the top-k rank
+    * runs over the (cluster, term) frame via [[Rank.stagedTopN]] — the
+    * frame is cluster-scale but a pathological duplicate family's
+    * pooled vocabulary is unbounded, so the staged form keeps the final
+    * window's partitions at ≤ salts·k rows (r14 low-cardinality-window
+    * audit). Scoring and tie-breaks replay externally (rounded score,
+    * term-ascending).
     *
     * Output: `component`, `term`, `score` (rounded 6), `rank` (1..k). */
   def clusterTopics(docs: DataFrame, clusters: DataFrame, k: Int = 3,
                     textCol: String = "text", idCol: String = "doc_id",
                     n: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(k > 0)
     val nDocs = n.getOrElse(docs.count())
     val tf = docs
@@ -514,14 +517,14 @@ object Text {
     val ctf = tf.join(clusters, col(idCol) === col("node"))
       .groupBy(col("component"), col("term"))
       .agg(sum(col("tf")).as("ctf"))
-    ctf.join(df, "term")
+    val scored = ctf.join(df, "term")
       .withColumn("score", round(col("ctf") *
         (log(lit((nDocs + 1).toDouble) / (col("df") + lit(1))) + lit(1)), 6))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("component"))
-          .orderBy(col("score").desc, col("term").asc)))
-      .filter(col("rank") <= k)
-      .select(col("component"), col("term"), col("score"), col("rank"))
+    Rank.stagedTopN(scored, Seq(col("component")),
+        Seq(col("score").desc, col("term").asc), lit(k),
+        saltKey = col("term"), rankCol = Some("rank"))
+      .select(col("component"), col("term"), col("score"),
+        col("rank").cast("int").as("rank"))
   }
 
   /** BM25 retrieval over the corpus (Robertson-Spärck Jones; the
@@ -805,13 +808,17 @@ object Text {
     * ranks order by (count desc, word asc) so the fit is deterministic.
     *
     * Scale shape: one groupBy((group, word)) over the corpus, then the
-    * rank window runs on the AGGREGATED vocabulary (vocab-scale, not
-    * corpus-scale) partitioned by group; the regression is one
+    * top-`topN` rank runs on the AGGREGATED vocabulary via
+    * [[Rank.stagedTopN]] — the vocab frame is sub-corpus but UNBOUNDED
+    * (a crawl's noise tokens grow with the data), and the group key is
+    * a handful of sources, so a plain `Window.partitionBy(group)` would
+    * sort each group's whole vocabulary in one task (the r13 verdict's
+    * low-cardinality-window audit). The staged form's final window sees
+    * ≤ salts·topN rows per group; the regression is one
     * `regr_slope`/`regr_intercept` aggregate over ≤ topN rows per group.
     * Output: group cols, n_terms, slope, intercept (rounded 6). */
   def zipfReport(docs: DataFrame, groupCols: Seq[String] = Seq("source"),
                  topN: Int = 100, textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val g = groupCols.map(col)
     val vocab = docs
       .select(g :+ explode(tokens(lower(col(textCol)))).as("__w"): _*)
@@ -819,11 +826,9 @@ object Text {
       .filter(length(col("__w")) > 0)
       .groupBy(g :+ col("__w"): _*)
       .agg(count(lit(1)).as("__n"))
-    val w = Window.partitionBy(g: _*)
-      .orderBy(col("__n").desc, col("__w").asc)
-    vocab
-      .withColumn("__rank", row_number().over(w))
-      .filter(col("__rank") <= topN)
+    Rank.stagedTopN(vocab, g,
+        Seq(col("__n").desc, col("__w").asc), lit(topN),
+        saltKey = col("__w"), rankCol = Some("__rank"))
       .groupBy(g: _*)
       .agg(count(lit(1)).as("n_terms"),
         round(regr_slope(log(col("__n")), log(col("__rank"))), 6)

@@ -138,6 +138,43 @@ class CurationSpec extends SparkFunSuite {
     }
   }
 
+  test("Rank.stagedTopN == plain window top-n: constant and per-group " +
+      "bounds, heavy skew, rank values, salts straddling group sizes") {
+    // one group holds ~80% of the frame (the hot-domain shape the
+    // staging exists for); values collide so the id tie-break is
+    // load-bearing; spans all 32 shuffle partitions
+    val rnd = new scala.util.Random(11)
+    val rows = (Seq.tabulate(800)(i => (i.toLong, "hot", rnd.nextInt(4))) ++
+      Seq.tabulate(150)(i => (2000L + i, "warm", rnd.nextInt(4))) ++
+      Seq.tabulate(3)(i => (5000L + i, "tiny", rnd.nextInt(2))))
+    val df = rows.toDF("id", "grp", "v").repartition(32)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+      .orderBy(col("v"), col("id"))
+    for (n <- Seq(1, 5, 37); salts <- Seq(1, 8, 64)) {
+      val got = graft.llm.Rank.stagedTopN(df, Seq(col("grp")),
+          Seq(col("v"), col("id")), lit(n), saltKey = col("id"),
+          rankCol = Some("rk"), salts = salts)
+        .select("id", "rk").as[(Long, Long)].collect().toMap
+      val want = df.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= n)
+        .select("id", "rk").as[(Long, Long)].collect().toMap
+      assert(got == want, s"stagedTopN(n=$n, salts=$salts) mismatch")
+    }
+    // per-group bound expression (the takeExact shape): hot capped at 3,
+    // tiny uncapped via the default arm
+    val nMap = map(lit("hot"), lit(3), lit("warm"), lit(10))
+    val nExpr = coalesce(try_element_at(nMap, col("grp")),
+      lit(Int.MaxValue))
+    val got2 = graft.llm.Rank.stagedTopN(df, Seq(col("grp")),
+        Seq(col("v"), col("id")), nExpr, saltKey = col("id"))
+      .select("id").as[Long].collect().sorted.toSeq
+    val want2 = df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= nExpr)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got2 == want2, "per-group-bound stagedTopN mismatch")
+    assert(got2.size == 3 + 10 + 3, "expected hot=3, warm=10, tiny=all")
+  }
+
   test("randomProjectSigned: matches a driver-side ±1 matrix multiply") {
     val rnd = new scala.util.Random(3)
     val vecs = (0 until 20).map(i =>
