@@ -66,7 +66,7 @@ object BenchSubset {
         val t0 = System.nanoTime()
         // same forced terminal as Bench: floors, re-seeds and the
         // official sweep must all time ONE shape (r13 hollow-wall fix)
-        Bench.forceTimed(SparkEntry.queries(name)(spark, sfDir))
+        Bench.timedTerminal(name, SparkEntry.queries(name)(spark, sfDir))
         val dt = (System.nanoTime() - t0) / 1e9
         Console.err.println(f"[subset] $name%-32s pass$i $dt%7.3f s")
         dt

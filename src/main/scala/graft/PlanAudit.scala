@@ -78,6 +78,18 @@ object PlanAudit {
         lcw.foreach(ks => println(
           s"LOW_CARD_WINDOW: partitioned only by [${ks.mkString(",")}]" +
             " — single-task group sort at scale"))
+        // ordered-terminal gates: prove the timing terminal keeps the
+        // gate's Sort (the r13 hollow-terminal lesson — never assume the
+        // optimizer left the work in). A missing Sort here means the
+        // ordered wall is timing the same shape as the plain one.
+        if (Bench.orderedTerminalGates(q)) {
+          val tplan = Bench.orderedTerminalPlan(df)
+          val hasSort = tplan.linesIterator.exists(_.contains("Sort "))
+          println(s"ordered_terminal_sort_present=$hasSort")
+          if (!hasSort) println(
+            "ORDERED_TERMINAL_HOLLOW: the timing terminal's plan has no" +
+              " Sort — the ordered wall would time the unordered shape")
+        }
         println(plan.linesIterator.filter(l =>
           l.contains("Exchange") || l.contains("Join") ||
           l.contains("Window") || l.contains("PushedFilters"))

@@ -344,6 +344,18 @@ object ScaleCheck {
       Dedup.contaminationReport(docs.filter(col("doc_id") % 50 =!= 3),
         docs.filter(col("doc_id") % 50 === 3), n = 3).count()
     }
+    timed("doc_contamination_valveoff") {
+      // the compliance posture, measured (VERDICT r13 #8): maxBucket off,
+      // nothing silently dropped. Candidate volume is
+      // Θ(Σ_g |bench_g|·|corpus_g|) — under identical-replica scaling
+      // BOTH factors grow with the replica count, so the shape is
+      // quadratic in factor by arithmetic: run it at the factors it can
+      // afford and document the wall above them; the valved sibling
+      // (curation default) stays linear.
+      Dedup.contaminationReport(docs.filter(col("doc_id") % 50 =!= 3),
+        docs.filter(col("doc_id") % 50 === 3), n = 3,
+        maxBucket = Int.MaxValue).count()
+    }
     timed("mm_video_near_dup") {
       graft.llm.Multimodal.videoNearDup(
         graft.llm.Multimodal.fromDocuments(docs), everyMs = 1000L,
@@ -719,9 +731,10 @@ object ScaleCheck {
         spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
       val hconf = spark.sparkContext.hadoopConfiguration
       if (factor > 100) {
-        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-          "org.apache.spark.sql.execution.streaming.state." +
-            "RocksDBStateStoreProvider")
+        // the documented production posture, consumed from the library
+        // helper so harness and deployments share one definition
+        graft.streaming.StreamIngest.beyondHeapStateConf
+          .foreach { case (k, v) => spark.conf.set(k, v) }
         // RocksDBFileManager casts the checkpoint fs to LocalFileSystem
         // (it needs the checksummed wrapper's raw accessor), so the
         // harness's RawLocalFileSystem perf posture must step aside for
@@ -795,6 +808,41 @@ object ScaleCheck {
       val n = t.count()
       require(n > 0, "clusterTopics emitted no rows at scale")
       n
+    }
+    timed("embed_e2e_serving") {
+      // the embedding rails composed under ONE profile (VERDICT r13 #5):
+      // train -> writeLayout -> append -> star semDedup -> mutual-kNN
+      // clusters, stage handoffs reconciled in-run — the instrument
+      // class that caught the text chain's 16-minute 100x planning
+      // pathology. kmeansIters = 2 matches the suite's other kmeans
+      // consumers; past the profile's hierAbove (256 cells) the
+      // train/layout/dedup/graph stages ALL route through the two-level
+      // kernel — the posture a 100 TB deployment runs, exercised here
+      // from factor 100 up (ivfCells = 640 at factor 100).
+      val profile = graft.llm.EmbedProfile.serving.copy(kmeansIters = 2)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_sc_e2e_emb").toString
+      val cents = profile.trainCentroids(emb, k = ivfCells)
+      profile.writeLayout(emb.filter(col("vec_id") % 2 === 0), tmp,
+        nCentroids = ivfCells, centroids = Some(cents))
+      profile.append(emb.filter(col("vec_id") % 2 =!= 0), tmp,
+        batchId = Some("sc_b1"))
+      val stored = spark.read.parquet(tmp)
+      val nStored = stored.count()
+      val nEmb = emb.count()
+      require(nStored == nEmb,
+        s"e2e layout append lost/duplicated rows: $nStored != $nEmb")
+      val corpus = stored.select(col("vec_id"), col("embedding"))
+        .localCheckpoint()
+      val survivors = profile.semDedup(corpus, cents, threshold = 0.4)
+        .select(col("vec_id")).localCheckpoint()
+      val nSurv = survivors.count()
+      require(nSurv > 0 && nSurv <= nEmb,
+        s"implausible semdedup survivor count: $nSurv of $nEmb")
+      Console.err.println(s"[scalecheck]   embed e2e survivors: $nSurv")
+      val clusters = profile.knnClusters(
+        corpus.join(survivors, Seq("vec_id"), "left_semi"), k = 3, cents)
+      forced(clusters, "vec_id", "cluster")
     }
     timed("ts_funnel") {
       val steps = Seq("signup", "click", "purchase")

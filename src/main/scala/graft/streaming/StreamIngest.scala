@@ -19,6 +19,30 @@ import graft.plan.TsStore
   */
 object StreamIngest {
 
+  /** The beyond-heap-state session posture for this file's stateful
+    * streaming operators ([[streamingAnomalyOrdered]], the streaming
+    * dedup/rollup) — the streaming sibling of
+    * [[graft.llm.CrawlProfile.sessionConf]]. The default HDFS-backed
+    * state store provider keeps EVERY retained state version on-heap:
+    * a disorder horizon (or dedup key space) beyond heap scale OOMs the
+    * executor — the 1000x ScaleCheck's adversarial whole-corpus buffer
+    * (96M rows, 7.4M series) killed a 48 GiB heap under it, while the
+    * RocksDB provider holds state off-heap/on-disk and produced the
+    * identical alert set (pinned by WatermarkDelaySpec). Apply at
+    * builder/session level BEFORE the query starts (the conf is read at
+    * stream start); returned as data, not applied silently — state
+    * posture belongs to the session owner.
+    *
+    * Local-filesystem checkpoint wrinkle: RocksDBFileManager casts the
+    * checkpoint filesystem to Hadoop's checksummed `LocalFileSystem`,
+    * so a session that overrode `fs.file.impl` (e.g. to
+    * RawLocalFileSystem for ingest perf) must restore the default and
+    * set `fs.file.impl.disable.cache=true` for the checkpoint to open —
+    * production checkpoints on HDFS/S3 are unaffected. */
+  val beyondHeapStateConf: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
   /** Parse a stream of OpenTSDB `put` lines (socket/file/Kafka source) into
     * sample rows. Stateless per line -> fully parallel. */
   def parseOpenTsdbStream(lines: Dataset[String]): DataFrame = {

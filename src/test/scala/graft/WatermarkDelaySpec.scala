@@ -45,10 +45,11 @@ class WatermarkDelaySpec extends SparkFunSuite {
     import sp.implicits._
     val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
     val prevProvider = sp.conf.getOption(ProviderKey)
+    // the library's documented posture, not an inline string: this spec
+    // pins that beyondHeapStateConf's provider is alert-set-equivalent
     if (rocksDb)
-      sp.conf.set(ProviderKey,
-        "org.apache.spark.sql.execution.streaming.state." +
-          "RocksDBStateStoreProvider")
+      StreamIngest.beyondHeapStateConf.foreach { case (k, v) =>
+        sp.conf.set(k, v) }
     val peak = new StreamIngest.MaxAccumulator
     sp.sparkContext.register(peak, s"pending_peak_$name")
     val input = MemoryStream[(String, Long, Double)]
