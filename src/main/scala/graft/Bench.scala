@@ -89,7 +89,7 @@ object Bench {
     * (array<map>, a map inside a struct field), so any column whose
     * type CONTAINS a map routes through `to_json` — a future gate with
     * a nested map is timed rather than recorded as a bench error. */
-  private def hashableCols(df: org.apache.spark.sql.DataFrame)
+  private[graft] def hashableCols(df: org.apache.spark.sql.DataFrame)
       : Seq[org.apache.spark.sql.Column] = {
     import org.apache.spark.sql.types._
     def containsMap(dt: DataType): Boolean = dt match {

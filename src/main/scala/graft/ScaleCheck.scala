@@ -163,10 +163,19 @@ object ScaleCheck {
     // one per-row hash. Ops whose count already forces the work
     // (filters, joins, aggregations) keep the plain count.
     // (bit_xor, not sum: summing 64-bit hashes overflows under ANSI)
-    def forced(df: org.apache.spark.sql.DataFrame, cs: String*): Long =
+    // With no columns named, EVERY output column is hashed (maps via
+    // to_json — Bench.hashableCols): the r14 audit found `.count()` also
+    // prunes AGGREGATE expressions, not just Windows — count over
+    // groupBy().agg(...) needs only the grouping keys, so a fold/
+    // quantile/forecast whose output cardinality is key-determined timed
+    // the grouping shuffle, not the math (doc_substring_dedup's trim
+    // pass was pruned outright: 0.5s "wall" over 5M docs at 1000x).
+    def forced(df: org.apache.spark.sql.DataFrame, cs: String*): Long = {
+      val hcols = if (cs.nonEmpty) cs.map(col) else Bench.hashableCols(df)
       df.agg(count(lit(1)).as("__n"),
-          bit_xor(xxhash64(cs.map(col): _*)).as("__h"))
+          bit_xor(xxhash64(hcols: _*)).as("__h"))
         .head().getLong(0)
+    }
     def timed(name: String)(f: => Long): Unit = {
       known += name
       if (only.nonEmpty && !only(name)) return
@@ -227,7 +236,7 @@ object ScaleCheck {
     }
     timed("bpe_encode") {
       val (merges, _) = Bpe.trainBatched(Bpe.wordVocab(docs), k = 6)
-      Bpe.encode(docs, merges).count()
+      forced(Bpe.encode(docs, merges))
     }
     timed("ts_join") {
       Planner.plan(QueryJson.parse(
@@ -286,12 +295,12 @@ object ScaleCheck {
         "perplexity", "bucket")
     }
     timed("ts_m4_downsample") {
-      TsAnalytics.m4Downsample(store.samples, Seq("metric"), "ts", "value",
-        Day).count()
+      forced(TsAnalytics.m4Downsample(store.samples, Seq("metric"), "ts",
+        "value", Day))
     }
     timed("ts_seasonal_decompose") {
-      TsAnalytics.seasonalDecompose(store.samples, Seq("metric"), "ts",
-        "value", bucketNs = 6 * 3600L * 1000000000L, period = 5).count()
+      forced(TsAnalytics.seasonalDecompose(store.samples, Seq("metric"),
+        "ts", "value", bucketNs = 6 * 3600L * 1000000000L, period = 5))
     }
     timed("ts_forecast_holt") {
       // one series per (metric, user-mod-16): hundreds of thousands of
@@ -299,22 +308,22 @@ object ScaleCheck {
       val keyed = store.samples.withColumn("skey",
         concat(col("metric"), lit("/"),
           pmod(element_at(col("tags"), "user").cast("long"), lit(16))))
-      TsAnalytics.holtForecast(keyed, Seq("skey"), "ts", "value",
-        alpha = 0.4, beta = 0.3, horizon = 5, stepNs = Day).count()
+      forced(TsAnalytics.holtForecast(keyed, Seq("skey"), "ts", "value",
+        alpha = 0.4, beta = 0.3, horizon = 5, stepNs = Day))
     }
     // ---- round-6 additions --------------------------------------------
     timed("ts_downsample_lttb") {
-      TsAnalytics.downsampleLttb(store.samples, Seq("metric"), "ts",
-        "value", buckets = 200).count()
+      forced(TsAnalytics.downsampleLttb(store.samples, Seq("metric"),
+        "ts", "value", buckets = 200))
     }
     timed("ts_sax_motifs") {
-      TsAnalytics.saxMotifs(store.samples, Seq("metric"), "ts", "value",
-        width = 8, alphabet = 4, minCount = 2).count()
+      forced(TsAnalytics.saxMotifs(store.samples, Seq("metric"), "ts",
+        "value", width = 8, alphabet = 4, minCount = 2))
     }
     timed("ts_histogram_quantile") {
-      TsAnalytics.histogramQuantile(store.samples, Seq("metric"), "ts",
-        "value", bucketNs = Day, nBins = 32,
-        probs = Seq(0.5, 0.95, 0.99)).count()
+      forced(TsAnalytics.histogramQuantile(store.samples, Seq("metric"),
+        "ts", "value", bucketNs = Day, nBins = 32,
+        probs = Seq(0.5, 0.95, 0.99)))
     }
     timed("ts_forecast_hw") {
       // same giant-series regime as holt, one dimension up (period+2
@@ -322,9 +331,9 @@ object ScaleCheck {
       val keyed = store.samples.withColumn("skey",
         concat(col("metric"), lit("/"),
           pmod(element_at(col("tags"), "user").cast("long"), lit(16))))
-      TsAnalytics.holtWintersForecast(keyed, Seq("skey"), "ts", "value",
-        alpha = 0.3, beta = 0.1, gamma = 0.2, period = 7, horizon = 5,
-        stepNs = Day).count()
+      forced(TsAnalytics.holtWintersForecast(keyed, Seq("skey"), "ts",
+        "value", alpha = 0.3, beta = 0.1, gamma = 0.2, period = 7,
+        horizon = 5, stepNs = Day))
     }
     timed("ts_fill_forward") {
       val t0 = graft.model.AkuTime.parseTs("20240105T000000")
@@ -337,8 +346,21 @@ object ScaleCheck {
         maxAgeNs = 2 * Day), "value", "age_ns")
     }
     timed("embed_knn_classify") {
-      Embed.knnClassify(emb.filter(col("vec_id") % 5 =!= 0),
-        emb.filter(col("vec_id") % 101 === 0), k = 5).count()
+      // brute pair form: Θ(q·n) candidates. Does NOT graduate past
+      // factor 100 by arithmetic — the r14 1000x attempt (19.8k queries
+      // × 1.6M labeled = 31.7B pairs) filled the disk in the top-k sort
+      // spill. The serving shape is embed_knn_classify_cells below.
+      forced(Embed.knnClassify(emb.filter(col("vec_id") % 5 =!= 0),
+        emb.filter(col("vec_id") % 101 === 0), k = 5))
+    }
+    timed("embed_knn_classify_cells") {
+      // the celled serving shape (bounded probes × cell size per query;
+      // cells grow with the corpus, two-level routing past factor 100) —
+      // the label-vote sibling of embed_knn_graph_ivf
+      val cents = knnCentroids()
+      forced(Embed.knnClassifyCells(emb.filter(col("vec_id") % 5 =!= 0),
+        emb.filter(col("vec_id") % 101 === 0), k = 5, cents, probes = 2,
+        hier = knnIndex(cents)))
     }
     timed("doc_contamination_report") {
       Dedup.contaminationReport(docs.filter(col("doc_id") % 50 =!= 3),
@@ -480,8 +502,8 @@ object ScaleCheck {
         .count()
     }
     timed("ts_series_overview") {
-      TsAnalytics.seriesOverview(store.samples, Seq("metric"), "ts",
-        "value").count()
+      forced(TsAnalytics.seriesOverview(store.samples, Seq("metric"),
+        "ts", "value"))
     }
     timed("doc_neardup_incremental") {
       // index 3/4 of the scaled corpus once, probe the last quarter
@@ -579,22 +601,26 @@ object ScaleCheck {
     }
     timed("doc_substring_dedup") {
       // full-text window explode over the scaled corpus — the heaviest
-      // shape of the op (every token emits a window row)
-      Dedup.trimDuplicateSpans(docs.select(col("doc_id"),
+      // shape of the op (every token emits a window row). forced: the
+      // trimmed text is the op's whole output — count() pruned the trim
+      // outright (0.5s "wall" over 5M docs at the first 1000x attempt)
+      forced(Dedup.trimDuplicateSpans(docs.select(col("doc_id"),
         concat(col("text"),
           when(col("doc_id") % 2 === 0, lit(
             " subscribe to our newsletter for daily updates and offers"))
-            .otherwise(lit(""))).as("text")), k = 8).count()
+            .otherwise(lit(""))).as("text")), k = 8))
     }
     timed("doc_c4_filters") {
-      Text.c4Clean(docs.select(col("doc_id"),
+      // forced: count() keeps the line FILTERS (row count depends on
+      // them) but prunes the cleaned-text reassembly
+      forced(Text.c4Clean(docs.select(col("doc_id"),
         concat(col("text"), lit(".\nenable javascript now please.\n"),
           col("text"), lit(" again.")).as("text")),
-        minLineWords = 3, minLines = 2).count()
+        minLineWords = 3, minLines = 2))
     }
     timed("ts_increase") {
-      TsAnalytics.counterIncrease(store.samples, Seq("metric"), "ts",
-        "value", bucketNs = Day).count()
+      forced(TsAnalytics.counterIncrease(store.samples, Seq("metric"),
+        "ts", "value", bucketNs = Day))
     }
     // ---- round-9 addition: the continuous-rollup maintenance loop ------
     // (the only gated heavy absent from earlier ScaleChecks; it is the

@@ -125,6 +125,29 @@ object SparkEntry {
       |      ORDER BY cs DESC, cell DESC) AS rn FROM sc)
       |  WHERE rn = 1)""".stripMargin
 
+  /** Brute-force k-NN label-vote oracle (5-NN, majority vote, ties to
+    * the smaller label) — shared by embed_knn_classify and its celled
+    * sibling (full probing makes the celled path bit-identical). */
+  private val knnClassifyOracle: String =
+    """WITH e AS (SELECT vec_id, label,
+      |    list_transform(embedding, x -> x::DOUBLE) AS v
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e
+      |  WHERE vec_id % 5 = 0),
+      |lab AS (SELECT vec_id AS nid, label, v AS nv FROM e
+      |  WHERE vec_id % 5 <> 0),
+      |scored AS (SELECT q.qid, lab.nid, lab.label,
+      |    round(list_cosine_similarity(q.qv, lab.nv), 6) AS s
+      |  FROM q CROSS JOIN lab),
+      |top AS (SELECT *, row_number() OVER (PARTITION BY qid
+      |    ORDER BY s DESC, nid ASC) AS rnk FROM scored),
+      |votes AS (SELECT qid, label AS pred_label, count(*) AS n_votes
+      |  FROM top WHERE rnk <= 5 GROUP BY 1, 2)
+      |SELECT qid, pred_label, n_votes FROM (SELECT *,
+      |    row_number() OVER (PARTITION BY qid
+      |      ORDER BY n_votes DESC, pred_label ASC) AS vr
+      |  FROM votes) WHERE vr = 1 ORDER BY qid""".stripMargin
+
   /** [[ivfAssignCtes]] + the probed-cell k-NN graph (knnGraphCells,
     * probes=2): CTE chain ending in `r` = the ranked celled graph.
     * Shared by embed_knn_graph_ivf / embed_knn_clusters. */
@@ -276,14 +299,16 @@ object SparkEntry {
   /** Pruned IVF probe replay: assignment from [[ivfAssignCtes]], the
     * query's 2 nearest cells by centroid dot (topKIvfStored ranks raw
     * dot(c, q/|q|); cosine·|c| is the same ranking with |q| constant
-    * across cells), then exact top-10 over ONLY those cells' members. */
+    * across cells), then exact top-10 over ONLY those cells' members.
+    * Probe ties break to the LARGER cell — the assignment kernel's
+    * direction (see topKIvfStored's duplicate-centroid note). */
   private val prunedIvfOracle: String =
     s"""WITH $ivfAssignCtes,
        |qv AS (SELECT v FROM e0 WHERE vec_id = 7),
        |qs AS (SELECT cell, round(list_cosine_similarity(cv, (SELECT v FROM qv))
        |      * sqrt(list_sum(list_transform(cv, x -> x * x))), 6) AS ds
        |  FROM cent),
-       |pc AS (SELECT cell FROM qs ORDER BY ds DESC, cell ASC LIMIT 2)
+       |pc AS (SELECT cell FROM qs ORDER BY ds DESC, cell DESC LIMIT 2)
        |SELECT av.vec_id, round(list_cosine_similarity(
        |    (SELECT v FROM qv), av.v), 6) AS score
        |FROM av JOIN pc USING (cell)
@@ -4432,24 +4457,24 @@ object SparkEntry {
             emb.filter(col("vec_id") % 5 === 0), k = 5)
           .orderBy(col("qid"))
       },
-      Some("""WITH e AS (SELECT vec_id, label,
-             |    list_transform(embedding, x -> x::DOUBLE) AS v
-             |  FROM embeddings),
-             |q AS (SELECT vec_id AS qid, v AS qv FROM e
-             |  WHERE vec_id % 5 = 0),
-             |lab AS (SELECT vec_id AS nid, label, v AS nv FROM e
-             |  WHERE vec_id % 5 <> 0),
-             |scored AS (SELECT q.qid, lab.nid, lab.label,
-             |    round(list_cosine_similarity(q.qv, lab.nv), 6) AS s
-             |  FROM q CROSS JOIN lab),
-             |top AS (SELECT *, row_number() OVER (PARTITION BY qid
-             |    ORDER BY s DESC, nid ASC) AS rnk FROM scored),
-             |votes AS (SELECT qid, label AS pred_label, count(*) AS n_votes
-             |  FROM top WHERE rnk <= 5 GROUP BY 1, 2)
-             |SELECT qid, pred_label, n_votes FROM (SELECT *,
-             |    row_number() OVER (PARTITION BY qid
-             |      ORDER BY n_votes DESC, pred_label ASC) AS vr
-             |  FROM votes) WHERE vr = 1 ORDER BY qid""".stripMargin)),
+      Some(knnClassifyOracle)),
+
+    // -- similarity: celled k-NN label vote (the serving shape) ----------
+    // Full probing (probes == nCells) scores every labeled vector
+    // exactly once, so the celled path is bit-identical to the brute
+    // form and the same oracle applies — what's under test is the
+    // cell-assignment/explode/equi-join plumbing whose per-query cost
+    // stays bounded at 100 TB (the brute form's Θ(q·n) pair frame
+    // filled the disk at the 1000x ScaleCheck).
+    "embed_knn_classify_cells" -> Gated(
+      (s, d) => {
+        val emb = TestData.table(s, d, "embeddings")
+        Embed.knnClassifyCells(emb.filter(col("vec_id") % 5 =!= 0),
+            emb.filter(col("vec_id") % 5 === 0), k = 5,
+            centroids = ivfCentroids(s, d), probes = 4)
+          .orderBy(col("qid"))
+      },
+      Some(knnClassifyOracle)),
 
     // -- event-type transition matrix (user-path Sankey counts) ----------
     "ts_transition_matrix" -> Gated(

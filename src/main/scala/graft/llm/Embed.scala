@@ -586,17 +586,27 @@ object Embed {
       sampleCentroids(stored, nCentroids, vecCol, idCol))
     val qn = math.sqrt(query.map(x => x * x).sum)
     val qUnit = query.map(_ / qn)
-    // probe ranking rounded to 6dp, ties to the lower cell id: when
-    // nProbe < nCentroids an external replayer (the oracle) computes
-    // the same cell scores along a different FP path, and an unrounded
-    // near-tie could select a different probe set per engine — same
-    // convention as centroidIdRounded and every gated score here
+    // probe ranking rounded to 6dp, ties to the LARGER cell id — the
+    // SAME direction the assignment kernel breaks ties
+    // (VecMath.centroidTopCells: score desc, cid desc), which is
+    // load-bearing, not cosmetic: when the centroid set contains
+    // duplicates (sampleCentroids over a corpus with repeated vectors —
+    // the identical-replica 1000x ScaleCheck samples 6400 centroids
+    // from 2000 distinct directions), every vector's data sits in the
+    // LARGEST cell id of its tied duplicate group. The old lower-id tie
+    // probed the other end of the group: a duplicate group wider than
+    // nProbe put ALL nProbe probes on empty duplicate cells and the
+    // probe returned 0 rows (measured — embed_ivf_update at factor
+    // 1000 returned rows=0 while factor 150, with fewer duplicates,
+    // returned 10). Rounding keeps the probe set replayable by an
+    // external engine (the oracle) computing the same scores along a
+    // different FP path.
     val probes = centroids.zipWithIndex
       .map { case (c, i) =>
         (math.round(c.zip(qUnit).map { case (a, b) => a * b }.sum * 1e6)
           / 1e6, i)
       }
-      .sortBy { case (s, i) => (-s, i) }.take(nProbe).map(_._2)
+      .sortBy { case (s, i) => (-s, -i) }.take(nProbe).map(_._2)
     val q = array(qUnit.map(lit): _*)
     stored
       .filter(col("ivf_cell").isin(probes: _*))
@@ -1508,6 +1518,62 @@ object Embed {
     val votes = queries.filter(dot(col(vecCol), col(vecCol)) > 0.0)
       .select(col(idCol).as("qid"), col(vecCol).as("__qv"))
       .join(broadcast(lab), col("__nid") =!= col("qid"))
+      .withColumn("__score", round(cosine(col("__qv"), col("__nv")), 6))
+      // vectors off before the top-k window (the knnGraph payload rule)
+      .select(col("qid"), col("__nid"), col("__nl"), col("__score"))
+      .withColumn("__rnk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("__score").desc, col("__nid").asc)))
+      .filter(col("__rnk") <= k)
+      .groupBy(col("qid"), col("__nl").as("pred_label"))
+      .agg(count(lit(1)).as("n_votes"))
+    votes
+      .withColumn("__vr", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("n_votes").desc, col("pred_label").asc)))
+      .filter(col("__vr") === 1)
+      .select(col("qid"), col("pred_label"), col("n_votes"))
+  }
+
+  /** Cell-probed k-NN label vote — the serving shape of [[knnClassify]].
+    * The brute form broadcasts the labeled set and scores every
+    * (query, labeled) pair: Θ(q·n) candidates, which at the 1000x
+    * ScaleCheck (19.8k queries × 1.6M labeled = 31.7B pairs) filled the
+    * disk in the top-k sort spill — the measured intrinsic wall of the
+    * pair form. Here labeled vectors land in their rank-1 centroid cell
+    * and each query scores only its `probes` probed cells (the
+    * [[knnGraphCells]] kernel): per-query cost is probes × cell size,
+    * BOUNDED as the corpus grows cells with n. Full probing
+    * (`probes == centroids.size`) scores every labeled vector exactly
+    * once and is bit-identical to [[knnClassify]] — the exactness
+    * escape hatch the gate uses against the brute-force oracle.
+    * Output: qid, pred_label, n_votes (same contract as the brute
+    * form; same (score desc, id asc) / (votes desc, label asc) ties). */
+  def knnClassifyCells(labeled: DataFrame, queries: DataFrame, k: Int,
+                       centroids: Seq[Seq[Double]], probes: Int = 2,
+                       vecCol: String = "embedding",
+                       idCol: String = "vec_id",
+                       labelCol: String = "label",
+                       hier: Option[CentroidIndex] = None): DataFrame = {
+    require(k > 0 && probes > 0 && centroids.nonEmpty)
+    require(probes <= centroids.size, "probes must be <= nCells")
+    require(hier.forall(_.fine == centroids),
+      "hier index was built over a different centroid set")
+    import org.apache.spark.sql.expressions.Window
+    val probeCells = hier.map(centroidTopCellsHier(col(vecCol), _, probes))
+      .getOrElse(graft.functions.VecMath.centroidTopCells(col(vecCol),
+        centroids, probes))
+    val oneCell = hier.map(centroidTopCellsHier(col(vecCol), _, 1))
+      .getOrElse(graft.functions.VecMath.centroidTopCells(col(vecCol),
+        centroids, 1))
+    val lab = labeled.filter(dot(col(vecCol), col(vecCol)) > 0.0)
+      .select(col(idCol).as("__nid"), col(vecCol).as("__nv"),
+        col(labelCol).as("__nl"), element_at(oneCell, 1).as("__cell"))
+    val votes = queries.filter(dot(col(vecCol), col(vecCol)) > 0.0)
+      .select(col(idCol).as("qid"), col(vecCol).as("__qv"),
+        explode(probeCells).as("__cell"))
+      .join(lab, "__cell")
+      .filter(col("__nid") =!= col("qid"))
       .withColumn("__score", round(cosine(col("__qv"), col("__nv")), 6))
       // vectors off before the top-k window (the knnGraph payload rule)
       .select(col("qid"), col("__nid"), col("__nl"), col("__score"))

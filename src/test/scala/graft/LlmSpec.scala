@@ -235,6 +235,29 @@ class LlmSpec extends SparkFunSuite {
     assert(got == exact)
   }
 
+  test("stored IVF probe under DUPLICATE centroids lands on the cell " +
+      "the assignment kernel filled (tie direction, r14 1000x reveal)") {
+    // 5 duplicate centroids of the data's own direction + 1 decoy:
+    // the kernel assigns every matching vector to the LARGEST tied
+    // cell id; a probe breaking ties to the LOWER id would spend all
+    // nProbe=2 probes on empty duplicate cells and return 0 rows —
+    // exactly what embed_ivf_update did at the identical-replica 1000x
+    // ScaleCheck (6400 sampled centroids over 2000 distinct vectors)
+    val corpus = vecs((0 until 8).map(i => Seq(1.0, 0.02 * i, 0.0, 0.0)))
+    val path = "/tmp/graft_ivf_dup_spec"
+    val dup = Seq(1.0, 0.0, 0.0, 0.0)
+    val cents = Seq(Seq(0.0, 0.0, 1.0, 0.0)) ++ Seq.fill(5)(dup)
+    Embed.writeIvf(corpus, path, nCentroids = 6, centroids = Some(cents))
+    val got = Embed.topKIvfStored(spark.read.parquet(path), dup, 3,
+        nCentroids = 6, nProbe = 2,
+        trained = Some(Embed.readIvfCentroids(spark, path)))
+      .collect().map(_.getLong(0)).toSet
+    val exact = Embed.topK(corpus, dup, 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == exact,
+      s"probe missed the populated duplicate cell: $got vs $exact")
+  }
+
   test("PQ: codes are valid, ADC recovers brute-force order on clusters") {
     // two tight clusters in 4d, m=2 subspaces of 2 dims, k=2 codewords
     val cluster1 = (0 until 6).map(i => Seq(1.0, 0.02 * i, 0.0, 0.0))
