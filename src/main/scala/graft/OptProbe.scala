@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.TestData
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+
+/** r14 dev probe: interleaved A/B of connectedComponents loop shapes on
+  * the REAL gate edge frames, in one JVM — the only reliable comparison
+  * on a noisy-neighbor host. Also counts jobs/stages per run (a
+  * deterministic plan-weight signal timing noise can't fake).
+  * Usage: runMain graft.OptProbe <sfDir> <reps>
+  */
+object OptProbe {
+  @volatile var jobs = 0
+  @volatile var stages = 0
+  @volatile var tasks = 0
+
+  def ccLoop(pairs: DataFrame, variant: String, maxIter: Int = 30): DataFrame = {
+    import graft.functions.Lineage.barrier
+    val sym = pairs.select(col("a").as("u"), col("b").as("v"))
+      .union(pairs.select(col("b").as("u"), col("a").as("v")))
+    val edges = barrier(sym)
+    var labels = barrier(edges.groupBy(col("u"))
+      .agg(min(col("v")).as("mn"))
+      .select(col("u").as("node"), least(col("u"), col("mn")).as("label")))
+    var prevSig: Option[(Long, Long)] = None
+    var iter = 0
+    var done = false
+    while (iter < maxIter && !done) {
+      val merged = variant match {
+        case "old" =>
+          val prop = edges
+            .join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy(col("u")).agg(min(col("label")).as("nl"))
+            .withColumnRenamed("u", "node")
+          labels.join(prop, Seq("node"), "left")
+            .select(col("node"),
+              least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        case "fused" =>
+          edges.join(labels.withColumnRenamed("node", "v"), "v")
+            .select(col("u"), col("label"))
+            .union(labels.select(col("node").as("u"), col("label")))
+            .groupBy(col("u")).agg(min(col("label")).as("label"))
+            .withColumnRenamed("u", "node")
+      }
+      def jump(df: DataFrame): DataFrame =
+        df.join(df.select(col("node").as("label"), col("label").as("ll")),
+            Seq("label"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
+      val jumped = barrier(jump(merged))
+      val sig = jumped
+        .agg(count(lit(1)), bit_xor(xxhash64(col("node"), col("label")))).head()
+      val cur = (sig.getLong(0), if (sig.isNullAt(1)) 0L else sig.getLong(1))
+      done = prevSig.contains(cur)
+      prevSig = Some(cur)
+      labels = jumped
+      iter += 1
+    }
+    Console.err.println(s"  [cc] variant=$variant iters=$iter")
+    labels.withColumnRenamed("label", "component")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = args.drop(1).headOption.map(_.toInt).getOrElse(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = { jobs += 1 }
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        stages += 1; tasks += s.stageInfo.numTasks
+      }
+    })
+    // real gate edge shapes, materialized once so every rep times ONLY CC
+    val docs = TestData.table(spark, d, "documents")
+    val emb = TestData.table(spark, d, "embeddings")
+    val lshPairs = graft.llm.Dedup.minhashLsh(docs,
+      n = 3, bands = 64, rowsPerBand = 2, threshold = 0.5)
+      .select(col("a"), col("b")).localCheckpoint()
+    Console.err.println(s"lsh edges: ${lshPairs.count()}")
+    val init = emb.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+      .select(graft.llm.Embed.normalized(col("embedding")))
+      .collect().toSeq.map(_.getSeq[Double](0).toSeq)
+    val step = graft.llm.Embed.kmeansStep(emb, init)
+      .select(col("cell"), col("dim"), round(col("m"), 6).as("m")).collect()
+    val byCell = step.groupBy(_.getInt(0))
+    val cents = init.indices.map(c => byCell.get(c).fold(init(c))(
+      rs => rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq))
+    val g = graft.llm.Embed.knnGraphCells(emb, k = 3, cents, probes = 2)
+    val e = g.select(col("qid"), col("neighbor_id"))
+    val knnMutual = e.alias("l")
+      .join(e.alias("r"),
+        col("l.qid") === col("r.neighbor_id") &&
+          col("l.neighbor_id") === col("r.qid"))
+      .filter(col("l.qid") < col("l.neighbor_id"))
+      .select(col("l.qid").as("a"), col("l.neighbor_id").as("b"))
+      .localCheckpoint()
+    Console.err.println(s"knn mutual edges: ${knnMutual.count()}")
+
+    for ((name, pairs) <- Seq("lsh" -> lshPairs, "knn" -> knnMutual);
+         rep <- 0 until reps; v <- Seq("old", "fused")) {
+      val (j0, s0) = (jobs, stages)
+      val t0 = System.nanoTime()
+      val out = ccLoop(pairs, v)
+      val n = out.agg(count(lit(1)),
+        bit_xor(xxhash64(col("node"), col("component")))).head()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"$name%-4s $v%-6s rep$rep $dt%7.3f s  jobs=${jobs - j0}%3d " +
+        f"stages=${stages - s0}%4d rows=${n.getLong(0)} sig=${n.getLong(1)}%x")
+    }
+    spark.stop()
+  }
+}

@@ -1185,6 +1185,121 @@ object Dedup {
     * themselves). */
   def connectedComponents(pairs: DataFrame, aCol: String = "a",
                           bCol: String = "b", maxIter: Int = 30): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    // r14 optimization: id-typed dispatch. Long ids (every production
+    // caller: doc_id / vec_id graphs) run the co-partitioned RDD loop —
+    // per round ~3 narrow-row shuffles and ONE action, with no Catalyst
+    // re-planning, no stats-barrier round-trip and no signature job.
+    // The r14 OptProbe measured the old DataFrame loop at 29 rounds x
+    // ~0.35 s of pure orchestration on the sf0.1 mutual-kNN graph
+    // (10-13 s for 1,752 edges); the RDD loop runs the same rounds at
+    // a fraction of the cost (see OPTIMIZATION_r14.md for the A/B).
+    // Non-long id graphs keep the DataFrame loop below.
+    if (pairs.schema(aCol).dataType == LongType &&
+        pairs.schema(bCol).dataType == LongType)
+      ccLong(pairs, aCol, bCol, maxIter)
+    else ccDataFrame(pairs, aCol, bCol, maxIter)
+  }
+
+  /** Long-id connected components on co-partitioned RDDs. Same
+    * algorithm and fixpoint as [[ccDataFrame]] (min-label propagation +
+    * pointer jumping, stop when a round changes nothing): `component` =
+    * the smallest reachable id. The RDD form exists because the loop is
+    * ITERATIVE: a DataFrame round pays Catalyst analysis + the stats
+    * barrier + ~6 exchanges + a separate signature action every round,
+    * while here `edges` is shuffled ONCE into a fixed HashPartitioner
+    * and every round's neighbor-min join against it is narrow. Rounds
+    * shuffle only (Long, Long) label pairs. */
+  private def ccLong(pairs: DataFrame, aCol: String, bCol: String,
+                     maxIter: Int): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val sc = spark.sparkContext
+    // symmetric edge list, partitioned once and reused every round; the
+    // first element doubles as "the key whose label gets looked up"
+    // because the set is symmetric: {(u,v)} = {(v,u)}.
+    val sym = pairs.select(col(aCol), col(bCol)).as[(Long, Long)]
+      .rdd.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+    // partition count derived from the edge count, not the core count:
+    // RDD shuffles have no AQE coalescing, so a fixed
+    // defaultParallelism-wide partitioner makes every one of the ~30
+    // rounds pay ~4 stages x 32 near-empty tasks (measured: that shape
+    // was SLOWER than the old DataFrame loop on the sf0.1 mutual-kNN
+    // graph). ~500k label pairs per partition keeps tasks meaningful at
+    // every factor; the cap keeps a 100 TB run from over-splitting.
+    val nSym = sym.cache().count()
+    val p = new org.apache.spark.HashPartitioner(
+      math.max(1, math.min(nSym / 500000L + 1,
+        sc.defaultParallelism.toLong * 2)).toInt)
+    val edges = sym.partitionBy(p)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // init: label(u) = min(u, min neighbor) — a narrow reduce (edges
+    // already partitioned by u), then a key-preserving map
+    var labels = edges.reduceByKey(p, (x: Long, y: Long) => math.min(x, y))
+      .mapPartitions(_.map { case (u, mn) => (u, math.min(u, mn)) },
+        preservesPartitioning = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var prevSig: Option[(Long, Long)] = None
+    var iter = 0
+    var done = false
+    while (iter < maxIter && !done) {
+      // neighbor-min: edges⋈labels is CO-PARTITIONED (narrow — the
+      // whole point of the RDD form); (u,v) joins label(u) and the
+      // message (v, label(u)) covers "u's label reaches v", which by
+      // symmetry is every direction. The node's own label rides along
+      // via union so a local minimum keeps its row.
+      val msgs = edges.join(labels)
+        .map { case (_, (v, lu)) => (v, lu) }
+      val merged = msgs.union(labels).reduceByKey(p, (x: Long, y: Long) => math.min(x, y))
+      // pointer jump: l(u) <- min(l(u), l(l(u))). Every label IS a node
+      // id present in `merged` (labels are mins over node ids), so the
+      // lookup join matches every row — inner join is exact here.
+      val jmap = merged.map { case (n, l) => (l, n) }.partitionBy(p)
+      val jumped = jmap.join(merged)
+        .map { case (l, (n, ll)) => (n, math.min(l, ll)) }
+        .partitionBy(p)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // fixpoint when the (count, xor-hash) signature repeats — the
+      // same convergence rule as the DataFrame loop, computed in the
+      // single per-round action that also materializes `jumped`
+      val sig = jumped.mapPartitions { it =>
+        var n = 0L; var h = 0L
+        it.foreach { case (node, label) =>
+          n += 1
+          h ^= scala.util.hashing.byteswap64(node * 0x9e3779b97f4a7c15L
+            + label)
+        }
+        Iterator((n, h))
+      }.fold((0L, 0L)) { case ((a, b), (c, d)) => (a + c, b ^ d) }
+      // first sig action materialized edges+labels+jumped off the cached
+      // sym — drop it now (the upstream pair lineage — LSH banding,
+      // cosine verification — must not re-run on a lost edge block)
+      if (iter == 0) sym.unpersist(blocking = false)
+      labels.unpersist(blocking = false)
+      done = prevSig.contains(sig)
+      prevSig = Some(sig)
+      labels = jumped
+      iter += 1
+    }
+    val out = labels.toDF("node", "component")
+    edges.unpersist(blocking = false)
+    out
+  }
+
+  /** DataFrame connected-components loop — the generic-id path (and the
+    * shape [[ccLong]] mirrors). r14: the neighbor-min is FUSED with the
+    * self-label merge — the old shape joined labels against a separate
+    * per-neighbor min frame (edges⋈labels → groupBy(u) → labels⋈prop,
+    * two joins + one agg); unioning the node's own label into the
+    * message stream computes the same min(l(u), min over v in N(u) of
+    * l(v)) with ONE join and ONE aggregation (OptProbe interleaved A/B
+    * at sf0.1: ~15-20% per-round wall cut, identical signatures and
+    * round counts on both gate graph shapes). A double pointer jump per
+    * round was tried and REJECTED: without a materialization between
+    * jumps the round subtree executes 4x (self-joins do not share
+    * un-materialized subtrees) and measured walls roughly doubled. */
+  private def ccDataFrame(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int): DataFrame = {
     import graft.functions.Lineage.barrier
     val sym = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
@@ -1196,21 +1311,20 @@ object Dedup {
     var iter = 0
     var done = false
     while (iter < maxIter && !done) {
-      // neighbor-min: l(u) <- min(l(u), min over v in N(u) of l(v))
-      val prop = edges
+      val msgs = edges
         .join(labels.withColumnRenamed("node", "v"), "v")
-        .groupBy(col("u")).agg(min(col("label")).as("nl"))
+        .select(col("u"), col("label"))
+        .union(labels.select(col("node").as("u"), col("label")))
+      val merged = msgs.groupBy(col("u")).agg(min(col("label")).as("label"))
         .withColumnRenamed("u", "node")
-      val merged = labels.join(prop, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
       // pointer jump: l(u) <- l(l(u)) (labels are node ids, so the label
       // table joins against itself keyed by label)
-      val jumped = barrier(merged
-        .join(merged.select(col("node").as("label"), col("label").as("ll")),
-          Seq("label"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("ll"), col("label"))).as("label")))
+      def jump(df: DataFrame): DataFrame =
+        df.join(df.select(col("node").as("label"), col("label").as("ll")),
+            Seq("label"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
+      val jumped = barrier(jump(merged))
       // fixpoint when the (count, content-hash) signature repeats —
       // bit_xor: order-independent and immune to ANSI long overflow
       val sig = jumped
