@@ -18,6 +18,8 @@ object VecMath {
                        probes: Int, rounded: Boolean = true): Column =
     org.apache.spark.sql.graftio.VecMath.centroidTopCells(vec, centroids,
       probes, rounded)
+  def hyperplaneKeys(vec: Column, planes: Seq[Seq[Seq[Double]]]): Column =
+    org.apache.spark.sql.graftio.VecMath.hyperplaneKeys(vec, planes)
   def hierCentroidTopCells(vec: Column, fine: Seq[Seq[Double]],
                            coarse: Seq[Seq[Double]],
                            children: Seq[Seq[Int]], coarseProbes: Int,

@@ -622,4 +622,126 @@ object VecMath {
                            probes: Int, rounded: Boolean = true): Column =
     Columns.of(HierCentroidTopCells(Columns.exprOf(vec), fine, coarse,
       children, coarseProbes, probes, rounded))
+
+  /** ALL hyperplane-LSH table keys of a vector in one fused kernel —
+    * `tables` packed sign-bit keys, each over `nPlanes` hyperplanes
+    * (r14). The Column formulation built every table key as an nPlanes-
+    * chain of `when(dot(vec, array(<dim literals>)) >= 0, 1<<i)` ORs:
+    * at 8 tables x 16 planes x 64 dims that is ~8k literal leaves PER
+    * JOIN SIDE — a 350 KB physical plan whose analysis + codegen
+    * dominated the LSH gates before a row was read. Here the plane
+    * matrix rides along as ONE reference object and the plan carries a
+    * single expression node per side.
+    *
+    * Null semantics replicate the `when` chain bit for bit: a bit is
+    * set iff its dot product evaluated NON-null and >= 0, so a null
+    * vector, a dimension mismatch, or a null element yields key 0 for
+    * every table (never a null key) — the result array is never null. */
+  final case class HyperplaneKeys(child: Expression,
+                                  planes: Seq[Seq[Seq[Double]]])
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with ExpectsInputTypes {
+    require(planes.nonEmpty && planes.forall(_.nonEmpty), "no planes")
+    require(planes.forall(_.size == planes.head.size),
+      "ragged table count")
+    require(planes.forall(_.forall(_.size == planes.head.head.size)),
+      "ragged plane matrix")
+    require(planes.head.size <= 64, "more than 64 planes per key")
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(AcceptedArray)
+    override def dataType: DataType =
+      ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def prettyName: String = "hyperplane_keys"
+
+    @transient private lazy val childFloat: Boolean =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    @transient private lazy val tables = planes.size
+    @transient private lazy val nPlanes = planes.head.size
+    @transient private lazy val dim = planes.head.head.size
+    @transient private lazy val flat: Array[Double] =
+      planes.flatten.flatten.toArray
+
+    /** Packed keys for a valid vector; all-zero keys for `null` (the
+      * invalid-input marker — see the null-semantics note above). */
+    private[graftio] def keys(v: Array[Double]): Array[Long] = {
+      val out = new Array[Long](tables)
+      if (v == null) return out
+      var t = 0
+      while (t < tables) {
+        var key = 0L
+        var i = 0
+        while (i < nPlanes) {
+          var dot = 0.0
+          val off = (t * nPlanes + i) * dim
+          var j = 0
+          while (j < dim) { dot += v(j) * flat(off + j); j += 1 }
+          if (dot >= 0) key |= 1L << i
+          i += 1
+        }
+        out(t) = key
+        t += 1
+      }
+      out
+    }
+
+    private def copyIn(arr: ArrayData): Array[Double] = {
+      if (arr.numElements() != dim) return null
+      val v = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        if (arr.isNullAt(i)) return null
+        v(i) = if (childFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        i += 1
+      }
+      v
+    }
+
+    override def eval(
+        input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val in = child.eval(input)
+      val v =
+        if (in == null) null else copyIn(in.asInstanceOf[ArrayData])
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(keys(v))
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      val self = ctx.addReferenceObj("hyperplaneKeys", this,
+        classOf[HyperplaneKeys].getName)
+      val childGen = child.genCode(ctx)
+      val arr = childGen.value
+      val v = ctx.freshName("v")
+      val i = ctx.freshName("i")
+      val get =
+        if (childFloat) s"(double) $arr.getFloat($i)"
+        else s"$arr.getDouble($i)"
+      val resultCode =
+        code"""
+           |${childGen.code}
+           |double[] $v = null;
+           |if (!${childGen.isNull} && $arr.numElements() == $dim) {
+           |  $v = new double[$dim];
+           |  for (int $i = 0; $i < $dim; $i++) {
+           |    if ($arr.isNullAt($i)) { $v = null; break; }
+           |    $v[$i] = $get;
+           |  }
+           |}
+           |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+           |  org.apache.spark.sql.catalyst.expressions
+           |    .UnsafeArrayData.fromPrimitiveArray($self.keys($v));
+         """.stripMargin
+      ev.copy(code = resultCode,
+        isNull = org.apache.spark.sql.catalyst.expressions.codegen
+          .FalseLiteral)
+    }
+
+    override protected def withNewChildInternal(
+        newChild: Expression): HyperplaneKeys =
+      copy(child = newChild)
+  }
+
+  def hyperplaneKeys(vec: Column, planes: Seq[Seq[Seq[Double]]]): Column =
+    Columns.of(HyperplaneKeys(Columns.exprOf(vec), planes))
 }

@@ -1166,8 +1166,13 @@ object Embed {
                         vecCol: String = "embedding",
                         idCol: String = "vec_id"): DataFrame = {
     val dim = dimOf(corpus, vecCol)
-    val keyArr = array((0 until tables).map(t =>
-      hyperplaneKey(col(vecCol), randomPlanes(nPlanes, dim, 42L + t))): _*)
+    // all table keys in ONE fused kernel (r14): the per-table
+    // hyperplaneKey Column chain baked tables x nPlanes x dim literal
+    // leaves into the plan PER JOIN SIDE (~350 KB physical plan at the
+    // sparse gate's 8x16x64) and re-evaluated every dot interpreted;
+    // HyperplaneKeys carries the plane matrix as one reference object
+    val keyArr = graft.functions.VecMath.hyperplaneKeys(col(vecCol),
+      (0 until tables).map(t => randomPlanes(nPlanes, dim, 42L + t)))
     val banded = corpus
       .select(col(idCol).as("id"), posexplode(keyArr))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "key")
@@ -1823,8 +1828,9 @@ object Embed {
                      idCol: String = "vec_id",
                      hubSalt: Int = 0): DataFrame = {
     val dim = dimOf(corpus, vecCol)
-    val keyArr = array((0 until tables).map(t =>
-      hyperplaneKey(col(vecCol), randomPlanes(nPlanes, dim, 42L + t))): _*)
+    // one fused kernel for all table keys — see [[lshCandidatePairs]]
+    val keyArr = graft.functions.VecMath.hyperplaneKeys(col(vecCol),
+      (0 until tables).map(t => randomPlanes(nPlanes, dim, 42L + t)))
     val banded = corpus
       .select(col(idCol).as("id"), posexplode(keyArr))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "key")

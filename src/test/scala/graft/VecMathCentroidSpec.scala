@@ -106,4 +106,43 @@ class VecMathCentroidSpec extends AnyFunSuite {
     val out = df.select(expr.as("c")).collect()
     assert(out.forall(_.isNullAt(0)))
   }
+
+  test("hyperplaneKeys == per-table when-chain formulation (incl. " +
+      "null element, wrong length, null vector, zero vector, floats)") {
+    val sp = SparkSpec.spark
+    import sp.implicits._
+    val tables = 5; val nPlanes = 7; val dim = 6
+    val allPlanes = (0 until tables).map(t =>
+      graft.llm.Embed.randomPlanes(nPlanes, dim, 42L + t))
+    val rnd = new scala.util.Random(11)
+    val rows: Seq[(Long, Seq[java.lang.Double])] =
+      (0 until 300).map { i =>
+        (i.toLong, Seq.fill(dim)(java.lang.Double.valueOf(
+          rnd.nextDouble() * 2 - 1)))
+      } ++ Seq(
+        (300L, Seq.fill(dim)(java.lang.Double.valueOf(0.0))), // zero vec
+        (301L, Seq[java.lang.Double](1.0, null, 1.0, 1.0, 1.0, 1.0)),
+        (302L, Seq[java.lang.Double](1.0, 2.0)),              // wrong dim
+        (303L, null))                                         // null vec
+    val df = rows.toDF("id", "v")
+    val fused = df.select(col("id"),
+        VecMath.hyperplaneKeys(col("v"), allPlanes).as("k"))
+      .orderBy(col("id")).collect()
+    val oldCols = allPlanes.zipWithIndex.map { case (p, t) =>
+      graft.llm.Embed.hyperplaneKey(col("v"), p).as(s"k$t") }
+    val old = df.select((col("id") +: oldCols): _*)
+      .orderBy(col("id")).collect()
+    fused.zip(old).foreach { case (f, o) =>
+      val fk = f.getSeq[Long](1)
+      val ok = (0 until tables).map(t => o.getLong(1 + t))
+      assert(fk == ok, s"id ${f.getLong(0)}: $fk != $ok")
+    }
+    // float input (the stored embedding element type)
+    val fdf = Seq((0L, Seq(0.5f, -0.25f, 1f, 2f, -3f, 0.125f)))
+      .toDF("id", "v")
+    val ff = fdf.select(VecMath.hyperplaneKeys(col("v"), allPlanes)).head()
+    val fo = fdf.select(array(allPlanes.map(p =>
+      graft.llm.Embed.hyperplaneKey(col("v"), p)): _*)).head()
+    assert(ff.getSeq[Long](0) == fo.getSeq[Long](0))
+  }
 }
