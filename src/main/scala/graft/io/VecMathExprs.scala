@@ -744,4 +744,5 @@ object VecMath {
 
   def hyperplaneKeys(vec: Column, planes: Seq[Seq[Seq[Double]]]): Column =
     Columns.of(HyperplaneKeys(Columns.exprOf(vec), planes))
+
 }

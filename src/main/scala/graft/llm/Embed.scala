@@ -1173,6 +1173,12 @@ object Embed {
     // HyperplaneKeys carries the plane matrix as one reference object
     val keyArr = graft.functions.VecMath.hyperplaneKeys(col(vecCol),
       (0 until tables).map(t => randomPlanes(nPlanes, dim, 42L + t)))
+    // NOTE (r14): a "first shared table" filter (banded rows carrying
+    // the full key array, pairs emitted once at their first colliding
+    // table, no dropDuplicates) was tried and REJECTED: the join output
+    // then hauls two tables-long arrays per CANDIDATE row — ~25x the
+    // bytes of the (a, b) dedup shuffle it saves — and both LSH gates
+    // measured slower.
     val banded = corpus
       .select(col(idCol).as("id"), posexplode(keyArr))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "key")
@@ -1277,6 +1283,13 @@ object Embed {
     val nbrs = nonZero.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("__nv"))
     nonZero.select(col(idCol).as("qid"), col(vecCol).as("__qv"))
+      // spread the n·(n−1) scoring pass across the cluster: the query
+      // side otherwise inherits the SCAN's split count (one file → one
+      // task running every cosine; r14 measured the whole gate serial
+      // on it). One narrow-row shuffle of n rows buys full parallelism
+      // for the quadratic stage — the minhashLsh/semDedupPairs house
+      // pattern.
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism * 2)
       .join(broadcast(nbrs), col("neighbor_id") =!= col("qid"))
       .withColumn("score", round(cosine(col("__qv"), col("__nv")), 6))
       // project the vector payloads OFF before the top-k window: the
