@@ -25,6 +25,22 @@ object Text {
   def bindOnce(bound: Column)(body: Column => Column): Column =
     get(transform(array(bound), body), lit(0))
 
+  /** At-least-session-parallelism guard for the heavy per-row passes
+    * (tokenize / md5-per-gram / explode): a small parquet scan yields
+    * ONE task — `maxSplitBytes` never drops below `openCostInBytes`
+    * (4 MB) and a single-row-group file cannot split at all — so the
+    * whole pass serializes on one core while the rest idle (r14: the
+    * brute kNN gate ran 6x slower on exactly this shape). Conditional,
+    * unlike the unconditional repartition the pair-dedup operators use:
+    * a 100 TB scan is already thousands of splits wide and must never
+    * pay a corpus shuffle just for parallelism. The check reads the
+    * planned partition count, not data (no job for scan-rooted inputs —
+    * every caller here widens a raw or projected table scan). */
+  private[llm] def widen(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(2 * p)
+  }
+
   /** Whitespace tokens. `split` on `\s+` after trim — matches DuckDB's
     * `string_split_regex(trim(text), '\s+')` so oracles line up. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
@@ -250,7 +266,8 @@ object Text {
                    idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.graftio.TextNorm
     val V = 38
-    val counts: Array[Long] = docs.select(col(textCol))
+    val wdocs = widen(docs.select(col(idCol), col(textCol)))
+    val counts: Array[Long] = wdocs.select(col(textCol))
       .as(org.apache.spark.sql.Encoders.STRING)
       .select(new TextNorm.BigramCountAgg().toColumn)
       .head()
@@ -262,7 +279,7 @@ object Text {
     val lp = Array.tabulate(V * V) { i =>
       math.log((counts(i) + 1).toDouble / (ctx(i / V) + V).toDouble)
     }
-    docs.select(col(idCol),
+    wdocs.select(col(idCol),
         TextNorm.charBigramScore(col(textCol), lp).as("__alp"))
       .select(col(idCol),
         round(coalesce(col("__alp"), lit(0.0)), 6).as("avg_logp"),
@@ -648,7 +665,7 @@ object Text {
     // word uni+bigrams, hashed to a bucket via the md5-60-bit fraction
     // family (the oracle's established hash twin)
     def gramRows(df: DataFrame, keep: Column*): DataFrame =
-      df.select((keep :+ bindOnce(tokens(col(textCol))) { t =>
+      widen(df).select((keep :+ bindOnce(tokens(col(textCol))) { t =>
           concat(t, when(size(t) >= 2,
             transform(sequence(lit(1), size(t) - 1),
               i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
@@ -820,7 +837,7 @@ object Text {
   def zipfReport(docs: DataFrame, groupCols: Seq[String] = Seq("source"),
                  topN: Int = 100, textCol: String = "text"): DataFrame = {
     val g = groupCols.map(col)
-    val vocab = docs
+    val vocab = widen(docs.select(g :+ col(textCol): _*))
       .select(g :+ explode(tokens(lower(col(textCol)))).as("__w"): _*)
       .select(g :+ regexp_replace(col("__w"), "[^a-z0-9]", "").as("__w"): _*)
       .filter(length(col("__w")) > 0)
