@@ -1098,12 +1098,20 @@ object TsAnalytics {
   def madOutliers(df: DataFrame, on: Seq[String], tsCol: String,
                   valueCol: String, k: Double = 3.0): DataFrame = {
     require(on.nonEmpty && k > 0)
+    // LAZY lineage cut (r14): `base` feeds the median aggregate, the
+    // deviation join AND the final output join — uncut, the executed
+    // plan scanned the source 4x (each scan re-paying the tag-JSON
+    // parse + sname assembly per row) and ran the median aggregate
+    // twice. One narrow (keys, ts, value) frame rides the block store
+    // instead; `med` is group-scale and cut for the same reason.
     val base = df.select(
       (on.map(col) :+ col(tsCol).cast("long").as("__t") :+
         col(valueCol).cast("double").as("__v")): _*)
       .filter(col("__v").isNotNull)
+      .localCheckpoint(false)
     val med = base.groupBy(on.map(col): _*)
       .agg(round(percentile(col("__v"), lit(0.5)), 6).as("med"))
+      .localCheckpoint(false)
     val withMed = base.join(med, on)
       .withColumn("__dev", abs(col("__v") - col("med")))
     val mad = withMed.groupBy(on.map(col): _*)
