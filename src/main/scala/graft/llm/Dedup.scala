@@ -657,6 +657,33 @@ object Dedup {
                  textCol: String = "text", idCol: String = "doc_id",
                  maxBucket: Int = 1000,
                  maxDocChars: Int = Int.MaxValue): DataFrame = {
+    val (sh, candidates) = minhashBandCandidates(docs, n, bands,
+      rowsPerBand, textCol, idCol, maxBucket, maxDocChars)
+    // shingle arrays join back only for the (few) candidate pairs
+    val sets = sh.select(col("id"), col("sh"), size(col("sh")).as("nsh"))
+    candidates
+      .join(sets.select(col("id").as("a"), col("sh").as("sha"),
+        col("nsh").as("na")), "a")
+      .join(sets.select(col("id").as("b"), col("sh").as("shb"),
+        col("nsh").as("nb")), "b")
+      .withColumn("inter",
+        size(array_intersect(col("sha"), col("shb"))).cast("double"))
+      .withColumn("jaccard",
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** The banding front half of [[minhashLsh]]: the per-doc hashed
+    * shingle+signature frame `sh` (id, sh, sig; lineage-cut) and the
+    * DEDUPLICATED candidate pair list from the banded self-join, BEFORE
+    * exact verification. Factored out (r14) so consumers that do not
+    * score pairs — [[lshTuningReport]]'s threshold-0 candidate set,
+    * whose verification filter could never drop a row — skip the two
+    * shingle-set joins and the per-pair intersection entirely. */
+  private[llm] def minhashBandCandidates(docs: DataFrame, n: Int,
+      bands: Int, rowsPerBand: Int, textCol: String, idCol: String,
+      maxBucket: Int, maxDocChars: Int): (DataFrame, DataFrame) = {
     val numHashes = bands * rowsPerBand
     // string-hash each shingle exactly once; everything downstream
     // (signature, bands, verification intersection) works on the 64-bit
@@ -705,19 +732,7 @@ object Dedup {
           col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b"))
       .dropDuplicates("a", "b")
-    // shingle arrays join back only for the (few) candidate pairs
-    val sets = sh.select(col("id"), col("sh"), size(col("sh")).as("nsh"))
-    candidates
-      .join(sets.select(col("id").as("a"), col("sh").as("sha"),
-        col("nsh").as("na")), "a")
-      .join(sets.select(col("id").as("b"), col("sh").as("shb"),
-        col("nsh").as("nb")), "b")
-      .withColumn("inter",
-        size(array_intersect(col("sha"), col("shb"))).cast("double"))
-      .withColumn("jaccard",
-        round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a"), col("b"), col("jaccard"))
+    (sh, candidates)
   }
 
   /** Runtime observability for the `maxBucket` valve: the (band,
@@ -1151,8 +1166,12 @@ object Dedup {
       .select(col("a"), col("b")).localCheckpoint()
     // threshold 0 keeps every banding candidate (jaccard >= 0 always):
     // the pre-verification set, scored but unfiltered
-    val cands = minhashLsh(sampled, n, bands, rowsPerBand, threshold = 0.0,
-      textCol, idCol, maxBucket).select(col("a"), col("b"))
+    // the candidate set IS the pre-verification banding product: take
+    // it directly (r14) — the old threshold-0 minhashLsh call paid two
+    // shingle-set joins + an exact intersection per candidate pair for
+    // a jaccard >= 0 filter that can never drop a row
+    val cands = minhashBandCandidates(sampled, n, bands, rowsPerBand,
+      textCol, idCol, maxBucket, Int.MaxValue)._2
       .localCheckpoint()
     val nTrue = truth.count()
     val nCand = cands.count()
