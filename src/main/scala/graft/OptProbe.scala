@@ -62,6 +62,137 @@ object OptProbe {
     labels.withColumnRenamed("label", "component")
   }
 
+  /** The r14 shipping loop (neighbor-min + pointer jump on
+    * co-partitioned RDDs), kept verbatim as the A/B baseline after the
+    * r15 star-contraction port replaced it in Dedup. */
+  def ccPointerJump(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val sym = pairs.select(col("a"), col("b")).as[(Long, Long)]
+      .rdd.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+    val nSym = sym.cache().count()
+    val p = new org.apache.spark.HashPartitioner(
+      math.max(1, math.min(nSym / 500000L + 1,
+        sc.defaultParallelism.toLong * 2)).toInt)
+    val edges = sym.partitionBy(p)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.reduceByKey(p, (x: Long, y: Long) => math.min(x, y))
+      .mapPartitions(_.map { case (u, mn) => (u, math.min(u, mn)) },
+        preservesPartitioning = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var prevSig: Option[(Long, Long)] = None
+    var iter = 0
+    var done = false
+    while (iter < maxIter && !done) {
+      val msgs = edges.join(labels)
+        .map { case (_, (v, lu)) => (v, lu) }
+      val merged = msgs.union(labels).reduceByKey(p, (x: Long, y: Long) => math.min(x, y))
+      val jmap = merged.map { case (n, l) => (l, n) }.partitionBy(p)
+      val jumped = jmap.join(merged)
+        .map { case (l, (n, ll)) => (n, math.min(l, ll)) }
+        .partitionBy(p)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sig = jumped.mapPartitions { it =>
+        var n = 0L; var h = 0L
+        it.foreach { case (node, label) =>
+          n += 1
+          h ^= scala.util.hashing.byteswap64(node * 0x9e3779b97f4a7c15L
+            + label)
+        }
+        Iterator((n, h))
+      }.fold((0L, 0L)) { case ((a, b), (c, d)) => (a + c, b ^ d) }
+      if (iter == 0) sym.unpersist(blocking = false)
+      labels.unpersist(blocking = false)
+      done = prevSig.contains(sig)
+      prevSig = Some(sig)
+      labels = jumped
+      iter += 1
+    }
+    Console.err.println(s"  [cc] variant=r14jump iters=$iter")
+    val out = labels.toDF("node", "component")
+    edges.unpersist(blocking = false)
+    out
+  }
+
+  /** r15 candidate: alternating large-star/small-star contraction
+    * (Kiveris et al., SoCC'14) on co-partitioned RDDs — rounds scale
+    * with log(diameter-ish) instead of diameter. Self-contained copy
+    * for interleaved A/B against the shipping ccLong before porting. */
+  def ccStar(pairs: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val raw = pairs.select(col("a"), col("b")).rdd.flatMap { r =>
+      if (r.isNullAt(0) || r.isNullAt(1)) Iterator.empty
+      else Iterator((r.getLong(0), r.getLong(1)))
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nRaw = raw.count()
+    val p = new org.apache.spark.HashPartitioner(
+      math.max(1, math.min(2 * nRaw / 500000L + 1,
+        sc.defaultParallelism.toLong * 2)).toInt)
+    def dedupP(rdd: org.apache.spark.rdd.RDD[(Long, Long)])
+        : org.apache.spark.rdd.RDD[(Long, Long)] =
+      rdd.partitionBy(p).mapPartitions({ it =>
+        // exact dedup (a dropped DISTINCT edge could split a component,
+        // so no hash shortcuts); same-key pairs all land in this
+        // partition, so per-partition dedup is global for the pair
+        val seen = scala.collection.mutable.HashSet[(Long, Long)]()
+        it.filter(seen.add)
+      }, preservesPartitioning = true)
+    val nodes = dedupP(raw.flatMap { case (a, b) =>
+      Iterator((a, a), (b, b)) })
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var edges = dedupP(raw.flatMap { case (a, b) =>
+      if (a == b) Iterator.empty else Iterator((a, b), (b, a)) })
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def largeStar(e: org.apache.spark.rdd.RDD[(Long, Long)]) = {
+      val m = e.reduceByKey(p, (x: Long, y: Long) => math.min(x, y))
+        .mapPartitions(_.map { case (u, mn) => (u, math.min(u, mn)) },
+          preservesPartitioning = true)
+      dedupP(e.join(m).flatMap { case (u, (v, mu)) =>
+        if (v > u) Iterator((v, mu), (mu, v)) else Iterator.empty })
+    }
+    def smallStar(e: org.apache.spark.rdd.RDD[(Long, Long)]) = {
+      val sm = e.filter { case (u, v) => v < u }
+      val m = sm.reduceByKey(p, (x: Long, y: Long) => math.min(x, y))
+      dedupP(sm.join(m).flatMap { case (u, (v, mu)) =>
+        if (v == mu) Iterator((u, mu), (mu, u))
+        else Iterator((v, mu), (mu, v)) })
+    }
+    var prevSig: Option[(Long, Long)] = None
+    var iter = 0
+    var done = false
+    while (iter < maxIter && !done) {
+      val next = smallStar(largeStar(edges))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sig = next.mapPartitions { it =>
+        var n = 0L; var h = 0L
+        it.foreach { case (u, v) =>
+          n += 1
+          h ^= scala.util.hashing.byteswap64(u * 0x9e3779b97f4a7c15L + v)
+        }
+        Iterator((n, h))
+      }.fold((0L, 0L)) { case ((a, b), (c, d)) => (a + c, b ^ d) }
+      if (iter == 0) raw.unpersist(blocking = false)
+      edges.unpersist(blocking = false)
+      done = prevSig.contains(sig)
+      prevSig = Some(sig)
+      edges = next
+      iter += 1
+    }
+    if (!done) throw new IllegalStateException(
+      s"ccStar did not converge in $maxIter rounds")
+    val star = edges.filter { case (u, v) => v < u }
+      .reduceByKey(p, (x: Long, y: Long) => math.min(x, y))
+    val labels = nodes.leftOuterJoin(star)
+      .map { case (n, (_, m)) => (n, m.getOrElse(n)) }
+    val out = labels.toDF("node", "component").localCheckpoint()
+    nodes.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
+    (out, iter)
+  }
+
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
     val reps = args.drop(1).headOption.map(_.toInt).getOrElse(3)
@@ -106,15 +237,21 @@ object OptProbe {
     Console.err.println(s"knn mutual edges: ${knnMutual.count()}")
 
     for ((name, pairs) <- Seq("lsh" -> lshPairs, "knn" -> knnMutual);
-         rep <- 0 until reps; v <- Seq("old", "fused")) {
+         rep <- 0 until reps; v <- Seq("r14", "star")) {
       val (j0, s0) = (jobs, stages)
       val t0 = System.nanoTime()
-      val out = ccLoop(pairs, v)
+      val out = v match {
+        case "r14"  => ccPointerJump(pairs)
+        case "star" => graft.llm.Dedup.connectedComponents(pairs)
+      }
       val n = out.agg(count(lit(1)),
         bit_xor(xxhash64(col("node"), col("component")))).head()
       val dt = (System.nanoTime() - t0) / 1e9
+      val rounds =
+        if (v == "star") graft.llm.Dedup.lastCcRounds.get() else -1
       println(f"$name%-4s $v%-6s rep$rep $dt%7.3f s  jobs=${jobs - j0}%3d " +
-        f"stages=${stages - s0}%4d rows=${n.getLong(0)} sig=${n.getLong(1)}%x")
+        f"stages=${stages - s0}%4d rounds=$rounds%3d " +
+        f"rows=${n.getLong(0)} sig=${n.getLong(1)}%x")
     }
     spark.stop()
   }

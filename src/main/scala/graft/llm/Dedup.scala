@@ -1164,12 +1164,10 @@ object Dedup {
         .limit(maxDocs) // TakeOrderedAndProject: top-k, no global sort
     val truth = ngramJaccard(sampled, n, threshold, textCol, idCol)
       .select(col("a"), col("b")).localCheckpoint()
-    // threshold 0 keeps every banding candidate (jaccard >= 0 always):
-    // the pre-verification set, scored but unfiltered
-    // the candidate set IS the pre-verification banding product: take
-    // it directly (r14) — the old threshold-0 minhashLsh call paid two
-    // shingle-set joins + an exact intersection per candidate pair for
-    // a jaccard >= 0 filter that can never drop a row
+    // the candidate set IS the pre-verification banding product, taken
+    // directly and UNSCORED (r14) — the old threshold-0 minhashLsh call
+    // paid two shingle-set joins + an exact intersection per candidate
+    // pair for a jaccard >= 0 filter that can never drop a row
     val cands = minhashBandCandidates(sampled, n, bands, rowsPerBand,
       textCol, idCol, maxBucket, Int.MaxValue)._2
       .localCheckpoint()
@@ -1190,117 +1188,177 @@ object Dedup {
     * generation: a transitive family of near-dups collapses to ONE
     * cluster, not a tangle of pairwise drops.
     *
-    * Min-label propagation with pointer jumping: each round every node
-    * takes the min label over its neighbors, then labels shortcut
-    * through their own label (`l(v) <- l(l(v))`), giving O(log diameter)
-    * rounds. State per round is only `(node, label)` pairs and each round
-    * is a bounded number of hash-shuffles — no driver-side graph, no
-    * unbounded collect; [[graft.functions.Lineage.barrier]] cuts the
-    * iterative lineage AND the origin statistics (bare `localCheckpoint`
-    * preserves origin sizeInBytes, which ~squares per self-join round
-    * until Catalyst's estimator overflows BigInteger — the round-7
-    * `embed_knn_clusters` failure at sf0.1).
-    * Nodes appearing in no pair are absent (their component is
-    * themselves). */
+    * Long-id graphs (every production caller) run alternating
+    * large-star/small-star contraction (Kiveris et al., SoCC'14) on
+    * co-partitioned RDDs — rounds grow with log of the component
+    * structure, NOT its diameter. The r14 neighbor-min + pointer-jump
+    * loop was measured needing rounds ∝ diameter under random id
+    * labeling (585–927 simulated rounds on a 2,000-node random-id path;
+    * the real sf0.1 mutual-kNN graph used 29 of maxIter=30) — a silent
+    * wrong answer waiting at 100 TB. Star contraction converges in ~10
+    * rounds on the same graphs, and BOTH paths now THROW on
+    * non-convergence instead of returning split components.
+    * State per round is only (Long, Long) edge pairs on a fixed
+    * HashPartitioner — no driver-side graph, no unbounded collect; the
+    * generic-id DataFrame fallback keeps
+    * [[graft.functions.Lineage.barrier]] to cut iterative lineage and
+    * origin statistics. Nodes appearing in no pair are absent (their
+    * component is themselves). */
   def connectedComponents(pairs: DataFrame, aCol: String = "a",
-                          bCol: String = "b", maxIter: Int = 30): DataFrame = {
+                          bCol: String = "b", maxIter: Int = 50): DataFrame = {
     import org.apache.spark.sql.types.LongType
-    // r14 optimization: id-typed dispatch. Long ids (every production
-    // caller: doc_id / vec_id graphs) run the co-partitioned RDD loop —
-    // per round ~3 narrow-row shuffles and ONE action, with no Catalyst
-    // re-planning, no stats-barrier round-trip and no signature job.
-    // The r14 OptProbe measured the old DataFrame loop at 29 rounds x
-    // ~0.35 s of pure orchestration on the sf0.1 mutual-kNN graph
-    // (10-13 s for 1,752 edges); the RDD loop runs the same rounds at
-    // a fraction of the cost (see OPTIMIZATION_r14.md for the A/B).
-    // Non-long id graphs keep the DataFrame loop below.
+    // id-typed dispatch (r14): Long ids (every production caller:
+    // doc_id / vec_id graphs) run the co-partitioned RDD star loop —
+    // 2 narrow-row shuffles and ONE action per round, no Catalyst
+    // re-planning, no stats-barrier round-trip, and (r15) rounds that
+    // scale with log of the structure instead of its diameter.
+    // Non-long id graphs keep the DataFrame label-propagation loop
+    // below (generic comparison/min semantics), which now fails loudly
+    // if its diameter-bound rounds run out.
     if (pairs.schema(aCol).dataType == LongType &&
         pairs.schema(bCol).dataType == LongType)
       ccLong(pairs, aCol, bCol, maxIter)
     else ccDataFrame(pairs, aCol, bCol, maxIter)
   }
 
-  /** Long-id connected components on co-partitioned RDDs. Same
-    * algorithm and fixpoint as [[ccDataFrame]] (min-label propagation +
-    * pointer jumping, stop when a round changes nothing): `component` =
-    * the smallest reachable id. The RDD form exists because the loop is
-    * ITERATIVE: a DataFrame round pays Catalyst analysis + the stats
-    * barrier + ~6 exchanges + a separate signature action every round,
-    * while here `edges` is shuffled ONCE into a fixed HashPartitioner
-    * and every round's neighbor-min join against it is narrow. Rounds
-    * shuffle only (Long, Long) label pairs. */
+  /** Round count of the most recent [[ccLong]]/[[ccDataFrame]] call —
+    * spec observability for the convergence-rate contract (the
+    * pathological-diameter spec pins star contraction's round count). */
+  private[graft] val lastCcRounds =
+    new java.util.concurrent.atomic.AtomicInteger(-1)
+
+  /** Long-id connected components by alternating LARGE-STAR/SMALL-STAR
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14) on co-partitioned RDDs. Same fixpoint as
+    * [[ccDataFrame]]: `component` = the smallest reachable id over the
+    * pair edges, one row per node appearing in any pair.
+    *
+    * Why stars and not label propagation: neighbor-min + pointer-jump
+    * (the r14 shape) needs rounds ∝ effective diameter under random id
+    * labeling — measured 585–927 simulated rounds on a 2,000-node
+    * random-id path, and 29/30 rounds on the real sf0.1 mutual-kNN
+    * graph. Star contraction RESTRUCTURES the graph each round
+    * (large-star hangs every bigger neighbor off u's minimum, small-star
+    * collapses the smaller neighborhood onto it), which halves long
+    * paths like pointer doubling but without keeping per-node label
+    * state — measured ~10 rounds on the same pathological graphs.
+    *
+    * Shape per phase: a narrow `reduceByKey` min + narrow join against
+    * the co-partitioned edge set, then ONE (Long, Long) shuffle to
+    * re-key the emitted star edges, deduped per partition (exactly —
+    * a dropped distinct edge could split a component). Two phases per
+    * round, signature-fixpoint after small-star. Non-convergence within
+    * `maxIter` THROWS — a split component must never return silently.
+    * Skew note: a star center's degree approaches its component size;
+    * the per-partition dedup bounds the edge multiset, and at sf scales
+    * the hot partition holds the component — the 100 TB mitigation
+    * (high-degree node splitting) is documented in the paper and not
+    * needed at gate scale. */
   private def ccLong(pairs: DataFrame, aCol: String, bCol: String,
                      maxIter: Int): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val sc = spark.sparkContext
-    // symmetric edge list, partitioned once and reused every round; the
-    // first element doubles as "the key whose label gets looked up"
-    // because the set is symmetric: {(u,v)} = {(v,u)}.
-    val sym = pairs.select(col(aCol), col(bCol)).as[(Long, Long)]
-      .rdd.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+    // raw undirected pairs, materialized ONCE (the upstream pair
+    // lineage — LSH banding, cosine verification — must not re-run).
+    // Null ids carry no connectivity and are dropped (the r14 encoder
+    // path threw on them instead; no declared gate emits null ids).
+    val raw = pairs.select(col(aCol), col(bCol)).rdd.flatMap { r =>
+      if (r.isNullAt(0) || r.isNullAt(1)) Iterator.empty
+      else Iterator((r.getLong(0), r.getLong(1)))
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // partition count derived from the edge count, not the core count:
     // RDD shuffles have no AQE coalescing, so a fixed
-    // defaultParallelism-wide partitioner makes every one of the ~30
-    // rounds pay ~4 stages x 32 near-empty tasks (measured: that shape
-    // was SLOWER than the old DataFrame loop on the sf0.1 mutual-kNN
-    // graph). ~500k label pairs per partition keeps tasks meaningful at
-    // every factor; the cap keeps a 100 TB run from over-splitting.
-    val nSym = sym.cache().count()
+    // defaultParallelism-wide partitioner makes every round pay wide
+    // near-empty stages (r14 measurement). ~500k edge rows per
+    // partition keeps tasks meaningful at every factor; the cap keeps
+    // a 100 TB run from over-splitting.
+    val nRaw = raw.count()
     val p = new org.apache.spark.HashPartitioner(
-      math.max(1, math.min(nSym / 500000L + 1,
+      math.max(1, math.min(2 * nRaw / 500000L + 1,
         sc.defaultParallelism.toLong * 2)).toInt)
-    val edges = sym.partitionBy(p)
+    // re-key by the emitted first element and dedup EXACTLY within the
+    // partition (all copies of a pair share the key, so per-partition
+    // dedup is global for the pair; a hash-compressed set could drop a
+    // distinct edge on collision and split a component)
+    def dedupP(rdd: org.apache.spark.rdd.RDD[(Long, Long)])
+        : org.apache.spark.rdd.RDD[(Long, Long)] =
+      rdd.partitionBy(p).mapPartitions({ it =>
+        val seen = scala.collection.mutable.HashSet[(Long, Long)]()
+        it.filter(seen.add)
+      }, preservesPartitioning = true)
+    // full node set (including self-loop-only nodes): the output
+    // contract is one row per node appearing in ANY pair
+    val nodes = dedupP(raw.flatMap { case (a, b) =>
+      Iterator((a, a), (b, b)) })
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // init: label(u) = min(u, min neighbor) — a narrow reduce (edges
-    // already partitioned by u), then a key-preserving map
-    var labels = edges.reduceByKey(p, (x: Long, y: Long) => math.min(x, y))
-      .mapPartitions(_.map { case (u, mn) => (u, math.min(u, mn)) },
-        preservesPartitioning = true)
+    // symmetric, self-loop-free working edge set
+    var edges = dedupP(raw.flatMap { case (a, b) =>
+      if (a == b) Iterator.empty else Iterator((a, b), (b, a)) })
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // large-star(u): hang every neighbor v > u off m = min(N(u) ∪ {u});
+    // each undirected edge is processed from its smaller endpoint
+    def largeStar(e: org.apache.spark.rdd.RDD[(Long, Long)]) = {
+      val m = e.reduceByKey(p, (x: Long, y: Long) => math.min(x, y))
+        .mapPartitions(_.map { case (u, mn) => (u, math.min(u, mn)) },
+          preservesPartitioning = true)
+      dedupP(e.join(m).flatMap { case (u, (v, mu)) =>
+        if (v > u) Iterator((v, mu), (mu, v)) else Iterator.empty })
+    }
+    // small-star(u): collapse the SMALLER neighborhood (and u itself)
+    // onto its minimum; each undirected edge is processed from its
+    // bigger endpoint — between them the phases cover every edge
+    def smallStar(e: org.apache.spark.rdd.RDD[(Long, Long)]) = {
+      val sm = e.filter { case (u, v) => v < u }
+      val m = sm.reduceByKey(p, (x: Long, y: Long) => math.min(x, y))
+      dedupP(sm.join(m).flatMap { case (u, (v, mu)) =>
+        if (v == mu) Iterator((u, mu), (mu, u))
+        else Iterator((v, mu), (mu, v)) })
+    }
     var prevSig: Option[(Long, Long)] = None
     var iter = 0
     var done = false
     while (iter < maxIter && !done) {
-      // neighbor-min: edges⋈labels is CO-PARTITIONED (narrow — the
-      // whole point of the RDD form); (u,v) joins label(u) and the
-      // message (v, label(u)) covers "u's label reaches v", which by
-      // symmetry is every direction. The node's own label rides along
-      // via union so a local minimum keeps its row.
-      val msgs = edges.join(labels)
-        .map { case (_, (v, lu)) => (v, lu) }
-      val merged = msgs.union(labels).reduceByKey(p, (x: Long, y: Long) => math.min(x, y))
-      // pointer jump: l(u) <- min(l(u), l(l(u))). Every label IS a node
-      // id present in `merged` (labels are mins over node ids), so the
-      // lookup join matches every row — inner join is exact here.
-      val jmap = merged.map { case (n, l) => (l, n) }.partitionBy(p)
-      val jumped = jmap.join(merged)
-        .map { case (l, (n, ll)) => (n, math.min(l, ll)) }
-        .partitionBy(p)
+      val next = smallStar(largeStar(edges))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // fixpoint when the (count, xor-hash) signature repeats — the
-      // same convergence rule as the DataFrame loop, computed in the
-      // single per-round action that also materializes `jumped`
-      val sig = jumped.mapPartitions { it =>
+      // fixpoint when the deduped edge set's (count, xor-hash)
+      // signature repeats — at the fixpoint both phases map a star to
+      // itself, so the signature is stationary exactly at convergence.
+      // Computed in the single per-round action that materializes
+      // `next`.
+      val sig = next.mapPartitions { it =>
         var n = 0L; var h = 0L
-        it.foreach { case (node, label) =>
+        it.foreach { case (u, v) =>
           n += 1
-          h ^= scala.util.hashing.byteswap64(node * 0x9e3779b97f4a7c15L
-            + label)
+          h ^= scala.util.hashing.byteswap64(u * 0x9e3779b97f4a7c15L + v)
         }
         Iterator((n, h))
       }.fold((0L, 0L)) { case ((a, b), (c, d)) => (a + c, b ^ d) }
-      // first sig action materialized edges+labels+jumped off the cached
-      // sym — drop it now (the upstream pair lineage — LSH banding,
-      // cosine verification — must not re-run on a lost edge block)
-      if (iter == 0) sym.unpersist(blocking = false)
-      labels.unpersist(blocking = false)
+      if (iter == 0) raw.unpersist(blocking = false)
+      edges.unpersist(blocking = false)
       done = prevSig.contains(sig)
       prevSig = Some(sig)
-      labels = jumped
+      edges = next
       iter += 1
     }
-    val out = labels.toDF("node", "component")
+    lastCcRounds.set(iter)
+    if (!done) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter star rounds — " +
+        "the component structure is beyond the configured bound; raise " +
+        "maxIter rather than accept silently split components")
+    // fixpoint edges are stars centered on component minima: the
+    // big→small orientation reads (node → component); centers and
+    // isolated (self-loop-only) nodes label themselves
+    val star = edges.filter { case (u, v) => v < u }
+      .reduceByKey(p, (x: Long, y: Long) => math.min(x, y))
+    val labels = nodes.leftOuterJoin(star)
+      .map { case (n, (_, m)) => (n, m.getOrElse(n)) }
+    // materialize the output ONCE, then drop every loop persist: the
+    // r14 shape returned the final labels RDD still persisted with no
+    // unpersist path — 11 CC call sites each pinned executor storage
+    // for the session's lifetime (VERDICT r14 #3)
+    val out = labels.toDF("node", "component").localCheckpoint()
+    nodes.unpersist(blocking = false)
     edges.unpersist(blocking = false)
     out
   }
@@ -1354,6 +1412,11 @@ object Dedup {
       labels = jumped
       iter += 1
     }
+    lastCcRounds.set(iter)
+    if (!done) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter label rounds — " +
+        "label propagation needs rounds ∝ diameter; a split-component " +
+        "result must never return silently")
     labels.withColumnRenamed("label", "component")
   }
 

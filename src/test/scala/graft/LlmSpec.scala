@@ -534,6 +534,29 @@ class LlmSpec extends SparkFunSuite {
     assert(comp.length == 100 && comp.forall(_.getLong(1) == 0L))
   }
 
+  test("connectedComponents: random-id path converges in near-log rounds") {
+    // a 2,048-node path whose ids are RANDOMLY PERMUTED: the adversarial
+    // regime for min-label propagation (rounds ∝ diameter under random
+    // labeling — the r14 simulation measured 585–927 rounds on a
+    // 2,000-node random-id path, silently exiting unconverged past
+    // maxIter). Star contraction (r15) must converge within ~2·log2(n)
+    // rounds AND label every node to the component minimum.
+    val sp = SparkSpec.spark
+    import sp.implicits._
+    val n = 2048
+    val perm = new scala.util.Random(7).shuffle((0L until n.toLong).toVector)
+    val edges = (0 until n - 1).map(i => (perm(i), perm(i + 1)))
+      .toDF("a", "b")
+    val comp = Dedup.connectedComponents(edges).collect()
+    assert(comp.length == n && comp.forall(_.getLong(1) == 0L),
+      "every node of the permuted path must label to component 0")
+    val rounds = Dedup.lastCcRounds.get()
+    val bound = 2 * (math.log(n.toDouble) / math.log(2.0)).ceil.toInt + 6
+    assert(rounds > 0 && rounds <= bound,
+      s"$rounds star rounds > bound $bound on a random-id path — " +
+        "convergence-rate regression")
+  }
+
   test("deduplicateClustered keeps one survivor per component") {
     // components {0,1,2} (chain via 1) and {5,6}; 3 and 4 unpaired
     val sp = SparkSpec.spark
