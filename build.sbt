@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver parses the LAST stdout line as JSON; sbt's
+// "[success] Total time ..." epilogue after runMain displaced it for
+// two rounds (PERF_r13/r14 parse null). Suppress the epilogue and send
+// forked-run stdout through unprefixed (StdoutOutput) so the bench's
+// contract line is the final raw line under `sbt "runMain graft.Bench"`.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

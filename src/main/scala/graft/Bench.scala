@@ -608,6 +608,10 @@ object Bench {
       if (ratios.isEmpty) 1.0 else ratios(ratios.size / 2)
 
     val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    // compact per-query map for the STDOUT contract line: 3-decimal
+    // seconds — the full-precision map stays in BENCH_full.json
+    val qsCompact = results.map { case (k, v) => f""""$k":$v%.3f""" }
+      .mkString("{", ",", "}")
     val errs = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":"${v.replace("\"", "'")}"""" }
       .mkString("{", ",", "}")
@@ -696,10 +700,28 @@ object Bench {
         s""""worst_vs_floor":$worst},""" +
         s""""sf":"$sfDir"}"""
       }
-    println(json)
-    // the driver captures stdout through a `tail` that can truncate the
-    // per-query map — persist the complete artifact next to the repo so
-    // every query stays comparable round-over-round
+    // The driver parses ONE JSON line from a bounded stdout tail; the
+    // rich artifact grew to ~43 KB and its parse returned null for two
+    // rounds straight (PERF_r13/r14 per_query both empty). r15: stdout
+    // carries ONLY this compact contract line — same fields, 3-decimal
+    // query seconds, no plan-audit/floor/adjudication blocks (those live
+    // in BENCH_full.json, committed per round). Methodology (timers,
+    // terminals, gate set, reps) is unchanged; only the output shape is.
+    val compact =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
+        s""""queries":$qsCompact,"errors":$errs,""" +
+        s""""n_ok":${okResults.size},"n_failed":${errors.size},""" +
+        f""""ingest_samples_per_sec":$ingestRate%.1f,""" +
+        f""""write_samples_per_sec":$writeRate%.1f,""" +
+        s""""write_path":"runlog_spool",""" +
+        f""""write_clustered_samples_per_sec":$clusteredRate%.1f,""" +
+        f""""compact_samples_per_sec":$compactRate%.1f,""" +
+        f""""contention_factor":$contention%.3f,""" +
+        s""""n_over_2x_floor":$over2x,"sf":"$sfDir"}"""
+    println(compact)
+    // the complete artifact (full precision, plan audit, floors,
+    // adjudication) persists next to the repo so every query stays
+    // comparable round-over-round
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: java.io.IOException => () } // read-only cwd: stdout stands
