@@ -34,11 +34,28 @@ object Text {
     * unlike the unconditional repartition the pair-dedup operators use:
     * a 100 TB scan is already thousands of splits wide and must never
     * pay a corpus shuffle just for parallelism. The check reads the
-    * planned partition count, not data (no job for scan-rooted inputs —
-    * every caller here widens a raw or projected table scan). */
+    * planned partition count, not data — and ONLY for scan-rooted
+    * inputs (project/filter over a leaf), where `df.rdd` plans without
+    * running a job. For a public-API caller handing in a frame rooted
+    * in joins/aggregations, `Dataset.rdd` under AQE materializes the
+    * upstream shuffle stages as real jobs just to read a partition
+    * count and then discards that work (ADVICE r14) — and such a frame
+    * already came through an exchange at session parallelism, so the
+    * guard is a no-op there by construction: skip probe and shuffle. */
   private[llm] def widen(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= p) df else df.repartition(2 * p)
+    import org.apache.spark.sql.catalyst.plans.logical
+    def scanRooted(plan: logical.LogicalPlan): Boolean = plan match {
+      case _: logical.LeafNode => true
+      case pj: logical.Project => scanRooted(pj.child)
+      case f: logical.Filter   => scanRooted(f.child)
+      case s: logical.SubqueryAlias => scanRooted(s.child)
+      case _ => false
+    }
+    if (!scanRooted(df.queryExecution.analyzed)) df
+    else {
+      val p = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions >= p) df else df.repartition(2 * p)
+    }
   }
 
   /** Whitespace tokens. `split` on `\s+` after trim — matches DuckDB's
