@@ -64,13 +64,25 @@ object E2eProbe {
       lap("route_reconcile")
       val corpus = stored.select(col("vec_id"), col("embedding"))
       val survivors = profile.semDedup(corpus, cents, threshold = 0.4)
-        .select(col("vec_id"))
-      val out = profile.knnClusters(
-          corpus.join(survivors, Seq("vec_id"), "left_semi"),
-          k = 3, cents)
-        .orderBy(col("vec_id"))
+        .select(col("vec_id")).localCheckpoint()
+      lap("semdedup")
+      val kept = corpus.join(survivors, Seq("vec_id"), "left_semi")
+      val graph = profile.knnGraph(kept, k = 3, cents).localCheckpoint()
+      lap("knn_graph")
+      val e = graph.select(col("qid"), col("neighbor_id"))
+      val mutual = e.alias("l")
+        .join(e.alias("r"),
+          col("l.qid") === col("r.neighbor_id") &&
+            col("l.neighbor_id") === col("r.qid"))
+        .filter(col("l.qid") < col("l.neighbor_id"))
+        .select(col("l.qid").as("a"), col("l.neighbor_id").as("b"))
+        .localCheckpoint()
+      lap("mutual_join")
+      val cc = graft.llm.Dedup.connectedComponents(mutual)
+        .select(col("node").as("vec_id"), col("component").as("cluster"))
+      val out = cc.orderBy(col("vec_id"))
       val n = Bench.forceTimed(out)
-      lap("dedup+cluster")
+      lap("cc+terminal")
       println(f"E2E rep$rep TOTAL          ${(last - t00) / 1e9}%7.3f s  rows=$n")
     }
     spark.stop()
