@@ -274,10 +274,19 @@ object Dedup {
     // the whole shingle stage on one core. Shingles become 64-bit hashes
     // immediately — 8-byte shuffle keys instead of n-word strings; a hash
     // collision would need ~2^32 distinct shingles per bucket to matter.
+    // LAZY lineage cut on the PER-DOC hash-array frame (r15): the
+    // exploded frame is consumed by the heavy-bucket count, the size
+    // aggregate and both pair-join sides, so uncut the scan + tokenize
+    // + shingle + hash pipeline re-executed per consumer (4 corpus
+    // tokenize passes; the r13 A/B that kept recompute-per-consumer
+    // only priced storing the EXPLODED per-shingle rows — one row per
+    // doc through the block store is the minhashBandCandidates trade,
+    // already measured cheap there).
     val sh = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism * 2)
       .select(col(idCol).as("id"),
         hashedShingles(col(textCol), n).as("sh"))
+      .localCheckpoint(false)
     // Shingles are distinct per doc, so |A ∩ B| = the number of buckets a
     // pair co-occurs in — one groupBy(pair).count, no array payloads ever
     // cross the shuffle. Sizes join back as two small int columns.
@@ -326,8 +335,13 @@ object Dedup {
   def noveltyStats(docs: DataFrame, n: Int = 3,
                    textCol: String = "text",
                    idCol: String = "doc_id"): DataFrame = {
-    val ex = docs
-      .select(col(idCol), explode(hashedShingles(col(textCol), n)).as("g"))
+    // LAZY lineage cut on the per-doc hash-array frame (r15): `ex`
+    // feeds the per-shingle doc count AND the join side, so uncut the
+    // tokenize + shingle + hash pass ran twice.
+    val arr = docs
+      .select(col(idCol), hashedShingles(col(textCol), n).as("sh"))
+      .localCheckpoint(false)
+    val ex = arr.select(col(idCol), explode(col("sh")).as("g"))
     // shingles are distinct per doc, so count(*) = distinct docs
     val cnt = ex.groupBy(col("g")).agg(count(lit(1)).as("__docs"))
     val perDoc = ex.join(cnt, "g")
@@ -361,10 +375,17 @@ object Dedup {
                       maxBucket: Int = 1000,
                       hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
                         c => org.apache.spark.sql.functions.xxhash64(c)): DataFrame = {
-    val fps = docs
+    // LAZY lineage cut on the per-doc fingerprint-array frame (r15):
+    // `fps` feeds the heavy-bucket count and BOTH pair-join sides, so
+    // uncut the tokenize + winnow pass re-executed per consumer (3
+    // corpus passes). One array row per doc rides the block store; the
+    // exploded rows stay recompute-per-consumer like shinglePairCounts.
+    val arr = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism * 2)
       .select(col(idCol).as("id"),
-        explode(Text.winnow(col(textCol), k, w, hashFn)).as("fp"))
+        Text.winnow(col(textCol), k, w, hashFn).as("__fps"))
+      .localCheckpoint(false)
+    val fps = arr.select(col("id"), explode(col("__fps")).as("fp"))
     val heavy = fps.groupBy(col("fp")).count()
       .filter(col("count") > maxBucket).select(col("fp"))
     val kept = fps.join(broadcast(heavy), Seq("fp"), "left_anti")
@@ -417,6 +438,12 @@ object Dedup {
     * shared front half of the span-dedup family. */
   private def spanWindows(docs: DataFrame, k: Int, textCol: String,
                           idCol: String): (DataFrame, DataFrame) = {
+    // NOT lineage-cut (r15 measured rejection): a per-doc
+    // (toks, window-hash array) frame through the block store was A/B'd
+    // and LOST — doc_substring_dedup 0.97 → 1.17 s, incremental flat.
+    // The wins consumers key identical subtrees on `wh`, so Spark's
+    // ReusedExchange already shares the heavy pass; the checkpoint only
+    // added a block-store write of corpus-scale token arrays.
     val base = docs
       .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
     val wins = base
@@ -581,10 +608,18 @@ object Dedup {
                           textCol: String = "text",
                           idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bs0 = benchmark.select(col(idCol).as("bench_id"),
-      explode(hashedShingles(col(textCol), n)).as("g"))
-    val cs0 = corpus.select(col(idCol).as("corpus_id"),
-      explode(hashedShingles(col(textCol), n)).as("g"))
+    // LAZY lineage cuts on the per-doc hash-array frames (r15): the
+    // corpus side feeds the heavy-bucket count AND the pair join, the
+    // bench side feeds the size aggregate AND the pair join — uncut,
+    // each side's tokenize + shingle + hash pass ran twice.
+    val bArr = benchmark.select(col(idCol).as("bench_id"),
+        hashedShingles(col(textCol), n).as("sh"))
+      .localCheckpoint(false)
+    val bs0 = bArr.select(col("bench_id"), explode(col("sh")).as("g"))
+    val cArr = corpus.select(col(idCol).as("corpus_id"),
+        hashedShingles(col(textCol), n).as("sh"))
+      .localCheckpoint(false)
+    val cs0 = cArr.select(col("corpus_id"), explode(col("sh")).as("g"))
     val heavy = cs0.groupBy(col("g")).count()
       .filter(col("count") > maxBucket).select(col("g"))
     val cs = cs0.join(broadcast(heavy), Seq("g"), "left_anti")

@@ -1154,6 +1154,11 @@ object TsAnalytics {
       minCount >= 1)
     val cuts = graft.functions.Sax.cutpoints(alphabet)
     val wOrd = Window.partitionBy(on.map(col): _*).orderBy(col("__t").asc)
+    // LAZY lineage cut (r15, the madOutliers pattern): `samples` feeds
+    // the per-window stats aggregate AND the letterizing join side, so
+    // uncut the scan + instant-dedup aggregate + row-number window
+    // executed twice (plan showed the source scanned 4x through the
+    // two branches). Narrow per-sample rows ride the block store.
     val samples = df.select(
       (on.map(col) :+ col(tsCol).cast("long").as("__t") :+
         col(valueCol).cast("double").as("__v")): _*)
@@ -1163,6 +1168,7 @@ object TsAnalytics {
       .withColumn("__rn", row_number().over(wOrd) - 1)
       .withColumn("__win", expr("__rn div " + width))
       .withColumn("__pos", col("__rn") % width)
+      .localCheckpoint(false)
     val winKey = on.map(col) :+ col("__win")
     val stats = samples.groupBy(winKey: _*)
       .agg(count(lit(1)).as("__n"), round(avg(col("__v")), 6).as("__mean"),
