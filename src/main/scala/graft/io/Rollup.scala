@@ -173,13 +173,28 @@ object Rollup {
   def write(samples: DataFrame, path: String, steps: Seq[Long],
             batchId: Long = -1L): Unit = {
     require(steps.nonEmpty && steps.forall(_ > 0), "steps must be positive")
-    val fs = fsOf(samples.sparkSession, path)
+    val spark = samples.sparkSession
+    val fs = fsOf(spark, path)
     val next = currentEpoch(fs, path).getOrElse(0L) + 1
     val epoch = epochDir(path, next)
     fs.delete(new Path(epoch), true) // stale orphan from a prior crash
-    steps.foreach { step =>
-      stepAgg(samples, step)
-        .write.mode("overwrite").parquet(stepDir(epoch, step))
+    // CHAINED build (r15): a coarser step whose span is a multiple of an
+    // already-written finer step folds from THAT step's summaries (read
+    // back from the just-written parquet — summary-scale) instead of
+    // re-scanning the raw samples: one corpus pass per divisor CHAIN,
+    // not per step. Exact by the same mergeable algebra `update` relies
+    // on (bit-for-bit up to fp addition order in `vsum`, which every
+    // serve-side consumer rounds at 6).
+    val written = scala.collection.mutable.Map.empty[Long, String]
+    steps.sorted.foreach { step =>
+      val dir = stepDir(epoch, step)
+      val src = written.keys.filter(f => f != step && step % f == 0)
+      val agg =
+        if (src.isEmpty) stepAgg(samples, step)
+        else mergeSummaries(spark.read.parquet(written(src.max))
+          .withColumn("bucket", (expr(s"bucket div ${step}L") * step)))
+      agg.write.mode("overwrite").parquet(dir)
+      written(step) = dir
     }
     commit(fs, epoch, batchId)
     prune(fs, path, next)

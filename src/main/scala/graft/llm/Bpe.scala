@@ -209,11 +209,19 @@ object Bpe {
       .select(col(idCol), explode(Text.tokens(col(textCol))).as("word"))
       .select(col(idCol), wordCol)
       .filter(length(col("word")) > 0)
-    val dict = words.select(col("word")).distinct()
+    // r15: reduce the token stream to per-doc word COUNTS first and
+    // derive the dictionary from that frame (lazily cut) — the old
+    // shape consumed `words` twice (dict distinct + join side), paying
+    // the corpus tokenize + explode pass per consumer, and shuffled one
+    // row per TOKEN into the join instead of one per (doc, word).
+    val wc = words.groupBy(col(idCol), col("word"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false)
+    val dict = wc.select(col("word")).distinct()
       .select(col("word"), size(applyMerges(col("word"), merges)).as("__n"))
-    words.join(broadcast(dict), Seq("word"))
+    wc.join(broadcast(dict), Seq("word"))
       .groupBy(col(idCol))
-      .agg(sum(col("__n")).as("n_bpe_tokens"))
+      .agg(sum(col("__c") * col("__n")).as("n_bpe_tokens"))
   }
 
   /** The merge table as a DataFrame (for gates / persistence). */

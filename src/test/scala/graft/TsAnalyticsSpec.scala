@@ -451,6 +451,27 @@ class TsAnalyticsSpec extends SparkFunSuite {
     }
   }
 
+  test("rollup write: chained coarser step equals a direct per-step build") {
+    // r15: write() folds a coarser step from an already-written finer
+    // divisor (one corpus pass per chain) — the stored summaries must
+    // equal a build that aggregated the step straight from the samples
+    def mk(rows: Seq[(String, Long, Double)]) =
+      rows.toDF("metric", "ts", "value")
+        .withColumn("tags", map_from_arrays(
+          array().cast("array<string>"), array().cast("array<string>")))
+    val rows = Seq(("m", 1L, 4.0), ("m", 2L, 9.0), ("m", 7L, 2.0),
+      ("m", 11L, 3.0), ("n", 4L, -1.0), ("n", 25L, 7.0))
+    val chained = java.nio.file.Files
+      .createTempDirectory("graft_rch").toString
+    val direct = java.nio.file.Files
+      .createTempDirectory("graft_rdi").toString
+    graft.io.Rollup.write(mk(rows), chained, Seq(5L, 10L))
+    graft.io.Rollup.write(mk(rows), direct, Seq(10L))
+    def at10(p: String) = graft.io.Rollup.serve(spark, p, 10L)
+      .orderBy("metric", "bucket").collect().map(_.toSeq).toSeq
+    assert(at10(chained) == at10(direct))
+  }
+
   test("rollup update: incremental fold equals full rebuild") {
     def mk(rows: Seq[(String, Long, Double)]) =
       rows.toDF("metric", "ts", "value")
