@@ -1065,10 +1065,14 @@ object Dedup {
     val spark = newDocs.sparkSession
     val Array(n, bands, rowsPerBand) =
       Embed.readTextFile(spark, lshMetaFile(path)).split(",").map(_.toInt)
+    // LAZY lineage cut (r15): `newSh` feeds the band table and the
+    // verification sets — uncut, the batch tokenize + shingle + minhash
+    // pass ran once per consumer.
     val newSh = newDocs
       .repartition(spark.sparkContext.defaultParallelism * 2)
       .select(col(idCol).as("id"), hashedShingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
+      .localCheckpoint(false)
     val newBanded = newSh
       .select(col("id"),
         minhashFromHashes(col("sh"), bands * rowsPerBand).as("sig"))
@@ -1117,10 +1121,15 @@ object Dedup {
     val spark = newDocs.sparkSession
     val Array(n, bands, rowsPerBand) =
       Embed.readTextFile(spark, lshMetaFile(path)).split(",").map(_.toInt)
+    // LAZY lineage cut (r15, the minhashBandCandidates trade): `newSh`
+    // feeds the band table (consumed by BOTH candidate joins) and the
+    // verification sets (joined on both pair sides), so uncut the batch
+    // tokenize + shingle + 128-permutation minhash re-executed up to 5x.
     val newSh = newDocs
       .repartition(spark.sparkContext.defaultParallelism * 2)
       .select(col(idCol).as("id"), hashedShingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
+      .localCheckpoint(false)
     val newSets = newSh
       .select(col("id"), col("sh"), size(col("sh")).as("nsh"))
     val newBanded = newSh
@@ -1129,6 +1138,7 @@ object Dedup {
       .select(col("id"), posexplode(bandHashArr(col("sig"), bands, rowsPerBand)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bandhash")
+      .localCheckpoint(false)
     val storedBanded = spark.read.parquet(s"$path/bands")
     // corpus-vs-new (either id order — normalize to a < b) …
     val cx = storedBanded.alias("l")
