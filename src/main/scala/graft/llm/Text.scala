@@ -692,12 +692,17 @@ object Text {
         .withColumn("__b",
           conv(substring(md5(col("__g")), 1, 15), 16, 10)
             .cast("long") % buckets)
-    // each model collapses to <= `buckets` rows: collect ONCE (one
-    // corpus pass + one target pass), derive the totals and the
-    // log-ratio table driver-side, and broadcast it back — the scoring
-    // pass below is then the only other corpus-wide job
-    val rawCnt = gramRows(corpus).groupBy(col("__b"))
-      .agg(count(lit(1)).as("__c")).collect()
+    // each model collapses to <= `buckets` rows: collect ONCE, derive
+    // the totals and the log-ratio table driver-side, and broadcast it
+    // back. r15: the raw model folds from the PER-DOC bucket counts
+    // (lazily cut) instead of its own gram pass — the corpus is
+    // tokenized once for both the model and the scoring join below
+    // (sum of per-doc counts == the direct gram count, exact longs).
+    val perDocCnt = gramRows(corpus, col(idCol))
+      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false)
+    val rawCnt = perDocCnt.groupBy(col("__b"))
+      .agg(sum(col("__c")).as("__c")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     val tgtCnt = gramRows(target).groupBy(col("__b"))
       .agg(count(lit(1)).as("__c")).collect()
@@ -713,8 +718,7 @@ object Text {
           (nTgt + buckets)) -
         math.log((cr + 1).toDouble / (nRaw + buckets)))
     }.toDF("__b", "__lr")
-    val perDoc = gramRows(corpus, col(idCol))
-      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__c"))
+    val perDoc = perDocCnt
       .join(broadcast(ratio), "__b")
       .groupBy(col(idCol))
       .agg(sum(col("__c") * col("__lr")).as("__w"))
