@@ -506,9 +506,13 @@ object Text {
                     n: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nDocs = n.getOrElse(docs.count())
+    // LAZY lineage cut (r15): `tf` feeds the document-frequency
+    // aggregate AND the scoring join — uncut, the tokenize + explode +
+    // tf aggregation executed once per consumer.
     val tf = docs
       .select(col(idCol), explode(tokens(lower(col(textCol)))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = tf.join(df, "term")
       .withColumn("tfidf", round(col("tf") *
@@ -544,9 +548,13 @@ object Text {
                     n: Option[Long] = None): DataFrame = {
     require(k > 0)
     val nDocs = n.getOrElse(docs.count())
+    // LAZY lineage cut (r15): `tf` feeds the document-frequency
+    // aggregate AND the scoring join — uncut, the tokenize + explode +
+    // tf aggregation executed once per consumer.
     val tf = docs
       .select(col(idCol), explode(tokens(lower(col(textCol)))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val ctf = tf.join(clusters, col(idCol) === col("node"))
       .groupBy(col("component"), col("term"))
